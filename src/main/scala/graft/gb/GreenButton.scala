@@ -1,0 +1,267 @@
+package graft.gb
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Schemas._
+
+/** Parse mode for the multi-file scan (S2): Permissive skips files that fail
+  * to parse or denormalize (reference CLI skip-with-warning,
+  * cli-frontend/src/main.rs:34-37); FailFast raises on the first bad file
+  * (reference library behavior — parse_xml returns Err).
+  */
+sealed trait ParseMode
+case object Permissive extends ParseMode
+case object FailFast extends ParseMode
+
+/** The Green Button engine: ESPI Atom-XML feeds → one denormalized
+  * TimeSeries DataFrame (SURVEY.md §1-§3) → CSV / Parquet / InfluxDB sinks.
+  *
+  * Spark-first design:
+  *   - one `map` over whole files does all shredding (S1-S8); everything
+  *     downstream is declarative DataFrame algebra, so Catalyst handles
+  *     pushdown/pruning and AQE picks join strategies;
+  *   - the reference's hand-fused 4-way hash join (denormalize_and_link,
+  *     lib/personalgreenbutton/src/lib.rs:32-190) becomes equi-joins keyed
+  *     by (file, …) — per-file metadata tables (entries, reading types,
+  *     local-time parameters) are tiny relative to readings, the one big
+  *     fact table, so the plan is broadcast-join shaped at any scale;
+  *   - the per-year DST memoization (lib.rs:117-156) becomes a derived
+  *     (file, year) → [dst_start, dst_end) bounds table, broadcast-joined
+  *     back to readings;
+  *   - the enum decode (J5, gb_type_details.rs:8-31) is a broadcast
+  *     dictionary join, applied to reading_types *before* the fact join so
+  *     each code decodes once per reading type, not once per reading
+  *     (mirrors the reference's enums_to_strings pre-pass, lib.rs:86-108).
+  */
+object GreenButton {
+
+  /** The 15-column output schema, in reference order (timeseries.rs:244-262). */
+  val outputColumns: Seq[String] = Seq(
+    "title", "cost", "quality", "value", "tou",
+    "time_period_start_unix", "time_period_duration_seconds",
+    "accumulation_behaviour", "commodity", "currency", "data_qualifier",
+    "flow_direction", "kind", "phase", "uom")
+
+  // ---------------------------------------------------------------- sources
+
+  /** S1/S2: scan files (glob ok) → one ParsedFeed row per file. */
+  def parse(spark: SparkSession, path: String): Dataset[ParsedFeed] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        EspiXml.parseFeed(p, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** Parse in-memory documents (tests, incremental ingest S3). */
+  def parseStrings(spark: SparkSession, docs: Seq[(String, String)]): Dataset[ParsedFeed] = {
+    import spark.implicits._
+    docs.toDS().map { case (name, xml) => EspiXml.parseFeed(name, xml) }
+  }
+
+  /** Staging tables derived from the parsed feeds (relational shredding S4).
+    * Each carries the `file` key for per-file denormalization. */
+  case class Staging(entries: DataFrame, readings: DataFrame,
+                     readingTypes: DataFrame, localTimeParams: DataFrame,
+                     errors: DataFrame)
+
+  def staging(parsed: Dataset[ParsedFeed]): Staging = {
+    val ok = parsed.filter(col("error").isNull)
+    def exploded(field: String): DataFrame =
+      ok.select(col("file"), explode(col(field)).as("x")).select(col("file"), col("x.*"))
+    Staging(
+      entries = exploded("entries"),
+      readings = exploded("readings"),
+      readingTypes = exploded("readingTypes"),
+      localTimeParams = exploded("localTimeParams"),
+      errors = parsed.filter(col("error").isNotNull).select(col("file"), col("error")))
+  }
+
+  // ----------------------------------------------------------- denormalize
+
+  /** In-plan assertion: when `bad` holds, raise `msg` (failfast); the
+    * permissive path filters instead. */
+  private def assertNot(bad: Column, msg: Column): Column =
+    when(bad, raise_error(msg)).otherwise(lit(null))
+
+  /** Dictionary slice (value → decoded string) for one coded column. */
+  private def dictSlice(dict: DataFrame, scope: String, field: String,
+                        valueCol: String, outCol: String): DataFrame =
+    dict.filter(col("scope") === scope && col("field") === field)
+      .select(col("value").as(valueCol), col("app_info").as(outCol))
+
+  /** UTC calendar year of a unix-seconds column, session-timezone-free. */
+  private def utcYear(unixSec: Column): Column =
+    year(date_from_unix_date(floor(unixSec / 86400L).cast("int")))
+
+  /** The full denormalize_and_link as DataFrame algebra. Output: the 15
+    * TimeSeries columns plus `file`. */
+  def denormalize(spark: SparkSession, st: Staging,
+                  mode: ParseMode = FailFast): DataFrame = {
+    import spark.implicits._
+    val failfast = mode == FailFast
+
+    val dict = broadcast(GbTypeDetails.load(spark))
+
+    // --- P7: exactly one LocalTimeParameters per file (lib.rs:42-50)
+    val ltpCounts = st.localTimeParams.groupBy("file")
+      .agg(count(lit(1)).as("ltp_n"),
+        first("dstStartRule").as("dstStartRule"),
+        first("dstEndRule").as("dstEndRule"),
+        first("dstOffset").as("dstOffset"),
+        first("tzOffset").as("tzOffset"))
+    val filesWithEntries = st.entries.select("file").distinct()
+    val ltp = filesWithEntries.join(ltpCounts, Seq("file"), "left")
+      .withColumn("ltp_ok", col("ltp_n") === 1)
+    val ltp1 =
+      if (failfast)
+        ltp.withColumn("_a", assertNot(col("ltp_n").isNull || col("ltp_n") === 0,
+            lit("Missing LocalTimeParameters.")))
+          .withColumn("_b", assertNot(col("ltp_n") > 1,
+            lit("Input with multiple LocalTimeParameters is currently unsupported.")))
+          .drop("_a", "_b")
+      else ltp.filter(col("ltp_ok"))
+
+    // --- J2: two-hop FK resolution entry → meter-reading entry →
+    //         reading-type entry (lib.rs:58-83)
+    val e = st.entries.select(
+      col("file"), col("idx"), col("relatedMeterReadingHref"))
+    val mrSide = st.entries.select(
+      col("file").as("mr_file"), col("href").as("mr_href"),
+      col("relatedReadingTypeHref").as("rt_entry_href"))
+    val rtSide = st.entries.select(
+      col("file").as("rte_file"), col("href").as("rte_href"),
+      col("entryType").as("rte_type"), col("rtIndex").as("rt_idx"))
+
+    val hop1 = e.filter(col("relatedMeterReadingHref") =!= "")
+      .join(mrSide,
+        col("file") === col("mr_file") &&
+          col("relatedMeterReadingHref") === col("mr_href"), "left")
+    val hop1Checked =
+      if (failfast) hop1.withColumn("_a",
+        assertNot(col("mr_href").isNull,
+          concat(lit("Missing meter reading entry "), col("relatedMeterReadingHref"))))
+        .drop("_a")
+      else hop1
+    val hop2 = hop1Checked
+      .join(rtSide,
+        col("file") === col("rte_file") &&
+          col("rt_entry_href") === col("rte_href"), "left")
+    val hop2Checked =
+      if (failfast) hop2.withColumn("_a",
+        assertNot(col("rt_entry_href").isNotNull &&
+          (col("rte_href").isNull || col("rte_type") =!= "ReadingType"),
+          concat(lit("Mismatched reading type "), coalesce(col("rte_type"), lit("missing")))))
+        .drop("_a")
+      else hop2.filter(col("rte_type").isNull || col("rte_type") === "ReadingType")
+    // entry → reading-type index map (null when the entry has no meter link)
+    val entryRt = hop2Checked.select(
+      col("file"), col("idx").as("entryIdx"), col("rt_idx"))
+
+    // --- J5 pre-pass: decode the 8 enum columns + pow10 on reading_types
+    val rtFields = Seq(
+      "accumulationBehaviour" -> "accumulation_behaviour",
+      "commodity" -> "commodity", "currency" -> "currency",
+      "dataQualifier" -> "data_qualifier", "flowDirection" -> "flow_direction",
+      "kind" -> "kind", "phase" -> "phase", "uom" -> "uom")
+    var rt = st.readingTypes
+    for ((in, out) <- rtFields) {
+      val slice = dictSlice(dict, "ReadingType", in, s"_v_$out", s"_s_$out")
+      rt = rt.join(broadcast(slice), col(in) === col(s"_v_$out"), "left")
+        .drop(in, s"_v_$out")
+        .withColumn(out, coalesce(col(s"_s_$out"), lit(GbTypeDetails.MissingAppInfo)))
+        .drop(s"_s_$out")
+    }
+    // F1: 10^powerOfTenMultiplier in f32, computed once per reading type
+    val rtDecoded = rt
+      .withColumn("pow10",
+        pow(lit(10.0), col("powerOfTenMultiplier").cast("double")).cast("float"))
+      .withColumnRenamed("rtIndex", "rt_idx")
+      .select((Seq("file", "rt_idx", "pow10") ++ rtFields.map(_._2)).map(col): _*)
+
+    // --- F7/F8: per-(file, year) DST bounds, evaluated once and joined back
+    val years = st.readings
+      .select(col("file"), utcYear(col("startUnix")).as("year")).distinct()
+    val bounds = years
+      .join(ltp1.select("file", "dstStartRule", "dstEndRule"), Seq("file"))
+      .as[(String, Int, Long, Long)]
+      .map { case (file, yr, startRule, endRule) =>
+        (file, yr,
+          DstRules.epochOrNone(startRule, yr),
+          DstRules.epochOrNone(endRule, yr))
+      }
+      .toDF("file", "year", "dst_start_epoch", "dst_end_epoch")
+
+    // --- assemble the fact-side plan
+    val titles = st.entries.select(
+      col("file"), col("idx").as("entryIdx"), col("title"))
+    val qualityDict = broadcast(
+      dictSlice(dict, "", "QualityOfReading", "_v_q", "quality_str"))
+
+    var facts = st.readings
+      .join(titles, Seq("file", "entryIdx"))
+      .join(entryRt, Seq("file", "entryIdx"), "left")
+    facts =
+      if (failfast) facts.withColumn("_a",
+        assertNot(col("rt_idx").isNull, lit("Missing reading type"))).drop("_a")
+      else facts.filter(col("rt_idx").isNotNull)
+    facts = facts
+      .join(rtDecoded, Seq("file", "rt_idx"))
+      .join(qualityDict, col("quality") === col("_v_q"), "left")
+      .withColumn("quality_str",
+        coalesce(col("quality_str"), lit(GbTypeDetails.MissingAppInfo)))
+      .join(ltp1.select("file", "dstOffset", "tzOffset"), Seq("file"))
+      .withColumn("year", utcYear(col("startUnix")))
+      .join(bounds, Seq("file", "year"), "left")
+
+    // F8: civil-time shift — strict bounds, naive-UTC space (lib.rs:157-162)
+    val shifted = facts.withColumn("ts_local",
+      col("startUnix") + col("tzOffset") +
+        when(col("dst_start_epoch").isNotNull && col("dst_end_epoch").isNotNull &&
+          col("startUnix") > col("dst_start_epoch") &&
+          col("startUnix") < col("dst_end_epoch"), col("dstOffset"))
+          .otherwise(lit(0L)))
+
+    // F3: enova provider patch — keyed off the *first* entry's href per file
+    // (timeseries.rs:173-177)
+    val enova = st.entries.filter(col("idx") === 0)
+      .select(col("file"), col("href").contains("enova").as("enova_fix"))
+
+    val out = shifted
+      .join(enova, Seq("file"), "left")
+      .withColumn("cost_fixed",
+        when(coalesce(col("enova_fix"), lit(false)),
+          col("cost") * lit(100.0f)).otherwise(col("cost")))
+      .withColumn("value_scaled",
+        (col("value").cast("float") * col("pow10")).cast("float"))
+
+    out.select(
+      col("file"),
+      col("title"),
+      col("cost_fixed").as("cost"),
+      col("quality_str").as("quality"),
+      col("value_scaled").as("value"),
+      col("tou"),
+      col("ts_local").as("time_period_start_unix"),
+      col("durationSec").as("time_period_duration_seconds"),
+      col("accumulation_behaviour"), col("commodity"), col("currency"),
+      col("data_qualifier"), col("flow_direction"), col("kind"),
+      col("phase"), col("uom"))
+  }
+
+  /** End-to-end: path glob → TimeSeries DataFrame (15 columns; file order is
+    * not retained — the reference CLI doesn't sort either, use
+    * [[TimeSeriesOps.sortSeries]] for the deterministic order). */
+  def timeseries(spark: SparkSession, path: String,
+                 mode: ParseMode = Permissive): DataFrame = {
+    val parsed = parse(spark, path)
+    denormalize(spark, staging(parsed), mode).drop("file")
+  }
+
+  def timeseriesFromStrings(spark: SparkSession, docs: Seq[(String, String)],
+                            mode: ParseMode = FailFast): DataFrame =
+    denormalize(spark, staging(parseStrings(spark, docs)), mode).drop("file")
+}

@@ -1,0 +1,156 @@
+package graft.gb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operations over the denormalized TimeSeries DataFrame (SURVEY.md §2.4-2.7):
+  * boolean-ANY cost detection, multi-key sort, per-series chunking, union,
+  * and the three sinks (CSV / Parquet / InfluxDB line protocol).
+  */
+object TimeSeriesOps {
+
+  /** Rust `f32::to_string` parity: shortest decimal, no exponent notation,
+    * no trailing ".0" (timeseries.rs:219 uses Display). */
+  def formatF32(f: Float): String =
+    if (f.isNaN) "NaN"
+    else if (f == Float.PositiveInfinity) "inf"
+    else if (f == Float.NegativeInfinity) "-inf"
+    else {
+      val s = java.lang.Float.toString(f)
+      if (s.indexOf('E') >= 0)
+        new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+      else if (s.endsWith(".0")) s.substring(0, s.length - 2)
+      else s
+    }
+
+  private val fmtF32 = udf(formatF32 _)
+
+  /** P4/A1: true iff any cost is finite and non-zero (timeseries.rs:183-190).
+    * A boolean-ANY aggregate — one partial-aggregated pass. */
+  def hasCost(ts: DataFrame): Boolean = {
+    val finite = !isnan(col("cost")) &&
+      col("cost") =!= Float.PositiveInfinity &&
+      col("cost") =!= Float.NegativeInfinity
+    ts.agg(coalesce(max(finite && col("cost") =!= 0f), lit(false)))
+      .head.getBoolean(0)
+  }
+
+  /** O1: global multi-key sort (title, time) — range partition + local sort
+    * (reference permutation sort, timeseries.rs:116-138). */
+  def sortSeries(ts: DataFrame): DataFrame =
+    ts.orderBy(col("title"), col("time_period_start_unix"))
+
+  /** A3/O3: cluster by series with intra-series time order — the distributed
+    * analog of sort_and_chunk's Vec-per-title (timeseries.rs:140-147).
+    * Downstream per-series consumers (charting, export) read one partition's
+    * run of equal titles without a further shuffle. */
+  def chunkBySeries(ts: DataFrame): DataFrame =
+    ts.repartition(col("title"))
+      .sortWithinPartitions(col("title"), col("time_period_start_unix"))
+
+  /** O2: union-all, by name (TimeSeries::extend, timeseries.rs:149-171). */
+  def extend(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
+  // ------------------------------------------------------------------ sinks
+
+  /** K1: CSV projection — every column stringified with Rust Display parity
+    * so `df.write.option("header",true).csv` round-trips the goldens. */
+  def csvProjection(ts: DataFrame): DataFrame =
+    ts.select(
+      col("title"),
+      fmtF32(col("cost")).as("cost"),
+      col("quality"),
+      fmtF32(col("value")).as("value"),
+      col("tou").cast("string").as("tou"),
+      col("time_period_start_unix").cast("string").as("time_period_start_unix"),
+      col("time_period_duration_seconds").cast("string")
+        .as("time_period_duration_seconds"),
+      col("accumulation_behaviour"), col("commodity"), col("currency"),
+      col("data_qualifier"), col("flow_direction"), col("kind"),
+      col("phase"), col("uom"))
+
+  def writeCsv(ts: DataFrame, path: String): Unit =
+    csvProjection(ts).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Local CSV string (test fixture parity with timeseries.rs:477-503). */
+  def csvString(ts: DataFrame): String = {
+    val header = GreenButton.outputColumns.mkString(",")
+    def cell(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n')) {
+        "\"" + s.replace("\"", "\"\"") + "\""
+      } else s
+    val rows = csvProjection(ts).collect().map(
+      r => (0 until 15).map(i => cell(r.getString(i))).mkString(","))
+    (header +: rows).mkString("", "\n", "\n")
+  }
+
+  /** K2: Parquet sink — reference schema: ts in millis, snappy, single file
+    * (single row group analog; timeseries.rs:238-307). */
+  def writeParquet(ts: DataFrame, path: String): Unit = {
+    val spark = ts.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MILLIS") // reference writes TIMESTAMP(MILLIS)
+    try doWriteParquet(ts, path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def doWriteParquet(ts: DataFrame, path: String): Unit =
+    ts.select(
+      col("title"), col("cost"), col("quality"), col("value"), col("tou"),
+      timestamp_seconds(col("time_period_start_unix"))
+        .as("time_period_start_unix"),
+      col("time_period_duration_seconds"),
+      col("accumulation_behaviour"), col("commodity"), col("currency"),
+      col("data_qualifier"), col("flow_direction"), col("kind"),
+      col("phase"), col("uom"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** K3: InfluxDB line protocol — pure string projection
+    * (timeseries.rs:309-358). One output column `line`; write with
+    * `.write.text`. Tag values escape spaces; the measurement strips
+    * non-alphanumerics; `cost` is emitted only when the table has any cost
+    * (schema-variant output driven by the hasCost ANY-aggregate).
+    */
+  def influxProjection(ts: DataFrame, includeCost: Boolean): DataFrame = {
+    def esc(c: Column): Column = regexp_replace(c, " ", "\\\\ ")
+    val measurement = regexp_replace(
+      regexp_replace(col("title"), " ", "_"), "[^A-Za-z0-9_]", "")
+    // NB: the reference spells the tag key "accumulation_behavior" (US
+    // spelling) in this one sink — timeseries.rs:321.
+    val tags = concat_ws(",",
+      lit("db=greenbutton"),
+      concat(lit("accumulation_behavior="), esc(col("accumulation_behaviour"))),
+      concat(lit("commodity="), esc(col("commodity"))),
+      concat(lit("currency="), esc(col("currency"))),
+      concat(lit("data_qualifier="), esc(col("data_qualifier"))),
+      concat(lit("flow_direction="), esc(col("flow_direction"))),
+      concat(lit("kind="), esc(col("kind"))),
+      concat(lit("phase="), esc(col("phase"))),
+      concat(lit("uom="), esc(col("uom"))))
+    val baseFields = concat_ws(",",
+      concat(lit("quality="), esc(col("quality"))),
+      concat(lit("value="), fmtF32(col("value"))),
+      concat(lit("tou="), col("tou").cast("string")),
+      concat(lit("time_period_duration_seconds="),
+        col("time_period_duration_seconds").cast("string")))
+    val fields =
+      if (includeCost) concat(baseFields, lit(",cost="), fmtF32(col("cost")))
+      else baseFields
+    val timeNs = (col("time_period_start_unix") * lit(1000000000L)).cast("string")
+    ts.select(concat_ws(" ",
+      concat(measurement, lit(","), tags), fields, timeNs).as("line"))
+  }
+
+  def influxString(ts: DataFrame): String = {
+    val lines = influxProjection(ts, hasCost(ts)).collect().map(_.getString(0))
+    lines.mkString("", "\n", if (lines.nonEmpty) "\n" else "")
+  }
+}

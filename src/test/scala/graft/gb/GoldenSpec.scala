@@ -1,0 +1,101 @@
+package graft.gb
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** End-to-end parity against the reference's recorded golden
+  * (cli-frontend/tests/goldens/golden.parquet, produced by running the
+  * reference CLI over the test_files corpus). Two of the three corpus files are
+  * stripped from the checkout, so we compare the subset of golden rows whose
+  * titles our output produces (value-level, float-tolerant — SURVEY.md §7.4).
+  */
+class GoldenSpec extends SparkTestBase {
+
+  val testFiles = "/root/reference/test_files/*.xml"
+  val goldenPath = "/root/reference/cli-frontend/tests/goldens/golden.parquet"
+
+  lazy val ours = GreenButton.timeseries(spark, testFiles, Permissive)
+
+  test("EGD corpus parses to a non-empty timeseries") {
+    assert(ours.count() > 0)
+  }
+
+  test("output schema is the 15 reference columns in order") {
+    assert(ours.columns.toSeq == GreenButton.outputColumns)
+  }
+
+  test("matches golden rows for present titles (value-level)") {
+    // golden stores TIMESTAMP(MILLIS, isAdjustedToUTC=false) → Spark reads
+    // TIMESTAMP_NTZ; go through TimestampType (session tz is UTC) to epoch
+    val golden = spark.read.parquet(goldenPath)
+      .withColumn("time_period_start_unix",
+        col("time_period_start_unix").cast("timestamp").cast("long"))
+    val ourRows = ours
+      .withColumn("time_period_start_unix",
+        col("time_period_start_unix").cast("long"))
+
+    val ourTitles = ourRows.select("title").distinct().collect().map(_.getString(0)).toSet
+    assert(ourTitles.nonEmpty)
+    val goldenSub = golden.filter(col("title").isin(ourTitles.toSeq: _*))
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(GreenButton.outputColumns.map(col): _*)
+        .collect()
+        .map(r => (0 until 15).map(r.get))
+        .sortBy(_.mkString(""))
+        .toSeq
+
+    val g = canon(goldenSub)
+    val o = canon(ourRows)
+    assert(o.size == g.size, s"row count: ours=${o.size} golden=${g.size}")
+
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Float, y: Float) =>
+        (x.isNaN && y.isNaN) || x == y ||
+          math.abs(x - y) <= 1e-5f * math.max(math.abs(x), math.abs(y))
+      case _ => a == b
+    }
+    val mismatches = g.zip(o).zipWithIndex.filter { case ((gr, or), _) =>
+      !gr.zip(or).forall { case (a, b) => close(a, b) }
+    }
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} mismatched rows; first: ${mismatches.headOption}")
+  }
+
+  test("CSV fixture row matches reference unit test (timeseries.rs:477-503)") {
+    import spark.implicits._
+    val fixture = Seq(
+      ("a", 1.0f, "a", 3.0f, 1, 1737073322L, 3, "a", "a", "a", "a", "a", "a", "a", "a"),
+      ("b", 2.0f, "b", 4.0f, 2, 1737073323L, 4, "b", "b", "b", "b", "b", "b", "b", "b"))
+      .toDF(GreenButton.outputColumns: _*)
+    val csv = TimeSeriesOps.csvString(fixture)
+    val lines = csv.split("\n")
+    assert(lines(0) == GreenButton.outputColumns.mkString(","))
+    assert(lines(1) == "a,1,a,3,1,1737073322,3,a,a,a,a,a,a,a,a")
+    assert(lines(2) == "b,2,b,4,2,1737073323,4,b,b,b,b,b,b,b,b")
+  }
+
+  test("influx projection shape") {
+    import spark.implicits._
+    val fixture = Seq(
+      ("a title!", 1.5f, "valid", 3.0f, 1, 100L, 3,
+        "bulk quantity", "a", "a", "a", "a", "a", "a", "a"))
+      .toDF(GreenButton.outputColumns: _*)
+    val line = TimeSeriesOps.influxString(fixture).trim
+    assert(line.startsWith("a_title,db=greenbutton,accumulation_behavior=bulk\\ quantity,"))
+    assert(line.contains(" quality=valid,value=3,tou=1,time_period_duration_seconds=3,cost=1.5 "))
+    assert(line.endsWith("100000000000"))
+  }
+
+  test("hasCost boolean-ANY") {
+    import spark.implicits._
+    val noCost = Seq(("a", Float.NaN, "q", 1f, 0, 0L, 0,
+      "a", "a", "a", "a", "a", "a", "a", "a"))
+      .toDF(GreenButton.outputColumns: _*)
+    assert(!TimeSeriesOps.hasCost(noCost))
+    val withCost = Seq(("a", 2.5f, "q", 1f, 0, 0L, 0,
+      "a", "a", "a", "a", "a", "a", "a", "a"))
+      .toDF(GreenButton.outputColumns: _*)
+    assert(TimeSeriesOps.hasCost(withCost))
+  }
+}
