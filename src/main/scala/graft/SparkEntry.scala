@@ -19,8 +19,10 @@ object SparkEntry {
     queries("q_join_two_hop")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.OperatorQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracleSql
+    graft.queries.CoreQueries.oracleSql ++
+      graft.queries.OperatorQueries.oracleSql
 }

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** SURVEY.md §2 operator inventory over the driver's synthetic tables —
+  * every GB-engine operator class re-expressed as a standalone query with a
+  * DuckDB oracle. Naming: q_<operator-class>. See CoreQueries for the
+  * determinism conventions (cents trick, string dates, unique-key ORDER BY).
+  */
+object OperatorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J5: dictionary decode join with miss → sentinel (reference
+    // gb_type_details.rs:24-30 "Missing app info"). Dict deliberately
+    // filtered so some keys miss.
+    "q_dict_decode" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val dict = load(s, dir, "nation").filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey").as("k"), col("n_name"))
+      c.join(broadcast(dict), c("c_nationkey") === dict("k"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_name"), lit("Missing app info")).as("nation_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // P3: regex FK extraction (entry.rs:46-61) over synthesized hrefs.
+    "q_regex_extract" -> ((s, dir) => {
+      load(s, dir, "events")
+        .withColumn("href",
+          concat(lit("https://x/espi/1_1/resource/MeterReading/"),
+            col("user_id"), lit("/IntervalBlock/"), col("event_id")))
+        .select(col("event_id"),
+          regexp_extract(col("href"), "(.*MeterReading/[^/]*)/", 1).as("mr_href"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P1: text-or-default projection (parse_helpers.rs:27-40) — empty
+    // extraction falls back to a default.
+    "q_text_or_default" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_id"),
+          coalesce(nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit("")),
+            lit("missing")).as("k_or_default"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P4/A1: boolean ANY aggregate (has_cost, timeseries.rs:183-190).
+    "q_bool_any" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          bool_or(col("event_type") === "purchase" && col("value") > 150)
+            .as("any_big_purchase"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // F6: DST-rule bit decode (local_time_parameters.rs:108-143) applied to
+    // a synthesized u32 per row.
+    "q_bit_decode" -> ((s, dir) => {
+      load(s, dir, "events")
+        .withColumn("rule", (col("event_id") * 2654435761L) % 4294967296L)
+        .select(col("event_id"),
+          (col("rule") % 4096).as("seconds"),
+          ((col("rule") / 4096).cast("long") % 32).as("hours"),
+          ((col("rule") / 131072).cast("long") % 8).as("day_of_week"),
+          ((col("rule") / 1048576).cast("long") % 32).as("day_of_month"),
+          ((col("rule") / 33554432).cast("long") % 8).as("operator"),
+          (col("rule") / 268435456).cast("long").as("month"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F5: hex → integer (local_time_parameters.rs:152-159).
+    "q_hex_conv" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_id"),
+          conv(hex(col("event_id") + 123456), 16, 10).cast("long").as("roundtrip"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F8: conditional civil-time offset — DST window as a data-dependent
+    // CASE over epoch seconds (lib.rs:157-162 shape with constant bounds).
+    "q_local_time_shift" -> ((s, dir) => {
+      val dstStart = 1710054000L // 2024-03-10 07:00 UTC
+      val dstEnd = 1730617200L   // 2024-11-03 07:00 UTC
+      load(s, dir, "events")
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .select(col("event_id"),
+          (col("epoch_s") + lit(-18000L) +
+            when(col("epoch_s") > dstStart && col("epoch_s") < dstEnd, 3600L)
+              .otherwise(0L)).as("local_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // O2: union-all of two scans (TimeSeries::extend, timeseries.rs:149-171).
+    "q_union_all" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val b = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      a.unionByName(b)
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("bucket"))
+    }),
+
+    // A2: per-group min/max extent (date_aggregated_chart.ts:6-20).
+    "q_minmax_extent" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+          round(max(col("value")) * 100).cast("long").as("max_value_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // F10: measurement-name sanitize (timeseries.rs:312-317).
+    "q_sanitize" -> ((s, dir) => {
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_replace(regexp_replace(col("p_name"), " ", "_"),
+            "[^A-Za-z0-9_]", "").as("clean_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // P7-analog: anti join — rows failing a referential check (validation
+    // as data, SURVEY §7.4): customers with no orders.
+    "q_anti_join" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders").filter(col("o_totalprice") > 250000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J1-analog: semi join — existence probe against a built hash side.
+    "q_semi_join" -> ((s, dir) => {
+      val su = load(s, dir, "supplier")
+      val li = load(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      su.join(li, su("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Windowed time aggregation (streaming analog §2.8): hourly buckets.
+    "q_time_window" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) * 100).cast("long").as("sum_cents"))
+        .orderBy(col("hour"))
+    }),
+
+    // S6-analog: explode/unnest of a split string.
+    "q_explode_split" -> ((s, dir) => {
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+          explode(split(col("p_type"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))
+    }),
+
+    // F2: constant-factor normalization (interval_reading.rs:36-38) — pure
+    // per-row double arithmetic, bit-identical across engines.
+    "q_cost_norm" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") / 100000.0).as("cost_dollars"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(500)
+    }),
+
+    // F4: RFC-3339 naive-local parse quirk (entry.rs:96-111) — format with
+    // the clock time, reparse discarding the zone.
+    "q_rfc3339_quirk" -> ((s, dir) => {
+      load(s, dir, "events")
+        .withColumn("txt",
+          concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("-05:00")))
+        .select(col("event_id"),
+          unix_timestamp(to_timestamp(
+            regexp_replace(col("txt"), "(Z|[+-]\\d\\d:\\d\\d)$", ""),
+            "yyyy-MM-dd'T'HH:mm:ss")).as("naive_unix"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dict_decode" ->
+      """SELECT c_custkey,
+        |  COALESCE(n_name, 'Missing app info') AS nation_name
+        |FROM customer LEFT JOIN (
+        |  SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey < 20) d
+        |ON c_nationkey = k ORDER BY c_custkey""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT event_id,
+        |  regexp_extract('https://x/espi/1_1/resource/MeterReading/' || user_id ||
+        |    '/IntervalBlock/' || event_id, '(.*MeterReading/[^/]*)/', 1) AS mr_href
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_text_or_default" ->
+      """SELECT event_id,
+        |  COALESCE(NULLIF(regexp_extract(props, '"k": (\d+)', 1), ''), 'missing')
+        |    AS k_or_default
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_bool_any" ->
+      """SELECT user_id,
+        |  bool_or(event_type = 'purchase' AND value > 150) AS any_big_purchase,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bit_decode" ->
+      """SELECT event_id,
+        |  rule % 4096 AS seconds,
+        |  (rule // 4096) % 32 AS hours,
+        |  (rule // 131072) % 8 AS day_of_week,
+        |  (rule // 1048576) % 32 AS day_of_month,
+        |  (rule // 33554432) % 8 AS operator,
+        |  rule // 268435456 AS month
+        |FROM (SELECT event_id, (event_id * 2654435761) % 4294967296 AS rule
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+    "q_hex_conv" ->
+      """SELECT event_id,
+        |  CAST(concat('0x', to_hex(event_id + 123456)) AS BIGINT) AS roundtrip
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_local_time_shift" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + (-18000) +
+        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) > 1710054000
+        |        AND CAST(floor(epoch(ts)) AS BIGINT) < 1730617200
+        |       THEN 3600 ELSE 0 END AS local_s
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_union_all" ->
+      """SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |   WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |   WHERE l_returnflag = 'A')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_minmax_extent" ->
+      """SELECT event_type,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+        |  CAST(ROUND(MAX(value) * 100) AS BIGINT) AS max_value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sanitize" ->
+      """SELECT p_partkey,
+        |  regexp_replace(regexp_replace(p_name, ' ', '_', 'g'),
+        |    '[^A-Za-z0-9_]', '', 'g') AS clean_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_explode_split" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cost_norm" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice / 100000.0 AS cost_dollars
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q_rfc3339_quirk" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(strptime(
+        |    regexp_replace(strftime(ts, '%Y-%m-%dT%H:%M:%S') || '-05:00',
+        |      '(Z|[+-]\d\d:\d\d)$', ''),
+        |    '%Y-%m-%dT%H:%M:%S'))) AS BIGINT) AS naive_unix
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
