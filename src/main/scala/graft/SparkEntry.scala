@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.OperatorQueries.queries
+      graft.queries.OperatorQueries.queries ++
+      graft.queries.TrainingDataQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
-      graft.queries.OperatorQueries.oracleSql
+      graft.queries.OperatorQueries.oracleSql ++
+      graft.queries.TrainingDataQueries.oracleSql
 }

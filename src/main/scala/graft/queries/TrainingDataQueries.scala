@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.functions.RollingHash.rolling_hash
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute + LSH), text analysis
+  * (lang-id, quality, token counts, fingerprint).
+  *
+  * Oracle coverage: everything whose definition is portable to DuckDB SQL
+  * (per-row double arithmetic, sequential-fold dot products, md5, regex
+  * counting, the mod-prime rolling hash). The xxhash64-seeded operators
+  * (MinHash, SimHash, hyperplane LSH) have no SQL twin → rows-only checks
+  * plus ScalaTest specs with planted duplicates.
+  */
+object TrainingDataQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis ---------------------------------------------------
+    "d_token_count" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("ws_tokens"),
+          TextOps.tokenCountBpe(col("text")).as("bpe_tokens"),
+          length(col("text")).as("n_chars_m"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_quality_score" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_lang_id" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_fingerprint" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- dedup -----------------------------------------------------------
+    // exact: hash-groupBy; emit group representative + multiplicity
+    "d_dedup_exact" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_doc_id"))
+    }),
+
+    // MinHash+LSH: per-doc candidate summary (always non-empty) — candidate
+    // count and best verified Jaccard via the LSH pair table.
+    "d_dedup_minhash" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val pairs = Similarity.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, numBands = 8, minJaccard = 0.0)
+      val perDoc = pairs.select(col("id_a").as("doc_id"), col("jaccard"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"), col("jaccard")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          round(max(col("jaccard")), 6).as("best_jaccard"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+          (coalesce(col("best_jaccard"), lit(0.0)) >= 0.8).as("is_near_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_dedup_simhash" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val sigs = docs.select(col("doc_id"),
+        TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+      val pairs = Similarity.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      val perDoc = pairs.select(col("id_a").as("doc_id"), col("hamming"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
+        .groupBy("doc_id").agg(min(col("hamming")).as("min_hamming"))
+      sigs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("min_hamming"), lit(64L)).as("min_hamming"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // n-gram Jaccard between consecutive doc ids — linear pair set, exact
+    // set arithmetic, portable to DuckDB.
+    "d_ngram_jaccard" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+      val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))
+      a.join(b, Seq("id_a"))
+        .select(col("id_a").as("doc_id"),
+          round(Similarity.jaccard(col("g_a"), col("g_b")), 6).as("jaccard_next"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- embedding similarity -------------------------------------------
+    "e_ann_brute" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.bruteTopK(emb.filter(col("vec_id") < 5), emb, 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "e_ann_lsh" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb,
+        dim = 64, numPlanes = 8, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding near-dup: per-vector max off-diagonal cosine within its
+    // label group (labels bound the pair sets like LSH buckets would).
+    "e_dedup_cosine" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val l = emb.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("e_a"))
+      val r = emb.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("e_b"))
+      l.join(r, Seq("label")).filter(col("id_a") =!= col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("e_a"), col("e_b")))
+        .groupBy(col("id_a"))
+        .agg(round(max(col("cos")), 6).as("max_cos"),
+          count(lit(1)).as("n_same_label"))
+        .select(col("id_a").as("vec_id"), col("max_cos"), col("n_same_label"),
+          (col("max_cos") > 0.99).as("is_near_dup"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val oracleSql: Map[String, String] = Map(
+    "d_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        |  length(text) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_quality_score" ->
+      s"""SELECT doc_id, ROUND(
+         |  0.4 * (CASE WHEN length(text) > 0
+         |    THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |         / length(text) ELSE 0 END) +
+         |  0.2 * (1.0 - CASE WHEN length(text) > 0
+         |    THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+         |         / length(text) ELSE 0 END) +
+         |  0.2 * (CASE WHEN len($tokensSql) > 0
+         |    THEN CAST(len(list_intersect($tokensSql,
+         |      ['the','a','and','of','to','in','is','on','for','with'])) AS DOUBLE)
+         |         / 10.0 ELSE 0 END) +
+         |  0.2 * LEAST(len($tokensSql) / 64.0, 1.0), 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_lang_id" ->
+      s"""SELECT doc_id,
+         |  CASE GREATEST(s_en, s_de, s_es, s_fr, s_zh)
+         |    WHEN 0 THEN (CASE WHEN s_en > 0 THEN 'en' ELSE 'und' END)
+         |    WHEN s_en THEN 'en'
+         |    WHEN s_de THEN 'de'
+         |    WHEN s_es THEN 'es'
+         |    WHEN s_fr THEN 'fr'
+         |    ELSE 'zh' END AS lang_guess
+         |FROM (
+         |  SELECT doc_id,
+         |    len(list_intersect($tokensSql, ['the','and','of','is','with'])) AS s_en,
+         |    len(list_intersect($tokensSql, ['der','und','die','ist','mit'])) AS s_de,
+         |    len(list_intersect($tokensSql, ['el','los','que','es','con'])) AS s_es,
+         |    len(list_intersect($tokensSql, ['le','les','et','est','avec'])) AS s_fr,
+         |    len(list_intersect($tokensSql, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "d_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(unicode(text[i]) AS BIGINT))),
+        |    (h, cp) -> (h * 31 + cp) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "d_ngram_jaccard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents))
+         |SELECT a.doc_id AS doc_id,
+         |  ROUND(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+         |    THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |         / len(list_distinct(a.grams || b.grams))
+         |    ELSE 0 END, 6) AS jaccard_next
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_id""".stripMargin,
+    "e_ann_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(q.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |      (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b))) AS cos_sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, rank, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "e_dedup_cosine" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(a.embedding, b.embedding),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |      (x, y) -> x + y) /
+        |    (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (x, y) -> x + y)) *
+        |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (x, y) -> x + y))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT id_a AS vec_id, ROUND(MAX(cos), 6) AS max_cos,
+        |  COUNT(*) AS n_same_label,
+        |  ROUND(MAX(cos), 6) > 0.99 AS is_near_dup
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,172 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication and similarity-search operators for training-data
+  * pipelines, designed scale-out from the start:
+  *
+  *   - MinHash+LSH: signature is a map-only projection (higher-order array
+  *     functions over shingles); the only shuffle is the band-bucket
+  *     self-join, whose cardinality is controlled by banding — the standard
+  *     shape for near-dup detection at corpus scale.
+  *   - SimHash: map-only fingerprint + bucket join on the top bits.
+  *   - Embedding ANN: brute-force cosine top-k as the exact baseline
+  *     (crossJoin with a *broadcast* query side — scales in corpus size),
+  *     and a random-hyperplane LSH bucketed variant as the 100TB path.
+  *
+  * All dot products / cosines are computed in double with a sequential left
+  * fold (aggregate ∘ zip_with) so results are bit-reproducible and
+  * oracle-checkable.
+  */
+object Similarity {
+
+  // ------------------------------------------------------------- MinHash
+
+  /** k minhash values over a shingle array: sig[i] = min over shingles of
+    * xxhash64(i, shingle). Map-only, codegen'd. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shinglesCol, s => xxhash64(i, s))))
+
+  /** Explode a signature into (band_idx, band_hash) rows for LSH bucketing:
+    * rowsPerBand consecutive signature slots hash into one bucket key. */
+  def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(b, concat_ws("_",
+          (0 until rowsPerBand).map(r =>
+            element_at(sig, b * rowsPerBand + r + 1)): _*)).as("bucket")))
+
+  /** Exact Jaccard similarity of two string arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(0.0)
+  }
+
+  /** Near-duplicate candidate pairs via MinHash LSH over `df(idCol,
+    * textCol)`: returns (id_a, id_b, jaccard) with id_a < id_b, verified
+    * against true shingle Jaccard ≥ minJaccard. The shuffle is on
+    * (band, bucket) — skew-bounded because identical signatures collapse
+    * into one bucket per band. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val withShingles = df.select(
+      col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = withShingles.withColumn("sig",
+      minhashSignature(col("sh"), numHashes))
+    val banded = sigs.select(col("id"), col("sh"),
+      explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** Per-row simhash + near-dup pairs with hamming ≤ maxHamming among
+    * rows sharing the top-16-bit bucket (single-probe; raise buckets via
+    * rotation for higher recall). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 48))
+    val l = sigs.select(col("bucket"), col("id").as("id_a"),
+      col("simhash").as("sim_a"))
+    val r = sigs.select(col("bucket"), col("id").as("id_b"),
+      col("simhash").as("sim_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", TextOps.hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ------------------------------------------------------- embedding ANN
+
+  /** Double-precision dot product with sequential fold — bit-reproducible
+    * (and mirrorable in DuckDB list_reduce for oracles). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force top-k cosine neighbors of each query vector.
+    * The query side is broadcast — the corpus never shuffles, so this
+    * scales linearly in corpus size for a bounded query batch. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Random-hyperplane LSH bucket id: numPlanes sign bits of dot(v, plane),
+    * planes derived deterministically from xxhash64 (component j of plane p
+    * is ±1 by hash parity) — no trained state to ship. */
+  def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int): Column = {
+    def shl(c: Column, i: Column) = call_function("shiftleft", c, i)
+    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+      val s = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x.cast("double") *
+            when(xxhash64(p, j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(numPlanes - 1)), (b, i) => shl(b, i)),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates limited to the query's
+    * hyperplane bucket. Recall < 1 by construction; the scale path when the
+    * corpus is too large to brute-force. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+              numPlanes: Int, k: Int): DataFrame = {
+    val bucketed = corpus.withColumn("bucket",
+      hyperplaneBucket(col("embedding"), dim, numPlanes))
+    val q = broadcast(
+      queries.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, numPlanes))
+        .select(col("vec_id").as("query_id"), col("bucket"),
+          col("embedding").as("q_emb")))
+    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("bucket"),
+      col("embedding").as("c_emb"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, shingling, quality scoring, language ID, SimHash. All pure
+  * `functions._` compositions (higher-order array functions) — codegen'd,
+  * no UDFs, so every operator scales as a map-only pass over the corpus.
+  */
+object TextOps {
+
+  /** Lowercased word tokens. RE2/Java-portable character class so DuckDB
+    * oracles can mirror the definition exactly. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace token count (runs of non-whitespace). */
+  def tokenCountWs(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword count: letter runs split from digit singles and
+    * punctuation singles — a cheap stand-in for a GPT-style pre-tokenizer
+    * with a portable regex. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles from a token array (space-joined). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** Quality score in [0,1] from length/punctuation/stopword ratios — the
+    * standard cheap heuristics, all per-row arithmetic (deterministic across
+    * engines; oracle-friendly). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val nPunct = length(regexp_replace(text, "[^.,!?;:]", "")).cast("double")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stop = array(Stopwords.map(lit): _*)
+    val nStop = size(array_intersect(toks, stop)).cast("double")
+    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(0.0)
+    val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(0.0)
+    val stopHit = when(nTok > 0, nStop / lit(Stopwords.size.toDouble)).otherwise(0.0)
+    val lengthTerm = least(nTok / 64.0, lit(1.0))
+    round(
+      lit(0.4) * alphaRatio + lit(0.2) * (lit(1.0) - punctRatio) +
+        lit(0.2) * stopHit + lit(0.2) * lengthTerm, 6)
+  }
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Tiny and deterministic — the point is the *shape* (argmax of
+    * per-language evidence, map-only), not lexicon quality. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "und", "die", "ist", "mit"),
+    "es" -> Seq("el", "los", "que", "es", "con"),
+    "fr" -> Seq("le", "les", "et", "est", "avec"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Language ID: count marker-word hits per language over the token array,
+    * take the argmax (ties → first language in LangMarkers order), default
+    * "und" when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // greatest-by-score with deterministic tie order: fold over languages
+    val scored: Seq[(String, Column)] = LangMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks,
+        array(words.map(lit): _*)))
+    }
+    val best = scored.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    best._1
+  }
+
+  /** 64-bit SimHash over token xxhash64 hashes — expressed entirely with
+    * higher-order array functions (one codegen'd projection, no shuffle):
+    * per-bit votes accumulated with aggregate/zip_with, then recombined.
+    */
+  def simhash64(toks: Column): Column = {
+    // functions.shiftright/shiftleft only take Int amounts; the SQL
+    // expressions accept column amounts — reach them via call_function.
+    def shr(c: Column, i: Column) = call_function("shiftright", c, i)
+    def shl(c: Column, i: Column) = call_function("shiftleft", c, i)
+    val hashes = transform(toks, t => xxhash64(t))
+    val zeros = transform(sequence(lit(0), lit(63)), _ => lit(0L))
+    val votes = aggregate(hashes, zeros,
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(shr(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, shl(lit(1L), i)).otherwise(0L)),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+}

@@ -1,0 +1,91 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.text.TextOps
+
+class SimilaritySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank " +
+    "while a cold wind blows through the tall green trees of the old forest"
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base.replace("cold", "warm")), // near-dup of 0
+    (2L, base),                          // exact dup of 0
+    (3L, "completely different text about spark catalyst optimizer rules and " +
+      "physical plan selection for distributed joins over partitioned parquet data"),
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("minhashPairs finds planted near/exact dups and skips unrelated") {
+    val pairs = Similarity.minhashPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 2L)), s"exact dup missed: $pairs")
+    assert(keys.contains((0L, 1L)) || keys.contains((1L, 2L)),
+      s"near dup missed: $pairs")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
+    val exact = pairs.find(p => (p._1, p._2) == (0L, 2L)).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("simhashPairs: exact dup at hamming 0; unrelated text not paired") {
+    val pairs = Similarity.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSeq
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0L),
+      s"exact dup not at hamming 0: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
+  }
+
+  test("simhash of identical token streams is identical") {
+    val sigs = docs.select(col("doc_id"),
+      TextOps.simhash64(TextOps.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(2L))
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("bruteTopK ranks the exact duplicate vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f), 0), // near-identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteTopK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(top.head == (1, 1L), s"expected vec 1 first: $top")
+  }
+
+  test("lshTopK returns a subset of brute results with identical scores") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteTopK(emb.filter(col("vec_id") < 3), emb, 50)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 64, 8, 3)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // every LSH hit must score identically to the exact computation when
+      // the pair appears in the brute table
+      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(3)) < 1e-12))
+    }
+  }
+
+  test("rolling_hash matches the reference recurrence") {
+    import graft.functions.RollingHash
+    val got = Seq(("ab", 1)).toDF("s", "x")
+      .select(RollingHash.rolling_hash(col("s"))).head.getLong(0)
+    val want = (('a'.toLong * 31) + 'b'.toLong) % 1000000007L
+    assert(got == want)
+    // and via SQL registration
+    org.apache.spark.sql.graftshim.ColumnBridge.registerFunction(
+      spark, "rolling_hash", exprs => graft.functions.RollingHash(exprs.head))
+    assert(spark.sql("SELECT rolling_hash('ab')").head.getLong(0) == want)
+  }
+}
