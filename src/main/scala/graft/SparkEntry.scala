@@ -21,10 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.OperatorQueries.queries ++
-      graft.queries.TrainingDataQueries.queries
+      graft.queries.TrainingDataQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.OperatorQueries.oracleSql ++
-      graft.queries.TrainingDataQueries.oracleSql
+      graft.queries.TrainingDataQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,161 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * as opaque `binary` payloads with typed metadata, processed by
+  * iterator-based `mapPartitions` stages (the Scala analog of Pandas-UDF
+  * batch processing — one partition = one batch, payloads never touch the
+  * driver).
+  *
+  * The container environment has no codec libraries, so the *decode* step is
+  * a clearly-marked deterministic stub (`FakeCodec`) that parses a
+  * self-describing header we synthesize; everything around it — schema,
+  * partitioning, batch iteration, per-frame explode — is the real
+  * distributed plumbing a production codec would drop into.
+  */
+object Multimodal {
+
+  /** One media asset. `payload` is opaque bytes; `meta` travels alongside
+    * so planning-time pruning/filtering never deserializes payloads. */
+  case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_frames: Int)
+
+  case class ImageFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Int,
+      mean_intensity: Double)
+
+  case class FrameRow(media_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+
+  /** STUB CODEC — stands in for libjpeg/ffmpeg/etc. Encodes a 16-byte
+    * little-endian header (magic, width, height, sampleRate, nFrames is
+    * carried in meta) followed by the raw "pixel" bytes. A real codec
+    * replaces encode/decode only; the Spark plumbing is unchanged. */
+  object FakeCodec {
+    val Magic = 0x47524654 // "GRFT"
+    val HeaderLen = 16
+
+    def encode(width: Int, height: Int, sampleRate: Int, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(HeaderLen + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(Magic).putInt(width).putInt(height).putInt(sampleRate)
+      buf.put(body)
+      buf.array()
+    }
+
+    /** (width, height, sampleRate, body) */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = buf.getInt
+      require(magic == Magic, s"bad magic 0x${magic.toHexString}")
+      val w = buf.getInt; val h = buf.getInt; val sr = buf.getInt
+      val body = java.util.Arrays.copyOfRange(payload, HeaderLen, payload.length)
+      (w, h, sr, body)
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table (the
+    * driver ships no binary fixtures): payload body = UTF-8 text bytes,
+    * dimensions derived from n_chars. Closed-form derivations make the
+    * decode round-trip oracle-checkable. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val width = (nChars % 64).toInt + 16
+        val height = (nChars % 48).toInt + 16
+        val sampleRate = if (kind == "audio") 16000 else 0
+        val nFrames = if (kind == "video") (nChars % 30).toInt + 1 else 1
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, kind, FakeCodec.encode(width, height, sampleRate, body),
+          width, height, sampleRate, nFrames)
+      }
+  }
+
+  /** Decode + feature-extract, batched per partition. The iterator shape
+    * (one pass, no materialization of the whole partition) is what a real
+    * codec needs for memory-bounded batches. */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, _, body) = FakeCodec.decode(m.payload)
+        // STUB: a real decoder would produce pixels here; we treat the raw
+        // body bytes as the intensity plane.
+        val mean =
+          if (body.isEmpty) 0.0
+          else {
+            var s = 0L; var i = 0
+            while (i < body.length) { s += body(i) & 0xff; i += 1 }
+            s.toDouble / body.length
+          }
+        ImageFeatures(m.media_id, w, h, body.length, mean)
+      }
+    }
+  }
+
+  /** Resize: payload → payload with updated header (STUB transform keeps
+    * bytes; a real impl would resample). Demonstrates binary-in/binary-out
+    * stages compose without schema churn. */
+  def resize(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (_, _, sr, body) = FakeCodec.decode(m.payload)
+        m.copy(payload = FakeCodec.encode(newW, newH, sr, body),
+          width = newW, height = newH)
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame index (stride
+    * `every`). flatMap shape — output cardinality is data-dependent, the
+    * same contract as real video frame extraction. */
+  def sampleFrames(media: Dataset[MediaRow], every: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { m =>
+        val (_, _, _, body) = FakeCodec.decode(m.payload)
+        (0 until m.n_frames by every).iterator.map { f =>
+          // STUB frame extraction: slice of the body proportional to index
+          val sliceLen = if (m.n_frames == 0) 0 else body.length / m.n_frames
+          val start = f * sliceLen
+          FrameRow(m.media_id, f,
+            java.util.Arrays.copyOfRange(body, start,
+              math.min(start + sliceLen, body.length)))
+        }
+      }
+    }
+  }
+
+  /** Deterministic fake embedding from payload bytes (hash-mixed) — the
+    * bridge into the similarity/ANN operators. */
+  def featurize(media: Dataset[MediaRow], dim: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val (_, _, _, body) = FakeCodec.decode(m.payload)
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < body.length) {
+        val b = body(i) & 0xff
+        v(i % dim) += ((b * 2654435761L + i) % 1000 - 500) / 500.0f
+        i += 1
+      }
+      (m.media_id, v)
+    }.toDF("media_id", "embedding")
+  }
+}
