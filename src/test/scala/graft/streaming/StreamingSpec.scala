@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("ingestXmlStream micro-batch parses dropped XML files") {
+    val watch = Files.createTempDirectory("gb_stream").toFile
+    val out = Files.createTempDirectory("gb_stream_out").toFile
+    // drop the real corpus file into the watched dir
+    val src = new java.io.File(
+      "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml")
+    Files.copy(src.toPath,
+      new java.io.File(watch, "feed1.xml").toPath)
+
+    val q = StreamingIngest.ingestXmlStream(spark, watch.getAbsolutePath,
+      (ts, _) => ts.write.mode("append").parquet(out.getAbsolutePath + "/ts"))
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(out.getAbsolutePath + "/ts")
+    assert(got.count() == 20)
+    assert(got.columns.toSeq == graft.gb.GreenButton.outputColumns)
+  }
+
+  test("windowed aggregation with watermark over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedCounts(df, "10 minutes", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(11), "b", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    mem.addData((t(59), "a", 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, sum_value FROM win_out ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.contains(("a", 2L, 3.0)), s"got ${rows.toSeq}")
+    assert(rows.contains(("b", 1L, 3.0)), s"got ${rows.toSeq}")
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.Event]
+    def ev(id: Long, ms: Long, u: Long) =
+      StreamingIngest.Event(id, new java.sql.Timestamp(ms), u, "x", 1.0)
+    val sessions = StreamingIngest.sessionize(mem.toDS(), gapMs = 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // user 7: two events 100ms apart, then a 5s gap, then one more
+    mem.addData(ev(1, 0, 7), ev(2, 100, 7))
+    q.processAllAvailable()
+    mem.addData(ev(3, 5100, 7))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, n_events, start_ts, end_ts FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    assert(rows.toSeq == Seq((7L, 2, 0L, 100L)), s"got ${rows.toSeq}")
+  }
+}
