@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RollingHash
+import graft.gb.{DstRules, TimeSeriesOps}
+
+/** Pure-function property tests (no Spark session — these laws hold for the
+  * driver-side logic that backs the distributed operators). The reference
+  * has no property tests (SURVEY.md §5); these harden the richest logic.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rolling hash stays in [0, Mod) and is deterministic") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val h = RollingHash.hash(s)
+      h >= 0 && h < RollingHash.Mod && h == RollingHash.hash(s)
+    })
+  }
+
+  test("rolling hash concatenation law") {
+    // hash(a+b) = (hash(a) * 31^cp(b) + hash(b)) mod M
+    def powMod(b: Long, e: Long, m: Long): Long = {
+      var r = 1L; var base = b % m; var exp = e
+      while (exp > 0) {
+        if ((exp & 1) == 1) r = r * base % m
+        base = base * base % m; exp >>= 1
+      }
+      r
+    }
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
+      val want = (RollingHash.hash(a) *
+        powMod(31, b.codePointCount(0, b.length), RollingHash.Mod) +
+        RollingHash.hash(b)) % RollingHash.Mod
+      RollingHash.hash(a + b) == want
+    })
+  }
+
+  test("formatF32 round-trips every finite float") {
+    check(Prop.forAll(Gen.choose(Float.MinValue, Float.MaxValue)) { f =>
+      TimeSeriesOps.formatF32(f).toFloat == f
+    })
+    // specials
+    assert(TimeSeriesOps.formatF32(Float.NaN) == "NaN")
+    assert(TimeSeriesOps.formatF32(1f) == "1")
+    assert(TimeSeriesOps.formatF32(0.5f) == "0.5")
+    assert(TimeSeriesOps.formatF32(1e10f) == "10000000000")
+  }
+
+  private val fieldGen = for {
+    seconds <- Gen.choose(0, 3599)
+    hours <- Gen.choose(0, 23)
+    dow <- Gen.choose(0, 7)
+    dom <- Gen.choose(1, 28) // always-valid anchor
+    op <- Gen.choose(0, 7)
+    month <- Gen.choose(1, 12)
+  } yield (seconds, hours, dow, dom, op, month)
+
+  private def encode(f: (Int, Int, Int, Int, Int, Int)): Long = {
+    val (s, h, dw, dm, op, m) = f
+    (s & 0xfff).toLong | ((h & 0x1f).toLong << 12) | ((dw & 0x7).toLong << 17) |
+      ((dm & 0x1f).toLong << 20) | ((op & 0x7).toLong << 25) | ((m & 0xf).toLong << 28)
+  }
+
+  test("DST rules: valid fields always evaluate; time-of-day matches encoding") {
+    check(Prop.forAll(fieldGen, Gen.choose(1990, 2040)) { (f, year) =>
+      DstRules.dateTimeOf(encode(f), year) match {
+        case Some(dt) =>
+          val (s, h, _, _, _, _) = f
+          dt.getHour == h + (s / 60) / 60 || dt.getHour == h // minutes<60 keeps hour
+          dt.getMinute == (s / 60) % 60 && dt.getSecond == s % 60
+        case None => false // dom 1-28, months 1-12 always resolve
+      }
+    })
+  }
+
+  test("DST rules: operators 0/1/7 land in the encoded month") {
+    check(Prop.forAll(fieldGen.suchThat(f => Set(0, 1, 7)(f._5)),
+      Gen.choose(1990, 2040)) { (f, year) =>
+      // op 1 can roll at most 6 days past dom 28 → may enter next month only
+      // if dom+6 > month length; with dom ≤ 28 the reference rolls ≤ Mar 6 …
+      // operator 0 and 7 always stay inside the month.
+      val dt = DstRules.dateTimeOf(encode(f), year)
+      f._5 match {
+        case 0 | 7 => dt.exists(_.getMonthValue == f._6)
+        case _ => dt.isDefined
+      }
+    })
+  }
+
+  test("simhash hamming distance is a metric on samples") {
+    // pure check over the bit-count identity used by hamming64
+    check(Prop.forAll(Gen.long, Gen.long) { (a, b) =>
+      java.lang.Long.bitCount(a ^ b) == java.lang.Long.bitCount(b ^ a) &&
+        java.lang.Long.bitCount(a ^ a) == 0
+    })
+  }
+}
