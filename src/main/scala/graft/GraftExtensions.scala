@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHash
+
+/** SparkSessionExtensions entry point — makes graft's native expressions
+  * available to plain SQL sessions:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT rolling_hash(text) FROM docs")
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val rollingHashDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (children: Seq[Expression]) => RollingHash(children.head))
+}

@@ -117,6 +117,15 @@ object TrainingDataQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "e_ann_ivf" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb, k = 3,
+        centroidStride = 50, nprobe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "e_ann_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb,

@@ -147,6 +147,50 @@ object Similarity {
       lit(0L), (a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) approximate top-k. Centroids are chosen
+    * deterministically (every `corpusSize/nCentroids`-th vector — no trained
+    * state to ship; swap in k-means offline for production). Each corpus
+    * vector is assigned to its nearest centroid (one broadcast pass); a
+    * query probes its `nprobe` nearest centroid cells. With nprobe =
+    * nCentroids this is exactly brute force — the recall/throughput dial of
+    * a 100TB ANN deployment.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidStride: Int, nprobe: Int): DataFrame = {
+    // every strideth vector is a centroid — a pure filter, no global
+    // window/shuffle, deterministic at any corpus size
+    val centroids = broadcast(
+      corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid")))
+
+    def nearestCells(df: DataFrame, vecCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(
+        col("_cdist").asc, col("centroid_id"))
+      df.crossJoin(centroids)
+        .withColumn("_cdist", -dot(col(vecCol), col("centroid")) /
+          (l2norm(col(vecCol)) * l2norm(col("centroid"))))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= n)
+        .drop("_cdist", "_crank", "centroid")
+    }
+
+    val assigned = nearestCells(corpus, "embedding", 1)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("embedding").as("c_emb"))
+    val probed = broadcast(nearestCells(queries, "embedding", nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("embedding").as("q_emb")))
+    val scored = assigned.join(probed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to the query's
     * hyperplane bucket. Recall < 1 by construction; the scale path when the
     * corpus is too large to brute-force. */
