@@ -51,6 +51,37 @@ object TimeSeriesOps {
   /** O2: union-all, by name (TimeSeries::extend, timeseries.rs:149-171). */
   def extend(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
 
+  /** K4 analog: the reference's WASM per-column getters
+    * (timeseries.rs:361-444) — materialize the table as column arrays for a
+    * host application. Driver-side by construction (an export boundary, not
+    * an operator); dates come back as java.time.Instant like the JS Date[]
+    * getter. */
+  def collectColumns(ts: DataFrame): Map[String, IndexedSeq[Any]] = {
+    val rows = ts.select(GreenButton.outputColumns.map(col): _*).collect()
+    GreenButton.outputColumns.zipWithIndex.map { case (name, i) =>
+      val vals: IndexedSeq[Any] =
+        if (name == "time_period_start_unix")
+          rows.toIndexedSeq.map(r => java.time.Instant.ofEpochSecond(r.getLong(i)))
+        else rows.toIndexedSeq.map(_.get(i))
+      name -> vals
+    }.toMap
+  }
+
+  /** sort_and_chunk analog (timeseries.rs:140-147): the table sorted and
+    * split per series title, for per-series consumers (charting, export).
+    * Local materialization — the distributed form is [[chunkBySeries]]. */
+  def collectChunks(ts: DataFrame): Seq[(String, Array[org.apache.spark.sql.Row])] = {
+    val sorted = sortSeries(ts).collect()
+    // contiguous runs of equal title, preserving sort order
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]
+    sorted.foreach { r =>
+      out.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.ArrayBuffer.empty) += r
+    }
+    out.map { case (k, v) => (k, v.toArray) }.toSeq
+  }
+
   // ------------------------------------------------------------------ sinks
 
   /** K1: CSV projection — every column stringified with Rust Display parity

@@ -98,4 +98,22 @@ class GoldenSpec extends SparkTestBase {
       .toDF(GreenButton.outputColumns: _*)
     assert(TimeSeriesOps.hasCost(withCost))
   }
+
+  test("collectColumns exposes all 15 columns with Instant dates") {
+    val cols = TimeSeriesOps.collectColumns(ours)
+    assert(cols.keySet == GreenButton.outputColumns.toSet)
+    val n = cols("title").size
+    assert(n > 0 && cols.values.forall(_.size == n))
+    assert(cols("time_period_start_unix").head.isInstanceOf[java.time.Instant])
+  }
+
+  test("collectChunks yields per-title runs in sorted order") {
+    val chunks = TimeSeriesOps.collectChunks(ours)
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (title, rows) =>
+      assert(rows.forall(_.getString(0) == title))
+      val times = rows.map(_.getLong(5))
+      assert(times.sameElements(times.sorted))
+    }
+  }
 }
