@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native float-vector kernels for the ANN hot path. The declarative
+  * equivalents (aggregate ∘ zip_with) are CodegenFallback in Spark — every
+  * element bounces through boxed lambda evaluation. These expressions emit
+  * a tight primitive loop under whole-stage codegen while producing
+  * **bit-identical** results to the sequential-fold definition (same
+  * per-element f32→f64 widening, same left-to-right accumulation), so the
+  * DuckDB oracles and the fold-based implementations agree exactly.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    DotProduct.dot(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProduct.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Sequential left-fold in double over float elements — the exact
+    * accumulation order of `aggregate(zip_with(a,b,*), 0d, +)` and of the
+    * DuckDB `list_reduce` oracle. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** cosine = dot/(√dot(a,a)·√dot(b,b)) with every factor from the same
+    * kernel — matches the fold-based Similarity.cosine bit-for-bit. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    dot_product(a, b) /
+      (org.apache.spark.sql.functions.sqrt(dot_product(a, a)) *
+        org.apache.spark.sql.functions.sqrt(dot_product(b, b)))
+}

@@ -101,9 +101,17 @@ object Similarity {
 
   // ------------------------------------------------------- embedding ANN
 
-  /** Double-precision dot product with sequential fold — bit-reproducible
-    * (and mirrorable in DuckDB list_reduce for oracles). */
+  /** Double-precision dot product. Primary implementation is the native
+    * codegen'd kernel (graft.functions.DotProduct); [[dotFold]] is the
+    * declarative higher-order-function form — both produce bit-identical
+    * results (same f32→f64 widening, same left-to-right accumulation), and
+    * SimilaritySpec asserts the equivalence. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** Declarative fold form (CodegenFallback — used as the reference
+    * semantics and by the DuckDB oracle mirror). */
+  private[graft] def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -111,6 +119,9 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private[graft] def cosineFold(a: Column, b: Column): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
 
   /** Exact brute-force top-k cosine neighbors of each query vector.
     * The query side is broadcast — the corpus never shuffles, so this

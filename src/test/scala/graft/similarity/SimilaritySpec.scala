@@ -88,4 +88,16 @@ class SimilaritySpec extends SparkTestBase {
       spark, "rolling_hash", exprs => graft.functions.RollingHash(exprs.head))
     assert(spark.sql("SELECT rolling_hash('ab')").head.getLong(0) == want)
   }
+
+  test("native DotProduct kernel is bit-identical to the declarative fold") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings").limit(200)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib") - 150) // a few thousand pairs
+    val diff = pairs.select(
+      Similarity.cosine(col("ea"), col("eb")).as("native"),
+      Similarity.cosineFold(col("ea"), col("eb")).as("fold"))
+      .filter(col("native") =!= col("fold"))
+    assert(diff.count() == 0)
+  }
 }
