@@ -82,10 +82,13 @@ object GreenButton {
 
   // ----------------------------------------------------------- denormalize
 
-  /** In-plan assertion: when `bad` holds, raise `msg` (failfast); the
-    * permissive path filters instead. */
-  private def assertNot(bad: Column, msg: Column): Column =
-    when(bad, raise_error(msg)).otherwise(lit(null))
+  /** In-plan assertion: guard a *live* column — when `bad` holds the
+    * expression raises, otherwise the column value passes through. The
+    * guard must be woven into a column that flows to the output: a guard in
+    * a dropped side-column is dead code after Catalyst column pruning. */
+  private def guarded(df: DataFrame, colName: String, bad: Column,
+                      msg: Column): DataFrame =
+    df.withColumn(colName, when(bad, raise_error(msg)).otherwise(col(colName)))
 
   /** Dictionary slice (value → decoded string) for one coded column. */
   private def dictSlice(dict: DataFrame, scope: String, field: String,
@@ -118,11 +121,11 @@ object GreenButton {
       .withColumn("ltp_ok", col("ltp_n") === 1)
     val ltp1 =
       if (failfast)
-        ltp.withColumn("_a", assertNot(col("ltp_n").isNull || col("ltp_n") === 0,
-            lit("Missing LocalTimeParameters.")))
-          .withColumn("_b", assertNot(col("ltp_n") > 1,
-            lit("Input with multiple LocalTimeParameters is currently unsupported.")))
-          .drop("_a", "_b")
+        guarded(guarded(ltp, "tzOffset",
+          col("ltp_n").isNull || col("ltp_n") === 0,
+          lit("Missing LocalTimeParameters.")),
+          "dstOffset", col("ltp_n") > 1,
+          lit("Input with multiple LocalTimeParameters is currently unsupported."))
       else ltp.filter(col("ltp_ok"))
 
     // --- J2: two-hop FK resolution entry → meter-reading entry →
@@ -141,22 +144,18 @@ object GreenButton {
         col("file") === col("mr_file") &&
           col("relatedMeterReadingHref") === col("mr_href"), "left")
     val hop1Checked =
-      if (failfast) hop1.withColumn("_a",
-        assertNot(col("mr_href").isNull,
-          concat(lit("Missing meter reading entry "), col("relatedMeterReadingHref"))))
-        .drop("_a")
+      if (failfast) guarded(hop1, "rt_entry_href", col("mr_href").isNull,
+        concat(lit("Missing meter reading entry "), col("relatedMeterReadingHref")))
       else hop1
     val hop2 = hop1Checked
       .join(rtSide,
         col("file") === col("rte_file") &&
           col("rt_entry_href") === col("rte_href"), "left")
     val hop2Checked =
-      if (failfast) hop2.withColumn("_a",
-        assertNot(col("rt_entry_href").isNotNull &&
-          (col("rte_href").isNull || col("rte_type") =!= "ReadingType"),
-          concat(lit("Mismatched reading type "), coalesce(col("rte_type"), lit("missing")))))
-        .drop("_a")
-      else hop2.filter(col("rte_type").isNull || col("rte_type") === "ReadingType")
+      if (failfast) guarded(hop2, "rt_idx",
+        col("rte_href").isNull || col("rte_type") =!= "ReadingType",
+        concat(lit("Mismatched reading type "), coalesce(col("rte_type"), lit("missing"))))
+      else hop2 // permissive: whole files with broken links are dropped below
     // entry → reading-type index map (null when the entry has no meter link)
     val entryRt = hop2Checked.select(
       col("file"), col("idx").as("entryIdx"), col("rt_idx"))
@@ -205,9 +204,9 @@ object GreenButton {
       .join(titles, Seq("file", "entryIdx"))
       .join(entryRt, Seq("file", "entryIdx"), "left")
     facts =
-      if (failfast) facts.withColumn("_a",
-        assertNot(col("rt_idx").isNull, lit("Missing reading type"))).drop("_a")
-      else facts.filter(col("rt_idx").isNotNull)
+      if (failfast) guarded(facts, "rt_idx", col("rt_idx").isNull,
+        lit("Missing reading type"))
+      else facts // permissive: rows of bad files are dropped file-wise below
     facts = facts
       .join(rtDecoded, Seq("file", "rt_idx"))
       .join(qualityDict, col("quality") === col("_v_q"), "left")
@@ -238,7 +237,7 @@ object GreenButton {
       .withColumn("value_scaled",
         (col("value").cast("float") * col("pow10")).cast("float"))
 
-    out.select(
+    val selected = out.select(
       col("file"),
       col("title"),
       col("cost_fixed").as("cost"),
@@ -250,6 +249,64 @@ object GreenButton {
       col("accumulation_behaviour"), col("commodity"), col("currency"),
       col("data_qualifier"), col("flow_direction"), col("kind"),
       col("phase"), col("uom"))
+
+    // Permissive = reference CLI semantics: a file that would fail
+    // denormalize contributes NOTHING (skip whole file), not partial rows
+    // (cli-frontend/src/main.rs:34-37: any parse_xml error skips the file).
+    if (failfast) selected
+    else selected.join(
+      badDenormFiles(hop2, entryRt, st, ltp).select("file"),
+      Seq("file"), "left_anti")
+  }
+
+  /** Files whose denormalization would error (link resolution, missing
+    * reading type, LocalTimeParameters cardinality) with a reason — the
+    * file-level skip set for permissive mode, and the CLI's warning feed. */
+  private def badDenormFiles(hop2: DataFrame, entryRt: DataFrame,
+                             st: Staging, ltp: DataFrame): DataFrame = {
+    val badLinks = hop2.filter(
+      col("mr_href").isNull || col("rte_href").isNull ||
+        col("rte_type") =!= "ReadingType")
+      .select(col("file"), lit("unresolvable reading-type link").as("reason"))
+    val readingEntries = st.readings.select("file", "entryIdx").distinct()
+    val badRt = readingEntries
+      .join(entryRt, Seq("file", "entryIdx"), "left")
+      .filter(col("rt_idx").isNull)
+      .select(col("file"), lit("Missing reading type").as("reason"))
+    val badLtp = ltp.filter(col("ltp_ok").isNull || !col("ltp_ok"))
+      .select(col("file"), lit("LocalTimeParameters count != 1").as("reason"))
+    badLinks.unionByName(badRt).unionByName(badLtp).distinct()
+  }
+
+  /** Public diagnostics: (file, reason) for every input file the permissive
+    * pipeline skips — parse failures plus denormalize violations. */
+  def skippedFiles(spark: SparkSession, st: Staging): DataFrame = {
+    val denorm = denormalizeDiagnostics(spark, st)
+    st.errors.select(col("file"), col("error").as("reason"))
+      .unionByName(denorm).distinct()
+  }
+
+  private def denormalizeDiagnostics(spark: SparkSession, st: Staging): DataFrame = {
+    val mrSide = st.entries.select(
+      col("file").as("mr_file"), col("href").as("mr_href"),
+      col("relatedReadingTypeHref").as("rt_entry_href"))
+    val rtSide = st.entries.select(
+      col("file").as("rte_file"), col("href").as("rte_href"),
+      col("entryType").as("rte_type"), col("rtIndex").as("rt_idx"))
+    val hop2 = st.entries
+      .select(col("file"), col("idx"), col("relatedMeterReadingHref"))
+      .filter(col("relatedMeterReadingHref") =!= "")
+      .join(mrSide, col("file") === col("mr_file") &&
+        col("relatedMeterReadingHref") === col("mr_href"), "left")
+      .join(rtSide, col("file") === col("rte_file") &&
+        col("rt_entry_href") === col("rte_href"), "left")
+    val entryRt = hop2.select(col("file"), col("idx").as("entryIdx"), col("rt_idx"))
+    val ltpCounts = st.localTimeParams.groupBy("file")
+      .agg(count(lit(1)).as("ltp_n"))
+    val ltp = st.entries.select("file").distinct()
+      .join(ltpCounts, Seq("file"), "left")
+      .withColumn("ltp_ok", col("ltp_n") === 1)
+    badDenormFiles(hop2, entryRt, st, ltp)
   }
 
   /** End-to-end: path glob → TimeSeries DataFrame (15 columns; file order is

@@ -41,8 +41,9 @@ object GreenButtonCli {
 
     val parsed = GreenButton.parse(spark, inputs.mkString(","))
     val st = GreenButton.staging(parsed)
-    // surface skipped files like the reference CLI
-    st.errors.collect().foreach { r =>
+    // surface skipped files like the reference CLI (parse failures AND
+    // denormalize violations — both are file-level skips)
+    GreenButton.skippedFiles(spark, st).collect().foreach { r =>
       System.err.println(s"Skipping ${r.getString(0)}: ${r.getString(1)}")
     }
     val ts = GreenButton.denormalize(spark, st, Permissive).drop("file")

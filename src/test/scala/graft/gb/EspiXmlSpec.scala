@@ -152,6 +152,24 @@ class EspiXmlSpec extends SparkTestBase {
     assert(ts.count() == 1)
   }
 
+  test("permissive skips the WHOLE file on a denormalize violation") {
+    // brokenLink.xml: readings reference a MeterReading entry that doesn't
+    // exist → in the reference the whole file errors; permissive must drop
+    // every row of that file while keeping the good file intact
+    val broken = feed(ltpEntry() + rtEntry() + /* no mrEntry! */
+      ibEntry(reading(1) + reading(2)))
+    val st = GreenButton.staging(GreenButton.parseStrings(spark,
+      Seq(("good.xml", fullFeed()), ("broken.xml", broken))))
+    val ts = GreenButton.denormalize(spark, st, Permissive)
+    assert(ts.count() == 1) // only good.xml's single reading
+    val skipped = GreenButton.skippedFiles(spark, st).collect()
+    assert(skipped.exists(r => r.getString(0) == "broken.xml"))
+    // and failfast raises on the same input
+    intercept[Exception] {
+      GreenButton.denormalize(spark, st, FailFast).collect()
+    }
+  }
+
   test("enova href triggers cost x100 patch (keyed off FIRST entry href)") {
     // the patch looks only at entries.href[0] (timeseries.rs:187 caller);
     // here the first entry is the LTP entry, so give it the enova href
