@@ -68,8 +68,15 @@ object GreenButton {
                      readingTypes: DataFrame, localTimeParams: DataFrame,
                      errors: DataFrame)
 
-  def staging(parsed: Dataset[ParsedFeed]): Staging = {
-    val ok = parsed.filter(col("error").isNull)
+  /** The denormalize DAG references the staging tables many times (self
+    * joins, titles, DST years, diagnostics); without persistence every
+    * branch would re-read and re-parse the XML. Caching the parsed feeds is
+    * load-bearing: it turns ~8 parse passes into 1. `cache=false` opts out
+    * for single-pass uses (streaming foreachBatch micro-batches). */
+  def staging(parsed: Dataset[ParsedFeed], cache: Boolean = true): Staging = {
+    val src = if (cache) parsed.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else parsed
+    val ok = src.filter(col("error").isNull)
     def exploded(field: String): DataFrame =
       ok.select(col("file"), explode(col(field)).as("x")).select(col("file"), col("x.*"))
     Staging(
@@ -77,7 +84,7 @@ object GreenButton {
       readings = exploded("readings"),
       readingTypes = exploded("readingTypes"),
       localTimeParams = exploded("localTimeParams"),
-      errors = parsed.filter(col("error").isNotNull).select(col("file"), col("error")))
+      errors = src.filter(col("error").isNotNull).select(col("file"), col("error")))
   }
 
   // ----------------------------------------------------------- denormalize
