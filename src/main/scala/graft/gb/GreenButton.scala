@@ -201,43 +201,60 @@ object GreenButton {
       }
       .toDF("file", "year", "dst_start_epoch", "dst_end_epoch")
 
-    // --- assemble the fact-side plan
-    val titles = st.entries.select(
-      col("file"), col("idx").as("entryIdx"), col("title"))
+    // --- consolidate ALL per-entry and per-file metadata into ONE
+    // entry-level side table, so the big fact table (readings) joins a
+    // single time. At 100TB the readings are the cost driver: separate
+    // joins for titles / rt map / decoded dims / LTP / DST bounds / enova
+    // would each reshuffle the facts; entryMeta keeps those joins
+    // metadata-sized and leaves one (file, entryIdx) equi-join (which AQE
+    // turns into a broadcast when the metadata fits).
+    val dstBoundsMap = bounds
+      .groupBy("file")
+      .agg(map_from_entries(collect_list(struct(
+        col("year"),
+        struct(col("dst_start_epoch"), col("dst_end_epoch")).as("b"))))
+        .as("dst_bounds"))
+
+    // F3 flag: enova patch keys off the *first* entry's href per file
+    // (timeseries.rs:173-177)
+    val enova = st.entries.filter(col("idx") === 0)
+      .select(col("file"), col("href").contains("enova").as("enova_fix"))
+
+    val entryMeta = st.entries
+      .select(col("file"), col("idx").as("entryIdx"), col("title"))
+      .join(entryRt, Seq("file", "entryIdx"), "left")
+      .join(rtDecoded, Seq("file", "rt_idx"), "left")
+      .join(ltp1.select("file", "dstOffset", "tzOffset"), Seq("file"))
+      .join(dstBoundsMap, Seq("file"), "left")
+      .join(enova, Seq("file"), "left")
+
     val qualityDict = broadcast(
       dictSlice(dict, "", "QualityOfReading", "_v_q", "quality_str"))
 
     var facts = st.readings
-      .join(titles, Seq("file", "entryIdx"))
-      .join(entryRt, Seq("file", "entryIdx"), "left")
+      .join(entryMeta, Seq("file", "entryIdx"))
     facts =
       if (failfast) guarded(facts, "rt_idx", col("rt_idx").isNull,
         lit("Missing reading type"))
       else facts // permissive: rows of bad files are dropped file-wise below
     facts = facts
-      .join(rtDecoded, Seq("file", "rt_idx"))
       .join(qualityDict, col("quality") === col("_v_q"), "left")
       .withColumn("quality_str",
         coalesce(col("quality_str"), lit(GbTypeDetails.MissingAppInfo)))
-      .join(ltp1.select("file", "dstOffset", "tzOffset"), Seq("file"))
-      .withColumn("year", utcYear(col("startUnix")))
-      .join(bounds, Seq("file", "year"), "left")
 
-    // F8: civil-time shift — strict bounds, naive-UTC space (lib.rs:157-162)
+    // F8: civil-time shift — strict bounds, naive-UTC space (lib.rs:157-162);
+    // the per-year memo is a map lookup on the year of each reading
+    val b = element_at(col("dst_bounds"), utcYear(col("startUnix")))
     val shifted = facts.withColumn("ts_local",
       col("startUnix") + col("tzOffset") +
-        when(col("dst_start_epoch").isNotNull && col("dst_end_epoch").isNotNull &&
-          col("startUnix") > col("dst_start_epoch") &&
-          col("startUnix") < col("dst_end_epoch"), col("dstOffset"))
+        when(b.isNotNull &&
+          b.getField("dst_start_epoch").isNotNull &&
+          b.getField("dst_end_epoch").isNotNull &&
+          col("startUnix") > b.getField("dst_start_epoch") &&
+          col("startUnix") < b.getField("dst_end_epoch"), col("dstOffset"))
           .otherwise(lit(0L)))
 
-    // F3: enova provider patch — keyed off the *first* entry's href per file
-    // (timeseries.rs:173-177)
-    val enova = st.entries.filter(col("idx") === 0)
-      .select(col("file"), col("href").contains("enova").as("enova_fix"))
-
     val out = shifted
-      .join(enova, Seq("file"), "left")
       .withColumn("cost_fixed",
         when(coalesce(col("enova_fix"), lit(false)),
           col("cost") * lit(100.0f)).otherwise(col("cost")))
