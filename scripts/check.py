@@ -72,4 +72,7 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    try:
+        sys.exit(main(sys.argv[1], sys.argv[2]))
+    except BrokenPipeError:
+        sys.exit(0)

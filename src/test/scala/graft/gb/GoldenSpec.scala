@@ -116,4 +116,14 @@ class GoldenSpec extends SparkTestBase {
       assert(times.sameElements(times.sorted))
     }
   }
+
+  test("chunkBySeries keeps each title whole within one partition") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val chunked = TimeSeriesOps.chunkBySeries(ours)
+      .select(col("title"), spark_partition_id().as("pid"))
+      .distinct()
+    val perTitle = chunked.groupBy("title").count()
+    assert(perTitle.filter(col("count") > 1).count() == 0,
+      "a title spans multiple partitions")
+  }
 }
