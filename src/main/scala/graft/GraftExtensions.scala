@@ -18,6 +18,8 @@ import graft.functions.RollingHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    // declarative dot-product folds → native codegen'd kernel
+    ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
   }
 }
 
