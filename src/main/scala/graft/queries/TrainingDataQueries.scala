@@ -51,6 +51,38 @@ object TrainingDataQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing: redaction applied per row + detection counts; the
+    // synthetic corpus has no PII, so the round-trip law (scrubbed == when
+    // counts are 0) is exactly what the oracle certifies.
+    "d_pii_scrub" -> ((s, dir) => {
+      val (emails, phones) = TextOps.piiCounts(col("text"))
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          emails.as("n_emails"), phones.as("n_phones"),
+          length(TextOps.piiScrub(col("text"))).as("scrubbed_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // normalization as a dedup key: normalized-text hash groups.
+    "d_normalize" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(TextOps.normalize(col("text"))).as("norm_len"),
+          md5(TextOps.normalize(col("text")).cast("binary")).as("norm_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus stats per (lang, source): the bookkeeping pass every corpus
+    // build runs — counts, char volume, mean doc length.
+    "d_corpus_stats" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          round(sum(col("n_chars")) / count(lit(1)), 4).as("mean_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // --- dedup -----------------------------------------------------------
     // exact: hash-groupBy; emit group representative + multiplicity
     "d_dedup_exact" -> ((s, dir) => {
@@ -207,6 +239,25 @@ object TrainingDataQueries {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "d_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9][0-9 ().-]{7,}[0-9]')) AS n_phones,
+        |  length(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9 ().-]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_normalize" ->
+      """SELECT doc_id,
+        |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_corpus_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH g AS (
          |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []

@@ -105,4 +105,22 @@ object TextOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
+
+  /** PII scrub: redact email-shaped and long-digit-run (phone/ID) spans.
+    * Regexes restricted to the RE2∩Java subset so SQL oracles mirror them. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9][0-9 ().-]{7,}[0-9]", "<PHONE>")
+
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))),
+    size(regexp_extract_all(text, lit("[0-9][0-9 ().-]{7,}[0-9]"), lit(0))))
+
+  /** Canonical text normalization for dedup keys: lowercase, collapse
+    * whitespace runs to single spaces, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
 }
