@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right row with
+  * `rightTime <= leftTime` within the same key (the time-series point-in-
+  * time join Spark lacks natively).
+  *
+  * Spark-first composition (preference (a) of the build brief — no custom
+  * SparkPlan needed): union both sides tagged by origin, sort within key by
+  * (time, side-order), and propagate the last right row with a running
+  * `last(..., ignoreNulls)` window. Cost: ONE shuffle on the key — the same
+  * as the sort-merge join a dedicated physical operator would do, so a
+  * custom strategy would buy nothing at scale.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; columns preserved
+    * @param right     reference side
+    * @param keys      equi-key columns present on both sides
+    * @param leftTime  event-time column name on left
+    * @param rightTime event-time column name on right
+    * @param rightVals right columns to attach (null when no row is ≤ time)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag: right rows sort before left rows at equal timestamps, so a right
+    // row AT the probe time is visible to it (<= semantics)
+    val taggedLeft = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select((keys.map(col) :+ col("_t") :+ col("_side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val taggedRight = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select((keys.map(col) :+ col("_t") :+ col("_side")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
+        rightVals.map(c => col(c).as(s"_r_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val merged = taggedLeft.unionByName(taggedRight)
+    val withAsOf = rightVals.foldLeft(merged) { (df, c) =>
+      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+
+    withAsOf.filter(col("_side") === 1)
+      .select(keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
+        rightVals.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+  }
+}

@@ -178,6 +178,50 @@ object OperatorQueries {
         .limit(500)
     }),
 
+    // As-of join (point-in-time): for each purchase, the latest prior error
+    // value of the same user — composed Spark-first (union + running last
+    // over one shuffle, operators.AsOfJoin); oracle is DuckDB's native ASOF.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asOf(purchases, errors,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightVals = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Rollup aggregation (hierarchical subtotals).
+    "q_rollup" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Exact distinct aggregation (shuffle-dedup path).
+    "q_distinct_agg" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q_percentile" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // F4: RFC-3339 naive-local parse quirk (entry.rs:96-111) — format with
     // the clock time, reparse discarding the zone.
     "q_rfc3339_quirk" -> ((s, dir) => {
@@ -280,6 +324,28 @@ object OperatorQueries {
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice / 100000.0 AS cost_dollars
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS asof_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rfc3339_quirk" ->
       """SELECT event_id,
         |  CAST(floor(epoch(strptime(
