@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join: match point rows to interval rows
+  * with `start <= point < end`. Spark's planner turns a bare inequality
+  * join into BroadcastNestedLoopJoin (O(n·m)); the scalable composition is
+  * the standard bucket trick: quantize time into fixed buckets, explode
+  * each interval across the buckets it overlaps, equi-join on the bucket,
+  * then refine with the exact predicate — one hash shuffle, candidates
+  * bounded by bucket width.
+  */
+object RangeJoin {
+
+  /** @param points      DataFrame with a numeric point column
+    * @param intervals   DataFrame with numeric start/end columns (end exclusive)
+    * @param pointCol    point column name
+    * @param startCol    interval start column name
+    * @param endCol      interval end column name
+    * @param bucketWidth quantization width (same unit as the columns);
+    *                    intervals explode into ~(len/width + 1) rows
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val pBucketed = points.withColumn("_bucket",
+      floor(col(pointCol) / bucketWidth))
+    val iBucketed = intervals.withColumn("_bucket",
+      explode(sequence(
+        floor(col(startCol) / bucketWidth),
+        floor((col(endCol) - 1) / bucketWidth))))
+    pBucketed.join(iBucketed, Seq("_bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_bucket")
+  }
+}

@@ -178,6 +178,42 @@ object OperatorQueries {
         .limit(500)
     }),
 
+    // Range join: events falling inside per-day "maintenance windows"
+    // (02:00-05:00 UTC) — bucketed-interval composition (operators.RangeJoin,
+    // one hash shuffle) vs a plain inequality join in the oracle.
+    "q_range_join" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+      val windows = ev
+        .select(unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+        .distinct()
+        .select((col("day_s") + 7200).as("w_start"), (col("day_s") + 18000).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+        ev.select(col("event_id"), col("epoch_s")), windows,
+        "epoch_s", "w_start", "w_end", bucketWidth = 3600)
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("w_start"))
+    }),
+
+    // 5-way star join: revenue per region.
+    "q_star_join" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val o = load(s, dir, "orders")
+      val c = load(s, dir, "customer")
+      val n = load(s, dir, "nation")
+      val r = load(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000))
+            .cast("long").as("revenue_e4"))
+        .orderBy(col("r_name"))
+    }),
+
     // As-of join (point-in-time): for each purchase, the latest prior error
     // value of the same user — composed Spark-first (union + running last
     // over one shuffle, operators.AsOfJoin); oracle is DuckDB's native ASOF.
@@ -324,6 +360,26 @@ object OperatorQueries {
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice / 100000.0 AS cost_dollars
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |              ts FROM events),
+        |w AS (SELECT DISTINCT
+        |        CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) + 7200 AS w_start,
+        |        CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) + 18000 AS w_end
+        |      FROM events)
+        |SELECT w_start, COUNT(*) AS n_events
+        |FROM ev JOIN w ON ev.epoch_s >= w.w_start AND ev.epoch_s < w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, COUNT(*) AS n_rows,
+        |  CAST(ROUND(SUM(l_extendedprice*(1.0-l_discount)*10000)) AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.value AS asof_value
         |FROM (SELECT event_id, user_id, ts FROM events
