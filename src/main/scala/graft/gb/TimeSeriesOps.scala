@@ -104,6 +104,20 @@ object TimeSeriesOps {
     csvProjection(ts).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Read a TimeSeries CSV (as written by [[writeCsv]] or the reference
+    * CLI) back into the typed 15-column DataFrame — source round-trip. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nanValue", "NaN")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "title STRING, cost FLOAT, quality STRING, value FLOAT, tou INT, " +
+          "time_period_start_unix LONG, time_period_duration_seconds INT, " +
+          "accumulation_behaviour STRING, commodity STRING, currency STRING, " +
+          "data_qualifier STRING, flow_direction STRING, kind STRING, " +
+          "phase STRING, uom STRING"))
+      .csv(path)
+
   /** Local CSV string (test fixture parity with timeseries.rs:477-503). */
   def csvString(ts: DataFrame): String = {
     val header = GreenButton.outputColumns.mkString(",")

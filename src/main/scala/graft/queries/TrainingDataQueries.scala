@@ -140,6 +140,45 @@ object TrainingDataQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic stratified sampling: ~30% per language by md5 threshold
+    // (hash sampling is reproducible across engines — md5 is md5).
+    "d_sample_stratified" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .filter(substring(md5(concat(lit("salt1"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2) < "4d") // 0x4d/0x100 ≈ 30%
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    }),
+
+    // Length-band filter: keep docs between the 10th and 90th length
+    // percentile of their language (percent_rank window).
+    "d_length_band" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      load(s, dir, "documents")
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.1 && col("pr") <= 0.9)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("n_chars")).as("min_len"), max(col("n_chars")).as("max_len"))
+        .orderBy(col("lang"))
+    }),
+
+    // Incremental corpus upsert: re-ingest docs with doc_id % 10 == 0 at a
+    // new "version"; merged corpus keeps update rows on collision.
+    "d_upsert" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000000)
+      graft.operators.Merge.upsert(docs, updates, Seq("doc_id"))
+        .groupBy((col("doc_id") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("bucket"))
+    }),
+
     // --- embedding similarity -------------------------------------------
     "e_ann_brute" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
@@ -235,6 +274,31 @@ object TrainingDataQueries {
         |        i -> CAST(unicode(text[i]) AS BIGINT))),
         |    (h, cp) -> (h * 31 + cp) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+        |FROM documents
+        |WHERE substring(md5(concat('salt1', CAST(doc_id AS VARCHAR))), 1, 2) < '4d'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_length_band" ->
+      """SELECT lang, COUNT(*) AS n_kept, MIN(n_chars) AS min_len,
+        |  MAX(n_chars) AS max_len
+        |FROM (SELECT lang, doc_id, n_chars,
+        |        percent_rank() OVER (PARTITION BY lang
+        |          ORDER BY n_chars, doc_id) AS pr
+        |      FROM documents) t
+        |WHERE pr >= 0.1 AND pr <= 0.9
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_upsert" ->
+      """WITH updates AS (
+        |  SELECT doc_id, text, lang, source, n_chars + 1000000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |merged AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT doc_id % 7 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies

@@ -126,4 +126,16 @@ class GoldenSpec extends SparkTestBase {
     assert(perTitle.filter(col("count") > 1).count() == 0,
       "a title spans multiple partitions")
   }
+
+  test("CSV sink/source round-trip preserves all values") {
+    val tmp = java.nio.file.Files.createTempDirectory("gb_csv_rt").toString
+    TimeSeriesOps.writeCsv(ours, tmp + "/csv")
+    val back = TimeSeriesOps.readCsv(spark, tmp + "/csv")
+    assert(back.schema.fieldNames.toSeq == GreenButton.outputColumns)
+    assert(back.count() == ours.count())
+    // NaN-safe comparison: NaN != NaN in exceptAll domain? exceptAll treats
+    // NaN as equal in set ops (normalized), so direct except works
+    assert(back.exceptAll(ours).count() == 0)
+    assert(ours.exceptAll(back).count() == 0)
+  }
 }
