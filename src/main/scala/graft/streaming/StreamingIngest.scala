@@ -60,6 +60,14 @@ object StreamingIngest {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup on an id column with bounded state: duplicates
+    * arriving within the watermark window are dropped, state for ids older
+    * than the watermark is evicted (the streaming face of the batch
+    * hash-groupBy dedup). */
+  def dedupStream(events: DataFrame, idCol: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)

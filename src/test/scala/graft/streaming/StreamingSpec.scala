@@ -66,4 +66,19 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(rows.toSeq == Seq((7L, 2, 0L, 100L)), s"got ${rows.toSeq}")
   }
+
+  test("streaming dedup drops duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("id", "ts")
+    val deduped = StreamingIngest.dedupStream(df, "id", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((1L, t(0)), (2L, t(1)), (1L, t(2)), (1L, t(3)), (3L, t(4)))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT id FROM dedup_out").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
 }
