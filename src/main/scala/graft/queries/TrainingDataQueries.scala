@@ -140,6 +140,29 @@ object TrainingDataQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF: top-3 terms per document (first 50 docs to bound output).
+    "d_tfidf" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.text.TfIdf.topTerms(docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")), "doc_id", "text", 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          round(col("tf_idf"), 6).as("tf_idf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Corpus token frequency: top-20 tokens with counts and ranks.
+    "d_token_freq" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term"))
+      load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select("rank", "term", "n")
+        .orderBy("rank")
+    }),
+
     // Deterministic stratified sampling: ~30% per language by md5 threshold
     // (hash sampling is reproducible across engines — md5 is md5).
     "d_sample_stratified" -> ((s, dir) => {
@@ -274,6 +297,29 @@ object TrainingDataQueries {
         |        i -> CAST(unicode(text[i]) AS BIGINT))),
         |    (h, cp) -> (h * 31 + cp) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS term
+         |    FROM documents WHERE doc_id < 50)
+         |  GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT term, ln((50.0 + 1) / (COUNT(DISTINCT doc_id) + 1)) + 1 AS idf
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, rank, term, tf, tf_idf FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    ROUND(tf.tf * idf.idf, 6) AS tf_idf,
+         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * idf.idf DESC, tf.term) AS rank
+         |  FROM tf JOIN idf ON tf.term = idf.term) t
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "d_token_freq" ->
+      s"""SELECT rank, term, n FROM (
+         |  SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+         |  FROM (SELECT term, COUNT(*) AS n FROM (
+         |          SELECT unnest($tokensSql) AS term FROM documents)
+         |        GROUP BY 1) c) t
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "d_sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
         |FROM documents

@@ -1,0 +1,47 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DedupClustersSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("connected components resolve transitive chains to min id") {
+    val ids = (0L to 9L).toDF("id")
+    // chain 0-1-2-3 (diameter 3), pair 5-6, singletons 4,7,8,9
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = DedupClusters.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L && got(3L) == 0L)
+    assert(got(5L) == 5L && got(6L) == 5L)
+    assert(got(4L) == 4L && got(9L) == 9L)
+  }
+
+  test("cluster summary counts sizes and representatives") {
+    val ids = (0L to 4L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val labels = DedupClusters.connectedComponents(ids, pairs)
+    val summary = DedupClusters.clusterSummary(labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(summary(0L) == (3L, 0L))
+    assert(summary(3L) == (1L, 3L))
+  }
+
+  test("end-to-end: minhash pairs -> clusters keep one per dup group") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (10L, base), (11L, base), (12L, base.replace("kappa", "koppa")),
+      (20L, "unrelated words entirely different content about query engines " +
+        "and distributed physical plans with partitioned columnar storage")
+    ).toDF("doc_id", "text")
+    val pairs = Similarity.minhashPairs(docs, "doc_id", "text", minJaccard = 0.6)
+      .select(col("id_a"), col("id_b"))
+    val labels = DedupClusters.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert(got(20L) == 20L)
+  }
+}
