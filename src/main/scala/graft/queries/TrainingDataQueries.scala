@@ -140,6 +140,20 @@ object TrainingDataQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HLL sketch distinct counts (DataSketches): mergeable across
+    // partitions — the sketch path for cardinality at 100TB. Deterministic
+    // (register maxes are order-independent) but engine-specific → no SQL
+    // oracle; SketchSpec bounds the error against exact counts.
+    "d_sketch_distinct" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"),
+          col("lang"))
+        .groupBy(col("lang"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(term))").as("approx_terms"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // TF-IDF: top-3 terms per document (first 50 docs to bound output).
     "d_tfidf" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
