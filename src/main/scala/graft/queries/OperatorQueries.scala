@@ -178,6 +178,24 @@ object OperatorQueries {
         .limit(500)
     }),
 
+    // Lag/delta + running sum: interval-to-interval deltas per key — the
+    // accumulation-behaviour semantics of meter readings (bulkQuantity →
+    // deltaData conversion) expressed as window functions.
+    "q_lag_delta" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      load(s, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .withColumn("delta_e2",
+          round((col("value") - coalesce(col("prev"), lit(0.0))) * 100).cast("long"))
+        .withColumn("running_e2",
+          round(sum(col("value")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            * 100).cast("long"))
+        .select(col("event_id"), col("user_id"), col("delta_e2"), col("running_e2"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: events falling inside per-day "maintenance windows"
     // (02:00-05:00 UTC) — bucketed-interval composition (operators.RangeJoin,
     // one hash shuffle) vs a plain inequality join in the oracle.
@@ -360,6 +378,18 @@ object OperatorQueries {
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice / 100000.0 AS cost_dollars
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  CAST(ROUND((value - COALESCE(prev, 0.0)) * 100) AS BIGINT) AS delta_e2,
+        |  CAST(ROUND(running * 100) AS BIGINT) AS running_e2
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    LAG(value, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM events) t
+        |ORDER BY event_id""".stripMargin,
     "q_range_join" ->
       """WITH ev AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
         |              ts FROM events),

@@ -243,6 +243,19 @@ object TrainingDataQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Per-label centroid statistics: position-wise mean of embeddings —
+    // the array-aggregation shape behind k-means/IVF training (posexplode →
+    // partial-agg → reassemble). First 8 dims to bound output.
+    "e_label_centroid" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .filter(col("pos") < 8)
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("x").cast("double") * 1000000)).cast("long").as("sum_e6"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // embedding near-dup: per-vector max off-diagonal cosine within its
     // label group (labels bound the pair sets like LSH buckets would).
     "e_dedup_cosine" -> ((s, dir) => {
@@ -395,6 +408,14 @@ object TrainingDataQueries {
          |    ELSE 0 END, 6) AS jaccard_next
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_id""".stripMargin,
+    "e_label_centroid" ->
+      """SELECT label, pos, CAST(ROUND(SUM(CAST(x AS DOUBLE) * 1000000))
+        |    AS BIGINT) AS sum_e6, COUNT(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) - 1 AS pos
+        |      FROM embeddings) t
+        |WHERE pos < 8
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e_ann_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -202,21 +202,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates limited to the query's
-    * hyperplane bucket. Recall < 1 by construction; the scale path when the
-    * corpus is too large to brute-force. */
+  /** Multi-table hyperplane buckets: element t is the bucket id in hash
+    * table t (per-table plane sets seeded independently). OR-construction:
+    * a candidate pair need only collide in ONE table — the recall knob that
+    * a single bucket set lacks. */
+  def hyperplaneBuckets(emb: Column, dim: Int, numPlanes: Int,
+                        numTables: Int): Column = {
+    def shl(c: Column, i: Column) = call_function("shiftleft", c, i)
+    transform(sequence(lit(0), lit(numTables - 1)), t => {
+      val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+        val s = aggregate(
+          zip_with(emb, sequence(lit(0), lit(dim - 1)),
+            (x, j) => x.cast("double") *
+              when(xxhash64(t * 1000 + p, j).bitwiseAND(1L) === 1L, 1.0)
+                .otherwise(-1.0)),
+          lit(0.0), (acc, v) => acc + v)
+        when(s > 0, lit(1L)).otherwise(lit(0L))
+      })
+      // tag the bucket id with the table index so tables don't cross-match
+      aggregate(
+        zip_with(bits, sequence(lit(0), lit(numPlanes - 1)), (bv, i) => shl(bv, i)),
+        t.cast("long") * 4294967296L, (a, bv) => a.bitwiseOR(bv))
+    })
+  }
+
+  /** LSH-bucketed approximate top-k with multi-table OR-construction:
+    * candidates are the union over `numTables` independent hyperplane
+    * tables (explode + equi-join + distinct), scored exactly. Recall rises
+    * with numTables; candidates per query stay bounded by bucket sizes —
+    * the scale path when the corpus is too large to brute-force. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
-              numPlanes: Int, k: Int): DataFrame = {
-    val bucketed = corpus.withColumn("bucket",
-      hyperplaneBucket(col("embedding"), dim, numPlanes))
-    val q = broadcast(
-      queries.withColumn("bucket", hyperplaneBucket(col("embedding"), dim, numPlanes))
-        .select(col("vec_id").as("query_id"), col("bucket"),
-          col("embedding").as("q_emb")))
-    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("bucket"),
-      col("embedding").as("c_emb"))
-    val scored = c.join(q, Seq("bucket"))
+              numPlanes: Int, k: Int, numTables: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      explode(hyperplaneBuckets(col("embedding"), dim, numPlanes, numTables))
+        .as("bucket"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(hyperplaneBuckets(col("embedding"), dim, numPlanes, numTables))
+        .as("bucket")))
+    val candidates = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_emb", "neighbor_id", "c_emb")
+      .distinct()
+    val scored = candidates
       .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

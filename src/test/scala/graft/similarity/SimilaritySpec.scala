@@ -100,4 +100,28 @@ class SimilaritySpec extends SparkTestBase {
       .filter(col("native") =!= col("fold"))
     assert(diff.count() == 0)
   }
+
+  test("ANN recall@3 vs brute force is measured and bounded") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val brute = topSet(Similarity.bruteTopK(queries, emb, 3))
+    val ivf = topSet(Similarity.ivfTopK(queries, emb, 3,
+      centroidStride = 50, nprobe = 4))
+    val lsh = topSet(Similarity.lshTopK(queries, emb, 64, 6, 3, numTables = 16))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = brute.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    val rIvf = recall(ivf)
+    val rLsh = recall(lsh)
+    info(f"recall@3: ivf(nprobe=4)=$rIvf%.2f lsh(6 planes x16 tables)=$rLsh%.2f")
+    // generous floors — these are sanity bounds, not tuning targets
+    assert(rIvf > 0.3, s"IVF recall collapsed: $rIvf")
+    assert(rLsh > 0.3, s"LSH recall collapsed: $rLsh")
+  }
 }
