@@ -144,8 +144,8 @@ object TimeSeriesOps {
     }
   }
 
-  private def doWriteParquet(ts: DataFrame, path: String): Unit =
-    ts.select(
+  private def doWriteParquet(ts: DataFrame, path: String): Unit = {
+    val projected = ts.select(
       col("title"), col("cost"), col("quality"), col("value"), col("tou"),
       timestamp_seconds(col("time_period_start_unix"))
         .as("time_period_start_unix"),
@@ -153,10 +153,17 @@ object TimeSeriesOps {
       col("accumulation_behaviour"), col("commodity"), col("currency"),
       col("data_qualifier"), col("flow_direction"), col("kind"),
       col("phase"), col("uom"))
+    // reference schema marks every column REQUIRED (timeseries.rs:244-262);
+    // stamp non-nullability so the parquet file says the same
+    val requiredSchema = org.apache.spark.sql.types.StructType(
+      projected.schema.fields.map(_.copy(nullable = false)))
+    projected.sparkSession
+      .createDataFrame(projected.rdd, requiredSchema)
       .coalesce(1)
       .write.mode("overwrite")
       .option("compression", "snappy")
       .parquet(path)
+  }
 
   /** K3: InfluxDB line protocol — pure string projection
     * (timeseries.rs:309-358). One output column `line`; write with
