@@ -204,4 +204,20 @@ class EspiXmlSpec extends SparkTestBase {
     val r = run(x).collect().head
     assert(r.getAs[Long]("time_period_start_unix") == 1689152400L + 3600L - 18000L)
   }
+
+  test("failfast raises on a broken-link entry with no readings when the " +
+      "file has any readings") {
+    // A dangling-link IntervalBlock entry with ZERO readings alongside a
+    // valid readings entry: the reference errors the file (the entry map is
+    // built for all entries); our guard fires when entryMeta materializes
+    // for the fact join. (Caveat: a file with zero readings overall
+    // produces empty output instead of an error — AQE's empty-relation
+    // propagation skips the metadata subtree entirely; same data outcome.)
+    val broken = fullFeed(extra = ibEntry("", upHref = "/espi/UsagePoint/9"))
+    val st = GreenButton.staging(GreenButton.parseStrings(spark,
+      Seq(("broken.xml", broken))))
+    intercept[Exception] {
+      GreenButton.denormalize(spark, st, FailFast).collect()
+    }
+  }
 }
