@@ -27,8 +27,12 @@ object Schemas {
       relatedReadingTypeHref: String)
 
   /** interval_reading.rs:11-25. cost NaN = missing; quality 16 = "other". */
+  /** seq = document-order position of the reading within its file (the
+    * reference CLI emits rows in file-then-document order, main.rs:30-38 —
+    * seq lets callers reconstruct that order after the joins). */
   case class IntervalReadingRaw(
       entryIdx: Int,
+      seq: Int,
       cost: Float,
       quality: Int,
       value: Long,
@@ -200,7 +204,8 @@ object EspiXml {
       case _ => skipElement(r)
     }
 
-    ParsedFeed(file, null, entries.toSeq, readings.toSeq,
+    ParsedFeed(file, null, entries.toSeq,
+      readings.toSeq.zipWithIndex.map { case (ir, i) => ir.copy(seq = i) },
       readingTypes.toSeq, ltps.toSeq)
   }
 
@@ -317,8 +322,8 @@ object EspiXml {
         if (duration.isEmpty) fail("Missing duration")
       case other => fail(s"Unmatched tag name: $other")
     }
-    IntervalReadingRaw(entryIdx, cost, quality,
-      value.getOrElse(fail("Missing field value")), tou,
+    IntervalReadingRaw(entryIdx, 0 /* seq assigned at document end */, cost,
+      quality, value.getOrElse(fail("Missing field value")), tou,
       start.getOrElse(fail("Missing field time_period_start_unix")),
       duration.getOrElse(fail("Missing field time_period_duration_seconds")))
   }

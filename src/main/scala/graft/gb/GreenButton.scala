@@ -263,6 +263,7 @@ object GreenButton {
 
     val selected = out.select(
       col("file"),
+      col("seq"),
       col("title"),
       col("cost_fixed").as("cost"),
       col("quality_str").as("quality"),
@@ -339,10 +340,22 @@ object GreenButton {
   def timeseries(spark: SparkSession, path: String,
                  mode: ParseMode = Permissive): DataFrame = {
     val parsed = parse(spark, path)
-    denormalize(spark, staging(parsed), mode).drop("file")
+    denormalize(spark, staging(parsed), mode).drop("file", "seq")
+  }
+
+  /** Like [[timeseries]] but rows come back in the reference CLI's output
+    * order — file order then document order (cli-frontend/src/main.rs:30-38
+    * never sorts; row order is ingestion order). */
+  def timeseriesInputOrdered(spark: SparkSession, path: String,
+                             mode: ParseMode = Permissive): DataFrame = {
+    val parsed = parse(spark, path)
+    denormalize(spark, staging(parsed), mode)
+      .orderBy(col("file"), col("seq"))
+      .drop("file", "seq")
   }
 
   def timeseriesFromStrings(spark: SparkSession, docs: Seq[(String, String)],
                             mode: ParseMode = FailFast): DataFrame =
-    denormalize(spark, staging(parseStrings(spark, docs)), mode).drop("file")
+    denormalize(spark, staging(parseStrings(spark, docs)), mode)
+      .drop("file", "seq")
 }

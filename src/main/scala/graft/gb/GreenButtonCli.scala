@@ -1,6 +1,7 @@
 package graft.gb
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Batch conversion CLI — the Spark analog of the reference cli-frontend
   * (cli-frontend/src/main.rs:27-66): N input files → one output in the
@@ -46,7 +47,8 @@ object GreenButtonCli {
     GreenButton.skippedFiles(spark, st).collect().foreach { r =>
       System.err.println(s"Skipping ${r.getString(0)}: ${r.getString(1)}")
     }
-    val ts = GreenButton.denormalize(spark, st, Permissive).drop("file")
+    val ts = GreenButton.denormalize(spark, st, Permissive)
+      .orderBy(col("file"), col("seq")).drop("file", "seq")
 
     filetype match {
       case "csv" => TimeSeriesOps.writeCsv(ts, out)

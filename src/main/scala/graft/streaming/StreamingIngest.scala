@@ -42,7 +42,7 @@ object StreamingIngest {
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
         }
         val ts = GreenButton.denormalize(spark,
-          GreenButton.staging(parsed), mode).drop("file")
+          GreenButton.staging(parsed), mode).drop("file", "seq")
         sink(ts, batchId)
       }
       .start()
