@@ -82,11 +82,17 @@ object TextOps {
     best._1
   }
 
-  /** 64-bit SimHash over token xxhash64 hashes — expressed entirely with
-    * higher-order array functions (one codegen'd projection, no shuffle):
-    * per-bit votes accumulated with aggregate/zip_with, then recombined.
-    */
-  def simhash64(toks: Column): Column = {
+  /** 64-bit SimHash over token xxhash64 hashes. Delegates to the native
+    * codegen'd expression ([[graft.functions.SimHash64]]); [[simhash64Fold]]
+    * is the declarative reference semantics (bit-identical — asserted in
+    * SimilaritySpec). */
+  def simhash64(toks: Column): Column =
+    graft.functions.SimHash64.simhash64(toks)
+
+  /** Declarative fold form: per-bit votes accumulated with
+    * aggregate/zip_with, then recombined — O(tokens × 64) lambda evals,
+    * kept as the portable definition of record. */
+  private[graft] def simhash64Fold(toks: Column): Column = {
     // functions.shiftright/shiftleft only take Int amounts; the SQL
     // expressions accept column amounts — reach them via call_function.
     def shr(c: Column, i: Column) = call_function("shiftright", c, i)

@@ -124,4 +124,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(rIvf > 0.3, s"IVF recall collapsed: $rIvf")
     assert(rLsh > 0.3, s"LSH recall collapsed: $rLsh")
   }
+
+  test("native SimHash64 is bit-identical to the declarative fold") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(200)
+    val diff = docs.select(
+      TextOps.simhash64(TextOps.tokens(col("text"))).as("native"),
+      TextOps.simhash64Fold(TextOps.tokens(col("text"))).as("fold"))
+      .filter(col("native") =!= col("fold"))
+    assert(diff.count() == 0)
+  }
 }
