@@ -53,9 +53,14 @@ object Similarity {
     * against true shingle Jaccard ≥ minJaccard. The shuffle is on
     * (band, bucket) — skew-bounded because identical signatures collapse
     * into one bucket per band. */
+  /** @param maxBucketSize skew guard: band buckets larger than this are
+    *   dropped before pairing (a bucket of n identical signatures pairs
+    *   O(n²) — run exact dedup first; giant buckets there are its job).
+    *   0 = uncapped.
+    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val withShingles = df.select(
       col(idCol).as("id"),
@@ -63,9 +68,16 @@ object Similarity {
       .filter(size(col("sh")) > 0)
     val sigs = withShingles.withColumn("sig",
       minhashSignature(col("sh"), numHashes))
-    val banded = sigs.select(col("id"), col("sh"),
+    var banded = sigs.select(col("id"), col("sh"),
       explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.bucket"))
+    if (maxBucketSize > 0) {
+      val sizes = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= maxBucketSize)
+        .select("band", "bucket")
+      banded = banded.join(sizes, Seq("band", "bucket"), "left_semi")
+    }
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("bucket"),

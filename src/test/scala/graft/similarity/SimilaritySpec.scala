@@ -133,4 +133,14 @@ class SimilaritySpec extends SparkTestBase {
       .filter(col("native") =!= col("fold"))
     assert(diff.count() == 0)
   }
+
+  test("maxBucketSize caps adversarial identical-text pileups") {
+    val many = (0L until 30L).map(i => (i, base)).toDF("doc_id", "text")
+    val uncapped = Similarity.minhashPairs(many, "doc_id", "text",
+      minJaccard = 0.9)
+    assert(uncapped.count() == 30L * 29 / 2) // full quadratic pair set
+    val capped = Similarity.minhashPairs(many, "doc_id", "text",
+      minJaccard = 0.9, maxBucketSize = 5)
+    assert(capped.count() == 0) // mega-bucket dropped; exact dedup's job
+  }
 }
