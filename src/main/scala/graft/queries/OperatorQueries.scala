@@ -178,6 +178,17 @@ object OperatorQueries {
         .limit(500)
     }),
 
+    // Pivot (wide conditional aggregation): per-user event-type counts.
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "purchase", "error", "signup", "view")
+      val aggs = types.map(t =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+      load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("user_id"))
+    }),
+
     // Lag/delta + running sum: interval-to-interval deltas per key — the
     // accumulation-behaviour semantics of meter readings (bulkQuantity →
     // deltaData conversion) expressed as window functions.
@@ -378,6 +389,14 @@ object OperatorQueries {
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice / 100000.0 AS cost_dollars
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lag_delta" ->
       """SELECT event_id, user_id,
         |  CAST(ROUND((value - COALESCE(prev, 0.0)) * 100) AS BIGINT) AS delta_e2,
