@@ -179,13 +179,20 @@ object Similarity {
     * a 100TB ANN deployment.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroidStride: Int, nprobe: Int): DataFrame = {
+              centroidStride: Int, nprobe: Int): DataFrame =
     // every strideth vector is a centroid — a pure filter, no global
-    // window/shuffle, deterministic at any corpus size
-    val centroids = broadcast(
+    // window/shuffle, deterministic at any corpus size; swap in
+    // [[KMeans.fit]] output via [[ivfTopKWith]] for trained cells
+    ivfTopKWith(queries, corpus, k,
       corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
         .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid")))
+          col("embedding").as("centroid")),
+      nprobe)
+
+  /** IVF with caller-provided centroids (e.g. [[KMeans.fit]]). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                  centroidsDf: DataFrame, nprobe: Int): DataFrame = {
+    val centroids = broadcast(centroidsDf)
 
     def nearestCells(df: DataFrame, vecCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(

@@ -49,4 +49,20 @@ class SkewJoinSpec extends SparkTestBase {
     assert(ivf.count() > 0)
     assert(ivf.filter(col("rank") > 3).count() == 0)
   }
+
+  test("k-means centroids train declaratively and plug into IVF") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = graft.similarity.KMeans.fit(emb, k = 8, iters = 2)
+    val got = centroids.collect()
+    assert(got.length == 8)
+    assert(got.forall(_.getSeq[Float](1).length == 64))
+    // trained cells serve IVF queries
+    val ivf = Similarity.ivfTopKWith(emb.filter(col("vec_id") < 3), emb, 3,
+      centroids, nprobe = 3)
+    assert(ivf.count() == 9)
+    // assignment partitions the corpus completely
+    val assigned = graft.similarity.KMeans.assign(emb, centroids)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("centroid_id").distinct().count() <= 8)
+  }
 }
