@@ -19,16 +19,26 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // NULL exactly when the fold form is NULL: null input array, length
+  // mismatch (zip_with pads with nulls → null product poisons the sum), or
+  // any null element — so RewriteDotProduct is semantics-preserving on
+  // every input, not just well-formed ones.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    DotProduct.dot(a, b)
+    DotProduct.dotOrNull(a, b)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DotProduct.dot($a, $b);")
+      s"""
+         |java.lang.Double ${ev.value}_boxed =
+         |  graft.functions.DotProduct.dotOrNull($a, $b);
+         |if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -38,12 +48,28 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
   /** Sequential left-fold in double over float elements — the exact
     * accumulation order of `aggregate(zip_with(a,b,*), 0d, +)` and of the
-    * DuckDB `list_reduce` oracle. */
+    * DuckDB `list_reduce` oracle. Precondition: equal lengths, no null
+    * elements (see [[dotOrNull]] for the total version). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Total version matching the fold's null semantics exactly: null on
+    * length mismatch or any null element (boxed for codegen). */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

@@ -181,10 +181,12 @@ object GreenButton {
         .withColumn(out, coalesce(col(s"_s_$out"), lit(GbTypeDetails.MissingAppInfo)))
         .drop(s"_s_$out")
     }
-    // F1: 10^powerOfTenMultiplier in f32, computed once per reading type
+    // F1: 10^powerOfTenMultiplier in f32, computed once per reading type;
+    // Pow10F (StrictMath/fdlibm) is bit-stable across JVMs and yields the
+    // correctly-rounded f32 the reference's f32::powf produces (lib.rs:172)
     val rtDecoded = rt
       .withColumn("pow10",
-        pow(lit(10.0), col("powerOfTenMultiplier").cast("double")).cast("float"))
+        graft.functions.Pow10F.pow10f(col("powerOfTenMultiplier").cast("int")))
       .withColumnRenamed("rtIndex", "rt_idx")
       .select((Seq("file", "rt_idx", "pow10") ++ rtFields.map(_._2)).map(col): _*)
 

@@ -28,34 +28,38 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // All rightVals travel in ONE struct that is non-null exactly for right
+    // rows: a single last(_r, ignoreNulls) then attaches every column from
+    // the SAME matched right row, and a genuine NULL inside a matched row's
+    // rightVal survives (a per-column last() would skip it and mix rows).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     // tag: right rows sort before left rows at equal timestamps, so a right
     // row AT the probe time is visible to it (<= semantics)
     val taggedLeft = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .select((keys.map(col) :+ col("_t") :+ col("_side")) ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")) :+
+        lit(null).cast(rStructType).as("_r"): _*)
     val taggedRight = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .select((keys.map(col) :+ col("_t") :+ col("_side")) ++
         leftCols.filterNot(keys.contains).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
-        rightVals.map(c => col(c).as(s"_r_$c")): _*)
+          lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
+        struct(rightVals.map(col): _*).as("_r"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val merged = taggedLeft.unionByName(taggedRight)
-    val withAsOf = rightVals.foldLeft(merged) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+    val withAsOf = taggedLeft.unionByName(taggedRight)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
 
     withAsOf.filter(col("_side") === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
-        rightVals.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+        rightVals.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 }

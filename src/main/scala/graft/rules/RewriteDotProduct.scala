@@ -13,10 +13,12 @@ import graft.functions.DotProduct
   *             0.0, (acc, v) -> acc + v)
   *
   * and replace it with the native codegen'd [[graft.functions.DotProduct]]
-  * kernel. The two are bit-identical by construction (same widening, same
-  * left-fold order — asserted in SimilaritySpec), so this is a pure
-  * performance rewrite: users keep writing portable `functions._` code and
-  * the engine upgrades the hot loop. Injected via [[graft.GraftExtensions]].
+  * kernel. The two are bit-identical on every input (same widening, same
+  * left-fold order, and the same null semantics: null result on null array,
+  * length mismatch, or null element — asserted in SimilaritySpec), so this
+  * is a pure performance rewrite: users keep writing portable `functions._`
+  * code and the engine upgrades the hot loop. Injected via
+  * [[graft.GraftExtensions]].
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 

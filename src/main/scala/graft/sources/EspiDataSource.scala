@@ -114,9 +114,11 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  private def hadoopConf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
+    val conf = hadoopConf
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -129,23 +131,29 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EspiReaderFactory(required, failfast)
+    // ship the session's Hadoop conf to the executors so filesystem
+    // settings/credentials (e.g. object-store keys) apply at read time,
+    // same as planInputPartitions uses for listing
+    new EspiReaderFactory(required, failfast,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
 }
 
-class EspiReaderFactory(required: StructType, failfast: Boolean)
+class EspiReaderFactory(required: StructType, failfast: Boolean,
+                        conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EspiPartitionReader(
-      partition.asInstanceOf[EspiFilePartition].path, required, failfast)
+      partition.asInstanceOf[EspiFilePartition].path, required, failfast,
+      conf.value)
 }
 
 /** Parses one file and serves its entries as InternalRows, projecting only
   * the pruned columns. */
-class EspiPartitionReader(path: String, required: StructType, failfast: Boolean)
+class EspiPartitionReader(path: String, required: StructType, failfast: Boolean,
+                          conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val feed: Schemas.ParsedFeed = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val hp = new Path(path)
     val fs = hp.getFileSystem(conf)
     val in = fs.open(hp)

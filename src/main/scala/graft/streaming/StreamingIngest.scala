@@ -41,8 +41,10 @@ object StreamingIngest {
           EspiXml.parseFeed(p,
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
         }
+        // cache=false: a persisted micro-batch would never be unpersisted
+        // and executor storage would grow without bound across batches
         val ts = GreenButton.denormalize(spark,
-          GreenButton.staging(parsed), mode).drop("file", "seq")
+          GreenButton.staging(parsed, cache = false), mode).drop("file", "seq")
         sink(ts, batchId)
       }
       .start()
