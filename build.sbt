@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs all executor threads in this one JVM — size the heap for
+  // 32 concurrent tasks' shuffle/agg buffers (the image has 128 GiB; an
+  // undersized heap turns the bench into a GC benchmark)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -145,7 +145,12 @@ object TrainingDataQueries {
     // (register maxes are order-independent) but engine-specific → no SQL
     // oracle; SketchSpec bounds the error against exact counts.
     "d_sketch_distinct" -> ((s, dir) => {
+      // spread the compute-bound sketch updates (~1µs/token) across cores:
+      // a single-row-group parquet file scans as ONE partition, which would
+      // serialize the whole partial agg. At cluster scale the input arrives
+      // in many splits and this tiny pre-shuffle is dwarfed by the agg win.
       load(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(explode(TextOps.tokens(col("text"))).as("term"),
           col("lang"))
         .groupBy(col("lang"))
@@ -165,14 +170,18 @@ object TrainingDataQueries {
     }),
 
     // Corpus token frequency: top-20 tokens with counts and ranks.
+    // TakeOrderedAndProject (orderBy+limit = per-partition top-20 then a
+    // 20-row merge) instead of ranking the full vocabulary through a global
+    // single-partition window — the shape that survives a 100TB vocabulary.
     "d_token_freq" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("term"))
-      load(s, dir, "documents")
+      val top = load(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("n"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 20)
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("n").desc, col("term")) // 20 rows
+      top.withColumn("rank", row_number().over(w))
         .select("rank", "term", "n")
         .orderBy("rank")
     }),

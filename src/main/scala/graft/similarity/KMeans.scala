@@ -24,8 +24,9 @@ object KMeans {
     var centroids = corpus
       .withColumn("_h", xxhash64(col("vec_id")))
       .orderBy(col("_h")).limit(k)
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col("_h"))).cast("long") - 1)
+      .withColumn("centroid_id", // k rows post-limit; constant partition key
+        row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("_h"))).cast("long") - 1)
       .select(col("centroid_id"), col("embedding").as("centroid"))
 
     for (_ <- 1 to iters) {

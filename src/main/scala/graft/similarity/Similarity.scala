@@ -154,21 +154,12 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: numPlanes sign bits of dot(v, plane),
     * planes derived deterministically from xxhash64 (component j of plane p
-    * is ±1 by hash parity) — no trained state to ship. */
-  def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int): Column = {
-    def shl(c: Column, i: Column) = call_function("shiftleft", c, i)
-    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-      val s = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x.cast("double") *
-            when(xxhash64(p, j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(numPlanes - 1)), (b, i) => shl(b, i)),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-  }
+    * is ±1 by hash parity) — no trained state to ship. Native fused kernel;
+    * table 0 of [[hyperplaneBuckets]] (the t=0 seeds coincide). */
+  def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int): Column =
+    element_at(
+      graft.functions.HyperplaneBucketsExpr
+        .hyperplane_buckets(emb, dim, numPlanes, 1), 1)
 
   /** IVF (inverted-file) approximate top-k. Centroids are chosen
     * deterministically (every `corpusSize/nCentroids`-th vector — no trained
@@ -224,9 +215,18 @@ object Similarity {
   /** Multi-table hyperplane buckets: element t is the bucket id in hash
     * table t (per-table plane sets seeded independently). OR-construction:
     * a candidate pair need only collide in ONE table — the recall knob that
-    * a single bucket set lacks. */
+    * a single bucket set lacks. Native fused kernel
+    * ([[graft.functions.HyperplaneBucketsExpr]]); bit-identical to
+    * [[hyperplaneBucketsFold]] (asserted in SimilaritySpec). */
   def hyperplaneBuckets(emb: Column, dim: Int, numPlanes: Int,
-                        numTables: Int): Column = {
+                        numTables: Int): Column =
+    graft.functions.HyperplaneBucketsExpr
+      .hyperplane_buckets(emb, dim, numPlanes, numTables)
+
+  /** Declarative fold form — the reference semantics the native kernel is
+    * verified against. */
+  private[graft] def hyperplaneBucketsFold(emb: Column, dim: Int, numPlanes: Int,
+                                           numTables: Int): Column = {
     def shl(c: Column, i: Column) = call_function("shiftleft", c, i)
     transform(sequence(lit(0), lit(numTables - 1)), t => {
       val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
@@ -260,10 +260,14 @@ object Similarity {
       col("embedding").as("q_emb"),
       explode(hyperplaneBuckets(col("embedding"), dim, numPlanes, numTables))
         .as("bucket")))
+    // dedupe multi-table collisions on the id pair only: the embeddings are
+    // functionally determined by the ids, and hashing/comparing 64-float
+    // arrays as group keys is pure overhead (dropDuplicates partial-aggs
+    // map-side just like distinct would)
     val candidates = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "q_emb", "neighbor_id", "c_emb")
-      .distinct()
+      .dropDuplicates(Seq("query_id", "neighbor_id"))
     val scored = candidates
       .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))

@@ -25,11 +25,20 @@ object TfIdf {
       .withColumn("idf",
         log((lit(nDocs.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0)
 
-  /** (doc_id, term, tf, tf_idf) for the top-k terms per document. */
+  /** (doc_id, term, tf, tf_idf) for the top-k terms per document.
+    *
+    * Single DAG: N (the corpus size) rides along as a broadcast 1-row
+    * cross join instead of a separate driver-side count() action — one job
+    * instead of two, and the idf build stays fully lazy/optimizable. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tf = termFreq(docs, idCol, textCol)
-    val nDocs = docs.count()
-    val idf = broadcast(docFreq(tf, nDocs))
+    val n = docs.select(count(lit(1)).cast("double").as("_n"))
+    val idf = broadcast(
+      tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("idf", log((col("_n") + 1.0) / (col("df") + 1.0)) + 1.0)
+        .drop("_n"))
     val scored = tf.join(idf, "term")
       .withColumn("tf_idf", col("tf") * col("idf"))
     val w = Window.partitionBy("doc_id")

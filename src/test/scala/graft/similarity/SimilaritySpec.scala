@@ -125,6 +125,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(rLsh > 0.3, s"LSH recall collapsed: $rLsh")
   }
 
+  test("native HyperplaneBuckets kernel is bit-identical to the declarative fold") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings").limit(300)
+    val diff = emb.select(
+      Similarity.hyperplaneBuckets(col("embedding"), 64, 8, 8).as("native"),
+      Similarity.hyperplaneBucketsFold(col("embedding"), 64, 8, 8).as("fold"))
+      .filter(col("native") =!= col("fold"))
+    assert(diff.count() == 0)
+    // degenerate inputs follow the fold's null algebra: bits all 0, tag kept
+    val weird = Seq[(Long, Array[java.lang.Float])](
+      (0L, Array[java.lang.Float](1.0f, 2.0f)),      // wrong length
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f)) // null element
+    ).toDF("id", "embedding")
+    val rows = weird.select(
+      Similarity.hyperplaneBuckets(col("embedding"), 3, 4, 2).as("native"),
+      Similarity.hyperplaneBucketsFold(col("embedding"), 3, 4, 2).as("fold"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"degenerate mismatch: $r")
+    }
+  }
+
   test("native SimHash64 is bit-identical to the declarative fold") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(200)
     val diff = docs.select(
