@@ -150,22 +150,33 @@ object GreenButton {
       .join(mrSide,
         col("file") === col("mr_file") &&
           col("relatedMeterReadingHref") === col("mr_href"), "left")
-    val hop1Checked =
-      if (failfast) guarded(hop1, "rt_entry_href", col("mr_href").isNull,
-        concat(lit("Missing meter reading entry "), col("relatedMeterReadingHref")))
-      else hop1
-    val hop2 = hop1Checked
+    val hop2 = hop1
       .join(rtSide,
         col("file") === col("rte_file") &&
           col("rt_entry_href") === col("rte_href"), "left")
-    val hop2Checked =
-      if (failfast) guarded(hop2, "rt_idx",
-        col("rte_href").isNull || col("rte_type") =!= "ReadingType",
-        concat(lit("Mismatched reading type "), coalesce(col("rte_type"), lit("missing"))))
-      else hop2 // permissive: whole files with broken links are dropped below
     // entry → reading-type index map (null when the entry has no meter link)
-    val entryRt = hop2Checked.select(
+    val entryRt = hop2.select(
       col("file"), col("idx").as("entryIdx"), col("rt_idx"))
+
+    // Failfast link errors are aggregated PER FILE, not woven into per-entry
+    // columns: the reference builds the link map for every entry before any
+    // readings flow (lib.rs:58-83), so a dangling link on an entry with zero
+    // readings still errors the whole file. A per-row guard would be dead
+    // code for such an entry (nothing downstream ever evaluates its
+    // columns); the file-level memo joins onto every fact row of the file,
+    // carrying the first bad entry's message (entry order, like the
+    // reference's sequential loop).
+    val linkErrPerFile = hop2.select(col("file"), col("idx"),
+        when(col("mr_href").isNull,
+          concat(lit("Missing meter reading entry "),
+            col("relatedMeterReadingHref")))
+        .when(col("rte_href").isNull || col("rte_type") =!= "ReadingType",
+          concat(lit("Mismatched reading type "),
+            coalesce(col("rte_type"), lit("missing"))))
+        .as("link_err"))
+      .filter(col("link_err").isNotNull)
+      .groupBy("file")
+      .agg(min_by(col("link_err"), col("idx")).as("file_link_err"))
 
     // --- J5 pre-pass: decode the 8 enum columns + pow10 on reading_types
     val rtFields = Seq(
@@ -236,8 +247,15 @@ object GreenButton {
     var facts = st.readings
       .join(entryMeta, Seq("file", "entryIdx"))
     facts =
-      if (failfast) guarded(facts, "rt_idx", col("rt_idx").isNull,
-        lit("Missing reading type"))
+      if (failfast)
+        // guards woven into `title` — a column that reaches the OUTPUT
+        // projection; a guard on a pruned column (e.g. rt_idx, which is only
+        // a join key) is dead code after Catalyst column pruning
+        guarded(
+          guarded(facts.join(linkErrPerFile, Seq("file"), "left"),
+            "title", col("file_link_err").isNotNull, col("file_link_err")),
+          "title", col("rt_idx").isNull, lit("Missing reading type"))
+          .drop("file_link_err")
       else facts // permissive: rows of bad files are dropped file-wise below
     facts = facts
       .join(qualityDict, col("quality") === col("_v_q"), "left")

@@ -287,6 +287,63 @@ object OperatorQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Runtime Bloom-filter join pruning: build a Bloom filter over the
+    // selective dim side's keys, pre-filter the fact scan BEFORE its
+    // shuffle/join (the explicit form of Spark's InjectRuntimeFilter). At
+    // 100TB this is the difference between shuffling the whole fact table
+    // and shuffling the ~matching fraction; false positives are removed by
+    // the join itself, so the result equals the plain join (the oracle).
+    "q_bloom_join" -> ((s, dir) => {
+      import graft.functions.BloomFilters
+      val hot = load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bloom = org.apache.spark.sql.graftshim.ColumnBridge.scalarSubquery(
+        hot.agg(
+          BloomFilters.bloom_agg(col("o_orderkey"), 100000L, 800000L).as("bf")))
+      load(s, dir, "lineitem")
+        .filter(BloomFilters.might_contain(bloom, col("l_orderkey")))
+        .join(broadcast(hot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")) * 100).cast("long").as("qty_e2"))
+        .orderBy(col("month"))
+    }),
+
+    // Grouping sets (generalized multi-dimensional subtotals — the shape
+    // ROLLUP/CUBE compile to): per-flag, per-status, and grand total in one
+    // pass (Expand + single shuffle, not three scans).
+    "q_grouping_sets" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")) * 100).cast("long").as("qty_e2"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n_rows"), col("qty_e2"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // RANGE-frame window: per-user rolling 1-hour sum over event time — the
+    // value-based frame (RANGE BETWEEN) as opposed to q_lag_delta's
+    // row-based frames. Values are fixed to cents per row before summing so
+    // the rolling sum is order-independent (DuckDB's segment-tree window
+    // accumulates doubles in a different order).
+    "q_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, 0L)
+      load(s, dir, "events")
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("cents")).over(w).as("hour_cents"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy(col("event_id"))
+    }),
+
     // F4: RFC-3339 naive-local parse quirk (entry.rs:96-111) — format with
     // the clock time, reparse discarding the zone.
     "q_rfc3339_quirk" -> ((s, dir) => {
@@ -451,6 +508,33 @@ object OperatorQueries {
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS qty_e2
+        |FROM lineitem JOIN (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_totalprice > 400000) o
+        |ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n_rows,
+        |  CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS qty_e2
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY 1, 2""".stripMargin,
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        |  SUM(cents) OVER w AS hour_cents,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |      FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_rfc3339_quirk" ->
       """SELECT event_id,
         |  CAST(floor(epoch(strptime(

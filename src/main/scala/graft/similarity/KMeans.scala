@@ -24,9 +24,11 @@ object KMeans {
     var centroids = corpus
       .withColumn("_h", xxhash64(col("vec_id")))
       .orderBy(col("_h")).limit(k)
-      .withColumn("centroid_id", // k rows post-limit; constant partition key
+      .withColumn("centroid_id", // k rows post-limit; constant-but-non-
+        // foldable partition key (a bare literal would be stripped by
+        // EliminateWindowPartitions, reintroducing the global window)
         row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("_h"))).cast("long") - 1)
+          Window.partitionBy(col("_h") * 0).orderBy(col("_h"))).cast("long") - 1)
       .select(col("centroid_id"), col("embedding").as("centroid"))
 
     for (_ <- 1 to iters) {

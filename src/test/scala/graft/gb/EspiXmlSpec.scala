@@ -209,15 +209,22 @@ class EspiXmlSpec extends SparkTestBase {
       "file has any readings") {
     // A dangling-link IntervalBlock entry with ZERO readings alongside a
     // valid readings entry: the reference errors the file (the entry map is
-    // built for all entries); our guard fires when entryMeta materializes
-    // for the fact join. (Caveat: a file with zero readings overall
-    // produces empty output instead of an error — AQE's empty-relation
-    // propagation skips the metadata subtree entirely; same data outcome.)
+    // built for all entries before readings flow). Link errors are
+    // aggregated per file and woven into every fact row, so the guard fires
+    // regardless of which entry carries the readings — not dependent on the
+    // optimizer evaluating a pruned per-entry column. (Caveat: a file with
+    // zero readings overall produces empty output instead of an error —
+    // there is no fact row to carry the guard; same data outcome.)
     val broken = fullFeed(extra = ibEntry("", upHref = "/espi/UsagePoint/9"))
     val st = GreenButton.staging(GreenButton.parseStrings(spark,
       Seq(("broken.xml", broken))))
-    intercept[Exception] {
+    val e = intercept[Exception] {
       GreenButton.denormalize(spark, st, FailFast).collect()
     }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Missing meter reading entry")),
+      s"wrong failure: ${msgs(e)}")
   }
 }
