@@ -32,6 +32,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got(4L).isEmpty)        // no right rows for k2
   }
 
+  test("asOf attaches all columns from the SAME matched right row and " +
+      "keeps its genuine NULLs") {
+    val left = Seq((1L, "k1", ts(200))).toDF("id", "k", "t")
+    // latest matched right row has v = NULL and w = 2: a per-column
+    // last(ignoreNulls) would skip the NULL v and attach the stale 1.0
+    // from the older row, mixing columns across right rows
+    val right = Seq(
+      ("k1", ts(100), Option(1.0), Option(9.0)),
+      ("k1", ts(150), None, Option(2.0))
+    ).toDF("k", "t", "v", "w")
+    val r = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v", "w"))
+      .select(col("asof_v"), col("asof_w")).head
+    assert(r.isNullAt(0), s"expected the matched row's NULL v, got $r")
+    assert(r.getDouble(1) == 2.0, s"expected the matched row's w, got $r")
+  }
+
   test("asOf preserves left cardinality") {
     val ev = graft.Tables.load(spark, sfDir, "events")
     val l = ev.filter(col("event_type") === "purchase")

@@ -26,6 +26,35 @@ class RewriteDotProductSpec extends SparkTestBase {
     }
   }
 
+  test("rewrite preserves the fold's null semantics on degenerate arrays") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteDotProduct
+    try {
+      val df = Seq[(Long, Array[java.lang.Float], Array[java.lang.Float])](
+        (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)),
+        (2L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f)), // length mismatch
+        (3L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f)), // null element
+        (4L, null, Array[java.lang.Float](3.0f, 4.0f)) // null array
+      ).toDF("id", "a", "b")
+        .repartition(2) // keep it plan-shaped: ConvertToLocalRelation would
+                        // otherwise eval the projection eagerly
+      val rewritten = df.select(col("id"),
+        Similarity.dotFold(col("a"), col("b")).as("d"))
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("dot_product"))
+      val got = rewritten.collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got(1L).contains(11.0))
+      assert(got(2L).isEmpty, "length mismatch must be NULL like the fold")
+      assert(got(3L).isEmpty, "null element must be NULL like the fold")
+      assert(got(4L).isEmpty, "null array must be NULL")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
+    }
+  }
+
   test("non-matching folds are left alone") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ RewriteDotProduct
