@@ -90,11 +90,28 @@ class EspiTable(properties: util.Map[String, String])
 }
 
 class EspiScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = EspiDataSource.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** `file` predicates prune WHOLE FILES at planning time (a query for one
+    * meter's feed out of a 100TB corpus never lists, opens, or parses the
+    * rest); `entry_type` predicates skip rows before payload
+    * materialization. Every filter is also returned as a post-scan filter,
+    * so Spark re-applies them — pushdown is a pure pruning optimization,
+    * never a semantics change. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(EspiScan.pushable)
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
 
   override def build(): Scan = {
     val paths = Option(options.get("paths"))
@@ -103,16 +120,48 @@ class EspiScanBuilder(options: CaseInsensitiveStringMap)
       .getOrElse(Seq.empty)
     val failfast =
       Option(options.get("mode")).exists(_.equalsIgnoreCase("failfast"))
-    new EspiScan(paths, required, failfast)
+    new EspiScan(paths, required, failfast, pushed)
   }
 }
 
 case class EspiFilePartition(path: String) extends InputPartition
 
-class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean)
+object EspiScan {
+  import org.apache.spark.sql.sources._
+
+  /** Filters usable for pruning: file-path predicates (whole-file skip) and
+    * entry_type predicates (pre-materialization row skip). */
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => a == "file" || a == "entry_type"
+    case In(a, _) => a == "file" || a == "entry_type"
+    case StringStartsWith("file", _) => true
+    case StringEndsWith("file", _) => true
+    case StringContains("file", _) => true
+    case _ => false
+  }
+
+  /** Evaluate the pushed predicates against one attribute value; filters on
+    * other attributes pass (conjunction semantics). */
+  def accepts(filters: Seq[Filter], attr: String, value: String): Boolean =
+    filters.forall {
+      case EqualTo(`attr`, v) => value == v
+      case In(`attr`, vs) => vs.contains(value)
+      case StringStartsWith(`attr`, p) => value.startsWith(p)
+      case StringEndsWith(`attr`, s) => value.endsWith(s)
+      case StringContains(`attr`, s) => value.contains(s)
+      case _ => true
+    }
+}
+
+class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
+               pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def description(): String =
+    s"espi PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
   private def hadoopConf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
@@ -127,7 +176,11 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean)
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
       }.map(_.getPath.toString)
-    }.distinct.map(EspiFilePartition(_): InputPartition).toArray
+    }.distinct
+      // partition pruning: a file whose path fails the pushed predicates is
+      // never opened, read, or parsed
+      .filter(EspiScan.accepts(pushed, "file", _))
+      .map(EspiFilePartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -135,22 +188,24 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean)
     // settings/credentials (e.g. object-store keys) apply at read time,
     // same as planInputPartitions uses for listing
     new EspiReaderFactory(required, failfast,
-      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf), pushed)
 }
 
 class EspiReaderFactory(required: StructType, failfast: Boolean,
-                        conf: org.apache.spark.util.SerializableConfiguration)
+                        conf: org.apache.spark.util.SerializableConfiguration,
+                        pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EspiPartitionReader(
       partition.asInstanceOf[EspiFilePartition].path, required, failfast,
-      conf.value)
+      conf.value, pushed)
 }
 
 /** Parses one file and serves its entries as InternalRows, projecting only
   * the pruned columns. */
 class EspiPartitionReader(path: String, required: StructType, failfast: Boolean,
-                          conf: org.apache.hadoop.conf.Configuration)
+                          conf: org.apache.hadoop.conf.Configuration,
+                          pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val feed: Schemas.ParsedFeed = {
@@ -176,7 +231,14 @@ class EspiPartitionReader(path: String, required: StructType, failfast: Boolean,
   // file's single LTP to its LocalTimeParameters entries in order
   private var ltpServed = 0
 
-  private val it = if (feed.error != null) Iterator.empty else feed.entries.iterator
+  // entry_type pushdown: skip rows before payload materialization (the
+  // readings array of a filtered-out entry is never built). NOTE: only safe
+  // ahead of the ltpServed bookkeeping because LocalTimeParameters rows are
+  // either all kept or all skipped by an entry_type predicate.
+  private val it =
+    if (feed.error != null) Iterator.empty
+    else feed.entries.iterator.filter(e =>
+      EspiScan.accepts(pushed, "entry_type", e.entryType))
   private var cur: Schemas.EntryRaw = _
 
   override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }

@@ -43,6 +43,42 @@ class EspiDataSourceSpec extends SparkTestBase {
     assert(viaSource == staging.readings.count())
   }
 
+  test("file-predicate pushdown prunes whole files before they are opened") {
+    // two files, one unparseable; failfast would throw if the bad file were
+    // ever parsed — the file predicate must prune it at planning time
+    val dir = java.nio.file.Files.createTempDirectory("espi_push").toFile
+    val good = new java.io.File(dir, "good.xml")
+    val bad = new java.io.File(dir, "bad.xml")
+    val feed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.writeString(good.toPath, feed)
+    java.nio.file.Files.writeString(bad.toPath, "<feed><entry>not espi")
+    val read = spark.read.format("espi")
+      .option("mode", "failfast").load(dir.getAbsolutePath + "/*.xml")
+    val n = read.filter(col("file").endsWith("good.xml")).count()
+    assert(n > 0)
+    // and the pushed filter is visible in the plan
+    val plan = read.filter(col("file").endsWith("good.xml"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("StringEndsWith"),
+      s"pushdown not visible:\n$plan")
+    // sanity: without the predicate, failfast does hit the bad file
+    intercept[Exception] { read.count() }
+  }
+
+  test("entry_type pushdown matches post-filter semantics") {
+    val filtered = df.filter(col("entry_type") === "ReadingType")
+      .select("file", "idx", "href").collect().toSet
+    val manual = df.collect().filter(_.getAs[String]("entry_type") == "ReadingType")
+      .map(r => org.apache.spark.sql.Row(
+        r.getAs[String]("file"), r.getAs[Int]("idx"), r.getAs[String]("href")))
+      .toSet
+    assert(filtered == manual)
+    assert(filtered.nonEmpty)
+  }
+
   test("SQL over the source") {
     df.createOrReplaceTempView("espi_entries")
     val n = spark.sql(
