@@ -217,6 +217,39 @@ object TrainingDataQueries {
         .orderBy(col("lang"))
     }),
 
+    // Corpus profiling histogram: fixed-width doc-length buckets per
+    // language — pure per-row arithmetic + one shuffle-on-(lang,bucket).
+    "d_histogram" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("lang"),
+          floor(col("n_chars") / 100.0).cast("long").as("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing any 8-gram with
+    // an eval set (docs 0-4 stand in for it). The eval-set fingerprint is
+    // tiny and BROADCAST — the corpus explodes its shingles map-side, semi
+    // joins without shuffling, and re-aggregates per doc. The standard
+    // pre-training decontamination shape at any corpus size.
+    "d_decontaminate" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      def grams(c: org.apache.spark.sql.Column) =
+        array_distinct(TextOps.shingles(TextOps.tokens(c), 8))
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(explode(grams(col("text"))).as("g")).distinct()
+      val hits = docs
+        .select(col("doc_id"), explode(grams(col("text"))).as("g"))
+        .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental corpus upsert: re-ingest docs with doc_id % 10 == 0 at a
     // new "version"; merged corpus keeps update rows on collision.
     "d_upsert" -> ((s, dir) => {
@@ -386,6 +419,27 @@ object TrainingDataQueries {
         |SELECT doc_id % 7 AS bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_histogram" ->
+      """SELECT lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN []
+         |    ELSE list_transform(range(1, len(t) - 6),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+         |           ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+         |           t[i+7]) END) AS grams
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |bench AS (
+         |  SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 5),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits
+         |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g) d
+         |  JOIN bench USING (gr) GROUP BY 1)
+         |SELECT g.doc_id, COALESCE(n_hits, 0) AS n_hits,
+         |  COALESCE(n_hits, 0) > 0 AS contaminated
+         |FROM g LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
