@@ -83,7 +83,7 @@ class EspiTable(properties: util.Map[String, String])
   override def name(): String = "espi"
   override def schema(): StructType = EspiDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EspiScanBuilder(options)
@@ -159,14 +159,11 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def description(): String =
-    s"espi PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EspiMicroBatchStream(this)
 
-  private def hadoopConf = org.apache.spark.sql.SparkSession.active
-    .sparkContext.hadoopConfiguration
-
-  override def planInputPartitions(): Array[InputPartition] = {
+  private[sources] def listFiles(): Seq[String] = {
     val conf = hadoopConf
     paths.flatMap { p =>
       val hp = new Path(p)
@@ -177,18 +174,89 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
         else Seq(st)
       }.map(_.getPath.toString)
     }.distinct
-      // partition pruning: a file whose path fails the pushed predicates is
-      // never opened, read, or parsed
       .filter(EspiScan.accepts(pushed, "file", _))
+      .sorted
+  }
+
+  private[sources] def readerFactory(): PartitionReaderFactory =
+    new EspiReaderFactory(required, failfast,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf), pushed)
+
+  override def description(): String =
+    s"espi PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private def hadoopConf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
+  // partition pruning inside listFiles: a file whose path fails the pushed
+  // predicates is never opened, read, or parsed
+  override def planInputPartitions(): Array[InputPartition] =
+    listFiles().map(EspiFilePartition(_): InputPartition).toArray
+
+  // ships the session's Hadoop conf to the executors so filesystem
+  // settings/credentials (e.g. object-store keys) apply at read time,
+  // same as the listing uses
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory()
+}
+
+/** Streaming offset = the sorted set of files already ingested, serialized
+  * as a JSON array. Honest scale note: at feed-corpus cardinalities this is
+  * small; a production deployment at millions of files would keep a
+  * compacted file log beside the checkpoint (as Spark's FileStreamSource
+  * does) and put only its sequence number here. */
+case class EspiOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object EspiOffset {
+  def fromJson(json: String): EspiOffset = {
+    // parse the JSON string array written by json() (no nested structures)
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var esc = false
+    json.foreach { c =>
+      if (inStr) {
+        if (esc) { sb.append(c); esc = false }
+        else if (c == '\\') esc = true
+        else if (c == '"') { items += sb.result(); sb.clear(); inStr = false }
+        else sb.append(c)
+      } else if (c == '"') inStr = true
+    }
+    EspiOffset(items.toSeq)
+  }
+}
+
+/** Micro-batch stream over an ESPI feed directory: each batch is the set of
+  * newly arrived files (one input partition per file — the same partition
+  * and reader code path as the batch scan, so column pruning and filter
+  * pushdown apply to the stream too). `spark.readStream.format("espi")`. */
+class EspiMicroBatchStream(scan: EspiScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = EspiOffset(Seq.empty)
+
+  override def latestOffset(): Offset = EspiOffset(scan.listFiles())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[EspiOffset].files.toSet
+    end.asInstanceOf[EspiOffset].files.filterNot(seen)
       .map(EspiFilePartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // ship the session's Hadoop conf to the executors so filesystem
-    // settings/credentials (e.g. object-store keys) apply at read time,
-    // same as planInputPartitions uses for listing
-    new EspiReaderFactory(required, failfast,
-      new org.apache.spark.util.SerializableConfiguration(hadoopConf), pushed)
+    scan.readerFactory()
+
+  override def deserializeOffset(json: String): Offset = EspiOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class EspiReaderFactory(required: StructType, failfast: Boolean,

@@ -79,6 +79,37 @@ class EspiDataSourceSpec extends SparkTestBase {
     assert(filtered.nonEmpty)
   }
 
+  test("streaming: micro-batch source ingests newly arrived files exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("espi_stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("espi_ckpt").toFile
+    val feed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "a.xml").toPath, feed)
+    val q = spark.readStream.format("espi")
+      .load(dir.getAbsolutePath + "/*.xml")
+      .select("file", "idx", "entry_type")
+      .writeStream.format("memory").queryName("espi_mem")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.sql("SELECT count(*) FROM espi_mem").head.getLong(0)
+      assert(n1 > 0)
+      // second file arrives; only its entries are appended (exactly once)
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "b.xml").toPath, feed)
+      q.processAllAvailable()
+      val n2 = spark.sql("SELECT count(*) FROM espi_mem").head.getLong(0)
+      assert(n2 == 2 * n1, s"expected ${2 * n1}, got $n2")
+      // no new files → no new rows
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM espi_mem").head.getLong(0) == n2)
+    } finally q.stop()
+  }
+
   test("SQL over the source") {
     df.createOrReplaceTempView("espi_entries")
     val n = spark.sql(
