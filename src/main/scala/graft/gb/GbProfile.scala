@@ -9,7 +9,8 @@ object GbProfile {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Files.createTempDirectory("gbp")
     val src = java.nio.file.Paths.get("/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml")
-    (0 until 400).foreach(i => java.nio.file.Files.copy(src, dir.resolve(s"c_$i.xml")))
+    val n = if (args.nonEmpty) args(0).toInt else 400
+    (0 until n).foreach(i => java.nio.file.Files.copy(src, dir.resolve(s"c_$i.xml")))
     // warm
     GreenButton.timeseries(spark, s"$dir/c_0.xml").count()
     def t(name: String)(f: => Any): Unit = {
