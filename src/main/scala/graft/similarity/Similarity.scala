@@ -196,9 +196,22 @@ object Similarity {
         .drop("_cdist", "_crank", "centroid")
     }
 
-    val assigned = nearestCells(corpus, "embedding", 1)
+    // Corpus-side assignment is an argmin AGGREGATION, not a window: the
+    // groupBy partial-aggregates map-side, so the shuffle carries one row
+    // per corpus vector instead of |corpus| × |centroids| scored rows —
+    // the difference that matters when the corpus is the 100TB side.
+    // min_by's ordering struct (distance, centroid_id) reproduces the
+    // window's deterministic tie-break.
+    val assigned = corpus.crossJoin(centroids)
+      .withColumn("_cdist", -dot(col("embedding"), col("centroid")) /
+        (l2norm(col("embedding")) * l2norm(col("centroid"))))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("centroid_id"),
+          struct(col("_cdist"), col("centroid_id"))).as("centroid_id"),
+        first(col("embedding")).as("c_emb"))
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
-        col("embedding").as("c_emb"))
+        col("c_emb"))
     val probed = broadcast(nearestCells(queries, "embedding", nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"),
         col("embedding").as("q_emb")))

@@ -18,10 +18,13 @@ object TfIdf {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 
-  /** (term, df, idf) with idf = ln((N+1)/(df+1)) + 1 (smoothed). */
+  /** (term, df, idf) with idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    * `tf` must come from [[termFreq]] — one row per (doc_id, term) — so
+    * document frequency is a plain count, not a countDistinct (which would
+    * add an Expand + an extra aggregation pass for nothing). */
   def docFreq(tf: DataFrame, nDocs: Long): DataFrame =
     tf.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log((lit(nDocs.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0)
 
@@ -35,7 +38,7 @@ object TfIdf {
     val n = docs.select(count(lit(1)).cast("double").as("_n"))
     val idf = broadcast(
       tf.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df")) // tf is distinct per (doc, term)
         .crossJoin(broadcast(n))
         .withColumn("idf", log((col("_n") + 1.0) / (col("df") + 1.0)) + 1.0)
         .drop("_n"))
