@@ -70,6 +70,27 @@ object StreamingIngest {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join with watermarks on both sides: each
+    * purchase joins the error events of the same user that happened within
+    * `lookback` before it (inclusive bounds). The time-range condition plus
+    * the two watermarks bound both join-state buffers — the streaming face
+    * of the batch as-of/range-join family, state O(users × lookback) at any
+    * stream length. */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame,
+                        watermark: String, lookback: String): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("value").as("e_value"))
+    p.join(e, col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("e_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("e_ts"),
+        col("e_value"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)

@@ -48,6 +48,33 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("b", 1L, 3.0)), s"got ${rows.toSeq}")
   }
 
+  test("stream-stream interval join pairs purchases with recent errors") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val p = purchases.toDF().toDF("event_id", "ts", "user_id")
+    val e = errors.toDF().toDF("user_id", "ts", "value")
+    val joined = StreamingIngest.purchaseErrorJoin(p, e,
+      watermark = "10 minutes", lookback = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // user 7: error at 10:05, purchase at 10:20 (within 30m) → pair
+    // user 8: error at 10:02, purchase at 10:50 (outside 30m) → no pair
+    errors.addData((7L, t(5), 1.5), (8L, t(2), 9.9))
+    purchases.addData((100L, t(20), 7L), (101L, t(50), 8L))
+    q.processAllAvailable()
+    // advance both watermarks so results flush
+    errors.addData((99L, t(59), 0.0))
+    purchases.addData((999L, t(59), 99L))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT p_id, user_id, e_value FROM ssj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains((100L, 7L, 1.5)), s"expected pair missing: $rows")
+    assert(!rows.exists(_._2 == 8L), s"out-of-window pair leaked: $rows")
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Event]
