@@ -9,18 +9,41 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
-  /** Rust `f32::to_string` parity: shortest decimal, no exponent notation,
-    * no trailing ".0" (timeseries.rs:219 uses Display). */
+  /** Rust `f32::to_string` parity: SHORTEST roundtrip decimal, plain
+    * notation, no trailing ".0" (timeseries.rs:219 uses Display, which is
+    * Ryū-shortest). JDK 17's `Float.toString` is roundtrip-safe but not
+    * always minimal (fixed only in JDK 19, JDK-4511638), so shortest is
+    * computed directly: the fewest significant digits whose HALF_EVEN
+    * rounding of the exact binary value still parses back to `f` — if any
+    * p-digit decimal roundtrips, the nearest one does, and nearest-ties-to-
+    * even matches Ryū's digit selection. */
   def formatF32(f: Float): String =
     if (f.isNaN) "NaN"
     else if (f == Float.PositiveInfinity) "inf"
     else if (f == Float.NegativeInfinity) "-inf"
+    else if (f == 0.0f) { if (1.0f / f < 0) "-0" else "0" }
     else {
-      val s = java.lang.Float.toString(f)
-      if (s.indexOf('E') >= 0)
-        new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
-      else if (s.endsWith(".0")) s.substring(0, s.length - 2)
-      else s
+      val exact = new java.math.BigDecimal(f.toDouble) // f32 value, exactly
+      // At power-of-two boundaries the roundtrip interval is asymmetric, so
+      // the NEAREST p-digit decimal can fall outside it while a floor/ceil
+      // neighbor roundtrips — try all three and keep the closest valid one,
+      // which is Ryū's selection rule (shortest, then nearest).
+      val modes = Seq(java.math.RoundingMode.HALF_EVEN,
+        java.math.RoundingMode.FLOOR, java.math.RoundingMode.CEILING)
+      var p = 1
+      var out: String = null
+      while (out == null && p <= 9) { // 9 sig digits always roundtrip f32
+        val valid = modes
+          .map(m => exact.round(new java.math.MathContext(p, m)))
+          .filter(_.floatValue() == f)
+        if (valid.nonEmpty)
+          out = valid.reduceLeft { (a, b) =>
+            if (a.subtract(exact).abs.compareTo(b.subtract(exact).abs) <= 0) a
+            else b
+          }.stripTrailingZeros.toPlainString
+        p += 1
+      }
+      out
     }
 
   private val fmtF32 = udf(formatF32 _)

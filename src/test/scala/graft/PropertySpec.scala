@@ -47,11 +47,38 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(Gen.choose(Float.MinValue, Float.MaxValue)) { f =>
       TimeSeriesOps.formatF32(f).toFloat == f
     })
+    // arbitrary bit patterns too (subnormals, extremes)
+    check(Prop.forAll(Gen.choose(Int.MinValue, Int.MaxValue)) { bits =>
+      val f = java.lang.Float.intBitsToFloat(bits)
+      f.isNaN || TimeSeriesOps.formatF32(f).toFloat == f
+    })
     // specials
     assert(TimeSeriesOps.formatF32(Float.NaN) == "NaN")
     assert(TimeSeriesOps.formatF32(1f) == "1")
     assert(TimeSeriesOps.formatF32(0.5f) == "0.5")
     assert(TimeSeriesOps.formatF32(1e10f) == "10000000000")
+    assert(TimeSeriesOps.formatF32(-0.0f) == "-0") // Rust Display prints -0
+    assert(TimeSeriesOps.formatF32(Float.MaxValue) ==
+      "340282350000000000000000000000000000000")
+    assert(TimeSeriesOps.formatF32(Float.MinPositiveValue).toFloat ==
+      Float.MinPositiveValue)
+  }
+
+  test("formatF32 is shortest: no fewer-digit decimal round-trips") {
+    check(Prop.forAll(Gen.choose(Int.MinValue, Int.MaxValue)) { bits =>
+      val f = java.lang.Float.intBitsToFloat(bits)
+      if (f.isNaN || f.isInfinite || f == 0.0f) true
+      else {
+        val s = TimeSeriesOps.formatF32(f)
+        val digits = new java.math.BigDecimal(s).stripTrailingZeros.precision()
+        val exact = new java.math.BigDecimal(f.toDouble)
+        digits <= 1 || {
+          val fewer = exact.round(new java.math.MathContext(
+            digits - 1, java.math.RoundingMode.HALF_EVEN))
+          fewer.floatValue() != f // one digit fewer must NOT round-trip
+        }
+      }
+    })
   }
 
   private val fieldGen = for {
