@@ -250,6 +250,27 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Transitive dedup clustering: connected components over a similarity
+    // edge set (iterative min-label propagation, one shuffle per round —
+    // similarity.DedupClusters). Edges here are the DETERMINISTIC
+    // consecutive-doc 3-gram Jaccard pairs above a loose threshold (0.005 — the synthetic corpus has no true near-dups), so the
+    // graph is a union of chains and the DuckDB oracle can solve it with
+    // gaps-and-islands instead of recursion.
+    "d_dedup_clusters" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+      val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))
+      val pairs = a.join(b, Seq("id_a"))
+        .filter(Similarity.jaccard(col("g_a"), col("g_b")) >= 0.005)
+        .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+      val labels = graft.similarity.DedupClusters.connectedComponents(
+        d.select(col("doc_id").as("id")), pairs)
+      labels.select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental corpus upsert: re-ingest docs with doc_id % 10 == 0 at a
     // new "version"; merged corpus keeps update rows on collision.
     "d_upsert" -> ((s, dir) => {
@@ -440,6 +461,26 @@ object TrainingDataQueries {
          |SELECT g.doc_id, COALESCE(n_hits, 0) AS n_hits,
          |  COALESCE(n_hits, 0) > 0 AS contaminated
          |FROM g LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d_dedup_clusters" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |j AS (
+         |  SELECT a.doc_id,
+         |    CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+         |      THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |           / len(list_distinct(a.grams || b.grams))
+         |      ELSE 0 END AS jac
+         |  FROM g a JOIN g b ON b.doc_id = a.doc_id - 1),
+         |flags AS (
+         |  SELECT g.doc_id, COALESCE(j.jac >= 0.005, FALSE) AS linked_prev
+         |  FROM g LEFT JOIN j ON g.doc_id = j.doc_id)
+         |SELECT doc_id,
+         |  MAX(CASE WHEN NOT linked_prev THEN doc_id END)
+         |    OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cluster
+         |FROM flags ORDER BY doc_id""".stripMargin,
     "d_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
