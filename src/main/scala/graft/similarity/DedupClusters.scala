@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Transitive dedup clustering: near-dup PAIRS (from MinHash/SimHash) form
   * a graph; keep-one-per-cluster needs its connected components. Iterative
-  * label propagation (min-id) over the edge list — each round is one
-  * shuffle join; components of diameter d converge in ≤ d rounds (doubling
-  * via both-direction edges). maxIter bounds a pathological chain.
+  * min-label propagation PLUS pointer jumping (label ← label's label) over
+  * the edge list — propagation alone moves a label one hop per round, so a
+  * duplicate CHAIN of length L (the common near-dup topology) would take L
+  * rounds; the jump halves the remaining depth each round, giving
+  * O(log diameter) convergence. Each round is two shuffle joins; stale
+  * per-round caches are unpersisted as the frontier advances.
   */
 object DedupClusters {
 
@@ -16,12 +19,24 @@ object DedupClusters {
     * @return (id, cluster) — cluster = min id reachable
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+                          maxIter: Int = 12): DataFrame = {
+    // both directions via ONE explode, not a union of two branches: the
+    // pairs subtree (often an expensive similarity join) appears once in
+    // the plan instead of twice — half the codegen and half the first
+    // materialization before the cache takes over
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .cache()
     var labels = ids.select(col("id"), col("id").as("cluster"))
+    var prev: DataFrame = null
+    // Convergence via the label-sum invariant: min-label propagation is
+    // monotone non-increasing per node, so the total strictly decreases
+    // exactly while something still changes — one cheap aggregate per
+    // round instead of a join against the previous labels.
+    var lastSum: java.math.BigDecimal = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -30,16 +45,31 @@ object DedupClusters {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("cluster").as("n_cluster"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val propagated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
+        .cache() // self-joined below — uncached it would compute twice
+      // pointer jump: follow my label to ITS label (path halving)
+      val next = propagated
+        .join(propagated.select(col("id").as("_cid"), col("cluster").as("_cc")),
+          col("cluster") === col("_cid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_cc"), col("cluster")))
+            .as("cluster"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      // decimal sum: overflow-free for any id domain
+      val newSum = next
+        .agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      changed = if (lastSum == null || newSum.compareTo(lastSum) < 0) 1L else 0L
+      lastSum = newSum
+      propagated.unpersist()
+      if (prev != null) prev.unpersist()
+      prev = next
       labels = next
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

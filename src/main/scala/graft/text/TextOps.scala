@@ -25,12 +25,24 @@ object TextOps {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles from a token array (space-joined). */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  /** Word n-gram shingles from a token array (space-joined).
+    *
+    * Built from zip_with over shifted slices, NOT element_at inside a
+    * transform lambda: HOF inputs are evaluated once per ROW, while a
+    * lambda body re-evaluates its embedded subtrees once per ELEMENT — with
+    * `toks` being a regexp tokenization (as every caller passes), the
+    * element_at form re-ran the regex O(n × shingles) times per row (~30×
+    * slower end-to-end on real documents). Here `toks` is referenced n+1
+    * times per row, each a per-row evaluation. */
+  def shingles(toks: Column, n: Int): Column = {
+    val m = size(toks) - (n - 1) // number of shingles when non-negative
+    val base = slice(toks, lit(1), greatest(m, lit(0)))
+    val joined = (1 until n).foldLeft(base) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), greatest(m, lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    when(size(toks) < n, array().cast("array<string>")).otherwise(joined)
+  }
 
   /** Quality score in [0,1] from length/punctuation/stopword ratios — the
     * standard cheap heuristics, all per-row arithmetic (deterministic across
