@@ -311,6 +311,22 @@ object TrainingDataQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product quantization ANN: 8-byte codes replace 64-float vectors;
+    // candidates scored by a broadcast ADC lookup table (corpus floats
+    // untouched), then the short list re-scored exactly — the memory-
+    // compression path for ANN past what IVF/LSH address. xxhash-free but
+    // rank-from-stride-codebooks has no SQL twin → rows-only check;
+    // SimilaritySpec bounds recall and asserts exact re-scores.
+    "e_ann_pq" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      graft.similarity.ProductQuantizer.topK(
+        emb.filter(col("vec_id") < 50), emb, dim = 64, numSub = 8, k = 3,
+        stride = 20, rerank = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Per-label centroid statistics: position-wise mean of embeddings —
     // the array-aggregation shape behind k-means/IVF training (posexplode →
     // partial-agg → reassemble). First 8 dims to bound output.

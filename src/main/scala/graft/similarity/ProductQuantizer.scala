@@ -1,0 +1,114 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding ANN at corpus scales where even the
+  * float vectors don't fit the cluster's memory budget: each vector is
+  * split into `numSub` subvectors, each subvector mapped to one of `k`
+  * codebook centroids — a `numSub`-byte code replaces a `dim`-float vector
+  * (32× compression at dim=64, numSub=8, k≤256).
+  *
+  * Search is the standard two-stage shape:
+  *   1. ADC (asymmetric distance computation): the query's per-(sub, code)
+  *      dot-product table is tiny and BROADCAST; candidate scoring is a
+  *      map-side join + sum over the CODES table — the corpus's float
+  *      embeddings are never touched.
+  *   2. exact re-scoring of the short candidate list against the full
+  *      vectors, so the final ranking is exact cosine over the candidates.
+  *
+  * Codebooks here are deterministically stride-sampled from the corpus (no
+  * trained state to ship, same policy as [[Similarity.ivfTopK]]); swap in
+  * per-subspace [[KMeans.fit]] output for trained codebooks — the
+  * search-side plan is unchanged.
+  */
+object ProductQuantizer {
+
+  /** (vec_id, sub, subvec) — one row per subvector. */
+  private def explodeSubs(df: DataFrame, vecCol: String, numSub: Int,
+                          subDim: Int): DataFrame =
+    df.select(col("vec_id"),
+      explode(transform(sequence(lit(0), lit(numSub - 1)),
+        s => struct(s.as("sub"),
+          slice(col(vecCol), s * subDim + 1, lit(subDim)).as("subvec")))).as("_e"))
+      .select(col("vec_id"), col("_e.sub").as("sub"), col("_e.subvec").as("subvec"))
+
+  /** Stride-sampled codebooks: (sub, code, centroid ARRAY<FLOAT>). */
+  def codebooks(corpus: DataFrame, dim: Int, numSub: Int,
+                stride: Int): DataFrame = {
+    val subDim = dim / numSub
+    explodeSubs(
+      corpus.filter(pmod(col("vec_id"), lit(stride)) === 0), "embedding",
+      numSub, subDim)
+      .select(col("sub"), (col("vec_id") / stride).cast("int").as("code"),
+        col("subvec").as("centroid"))
+  }
+
+  /** Encode the corpus: (vec_id, sub, code) — nearest centroid per
+    * subvector by L2 (equivalently max dot for fixed-norm books; L2 is the
+    * PQ-standard and works for unnormalized data). Map-side argmin
+    * aggregation; the only shuffle carries one row per (vector, subspace).
+    */
+  def encode(corpus: DataFrame, books: DataFrame, dim: Int,
+             numSub: Int): DataFrame = {
+    val subDim = dim / numSub
+    val l2 = l2dist(col("subvec"), col("centroid"))
+    explodeSubs(corpus, "embedding", numSub, subDim)
+      .join(broadcast(books), Seq("sub"))
+      .withColumn("_d", l2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("_d"), col("code"))).as("code"))
+  }
+
+  private def l2dist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Approximate top-k by ADC, re-scored exactly. `rerank` controls the
+    * candidate depth (rerank × k ADC survivors get exact cosine). */
+  def topK(queries: DataFrame, corpus: DataFrame, dim: Int, numSub: Int,
+           k: Int, stride: Int = 50, rerank: Int = 4): DataFrame = {
+    val subDim = dim / numSub
+    val books = broadcast(codebooks(corpus, dim, numSub, stride))
+    val codes = encode(corpus, books, dim, numSub)
+
+    // per-query ADC table: dot(q_sub, centroid) for every (sub, code) —
+    // |queries| × numSub × k rows, broadcast to the codes table
+    val adc = broadcast(
+      explodeSubs(queries, "embedding", numSub, subDim)
+        .join(books, Seq("sub"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+          graft.functions.DotProduct.dot_product(
+            col("subvec"), col("centroid")).as("part")))
+
+    // candidate scores: sum of table lookups over the code columns — the
+    // corpus float vectors are never read in this stage
+    val approx = codes.join(adc, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("adc_score"), count(lit(1)).as("_n"))
+      .filter(col("_n") === numSub) // every subspace contributed
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val candidates = approx
+      .withColumn("_r", row_number().over(wApprox))
+      .filter(col("_r") <= k * rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    // exact re-score of the short list
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = candidates
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}

@@ -125,6 +125,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(rLsh > 0.3, s"LSH recall collapsed: $rLsh")
   }
 
+  test("PQ topK: exact re-scores, bounded recall vs brute force") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(queries, emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteSets = brute.keys.groupBy(_._1)
+      .map { case (q, ks) => q -> ks.map(_._2).toSet }
+    val pq = ProductQuantizer.topK(queries, emb, dim = 64, numSub = 8, k = 3,
+      stride = 20, rerank = 8)
+      .collect()
+    assert(pq.nonEmpty)
+    // every PQ hit that brute also ranked must carry the identical exact score
+    pq.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2)))
+        .foreach(b => assert(math.abs(b - r.getDouble(3)) < 1e-12))
+    }
+    val hits = bruteSets.map { case (q, truth) =>
+      pq.filter(_.getLong(0) == q).map(_.getLong(2)).count(truth.contains).toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    info(f"PQ recall@3 (8 subs, stride-20 books, rerank=8): $recall%.2f")
+    assert(recall > 0.3, s"PQ recall collapsed: $recall")
+  }
+
   test("native HyperplaneBuckets kernel is bit-identical to the declarative fold") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings").limit(300)
     val diff = emb.select(
