@@ -45,6 +45,23 @@ object ProductQuantizer {
         col("subvec").as("centroid"))
   }
 
+  /** Trained codebooks: per-subspace [[KMeans.fit]] (offline training
+    * path — run once, persist, ship to the search job). Returns the same
+    * (sub, code, centroid) shape as [[codebooks]], so [[topKWith]] is
+    * oblivious to how books were built. */
+  def codebooksKMeans(corpus: DataFrame, dim: Int, numSub: Int, k: Int,
+                      iters: Int): DataFrame = {
+    val subDim = dim / numSub
+    (0 until numSub).map { s =>
+      KMeans.fit(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), lit(s * subDim + 1), lit(subDim)).as("embedding")),
+        k, iters)
+        .select(lit(s).as("sub"), col("centroid_id").cast("int").as("code"),
+          col("centroid"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Encode the corpus: (vec_id, sub, code) — nearest centroid per
     * subvector by L2 (equivalently max dot for fixed-norm books; L2 is the
     * PQ-standard and works for unnormalized data). Map-side argmin
@@ -69,9 +86,15 @@ object ProductQuantizer {
   /** Approximate top-k by ADC, re-scored exactly. `rerank` controls the
     * candidate depth (rerank × k ADC survivors get exact cosine). */
   def topK(queries: DataFrame, corpus: DataFrame, dim: Int, numSub: Int,
-           k: Int, stride: Int = 50, rerank: Int = 4): DataFrame = {
+           k: Int, stride: Int = 50, rerank: Int = 4): DataFrame =
+    topKWith(queries, corpus, dim, numSub, k,
+      codebooks(corpus, dim, numSub, stride), rerank)
+
+  /** [[topK]] with caller-provided codebooks (e.g. [[codebooksKMeans]]). */
+  def topKWith(queries: DataFrame, corpus: DataFrame, dim: Int, numSub: Int,
+               k: Int, booksDf: DataFrame, rerank: Int): DataFrame = {
     val subDim = dim / numSub
-    val books = broadcast(codebooks(corpus, dim, numSub, stride))
+    val books = broadcast(booksDf)
     val codes = encode(corpus, books, dim, numSub)
 
     // per-query ADC table: dot(q_sub, centroid) for every (sub, code) —

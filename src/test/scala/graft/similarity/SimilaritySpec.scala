@@ -149,6 +149,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.3, s"PQ recall collapsed: $recall")
   }
 
+  test("PQ with k-means-trained codebooks keeps recall") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val brute = topSet(Similarity.bruteTopK(queries, emb, 3))
+    val books = ProductQuantizer.codebooksKMeans(emb, dim = 64, numSub = 8,
+      k = 16, iters = 2)
+    val pq = topSet(ProductQuantizer.topKWith(queries, emb, dim = 64,
+      numSub = 8, k = 3, books, rerank = 8))
+    val hits = brute.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    info(f"PQ recall@3 with trained books (k=16, 2 iters): $recall%.2f")
+    assert(recall > 0.3, s"trained-book PQ recall collapsed: $recall")
+  }
+
   test("native HyperplaneBuckets kernel is bit-identical to the declarative fold") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings").limit(300)
     val diff = emb.select(
