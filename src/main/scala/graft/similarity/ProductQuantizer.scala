@@ -63,25 +63,27 @@ object ProductQuantizer {
   }
 
   /** Encode the corpus: (vec_id, sub, code) — nearest centroid per
-    * subvector by L2 (equivalently max dot for fixed-norm books; L2 is the
-    * PQ-standard and works for unnormalized data). Map-side argmin
-    * aggregation; the only shuffle carries one row per (vector, subspace).
-    */
+    * subvector by L2 (the PQ standard; works for unnormalized data).
+    * The argmin key is the expansion ⟨c,c⟩ − 2⟨x,c⟩ (the ⟨x,x⟩ term is
+    * constant within each (vector, subspace) group, so the ordering is
+    * identical) — both dots run in the native codegen'd kernel instead of
+    * an interpreted per-element fold. Map-side argmin aggregation; the
+    * only shuffle carries one row per (vector, subspace). The repartition
+    * spreads the |corpus| × k distance work when the input arrives in few
+    * splits (single-file micro-bench); many-split cluster inputs already
+    * parallelize and the tiny extra shuffle is noise. */
   def encode(corpus: DataFrame, books: DataFrame, dim: Int,
              numSub: Int): DataFrame = {
     val subDim = dim / numSub
-    val l2 = l2dist(col("subvec"), col("centroid"))
-    explodeSubs(corpus, "embedding", numSub, subDim)
+    val dot = graft.functions.DotProduct.dot_product _
+    val key = dot(col("centroid"), col("centroid")) -
+      lit(2.0) * dot(col("subvec"), col("centroid"))
+    explodeSubs(corpus.repartition(col("vec_id")), "embedding", numSub, subDim)
       .join(broadcast(books), Seq("sub"))
-      .withColumn("_d", l2)
+      .withColumn("_d", key)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("_d"), col("code"))).as("code"))
   }
-
-  private def l2dist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
 
   /** Approximate top-k by ADC, re-scored exactly. `rerank` controls the
     * candidate depth (rerank × k ADC survivors get exact cosine). */
