@@ -23,10 +23,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the per-plane sum accumulates j = 0..dim-1 sequentially), so results are
   * bit-identical to the fold form — asserted in SimilaritySpec.
   *
-  * Degenerate inputs follow the fold's null algebra: an array whose length
-  * differs from `dim`, or containing a null element, makes every plane sum
-  * NULL (zip_with pads with nulls; null poisons the fold), so all bits are
-  * 0 and the bucket is just the table tag.
+  * Degenerate inputs follow the fold's algebra exactly: an array SHORTER
+  * than `dim` or containing a null element makes every plane sum NULL
+  * (zip_with pads the embedding side with nulls; null poisons the fold),
+  * so all bits are 0 and the bucket is just the table tag. An array LONGER
+  * than `dim` pads the index side instead — `xxhash64(seed, null)` skips
+  * the null child, so the extra elements contribute with the parity of the
+  * plane seed itself; the kernel reproduces that too.
   */
 case class HyperplaneBucketsExpr(child: Expression, dim: Int, numPlanes: Int,
                                  numTables: Int) extends UnaryExpression {
@@ -81,9 +84,10 @@ object HyperplaneBucketsExpr {
   def buckets(emb: ArrayData, signs: Array[Byte], dim: Int, numPlanes: Int,
               numTables: Int): ArrayData = {
     val n = emb.numElements()
-    // fold null algebra: wrong length or any null element ⇒ every plane
-    // sum is NULL ⇒ every bit 0 (the when() otherwise-branch)
-    var wellFormed = n == dim
+    // fold null algebra: an array shorter than dim (embedding side padded
+    // with nulls) or any null element ⇒ every plane sum is NULL ⇒ every
+    // bit 0 (the when() otherwise-branch)
+    var wellFormed = n >= dim
     if (wellFormed) {
       var j = 0
       while (j < n && wellFormed) {
@@ -105,6 +109,18 @@ object HyperplaneBucketsExpr {
             val x = emb.getFloat(j).toDouble
             s += (if (signs(base + j) > 0) x else -x)
             j += 1
+          }
+          // elements past dim: the index side of zip_with is null there,
+          // xxhash64 skips the null child, so the sign is the parity of
+          // the plane seed itself (same for every extra element)
+          if (n > dim) {
+            val extraPositive =
+              (XXH64.hashInt(t * 1000 + p, 42L) & 1L) == 1L
+            while (j < n) {
+              val x = emb.getFloat(j).toDouble
+              s += (if (extraPositive) x else -x)
+              j += 1
+            }
           }
           if (s > 0) bucket |= (1L << p)
           p += 1

@@ -250,11 +250,16 @@ object GreenButton {
       if (failfast)
         // guards woven into `title` — a column that reaches the OUTPUT
         // projection; a guard on a pruned column (e.g. rt_idx, which is only
-        // a join key) is dead code after Catalyst column pruning
+        // a join key) is dead code after Catalyst column pruning. The
+        // file-level link guard is OUTERMOST: its predicate is checked
+        // before the inner rt_idx one, so a dangling link reports the
+        // reference's link-resolution message even when the bad entry's own
+        // readings also have rt_idx NULL (link map is built before readings
+        // flow, lib.rs:58-83)
         guarded(
           guarded(facts.join(linkErrPerFile, Seq("file"), "left"),
-            "title", col("file_link_err").isNotNull, col("file_link_err")),
-          "title", col("rt_idx").isNull, lit("Missing reading type"))
+            "title", col("rt_idx").isNull, lit("Missing reading type")),
+          "title", col("file_link_err").isNotNull, col("file_link_err"))
           .drop("file_link_err")
       else facts // permissive: rows of bad files are dropped file-wise below
     facts = facts

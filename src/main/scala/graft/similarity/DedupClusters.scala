@@ -58,10 +58,14 @@ object DedupClusters {
           least(col("cluster"), coalesce(col("_cc"), col("cluster")))
             .as("cluster"))
         .cache()
-      // decimal sum: overflow-free for any id domain
+      // decimal sum: overflow-free for any id domain; null sum = empty
+      // input = nothing to converge
       val newSum = next
         .agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
-      changed = if (lastSum == null || newSum.compareTo(lastSum) < 0) 1L else 0L
+      changed =
+        if (newSum == null) 0L
+        else if (lastSum == null || newSum.compareTo(lastSum) < 0) 1L
+        else 0L
       lastSum = newSum
       propagated.unpersist()
       if (prev != null) prev.unpersist()

@@ -24,11 +24,13 @@ object KMeans {
     var centroids = corpus
       .withColumn("_h", xxhash64(col("vec_id")))
       .orderBy(col("_h")).limit(k)
-      .withColumn("centroid_id", // k rows post-limit; constant-but-non-
-        // foldable partition key (a bare literal would be stripped by
-        // EliminateWindowPartitions, reintroducing the global window)
+      .withColumn("centroid_id", // k rows post-limit; data-dependent
+        // constant partition key — a bare literal is stripped by
+        // EliminateWindowPartitions and non-nullable _h*0 simplifies to 0,
+        // both reintroducing the global window
         row_number().over(
-          Window.partitionBy(col("_h") * 0).orderBy(col("_h"))).cast("long") - 1)
+          Window.partitionBy(substring(col("_h").cast("string"), 0, 0))
+            .orderBy(col("_h"))).cast("long") - 1)
       .select(col("centroid_id"), col("embedding").as("centroid"))
 
     for (_ <- 1 to iters) {

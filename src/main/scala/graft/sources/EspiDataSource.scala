@@ -208,25 +208,39 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
   * does) and put only its sequence number here. */
 case class EspiOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
+  // escape ALL control characters too: the offset log is line-oriented, so
+  // a (legal) file name containing a newline would otherwise split the
+  // offset across log lines and corrupt recovery
   override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    files.map(f => "\"" + f.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
 }
 
 object EspiOffset {
   def fromJson(json: String): EspiOffset = {
-    // parse the JSON string array written by json() (no nested structures)
+    // parse the JSON string array written by json() (no nested structures;
+    // escapes: \" \\ \uXXXX)
     val items = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inStr = false
-    var esc = false
-    json.foreach { c =>
+    var i = 0
+    while (i < json.length) {
+      val c = json.charAt(i)
       if (inStr) {
-        if (esc) { sb.append(c); esc = false }
-        else if (c == '\\') esc = true
-        else if (c == '"') { items += sb.result(); sb.clear(); inStr = false }
+        if (c == '\\') {
+          val n = json.charAt(i + 1)
+          if (n == 'u') {
+            sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+            i += 5
+          } else { sb.append(n); i += 1 }
+        } else if (c == '"') { items += sb.result(); sb.clear(); inStr = false }
         else sb.append(c)
       } else if (c == '"') inStr = true
+      i += 1
     }
     EspiOffset(items.toSeq)
   }

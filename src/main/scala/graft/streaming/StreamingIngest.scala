@@ -41,11 +41,14 @@ object StreamingIngest {
           EspiXml.parseFeed(p,
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
         }
-        // cache=false: a persisted micro-batch would never be unpersisted
-        // and executor storage would grow without bound across batches
+        // persist for the duration of THIS batch only: denormalize reads
+        // the staging tables across ~8 plan branches (uncached each would
+        // re-read and re-parse the XML), and the explicit unpersist stops
+        // executor storage growing across batches
         val ts = GreenButton.denormalize(spark,
-          GreenButton.staging(parsed, cache = false), mode).drop("file", "seq")
-        sink(ts, batchId)
+          GreenButton.staging(parsed), mode).drop("file", "seq")
+        try sink(ts, batchId)
+        finally parsed.unpersist()
       }
       .start()
   }

@@ -18,13 +18,13 @@ object TfIdf {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 
-  /** (term, df, idf) with idf = ln((N+1)/(df+1)) + 1 (smoothed).
-    * `tf` must come from [[termFreq]] — one row per (doc_id, term) — so
-    * document frequency is a plain count, not a countDistinct (which would
-    * add an Expand + an extra aggregation pass for nothing). */
+  /** (term, df, idf) with idf = ln((N+1)/(df+1)) + 1 (smoothed). Total for
+    * ANY (doc_id, term) frame (countDistinct); [[topTerms]] uses the
+    * cheaper plain count inline because [[termFreq]] output is distinct
+    * per (doc_id, term) by construction. */
   def docFreq(tf: DataFrame, nDocs: Long): DataFrame =
     tf.groupBy("term")
-      .agg(count(lit(1)).as("df"))
+      .agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("idf",
         log((lit(nDocs.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0)
 

@@ -205,6 +205,25 @@ class EspiXmlSpec extends SparkTestBase {
     assert(r.getAs[Long]("time_period_start_unix") == 1689152400L + 3600L - 18000L)
   }
 
+  test("failfast reports the link error (not 'Missing reading type') when " +
+      "the dangling-link entry carries readings") {
+    // the bad entry's own fact rows have rt_idx NULL too — the file-level
+    // link guard must win, matching the reference's link-resolution-first
+    // error order
+    val broken = fullFeed(
+      extra = ibEntry(reading(77), upHref = "/espi/UsagePoint/9"))
+    val st = GreenButton.staging(GreenButton.parseStrings(spark,
+      Seq(("broken2.xml", broken))))
+    val e = intercept[Exception] {
+      GreenButton.denormalize(spark, st, FailFast).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Missing meter reading entry")),
+      s"wrong failure: ${msgs(e)}")
+  }
+
   test("failfast raises on a broken-link entry with no readings when the " +
       "file has any readings") {
     // A dangling-link IntervalBlock entry with ZERO readings alongside a

@@ -175,10 +175,13 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.hyperplaneBucketsFold(col("embedding"), 64, 8, 8).as("fold"))
       .filter(col("native") =!= col("fold"))
     assert(diff.count() == 0)
-    // degenerate inputs follow the fold's null algebra: bits all 0, tag kept
+    // degenerate inputs follow the fold's algebra: short arrays and null
+    // elements zero the bits; LONGER arrays contribute extra terms with
+    // the plane-seed parity (xxhash64 skips the padded-null index)
     val weird = Seq[(Long, Array[java.lang.Float])](
-      (0L, Array[java.lang.Float](1.0f, 2.0f)),      // wrong length
-      (1L, Array[java.lang.Float](1.0f, null, 3.0f)) // null element
+      (0L, Array[java.lang.Float](1.0f, 2.0f)),       // shorter than dim
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f)), // null element
+      (2L, Array[java.lang.Float](1.0f, -2.0f, 3.0f, -4.0f, 5.0f)) // longer
     ).toDF("id", "embedding")
     val rows = weird.select(
       Similarity.hyperplaneBuckets(col("embedding"), 3, 4, 2).as("native"),
