@@ -37,6 +37,18 @@ case class HyperplaneBucketsExpr(child: Expression, dim: Int, numPlanes: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
 
+  // the kernel reads elements with getFloat — reject anything but
+  // ARRAY<FLOAT> at analysis time (an ARRAY<DOUBLE> would silently read
+  // half of each element's bytes as garbage sign bits)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_buckets expects ARRAY<FLOAT>, got ${other.catalogString}")
+    }
+
   @transient private lazy val signs: Array[Byte] =
     HyperplaneBucketsExpr.signMatrix(dim, numPlanes, numTables)
 

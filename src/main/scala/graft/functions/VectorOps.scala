@@ -31,13 +31,15 @@ case class DotProduct(left: Expression, right: Expression)
     DotProduct.dotOrNull(a, b)
   }
 
+  // allocation-free hot path: well-formedness is a primitive boolean check
+  // and the sum a primitive loop — no Double boxing per row in the ANN/PQ
+  // distance kernels this expression exists to speed up
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |java.lang.Double ${ev.value}_boxed =
-         |  graft.functions.DotProduct.dotOrNull($a, $b);
-         |if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
+         |if (graft.functions.DotProduct.wellFormed($a, $b)) {
+         |  ${ev.value} = graft.functions.DotProduct.dot($a, $b);
+         |} else { ${ev.isNull} = true; }
        """.stripMargin)
 
   override protected def withNewChildrenInternal(
@@ -61,20 +63,24 @@ object DotProduct {
     s
   }
 
-  /** Total version matching the fold's null semantics exactly: null on
-    * length mismatch or any null element (boxed for codegen). */
-  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+  /** The fold's null precondition as a primitive check: equal lengths, no
+    * null elements. Generated code branches on this and calls [[dot]] —
+    * allocation-free. */
+  def wellFormed(a: ArrayData, b: ArrayData): Boolean = {
     val n = a.numElements()
-    if (n != b.numElements()) return null
-    var s = 0.0
+    if (n != b.numElements()) return false
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
       i += 1
     }
-    s
+    true
   }
+
+  /** Total version matching the fold's null semantics exactly: null on
+    * length mismatch or any null element (interpreted path only). */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double =
+    if (wellFormed(a, b)) dot(a, b) else null
 
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(

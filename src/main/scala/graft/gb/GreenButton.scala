@@ -303,8 +303,36 @@ object GreenButton {
     // Permissive = reference CLI semantics: a file that would fail
     // denormalize contributes NOTHING (skip whole file), not partial rows
     // (cli-frontend/src/main.rs:34-37: any parse_xml error skips the file).
-    if (failfast) selected
-    else selected.join(
+    if (failfast) {
+      // Error-carrier rows for files with violations but ZERO fact rows
+      // (e.g. a dangling link or bad LTP in a file with no readings): the
+      // per-fact guards above never evaluate for such a file, while the
+      // reference errors during link/LTP resolution before readings flow
+      // (lib.rs:42-50, 58-83). One raising row per bad file is unioned in;
+      // when the file also has facts, those raise anyway and the query
+      // aborts before any row reaches the caller.
+      val ltpErrs = ltp.filter(col("ltp_n").isNull || col("ltp_n") =!= 1)
+        .select(col("file"),
+          when(col("ltp_n").isNull || col("ltp_n") === 0,
+            lit("Missing LocalTimeParameters."))
+            .otherwise(lit(
+              "Input with multiple LocalTimeParameters is currently unsupported."))
+            .as("err"))
+      val allErrs = linkErrPerFile
+        .select(col("file"), col("file_link_err").as("err"))
+        .unionByName(ltpErrs)
+      // the raise rides a GENERATOR: even a bare count() must evaluate the
+      // generator to know the row count, so the error cannot be pruned away
+      // the way a raising projection column can
+      val errRows = allErrs
+        .withColumn("_t", explode(array(raise_error(col("err")).cast("string"))))
+        .select(col("file") +: selected.schema.fields.filter(_.name != "file")
+          .map { f =>
+            if (f.name == "title") col("_t").as("title")
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+      selected.unionByName(errRows)
+    } else selected.join(
       badDenormFiles(hop2, entryRt, st, ltp).select("file"),
       Seq("file"), "left_anti")
   }

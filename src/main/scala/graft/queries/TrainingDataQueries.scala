@@ -179,12 +179,9 @@ object TrainingDataQueries {
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(20)
-      // constant-but-non-foldable partition key for the 20-row rank window:
-      // lit(0) is stripped by EliminateWindowPartitions and n*0 simplified
-      // (n is non-nullable), both reintroducing a "no partition" global
-      // window; substring(term,0,0) = "" survives as a data-dependent expr
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(substring(col("term"), 0, 0))
+        .partitionBy(
+          graft.functions.WindowKeys.constantPartitionKey(col("term")))
         .orderBy(col("n").desc, col("term"))
       top.withColumn("rank", row_number().over(w))
         .select("rank", "term", "n")

@@ -16,7 +16,10 @@ object DedupClusters {
 
   /** @param pairs edge list with columns (id_a, id_b)
     * @param ids   node universe (one column `id`)
-    * @return (id, cluster) — cluster = min id reachable
+    * @return (id, cluster) — cluster = min id reachable. The result is
+    *         CACHED (it is the loop's fixpoint and would otherwise replay
+    *         every round on first use); callers that keep the session
+    *         alive after consuming it should `.unpersist()` it.
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxIter: Int = 12): DataFrame = {

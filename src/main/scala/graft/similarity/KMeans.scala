@@ -24,12 +24,10 @@ object KMeans {
     var centroids = corpus
       .withColumn("_h", xxhash64(col("vec_id")))
       .orderBy(col("_h")).limit(k)
-      .withColumn("centroid_id", // k rows post-limit; data-dependent
-        // constant partition key — a bare literal is stripped by
-        // EliminateWindowPartitions and non-nullable _h*0 simplifies to 0,
-        // both reintroducing the global window
+      .withColumn("centroid_id", // k rows post-limit, one partition
         row_number().over(
-          Window.partitionBy(substring(col("_h").cast("string"), 0, 0))
+          Window.partitionBy(
+            graft.functions.WindowKeys.constantPartitionKey(col("_h")))
             .orderBy(col("_h"))).cast("long") - 1)
       .select(col("centroid_id"), col("embedding").as("centroid"))
 

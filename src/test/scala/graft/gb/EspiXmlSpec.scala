@@ -205,6 +205,28 @@ class EspiXmlSpec extends SparkTestBase {
     assert(r.getAs[Long]("time_period_start_unix") == 1689152400L + 3600L - 18000L)
   }
 
+  test("failfast errors a file with ZERO readings overall via the " +
+      "error-carrier row (even under count)") {
+    // no fact rows exist to carry a guard; the raising generator row stands
+    // in — the reference errors during link resolution before readings flow
+    val broken = fullFeed(readings = "",
+      extra = ibEntry("", upHref = "/espi/UsagePoint/9"))
+    val st = GreenButton.staging(GreenButton.parseStrings(spark,
+      Seq(("empty.xml", broken))))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      GreenButton.denormalize(spark, st, FailFast).collect()
+    }
+    assert(msgs(e).exists(_.contains("Missing meter reading entry")),
+      s"wrong failure: ${msgs(e)}")
+    // count() prunes projection columns but must evaluate the generator
+    intercept[Exception] {
+      GreenButton.denormalize(spark, st, FailFast).count()
+    }
+  }
+
   test("failfast reports the link error (not 'Missing reading type') when " +
       "the dangling-link entry carries readings") {
     // the bad entry's own fact rows have rt_idx NULL too — the file-level
@@ -231,9 +253,7 @@ class EspiXmlSpec extends SparkTestBase {
     // built for all entries before readings flow). Link errors are
     // aggregated per file and woven into every fact row, so the guard fires
     // regardless of which entry carries the readings — not dependent on the
-    // optimizer evaluating a pruned per-entry column. (Caveat: a file with
-    // zero readings overall produces empty output instead of an error —
-    // there is no fact row to carry the guard; same data outcome.)
+    // optimizer evaluating a pruned per-entry column.
     val broken = fullFeed(extra = ibEntry("", upHref = "/espi/UsagePoint/9"))
     val st = GreenButton.staging(GreenButton.parseStrings(spark,
       Seq(("broken.xml", broken))))
