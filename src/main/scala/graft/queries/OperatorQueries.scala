@@ -344,6 +344,17 @@ object OperatorQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ntile bucketing: per-user value quartiles — the distribution-split
+    // window shape (equal-count buckets, deterministic tie order).
+    "q_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
     // F4: RFC-3339 naive-local parse quirk (entry.rs:96-111) — format with
     // the clock time, reparse discarding the zone.
     "q_rfc3339_quirk" -> ((s, dir) => {
@@ -535,6 +546,11 @@ object OperatorQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_ntile" ->
+      """SELECT event_id, user_id,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id
+        |    ORDER BY value, event_id) AS INT) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_rfc3339_quirk" ->
       """SELECT event_id,
         |  CAST(floor(epoch(strptime(

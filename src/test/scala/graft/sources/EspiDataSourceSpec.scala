@@ -110,6 +110,43 @@ class EspiDataSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming: restart from checkpoint does not reprocess committed files") {
+    val dir = java.nio.file.Files.createTempDirectory("espi_restart").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("espi_restart_ck").toFile
+    val feed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val out = java.nio.file.Files.createTempDirectory("espi_restart_out").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.xml").toPath, feed)
+    // file sink: supports checkpoint recovery (the memory sink doesn't)
+    def startQuery() = spark.readStream.format("espi")
+      .load(dir.getAbsolutePath + "/*.xml")
+      .select("file", "idx")
+      .writeStream.format("parquet")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val n1 = spark.read.parquet(out.getAbsolutePath).count()
+    assert(n1 > 0)
+    // new query, same checkpoint: a.xml is committed; only b.xml is new
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.xml").toPath, feed)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out.getAbsolutePath)
+      assert(rows.count() == 2 * n1,
+        s"expected ${2 * n1} total rows, got ${rows.count()}")
+      val perFile = rows.groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perFile.size == 2 && perFile.values.forall(_ == n1),
+        s"per-file counts off (a.xml reprocessed?): $perFile")
+    } finally q2.stop()
+  }
+
   test("SQL over the source") {
     df.createOrReplaceTempView("espi_entries")
     val n = spark.sql(
