@@ -344,6 +344,27 @@ object OperatorQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Batch sessionization (gaps-and-islands): the SQL-portable twin of
+    // streaming.StreamingIngest.sessionize — session index = running count
+    // of >30min gaps per user; then per-session stats. Two windows over
+    // ONE partitioning (a single shuffle + sort services both).
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("epoch_s"), col("event_id"))
+      load(s, dir, "events")
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("gap",
+          when(col("epoch_s") - lag(col("epoch_s"), 1).over(byUser) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("gap")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // ntile bucketing: per-user value quartiles — the distribution-split
     // window shape (equal-count buckets, deterministic tie order).
     "q_ntile" -> ((s, dir) => {
@@ -546,6 +567,24 @@ object OperatorQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, epoch_s,
+        |    CASE WHEN epoch_s - LAG(epoch_s, 1) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)),
+        |s AS (
+        |  SELECT user_id, epoch_s,
+        |    CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MAX(epoch_s) - MIN(epoch_s) AS duration_s
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ntile" ->
       """SELECT event_id, user_id,
         |  CAST(ntile(4) OVER (PARTITION BY user_id
