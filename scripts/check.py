@@ -45,6 +45,18 @@ def main(sf_dir, out_dir):
             n_bad += 1; continue
         if len(g) != len(w):
             print(f"ROWS     {name}: spark={len(g)} duckdb={len(w)}"); n_bad += 1; continue
+        # The driver hashes typed values, so an int column on one side vs a
+        # float on the other (e.g. DuckDB HUGEINT -> pandas float64) hash-
+        # mismatches even when the values compare equal. Flag dtype-kind
+        # divergence as a failure here too.
+        kind_bad = [c for c in g.columns
+                    if (g[c].dtype.kind in "iu") != (w[c].dtype.kind in "iu")
+                    and not (g[c].dtype.kind == "O" or w[c].dtype.kind == "O")]
+        if kind_bad:
+            print(f"DTYPE    {name}: int/float divergence in {kind_bad} "
+                  f"(spark={[str(g[c].dtype) for c in kind_bad]}, "
+                  f"duckdb={[str(w[c].dtype) for c in kind_bad]})")
+            n_bad += 1; continue
         try:
             import pandas as pd
             eq = g.astype(object).where(g.notna(), None).equals(

@@ -558,7 +558,7 @@ object OperatorQueries {
         |ORDER BY 1, 2""".stripMargin,
     "q_range_frame" ->
       """SELECT event_id, user_id,
-        |  SUM(cents) OVER w AS hour_cents,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS hour_cents,
         |  COUNT(*) OVER w AS hour_n
         |FROM (SELECT event_id, user_id,
         |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
