@@ -2,43 +2,126 @@ package graft.similarity
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Transitive dedup clustering: near-dup PAIRS (from MinHash/SimHash) form
-  * a graph; keep-one-per-cluster needs its connected components. Iterative
-  * min-label propagation PLUS pointer jumping (label ← label's label) over
-  * the edge list — propagation alone moves a label one hop per round, so a
-  * duplicate CHAIN of length L (the common near-dup topology) would take L
-  * rounds; the jump halves the remaining depth each round, giving
-  * O(log diameter) convergence. Each round is two shuffle joins; stale
-  * per-round caches are unpersisted as the frontier advances.
+  * a graph; keep-one-per-cluster needs its connected components.
+  *
+  * Two-phase design (the "filtering" pattern — Lattanzi et al., SPAA'11):
+  * the edge list of a dedup graph is tiny relative to the corpus by
+  * construction (it holds only the near-duplicate pairs), so once it is
+  * known to fit on the driver we finish with a local union-find and ship
+  * the labels back as ONE broadcast join — O(1) jobs instead of
+  * O(log diameter) rounds of shuffle joins. Above the threshold (or for
+  * non-integral id types) we run the distributed loop: iterative min-label
+  * propagation PLUS pointer jumping (label ← label's label), which
+  * converges in O(log diameter) rounds of two shuffle joins each. On a
+  * 1000-executor cluster the same adaptive split applies — the corpus
+  * never moves either way, only the near-dup pair list.
   */
 object DedupClusters {
 
   /** @param pairs edge list with columns (id_a, id_b)
     * @param ids   node universe (one column `id`)
-    * @return (id, cluster) — cluster = min id reachable. The result is
-    *         CACHED (it is the loop's fixpoint and would otherwise replay
-    *         every round on first use); callers that keep the session
-    *         alive after consuming it should `.unpersist()` it.
+    * @param localEdgeThreshold collect-and-union-find when the (deduped,
+    *        undirected) edge count is at or below this; set to -1 to force
+    *        the distributed loop (used by parity tests)
+    * @return (id, cluster) — cluster = min id reachable. On the distributed
+    *         path the result is an eagerly localCheckpointed fixpoint
+    *         (lineage-free); its blocks are reclaimed by the ContextCleaner
+    *         when the Dataset is dropped.
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 12): DataFrame = {
-    // both directions via ONE explode, not a union of two branches: the
-    // pairs subtree (often an expensive similarity join) appears once in
-    // the plan instead of twice — half the codegen and half the first
-    // materialization before the cache takes over
-    val edges = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
-      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+                          maxIter: Int = 12,
+                          localEdgeThreshold: Long = 10L * 1000 * 1000)
+      : DataFrame = {
+    val idType = ids.schema("id").dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // one canonical direction is enough here; both algorithms symmetrize
+    // as needed. distinct() early: similarity joins emit duplicate pairs.
+    val undirected = pairs
+      .select(least(col("id_a"), col("id_b")).as("src"),
+        greatest(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .cache()
+    val nEdges = undirected.count()
+
+    if (integral && localEdgeThreshold >= 0 && nEdges <= localEdgeThreshold) {
+      val edgeRows = undirected
+        .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      undirected.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      edgeRows.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // min root wins so the representative is the min reachable id
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val relabeled = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(id => (id.longValue(), find(id.longValue())))
+        .filter { case (id, root) => id != root }
+      if (relabeled.isEmpty) {
+        ids.select(col("id"), col("id").as("cluster"))
+      } else {
+        val spark = ids.sparkSession
+        import spark.implicits._
+        val mapping = broadcast(
+          spark.createDataset(relabeled.toSeq).toDF("id", "_root")
+            .select(col("id").cast(idType).as("id"),
+              col("_root").cast(idType).as("_root")))
+        ids.join(mapping, Seq("id"), "left")
+          .select(col("id"), coalesce(col("_root"), col("id")).as("cluster"))
+      }
+    } else {
+      connectedComponentsDistributed(ids, undirected, maxIter)
+    }
+  }
+
+  /** The distributed fixpoint loop (edge list too large to collect, or
+    * non-integral ids — min-label works for any orderable type).
+    *
+    * Lineage is TRUNCATED each round with eager `localCheckpoint` rather
+    * than `cache()`: every round's plan embeds the previous round's twice
+    * (label join + pointer-jump self-join), so an un-truncated loop grows a
+    * 2^rounds logical plan and `CacheManager.cacheQuery` canonicalization
+    * goes exponential — round 2's bench spent 20+ s (and a 12-round test
+    * minutes) purely planning. Checkpointed rounds are leaf RDD scans;
+    * planning stays O(1) per round. On a multi-executor cluster prefer
+    * `sc.setCheckpointDir` + reliable `checkpoint()` for fault tolerance —
+    * localCheckpoint blocks die with their executor.
+    */
+  private def connectedComponentsDistributed(ids: DataFrame,
+      undirected: DataFrame, maxIter: Int): DataFrame = {
+    // both directions via ONE explode, not a union of two branches: the
+    // undirected subtree appears once in the plan instead of twice
+    val edges = undirected.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+      .localCheckpoint(true)
+    undirected.unpersist()
     var labels = ids.select(col("id"), col("id").as("cluster"))
-    var prev: DataFrame = null
+      .localCheckpoint(true)
     // Convergence via the label-sum invariant: min-label propagation is
     // monotone non-increasing per node, so the total strictly decreases
     // exactly while something still changes — one cheap aggregate per
-    // round instead of a join against the previous labels.
+    // round instead of a join against the previous labels. For
+    // non-numeric ids, fall back to a changed-count join.
+    val numeric = labels.schema("cluster").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     var lastSum: java.math.BigDecimal = null
     var changed = 1L
     var iter = 0
@@ -52,7 +135,7 @@ object DedupClusters {
         .select(col("id"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
-        .cache() // self-joined below — uncached it would compute twice
+        .localCheckpoint(true) // self-joined below; also cuts the lineage
       // pointer jump: follow my label to ITS label (path halving)
       val next = propagated
         .join(propagated.select(col("id").as("_cid"), col("cluster").as("_cc")),
@@ -60,23 +143,27 @@ object DedupClusters {
         .select(col("id"),
           least(col("cluster"), coalesce(col("_cc"), col("cluster")))
             .as("cluster"))
-        .cache()
-      // decimal sum: overflow-free for any id domain; null sum = empty
-      // input = nothing to converge
-      val newSum = next
-        .agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
-      changed =
-        if (newSum == null) 0L
-        else if (lastSum == null || newSum.compareTo(lastSum) < 0) 1L
-        else 0L
-      lastSum = newSum
-      propagated.unpersist()
-      if (prev != null) prev.unpersist()
-      prev = next
+        .localCheckpoint(true)
+      if (numeric) {
+        // decimal sum: overflow-free for any id domain; null sum = empty
+        // input = nothing to converge
+        val newSum = next
+          .agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+        changed =
+          if (newSum == null) 0L
+          else if (lastSum == null || newSum.compareTo(lastSum) < 0) 1L
+          else 0L
+        lastSum = newSum
+      } else {
+        changed = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.cluster") =!= col("p.cluster")).count()
+      }
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once unreferenced; nothing to unpersist by hand
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

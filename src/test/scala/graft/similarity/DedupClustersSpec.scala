@@ -18,6 +18,31 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got(4L) == 4L && got(9L) == 9L)
   }
 
+  test("distributed loop (forced) resolves the same chains") {
+    val ids = (0L to 9L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = DedupClusters
+      .connectedComponents(ids, pairs, localEdgeThreshold = -1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L && got(3L) == 0L)
+    assert(got(5L) == 5L && got(6L) == 5L)
+    assert(got(4L) == 4L && got(9L) == 9L)
+  }
+
+  test("local union-find and distributed loop agree on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 60L
+    val ids = (0L until n).toDF("id")
+    val pairs = Seq.fill(50)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+      .toDF("id_a", "id_b")
+    val local = DedupClusters.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = DedupClusters
+      .connectedComponents(ids, pairs, localEdgeThreshold = -1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
   test("cluster summary counts sizes and representatives") {
     val ids = (0L to 4L).toDF("id")
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
