@@ -22,11 +22,13 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.OperatorQueries.queries ++
       graft.queries.TrainingDataQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.ExtendedQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.OperatorQueries.oracleSql ++
       graft.queries.TrainingDataQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.ExtendedQueries.oracleSql
 }

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.functions.ZOrder
+import graft.text.TextOps
+
+/** Round-3 surface widening: remaining relational shapes (cube, unpivot,
+  * set ops, full-frame window navigation, cume_dist, salted skew join,
+  * Z-order clustering key) and the training-data preprocessing ops that sit
+  * between cleaning and batching (chunking, sequence packing, token
+  * entropy, repetition scoring). Everything here has an exact DuckDB twin.
+  */
+object ExtendedQueries {
+
+  private def cents(c: Column): Column = round(sum(c * 100)).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- relational shapes ----------------------------------------------
+
+    // CUBE: all 2^k subtotal combinations in one pass (partial-agg
+    // friendly; Spark expands grouping sets map-side).
+    "q_cube" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Unpivot (wide→long melt): 3 measure columns into (measure, value)
+    // rows — a narrow Expand, no shuffle.
+    "q_unpivot" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
+    // INTERSECT / EXCEPT: distinct set semantics (shuffle-dedup both
+    // sides) — customers ordering in both 1995 and 1996, and 1995-only.
+    "q_intersect_except" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      a.intersect(b).withColumn("seg", lit("both"))
+        .unionByName(a.except(b).withColumn("seg", lit("only_1995")))
+        .orderBy(col("seg"), col("o_custkey"))
+    }),
+
+    // Full-frame window navigation: first/last/2nd shipment per supplier
+    // visible on every row (frame = whole partition, not the running
+    // default).
+    "q_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 20)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          first(col("l_orderkey")).over(w).as("first_ok"),
+          last(col("l_orderkey")).over(w).as("last_ok"),
+          nth_value(col("l_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Distribution ranks: cume_dist + percent_rank (tie-stable by SQL
+    // definition — exact integer-ratio doubles in both engines).
+    "q_cume_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      load(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Salted skew join: big side salted by full-row hash, small side
+    // exploded across salts — same result as the plain join, skew-immune
+    // shuffle layout (operators.SkewJoin; oracle is the unsalted join).
+    "q_skew_join" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, o, Seq("okey"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          cents(col("l_extendedprice")).as("sum_base_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Z-order clustering key (functions.ZOrder): Morton interleave of two
+    // bounded dims; top-100 by key via TakeOrderedAndProject.
+    "q_zorder" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(65536)).as("zx"),
+          pmod(col("l_suppkey"), lit(65536)).as("zy"))
+        .withColumn("zkey", ZOrder.zorderKey(col("zx"), col("zy")))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // --- training-data batching prep ------------------------------------
+
+    // Sliding-window chunking: token windows of 50 with stride 40 (10
+    // overlap) — the doc→training-chunk explode. Chunk content rides as an
+    // md5 so output stays narrow.
+    "d_chunk" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+            lit(40))).as("start"))
+        .select(col("doc_id"), (col("start") / 40).cast("long").as("chunk_id"),
+          slice(col("t"), col("start") + 1, lit(50)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Concat-and-split sequence packing: per-language running token count
+    // assigns each doc to a 512-token context bin (bin = tokens-before /
+    // 512). Packing per stream partition (lang) — no global single-
+    // partition window; at corpus scale the stream key is the shard.
+    "d_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("bin", expr("(cum - tok) div 512"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).cast("long").as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
+    // Token-distribution entropy per doc (exact-count form:
+    // H = ln N − Σ c·ln c / N) — the information-density quality signal.
+    "d_entropy" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_terms"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("_sclc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_terms"),
+          round(log(col("n_tokens").cast("double"))
+            - col("_sclc") / col("n_tokens"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition scoring (Gopher-style): duplicate 2-gram fraction —
+    // exact integer set arithmetic per row.
+    "d_repetition" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.shingles(TextOps.tokens(col("text")), 2).as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round(when(col("n_grams") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+            .otherwise(lit(0.0)), 6).as("rep_frac"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "q_intersect_except" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'both' AS seg
+        |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' AS seg
+        |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |ORDER BY seg, o_custkey""".stripMargin,
+    "q_first_last" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  FIRST_VALUE(l_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(l_orderkey) OVER w AS last_ok,
+        |  NTH_VALUE(l_orderkey, 2) OVER w AS second_ok
+        |FROM lineitem WHERE l_suppkey < 20
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_cume_dist" ->
+      """SELECT event_id, event_type,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM events WHERE event_id < 2000
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value)
+        |ORDER BY event_id""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(ROUND(SUM(l_extendedprice*100)) AS BIGINT) AS sum_base_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy
+        |  FROM lineitem),
+        |s1 AS (SELECT *, (zx | (zx << 8)) & 16711935 AS ax,
+        |              (zy | (zy << 8)) & 16711935 AS ay FROM b),
+        |s2 AS (SELECT *, (ax | (ax << 4)) & 252645135 AS bx,
+        |              (ay | (ay << 4)) & 252645135 AS by FROM s1),
+        |s3 AS (SELECT *, (bx | (bx << 2)) & 858993459 AS cx,
+        |              (by | (by << 2)) & 858993459 AS cy FROM s2),
+        |s4 AS (SELECT *, (cx | (cx << 1)) & 1431655765 AS dx,
+        |              (cy | (cy << 1)) & 1431655765 AS dy FROM s3)
+        |SELECT l_orderkey, l_linenumber, zx, zy,
+        |  CAST(dx | (dy << 1) AS BIGINT) AS zkey
+        |FROM s4 ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "d_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |        unnest(range(0, greatest(len(t), 1), 40)) AS start
+         |      FROM t)
+         |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(t, start + 1, start + 50)) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_slice(t, start + 1, start + 50), ' '))
+         |    AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "d_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, tok,
+        |    SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT lang, CAST((cum - tok) // 512 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d_entropy" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, term, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_terms,
+         |  ROUND(ln(CAST(SUM(c) AS DOUBLE))
+         |    - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_repetition" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CASE WHEN len(t) < 2 THEN []
+         |    ELSE list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1]) END AS grams
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents))
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+         |  ROUND(CASE WHEN len(grams) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         |    ELSE 0 END, 6) AS rep_frac
+         |FROM g ORDER BY doc_id""".stripMargin
+  )
+}
