@@ -89,7 +89,12 @@ object ExtendedQueries {
     // exploded across salts — same result as the plain join, skew-immune
     // shuffle layout (operators.SkewJoin; oracle is the unsalted join).
     "q_skew_join" -> ((s, dir) => {
-      val li = load(s, dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+      // prune to the join/agg columns BEFORE salting: the salt hash and the
+      // shuffle both pay per-byte, and at scale an unpruned fact side is
+      // the difference between shuffling 3 columns and shuffling the table
+      val li = load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          col("l_quantity"), col("l_extendedprice"))
       val o = load(s, dir, "orders")
         .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
       graft.operators.SkewJoin.saltedInnerJoin(li, o, Seq("okey"), 8)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-property assertions on the PHYSICAL plans of headline queries —
+  * the "is this the plan you'd want at 100 TB" checks: rank-limit pushdown,
+  * top-k without a global sort, broadcast choices, map-side partial
+  * aggregation, parquet predicate pushdown. A regression here doesn't flip
+  * results, it flips the scaling curve — which is why it's asserted, not
+  * just eyeballed in ExplainAudit.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_window_topk: rank filter becomes a WindowGroupLimit (no full sort-then-filter)") {
+    // Spark 3.5+ InferWindowGroupLimit: rn<=3 over row_number pushes a
+    // per-group limit below the window — partitions keep only k+ rows.
+    assert(plan("q_window_topk").contains("WindowGroupLimit"))
+  }
+
+  test("q_sort_multikey: global sort+limit plans as TakeOrderedAndProject") {
+    // per-partition top-100 then a 100-row merge — not a range-partitioned
+    // full sort of the table
+    assert(plan("q_sort_multikey").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_zorder: top-100 by Morton key is TakeOrderedAndProject, key stays codegen'd") {
+    val p = plan("q_zorder")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"))
+  }
+
+  test("d_token_freq: vocabulary top-k avoids a global-window rank over the full vocab") {
+    assert(plan("d_token_freq").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_star_join: dimension sides broadcast, no shuffle for nation/region") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_agg_pricing: aggregation is two-phase (map-side partial + final)") {
+    val p = plan("q_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_first_last: supplier predicate is pushed into the parquet scan") {
+    val p = plan("q_first_last")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_suppkey,20)"))
+  }
+
+  test("e_ann_brute: query-side vec_id filter reaches the scan") {
+    assert(plan("e_ann_brute").contains("LessThan(vec_id,5)"))
+  }
+
+  test("d_decontaminate: the eval-set fingerprint joins as a broadcast (corpus never shuffles for it)") {
+    assert(plan("d_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("q_bloom_join: runtime bloom pruning is in the plan") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain") || p.contains("bloom_filter"))
+  }
+}
