@@ -173,6 +173,30 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end dedup pipeline: same deterministic chain graph as
+    // d_dedup_clusters, then clusterSummary → keep-one-per-cluster
+    // reduction stats per cluster-size band. The "how much does dedup
+    // shrink the corpus" report every pipeline run ends with.
+    "d_dedup_keep" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+      val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))
+      val pairs = a.join(b, Seq("id_a"))
+        .filter(graft.similarity.Similarity.jaccard(col("g_a"), col("g_b")) >= 0.005)
+        .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+      val labels = graft.similarity.DedupClusters.connectedComponents(
+        d.select(col("doc_id").as("id")), pairs)
+      graft.similarity.DedupClusters.clusterSummary(labels)
+        .groupBy(col("size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("size")).cast("long").as("n_docs"),
+          min(col("keep_id")).as("min_keep"),
+          (sum(col("size")) - count(lit(1))).cast("long").as("n_dropped"))
+        .orderBy(col("size"))
+    }),
+
     // Repetition scoring (Gopher-style): duplicate 2-gram fraction —
     // exact integer set arithmetic per row.
     "d_repetition" -> ((s, dir) => {
@@ -291,6 +315,34 @@ object ExtendedQueries {
          |  ROUND(ln(CAST(SUM(c) AS DOUBLE))
          |    - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_dedup_keep" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |j AS (
+         |  SELECT a.doc_id,
+         |    CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+         |      THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |           / len(list_distinct(a.grams || b.grams))
+         |      ELSE 0 END AS jac
+         |  FROM g a JOIN g b ON b.doc_id = a.doc_id - 1),
+         |flags AS (
+         |  SELECT g.doc_id, COALESCE(j.jac >= 0.005, FALSE) AS linked_prev
+         |  FROM g LEFT JOIN j ON g.doc_id = j.doc_id),
+         |labels AS (
+         |  SELECT doc_id,
+         |    MAX(CASE WHEN NOT linked_prev THEN doc_id END)
+         |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cluster
+         |  FROM flags),
+         |clusters AS (
+         |  SELECT cluster, COUNT(*) AS size, MIN(doc_id) AS keep_id
+         |  FROM labels GROUP BY 1)
+         |SELECT size, COUNT(*) AS n_clusters,
+         |  CAST(SUM(size) AS BIGINT) AS n_docs, MIN(keep_id) AS min_keep,
+         |  CAST(SUM(size) - COUNT(*) AS BIGINT) AS n_dropped
+         |FROM clusters GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_repetition" ->
       s"""WITH g AS (
          |  SELECT doc_id, CASE WHEN len(t) < 2 THEN []
