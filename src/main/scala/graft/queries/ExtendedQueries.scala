@@ -117,6 +117,67 @@ object ExtendedQueries {
         .limit(100)
     }),
 
+    // Statistical aggregates: stddev/variance/corr/covar per group.
+    // Bounded-magnitude columns (quantity ~50, discount ~0.1) keep the
+    // engines' different merge orders under the 1e-6 rounding grid;
+    // covar/corr against extendedprice-sized values would not.
+    "q_stats_agg" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+            .as("covar_qd"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Ordered set aggregation: distinct statuses per priority as a sorted
+    // joined string (deterministic across engines, unlike raw collect_list).
+    "q_array_agg" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",",
+            array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Conditional (filtered) aggregation — count/sum under predicates in
+    // one pass over the facts.
+    "q_count_if" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("l_discount") > 0.05, 1).otherwise(0))
+            .cast("long").as("n_discounted"),
+          sum(when(col("l_quantity") > 25, 1).otherwise(0))
+            .cast("long").as("n_bulk"),
+          cents(when(col("l_quantity") > 25, col("l_extendedprice"))
+            .otherwise(lit(0.0))).as("bulk_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Frequent-items sketch: corpus tokens → one count-min sketch (scalar
+    // subquery), probed per top-20 token by the native cms_estimate
+    // expression (functions.CountMin — the read side Spark doesn't ship).
+    // Estimates are deterministic for the fixed seed and never undercount;
+    // engine-specific sketch → rows-only check (SketchSpec bounds error).
+    "d_freq_sketch" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val cms = toks.agg(
+        expr("count_min_sketch(term, 0.0001d, 0.99d, 42)").as("cms"))
+      val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(20)
+      top
+        .withColumn("cms_est", graft.functions.CountMin.cms_estimate(
+          org.apache.spark.sql.graftshim.ColumnBridge.scalarSubquery(cms),
+          col("term")))
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
+
     // --- training-data batching prep ------------------------------------
 
     // Sliding-window chunking: token windows of 50 with stride 40 (10
@@ -281,6 +342,28 @@ object ExtendedQueries {
         |SELECT l_orderkey, l_linenumber, zx, zy,
         |  CAST(dx | (dy << 1) AS BIGINT) AS zkey
         |FROM s4 ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 6) AS var_qty,
+        |  ROUND(corr(l_quantity, l_discount), 6) AS corr_qd,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qd,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_array_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+        |    AS statuses,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_count_if" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  CAST(ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice
+        |    ELSE 0 END * 100)) AS BIGINT) AS bulk_cents,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_chunk" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS t FROM documents),
          |c AS (SELECT doc_id, t,

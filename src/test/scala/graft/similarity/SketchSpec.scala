@@ -16,6 +16,41 @@ class SketchSpec extends SparkTestBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("count-min estimates never undercount and respect the eps*N bound") {
+    val terms = Tables.load(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+    val total = terms.count()
+    val eps = 0.0001
+    val cms = terms.agg(
+      expr(s"count_min_sketch(term, ${eps}d, 0.99d, 42)").as("cms"))
+    val checked = terms.groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("est", graft.functions.CountMin.cms_estimate(
+        org.apache.spark.sql.graftshim.ColumnBridge.scalarSubquery(cms),
+        col("term")))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val (n, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= n, s"${r.getString(0)}: undercount $est < $n")
+      assert(est <= n + (eps * total).toLong + 1,
+        s"${r.getString(0)}: $est exceeds $n + eps*N")
+    }
+  }
+
+  test("cms_estimate agrees between interpreted and codegen paths") {
+    import spark.implicits._
+    val terms = Seq("a", "a", "b", "c", "a", "b").toDF("term").repartition(2)
+    val cms = terms.agg(
+      expr("count_min_sketch(term, 0.001d, 0.99d, 7)").as("cms"))
+    val sub = org.apache.spark.sql.graftshim.ColumnBridge.scalarSubquery(cms)
+    val est = terms.distinct()
+      .withColumn("est", graft.functions.CountMin.cms_estimate(sub, col("term")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") >= 3 && est("b") >= 2 && est("c") >= 1)
+    // tiny domain, wide sketch: estimates are exact here
+    assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("HLL sketches merge across groups to the global estimate") {
     val docs = Tables.load(spark, sfDir, "documents")
     val terms = docs.select(col("lang"),
