@@ -85,6 +85,22 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Time-interval RANGE frame: rolling 1-hour sum per user (frame bounds
+    // in event-time, not row counts — peers at the same second share a
+    // frame). Values integer-ized per row BEFORE the window sum: engines'
+    // segment-tree vs fold accumulation orders diverge on raw doubles.
+    "q_range_time" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+      load(s, dir, "events")
+        .filter(col("event_id") < 5000)
+        .withColumn("v_cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("v_cents")).over(w).as("roll_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // Salted skew join: big side salted by full-row hash, small side
     // exploded across salts — same result as the plain join, skew-immune
     // shuffle layout (operators.SkewJoin; oracle is the unsalted join).
@@ -319,6 +335,14 @@ object ExtendedQueries {
         |  percent_rank() OVER w AS pr
         |FROM events WHERE event_id < 2000
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)
+        |ORDER BY event_id""".stripMargin,
+    "q_range_time" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll_cents
+        |FROM events WHERE event_id < 5000
         |ORDER BY event_id""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
