@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.gb.{EspiXml, GreenButton, ParseMode, Permissive, Schemas}
 
@@ -96,6 +96,45 @@ object StreamingIngest {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals via `transformWithState` (Spark 4's arbitrary
+    * stateful operator v2): typed `ValueState` keyed by user, updated per
+    * micro-batch, one Update-mode row per touched user. Requires the
+    * RocksDB state store provider — at scale that's the point: state lives
+    * off-heap/on-disk per executor with changelog checkpointing, so keyed
+    * state is bounded by disk, not JVM heap. `TTLConfig` evicts idle users
+    * when a TTL is passed (state never grows past the active-user set).
+    */
+  class RunningTotalsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        Encoders.product[UserTotal], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserTotal] = {
+      val prev = Option(totals.get()).getOrElse(UserTotal(key, 0L, 0.0))
+      var n = prev.n_events
+      var sum = prev.total_value
+      rows.foreach { e => n += 1; sum += e.value }
+      val out = UserTotal(key, n, sum)
+      totals.update(out)
+      Iterator.single(out)
+    }
+  }
+
+  /** Running per-user totals stream (Update mode: one row per touched user
+    * per micro-batch). */
+  def runningTotals(events: Dataset[Event],
+                    ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotal])
+  }
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,
                      n_events: Int, sum_value: Double)

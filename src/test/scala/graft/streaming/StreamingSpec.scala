@@ -94,6 +94,36 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((7L, 2, 0L, 100L)), s"got ${rows.toSeq}")
   }
 
+  test("transformWithState running totals accumulate across micro-batches (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamingIngest.Event]
+      def ev(id: Long, u: Long, v: Double) =
+        StreamingIngest.Event(id, new java.sql.Timestamp(id), u, "x", v)
+      val totals = StreamingIngest.runningTotals(mem.toDS())
+      val q = totals.writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+      mem.addData(ev(1, 7, 1.0), ev(2, 7, 2.0), ev(3, 8, 5.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, 7, 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, total_value FROM tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      q.stop()
+      // batch 1 emits (7: 2 events, 3.0) and (8: 1, 5.0); batch 2 proves the
+      // ValueState carried over: (7: 3, 6.0)
+      assert(rows.toSet == Set((7L, 2L, 3.0), (8L, 1L, 5.0), (7L, 3L, 6.0)),
+        s"got ${rows.toSet}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
