@@ -18,6 +18,7 @@ import graft.functions.RollingHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    ext.injectFunction(GraftExtensions.cmsEstimateDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
   }
@@ -29,4 +30,12 @@ object GraftExtensions {
     FunctionIdentifier("rolling_hash"),
     new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
     (children: Seq[Expression]) => RollingHash(children.head))
+
+  val cmsEstimateDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_estimate"),
+    new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName,
+      "cms_estimate"),
+    (children: Seq[Expression]) =>
+      graft.functions.CmsEstimate(children(0), children(1)))
 }

@@ -85,6 +85,22 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // FULL OUTER join with null-producing sides: 1995 vs 1996 per-customer
+    // order counts — customers active in only one year surface from either
+    // side with the other side null-coalesced.
+    "q_full_outer" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      def yearly(y: Int, out: String) =
+        o.filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(count(lit(1)).as(out))
+      yearly(1995, "n95").join(yearly(1996, "n96"), Seq("ck"), "full_outer")
+        .select(col("ck"),
+          coalesce(col("n95"), lit(0L)).as("n95"),
+          coalesce(col("n96"), lit(0L)).as("n96"))
+        .orderBy(col("ck"))
+    }),
+
     // Time-interval RANGE frame: rolling 1-hour sum per user (frame bounds
     // in event-time, not row counts — peers at the same second share a
     // frame). Values integer-ized per row BEFORE the window sum: engines'
@@ -336,6 +352,15 @@ object ExtendedQueries {
         |FROM events WHERE event_id < 2000
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)
         |ORDER BY event_id""".stripMargin,
+    "q_full_outer" ->
+      """WITH a AS (SELECT o_custkey AS ck, COUNT(*) AS n95 FROM orders
+        |  WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (SELECT o_custkey AS ck, COUNT(*) AS n96 FROM orders
+        |  WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT COALESCE(a.ck, b.ck) AS ck,
+        |  COALESCE(n95, 0) AS n95, COALESCE(n96, 0) AS n96
+        |FROM a FULL JOIN b ON a.ck = b.ck
+        |ORDER BY ck""".stripMargin,
     "q_range_time" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (

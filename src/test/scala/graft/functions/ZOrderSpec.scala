@@ -48,4 +48,31 @@ class ZOrderSpec extends SparkTestBase {
       .head().getLong(0)
     assert(got == ref(5, 9))
   }
+
+  test("Z-order layout bounds per-file min/max on BOTH dimensions (file-skipping property)") {
+    // range-partition uniform 2-D data by zkey vs by x alone, then measure
+    // the per-file [min,max] extent of each dimension — the statistic
+    // parquet footers expose and pruning uses. Under the zkey layout BOTH
+    // dims have bounded extents per file; under the x sort, y's per-file
+    // extent spans the whole domain (no file can be skipped for y
+    // predicates).
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(4000)((rnd.nextInt(1024), rnd.nextInt(1024)))
+    val df = rows.toDF("x", "y")
+      .withColumn("zkey", ZOrder.zorderKey(col("x"), col("y")))
+    def extents(sorted: org.apache.spark.sql.DataFrame, dim: String): Seq[Long] =
+      sorted.groupBy(spark_partition_id().as("file"))
+        .agg((max(col(dim)) - min(col(dim))).cast("long").as("ext"))
+        .collect().map(_.getAs[Long]("ext")).toSeq
+    val byZ = df.repartitionByRange(16, col("zkey"))
+    val byX = df.repartitionByRange(16, col("x"))
+    // median per-file y-extent: tight under zkey, full-domain under x-sort
+    def median(xs: Seq[Long]) = xs.sorted.apply(xs.size / 2)
+    val yExtZ = median(extents(byZ, "y"))
+    val yExtX = median(extents(byX, "y"))
+    assert(yExtZ < 600, s"zorder y-extent $yExtZ should be bounded")
+    assert(yExtX > 900, s"x-sort y-extent $yExtX should span the domain")
+    // and zorder still bounds x (both dims benefit, unlike a plain sort)
+    assert(median(extents(byZ, "x")) < 600)
+  }
 }
