@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.gb.{EspiXml, GreenButton, ParseMode, Permissive, Schemas}
 
@@ -134,6 +134,76 @@ object StreamingIngest {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor(ttl),
         TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotal])
+  }
+
+  /** Sessionization on `transformWithState` with EVENT-TIME TIMERS: unlike
+    * the flatMapGroupsWithState form above (which can only close a session
+    * when the same key receives another event), a registered timer fires
+    * when the WATERMARK passes session-end + gap — idle keys emit their
+    * final session with no further traffic, and state for them is cleared.
+    * That closes the classic last-session-never-emits hole, and at scale it
+    * means state size tracks ACTIVE keys, not ever-seen keys.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      val prevTimer = cur.map(_.last + gapMs)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            closed += Session(key, s.start, s.last, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // one live timer per key: drop the stale deadline, arm the new one
+        val newTimer = s.last + gapMs
+        if (!prevTimer.contains(newTimer)) {
+          prevTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(newTimer)
+        }
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Session] = {
+      if (!sess.exists()) return Iterator.empty
+      val s = sess.get()
+      // only the CURRENT deadline closes the session (a stale timer that
+      // raced a deleteTimer must not — the session was extended)
+      if (expired.getExpiryTimeInMs >= s.last + gapMs) {
+        sess.clear()
+        Iterator.single(Session(key, s.start, s.last, s.n, s.sum))
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer-closed sessionization stream; input must carry a watermark on
+    * `ts` (event-time timers fire off the watermark). */
+  def sessionizeWithTimers(events: Dataset[Event], gapMs: Long,
+                           watermark: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[Session])
   }
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,

@@ -124,6 +124,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState event-time timer closes an idle session (no further key traffic)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamingIngest.Event]
+      def ev(id: Long, ms: Long, u: Long) =
+        StreamingIngest.Event(id, new java.sql.Timestamp(ms), u, "x", 1.0)
+      val sessions = StreamingIngest.sessionizeWithTimers(
+        mem.toDS(), gapMs = 2000, watermark = "1 second")
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("tws_sess").start()
+      // user 7's session: two events, then silence forever
+      mem.addData(ev(1, 1000, 7), ev(2, 1200, 7))
+      q.processAllAvailable()
+      // unrelated traffic advances the watermark far past 7's gap deadline;
+      // the second batch evaluates timers under the advanced watermark
+      mem.addData(ev(3, 100000, 99))
+      q.processAllAvailable()
+      mem.addData(ev(4, 100100, 99))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, start_ts, end_ts, n_events FROM tws_sess")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      q.stop()
+      // the timer emitted 7's session with NO further user-7 events — the
+      // hole flatMapGroupsWithState's NoTimeout form can't close
+      assert(rows.toSet == Set((7L, 1000L, 1200L, 2)), s"got ${rows.toSet}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
