@@ -48,6 +48,10 @@ object ExtendedQueries {
 
     // INTERSECT / EXCEPT: distinct set semantics (shuffle-dedup both
     // sides) — customers ordering in both 1995 and 1996, and 1995-only.
+    // The operators under test scan the input once per branch (4× here);
+    // the 100TB rewrite when set ops aren't the point is one scan +
+    // groupBy(custkey).agg(bool_or per year) and deriving both segments
+    // from the flags — same result, one shuffle.
     "q_intersect_except" -> ((s, dir) => {
       val o = load(s, dir, "orders")
       val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
