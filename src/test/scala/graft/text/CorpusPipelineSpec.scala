@@ -1,0 +1,50 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class CorpusPipelineSpec extends SparkTestBase {
+
+  test("end-to-end pipeline: monotone stage reductions, planted dup removed, eval doc excluded") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    // plant an exact duplicate (different doc_id, same text) and make doc 0
+    // the "eval set" so decontamination must remove it from the corpus
+    val planted = docs.filter(col("doc_id") === 1)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+        col("text"), col("source"), col("n_chars"))
+    val corpus = docs.unionByName(planted)
+    val eval_ = docs.filter(col("doc_id") === 0).select(col("text"))
+    val out = Files.createTempDirectory("corpus_out").toString
+
+    val stats = CorpusPipeline.run(spark, corpus, eval_, out)
+
+    // stage monotonicity
+    assert(stats.n_input > stats.n_after_exact) // planted dup went away
+    assert(stats.n_after_exact >= stats.n_after_near)
+    assert(stats.n_after_near > stats.n_after_decontam) // doc 0 went away
+    assert(stats.n_after_decontam >= stats.n_after_quality)
+    assert(stats.n_after_quality > 0 && stats.total_tokens > 0)
+
+    val written = spark.read.parquet(out)
+    // the planted duplicate and the eval doc are really gone
+    val ids = written.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1000000L))
+    assert(!ids.contains(0L))
+    // written rows match the post-filter count; partition dirs exist
+    assert(written.count() == stats.n_after_quality)
+    assert(written.schema.fieldNames.contains("bin_block"))
+    // shard-local packing: scanning a language's docs in id order, the bin
+    // assignment from the running token sum never decreases
+    written.select("lang", "doc_id", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).foreach { case (lang, rows) =>
+        val bins = rows.sortBy(_._2).map(_._3)
+        assert(bins.zip(bins.drop(1)).forall { case (a, b) => a <= b },
+          s"bins not monotone for $lang")
+      }
+  }
+}
