@@ -89,6 +89,19 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Semi-structured extraction: schema-ful from_json over the events
+    // props payload (the Spark-native path — a typed struct column, not
+    // per-field string plucking).
+    "q_json_extract" -> ((s, dir) => {
+      load(s, dir, "events")
+        .filter(col("event_id") < 3000)
+        .select(col("event_id"), col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
     // FULL OUTER join with null-producing sides: 1995 vs 1996 per-customer
     // order counts — customers active in only one year surface from either
     // side with the other side null-coalesced.
@@ -355,6 +368,11 @@ object ExtendedQueries {
         |  percent_rank() OVER w AS pr
         |FROM events WHERE event_id < 2000
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)
+        |ORDER BY event_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE event_id < 3000
         |ORDER BY event_id""".stripMargin,
     "q_full_outer" ->
       """WITH a AS (SELECT o_custkey AS ck, COUNT(*) AS n95 FROM orders
