@@ -89,6 +89,23 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Prefix predicate + two-dimension star arm over the so-far-unused
+    // part/supplier tables: startsWith pushes to the parquet scan as
+    // StringStartsWith (asserted in PlanShapeSpec) — LIKE 'PROMO%' is a
+    // footer-prunable range scan, not a post-scan regex.
+    "q_prefix_filter" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val p = load(s, dir, "part").filter(col("p_type").startsWith("PROMO"))
+      val sup = load(s, dir, "supplier")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("s_nationkey")).as("n_supp_nations"),
+          cents(col("l_extendedprice")).as("promo_cents"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Semi-structured extraction: schema-ful from_json over the events
     // props payload (the Spark-native path — a typed struct column, not
     // per-field string plucking).
@@ -369,6 +386,15 @@ object ExtendedQueries {
         |FROM events WHERE event_id < 2000
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)
         |ORDER BY event_id""".stripMargin,
+    "q_prefix_filter" ->
+      """SELECT p_brand, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT s_nationkey) AS n_supp_nations,
+        |  CAST(ROUND(SUM(l_extendedprice*100)) AS BIGINT) AS promo_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_type LIKE 'PROMO%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -57,6 +57,10 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("e_ann_brute").contains("LessThan(vec_id,5)"))
   }
 
+  test("q_prefix_filter: LIKE 'PROMO%' pushes to the scan as StringStartsWith") {
+    assert(plan("q_prefix_filter").contains("StringStartsWith(p_type,PROMO)"))
+  }
+
   test("d_decontaminate: the eval-set fingerprint joins as a broadcast (corpus never shuffles for it)") {
     assert(plan("d_decontaminate").contains("BroadcastHashJoin"))
   }
