@@ -163,7 +163,7 @@ object ExtendedQueries {
           col("l_quantity"), col("l_extendedprice"))
       val o = load(s, dir, "orders")
         .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      graft.operators.SkewJoin.saltedInnerJoin(li, o, Seq("okey"), 8)
+      graft.operators.SkewJoin.saltedInnerJoin(li, o, Seq("okey"), 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity")).as("sum_qty"),
@@ -305,9 +305,12 @@ object ExtendedQueries {
     // reduction stats per cluster-size band. The "how much does dedup
     // shrink the corpus" report every pipeline run ends with.
     "d_dedup_keep" -> ((s, dir) => {
+      // shingle table materialized once for both join sides (see
+      // d_dedup_clusters)
       val d = load(s, dir, "documents")
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+        .localCheckpoint(true)
       val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
       val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))
       val pairs = a.join(b, Seq("id_a"))
