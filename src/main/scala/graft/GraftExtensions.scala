@@ -36,6 +36,9 @@ object GraftExtensions {
     FunctionIdentifier("cms_estimate"),
     new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName,
       "cms_estimate"),
-    (children: Seq[Expression]) =>
-      graft.functions.CmsEstimate(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"cms_estimate(sketch, key) takes 2 arguments, got ${children.length}")
+      graft.functions.CmsEstimate(children(0), children(1))
+    })
 }

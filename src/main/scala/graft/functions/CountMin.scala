@@ -29,6 +29,16 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def prettyName: String = "cms_estimate"
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: sketch argument must be BINARY (a serialized " +
+          s"count_min_sketch), got ${left.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   // the serialized sketch is constant for the query (literal or scalar
   // subquery result) — deserialize once per task, not per row
   @transient private lazy val sketch: CountMinSketch = {
@@ -36,6 +46,10 @@ case class CmsEstimate(left: Expression, right: Expression)
     if (bytes == null) null
     else CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
   }
+
+  /** Null-sketch check for generated code (keeps codegen behavior equal to
+    * the interpreted eval: NULL sketch → NULL estimate, never an NPE). */
+  def sketchExists: Boolean = sketch != null
 
   /** Probe entry also used from generated code. */
   def estimate(item: Any): Long = {
@@ -60,7 +74,7 @@ case class CmsEstimate(left: Expression, right: Expression)
         ${rightCode.code}
         boolean ${ev.isNull} = true;
         long ${ev.value} = 0L;
-        if (!${rightCode.isNull}) {
+        if (!${rightCode.isNull} && $self.sketchExists()) {
           ${ev.isNull} = false;
           ${ev.value} = $self.estimate(${rightCode.value});
         }

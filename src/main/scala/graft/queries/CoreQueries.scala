@@ -19,8 +19,7 @@ import graft.Tables.load
   */
 object CoreQueries {
 
-  /** SUM(x*100) rounded to integer cents — order-independent across engines. */
-  private def cents(c: Column): Column = round(sum(c * 100)).cast("long")
+  import QueryShared.cents
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-class: grouped aggregation with map-side partials (SURVEY §2.4).

@@ -16,7 +16,7 @@ import graft.text.TextOps
   */
 object ExtendedQueries {
 
-  private def cents(c: Column): Column = round(sum(c * 100)).cast("long")
+  import QueryShared.cents
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -300,24 +300,14 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // End-to-end dedup pipeline: same deterministic chain graph as
-    // d_dedup_clusters, then clusterSummary → keep-one-per-cluster
-    // reduction stats per cluster-size band. The "how much does dedup
-    // shrink the corpus" report every pipeline run ends with.
+    // End-to-end dedup pipeline: the SAME chain graph as d_dedup_clusters
+    // (QueryShared.chainClusterLabels — one definition, so the threshold
+    // and shingle width can't silently diverge), then clusterSummary →
+    // keep-one-per-cluster reduction stats per cluster-size band. The
+    // "how much does dedup shrink the corpus" report every pipeline run
+    // ends with.
     "d_dedup_keep" -> ((s, dir) => {
-      // shingle table materialized once for both join sides (see
-      // d_dedup_clusters)
-      val d = load(s, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
-        .localCheckpoint(true)
-      val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
-      val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))
-      val pairs = a.join(b, Seq("id_a"))
-        .filter(graft.similarity.Similarity.jaccard(col("g_a"), col("g_b")) >= 0.005)
-        .select(col("id_a"), (col("id_a") + 1).as("id_b"))
-      val labels = graft.similarity.DedupClusters.connectedComponents(
-        d.select(col("doc_id").as("id")), pairs)
+      val labels = QueryShared.chainClusterLabels(s, dir)
       graft.similarity.DedupClusters.clusterSummary(labels)
         .groupBy(col("size"))
         .agg(count(lit(1)).as("n_clusters"),

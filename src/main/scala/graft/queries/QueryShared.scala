@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.similarity.{DedupClusters, Similarity}
+import graft.text.TextOps
+
+/** Helpers shared across query providers — single definitions for the
+  * conventions the oracles depend on. */
+private[queries] object QueryShared {
+
+  /** SUM(x*100) rounded to integer cents — order-independent across
+    * engines (the money-sum determinism convention). */
+  def cents(c: Column): Column = round(sum(c * 100)).cast("long")
+
+  /** The deterministic near-dup chain graph over `documents` used by both
+    * d_dedup_clusters and d_dedup_keep: consecutive-doc 3-gram Jaccard
+    * pairs above a loose threshold (0.005 — the synthetic corpus has no
+    * true near-dups), solved to (id, cluster) labels by
+    * [[DedupClusters.connectedComponents]]. The shingle table feeds BOTH
+    * sides of the pair join — materialized once (the 100TB analog is a
+    * staging write) instead of running tokenize+shingle twice.
+    */
+  def chainClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+      .localCheckpoint(true)
+    val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))
+    val pairs = a.join(b, Seq("id_a"))
+      .filter(Similarity.jaccard(col("g_a"), col("g_b")) >= 0.005)
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+    DedupClusters.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+  }
+}

@@ -254,21 +254,8 @@ object TrainingDataQueries {
     // graph is a union of chains and the DuckDB oracle can solve it with
     // gaps-and-islands instead of recursion.
     "d_dedup_clusters" -> ((s, dir) => {
-      // the shingle table feeds BOTH sides of the pair join — materialize
-      // it once (the 100TB analog is a staging write) instead of running
-      // the tokenize+shingle projection twice
-      val d = load(s, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
-        .localCheckpoint(true)
-      val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
-      val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))
-      val pairs = a.join(b, Seq("id_a"))
-        .filter(Similarity.jaccard(col("g_a"), col("g_b")) >= 0.005)
-        .select(col("id_a"), (col("id_a") + 1).as("id_b"))
-      val labels = graft.similarity.DedupClusters.connectedComponents(
-        d.select(col("doc_id").as("id")), pairs)
-      labels.select(col("id").as("doc_id"), col("cluster"))
+      QueryShared.chainClusterLabels(s, dir)
+        .select(col("id").as("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))
     }),
 

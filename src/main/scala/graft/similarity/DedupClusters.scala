@@ -42,10 +42,19 @@ object DedupClusters {
     }
     // one canonical direction is enough here; both algorithms symmetrize
     // as needed. distinct() early: similarity joins emit duplicate pairs.
+    // Edges are restricted to the node universe: without this, an edge
+    // through an out-of-universe node would union its endpoints on the
+    // local path but not on the distributed one (no label row to
+    // propagate through), and the local path could even emit a cluster
+    // label that is not an id.
+    val universe = ids.select(col("id"))
     val undirected = pairs
       .select(least(col("id_a"), col("id_b")).as("src"),
         greatest(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
+      .join(universe.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(universe.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
       .distinct()
       .cache()
     val nEdges = undirected.count()

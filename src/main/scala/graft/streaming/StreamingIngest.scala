@@ -127,13 +127,16 @@ object StreamingIngest {
   }
 
   /** Running per-user totals stream (Update mode: one row per touched user
-    * per micro-batch). */
+    * per micro-batch). Spark only permits state TTL under ProcessingTime
+    * mode, so the time mode follows the TTL choice. */
   def runningTotals(events: Dataset[Event],
                     ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor(ttl),
-        TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotal])
+        timeMode, OutputMode.Update(), Encoders.product[UserTotal])
   }
 
   /** Sessionization on `transformWithState` with EVENT-TIME TIMERS: unlike
@@ -162,7 +165,11 @@ object StreamingIngest {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last <= gapMs =>
-            cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+            // max(): a legal LATE event (cross-batch, still >= watermark)
+            // with t < s.last must extend the session, not move its end —
+            // and thus its timer deadline — backwards
+            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+              sum = s.sum + e.value))
           case Some(s) =>
             closed += Session(key, s.start, s.last, s.n, s.sum)
             cur = Some(SessionState(t, t, 1, e.value))
@@ -225,7 +232,8 @@ object StreamingIngest {
             val t = e.ts.getTime
             cur match {
               case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                  sum = s.sum + e.value))
               case Some(s) =>
                 closed += Session(userId, s.start, s.last, s.n, s.sum)
                 cur = Some(SessionState(t, t, 1, e.value))

@@ -40,11 +40,14 @@ object CorpusPipeline {
       TextOps.normalize(col("text")).as("norm"))
       .withColumn("norm_hash", md5(col("norm").cast("binary")))
 
-    // 2. exact dedup: keep the min doc_id per normalized hash
+    // 2. exact dedup: keep the min doc_id per normalized hash. Cached: it
+    // feeds the pair build, the label join AND a stage count below —
+    // uncached, the normalize+window would re-run per consumer.
     val exactKept = normed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
+      .cache()
 
     // 3. near-dup: MinHash-LSH candidate pairs → verified Jaccard →
     //    connected components → keep the cluster representative
@@ -69,6 +72,7 @@ object CorpusPipeline {
       .join(broadcast(evalGrams), Seq("g"))
       .select(col("doc_id")).distinct()
     val clean = nearKept.join(contaminated, Seq("doc_id"), "left_anti")
+      .cache() // consumed by the quality filter AND its own stage count
 
     // 5. quality floor (map-only heuristics)
     val quality = clean
@@ -90,14 +94,22 @@ object CorpusPipeline {
     out.write.mode(SaveMode.Overwrite)
       .partitionBy("lang", "bin_block").parquet(outDir)
 
+    // stage stats read the cached stages (and the written files), not
+    // re-runs of the raw DAG; coalesce covers the everything-filtered case
+    // (sum over zero rows is NULL)
     val written = spark.read.parquet(outDir)
-    Stats(
+    try Stats(
       n_input = docs.count(),
       n_after_exact = exactKept.count(),
       n_after_near = nearKept.count(),
       n_after_decontam = clean.count(),
       n_after_quality = quality.count(),
       n_bins = written.select(col("lang"), col("bin")).distinct().count(),
-      total_tokens = written.agg(sum(col("tok"))).head.getLong(0))
+      total_tokens = written
+        .agg(coalesce(sum(col("tok")), lit(0L))).head.getLong(0))
+    finally {
+      exactKept.unpersist()
+      clean.unpersist()
+    }
   }
 }

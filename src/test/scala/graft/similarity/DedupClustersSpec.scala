@@ -29,6 +29,20 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got(4L) == 4L && got(9L) == 9L)
   }
 
+  test("edges through out-of-universe nodes are dropped identically on both paths") {
+    // (3,5),(3,6) with 3 outside the universe: neither path may union 5,6
+    // through the phantom node, and no emitted label may be a non-id
+    val ids = Seq(5L, 6L).toDF("id")
+    val pairs = Seq((3L, 5L), (3L, 6L)).toDF("id_a", "id_b")
+    val local = DedupClusters.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = DedupClusters
+      .connectedComponents(ids, pairs, localEdgeThreshold = -1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == Map(5L -> 5L, 6L -> 6L))
+    assert(dist == local)
+  }
+
   test("local union-find and distributed loop agree on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 60L

@@ -124,6 +124,29 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("late in-gap event does not move a session's end backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.Event]
+    def ev(id: Long, ms: Long, u: Long) =
+      StreamingIngest.Event(id, new java.sql.Timestamp(ms), u, "x", 1.0)
+    val sessions = StreamingIngest.sessionize(mem.toDS(), gapMs = 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("late_sess").start()
+    mem.addData(ev(1, 5000, 7))
+    q.processAllAvailable()
+    // a LATE but in-gap event from an earlier instant — must extend the
+    // session's count without dragging its end (and gap anchor) backwards
+    mem.addData(ev(2, 4600, 7))
+    q.processAllAvailable()
+    mem.addData(ev(3, 99000, 7)) // far future: closes the session
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, start_ts, end_ts, n_events FROM late_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    q.stop()
+    assert(rows.toSeq == Seq((7L, 5000L, 5000L, 2)), s"got ${rows.toSeq}")
+  }
+
   test("transformWithState event-time timer closes an idle session (no further key traffic)") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
