@@ -237,9 +237,15 @@ object GreenButton {
       .select(col("file"), col("idx").as("entryIdx"), col("title"))
       .join(entryRt, Seq("file", "entryIdx"), "left")
       .join(rtDecoded, Seq("file", "rt_idx"), "left")
-      .join(ltp1.select("file", "dstOffset", "tzOffset"), Seq("file"))
-      .join(dstBoundsMap, Seq("file"), "left")
-      .join(enova, Seq("file"), "left")
+      // per-FILE sides (one row per file) get explicit broadcast hints:
+      // AQE would usually pick broadcast anyway, but its empty-partition
+      // demotion heuristic can leave a sort-merge join on sparse inputs —
+      // these sides are one-row-per-file by construction, so the hint is
+      // always right
+      .join(broadcast(ltp1.select("file", "dstOffset", "tzOffset")),
+        Seq("file"))
+      .join(broadcast(dstBoundsMap), Seq("file"), "left")
+      .join(broadcast(enova), Seq("file"), "left")
 
     val qualityDict = broadcast(
       dictSlice(dict, "", "QualityOfReading", "_v_q", "quality_str"))
