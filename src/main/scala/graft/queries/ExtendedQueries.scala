@@ -89,6 +89,20 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Argmin/argmax aggregates: which row holds the extreme value. The
+    // ordering key packs (price_cents, orderkey, linenumber) into one
+    // exact BIGINT so ties can't exist and both engines pick the same row.
+    "q_arg_minmax" -> ((s, dir) => {
+      val ord = (round(col("l_extendedprice") * 100).cast("long") * 10000000L
+        + col("l_orderkey") * 8 + col("l_linenumber"))
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_orderkey"), ord).as("max_price_orderkey"),
+          min_by(col("l_orderkey"), ord).as("min_price_orderkey"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Prefix predicate + two-dimension star arm over the so-far-unused
     // part/supplier tables: startsWith pushes to the parquet scan as
     // StringStartsWith (asserted in PlanShapeSpec) — LIKE 'PROMO%' is a
@@ -379,6 +393,14 @@ object ExtendedQueries {
         |FROM events WHERE event_id < 2000
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)
         |ORDER BY event_id""".stripMargin,
+    "q_arg_minmax" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * 10000000 + l_orderkey * 8 + l_linenumber) AS max_price_orderkey,
+        |  arg_min(l_orderkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * 10000000 + l_orderkey * 8 + l_linenumber) AS min_price_orderkey,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_prefix_filter" ->
       """SELECT p_brand, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT s_nationkey) AS n_supp_nations,
