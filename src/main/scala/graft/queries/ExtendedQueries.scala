@@ -89,6 +89,16 @@ object ExtendedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): transitive chain roots over
+    // consecutive same-(lang,source) documents — iterative fixpoint
+    // expressed in pure SQL, ONE text shared verbatim with the DuckDB
+    // oracle. Runs are short (random corpus), so recursion depth is tiny;
+    // unbounded-depth graphs belong to DedupClusters' CC operators.
+    "q_recursive_cte" -> ((s, dir) => {
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(recursiveChainSql)
+    }),
+
     // Argmin/argmax aggregates: which row holds the extreme value. The
     // ordering key packs (price_cents, orderkey, linenumber) into one
     // exact BIGINT so ties can't exist and both engines pick the same row.
@@ -348,6 +358,24 @@ object ExtendedQueries {
     })
   )
 
+  /** One SQL text for both engines (Spark executes it AND it is the
+    * oracle): chain roots by recursive walk over doc_id adjacency within
+    * the same (lang, source). */
+  private val recursiveChainSql: String =
+    """WITH RECURSIVE linked AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN p.doc_id IS NULL THEN FALSE ELSE TRUE END AS link_prev
+      |  FROM documents d LEFT JOIN documents p
+      |    ON p.doc_id = d.doc_id - 1 AND p.lang = d.lang
+      |      AND p.source = d.source),
+      |r AS (
+      |  SELECT doc_id, doc_id AS root FROM linked WHERE NOT link_prev
+      |  UNION ALL
+      |  SELECT l.doc_id, r.root FROM linked l
+      |  JOIN r ON l.doc_id = r.doc_id + 1
+      |  WHERE l.link_prev)
+      |SELECT doc_id, root FROM r ORDER BY doc_id""".stripMargin
+
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   val oracleSql: Map[String, String] = Map(
@@ -393,6 +421,7 @@ object ExtendedQueries {
         |FROM events WHERE event_id < 2000
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)
         |ORDER BY event_id""".stripMargin,
+    "q_recursive_cte" -> recursiveChainSql,
     "q_arg_minmax" ->
       """SELECT l_returnflag,
         |  arg_max(l_orderkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT)
