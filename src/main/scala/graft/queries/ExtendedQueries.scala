@@ -99,6 +99,16 @@ object ExtendedQueries {
       s.sql(recursiveChainSql)
     }),
 
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
+    // customer's latest order — the top-1-per-key shape as a lateral join
+    // instead of a window (Spark decorrelates it to a join plan). One SQL
+    // text shared verbatim with the oracle.
+    "q_lateral_topn" -> ((s, dir) => {
+      load(s, dir, "customer").createOrReplaceTempView("customer")
+      load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(lateralTopnSql)
+    }),
+
     // Argmin/argmax aggregates: which row holds the extreme value. The
     // ordering key packs (price_cents, orderkey, linenumber) into one
     // exact BIGINT so ties can't exist and both engines pick the same row.
@@ -376,6 +386,18 @@ object ExtendedQueries {
       |  WHERE l.link_prev)
       |SELECT doc_id, root FROM r ORDER BY doc_id""".stripMargin
 
+  /** One SQL text for both engines: latest order per customer via a
+    * correlated LATERAL (deterministic tie-break on o_orderkey). */
+  private val lateralTopnSql: String =
+    """SELECT c_custkey, t.o_orderkey, t.latest_cents FROM customer,
+      |LATERAL (
+      |  SELECT o_orderkey,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS latest_cents
+      |  FROM orders WHERE o_custkey = c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+      |) t
+      |ORDER BY c_custkey""".stripMargin
+
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   val oracleSql: Map[String, String] = Map(
@@ -422,6 +444,7 @@ object ExtendedQueries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)
         |ORDER BY event_id""".stripMargin,
     "q_recursive_cte" -> recursiveChainSql,
+    "q_lateral_topn" -> lateralTopnSql,
     "q_arg_minmax" ->
       """SELECT l_returnflag,
         |  arg_max(l_orderkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT)
