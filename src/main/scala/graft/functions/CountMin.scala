@@ -42,7 +42,16 @@ case class CmsEstimate(left: Expression, right: Expression)
   // the serialized sketch is constant for the query (literal or scalar
   // subquery result) — deserialize once per task, not per row
   @transient private lazy val sketch: CountMinSketch = {
-    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    val bytes =
+      try left.eval(null).asInstanceOf[Array[Byte]]
+      catch {
+        case e: NullPointerException =>
+          // a per-row column reached eval(null) — name the contract
+          // instead of surfacing a bare NPE from deep inside codegen
+          throw new IllegalStateException(
+            s"$prettyName: the sketch argument must be query-constant " +
+              "(a literal or scalar subquery), not a per-row column", e)
+      }
     if (bytes == null) null
     else CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
   }

@@ -40,7 +40,11 @@ object SimHash64 {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = tokenHash(tokens.getUTF8String(i))
+      // null token votes with the xxhash64 SEED (42), exactly like the
+      // declarative fold (xxhash64 skips null children and returns the
+      // seed) — not an NPE
+      val s = tokens.getUTF8String(i)
+      val h = if (s == null) 42L else tokenHash(s)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

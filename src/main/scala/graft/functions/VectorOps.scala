@@ -25,6 +25,23 @@ case class DotProduct(left: Expression, right: Expression)
   // every input, not just well-formed ones.
   override def nullable: Boolean = true
 
+  // ARRAY<FLOAT> only: ArrayData.getFloat on an ARRAY<DOUBLE> would read 4
+  // of each element's 8 bytes and produce silent garbage similarities (the
+  // same hazard HyperplaneBucketsExpr guards against)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]

@@ -50,8 +50,12 @@ object AsOfJoin {
           lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
         struct(rightVals.map(col): _*).as("_r"): _*)
 
+    // _tie: without it, two right rows sharing (key, time) sort equal and
+    // last() attaches whichever the shuffle ordered later — nondeterminism
+    // across runs. xxhash64 of the value struct is data-derived, so the
+    // pick is stable run-to-run (and identical duplicates tie harmlessly).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), xxhash64(col("_r")))
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val withAsOf = taggedLeft.unionByName(taggedRight)

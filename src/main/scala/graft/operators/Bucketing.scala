@@ -18,7 +18,21 @@ object Bucketing {
       .saveAsTable(table)
 
   /** True when the physical plan of `df` contains no shuffle exchange —
-    * the property bucketed joins buy. */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    * the property bucketed joins buy. Walks the plan tree (including AQE
+    * stages) for ShuffleExchangeLike nodes rather than grepping one
+    * partitioning flavor out of the plan string: range/single-partition
+    * exchanges are shuffles too, and broadcast exchanges are not. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean =
+      p.isInstanceOf[ShuffleExchangeLike] ||
+        (p match {
+          case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+          case s: QueryStageExec => hasShuffle(s.plan)
+          case _ => p.children.exists(hasShuffle)
+        })
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 }

@@ -27,10 +27,15 @@ object RangeJoin {
     require(bucketWidth > 0)
     val pBucketed = points.withColumn("_bucket",
       floor(col(pointCol) / bucketWidth))
+    // upper bucket is floor(end/width), NOT floor((end-1)/width): the
+    // latter assumes integer-granularity values and silently misses points
+    // in (end-1, end) for fractional inputs (e.g. interval [1.0, 2.5),
+    // point 2.3). The one-bucket overshoot when end sits exactly on a
+    // boundary is removed by the exact predicate below.
     val iBucketed = intervals.withColumn("_bucket",
       explode(sequence(
         floor(col(startCol) / bucketWidth),
-        floor((col(endCol) - 1) / bucketWidth))))
+        floor(col(endCol) / bucketWidth))))
     pBucketed.join(iBucketed, Seq("_bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bucket")

@@ -127,10 +127,17 @@ object DedupClusters {
     // Convergence via the label-sum invariant: min-label propagation is
     // monotone non-increasing per node, so the total strictly decreases
     // exactly while something still changes — one cheap aggregate per
-    // round instead of a join against the previous labels. For
-    // non-numeric ids, fall back to a changed-count join.
-    val numeric = labels.schema("cluster").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // round instead of a join against the previous labels. INTEGRAL ids
+    // only: fractional ids cast to decimal(38,0) collide after rounding
+    // (0.01 and 0.30 both become 0), blinding the invariant and exiting
+    // before the fixpoint — every other type uses the changed-count join.
+    val numeric = labels.schema("cluster").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     var lastSum: java.math.BigDecimal = null
     var changed = 1L
     var iter = 0

@@ -33,7 +33,7 @@ object KMeans {
 
     for (_ <- 1 to iters) {
       val assigned = assign(corpus, centroids)
-      centroids = assigned
+      val updated = assigned
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
@@ -42,6 +42,14 @@ object KMeans {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
           transform(col("pm"), e => e.getField("m").cast("float")).as("centroid"))
+      // a centroid that won zero vectors emits no update row; keep its
+      // previous position instead of silently shrinking the codebook below
+      // k (callers size structures by k — PQ codes, IVF cells)
+      centroids = centroids
+        .select(col("centroid_id"), col("centroid").as("_prev"))
+        .join(updated, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("centroid"), col("_prev")).as("centroid"))
     }
     centroids
   }

@@ -61,6 +61,11 @@ object Similarity {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
                    minJaccard: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes): " +
+        "numBands > numHashes makes every band hash the empty slice " +
+        "(constant bucket -> all-pairs O(n^2) join), and a remainder " +
+        "silently ignores trailing signature slots")
     val rowsPerBand = numHashes / numBands
     val withShingles = df.select(
       col(idCol).as("id"),
@@ -82,11 +87,16 @@ object Similarity {
       col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sh").as("sh_b"))
+    // dedup candidate PAIRS before the exact jaccard: a pair colliding in
+    // all b bands would otherwise evaluate the full-array set arithmetic b
+    // times and only collapse afterwards (the shingle arrays ride along so
+    // the verify stays map-side — same pattern as lshTopK's candidates)
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= minJaccard)
   }
 

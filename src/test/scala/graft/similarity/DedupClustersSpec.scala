@@ -43,6 +43,18 @@ class DedupClustersSpec extends SparkTestBase {
     assert(dist == local)
   }
 
+  test("fractional ids converge on the distributed path (no decimal-collapsed invariant)") {
+    // regression: double ids all truncating to the same decimal(38,0)
+    // blinded the label-sum check and the loop exited before the fixpoint
+    val ids = (0 until 8).map(i => 0.01 * (i + 1)).toDF("id")
+    val pairs = (0 until 7)
+      .map(i => (0.01 * (i + 1), 0.01 * (i + 2))).toDF("id_a", "id_b")
+    val got = DedupClusters.connectedComponents(ids, pairs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // one chain: every node's cluster is the min id
+    got.foreach { case (_, c) => assert(math.abs(c - 0.01) < 1e-9) }
+  }
+
   test("local union-find and distributed loop agree on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 60L

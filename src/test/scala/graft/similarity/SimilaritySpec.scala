@@ -201,6 +201,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff.count() == 0)
   }
 
+  test("native SimHash64 matches the fold on arrays containing null tokens") {
+    // fold: xxhash64 skips null children and votes with the seed (42);
+    // the native kernel must do the same, not NPE
+    val df = Seq(Tuple1(Seq("a", null, "b"))).toDF("toks").repartition(2)
+    val row = df.select(
+      TextOps.simhash64(col("toks")).as("native"),
+      TextOps.simhash64Fold(col("toks")).as("fold")).head()
+    assert(row.getLong(0) == row.getLong(1))
+  }
+
+  test("minhashPairs rejects band counts that don't divide the signature") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Similarity.minhashPairs(df, "doc_id", "text",
+        numHashes = 32, numBands = 64)
+    }
+  }
+
+  test("DotProduct rejects ARRAY<DOUBLE> at analysis instead of reading garbage") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+    val e = intercept[Exception] {
+      df.select(graft.functions.DotProduct.dot_product(col("v"), col("v")))
+        .collect()
+    }
+    assert(e.getMessage.contains("ARRAY<FLOAT>") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("KMeans.fit keeps k centroids even when a cluster wins zero vectors") {
+    import spark.implicits._
+    // 2 distinct vectors among 3+ rows: one duplicate seed centroid loses
+    // every assignment (cosine ties break to the lower centroid_id)
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = KMeans.fit(corpus, k = 3, iters = 2)
+    assert(centroids.count() == 3)
+    assert(centroids.filter(col("centroid").isNull).count() == 0)
+  }
+
   test("maxBucketSize caps adversarial identical-text pileups") {
     val many = (0L until 30L).map(i => (i, base)).toDF("doc_id", "text")
     val uncapped = Similarity.minhashPairs(many, "doc_id", "text",
