@@ -23,12 +23,14 @@ object SparkEntry {
       graft.queries.OperatorQueries.queries ++
       graft.queries.TrainingDataQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.Round4Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.OperatorQueries.oracleSql ++
       graft.queries.TrainingDataQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.ExtendedQueries.oracleSql
+      graft.queries.ExtendedQueries.oracleSql ++
+      graft.queries.Round4Queries.oracleSql
 }

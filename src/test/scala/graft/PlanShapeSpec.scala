@@ -69,4 +69,28 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q_bloom_join")
     assert(p.contains("might_contain") || p.contains("bloom_filter"))
   }
+
+  test("q_exists_subquery: EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    // no per-row subquery execution — one pass over orders per predicate,
+    // planned as joins Catalyst can broadcast/shuffle like any other
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+  }
+
+  test("q_scalar_subquery: correlated scalars decorrelate to aggregate-then-join") {
+    // both scalar subqueries fold into pre-aggregated join sides; a
+    // correlated re-execution per customer row would show as a subquery
+    // node instead of plain joins
+    val p = plan("q_scalar_subquery")
+    assert(!p.contains("Subquery"), s"undecorrelated subquery in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_gap_fill: per-key spine explode, no cartesian calendar join") {
+    val p = plan("q_gap_fill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"calendar cross join in:\n$p")
+    assert(p.contains("Generate"), s"no explode in:\n$p")
+  }
 }
