@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.TrainingDataQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.Round4Queries.queries
+      graft.queries.Round4Queries.queries ++
+      graft.queries.Round5Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.TrainingDataQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.ExtendedQueries.oracleSql ++
-      graft.queries.Round4Queries.oracleSql
+      graft.queries.Round4Queries.oracleSql ++
+      graft.queries.Round5Queries.oracleSql
 }

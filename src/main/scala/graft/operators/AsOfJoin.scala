@@ -66,4 +66,29 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
         rightVals.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** As-of join with a maximum-staleness tolerance: like [[asOf]], but the
+    * match is dropped (nulled) when the matched right row is older than
+    * `tolerance` (in the same units as the two time columns) relative to
+    * the left time — the bounded-staleness point-in-time join (sensor
+    * fusion, market-data enrichment). Same ONE shuffle as [[asOf]]; the
+    * tolerance is a post-window per-row filter, so no extra pass over the
+    * data.
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    rightVals: Seq[String], tolerance: Long): DataFrame = {
+    val vals = if (rightVals.contains(rightTime)) rightVals
+               else rightVals :+ rightTime
+    // materialize the flag BEFORE nulling any asof_ column (one of them may
+    // be the right-time column itself)
+    val joined = asOf(left, right, keys, leftTime, rightTime, vals)
+      .withColumn("_fresh",
+        col(s"asof_$rightTime") >= col(leftTime) - lit(tolerance))
+    val filtered = rightVals.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(col("_fresh"), col(s"asof_$c")))
+    }.drop("_fresh")
+    if (rightVals.contains(rightTime)) filtered
+    else filtered.drop(s"asof_$rightTime")
+  }
 }
