@@ -4,6 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 object Bench {
+
+  /** Force FULL execution of the query — every column, every operator —
+    * via the no-op sink. A bare `count()` lets Catalyst prune: projections
+    * collapse, and an outer join against a unique-keyed side can be
+    * eliminated outright, so `count()` can time a fraction of the declared
+    * plan (observed: a join-elimination made one query "run" in 0.15s
+    * while its real work was ~2s). The noop sink consumes all rows and
+    * all columns and discards them — the honest wall-clock.
+    */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,14 +54,25 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
           new java.io.File(warmDir).isDirectory)
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-          try fn(spark, warmDir).count()
+          try exec(fn(spark, warmDir))
           catch { case _: Throwable => }
         }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the timed pass (iteration tool; the
+    // driver never sets it, so driver runs always time the full set).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must be LOUD: a swallowed exception reads as a
+      // suspiciously fast time and poisons the round's bench comparison
+      try exec(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -24,9 +24,15 @@ private[queries] object QueryShared {
     * staging write) instead of running tokenize+shingle twice.
     */
   def chainClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    // 64-bit gram ids (TextOps.ngramHashes), not gram strings: the arrays
+    // are checkpointed AND shipped through the pair join on both sides, so
+    // id arrays cut memory+shuffle ~3× and skip string building. The
+    // oracle thresholds jaccard at 0.005; id-set jaccard equals gram-set
+    // jaccard up to 64-bit collisions.
     val d = load(s, dir, "documents")
       .select(col("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+        array_distinct(TextOps.ngramHashes(TextOps.tokens(col("text")), 3))
+          .as("g"))
       .localCheckpoint(true)
     val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
     val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))

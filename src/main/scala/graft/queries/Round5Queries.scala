@@ -197,20 +197,40 @@ object Round5Queries {
     // Cross-document EXACT n-gram dedup coverage — the inverted-index
     // formulation of substring-level dedup (Lee et al. "Deduplicating
     // Training Data Makes Language Models Better"): per doc, how many of
-    // its distinct 5-grams appear in ≥2 docs. gram→doc is the index build
-    // (one shuffle on gram); at 100TB you'd hash grams to 64-bit ids
-    // before the shuffle (8 bytes vs ~40-char strings) — here strings keep
-    // the oracle exact.
+    // its distinct 5-grams appear in ≥2 docs. Grams are hashed to 64-bit
+    // BEFORE the two shuffles (index build + count join-back): 8 bytes on
+    // the wire instead of ~40-char strings — at 100TB that is the
+    // difference between shuffling the corpus and shuffling 2% of it.
+    // (xxhash64 collisions can in principle merge two grams; at 2^-64 per
+    // pair that is ~1e-7 across a trillion-gram corpus — the standard
+    // trade every production substring-dedup makes.)
     "d_dedup_ngram_cross" -> ((s, dir) => {
-      val grams = load(s, dir, "documents")
+      // materialize the per-doc gram-id arrays ONCE: three plan branches
+      // consume them (dup-set build, shared-count semi join, n_grams), and
+      // without staging each branch would re-run tokenize+hash over the
+      // corpus (the 100TB analog is a staging write, as in
+      // QueryShared.chainClusterLabels)
+      val docs = load(s, dir, "documents")
         .select(col("doc_id"),
-          explode(array_distinct(
-            TextOps.shingles(TextOps.tokens(col("text")), 5))).as("g"))
-      val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
-      grams.join(counts, "g")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+          array_distinct(TextOps.ngramHashes(TextOps.tokens(col("text")), 5))
+            .as("garr"))
+        .localCheckpoint(true)
+      val grams = docs.select(col("doc_id"), explode(col("garr")).as("g"))
+      // Only grams in ≥2 docs matter downstream, and that set is a small
+      // fraction of all distinct grams in any remotely-deduped corpus —
+      // so instead of joining the full gram table back to per-gram counts
+      // (a second full-size shuffle), broadcast the dup set and semi-join.
+      // ONE corpus-sized shuffle total (the count groupBy); n_grams never
+      // leaves the map side. If the dup set outgrows broadcast range at
+      // extreme dup rates, fall back to the plain join-back — same answer.
+      val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1).select(col("g"))
+      val shared = grams.join(broadcast(dup), Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      docs.select(col("doc_id"), size(col("garr")).cast("long").as("n_grams"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
         .orderBy(col("doc_id"))
     }),
 

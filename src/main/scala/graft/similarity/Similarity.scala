@@ -27,10 +27,22 @@ object Similarity {
   // ------------------------------------------------------------- MinHash
 
   /** k minhash values over a shingle array: sig[i] = min over shingles of
-    * xxhash64(i, shingle). Map-only, codegen'd. */
+    * xxhash64(i, shingle). Map-only, codegen'd.
+    *
+    * ONE pass over the shingles (aggregate carrying a k-slot min array),
+    * NOT `transform(0..k-1, i => array_min(transform(sh, ...)))`: there the
+    * shingle column sits inside the outer lambda, and after Catalyst
+    * collapses projections the whole upstream subtree (tokenize + shingle
+    * hash) re-evaluates once PER SLOT — ×k the corpus scan work (measured
+    * ~10× end-to-end on minhashPairs). Same trap as TextOps.shingles'
+    * scaladoc; HOF *inputs* evaluate once per row, lambda *bodies* once per
+    * element. Empty input ⇒ all slots Long.MaxValue (callers filter empty
+    * shingle sets first). */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(i, s))))
+    aggregate(shinglesCol,
+      transform(sequence(lit(0), lit(k - 1)), _ => lit(Long.MaxValue)),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, xxhash64(i, s))))
 
   /** Explode a signature into (band_idx, band_hash) rows for LSH bucketing:
     * rowsPerBand consecutive signature slots hash into one bucket key. */
@@ -41,7 +53,8 @@ object Similarity {
           (0 until rowsPerBand).map(r =>
             element_at(sig, b * rowsPerBand + r + 1)): _*)).as("bucket")))
 
-  /** Exact Jaccard similarity of two string arrays (set semantics). */
+  /** Exact Jaccard similarity of two arrays (set semantics; any element
+    * type — string grams or 64-bit gram ids). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
@@ -67,12 +80,24 @@ object Similarity {
         "(constant bucket -> all-pairs O(n^2) join), and a remainder " +
         "silently ignores trailing signature slots")
     val rowsPerBand = numHashes / numBands
+    // 64-bit shingle ids, not strings (TextOps.ngramHashes): the shingle
+    // arrays ride through the band shuffle on BOTH sides of the pair join,
+    // so 8-byte ids vs ~25-char strings is a ~3× cut in shuffle bytes, and
+    // no gram string is ever built. Set-Jaccard over ids equals Jaccard
+    // over grams up to 64-bit collisions.
     val withShingles = df.select(
       col(idCol).as("id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      array_distinct(TextOps.ngramHashes(TextOps.tokens(col(textCol)),
+        shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // materialize (id, sh, sig) BEFORE banding: bands() reads the signature
+    // via element_at inside per-band lambdas, so an unmaterialized sig
+    // would re-run the whole signature computation once per band slot
+    // after projection collapse. O(corpus) staging — the 100TB analog is a
+    // staging write between the two jobs.
     val sigs = withShingles.withColumn("sig",
       minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(true)
     var banded = sigs.select(col("id"), col("sh"),
       explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.bucket"))

@@ -44,6 +44,22 @@ object TextOps {
     when(size(toks) < n, array().cast("array<string>")).otherwise(joined)
   }
 
+  /** 64-bit n-gram ids without materializing gram strings: xxhash64 each
+    * token once, then fold n shifted hash slices through xxhash64(acc, h)
+    * (same zip_with ladder as [[shingles]]; xxhash64 of two longs is a
+    * proper mix AND overflow-free under ANSI mode — a raw `*prime + h`
+    * polynomial throws ARITHMETIC_OVERFLOW there). Equality of ids ≡
+    * equality of grams up to 64-bit collisions (~2⁻⁶⁴ per pair) — the
+    * trade every production substring-dedup makes; pure integer math on
+    * the map side and 8-byte shuffle keys instead of gram strings. */
+  def ngramHashes(toks: Column, n: Int): Column = {
+    val th = transform(toks, t => xxhash64(t))
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(th, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), m), (x, y) => xxhash64(x, y))
+    }
+  }
+
   /** Quality score in [0,1] from length/punctuation/stopword ratios — the
     * standard cheap heuristics, all per-row arithmetic (deterministic across
     * engines; oracle-friendly). */

@@ -175,6 +175,25 @@ class Round5Spec extends SparkTestBase {
 
   // ------------------------------------------------------------ ngram dup
 
+  test("ngramHashes coverage counts equal the string-shingle formulation " +
+      "on real documents") {
+    def coverage(gramCol: org.apache.spark.sql.Column) = {
+      val grams = load(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(array_distinct(gramCol)).as("g"))
+      val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+      grams.join(counts, "g").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    }
+    val toks = graft.text.TextOps.tokens(col("text"))
+    val byHash = coverage(graft.text.TextOps.ngramHashes(toks, 5))
+    val byString = coverage(graft.text.TextOps.shingles(toks, 5))
+    assert(byHash == byString,
+      "64-bit gram ids must reproduce exact string-gram coverage")
+  }
+
   test("d_dedup_ngram_cross flags planted duplicate documents") {
     // two identical docs + one unique: all grams of the twins are shared,
     // the unique doc shares none
@@ -184,7 +203,7 @@ class Round5Spec extends SparkTestBase {
       (3L, "one two three four five six seven")
     ).toDF("doc_id", "text").repartition(2)
     val grams = docs.select(col("doc_id"),
-      explode(array_distinct(graft.text.TextOps.shingles(
+      explode(array_distinct(graft.text.TextOps.ngramHashes(
         graft.text.TextOps.tokens(col("text")), 5))).as("g"))
     val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
     val got = grams.join(counts, "g").groupBy(col("doc_id"))
