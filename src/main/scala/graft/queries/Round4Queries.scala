@@ -98,15 +98,24 @@ object Round4Queries {
     // fidelity check (4× smaller than float32 before PQ). All math in
     // DOUBLE in array order on both engines, integer-ized per row.
     "e_quantize_int8" -> ((s, dir) => {
-      val vmin = array_min(col("embedding")).cast("double")
-      val vmax = array_max(col("embedding")).cast("double")
+      // vmin/vmax must be ATTRIBUTES when the reconstruction-error lambda
+      // reads them: higher-order lambdas re-evaluate embedded subtrees once
+      // per ELEMENT, so an inlined array_min turns the transform into
+      // O(d²) per row (projection collapse undoes a plain select — the
+      // checkpoint is the barrier). ~2× on this query at sf0.1.
+      val pre = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          array_min(col("embedding")).cast("double").as("vmin"),
+          array_max(col("embedding")).cast("double").as("vmax"))
+        .localCheckpoint(true)
+      val vmin = col("vmin")
+      val vmax = col("vmax")
       val scale = (vmax - vmin) / 255d
       val err = array_max(transform(col("embedding"), x => {
         val xd = x.cast("double")
         abs(xd - (vmin + round((xd - vmin) / scale) * scale))
       }))
-      load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
+      pre.select(col("vec_id"), col("label"),
           size(col("embedding")).cast("long").as("n_dims"),
           round(vmin * 1e6).cast("long").as("vmin_e6"),
           round(vmax * 1e6).cast("long").as("vmax_e6"),

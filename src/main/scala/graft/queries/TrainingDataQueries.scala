@@ -129,9 +129,15 @@ object TrainingDataQueries {
     // n-gram Jaccard between consecutive doc ids — linear pair set, exact
     // set arithmetic, portable to DuckDB.
     "d_ngram_jaccard" -> ((s, dir) => {
+      // 64-bit gram ids + one materialization feeding both join sides
+      // (same staging convention as QueryShared.chainClusterLabels); the
+      // rounded jaccard equals the string-gram value up to 2^-64 id
+      // collisions
       val d = load(s, dir, "documents")
         .select(col("doc_id"),
-          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+          array_distinct(TextOps.ngramHashes(TextOps.tokens(col("text")), 3))
+            .as("g"))
+        .localCheckpoint(true)
       val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
       val b = d.select((col("doc_id") - 1).as("id_a"), col("g").as("g_b"))
       a.join(b, Seq("id_a"))
@@ -232,8 +238,10 @@ object TrainingDataQueries {
     // pre-training decontamination shape at any corpus size.
     "d_decontaminate" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
+      // 64-bit 8-gram ids both sides — no gram strings built or broadcast;
+      // overlap counts equal string-gram counts up to 2^-64 collisions
       def grams(c: org.apache.spark.sql.Column) =
-        array_distinct(TextOps.shingles(TextOps.tokens(c), 8))
+        array_distinct(TextOps.ngramHashes(TextOps.tokens(c), 8))
       val bench = docs.filter(col("doc_id") < 5)
         .select(explode(grams(col("text"))).as("g")).distinct()
       val hits = docs
