@@ -94,9 +94,85 @@ object StreamingIngest {
         col("e_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[purchaseErrorJoin]],
+    * but purchases with no error in the lookback window still emit — with
+    * null error columns — once the watermark passes the point where a
+    * match could still arrive. The outer side is exactly why the time
+    * bound + watermarks are mandatory here: without them Spark could never
+    * declare "no match will come" and the unmatched rows would be held
+    * forever. */
+  def purchaseErrorLeftJoin(purchases: DataFrame, errors: DataFrame,
+                            watermark: String, lookback: String): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("value").as("e_value"))
+    p.join(e, col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("e_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("e_ts"),
+        col("e_value"))
+  }
+
+  /** ENGINE-NATIVE streaming sessionization: `session_window` aggregation
+    * with a watermark — Spark merges per-key windows that start within
+    * `gap` of each other and emits a session once the watermark passes its
+    * end + gap. The declarative twin of [[sessionizeWithTimers]]: no
+    * user-managed state or timers, and the state store holds merged window
+    * ranges, not events. Append mode output. */
+  def sessionWindowStream(events: DataFrame, gap: String,
+                          watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user event-type distribution on `transformWithState` MAP state
+    * (state-v2's keyed sub-collections): one `MapState[String, Long]` per
+    * user, point-updated per event — the store reads/writes only the
+    * touched sub-keys, NOT a serialized blob of the whole map (the
+    * ValueState[Map] anti-pattern, which rewrites the full map per event
+    * and O(n²)s on wide keys). Update mode: re-emits the touched types. */
+  class TypeCountProcessor
+      extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Per-user per-type running counts (Update mode, MapState-backed). */
+  def eventTypeCounts(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update(), Encoders.product[TypeCount])
+  }
 
   /** Per-user running totals via `transformWithState` (Spark 4's arbitrary
     * stateful operator v2): typed `ValueState` keyed by user, updated per

@@ -184,6 +184,93 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched purchases " +
+      "with nulls after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val p = purchases.toDF().toDF("event_id", "ts", "user_id")
+    val e = errors.toDF().toDF("user_id", "ts", "value")
+    val joined = StreamingIngest.purchaseErrorLeftJoin(p, e,
+      watermark = "10 minutes", lookback = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssoj_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // user 7 has a recent error → matched row; user 8 has none → null row
+    errors.addData((7L, t(5), 1.5))
+    purchases.addData((100L, t(20), 7L), (101L, t(21), 8L))
+    q.processAllAvailable()
+    // push both watermarks far past 10:21+30m so the unmatched row flushes
+    purchases.addData((999L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 99L))
+    errors.addData((98L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT p_id, user_id, e_value FROM ssoj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    q.stop()
+    assert(rows.contains((100L, 7L, Some(1.5))), s"matched row missing: $rows")
+    assert(rows.contains((101L, 8L, None)), s"null-padded row missing: $rows")
+  }
+
+  test("native session_window streaming aggregation merges and closes " +
+      "sessions by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.Event]
+    def ev(id: Long, sec: Int, u: Long, v: Double) =
+      StreamingIngest.Event(id,
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), u, "x", v)
+    val sessions = StreamingIngest.sessionWindowStream(mem.toDF(),
+      gap = "5 seconds", watermark = "2 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("swin_out").start()
+    // user 7: events at :00, :03 (merge), then :30 (new session)
+    mem.addData(ev(1, 0, 7, 1.0), ev(2, 3, 7, 2.0), ev(3, 30, 7, 4.0))
+    q.processAllAvailable()
+    // advance the watermark far past :30+5s to close everything
+    mem.addData(ev(9, 50, 99, 0.0))
+    q.processAllAvailable()
+    mem.addData(ev(10, 55, 99, 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, n_events, sum_value FROM swin_out WHERE user_id = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows == Set((7L, 2L, 3.0), (7L, 1L, 4.0)), s"got $rows")
+  }
+
+  test("transformWithState MapState counts per-user event types across " +
+      "micro-batches (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamingIngest.Event]
+      def ev(id: Long, u: Long, tp: String) =
+        StreamingIngest.Event(id, new java.sql.Timestamp(id), u, tp, 1.0)
+      val counts = StreamingIngest.eventTypeCounts(mem.toDS())
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName("mapstate_out").start()
+      mem.addData(ev(1, 7, "view"), ev(2, 7, "view"), ev(3, 7, "click"))
+      q.processAllAvailable()
+      mem.addData(ev(4, 7, "view"), ev(5, 8, "click"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, event_type, n FROM mapstate_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      q.stop()
+      // batch 1: (7,view,2), (7,click,1); batch 2 proves the MAP entries
+      // persisted independently: (7,view,3) without re-emitting click,
+      // plus (8,click,1)
+      assert(rows.toSet == Set((7L, "view", 2L), (7L, "click", 1L),
+        (7L, "view", 3L), (8L, "click", 1L)), s"got ${rows.toSet}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
