@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.Round4Queries.queries ++
-      graft.queries.Round5Queries.queries
+      graft.queries.Round5Queries.queries ++
+      graft.queries.Round6Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.ExtendedQueries.oracleSql ++
       graft.queries.Round4Queries.oracleSql ++
-      graft.queries.Round5Queries.oracleSql
+      graft.queries.Round5Queries.oracleSql ++
+      graft.queries.Round6Queries.oracleSql
 }

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Round-6 surface widening — remaining SQL-surface families:
+  *
+  *   - distinct-count window annotation (Spark lacks DISTINCT window aggs;
+  *     the collect_set-over-window emulation is the standard idiom)
+  *   - bitwise + boolean aggregates (bit_and/or/xor, bool_and/or)
+  *   - ratio-to-report window (share of the partition total, integer ppm)
+  *   - map-typed columns end to end: build (map_from_entries) → transform
+  *     (map_filter) → relationalize (explode) — maps stay INSIDE the plan,
+  *     the output is plain rows both engines agree on
+  *   - error-safe arithmetic (try_divide / try_cast: NULL, not exceptions,
+  *     under ANSI semantics — the batch-pipeline-survives-bad-rows story)
+  */
+object Round6Queries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Distinct event-type count as a per-row window annotation. Spark has
+    // no COUNT(DISTINCT) OVER — size(collect_set() over w) is the
+    // emulation (state = the small per-key distinct set, NOT the row
+    // buffer; fine whenever the distinct domain is bounded, as here with 5
+    // event types). Oracle phrases it as aggregate-then-join.
+    "q_window_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          size(collect_set(col("event_type")).over(w)).cast("long")
+            .as("nd_types"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Bitwise AND/OR/XOR + boolean aggregates per group — flag-mask
+    // consolidation (permissions, feature bitmaps) and all/any predicates,
+    // all map-side-combinable two-phase aggs.
+    "q_bit_agg" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(
+          bit_and(col("cents")).as("mask_and"),
+          bit_or(col("cents")).as("mask_or"),
+          bit_xor(col("cents")).as("mask_xor"),
+          bool_and(col("cents") >= 0).as("all_nonneg"),
+          bool_or(col("event_type") === "error").as("any_error"),
+          count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Ratio-to-report: each event's share of its user's total, in integer
+    // parts-per-million (cents*1e6 div total — exact on both engines, no
+    // float division). One shuffle; the window total and the final rows
+    // share the user partitioning.
+    "q_ratio_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("total", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"),
+          when(col("total") =!= 0,
+            expr("(cents * 1000000) div total")).otherwise(0L)
+            .as("share_ppm"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Map-typed column lifecycle: per-user map(event_type → cents sum)
+    // built with map_from_entries, thresholded with map_filter (map HOF),
+    // relationalized back with explode. The map never reaches the output
+    // schema — both engines compare plain rows.
+    "q_map_ops" -> ((s, dir) => {
+      val perType = load(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(sum(col("value") * 100)).cast("long").as("cents"))
+      val m = perType
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("cents")))))
+          .as("by_type"))
+        .select(col("user_id"),
+          map_filter(col("by_type"), (_, v) => v >= 100000L).as("big"))
+      m.select(col("user_id"), explode(col("big")).as(Seq("event_type", "cents")))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Error-safe arithmetic: try_divide and try_cast return NULL where
+    // ANSI mode would throw (division by zero, malformed casts) — the
+    // survive-bad-rows contract a 100TB batch pipeline needs (one poison
+    // row must not kill a 6-hour job). NULLs coalesced to sentinels so
+    // both engines hash identical typed values.
+    "q_try_arith" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("s",
+          when(col("event_id") % 10 === 0, concat(lit("x"), col("event_id")))
+            .otherwise(col("event_id").cast("string")))
+        .select(col("event_id"),
+          coalesce(expr("try_divide(cents, user_id % 7)"), lit(-1.0))
+            .as("div7"),
+          coalesce(expr("try_cast(s AS BIGINT)"), lit(-1L)).as("parsed"))
+        .select(col("event_id"),
+          round(col("div7") * 1e6).cast("long").as("div7_e6"),
+          col("parsed"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_distinct" ->
+      """SELECT e.event_id, e.user_id, u.nd_types
+        |FROM events e JOIN (
+        |  SELECT user_id, COUNT(DISTINCT event_type) AS nd_types
+        |  FROM events GROUP BY 1) u USING(user_id)
+        |ORDER BY e.event_id""".stripMargin,
+    "q_bit_agg" ->
+      """SELECT user_id % 10 AS bucket,
+        |  CAST(bit_and(cents) AS BIGINT) AS mask_and,
+        |  CAST(bit_or(cents) AS BIGINT) AS mask_or,
+        |  CAST(bit_xor(cents) AS BIGINT) AS mask_xor,
+        |  bool_and(cents >= 0) AS all_nonneg,
+        |  bool_or(event_type = 'error') AS any_error,
+        |  COUNT(*) AS n
+        |FROM (SELECT user_id, event_type,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ratio_report" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (
+        |  SELECT event_id, user_id, cents,
+        |    SUM(cents) OVER (PARTITION BY user_id) AS total
+        |  FROM c)
+        |SELECT event_id, user_id,
+        |  CASE WHEN total <> 0
+        |       THEN CAST((cents * 1000000) // total AS BIGINT)
+        |       ELSE 0 END AS share_ppm
+        |FROM t ORDER BY event_id""".stripMargin,
+    "q_map_ops" ->
+      """SELECT user_id, event_type,
+        |  CAST(ROUND(SUM(value * 100)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2
+        |HAVING CAST(ROUND(SUM(value * 100)) AS BIGINT) >= 100000
+        |ORDER BY 1, 2""".stripMargin,
+    "q_try_arith" ->
+      """SELECT event_id,
+        |  CAST(ROUND(COALESCE(
+        |    CAST(ROUND(value * 100) AS BIGINT) / NULLIF(user_id % 7, 0),
+        |    -1.0) * 1e6) AS BIGINT) AS div7_e6,
+        |  COALESCE(TRY_CAST(
+        |    CASE WHEN event_id % 10 = 0 THEN 'x' || event_id
+        |         ELSE CAST(event_id AS VARCHAR) END AS BIGINT), -1)
+        |    AS parsed
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

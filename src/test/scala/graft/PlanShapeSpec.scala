@@ -93,4 +93,37 @@ class PlanShapeSpec extends SparkTestBase {
       s"calendar cross join in:\n$p")
     assert(p.contains("Generate"), s"no explode in:\n$p")
   }
+
+  test("q_funnel: ONE data shuffle (the per-user fold), not k staged join passes") {
+    // the sort+fold funnel's whole point: exactly one exchange over the
+    // events (plus the single-partition exchange for the final ORDER BY of
+    // 5 stage rows). k self-joins would show k+ exchanges.
+    val p = plan("q_funnel")
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 2,
+      s"expected exactly 2 hash exchanges (user fold + stage agg), got:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"funnel must not plan joins:\n$p")
+  }
+
+  test("q_interval_merge + d_scd2: both windows and the final agg reuse ONE user shuffle") {
+    for (q <- Seq("q_interval_merge", "d_scd2")) {
+      val p = plan(q)
+      val hashEx = "Exchange hashpartitioning\\(([^,]+)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(hashEx.size == 1,
+        s"$q: expected one hash exchange (user_id), got $hashEx in:\n$p")
+    }
+  }
+
+  test("d_dedup_ngram_cross: dup-set probe is a broadcast semi join, not a second corpus shuffle") {
+    val p = plan("d_dedup_ngram_cross")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"no broadcast semi probe in:\n$p")
+  }
+
+  test("d_winsorize: per-lang bounds re-attach by broadcast (doc table never re-shuffles)") {
+    assert(plan("d_winsorize").contains("BroadcastHashJoin"))
+  }
 }
