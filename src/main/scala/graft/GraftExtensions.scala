@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.cmsEstimateDescriptor)
+    ext.injectFunction(GraftExtensions.ngramHashesDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
   }
@@ -40,5 +42,33 @@ object GraftExtensions {
       require(children.length == 2,
         s"cms_estimate(sketch, key) takes 2 arguments, got ${children.length}")
       graft.functions.CmsEstimate(children(0), children(1))
+    })
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: size argument must be an INT literal, got $other")
+  }
+
+  val ngramHashesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_hashes"),
+    new ExpressionInfo(classOf[graft.functions.NgramHash].getName,
+      "ngram_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"ngram_hashes(tokens, n) takes 2 arguments, got ${children.length}")
+      graft.functions.NgramHash(children(0), litInt(children(1), "ngram_hashes"))
+    })
+
+  val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[graft.functions.MinHashSig].getName,
+      "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"minhash_sig(gram_ids, k) takes 2 arguments, got ${children.length}")
+      graft.functions.MinHashSig(children(0), litInt(children(1), "minhash_sig"))
     })
 }

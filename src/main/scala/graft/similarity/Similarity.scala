@@ -26,19 +26,25 @@ object Similarity {
 
   // ------------------------------------------------------------- MinHash
 
-  /** k minhash values over a shingle array: sig[i] = min over shingles of
-    * xxhash64(i, shingle). Map-only, codegen'd.
-    *
-    * ONE pass over the shingles (aggregate carrying a k-slot min array),
-    * NOT `transform(0..k-1, i => array_min(transform(sh, ...)))`: there the
+  /** k minhash values over a 64-bit gram-id array: sig[i] = min over grams
+    * of xxhash64(i, gram). Map-only. Delegates to the native codegen'd
+    * kernel ([[graft.functions.MinHashSig]] — one tight loop per row);
+    * [[minhashSignatureFold]] is the declarative reference semantics
+    * (bit-identical, asserted in SimilaritySpec). Empty input ⇒ all slots
+    * Long.MaxValue (callers filter empty shingle sets first). */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    graft.functions.MinHashSig.minhash_sig(shinglesCol, k)
+
+  /** Declarative fold form of [[minhashSignature]]: ONE pass over the
+    * grams (aggregate carrying a k-slot min array), NOT
+    * `transform(0..k-1, i => array_min(transform(sh, ...)))` — there the
     * shingle column sits inside the outer lambda, and after Catalyst
     * collapses projections the whole upstream subtree (tokenize + shingle
-    * hash) re-evaluates once PER SLOT — ×k the corpus scan work (measured
+    * hash) re-evaluates once PER SLOT, ×k the corpus scan work (measured
     * ~10× end-to-end on minhashPairs). Same trap as TextOps.shingles'
-    * scaladoc; HOF *inputs* evaluate once per row, lambda *bodies* once per
-    * element. Empty input ⇒ all slots Long.MaxValue (callers filter empty
-    * shingle sets first). */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    * scaladoc: HOF *inputs* evaluate once per row, lambda *bodies* once
+    * per element. */
+  private[graft] def minhashSignatureFold(shinglesCol: Column, k: Int): Column =
     aggregate(shinglesCol,
       transform(sequence(lit(0), lit(k - 1)), _ => lit(Long.MaxValue)),
       (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),

@@ -45,14 +45,23 @@ object TextOps {
   }
 
   /** 64-bit n-gram ids without materializing gram strings: xxhash64 each
-    * token once, then fold n shifted hash slices through xxhash64(acc, h)
-    * (same zip_with ladder as [[shingles]]; xxhash64 of two longs is a
-    * proper mix AND overflow-free under ANSI mode — a raw `*prime + h`
-    * polynomial throws ARITHMETIC_OVERFLOW there). Equality of ids ≡
-    * equality of grams up to 64-bit collisions (~2⁻⁶⁴ per pair) — the
-    * trade every production substring-dedup makes; pure integer math on
-    * the map side and 8-byte shuffle keys instead of gram strings. */
-  def ngramHashes(toks: Column, n: Int): Column = {
+    * token once, then fold n shifted hash slices through xxhash64(acc, h).
+    * Equality of ids ≡ equality of grams up to 64-bit collisions (~2⁻⁶⁴
+    * per pair) — the trade every production substring-dedup makes; pure
+    * integer math on the map side and 8-byte shuffle keys instead of gram
+    * strings. Delegates to the native codegen'd kernel
+    * ([[graft.functions.NgramHash]]); [[ngramHashesFold]] is the
+    * declarative reference semantics (bit-identical, asserted in
+    * SimilaritySpec). */
+  def ngramHashes(toks: Column, n: Int): Column =
+    graft.functions.NgramHash.ngram_hashes(toks, n)
+
+  /** Declarative fold form of [[ngramHashes]] — the portable definition of
+    * record (zip_with ladder over shifted slices, same shape as
+    * [[shingles]]; xxhash64(acc, h) is a proper mix AND overflow-free
+    * under ANSI mode — a raw `*prime + h` polynomial throws
+    * ARITHMETIC_OVERFLOW there). */
+  private[graft] def ngramHashesFold(toks: Column, n: Int): Column = {
     val th = transform(toks, t => xxhash64(t))
     val m = greatest(size(toks) - (n - 1), lit(0))
     (1 until n).foldLeft(slice(th, lit(1), m)) { (acc, j) =>

@@ -1,7 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.functions._
-import graft.SparkTestBase
+import graft.{GraftExtensions, SparkTestBase}
 import graft.text.TextOps
 
 class SimilaritySpec extends SparkTestBase {
@@ -209,6 +209,79 @@ class SimilaritySpec extends SparkTestBase {
       TextOps.simhash64(col("toks")).as("native"),
       TextOps.simhash64Fold(col("toks")).as("fold")).head()
     assert(row.getLong(0) == row.getLong(1))
+  }
+
+  test("native NgramHash is bit-identical to the declarative fold on real docs") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(200)
+    for (n <- Seq(1, 3, 8)) {
+      val diff = docs.select(
+        TextOps.ngramHashes(TextOps.tokens(col("text")), n).as("native"),
+        TextOps.ngramHashesFold(TextOps.tokens(col("text")), n).as("fold"))
+        .filter(not(col("native") === col("fold")))
+      assert(diff.count() == 0, s"ngram mismatch at n=$n")
+    }
+  }
+
+  test("native NgramHash edge cases: short arrays, null tokens") {
+    val df = Seq(
+      Tuple1(Seq[String]()),            // empty
+      Tuple1(Seq("a", "b")),            // shorter than n → empty output
+      Tuple1(Seq("a", null, "b", "c"))  // null hashes as the seed, like fold
+    ).toDF("toks").repartition(2)
+    val rows = df.select(
+      TextOps.ngramHashes(col("toks"), 3).as("native"),
+      TextOps.ngramHashesFold(col("toks"), 3).as("fold")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch: $r")
+    }
+    assert(rows(0).getSeq[Long](0).isEmpty || rows.exists(_.getSeq[Long](0).isEmpty))
+  }
+
+  test("native MinHashSig is bit-identical to the declarative fold " +
+      "(incl. empty input => MaxValue slots)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(200)
+    val grams = docs.select(
+      TextOps.ngramHashes(TextOps.tokens(col("text")), 3).as("g"))
+    val diff = grams.select(
+      Similarity.minhashSignature(col("g"), 32).as("native"),
+      Similarity.minhashSignatureFold(col("g"), 32).as("fold"))
+      .filter(not(col("native") === col("fold")))
+    assert(diff.count() == 0)
+    val empty = Seq(Tuple1(Seq[Long]())).toDF("g").repartition(2)
+      .select(Similarity.minhashSignature(col("g"), 4).as("native"),
+        Similarity.minhashSignatureFold(col("g"), 4).as("fold")).head()
+    assert(empty.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+    assert(empty.getSeq[Long](0) == empty.getSeq[Long](1))
+  }
+
+  test("NgramHash/MinHashSig reject wrong element types at analysis") {
+    val longs = Seq(Tuple1(Seq(1L, 2L))).toDF("v")
+    val e1 = intercept[Exception] {
+      longs.select(TextOps.ngramHashes(col("v"), 2)).collect()
+    }
+    assert(e1.getMessage.contains("ARRAY<STRING>") ||
+      e1.getMessage.toLowerCase.contains("data type mismatch"))
+    val strs = Seq(Tuple1(Seq("a", "b"))).toDF("v")
+    val e2 = intercept[Exception] {
+      strs.select(Similarity.minhashSignature(col("v"), 2)).collect()
+    }
+    assert(e2.getMessage.contains("ARRAY<BIGINT>") ||
+      e2.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("minhash_sig and ngram_hashes are callable from SQL via GraftExtensions") {
+    val fr = spark.sessionState.functionRegistry
+    Seq(GraftExtensions.ngramHashesDescriptor, GraftExtensions.minhashSigDescriptor)
+      .foreach { case (id, info, builder) =>
+        if (!fr.functionExists(id)) fr.registerFunction(id, info, builder)
+      }
+    graft.Tables.load(spark, sfDir, "documents").limit(5)
+      .createOrReplaceTempView("ngram_sql_docs")
+    val rows = spark.sql(
+      """SELECT minhash_sig(ngram_hashes(
+        |  regexp_extract_all(lower(text), '[a-z0-9]+', 0), 3), 8) AS sig
+        |FROM ngram_sql_docs""".stripMargin).collect()
+    assert(rows.nonEmpty && rows.forall(_.getSeq[Long](0).length == 8))
   }
 
   test("minhashPairs rejects band counts that don't divide the signature") {
