@@ -90,6 +90,48 @@ object Round6Queries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // VARIANT semi-structured path (Spark 4): parse_json once into a
+    // variant column, extract typed fields with variant_get — the
+    // schema-on-read shape for heterogeneous JSON at scale (binary-encoded
+    // variant beats per-query string re-parsing, and field extraction
+    // prunes like any column). Output is plain typed rows.
+    "q_variant" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_id"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_bucket"))
+    }),
+
+    // Ordered string aggregation (Spark 4 listagg WITHIN GROUP): the
+    // deterministic concat-per-group shape (report rows, label lists).
+    "q_listagg" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .groupBy(col("o_custkey"))
+        .agg(expr(
+          "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderkey)")
+          .as("statuses"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Keyset-free pagination: global ORDER BY + OFFSET/LIMIT. Spark plans
+    // the offset into the take — fine for report pages; the scaladoc
+    // caveat is that deep offsets still sort/skip the prefix, so keyset
+    // (WHERE key > last) pagination wins at depth.
+    "q_offset_limit" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+        .offset(100)
+        .limit(25)
+    }),
+
     // Error-safe arithmetic: try_divide and try_cast return NULL where
     // ANSI mode would throw (division by zero, malformed casts) — the
     // survive-bad-rows contract a 100TB batch pipeline needs (one poison
@@ -151,6 +193,23 @@ object Round6Queries {
         |FROM events GROUP BY 1, 2
         |HAVING CAST(ROUND(SUM(value * 100)) AS BIGINT) >= 100000
         |ORDER BY 1, 2""".stripMargin,
+    "q_variant" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_listagg" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey < 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_offset_limit" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY cents DESC, o_orderkey
+        |LIMIT 25 OFFSET 100""".stripMargin,
     "q_try_arith" ->
       """SELECT event_id,
         |  CAST(ROUND(COALESCE(
