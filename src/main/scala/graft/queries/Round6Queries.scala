@@ -90,6 +90,34 @@ object Round6Queries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Typed Dataset cogroup (KeyValueGroupedDataset.cogroup): per-user
+    // merge of two typed streams with arbitrary Scala logic — the typed
+    // escape hatch when per-key merge logic outgrows SQL (here it stays
+    // SQL-expressible on purpose, so the oracle is a FULL OUTER join of
+    // pre-aggregates). One shuffle per side on the group key; the lambda
+    // sees both iterators without materializing either side globally.
+    "q_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val e = load(s, dir, "events")
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) * 1000000L + col("event_id")).as("k"),
+          col("event_type"))
+        .as[(Long, Long, String)]
+      val purchases = e.filter(_._3 == "purchase")
+      val views = e.filter(_._3 == "view")
+      purchases.groupByKey(_._1).cogroup(views.groupByKey(_._1)) {
+        (uid, ps, vs) =>
+          var nP = 0L; var fP = Long.MaxValue
+          ps.foreach { p => nP += 1; if (p._2 < fP) fP = p._2 }
+          var nV = 0L; var fV = Long.MaxValue
+          vs.foreach { v => nV += 1; if (v._2 < fV) fV = v._2 }
+          Iterator.single((uid, nP, if (nP > 0) fP else -1L,
+            nV, if (nV > 0) fV else -1L))
+      }.toDF("user_id", "n_purchases", "first_purchase_k",
+          "n_views", "first_view_k")
+        .orderBy(col("user_id"))
+    }),
+
     // VARIANT semi-structured path (Spark 4): parse_json once into a
     // variant column, extract typed fields with variant_get — the
     // schema-on-read shape for heterogeneous JSON at scale (binary-encoded
@@ -193,6 +221,23 @@ object Round6Queries {
         |FROM events GROUP BY 1, 2
         |HAVING CAST(ROUND(SUM(value * 100)) AS BIGINT) >= 100000
         |ORDER BY 1, 2""".stripMargin,
+    "q_cogroup" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k,
+        |    event_type
+        |  FROM events),
+        |p AS (SELECT user_id, COUNT(*) AS n_purchases, MIN(k) AS first_k
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |v AS (SELECT user_id, COUNT(*) AS n_views, MIN(k) AS first_k
+        |      FROM e WHERE event_type = 'view' GROUP BY 1)
+        |SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+        |  COALESCE(p.n_purchases, 0) AS n_purchases,
+        |  COALESCE(p.first_k, -1) AS first_purchase_k,
+        |  COALESCE(v.n_views, 0) AS n_views,
+        |  COALESCE(v.first_k, -1) AS first_view_k
+        |FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+        |ORDER BY user_id""".stripMargin,
     "q_variant" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |  COUNT(*) AS n,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.Tables.load
+
+class CompactionSpec extends SparkTestBase {
+
+  test("compact rewrites a many-file table into the target file count, " +
+      "values intact") {
+    val out0 = Files.createTempDirectory("compact_in").toString
+    val events = load(spark, sfDir, "events")
+    val n = events.count()
+    // simulate the small-files problem: strew the table across 64 files
+    events.repartition(64).write.mode("overwrite").parquet(out0)
+    val strewn = spark.read.parquet(out0)
+    assert(new java.io.File(out0).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 64)
+
+    val out1 = Files.createTempDirectory("compact_out").toString
+    val target = 300L
+    val written = Compaction.compact(strewn, out1, target,
+      sortCols = Seq("user_id", "ts"))
+    val expected = (n + target - 1) / target
+    assert(written == expected, s"expected $expected files, wrote $written")
+
+    val back = spark.read.parquet(out1)
+    assert(back.count() == n)
+    // content identity, not just cardinality
+    assert(back.exceptAll(strewn).isEmpty && strewn.exceptAll(back).isEmpty)
+  }
+
+  test("per-file sort tightens min/max extents (file-skipping evidence)") {
+    val out = Files.createTempDirectory("compact_sorted").toString
+    val events = load(spark, sfDir, "events").select("event_id", "user_id", "ts")
+    Compaction.compact(events, out, 250L, sortCols = Seq("user_id"))
+    // each output file must span far less than the full user domain: read
+    // files individually and check their per-file user_id extent
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 1)
+    val fullSpan = {
+      val r = events.agg(min("user_id"), max("user_id")).head
+      r.getLong(1) - r.getLong(0)
+    }
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("user_id"), max("user_id")).head
+      r.getLong(1) - r.getLong(0)
+    }
+    // range partitioning gives each file a disjoint slice of the user
+    // domain — a round-robin write would leave every file at ~the full
+    // span and skip nothing. Require a real tightening, not a rounding
+    // artifact: average file extent under half the full domain.
+    assert(spans.sum.toDouble / spans.length < fullSpan / 2.0,
+      s"no extent tightening: spans=${spans.toSeq} full=$fullSpan")
+  }
+}
