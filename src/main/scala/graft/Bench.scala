@@ -67,17 +67,21 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a failed query must be LOUD: a swallowed exception reads as a
-      // suspiciously fast time and poisons the round's bench comparison
-      try exec(fn(spark, sfDir)) catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must be LOUD in the JSON too: stderr plus a -1
+      // sentinel time — a normal-looking time-to-fail entry would read as
+      // a phantom speedup in round-over-round bench diffs
+      val ok =
+        try { exec(fn(spark, sfDir)); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // -1 failure sentinels stay visible per-query but don't deflate total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -111,25 +111,45 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashSig {
+  // slot seeds are gram- AND row-independent: hoist xxhash64's first fold
+  // step, memoized per k (recomputing k hashInts per ROW would tax the
+  // hottest kernel in the suite). The declarative form's slot indices come
+  // from sequence(0, k-1) — IntegerType — and HashExpression hashes ints
+  // with XXH64.hashInt (4-byte path, NOT hashLong of the widened value),
+  // so the seed must use hashInt to stay bit-identical.
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsFor(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, { kk =>
+      val s = new Array[Long](kk)
+      var i = 0
+      while (i < kk) { s(i) = XXH64.hashInt(i, 42L); i += 1 }
+      s
+    })
+
   def signature(grams: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
-    // slot seeds are gram-independent: hoist xxhash64's first fold step.
-    // The declarative form's slot indices come from sequence(0, k-1) —
-    // IntegerType — and HashExpression hashes ints with XXH64.hashInt
-    // (4-byte path, NOT hashLong of the widened value), so the hoisted
-    // seed must use hashInt to stay bit-identical.
-    val seeds = new Array[Long](k)
-    var i = 0
-    while (i < k) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
+    val seeds = seedsFor(k)
     val n = grams.numElements()
     var g = 0
+    var i = 0
     while (g < n) {
-      val id = grams.getLong(g)
-      i = 0
-      while (i < k) {
-        val h = XXH64.hashLong(id, seeds(i))
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      if (grams.isNullAt(g)) {
+        // fold parity: xxhash64(i, NULL) skips the null child, so the
+        // slot candidate is the seed itself — NOT a phantom gram id 0
+        i = 0
+        while (i < k) {
+          if (seeds(i) < sig(i)) sig(i) = seeds(i)
+          i += 1
+        }
+      } else {
+        val id = grams.getLong(g)
+        i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(id, seeds(i))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       g += 1
     }

@@ -27,7 +27,9 @@ object Compaction {
     * belt-and-braces cap so a future append through the same writer can't
     * silently regrow jumbo files.
     *
-    * Returns the file count written (validated in CompactionSpec).
+    * Returns the file count written (validated in CompactionSpec) —
+    * ≥ ⌈n/target⌉, and slightly more when a sampled range bound overfills
+    * a partition and the `maxRecordsPerFile` cap splits it.
     */
   def compact(df: DataFrame, outPath: String, targetRecordsPerFile: Long,
               sortCols: Seq[String] = Nil): Long = {

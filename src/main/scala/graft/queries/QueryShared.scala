@@ -15,6 +15,15 @@ private[queries] object QueryShared {
     * engines (the money-sum determinism convention). */
   def cents(c: Column): Column = round(sum(c * 100)).cast("long")
 
+  /** Packed total-order event key: floor-seconds × 1e6 + event_id. Unique
+    * (event_id is unique), monotone in time, identical arithmetic on both
+    * engines — the determinism-critical tie-break for every window/as-of/
+    * funnel query over `events`. SQL twin (keep in sync with every oracle
+    * that packs keys): `CAST(floor(epoch(ts)) AS BIGINT)*1000000+event_id`.
+    */
+  def packedK: Column =
+    unix_timestamp(col("ts")) * 1000000L + col("event_id")
+
   /** The deterministic near-dup chain graph over `documents` used by both
     * d_dedup_clusters and d_dedup_keep: consecutive-doc 3-gram Jaccard
     * pairs above a loose threshold (0.005 — the synthetic corpus has no

@@ -30,11 +30,7 @@ import graft.text.TextOps
   */
 object Round5Queries {
 
-  /** Packed total-order event key: floor-seconds * 1e6 + event_id. Unique
-    * (event_id is unique), monotone in time, identical arithmetic on both
-    * engines — removes every timestamp-tie hazard from window/as-of logic. */
-  private def packedK: Column =
-    unix_timestamp(col("ts")) * 1000000L + col("event_id")
+  private def packedK: Column = QueryShared.packedK
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -227,7 +223,12 @@ object Round5Queries {
         .filter(col("n_docs") > 1).select(col("g"))
       val shared = grams.join(broadcast(dup), Seq("g"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      docs.select(col("doc_id"), size(col("garr")).cast("long").as("n_grams"))
+      // docs with <n tokens have no grams — excluded, matching the
+      // oracle's grams CTE (its generate_series is empty for them; a
+      // left-join-from-docs formulation would emit a (doc_id, 0, 0) row
+      // the oracle doesn't have)
+      docs.filter(size(col("garr")) > 0)
+        .select(col("doc_id"), size(col("garr")).cast("long").as("n_grams"))
         .join(shared, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"))

@@ -99,9 +99,7 @@ object Round6Queries {
     "q_cogroup" -> ((s, dir) => {
       import s.implicits._
       val e = load(s, dir, "events")
-        .select(col("user_id"),
-          (unix_timestamp(col("ts")) * 1000000L + col("event_id")).as("k"),
-          col("event_type"))
+        .select(col("user_id"), QueryShared.packedK.as("k"), col("event_type"))
         .as[(Long, Long, String)]
       val purchases = e.filter(_._3 == "purchase")
       val views = e.filter(_._3 == "view")

@@ -213,6 +213,22 @@ class Round5Spec extends SparkTestBase {
       .sortBy(_._1)
     assert(got == List((1L, 2L, 2L), (2L, 2L, 2L), (3L, 3L, 0L)))
   }
+
+  test("d_dedup_ngram_cross excludes sub-n-token docs, matching the " +
+      "oracle's empty-gram semantics") {
+    // replicate the query's final shape over planted docs including a
+    // 2-token one: the short doc must produce NO row (the oracle's
+    // generate_series is empty for it), not a (doc_id, 0, 0) row
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "too short")
+    ).toDF("doc_id", "text").repartition(2)
+      .select(col("doc_id"), array_distinct(graft.text.TextOps.ngramHashes(
+        graft.text.TextOps.tokens(col("text")), 5)).as("garr"))
+    val out = docs.filter(size(col("garr")) > 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), s"short doc leaked or long doc dropped: $out")
+  }
 }
 
 /** Accessor kept out of the test class so the funnel test reads as the

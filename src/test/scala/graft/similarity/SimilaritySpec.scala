@@ -254,6 +254,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(empty.getSeq[Long](0) == empty.getSeq[Long](1))
   }
 
+  test("native MinHashSig matches the fold on arrays containing NULL gram ids") {
+    // fold: xxhash64(i, NULL) skips the null child, so the slot candidate
+    // is hashInt(i, 42) itself — the native kernel must do the same, not
+    // hash a phantom gram id 0
+    val df = Seq(Tuple1(Seq[java.lang.Long](1L, null, 2L)))
+      .toDF("g").repartition(2)
+    val row = df.select(
+      Similarity.minhashSignature(col("g"), 8).as("native"),
+      Similarity.minhashSignatureFold(col("g"), 8).as("fold")).head()
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+  }
+
   test("NgramHash/MinHashSig reject wrong element types at analysis") {
     val longs = Seq(Tuple1(Seq(1L, 2L))).toDF("v")
     val e1 = intercept[Exception] {
