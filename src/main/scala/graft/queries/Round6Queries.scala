@@ -90,6 +90,38 @@ object Round6Queries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Event-type transition matrix (first-order Markov counts): per user,
+    // consecutive-event pairs via lag over the packed order key, then one
+    // tiny (from, to) aggregation — the behavioral-model feature extractor.
+    // One shuffle on user_id; the pair agg input is already partitioned.
+    "q_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("k"))
+      load(s, dir, "events")
+        .select(col("user_id"), QueryShared.packedK.as("k"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
+    // Calendar rollup: quarter/month grid with per-cell totals — the
+    // fiscal-reporting shape. date_trunc stays in the codegen'd
+    // datetime-expression family; both engines agree on quarter/month
+    // boundaries (pure Gregorian arithmetic, no locale).
+    "q_calendar" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .select(
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("y"), col("q"), col("m"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("y"), col("q"), col("m"))
+    }),
+
     // Typed Dataset cogroup (KeyValueGroupedDataset.cogroup): per-user
     // merge of two typed streams with arbitrary Scala logic — the typed
     // escape hatch when per-key merge logic outgrows SQL (here it stays
@@ -219,6 +251,28 @@ object Round6Queries {
         |FROM events GROUP BY 1, 2
         |HAVING CAST(ROUND(SUM(value * 100)) AS BIGINT) >= 100000
         |ORDER BY 1, 2""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k,
+        |    event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY k)
+        |      AS prev_type
+        |  FROM e)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM p WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_calendar" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_cogroup" ->
       """WITH e AS (
         |  SELECT user_id,

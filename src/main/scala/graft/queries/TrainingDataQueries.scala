@@ -315,9 +315,15 @@ object TrainingDataQueries {
     // SimilaritySpec bounds recall and asserts exact re-scores.
     "e_ann_pq" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
+      // codebook size must NOT scale with the corpus: real PQ fixes ~256
+      // codes per subspace (8-bit codes) and encode cost is corpus ×
+      // codes, so a corpus-proportional stride (constant stride) turns
+      // encode into O(n²). Derive the stride from the corpus count to
+      // pin ~256 codes at any SF.
+      val stride = math.max(1L, emb.count() / 256L)
       graft.similarity.ProductQuantizer.topK(
         emb.filter(col("vec_id") < 50), emb, dim = 64, numSub = 8, k = 3,
-        stride = 20, rerank = 8)
+        stride = stride.toInt, rerank = 8)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"), col("rank"))
