@@ -18,6 +18,47 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  private def utf8Array(tokens: Seq[String]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+  private def longArray(xs: Seq[Long]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+  private val tokenGen = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+
+  test("NgramHash: output length law and prefix consistency") {
+    import graft.functions.NgramHash
+    check(Prop.forAll(tokenGen, Gen.choose(1, 6)) { (toks, n) =>
+      val out = NgramHash.ngrams(utf8Array(toks), n)
+      out.numElements() == math.max(toks.length - (n - 1), 0)
+    })
+    // appending tokens must not change the grams that were already complete
+    check(Prop.forAll(tokenGen, tokenGen, Gen.choose(1, 5)) { (xs, ys, n) =>
+      val a = NgramHash.ngrams(utf8Array(xs), n)
+      val ab = NgramHash.ngrams(utf8Array(xs ++ ys), n)
+      (0 until a.numElements()).forall(i => a.getLong(i) == ab.getLong(i))
+    })
+  }
+
+  test("MinHashSig: mergeability (sig of concat = slotwise min) and " +
+      "permutation invariance — the laws that make signatures " +
+      "partial-aggregable at scale") {
+    import graft.functions.MinHashSig
+    val grams = Gen.listOf(Gen.long)
+    check(Prop.forAll(grams, grams, Gen.choose(1, 16)) { (a, b, k) =>
+      val sa = MinHashSig.signature(longArray(a), k)
+      val sb = MinHashSig.signature(longArray(b), k)
+      val sab = MinHashSig.signature(longArray(a ++ b), k)
+      (0 until k).forall(i =>
+        sab.getLong(i) == math.min(sa.getLong(i), sb.getLong(i)))
+    })
+    check(Prop.forAll(grams, Gen.choose(1, 16), Gen.long) { (a, k, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(a)
+      val s1 = MinHashSig.signature(longArray(a), k)
+      val s2 = MinHashSig.signature(longArray(shuffled), k)
+      (0 until k).forall(i => s1.getLong(i) == s2.getLong(i))
+    })
+  }
+
   test("rolling hash stays in [0, Mod) and is deterministic") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val h = RollingHash.hash(s)
