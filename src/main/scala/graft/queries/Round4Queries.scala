@@ -129,8 +129,11 @@ object Round4Queries {
     // Per-row fold in array order in DOUBLE, integer-ized BEFORE the group
     // agg so engine merge order can't show through.
     "e_norm_stats" -> ((s, dir) => {
-      val sq = aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      // ‖v‖² is exactly dot(v, v): use the native codegen'd kernel (bit-
+      // identical to the sequential fold — SimilaritySpec parity) instead
+      // of an interpreted per-element aggregate
+      val sq = graft.functions.DotProduct.dot_product(
+        col("embedding"), col("embedding"))
       val cs = aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast("double"))
       load(s, dir, "embeddings")
