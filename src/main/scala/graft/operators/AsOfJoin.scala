@@ -91,4 +91,50 @@ object AsOfJoin {
     if (rightVals.contains(rightTime)) filtered
     else filtered.drop(s"asof_$rightTime")
   }
+
+  /** Nearest-direction as-of: each left row picks the right row minimizing
+    * |rightTime − leftTime|, looking BOTH ways (pandas
+    * `merge_asof(direction='nearest')`). Ties (equidistant past/future)
+    * break toward the PAST row, then the smaller packed time — fully
+    * deterministic when the time key is unique per side (use a packed
+    * key). Composition: the backward pass is [[asOf]]; the forward pass is
+    * [[asOf]] on NEGATED times (latest -t ≤ -t_left ⇔ earliest t ≥
+    * t_left); a final per-row pick keeps the closer of the two. Two key
+    * shuffles total — the cost of bidirectionality; a single-shuffle
+    * union-window form exists but needs both a running-last and a
+    * running-first pass over the same sort, which is the same two window
+    * stages.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightVals: Seq[String]): DataFrame = {
+    val vals = if (rightVals.contains(rightTime)) rightVals
+               else rightVals :+ rightTime
+    val back = asOf(left, right, keys, leftTime, rightTime, vals)
+    val negLeft = left.withColumn("_negt", -col(leftTime))
+    val negRight = right.withColumn("_negr", -col(rightTime))
+    val fwd = asOf(negLeft, negRight, keys, "_negt", "_negr",
+        vals :+ "_negr")
+      .drop("_negt")
+    // join the two passes back on the left row identity (keys + leftTime
+    // uniquely identify a left row when the time key is packed-unique)
+    val joinCols = keys :+ leftTime
+    val fwdSlim = fwd.select(
+      (joinCols.map(col) ++
+        vals.map(c => col(s"asof_$c").as(s"_fwd_$c"))): _*)
+    val merged = back.join(fwdSlim, joinCols)
+    val bt = col(s"asof_$rightTime")
+    val ft = col(s"_fwd_$rightTime")
+    val lt = col(leftTime)
+    // closer wins; equal distance or missing-forward → backward
+    val pickBack = ft.isNull ||
+      (bt.isNotNull && (lt - bt) <= (ft - lt))
+    val out = rightVals.foldLeft(merged) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(pickBack, col(s"asof_$c")).otherwise(col(s"_fwd_$c")))
+    }
+    val cleaned = out.drop(vals.map(c => s"_fwd_$c"): _*)
+    if (rightVals.contains(rightTime)) cleaned
+    else cleaned.drop(s"asof_$rightTime")
+  }
 }

@@ -90,6 +90,23 @@ object Round6Queries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Nearest-direction as-of: each purchase picks the CLOSEST view by the
+    // same user in either time direction (pandas merge_asof
+    // direction='nearest'), equidistant ties toward the past. Packed keys
+    // make distance and ties exact integers on both engines.
+    "q_asof_nearest" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), QueryShared.packedK.as("k"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), QueryShared.packedK.as("vk"))
+      graft.operators.AsOfJoin.asOfNearest(purchases, views, Seq("user_id"),
+          leftTime = "k", rightTime = "vk", rightVals = Seq("vk"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_vk"), lit(-1L)).as("nearest_view_k"))
+        .orderBy(col("event_id"))
+    }),
+
     // Event-type transition matrix (first-order Markov counts): per user,
     // consecutive-event pairs via lag over the packed order key, then one
     // tiny (from, to) aggregation — the behavioral-model feature extractor.
@@ -251,6 +268,24 @@ object Round6Queries {
         |FROM events GROUP BY 1, 2
         |HAVING CAST(ROUND(SUM(value * 100)) AS BIGINT) >= 100000
         |ORDER BY 1, 2""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, k FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, k AS vk FROM e WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.event_id,
+        |    arg_min(v.vk, abs(v.vk - p.k) * 2 +
+        |      CASE WHEN v.vk > p.k THEN 1 ELSE 0 END) AS nearest_view_k
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |  GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |  COALESCE(m.nearest_view_k, -1) AS nearest_view_k
+        |FROM p LEFT JOIN m USING(event_id)
+        |ORDER BY p.event_id""".stripMargin,
     "q_transition_matrix" ->
       """WITH e AS (
         |  SELECT user_id,

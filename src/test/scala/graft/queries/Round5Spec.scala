@@ -50,6 +50,24 @@ class Round5Spec extends SparkTestBase {
     assert(row.getLong(0) == 990L && row.getDouble(1) == 7.0)
   }
 
+  test("asOfNearest picks the closer side, breaks equidistant ties toward " +
+      "the past, and falls back across directions") {
+    val left = Seq(
+      (1L, "k1", 100L), // back at 90 (d=10), fwd at 105 (d=5) → fwd
+      (2L, "k1", 80L),  // back at 70 (d=10), fwd at 90 (d=10) → tie → back
+      (3L, "k1", 10L),  // nothing before → fwd 70
+      (4L, "k2", 50L)   // no right rows at all → null
+    ).toDF("id", "k", "t")
+    val right = Seq(("k1", 70L), ("k1", 90L), ("k1", 105L)).toDF("k", "rt")
+    val got = graft.operators.AsOfJoin.asOfNearest(left, right, Seq("k"),
+        "t", "rt", Seq("rt"))
+      .select(col("id"), col("asof_rt"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(105L), 2L -> Some(70L),
+      3L -> Some(70L), 4L -> None), s"got $got")
+  }
+
   // --------------------------------------------------------------- funnel
 
   test("q_funnel fold agrees with the staged-join formulation") {
