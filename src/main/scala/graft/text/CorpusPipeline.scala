@@ -63,8 +63,9 @@ object CorpusPipeline {
         .select(col("id").as("doc_id")), Seq("doc_id"))
 
     // 4. decontaminate: drop docs sharing any 8-gram with the eval set
+    //    (64-bit gram ids both sides — native kernel, no gram strings)
     def grams(c: org.apache.spark.sql.Column) =
-      array_distinct(TextOps.shingles(TextOps.tokens(c), 8))
+      array_distinct(TextOps.ngramHashes(TextOps.tokens(c), 8))
     val evalGrams = evalDocs.select(explode(grams(col("text"))).as("g"))
       .distinct()
     val contaminated = nearKept
@@ -86,12 +87,22 @@ object CorpusPipeline {
       .withColumn("bin", expr(s"(cum - tok) div $contextTokens"))
 
     // 7. write partitioned: lang + coarse bin block → partition pruning
-    //    for shard-local readers without exploding directory counts
+    //    for shard-local readers without exploding directory counts.
+    //    The repartition ON THE PARTITION COLUMNS is the write-side
+    //    compaction: without it every task holds rows of every partition
+    //    and partitionBy writes tasks × partitions small files (the
+    //    classic explosion); with it each output directory is written by
+    //    one task, capped by maxRecordsPerFile (operators.Compaction is
+    //    the standalone after-the-fact fix; this is the at-write form).
     val out = packed
       .withColumn("bin_block", expr("bin div 100"))
       .select(col("doc_id"), col("lang"), col("text"), col("tok"),
         col("bin"), col("bin_block"))
+      .repartition(col("lang"), col("bin_block"))
+      .sortWithinPartitions(col("lang"), col("bin_block"), col("bin"),
+        col("doc_id"))
     out.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 1000000L)
       .partitionBy("lang", "bin_block").parquet(outDir)
 
     // stage stats read the cached stages (and the written files), not

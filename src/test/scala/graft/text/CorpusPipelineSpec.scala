@@ -37,6 +37,17 @@ class CorpusPipelineSpec extends SparkTestBase {
     // written rows match the post-filter count; partition dirs exist
     assert(written.count() == stats.n_after_quality)
     assert(written.schema.fieldNames.contains("bin_block"))
+    // write-side compaction: each (lang, bin_block) directory is written
+    // by its owning task — one data file, not tasks × partitions shards
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .flatMap(_.listFiles().filter(_.isDirectory))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val nFiles = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(nFiles == 1,
+        s"partition ${d.getName} has $nFiles files (small-file explosion)")
+    }
     // shard-local packing: scanning a language's docs in id order, the bin
     // assignment from the running token sum never decreases
     written.select("lang", "doc_id", "bin")
