@@ -95,46 +95,68 @@ object AsOfJoin {
   /** Nearest-direction as-of: each left row picks the right row minimizing
     * |rightTime − leftTime|, looking BOTH ways (pandas
     * `merge_asof(direction='nearest')`). Ties (equidistant past/future)
-    * break toward the PAST row, then the smaller packed time — fully
-    * deterministic when the time key is unique per side (use a packed
-    * key). Composition: the backward pass is [[asOf]]; the forward pass is
-    * [[asOf]] on NEGATED times (latest -t ≤ -t_left ⇔ earliest t ≥
-    * t_left); a final per-row pick keeps the closer of the two. Two key
-    * shuffles total — the cost of bidirectionality; a single-shuffle
-    * union-window form exists but needs both a running-last and a
-    * running-first pass over the same sort, which is the same two window
-    * stages.
+    * break toward the PAST row — fully deterministic when the time key is
+    * unique per side (use a packed key).
+    *
+    * Same union-tag-window composition as [[asOf]], with BOTH directions
+    * from one sort: a running `last(_r, ignoreNulls)` over
+    * (unboundedPreceding, current) gives the at-or-before match and a
+    * running `first(_r, ignoreNulls)` over (current, unboundedFollowing)
+    * the strictly-after one — ONE shuffle on the key, both window frames
+    * reuse the same partitioning+sort, and every left row survives (a
+    * join-back composition of two asOf passes would cost four exchanges
+    * and, being an inner equi-join on the time column, silently drop left
+    * rows with NULL time instead of null-padding them).
     */
   def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTime: String, rightTime: String,
                   rightVals: Seq[String]): DataFrame = {
     val vals = if (rightVals.contains(rightTime)) rightVals
                else rightVals :+ rightTime
-    val back = asOf(left, right, keys, leftTime, rightTime, vals)
-    val negLeft = left.withColumn("_negt", -col(leftTime))
-    val negRight = right.withColumn("_negr", -col(rightTime))
-    val fwd = asOf(negLeft, negRight, keys, "_negt", "_negr",
-        vals :+ "_negr")
-      .drop("_negt")
-    // join the two passes back on the left row identity (keys + leftTime
-    // uniquely identify a left row when the time key is packed-unique)
-    val joinCols = keys :+ leftTime
-    val fwdSlim = fwd.select(
-      (joinCols.map(col) ++
-        vals.map(c => col(s"asof_$c").as(s"_fwd_$c"))): _*)
-    val merged = back.join(fwdSlim, joinCols)
-    val bt = col(s"asof_$rightTime")
-    val ft = col(s"_fwd_$rightTime")
+    val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      vals.map(c => right.schema(c).copy(name = c)))
+    val taggedLeft = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select((keys.map(col) :+ col("_t") :+ col("_side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")) :+
+        lit(null).cast(rStructType).as("_r"): _*)
+    val taggedRight = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select((keys.map(col) :+ col("_t") :+ col("_side")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
+        struct(vals.map(col): _*).as("_r"): _*)
+
+    // right rows sort before left at equal time (_side 0 < 1), so an
+    // exact-time match lands in the BACKWARD frame — and wins the tie by
+    // distance 0 anyway
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"), xxhash64(col("_r")))
+    val backW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwdW = w.rowsBetween(0, Window.unboundedFollowing)
+
+    val withBoth = taggedLeft.unionByName(taggedRight)
+      .withColumn("_back", last(col("_r"), ignoreNulls = true).over(backW))
+      .withColumn("_fwd", first(col("_r"), ignoreNulls = true).over(fwdW))
+      .filter(col("_side") === 1)
+
     val lt = col(leftTime)
+    val bt = col("_back").getField(rightTime)
+    val ft = col("_fwd").getField(rightTime)
     // closer wins; equal distance or missing-forward → backward
-    val pickBack = ft.isNull ||
-      (bt.isNotNull && (lt - bt) <= (ft - lt))
-    val out = rightVals.foldLeft(merged) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        when(pickBack, col(s"asof_$c")).otherwise(col(s"_fwd_$c")))
-    }
-    val cleaned = out.drop(vals.map(c => s"_fwd_$c"): _*)
-    if (rightVals.contains(rightTime)) cleaned
-    else cleaned.drop(s"asof_$rightTime")
+    val pickBack = ft.isNull || (bt.isNotNull && (lt - bt) <= (ft - lt))
+    val picked = withBoth
+      .select(keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) :+
+        col("_back").as("_back") :+ col("_fwd").as("_fwd"): _*)
+      .withColumn("_pick", when(pickBack, col("_back")).otherwise(col("_fwd")))
+    val out = picked
+      .select(keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        rightVals.map(c => col("_pick").getField(c).as(s"asof_$c")): _*)
+    out
   }
 }

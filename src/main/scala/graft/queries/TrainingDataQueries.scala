@@ -318,9 +318,10 @@ object TrainingDataQueries {
       // codebook size must NOT scale with the corpus: real PQ fixes ~256
       // codes per subspace (8-bit codes) and encode cost is corpus ×
       // codes, so a corpus-proportional stride (constant stride) turns
-      // encode into O(n²). Derive the stride from the corpus count to
-      // pin ~256 codes at any SF.
-      val stride = math.max(1L, emb.count() / 256L)
+      // encode into O(n²). Derive the stride from the corpus count to pin
+      // ~256 codes at any SF — count cached per dir so repeated bench
+      // invocations don't pay an extra scan job per run.
+      val stride = math.max(1L, QueryShared.cachedCount(s, dir, "embeddings") / 256L)
       graft.similarity.ProductQuantizer.topK(
         emb.filter(col("vec_id") < 50), emb, dim = 64, numSub = 8, k = 3,
         stride = stride.toInt, rerank = 8)

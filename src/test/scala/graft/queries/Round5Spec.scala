@@ -68,6 +68,20 @@ class Round5Spec extends SparkTestBase {
       3L -> Some(70L), 4L -> None), s"got $got")
   }
 
+  test("asOfNearest preserves left rows with NULL time (null-padded, " +
+      "not dropped)") {
+    val left = Seq((1L, "k1", Some(100L)), (2L, "k1", None))
+      .toDF("id", "k", "t")
+    val right = Seq(("k1", 90L)).toDF("k", "rt")
+    val got = graft.operators.AsOfJoin.asOfNearest(left, right, Seq("k"),
+        "t", "rt", Seq("rt"))
+      .select(col("id"), col("asof_rt"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.size == 2, s"left row dropped: $got")
+    assert(got(1L).contains(90L))
+  }
+
   // --------------------------------------------------------------- funnel
 
   test("q_funnel fold agrees with the staged-join formulation") {
@@ -234,18 +248,22 @@ class Round5Spec extends SparkTestBase {
 
   test("d_dedup_ngram_cross excludes sub-n-token docs, matching the " +
       "oracle's empty-gram semantics") {
-    // replicate the query's final shape over planted docs including a
-    // 2-token one: the short doc must produce NO row (the oracle's
-    // generate_series is empty for it), not a (doc_id, 0, 0) row
-    val docs = Seq(
+    // drive the REAL query against a planted table containing a 2-token
+    // doc: it must produce NO row for it (the oracle's generate_series is
+    // empty there), not a (doc_id, 0, 0) row
+    val dir = java.nio.file.Files.createTempDirectory("ngram_short").toString
+    Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "too short")
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "too short")
     ).toDF("doc_id", "text").repartition(2)
-      .select(col("doc_id"), array_distinct(graft.text.TextOps.ngramHashes(
-        graft.text.TextOps.tokens(col("text")), 5)).as("garr"))
-    val out = docs.filter(size(col("garr")) > 0).select(col("doc_id"))
-      .collect().map(_.getLong(0)).toSet
-    assert(out == Set(1L), s"short doc leaked or long doc dropped: $out")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Round5Queries
+      .queries("d_dedup_ngram_cross")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    assert(out == List((1L, 2L, 2L), (2L, 2L, 2L)),
+      s"short doc leaked or twins mis-counted: $out")
   }
 }
 
