@@ -236,10 +236,12 @@ object Round5Queries {
     }),
 
     // Native session_window aggregation — the engine operator twin of the
-    // manual gaps-and-islands q_sessionize. Events merge while each starts
-    // within 30min of the previous (session extends); timestamps truncated
-    // to whole seconds FIRST so the oracle's floor(epoch) islands see the
-    // identical time base.
+    // manual gaps-and-islands q_sessionize. Timestamps truncated to whole
+    // seconds FIRST so the oracle's floor(epoch) islands see the identical
+    // time base. Boundary semantics (verified empirically at sf0.1, where
+    // exactly one event pair sits exactly 1800s apart): Spark merges
+    // TOUCHING windows — an event at prev + gap extends the session — so
+    // the islands oracle must split on diff > gap, strictly.
     "q_session_native" -> ((s, dir) => {
       load(s, dir, "events")
         .select(col("user_id"), col("event_id"),
@@ -409,7 +411,7 @@ object Round5Queries {
         |  FROM events),
         |g AS (
         |  SELECT user_id, event_id, epoch_s,
-        |    CASE WHEN epoch_s - LAG(epoch_s, 1) OVER w >= 1800
+        |    CASE WHEN epoch_s - LAG(epoch_s, 1) OVER w > 1800
         |         THEN 1 ELSE 0 END AS gap
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)),
         |s AS (

@@ -90,6 +90,32 @@ object Round6Queries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Token-budget data mixing — the "data recipe" op of an LLM corpus:
+    // equalize every source's token contribution down to the smallest
+    // source's total. Per-source keep fraction f_s = T_min / T_s applied
+    // by deterministic hash sampling, with the threshold comparison as an
+    // exact integer cross-multiply (v·T_s < T_min·65536, v = 16-bit slice
+    // of md5) — no float fraction ever computed, so both engines keep the
+    // identical doc set. Per-source totals are a tiny aggregate broadcast
+    // back; the sampling pass is map-only.
+    "d_mix_sources" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.text.TextOps.tokenCountWs(col("text")).cast("long").as("tok"))
+      val totals = docs.groupBy(col("source")).agg(sum(col("tok")).as("t_s"))
+      val tmin = totals.agg(min(col("t_s")).as("t_min"))
+      val v = conv(substring(md5(
+        concat(lit("salt2"), col("doc_id").cast("string")).cast("binary")),
+        1, 4), 16, 10).cast("long")
+      docs.join(broadcast(totals), "source")
+        .crossJoin(broadcast(tmin))
+        .filter(v * col("t_s") < col("t_min") * 65536L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tok_kept"),
+          max(expr("(t_min * 1000000) div t_s")).as("f_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // Nearest-direction as-of: each purchase picks the CLOSEST view by the
     // same user in either time direction (pandas merge_asof
     // direction='nearest'), equidistant ties toward the past. Packed keys
@@ -269,6 +295,24 @@ object Round6Queries {
         |FROM events GROUP BY 1, 2
         |HAVING CAST(ROUND(SUM(value * 100)) AS BIGINT) >= 100000
         |ORDER BY 1, 2""".stripMargin,
+    "d_mix_sources" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |t AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS t_s
+        |      FROM d GROUP BY 1),
+        |m AS (SELECT MIN(t_s) AS t_min FROM t),
+        |k AS (
+        |  SELECT d.source, d.tok, t.t_s, m.t_min,
+        |    CAST(('0x' || substr(md5('salt2' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 4)) AS BIGINT) AS v
+        |  FROM d JOIN t USING(source) CROSS JOIN m)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(tok) AS BIGINT) AS tok_kept,
+        |  CAST(MAX((t_min * 1000000) // t_s) AS BIGINT) AS f_ppm
+        |FROM k WHERE v * t_s < t_min * 65536
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_nearest" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

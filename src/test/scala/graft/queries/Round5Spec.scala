@@ -124,7 +124,8 @@ class Round5Spec extends SparkTestBase {
 
   // ------------------------------------------------------------- sessions
 
-  test("q_session_native matches manual >=1800s gaps-and-islands sessions") {
+  test("q_session_native matches manual >1800s gaps-and-islands sessions " +
+      "(touching windows MERGE: an event at prev + gap extends)") {
     val e = load(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"),
         unix_timestamp(date_trunc("second", col("ts"))).as("epoch_s"))
@@ -132,7 +133,7 @@ class Round5Spec extends SparkTestBase {
       .orderBy(col("epoch_s"), col("event_id"))
     val manual = e
       .withColumn("gap",
-        when(col("epoch_s") - lag(col("epoch_s"), 1).over(w) >= 1800, 1)
+        when(col("epoch_s") - lag(col("epoch_s"), 1).over(w) > 1800, 1)
           .otherwise(0))
       .withColumn("isl", sum(col("gap")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -147,6 +148,28 @@ class Round5Spec extends SparkTestBase {
       .queries("q_session_native")(spark, sfDir)
     assert(native.exceptAll(manual).isEmpty && manual.exceptAll(native).isEmpty,
       "session_window sessions must equal the manual islands")
+  }
+
+  test("q_session_native boundary: an event exactly gap seconds after the " +
+      "previous MERGES (touching session windows), driven through the " +
+      "real query") {
+    // sf0.1 exposed this: Spark merges touching windows, so the islands
+    // oracle must split strictly on diff > gap. Plant the exact-1800s
+    // pair plus a clearly-split pair and run the SHIPPED query on it.
+    val dir = java.nio.file.Files.createTempDirectory("sess_boundary").toString
+    Seq(
+      (1L, 1000000L * 1000000000L, 7L, "x", 1.0, "{}"),
+      (2L, 1001800L * 1000000000L, 7L, "x", 1.0, "{}"), // exactly gap → merge
+      (3L, 1005000L * 1000000000L, 7L, "x", 1.0, "{}"), // 3200s → new session
+      (4L, 1006801L * 1000000000L, 7L, "x", 1.0, "{}")  // gap+1 → new session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Round5Queries
+      .queries("q_session_native")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((1000000L, 2L, 1800L), (1005000L, 1L, 0L),
+      (1006801L, 1L, 0L)), s"boundary semantics changed: $got")
   }
 
   // ----------------------------------------------------------------- scd2
