@@ -146,13 +146,17 @@ object AsOfJoin {
     val lt = col(leftTime)
     val bt = col("_back").getField(rightTime)
     val ft = col("_fwd").getField(rightTime)
-    // closer wins; equal distance or missing-forward → backward
+    // closer wins; equal distance or missing-forward → backward. A NULL
+    // left time has no distance to either side — null-pad (the outer when):
+    // without the gate, NULLs sort first so _back is null and pickBack
+    // evaluates false, fabricating the earliest right row as a "match".
     val pickBack = ft.isNull || (bt.isNotNull && (lt - bt) <= (ft - lt))
     val picked = withBoth
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) :+
         col("_back").as("_back") :+ col("_fwd").as("_fwd"): _*)
-      .withColumn("_pick", when(pickBack, col("_back")).otherwise(col("_fwd")))
+      .withColumn("_pick", when(lt.isNotNull,
+        when(pickBack, col("_back")).otherwise(col("_fwd"))))
     val out = picked
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(col) ++

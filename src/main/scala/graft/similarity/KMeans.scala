@@ -7,13 +7,24 @@ import org.apache.spark.sql.functions._
 /** Spherical k-means (cosine objective) expressed entirely as DataFrame
   * algebra — Lloyd iterations where each step is:
   *
-  *   assign: broadcast the k centroids, argmax-cosine per vector (window)
+  *   assign: broadcast the k centroids, argmax-cosine per vector as an
+  *           argmin AGGREGATION (map-side partial, one row per vector on
+  *           the shuffle — mirrors [[Similarity.ivfTopKWith]]'s corpus
+  *           assignment, NOT a |corpus|×k window sort)
   *   update: posexplode → per-(centroid, position) mean → reassemble arrays
   *
   * No MLlib, no RDDs, no driver-side math: every step is a shuffle-bounded
   * aggregation, so the same plan trains on 10⁹ vectors. Deterministic
   * seeding (hash-spread pick of initial centroids) keeps results
   * reproducible run-to-run.
+  *
+  * Each Lloyd round ends in an eager `localCheckpoint`: the round's output
+  * references the previous centroids twice (assign + the keep-empty-cluster
+  * left join), so without truncation the logical plan doubles per iteration
+  * — the exponential-lineage failure mode [[DedupClusters]] hit in its
+  * pointer-jumping loop (22s → 1s once fixed). Checkpointed state is k
+  * rows; the cost is negligible, and a 20-iteration production fit plans in
+  * O(1) per round (pinned by KMeansSpec).
   */
 object KMeans {
 
@@ -44,24 +55,41 @@ object KMeans {
           transform(col("pm"), e => e.getField("m").cast("float")).as("centroid"))
       // a centroid that won zero vectors emits no update row; keep its
       // previous position instead of silently shrinking the codebook below
-      // k (callers size structures by k — PQ codes, IVF cells)
+      // k (callers size structures by k — PQ codes, IVF cells).
+      // localCheckpoint(eager): truncate lineage so round N+1 plans against
+      // a k-row LogicalRDD, not a plan tree that doubled N times.
       centroids = centroids
         .select(col("centroid_id"), col("centroid").as("_prev"))
         .join(updated, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("centroid"), col("_prev")).as("centroid"))
+        .localCheckpoint(true)
     }
     centroids
   }
 
-  /** Nearest-centroid assignment by cosine (broadcast centroids). */
+  /** Nearest-centroid assignment by cosine (broadcast centroids).
+    *
+    * Argmin aggregation, not a window: the groupBy partial-aggregates
+    * map-side, so the shuffle carries one row per corpus vector instead of
+    * |corpus| × k scored rows — the difference that matters when the corpus
+    * is the 100TB side (same form, same rationale, as
+    * [[Similarity.ivfTopKWith]]'s corpus assignment). min_by's ordering
+    * struct (−cos, centroid_id) reproduces the window form's deterministic
+    * tie-break (highest cosine, then lowest centroid id) — bit-parity with
+    * the window formulation is pinned in KMeansSpec. Requires `vec_id`
+    * unique in `corpus` (the repo-wide vector-table contract).
+    */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("_cos").desc, col("centroid_id"))
+    val others = corpus.columns.toSeq.filterNot(_ == "vec_id")
     corpus.crossJoin(broadcast(centroids))
-      .withColumn("_cos", Similarity.cosine(col("embedding"), col("centroid")))
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") === 1)
-      .drop("_cos", "_r", "centroid")
+      .withColumn("_negcos",
+        -Similarity.cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("centroid_id"),
+          struct(col("_negcos"), col("centroid_id"))).as("centroid_id"),
+        others.map(c => first(col(c)).as(c)): _*)
+      .select((corpus.columns.toSeq :+ "centroid_id").map(col): _*)
   }
 }

@@ -1,0 +1,64 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Persistence convention for trained ANN state — k-means centroids and PQ
+  * codebooks — so the expensive training pass runs ONCE and the search jobs
+  * load the result (train-offline / serve-online, the standard 100TB ANN
+  * deployment shape; the reference's analog is its build-time trained
+  * dictionary shipped as a resource, reference build.rs:174-217).
+  *
+  * Format: plain parquet with a pinned schema, validated on load so a
+  * mis-pointed path fails fast at the driver instead of mid-job with a
+  * binding error. Trained state is k (or numSub × k) rows — single-file
+  * parquet via repartition(1) keeps the artifact a copyable unit.
+  */
+object TrainedState {
+
+  val centroidSchema: StructType = StructType(Seq(
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("centroid", ArrayType(FloatType), nullable = true)))
+
+  val codebookSchema: StructType = StructType(Seq(
+    StructField("sub", IntegerType, nullable = false),
+    StructField("code", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(FloatType), nullable = true)))
+
+  /** Persist [[KMeans.fit]] output. */
+  def saveCentroids(centroids: DataFrame, path: String): Unit =
+    save(centroids, centroidSchema, path)
+
+  /** Load centroids for [[Similarity.ivfTopKWith]] / [[KMeans.assign]]. */
+  def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    load(spark, centroidSchema, path)
+
+  /** Persist [[ProductQuantizer.codebooksKMeans]] (or stride) output. */
+  def saveCodebooks(books: DataFrame, path: String): Unit =
+    save(books, codebookSchema, path)
+
+  /** Load codebooks for [[ProductQuantizer.topKWith]]. */
+  def loadCodebooks(spark: SparkSession, path: String): DataFrame =
+    load(spark, codebookSchema, path)
+
+  private def save(df: DataFrame, schema: StructType, path: String): Unit = {
+    val cols = schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    df.select(cols.toIndexedSeq: _*)
+      .repartition(1) // trained state is k-or-so rows; one copyable file
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def load(spark: SparkSession, schema: StructType,
+                   path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      require(got.get(f.name).contains(f.dataType),
+        s"trained-state schema mismatch at $path: expected ${f.name}: " +
+          s"${f.dataType.sql}, found ${got.get(f.name).map(_.sql).getOrElse("<missing>")}")
+    }
+    df.select(schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)).toIndexedSeq: _*)
+  }
+}

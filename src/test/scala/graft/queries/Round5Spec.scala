@@ -80,6 +80,8 @@ class Round5Spec extends SparkTestBase {
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(got.size == 2, s"left row dropped: $got")
     assert(got(1L).contains(90L))
+    assert(got(2L).isEmpty,
+      "NULL left time must null-pad, not fabricate a nearest match")
   }
 
   // --------------------------------------------------------------- funnel
