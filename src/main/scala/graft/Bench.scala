@@ -78,11 +78,19 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the line short (the driver's log capture has
+    // truncated multi-KB lines before; sub-ms digits are noise anyway)
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but don't deflate total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$qs}"""
+    println(line)
+    // belt-and-braces: the same JSON as a file, immune to log truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), line + "\n")
+    catch { case _: Throwable => } // read-only checkout must not fail bench
     spark.stop()
   }
 }

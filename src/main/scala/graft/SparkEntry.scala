@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.Round4Queries.queries ++
       graft.queries.Round5Queries.queries ++
-      graft.queries.Round6Queries.queries
+      graft.queries.Round6Queries.queries ++
+      graft.queries.Round7Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.ExtendedQueries.oracleSql ++
       graft.queries.Round4Queries.oracleSql ++
       graft.queries.Round5Queries.oracleSql ++
-      graft.queries.Round6Queries.oracleSql
+      graft.queries.Round6Queries.oracleSql ++
+      graft.queries.Round7Queries.oracleSql
 }

@@ -123,9 +123,15 @@ object TimeSeriesOps {
       col("data_qualifier"), col("flow_direction"), col("kind"),
       col("phase"), col("uom"))
 
-  def writeCsv(ts: DataFrame, path: String): Unit =
-    csvProjection(ts).coalesce(1)
+  /** @param singleFile true (default) = `coalesce(1)` for byte parity with
+    *   the reference CLI's one-file output; false = every partition writes
+    *   its own part file — the bulk-export mode (a 100TB export through one
+    *   task is a non-starter; [[readCsv]] reads either layout). */
+  def writeCsv(ts: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val proj = csvProjection(ts)
+    (if (singleFile) proj.coalesce(1) else proj)
       .write.mode("overwrite").option("header", "true").csv(path)
+  }
 
   /** Read a TimeSeries CSV (as written by [[writeCsv]] or the reference
     * CLI) back into the typed 15-column DataFrame — source round-trip. */

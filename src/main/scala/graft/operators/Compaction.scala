@@ -44,7 +44,11 @@ object Compaction {
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .parquet(outPath)
-    new java.io.File(outPath).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    // Hadoop FS, not java.io.File: the writer accepts any scheme the
+    // session's filesystems do (file:, hdfs:, s3a:), so the count must too
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
   }
 }

@@ -76,9 +76,12 @@ object Round6Queries {
     // relationalized back with explode. The map never reaches the output
     // schema — both engines compare plain rows.
     "q_map_ops" -> ((s, dir) => {
+      // integerize to cents PER ROW before summing (the repo-wide
+      // determinism convention): summing doubles first would let float
+      // add-order flip a near-.5 rounding between engines
       val perType = load(s, dir, "events")
         .groupBy(col("user_id"), col("event_type"))
-        .agg(round(sum(col("value") * 100)).cast("long").as("cents"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
       val m = perType
         .groupBy(col("user_id"))
         .agg(map_from_entries(
@@ -98,6 +101,10 @@ object Round6Queries {
     // of md5) — no float fraction ever computed, so both engines keep the
     // identical doc set. Per-source totals are a tiny aggregate broadcast
     // back; the sampling pass is map-only.
+    // Overflow bound: v ≤ 65535, so v·T_s stays inside BIGINT while
+    // T_s < 2^63/65536 ≈ 1.4e14 tokens PER SOURCE (~140T tokens — two
+    // orders past today's largest corpora). Beyond that, pre-divide:
+    // v < (T_min·65536) div T_s (loses ≤1 ulp of keep-rate resolution).
     "d_mix_sources" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -291,9 +298,9 @@ object Round6Queries {
         |FROM t ORDER BY event_id""".stripMargin,
     "q_map_ops" ->
       """SELECT user_id, event_type,
-        |  CAST(ROUND(SUM(value * 100)) AS BIGINT) AS cents
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2
-        |HAVING CAST(ROUND(SUM(value * 100)) AS BIGINT) >= 100000
+        |HAVING SUM(CAST(ROUND(value * 100) AS BIGINT)) >= 100000
         |ORDER BY 1, 2""".stripMargin,
     "d_mix_sources" ->
       """WITH d AS (

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.similarity.Similarity
+
+/** Round-7 additions: ORACLED PLANTED variants of the rows-only
+  * hash-seeded operators (MinHash, SimHash, hyperplane LSH, IVF, PQ).
+  *
+  * The base queries have no DuckDB twin — xxhash64 doesn't exist there —
+  * but the MECHANISM is still oracle-checkable: plant exact duplicates
+  * (id + PLANT_BASE, same payload) and emit only the planted pairs /
+  * planted-neighbor ranks. An exact duplicate is invariant to hash choice:
+  * identical text ⇒ identical signature ⇒ same band buckets (MinHash),
+  * same simhash (hamming 0), identical embedding ⇒ same LSH buckets /
+  * same IVF cell / same PQ codes — so EVERY planted pair must surface, and
+  * the oracle can state the full expected output in plain SQL. This turns
+  * "rows-only" into a real recall-of-exact-duplicates contract without
+  * pretending the hashes are portable.
+  */
+object Round7Queries {
+
+  private val PlantBase = 1000000L
+
+  /** documents restricted to a window present at every SF, plus planted
+    * exact copies of the first `nPlant` docs. */
+  private def plantedDocs(s: SparkSession, dir: String, nPlant: Int): DataFrame = {
+    val docs = load(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") < nPlant)
+        .select((col("doc_id") + PlantBase).as("doc_id"), col("text")))
+  }
+
+  /** embeddings plus planted exact copies of the first `nPlant` vectors. */
+  private def plantedEmb(s: SparkSession, dir: String, nPlant: Int): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    emb.unionByName(
+      emb.filter(col("vec_id") < nPlant)
+        .select((col("vec_id") + PlantBase).as("vec_id"), col("embedding")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MinHash-LSH must recover every planted exact duplicate: identical
+    // text ⇒ identical 32-slot signature ⇒ collision in all 8 bands ⇒
+    // candidate pair; exact gram-set Jaccard of identical docs is 1.0.
+    // Docs with <3 tokens have no 3-gram and are excluded by the operator
+    // (and by the oracle's matching predicate).
+    "d_dedup_minhash_planted" -> ((s, dir) => {
+      val pairs = Similarity.minhashPairs(plantedDocs(s, dir, 40),
+        "doc_id", "text", shingleN = 3, numHashes = 32, numBands = 8,
+        minJaccard = 0.0)
+      pairs.filter(col("id_b") === col("id_a") + PlantBase)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+        .orderBy(col("id_a"))
+    }),
+
+    // SimHash: identical text ⇒ identical 64-bit signature ⇒ same
+    // top-16-bit bucket, hamming 0 — every planted pair must appear.
+    "d_dedup_simhash_planted" -> ((s, dir) => {
+      val pairs = Similarity.simhashPairs(plantedDocs(s, dir, 40),
+        "doc_id", "text", maxHamming = 10)
+      pairs.filter(col("id_b") === col("id_a") + PlantBase)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"))
+    }),
+
+    // IVF: a planted copy shares the query's embedding, hence its argmin
+    // centroid cell — probe cell #1 always contains it, and exact cosine
+    // of identical vectors re-scores to 1 (≤1 ulp; round(6) pins it).
+    "e_ann_ivf_planted" -> ((s, dir) => {
+      val corpus = plantedEmb(s, dir, 30)
+      val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
+      Similarity.ivfTopK(queries, corpus, k = 1, centroidStride = 50,
+        nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
+    // LSH: identical embedding ⇒ identical bucket in every hash table ⇒
+    // guaranteed candidate; exact re-score ranks it first.
+    "e_ann_lsh_planted" -> ((s, dir) => {
+      val corpus = plantedEmb(s, dir, 30)
+      val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
+      Similarity.lshTopK(queries, corpus, dim = 64, numPlanes = 8, k = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
+    // PQ: identical embedding ⇒ identical codes ⇒ the duplicate's ADC
+    // score equals the query's own quantization score — with rerank=32 the
+    // duplicate always survives to the exact re-score stage, which ranks
+    // it first at cosine 1.
+    "e_ann_pq_planted" -> ((s, dir) => {
+      val corpus = plantedEmb(s, dir, 30)
+      val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
+      val stride = math.max(1L,
+        QueryShared.cachedCount(s, dir, "embeddings") / 256L)
+      graft.similarity.ProductQuantizer.topK(queries, corpus, dim = 64,
+        numSub = 8, k = 1, stride = stride.toInt, rerank = 32)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // ≥3 lowercase-alnum tokens ⇔ the doc has at least one 3-gram and
+    // enters the MinHash path at all
+    "d_dedup_minhash_planted" ->
+      """SELECT doc_id AS id_a,
+        |  doc_id + 1000000 AS id_b,
+        |  1.0 AS jac
+        |FROM documents
+        |WHERE doc_id < 40
+        |  AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
+        |ORDER BY id_a""".stripMargin,
+    "d_dedup_simhash_planted" ->
+      """SELECT doc_id AS id_a,
+        |  doc_id + 1000000 AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents
+        |WHERE doc_id < 40
+        |ORDER BY id_a""".stripMargin,
+    "e_ann_ivf_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+    "e_ann_lsh_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+    "e_ann_pq_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin
+  )
+}

@@ -92,17 +92,47 @@ object ProductQuantizer {
     topKWith(queries, corpus, dim, numSub, k,
       codebooks(corpus, dim, numSub, stride), rerank)
 
-  /** [[topK]] with caller-provided codebooks (e.g. [[codebooksKMeans]]). */
+  /** [[topK]] with caller-provided codebooks (e.g. [[codebooksKMeans]]).
+    *
+    * Job-count note: the codebooks (numSub × ≤65536 rows by the 16-bit
+    * code bound — in practice ~256) and the probe set are BOTH tiny by the
+    * PQ contract and were already driver-collected by their `broadcast()`
+    * hints in the naive form. Collecting them once into LOCAL RELATIONS is
+    * therefore scale-neutral, but every downstream broadcast (books for
+    * encode, the ADC table, the rescore query side) then derives from
+    * in-memory rows instead of re-running its own source scan — the old
+    * 6-scan-job pipeline's fixed overhead was most of this query's
+    * wall-clock at benchmark scale. The ADC dot products stay DISTRIBUTED
+    * (a join of the two local relations through the codegen'd kernel):
+    * computing them driver-side was measured SLOWER — 114k boxed Rows
+    * through a single-threaded encoder beats per-job overhead only in the
+    * wrong direction.
+    */
   def topKWith(queries: DataFrame, corpus: DataFrame, dim: Int, numSub: Int,
                k: Int, booksDf: DataFrame, rerank: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = corpus.sparkSession
     val subDim = dim / numSub
-    val books = broadcast(booksDf)
+
+    def localRelation(df: DataFrame, ddl: String): DataFrame =
+      spark.createDataFrame(df.collect().toSeq.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+    val booksLocal = localRelation(
+      booksDf.select(col("sub").cast("int"), col("code").cast("int"),
+        col("centroid")),
+      "sub INT, code INT, centroid ARRAY<FLOAT>")
+    val qLocal = localRelation(
+      queries.select(col("vec_id").cast("long"), col("embedding")),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    val books = broadcast(booksLocal)
     val codes = encode(corpus, books, dim, numSub)
 
     // per-query ADC table: dot(q_sub, centroid) for every (sub, code) —
-    // |queries| × numSub × k rows, broadcast to the codes table
+    // |queries| × numSub × |codes| rows, broadcast to the codes table
     val adc = broadcast(
-      explodeSubs(queries, "embedding", numSub, subDim)
+      explodeSubs(qLocal, "embedding", numSub, subDim)
         .join(books, Seq("sub"))
         .select(col("vec_id").as("query_id"), col("sub"), col("code"),
           graft.functions.DotProduct.dot_product(
@@ -122,8 +152,9 @@ object ProductQuantizer {
       .filter(col("_r") <= k * rerank)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
-    // exact re-score of the short list
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+    // exact re-score of the short list (query side from the same collected
+    // probe set — a third broadcast build would re-scan the source)
+    val q = broadcast(qLocal.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
     val scored = candidates
       .join(corpus.select(col("vec_id").as("neighbor_id"),

@@ -163,7 +163,11 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new EspiMicroBatchStream(this)
 
-  private[sources] def listFiles(): Seq[String] = {
+  private[sources] def listFiles(): Seq[String] = listFilesWithTimes().map(_._1)
+
+  /** (path, modificationTime) per matched file — mod times drive the
+    * compacted streaming offset's watermark. */
+  private[sources] def listFilesWithTimes(): Seq[(String, Long)] = {
     val conf = hadoopConf
     paths.flatMap { p =>
       val hp = new Path(p)
@@ -172,10 +176,10 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
       matched.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
-      }.map(_.getPath.toString)
-    }.distinct
-      .filter(EspiScan.accepts(pushed, "file", _))
-      .sorted
+      }.map(st => st.getPath.toString -> st.getModificationTime)
+    }.distinctBy(_._1)
+      .filter { case (p, _) => EspiScan.accepts(pushed, "file", p) }
+      .sortBy(_._1)
   }
 
   private[sources] def readerFactory(): PartitionReaderFactory =
@@ -201,29 +205,89 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
     readerFactory()
 }
 
-/** Streaming offset = the sorted set of files already ingested, serialized
-  * as a JSON array. Honest scale note: at feed-corpus cardinalities this is
-  * small; a production deployment at millions of files would keep a
-  * compacted file log beside the checkpoint (as Spark's FileStreamSource
-  * does) and put only its sequence number here. */
-case class EspiOffset(files: Seq[String])
+/** Log-compacted streaming offset: `watermark` is the highest file
+  * modification time fully ingested, `recent` the (sorted) files whose mod
+  * time falls within [[EspiOffset.graceMs]] of it. A file is NEW iff its
+  * mod time is past the watermark, or inside the grace window but not in
+  * `recent` — so the offset is O(arrival-rate × grace), not O(files ever
+  * seen): a year-long watch of a million-file directory checkpoints a
+  * handful of paths, not the full history (the round-3 review's unbounded-
+  * offset gap). The grace window absorbs filesystem timestamp granularity
+  * and listing races; a file that materializes with a mod time older than
+  * `watermark − graceMs` is NOT picked up — the same bounded-lateness
+  * contract as Spark's own FileStreamSource `maxFileAge`.
+  *
+  * `watermark == Long.MinValue` marks the initial offset AND deserialized
+  * legacy offsets (pre-compaction checkpoints stored the full file list as
+  * a bare JSON array): for those, `recent` IS the complete seen set and
+  * membership alone decides newness, so existing checkpoints restart
+  * correctly and the very next offset written is the compacted form.
+  */
+case class EspiOffset(watermark: Long, recent: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   // escape ALL control characters too: the offset log is line-oriented, so
   // a (legal) file name containing a newline would otherwise split the
   // offset across log lines and corrupt recovery
-  override def json(): String =
-    files.map(f => "\"" + f.flatMap {
+  private def esc(f: String): String =
+    "\"" + f.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
-    } + "\"").mkString("[", ",", "]")
+    } + "\""
+  override def json(): String =
+    s"""{"w":$watermark,"r":${recent.map(esc).mkString("[", ",", "]")}}"""
 }
 
 object EspiOffset {
+  /** Mod-time slack absorbed by the `recent` set (FS timestamp granularity
+    * + listing races). */
+  val graceMs: Long = 5000L
+
+  val initial: EspiOffset = EspiOffset(Long.MinValue, Seq.empty)
+
+  /** Is (path, modTime) NOT yet ingested as of `off`? */
+  def isNew(off: EspiOffset, recentSet: Set[String], path: String,
+            modTime: Long): Boolean =
+    if (off.watermark == Long.MinValue) !recentSet.contains(path) // legacy/initial
+    else modTime > off.watermark ||
+      (modTime >= off.watermark - graceMs && !recentSet.contains(path))
+
+  /** Was (path, modTime) already listed when `off` was taken? (Bounds a
+    * batch's end: a file that raced in after the end offset waits for the
+    * next batch — exactly-once.) */
+  def seenBy(off: EspiOffset, recentSet: Set[String], path: String,
+             modTime: Long): Boolean =
+    if (off.watermark == Long.MinValue) recentSet.contains(path)
+    else modTime < off.watermark - graceMs || recentSet.contains(path)
+
+  /** Compact a full listing into an offset. */
+  def ofListing(listing: Seq[(String, Long)]): EspiOffset =
+    if (listing.isEmpty) initial
+    else {
+      val w = listing.map(_._2).max
+      EspiOffset(w, listing.collect {
+        case (p, mt) if mt >= w - graceMs => p
+      }.sorted)
+    }
+
   def fromJson(json: String): EspiOffset = {
-    // parse the JSON string array written by json() (no nested structures;
-    // escapes: \" \\ \uXXXX)
+    val t = json.trim
+    if (t.startsWith("[")) EspiOffset(Long.MinValue, parseStrings(t)) // legacy
+    else {
+      // {"w":N,"r":[...]} — the key tokens are safe to search for: quotes
+      // inside file-name strings are escaped, and "w" precedes the only
+      // string content, so the FIRST "r": is the real key
+      val rPos = t.indexOf("\"r\":")
+      val wPos = t.indexOf("\"w\":") + 4
+      require(rPos > 0 && wPos >= 4, s"malformed espi offset: $t")
+      val w = t.substring(wPos, t.lastIndexOf(',', rPos)).trim.toLong
+      EspiOffset(w, parseStrings(t.substring(rPos + 4)))
+    }
+  }
+
+  // parse a JSON string array (no nested structures; escapes: \" \\ \uXXXX)
+  private def parseStrings(json: String): Seq[String] = {
     val items = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inStr = false
@@ -242,7 +306,7 @@ object EspiOffset {
       } else if (c == '"') inStr = true
       i += 1
     }
-    EspiOffset(items.toSeq)
+    items.toSeq
   }
 }
 
@@ -254,14 +318,26 @@ class EspiMicroBatchStream(scan: EspiScan)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset = EspiOffset(Seq.empty)
+  override def initialOffset(): Offset = EspiOffset.initial
 
-  override def latestOffset(): Offset = EspiOffset(scan.listFiles())
+  override def latestOffset(): Offset =
+    EspiOffset.ofListing(scan.listFilesWithTimes())
 
+  // The compacted offset no longer carries the batch's file list, so the
+  // batch is re-derived from a fresh listing bounded by (start, end]:
+  // new-as-of-start AND already-listed-by-end. Replay of a committed batch
+  // therefore requires the source files to still exist — the same contract
+  // as every file-based streaming source.
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[EspiOffset].files.toSet
-    end.asInstanceOf[EspiOffset].files.filterNot(seen)
-      .map(EspiFilePartition(_): InputPartition).toArray
+    val s = start.asInstanceOf[EspiOffset]
+    val e = end.asInstanceOf[EspiOffset]
+    val sRecent = s.recent.toSet
+    val eRecent = e.recent.toSet
+    scan.listFilesWithTimes().collect {
+      case (p, mt) if EspiOffset.isNew(s, sRecent, p, mt) &&
+        EspiOffset.seenBy(e, eRecent, p, mt) =>
+        EspiFilePartition(p): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -138,4 +138,18 @@ class GoldenSpec extends SparkTestBase {
     assert(back.exceptAll(ours).count() == 0)
     assert(ours.exceptAll(back).count() == 0)
   }
+
+  test("distributed CSV export (singleFile=false) writes multiple parts " +
+      "and round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("gb_csv_dist").toString
+    TimeSeriesOps.writeCsv(ours.repartition(4), tmp + "/csv",
+      singleFile = false)
+    val parts = new java.io.File(tmp + "/csv").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts > 1, s"expected a multi-part export, got $parts part file(s)")
+    val back = TimeSeriesOps.readCsv(spark, tmp + "/csv")
+    assert(back.count() == ours.count())
+    assert(back.exceptAll(ours).count() == 0)
+    assert(ours.exceptAll(back).count() == 0)
+  }
 }

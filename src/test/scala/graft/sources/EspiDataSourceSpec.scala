@@ -147,6 +147,60 @@ class EspiDataSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("streaming offset is log-compacted: O(grace-window), not O(files-seen)") {
+    val dir = java.nio.file.Files.createTempDirectory("espi_compact").toFile
+    val nFiles = 30
+    val base = System.currentTimeMillis() - 1000L * 3600
+    (0 until nFiles).foreach { i =>
+      val f = new java.io.File(dir, f"f$i%03d.xml")
+      java.nio.file.Files.writeString(f.toPath, "<feed/>")
+      // spread mod times 60s apart — far beyond the 5s grace window
+      assert(f.setLastModified(base + i * 60000L))
+    }
+    val scan = new EspiScan(Seq(dir.getAbsolutePath + "/*.xml"),
+      EspiDataSource.schema, failfast = false)
+    val stream = new EspiMicroBatchStream(scan)
+    val latest = stream.latestOffset().asInstanceOf[EspiOffset]
+    // only files within graceMs of the newest mod time ride the offset
+    assert(latest.recent.size == 1,
+      s"offset not compacted: ${latest.recent.size} of $nFiles files retained")
+    assert(latest.watermark == base + (nFiles - 1) * 60000L)
+    // ...yet the first batch still covers every file
+    val batch = stream.planInputPartitions(stream.initialOffset(), latest)
+    assert(batch.length == nFiles)
+    // and a no-change step is empty (no reprocessing)
+    assert(stream.planInputPartitions(latest, latest).isEmpty)
+    // ties inside the grace window stay in `recent` and are deduped by name
+    val lateTwin = new java.io.File(dir, "f999.xml")
+    java.nio.file.Files.writeString(lateTwin.toPath, "<feed/>")
+    assert(lateTwin.setLastModified(latest.watermark)) // same mtime as max
+    val latest2 = stream.latestOffset().asInstanceOf[EspiOffset]
+    assert(latest2.recent.toSet ==
+      Set(latest.recent.head, lateTwin.getAbsolutePath.replaceFirst("^", "file:")))
+    val batch2 = stream.planInputPartitions(latest, latest2)
+    assert(batch2.length == 1, s"grace-window twin missed or duplicated: " +
+      batch2.map(_.asInstanceOf[EspiFilePartition].path).mkString(","))
+  }
+
+  test("offset json round-trips (incl. hostile names) and legacy array " +
+      "offsets deserialize with membership semantics") {
+    val off = EspiOffset(1723500000123L,
+      Seq("/plain.xml", "/quote\"back\\slash.xml", "/new\nline\t.xml"))
+    val back = EspiOffset.fromJson(off.json())
+    assert(back == off, s"round-trip changed offset: ${off.json()}")
+    // a filename that embeds the key tokens must not confuse the parser
+    val tricky = EspiOffset(7L, Seq("""/evil","r":[".xml"""))
+    assert(EspiOffset.fromJson(tricky.json()) == tricky)
+
+    // pre-compaction checkpoints stored a bare JSON array of all files
+    val legacy = EspiOffset.fromJson("""["/a.xml","/b.xml"]""")
+    assert(legacy.watermark == Long.MinValue)
+    val rs = legacy.recent.toSet
+    assert(!EspiOffset.isNew(legacy, rs, "/a.xml", modTime = 1L))
+    assert(EspiOffset.isNew(legacy, rs, "/c.xml", modTime = 1L))
+    assert(EspiOffset.seenBy(legacy, rs, "/b.xml", modTime = 1L))
+  }
+
   test("SQL over the source") {
     df.createOrReplaceTempView("espi_entries")
     val n = spark.sql(
