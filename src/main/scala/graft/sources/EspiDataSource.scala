@@ -246,12 +246,20 @@ object EspiOffset {
 
   val initial: EspiOffset = EspiOffset(Long.MinValue, Seq.empty)
 
-  /** Is (path, modTime) NOT yet ingested as of `off`? */
+  /** Is (path, modTime) NOT yet ingested as of `off`? Membership in
+    * `recent` always wins: a file's mod time can ADVANCE after it was
+    * listed and ingested (non-atomic create-then-write, copies into the
+    * watch dir, mtime bumped on close) and a bare `modTime > watermark`
+    * test would re-ingest it — an observed exactly-once violation under
+    * load. Like Spark's FileStreamSource, a modification to an
+    * already-seen file is NOT a new file; only a path unseen in the grace
+    * window is. (A file touched long after aging out of `recent`
+    * re-enters as new — the same bounded-memory trade `maxFileAge`
+    * makes.) */
   def isNew(off: EspiOffset, recentSet: Set[String], path: String,
             modTime: Long): Boolean =
     if (off.watermark == Long.MinValue) !recentSet.contains(path) // legacy/initial
-    else modTime > off.watermark ||
-      (modTime >= off.watermark - graceMs && !recentSet.contains(path))
+    else !recentSet.contains(path) && modTime >= off.watermark - graceMs
 
   /** Was (path, modTime) already listed when `off` was taken? (Bounds a
     * batch's end: a file that raced in after the end offset waits for the
@@ -333,11 +341,16 @@ class EspiMicroBatchStream(scan: EspiScan)
     val e = end.asInstanceOf[EspiOffset]
     val sRecent = s.recent.toSet
     val eRecent = e.recent.toSet
-    scan.listFilesWithTimes().collect {
+    val listing = scan.listFilesWithTimes()
+    val planned = listing.collect {
       case (p, mt) if EspiOffset.isNew(s, sRecent, p, mt) &&
         EspiOffset.seenBy(e, eRecent, p, mt) =>
         EspiFilePartition(p): InputPartition
     }.toArray
+    if (sys.env.contains("ESPI_DEBUG_OFFSETS"))
+      System.err.println(s"[espi-debug] plan start=${s.json()} end=${e.json()} " +
+        s"listing=$listing planned=${planned.mkString(",")}")
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

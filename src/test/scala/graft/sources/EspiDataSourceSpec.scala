@@ -182,6 +182,26 @@ class EspiDataSourceSpec extends SparkTestBase {
       batch2.map(_.asInstanceOf[EspiFilePartition].path).mkString(","))
   }
 
+  test("a file whose mod time advances after ingest is NOT re-ingested " +
+      "(membership beats the watermark)") {
+    // the non-atomic-write race: a file is listed at creation (mt=t), the
+    // batch ingests it, then its mtime bumps on content flush/close
+    // (t' > t). The next trigger's listing must not plan it again.
+    val t = 1723500000000L
+    val off = EspiOffset(t, Seq("file:/d/b.xml"))
+    val rs = off.recent.toSet
+    assert(!EspiOffset.isNew(off, rs, "file:/d/b.xml", modTime = t + 3000L))
+    assert(!EspiOffset.isNew(off, rs, "file:/d/b.xml", modTime = t + 60000L))
+    // while a genuinely new path past the watermark IS picked up,
+    assert(EspiOffset.isNew(off, rs, "file:/d/c.xml", modTime = t + 1L))
+    // a new path inside the grace window IS picked up,
+    assert(EspiOffset.isNew(off, rs, "file:/d/g.xml", modTime = t - 4000L))
+    // and a late file beyond the grace window stays dropped (bounded
+    // lateness — the maxFileAge trade)
+    assert(!EspiOffset.isNew(off, rs, "file:/d/late.xml",
+      modTime = t - EspiOffset.graceMs - 1L))
+  }
+
   test("offset json round-trips (incl. hostile names) and legacy array " +
       "offsets deserialize with membership semantics") {
     val off = EspiOffset(1723500000123L,
