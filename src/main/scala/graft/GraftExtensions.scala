@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
+    // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
+    // AsOfJoinExec). AsOfNative.asOf also self-registers this per session
+    // via spark.experimental, so the operator works without the extension.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Round4Queries.queries ++
       graft.queries.Round5Queries.queries ++
       graft.queries.Round6Queries.queries ++
-      graft.queries.Round7Queries.queries
+      graft.queries.Round7Queries.queries ++
+      graft.queries.Round8Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.Round4Queries.oracleSql ++
       graft.queries.Round5Queries.oracleSql ++
       graft.queries.Round6Queries.oracleSql ++
-      graft.queries.Round7Queries.oracleSql
+      graft.queries.Round7Queries.oracleSql ++
+      graft.queries.Round8Queries.oracleSql
 }

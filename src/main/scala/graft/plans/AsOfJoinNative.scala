@@ -1,0 +1,240 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute,
+  AttributeSet,
+  AttributeReference, CreateStruct, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.PlanBridge
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+  TimestampNTZType, TimestampType}
+
+/** Native as-of join: the whole-operator form of the build brief's ladder
+  * (c) — a custom logical plan, planner strategy, and physical operator,
+  * self-registered via `spark.experimental` (and injectable through
+  * [[graft.GraftExtensions]]).
+  *
+  * Semantics are IDENTICAL to [[graft.operators.AsOfJoin.asOf]] (the
+  * union-tag-window composition): for each left row, attach the last right
+  * row at-or-before it in (time, side, xxhash64(vals)) order within the
+  * key, null-padding when none exists — including the positional null
+  * edges (a null right time sorts earliest and acts as a t = −∞ fallback;
+  * a null left time matches only such rows) and the deterministic
+  * data-derived tie-break among right rows sharing (key, time).
+  *
+  * Why a custom operator when the window form already costs one shuffle
+  * per side: the union form pads every shuffled row to the FULL combined
+  * row width (left rows carry a null right-struct, right rows carry every
+  * left column as null) and buffers each key group through a Window
+  * operator. The native exec shuffles each side with only its own columns
+  * and streams the merge with O(1) state per partition — fewer shuffled
+  * bytes and no per-group buffering, which is the difference that matters
+  * at 100 TB where the fact side dominates. Reference behavior analog:
+  * the reference engine's point-in-time lookups resolve each reading
+  * against the latest effective metadata
+  * (lib/personalgreenbutton/src/lib.rs:32-190's link resolution).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightVals: Seq[Attribute],
+    asOfOutput: Seq[Attribute],
+    tolerance: Option[Long])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ asOfOutput
+
+  // asof_ columns are minted by this operator, not pulled from children
+  override def producedAttributes: AttributeSet = AttributeSet(asOfOutput)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. Stateless — safe to
+  * register once per session. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+        p.rightVals, p.asOfOutput, p.tolerance) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Partition-local streaming merge: both children hash-clustered on the
+  * keys (EnsureRequirements co-partitions them and inserts the sorts), then
+  * a single forward pass over each side per partition — O(left + right)
+  * time, O(1) rows of state (the last at-or-before right row). The right
+  * child's required ordering ends with xxhash64(struct(vals)) so ties among
+  * right rows sharing (key, time) resolve to the same row the window form's
+  * ordering picks, keeping the two implementations bit-identical.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightVals: Seq[Attribute],
+    asOfOutput: Seq[Attribute],
+    tolerance: Option[Long])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ asOfOutput
+
+  override def producedAttributes: AttributeSet = AttributeSet(asOfOutput)
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(a => SortOrder(a, Ascending)),
+    (rightKeys :+ rightTime).map(a => SortOrder(a, Ascending)) :+
+      SortOrder(XxHash64(Seq(CreateStruct(rightVals)), 42L), Ascending))
+
+  // rows stream out in the left child's clustering/order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def timeAsLong(row: InternalRow, idx: Int): Long =
+    leftTime.dataType match {
+      case LongType | TimestampType | TimestampNTZType => row.getLong(idx)
+      case IntegerType | DateType => row.getInt(idx).toLong
+      case other => throw new IllegalArgumentException(
+        s"asOfNative tolerance requires a long/int-backed time column, got $other")
+    }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyAttrs = leftKeys
+    val rKeyAttrs = rightKeys
+    val keyTypes = leftKeys.map(_.dataType)
+    val valAttrs = rightVals
+    val outAttrs = output
+    val asOfAttrs = asOfOutput
+    val timeType = leftTime.dataType
+    val lTimeIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
+    val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+    require(lTimeIdx >= 0 && rTimeIdx >= 0,
+      "as-of time columns must come from the respective child")
+    val tolOpt = tolerance
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyAttrs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyAttrs, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val valsProj = UnsafeProjection.create(valAttrs, rOut)
+      val outProj = UnsafeProjection.create(outAttrs, lOut ++ asOfAttrs)
+      val nullVals = new GenericInternalRow(valAttrs.length)
+      val joined = new JoinedRow
+
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var buffered: InternalRow = null // copy of last at-or-before right row
+      var bufferedKey: UnsafeRow = null
+
+      // right row sorts at-or-before a left row at time lT? (right side
+      // wins equal-time ties, null time = −∞ — the window form's ordering)
+      def atOrBefore(r: InternalRow, lT: Any, lTNull: Boolean): Boolean = {
+        if (r.isNullAt(rTimeIdx)) true
+        else if (lTNull) false
+        else timeOrd.compare(r.get(rTimeIdx, timeType), lT) <= 0
+      }
+
+      def withinTolerance(m: InternalRow, lRow: InternalRow,
+                          lTNull: Boolean): Boolean = tolOpt match {
+        case None => true
+        case Some(tol) =>
+          !lTNull && !m.isNullAt(rTimeIdx) &&
+            timeAsLong(lRow, lTimeIdx) - timeAsLong(m, rTimeIdx) <= tol
+      }
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTNull = lRow.isNullAt(lTimeIdx)
+        val lT = if (lTNull) null else lRow.get(lTimeIdx, timeType)
+        var advancing = true
+        while (advancing && rHead != null) {
+          val c = keyOrd.compare(rKeyProj(rHead), lKey)
+          if (c < 0) {
+            rHead = if (rIter.hasNext) rIter.next() else null
+          } else if (c == 0 && atOrBefore(rHead, lT, lTNull)) {
+            buffered = rHead.copy()
+            bufferedKey = lKey.copy()
+            rHead = if (rIter.hasNext) rIter.next() else null
+          } else advancing = false
+        }
+        val matched =
+          if (buffered != null && keyOrd.compare(bufferedKey, lKey) == 0 &&
+              withinTolerance(buffered, lRow, lTNull)) buffered
+          else null
+        numOutputRows += 1
+        outProj(joined(lRow,
+          if (matched != null) valsProj(matched) else nullVals))
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point for the native as-of join. */
+object AsOfNative {
+
+  /** Same contract as [[graft.operators.AsOfJoin.asOf]] (and, with
+    * `tolerance`, [[graft.operators.AsOfJoin.asOfTolerance]]): every left
+    * row survives, gaining `asof_<c>` for each requested right column —
+    * null when no right row is at-or-before the left time (or the match is
+    * staler than `tolerance`).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String, rightVals: Seq[String],
+           tolerance: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
+    val lPlan = PlanBridge.analyzed(left)
+    // prune the right side to what the join consumes, and re-alias for
+    // fresh exprIds so self-joins (both sides derived from one source — the
+    // common case) carry no ambiguous references into the custom node
+    val rCols = ((keys :+ rightTime) ++ rightVals).distinct
+    val rPruned = PlanBridge.analyzed(right.select(rCols.map(col): _*))
+    val aliases = rPruned.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(aliases, rPruned)
+    val rMap = aliases.map(al => al.name -> al.toAttribute).toMap
+    val lMap = lPlan.output.map(a => a.name -> a).toMap
+    val missingL = (keys :+ leftTime).filterNot(lMap.contains)
+    require(missingL.isEmpty, s"left side lacks column(s): $missingL")
+    val asOfAttrs = rightVals.map(c =>
+      AttributeReference(s"asof_$c", rMap(c).dataType, nullable = true)())
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      keys.map(lMap), keys.map(rMap), lMap(leftTime), rMap(rightTime),
+      rightVals.map(rMap), asOfAttrs, tolerance)
+    PlanBridge.ofRows(spark, node)
+  }
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.plans.AsOfNative
+import graft.queries.QueryShared.packedK
+
+/** Round-8 additions — queries driving this session's new operators:
+  *
+  *   - the NATIVE as-of join (custom logical plan + strategy + streaming
+  *     merge exec, `graft.plans`), oracled against the same DuckDB ASOF
+  *     forms as the window-composition queries it accelerates
+  *   - blocked fuzzy (edit-distance) dedup — the non-token near-dup
+  *     family (typo'd titles, OCR noise) that MinHash misses
+  *   - deterministic train/eval corpus split with a leakage guard
+  */
+object Round8Queries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Native as-of: purchases pick up the closest at-or-before view, on
+    // the packed key (unique, monotone ⇒ unambiguous oracle).
+    "q_asof_native" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), packedK.as("k"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), packedK.as("vk"),
+          round(col("value") * 100).cast("long").as("v_cents"))
+      AsOfNative.asOf(purchases, views, Seq("user_id"),
+          leftTime = "k", rightTime = "vk",
+          rightVals = Seq("vk", "v_cents"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_vk"), lit(-1L)).as("view_k"),
+          coalesce(col("asof_v_cents"), lit(-1L)).as("view_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Native as-of with bounded staleness — same expected output as
+    // q_asof_tolerance, produced by the merge exec's tolerance gate.
+    "q_asof_native_tol" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), packedK.as("k"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), packedK.as("vk"),
+          round(col("value") * 100).cast("long").as("v_cents"))
+      AsOfNative.asOf(purchases, views, Seq("user_id"),
+          leftTime = "k", rightTime = "vk",
+          rightVals = Seq("vk", "v_cents"),
+          tolerance = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_vk"), lit(-1L)).as("view_k"),
+          coalesce(col("asof_v_cents"), lit(-1L)).as("view_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Blocked fuzzy dedup: edit-distance near-dups (typo'd titles, OCR
+    // noise) that token-level MinHash misses. Candidate generation is TWO
+    // equi-join blocking passes — same (lang, first-8-chars) OR same
+    // (lang, last-8-chars) — so the only shuffles are hash joins on
+    // blocking keys, never an all-pairs product; Levenshtein verifies just
+    // the candidates on a bounded 100-char head (edit distance is O(n²)
+    // per pair — the cap is the cost control). At 100 TB the block key
+    // length is the selectivity knob (longer key = smaller blocks), plus a
+    // bucket-size cap for adversarial pileups, same as the MinHash path.
+    // Planted typos (char 21 replaced with 'x') make the expected output
+    // non-trivial at every SF: each planted pair shares its prefix-8 block
+    // and has head distance exactly 1.
+    "d_dedup_fuzzy" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("doc_id") < 500)
+        .filter(length(col("text")) >= 60)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val typos = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          concat(substring(col("text"), 1, 20), lit("x"),
+            expr("substring(text, 22)")).as("text"))
+      val docs = base.unionByName(typos)
+        .withColumn("head", substring(col("text"), 1, 100))
+        .withColumn("pre", substring(col("text"), 1, 8))
+        .withColumn("suf", substring(col("text"), -8, 8))
+      def pass(key: String): DataFrame = {
+        val a = docs.select(col("doc_id").as("id_a"), col("lang"),
+          col(key).as("bk"), col("head").as("head_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("lang"),
+          col(key).as("bk"), col("head").as("head_b"))
+        a.join(b, Seq("lang", "bk")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("head_a"), col("head_b"))
+      }
+      pass("pre").unionByName(pass("suf")).distinct()
+        .withColumn("dist", levenshtein(col("head_a"), col("head_b")))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Deterministic train/eval split + leakage guard: ~10% eval by md5
+    // hash threshold (stable across runs/engines — no RNG), with an
+    // exact-duplicate cross-split leak count over md5(text) so shuffled
+    // bytes are 32-hex digests, not document bodies (the 100 TB shape:
+    // split assignment is map-only; the leak check is ONE shuffle on the
+    // text digest). Planted copies of the first 25 docs land in whichever
+    // split their new id hashes to, so the leak count is non-zero and
+    // oracle-checkable at every SF.
+    "d_split_train_eval" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val docs = base.unionByName(base.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("n_chars")))
+      val tagged = docs.withColumn("split",
+          when(substring(md5(concat(lit("split"), col("doc_id").cast("string"))
+            .cast("binary")), 1, 2) < "1a", "eval").otherwise("train"))
+        .withColumn("h", md5(col("text").cast("binary")))
+      val leaks = tagged.select(col("h"), col("split")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("ns"))
+        .filter(col("ns") === 2)
+        .select(col("h"), lit(1).as("leak"))
+      tagged.join(leaks, Seq("h"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(coalesce(col("leak"), lit(0))).as("n_leaked"))
+        .orderBy(col("split"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_native" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, k FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, k AS vk,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+        |      FROM e WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.event_id, arg_max(v.vk, v.vk) AS view_k,
+        |    arg_max(v.v_cents, v.vk) AS view_cents
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.vk <= p.k
+        |  GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |  COALESCE(m.view_k, -1) AS view_k,
+        |  COALESCE(m.view_cents, -1) AS view_cents
+        |FROM p LEFT JOIN m ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_native_tol" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, k FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, k AS vk,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+        |      FROM e WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.event_id, arg_max(v.vk, v.vk) AS view_k,
+        |    arg_max(v.v_cents, v.vk) AS view_cents
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.vk <= p.k AND v.vk >= p.k - 3600000000
+        |  GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |  COALESCE(m.view_k, -1) AS view_k,
+        |  COALESCE(m.view_cents, -1) AS view_cents
+        |FROM p LEFT JOIN m ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "d_dedup_fuzzy" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id < 500 AND length(text) >= 60),
+        |docs AS (
+        |  SELECT doc_id, lang, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang,
+        |    substr(text, 1, 20) || 'x' || substr(text, 22)
+        |  FROM base WHERE doc_id < 40),
+        |d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 100) AS head,
+        |    substr(text, 1, 8) AS pre,
+        |    substr(text, length(text) - 7) AS suf
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.head AS head_a, b.head AS head_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.pre = b.pre AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.head, b.head
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.suf = b.suf AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, levenshtein(head_a, head_b) AS dist
+        |FROM cand
+        |WHERE levenshtein(head_a, head_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_split_train_eval" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 500),
+        |docs AS (
+        |  SELECT doc_id, text, n_chars FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, n_chars FROM base
+        |  WHERE doc_id < 25),
+        |tagged AS (
+        |  SELECT doc_id, n_chars, md5(text) AS h,
+        |    CASE WHEN substring(md5(concat('split',
+        |        CAST(doc_id AS VARCHAR))), 1, 2) < '1a'
+        |      THEN 'eval' ELSE 'train' END AS split
+        |  FROM docs),
+        |leaks AS (
+        |  SELECT h FROM (SELECT DISTINCT h, split FROM tagged)
+        |  GROUP BY h HAVING COUNT(*) = 2)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(SUM(CASE WHEN h IN (SELECT h FROM leaks)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
