@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.streaming.StreamingDedup.{StreamDoc, StreamDup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import scala.util
+
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val textB = "spark structured streaming processes unbounded data with incremental state"
+  private val textC = "minhash signatures compress shingle sets into fixed width sketches cheaply"
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming near-dup: cross-batch and same-batch exact duplicates " +
+      "surface; distinct docs stay silent; state carries across batches") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[StreamDoc]
+      val dups = StreamingDedup.nearDupCandidates(mem.toDF())
+      val q = dups.writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_out").start()
+      try {
+        // batch 1: three distinct docs
+        mem.addData(StreamDoc(1, textA), StreamDoc(2, textB),
+          StreamDoc(3, textC))
+        q.processAllAvailable()
+        val b1 = spark.sql("SELECT * FROM sdedup_out").as[StreamDup].collect()
+        assert(b1.isEmpty, s"distinct docs paired: ${b1.toSeq}")
+
+        // batch 2: an exact copy of doc 1 (cross-batch, via RocksDB state),
+        // a fresh doc, and TWO same-batch copies of doc 2
+        mem.addData(StreamDoc(4, textA),
+          StreamDoc(5, "completely unrelated content about parquet files and columns"),
+          StreamDoc(6, textB), StreamDoc(7, textB))
+        q.processAllAvailable()
+        val out = spark.sql("SELECT * FROM sdedup_out").as[StreamDup].collect()
+
+        // the pair set, collapsed across bands
+        val pairs = out.map(d => (d.doc_id, d.dup_of)).toSet
+        assert(pairs.contains((4L, 1L)), s"cross-batch dup missed: $pairs")
+        assert(pairs.contains((6L, 2L)) || pairs.contains((7L, 2L)),
+          s"same-batch dup vs seen state missed: $pairs")
+        assert(pairs.contains((7L, 6L)) || pairs.contains((6L, 7L)),
+          s"same-batch pair missed: $pairs")
+        // exact copies collide in EVERY band with matching full signature
+        val fourVsOne = out.filter(d => d.doc_id == 4L && d.dup_of == 1L)
+        assert(fourVsOne.length == 8, s"expected 8 band hits, got ${fourVsOne.length}")
+        assert(fourVsOne.forall(_.exact_sig))
+        // no false pair involving the fresh doc or across distinct texts
+        assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) })
+        assert(!pairs.exists { case (a, b) =>
+          Set(a, b) == Set(1L, 2L) || Set(a, b) == Set(1L, 3L) ||
+            Set(a, b) == Set(2L, 3L) })
+      } finally q.stop()
+    }
+  }
+
+  test("banding stage is bit-identical to the batch operator: streaming " +
+      "candidates == minhashPairs candidates on the same corpus") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val docsSeq = Seq(StreamDoc(1, textA), StreamDoc(2, textB),
+        StreamDoc(3, textC), StreamDoc(10, textA), StreamDoc(11, textB))
+      val mem = MemoryStream[StreamDoc]
+      val dups = StreamingDedup.nearDupCandidates(mem.toDF())
+      val q = dups.writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_parity").start()
+      try {
+        docsSeq.foreach { d => mem.addData(d); q.processAllAvailable() }
+        val streamPairs = spark.sql("SELECT * FROM sdedup_parity")
+          .as[StreamDup].collect()
+          .map(d => (math.min(d.doc_id, d.dup_of), math.max(d.doc_id, d.dup_of)))
+          .toSet
+        val batchPairs = graft.similarity.Similarity.minhashPairs(
+            docsSeq.toDF("doc_id", "text"), "doc_id", "text",
+            shingleN = 3, numHashes = 32, numBands = 8, minJaccard = 0.0)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(streamPairs == batchPairs,
+          s"stream $streamPairs != batch $batchPairs")
+      } finally q.stop()
+    }
+  }
+
+  test("maxBucketSize caps per-cell state: an adversarial pileup emits " +
+      "bounded candidates, not O(n^2)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[StreamDoc]
+      val dups = StreamingDedup.nearDupCandidates(mem.toDF(),
+        maxBucketSize = 3)
+      val q = dups.writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_cap").start()
+      try {
+        // 10 identical docs: uncapped, the last would pair with 9 seen ones
+        mem.addData((1 to 10).map(i => StreamDoc(i.toLong, textA)): _*)
+        q.processAllAvailable()
+        val out = spark.sql("SELECT * FROM sdedup_cap").as[StreamDup].collect()
+        // every probe sees at most 3 stored cell-mates → ≤ 3 pairs per
+        // (doc, band); with 8 bands and 10 docs: ≤ 10*8*3
+        val perDocBand = out.groupBy(d => (d.doc_id, d.band))
+          .map(_._2.length)
+        assert(perDocBand.forall(_ <= 3),
+          s"cap breached: max ${perDocBand.max} candidates in one cell probe")
+        // but the duplicates are still detected (first cap-full still pairs)
+        assert(out.nonEmpty)
+      } finally q.stop()
+    }
+  }
+}
