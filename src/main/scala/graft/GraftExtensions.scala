@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cmsEstimateDescriptor)
     ext.injectFunction(GraftExtensions.ngramHashesDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.bottomKDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -63,6 +64,25 @@ object GraftExtensions {
       require(children.length == 2,
         s"ngram_hashes(tokens, n) takes 2 arguments, got ${children.length}")
       graft.functions.NgramHash(children(0), litInt(children(1), "ngram_hashes"))
+    })
+
+  val bottomKDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bottomk_by_hash"),
+    new ExpressionInfo(classOf[graft.functions.BottomKByHash].getName,
+      "bottomk_by_hash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        s"bottomk_by_hash(value, k, salt) takes 3 arguments, got ${children.length}")
+      val salt = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+            if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"bottomk_by_hash: salt must be a string literal, got $other")
+      }
+      graft.functions.BottomKByHash(children(0),
+        litInt(children(1), "bottomk_by_hash"), salt)
+        .toAggregateExpression()
     })
 
   val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo,

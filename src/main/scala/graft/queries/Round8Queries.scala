@@ -124,6 +124,62 @@ object Round8Queries {
           sum(col("n_chars")).as("chars_sum"),
           sum(coalesce(col("leak"), lit(0))).as("n_leaked"))
         .orderBy(col("split"))
+    }),
+
+    // Integer-exact PageRank (3 Lloyd-style rounds, damping 0.85) over the
+    // event-type transition graph — the iterative-fixpoint family next to
+    // connected components. All arithmetic is BIGINT ppm with a single
+    // integer division per edge ((rank*850000*w) div (1000000*out_w)), so
+    // both engines compute bit-identical ranks — no float fixpoint to
+    // diverge. Each round is two joins + one aggregation over the EDGE
+    // list (never the event log), with a per-round eager localCheckpoint —
+    // the DedupClusters/KMeans lineage rule: an un-truncated loop embeds
+    // the previous plan twice per round and canonicalization goes 2^n. At
+    // a 100 TB graph the edge list shuffle-partitions on src and the rank
+    // vector broadcasts until it outgrows the dim threshold.
+    "q_pagerank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("k"))
+      val edges = load(s, dir, "events")
+        .select(col("user_id"), packedK.as("k"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type").as("src"), col("event_type").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint(true) // reused 3x per round: stage once
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      var rank = nodes.withColumn("rank", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(rank.select(col("node").as("src"), col("rank")), "src")
+          .join(outw, "src")
+          .select(col("dst").as("node"),
+            expr("(rank * 850000 * w) div (1000000 * out_w)").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+        rank = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+          .localCheckpoint(true)
+      }
+      rank.select(col("node"), col("rank").as("rank_ppm"))
+        .orderBy(col("node"))
+    }),
+
+    // Deterministic per-group k-sample via the custom partial-aggregable
+    // BottomKByHash aggregate (TypedImperativeAggregate): the shuffle
+    // carries one O(k) buffer per (group × map task), never the group's
+    // rows — unlike collect_list+sort — and the sample is a pure function
+    // of the data (md5 priorities, no RNG), so the DuckDB oracle states
+    // the exact rows.
+    "d_sample_bottomk" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(concat_ws(",", graft.functions.BottomK.bottomKByHash(
+            col("doc_id").cast("string"), 5, "s8")).as("sample_ids"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -218,6 +274,52 @@ object Round8Queries {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
         |  CAST(SUM(CASE WHEN h IN (SELECT h FROM leaks)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
-        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k,
+        |    event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY k)
+        |      AS prev_type
+        |  FROM e),
+        |edges AS (
+        |  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT DISTINCT src AS node FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |outw AS (SELECT src AS node, SUM(w) AS out_w FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |r1 AS (SELECT n.node, 150000 + COALESCE((
+        |    SELECT CAST(SUM((p.rank * 850000 * e.w)
+        |      // (1000000 * o.out_w)) AS BIGINT)
+        |    FROM edges e JOIN r0 p ON p.node = e.src
+        |      JOIN outw o ON o.node = e.src
+        |    WHERE e.dst = n.node), 0) AS rank FROM nodes n),
+        |r2 AS (SELECT n.node, 150000 + COALESCE((
+        |    SELECT CAST(SUM((p.rank * 850000 * e.w)
+        |      // (1000000 * o.out_w)) AS BIGINT)
+        |    FROM edges e JOIN r1 p ON p.node = e.src
+        |      JOIN outw o ON o.node = e.src
+        |    WHERE e.dst = n.node), 0) AS rank FROM nodes n),
+        |r3 AS (SELECT n.node, 150000 + COALESCE((
+        |    SELECT CAST(SUM((p.rank * 850000 * e.w)
+        |      // (1000000 * o.out_w)) AS BIGINT)
+        |    FROM edges e JOIN r2 p ON p.node = e.src
+        |      JOIN outw o ON o.node = e.src
+        |    WHERE e.dst = n.node), 0) AS rank FROM nodes n)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_ppm
+        |FROM r3 ORDER BY node""".stripMargin,
+    "d_sample_bottomk" ->
+      """SELECT lang,
+        |  array_to_string((list(CAST(doc_id AS VARCHAR)
+        |     ORDER BY md5('s8' || CAST(doc_id AS VARCHAR)),
+        |       CAST(doc_id AS VARCHAR)))[1:5], ',') AS sample_ids,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

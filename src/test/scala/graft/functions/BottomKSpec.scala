@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.BottomK.bottomKByHash
+import org.apache.spark.sql.functions._
+
+class BottomKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("partition invariance: identical sample whether the group arrives " +
+      "in 1 partition or 13 (the KMV merge law, executed by Spark's " +
+      "partial-agg machinery)") {
+    val vals = (0 until 500).map(i => ("g", s"v$i"))
+    val one = vals.toDF("g", "v").repartition(1)
+      .groupBy("g").agg(bottomKByHash(col("v"), 7, "salt").as("s"))
+      .head.getSeq[String](1)
+    val many = vals.toDF("g", "v").repartition(13)
+      .groupBy("g").agg(bottomKByHash(col("v"), 7, "salt").as("s"))
+      .head.getSeq[String](1)
+    assert(one == many, s"$one != $many")
+    // and it equals the reference bottom-k computed driver-side
+    val expect = vals.map(_._2).sortBy(v => (md5hex("salt" + v), v)).take(7)
+    assert(one == expect)
+  }
+
+  test("k >= group size returns the whole group in digest order; nulls " +
+      "are skipped; k caps the result") {
+    val df = Seq(("a", Some("x")), ("a", Some("y")), ("a", None),
+      ("b", Some("p")), ("b", Some("q")), ("b", Some("r"))).toDF("g", "v")
+      .repartition(3)
+    val got = df.groupBy("g")
+      .agg(bottomKByHash(col("v"), 2, "z").as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("a").toSet == Set("x", "y")) // null skipped, both survive
+    assert(got("a") == got("a").sortBy(v => (md5hex("z" + v), v)))
+    assert(got("b").length == 2) // capped below group size
+    assert(got("b") ==
+      Seq("p", "q", "r").sortBy(v => (md5hex("z" + v), v)).take(2))
+  }
+
+  test("different salts pick different samples (salt is the sample seed)") {
+    val vals = (0 until 200).map(i => ("g", s"v$i"))
+    def sample(salt: String) = vals.toDF("g", "v").repartition(4)
+      .groupBy("g").agg(bottomKByHash(col("v"), 5, salt).as("s"))
+      .head.getSeq[String](1)
+    assert(sample("s1") != sample("s2"))
+  }
+
+  test("SQL registration via GraftExtensions: bottomk_by_hash callable " +
+      "from SQL and equal to the Column form") {
+    val (ident, _, builder) = graft.GraftExtensions.bottomKDescriptor
+    org.apache.spark.sql.graftshim.ColumnBridge.registerFunction(
+      spark, ident.funcName, builder)
+    (0 until 50).map(i => ("g", s"v$i")).toDF("g", "v")
+      .createOrReplaceTempView("bk_in")
+    val viaSql = spark.sql(
+      "SELECT bottomk_by_hash(v, 3, 'q') AS s FROM bk_in GROUP BY g")
+      .head.getSeq[String](0)
+    val viaCol = spark.table("bk_in").groupBy("g")
+      .agg(bottomKByHash(col("v"), 3, "q").as("s")).head.getSeq[String](1)
+    assert(viaSql == viaCol)
+  }
+
+  test("plan shape: partial aggregation below the exchange (ObjectHashAggregate " +
+      "partial_bottomk), so the shuffle carries buffers, not rows") {
+    val df = (0 until 100).map(i => (s"g${i % 4}", s"v$i")).toDF("g", "v")
+      .repartition(5)
+      .groupBy("g").agg(bottomKByHash(col("v"), 3, "s").as("s"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottomk_by_hash") ||
+      plan.toLowerCase.contains("partial") && plan.contains("bottomk_by_hash"),
+      s"no partial aggregation phase:\n$plan")
+  }
+}
