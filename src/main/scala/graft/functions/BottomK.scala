@@ -101,11 +101,24 @@ case class BottomKByHash(
     new GenericArrayData(
       buf.sorted.take(k).map(p => UTF8String.fromString(p._2)).toArray[Any])
 
+  // length-prefixed UTF-8, not writeUTF: sampled VALUES are arbitrary
+  // strings and writeUTF hard-fails past 64 KiB
+  private def writeStr(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+  private def readStr(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, StandardCharsets.UTF_8)
+  }
+
   override def serialize(buf: mutable.ArrayBuffer[(String, String)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)
-    buf.foreach { case (h, v) => out.writeUTF(h); out.writeUTF(v) }
+    buf.foreach { case (h, v) => writeStr(out, h); writeStr(out, v) }
     out.flush()
     bos.toByteArray
   }
@@ -115,7 +128,7 @@ case class BottomKByHash(
     val n = in.readInt()
     val buf = mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
-    while (i < n) { buf += ((in.readUTF(), in.readUTF())); i += 1 }
+    while (i < n) { buf += ((readStr(in), readStr(in))); i += 1 }
     buf
   }
 

@@ -216,6 +216,11 @@ object AsOfNative {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, rightVals: Seq[String],
            tolerance: Option[Long] = None): DataFrame = {
+    require(rightVals.nonEmpty, "asOfNative: rightVals must be non-empty")
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"asOfNative: time columns must share one type, got " +
+        s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}" +
+        " (the merge comparator is monomorphic — cast one side first)")
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
     val lPlan = PlanBridge.analyzed(left)

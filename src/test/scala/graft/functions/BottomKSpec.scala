@@ -65,6 +65,23 @@ class BottomKSpec extends SparkTestBase {
     assert(viaSql == viaCol)
   }
 
+  test("values beyond the 64 KiB writeUTF limit survive buffer " +
+      "serialization — unit round-trip and through a real shuffle") {
+    val agg = BottomKByHash(
+      org.apache.spark.sql.graftshim.ColumnBridge.expression(col("v")), 2, "s")
+    val big = "x" * 100000
+    val buf = scala.collection.mutable.ArrayBuffer(("aa", big), ("bb", "small"))
+    assert(agg.deserialize(agg.serialize(buf)) == buf)
+
+    // end to end: partial buffers carrying >64KiB values cross the exchange
+    val rows = (0 until 12).map(i => ("g", ("y" * 70000) + i))
+    val got = rows.toDF("g", "v").repartition(4)
+      .groupBy("g").agg(bottomKByHash(col("v"), 3, "se").as("s"))
+      .head.getSeq[String](1)
+    val expect = rows.map(_._2).sortBy(v => (md5hex("se" + v), v)).take(3)
+    assert(got == expect)
+  }
+
   test("plan shape: partial aggregation below the exchange (ObjectHashAggregate " +
       "partial_bottomk), so the shuffle carries buffers, not rows") {
     val df = (0 until 100).map(i => (s"g${i % 4}", s"v$i")).toDF("g", "v")
