@@ -106,6 +106,30 @@ object Round7Queries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"))
+    }),
+
+    // TRAINED PQ, end to end: k-means codebooks (deterministic hash-spread
+    // init, so runs agree), persisted and re-loaded through TrainedState —
+    // the train-once / serve-many deployment path — then the same planted
+    // contract: identical embeddings encode to identical codes under ANY
+    // codebook, so the duplicate reaches the exact re-score and ranks
+    // first at cosine 1 regardless of what training produced. numSub=4 ×
+    // iters=2 keeps the training pass a bounded share of the bench run.
+    "e_ann_pq_trained" -> ((s, dir) => {
+      val corpus = plantedEmb(s, dir, 30)
+      val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
+      val trained = graft.similarity.ProductQuantizer.codebooksKMeans(
+        load(s, dir, "embeddings"), dim = 64, numSub = 4, k = 16, iters = 2)
+      val statePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_pq_books_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.similarity.TrainedState.saveCodebooks(trained, statePath)
+      val books = graft.similarity.TrainedState.loadCodebooks(s, statePath)
+      graft.similarity.ProductQuantizer.topKWith(queries, corpus, dim = 64,
+        numSub = 4, k = 1, booksDf = books, rerank = 32)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -136,6 +160,10 @@ object Round7Queries {
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
     "e_ann_pq_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+    "e_ann_pq_trained" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin
