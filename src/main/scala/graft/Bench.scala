@@ -79,17 +79,22 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // ms precision keeps the line short (the driver's log capture has
-    // truncated multi-KB lines before; sub-ms digits are noise anyway)
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // truncated multi-KB lines before; sub-ms digits are noise anyway).
+    // Locale.ROOT: f-interpolation uses the JVM default locale, and a
+    // de_DE/fr_FR host would print "66,123" — malformed JSON.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${ms(v)}""" }
       .mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but don't deflate total
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs}"""
     println(line)
     // belt-and-braces: the same JSON as a file, immune to log truncation
+    // (cwd-relative: the driver runs sbt from the repo root)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath, line + "\n")
     catch { case _: Throwable => } // read-only checkout must not fail bench
     spark.stop()
   }

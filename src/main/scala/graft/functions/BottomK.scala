@@ -62,13 +62,17 @@ case class BottomKByHash(
   override def createAggregationBuffer(): mutable.ArrayBuffer[(String, String)] =
     mutable.ArrayBuffer.empty
 
-  private def digest(v: String): String = {
-    val md = MessageDigest.getInstance("MD5")
-    md.digest((salt + v).getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-  }
+  // MessageDigest is stateful but digest() resets it; one instance per
+  // thread avoids a per-row allocation on the hot path
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
 
-  /** Keep the buffer sorted by (digest, value) and at most k entries. */
+  private def digest(v: String): String =
+    mdLocal.get().digest((salt + v).getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Sort-and-trim to k entries (merge/overflow path). */
   private def trim(buf: mutable.ArrayBuffer[(String, String)])
       : mutable.ArrayBuffer[(String, String)] = {
     if (buf.length > k) {
@@ -79,14 +83,37 @@ case class BottomKByHash(
     buf
   }
 
+  private val ord = Ordering[(String, String)]
+
+  // the update path keeps the buffer SORTED (merge re-sorts via trim), so
+  // the full-buffer hot path rejects with ONE comparison against the last
+  // element; an accepted row pays the O(k) insert, which happens a
+  // harmonic-series number of times — O(n + k·log k·H_k) total, vs the
+  // per-row sort the review flagged
+  private def insertSorted(buf: mutable.ArrayBuffer[(String, String)],
+                           entry: (String, String)): Unit = {
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.lt(buf(mid), entry)) lo = mid + 1 else hi = mid
+    }
+    buf.insert(lo, entry)
+  }
+
   override def update(buf: mutable.ArrayBuffer[(String, String)],
                       input: InternalRow): mutable.ArrayBuffer[(String, String)] = {
     val v = child.eval(input)
     if (v == null) buf
     else {
       val s = v.asInstanceOf[UTF8String].toString
-      buf += ((digest(s), s))
-      trim(buf)
+      val entry = (digest(s), s)
+      if (buf.length >= k && !ord.lt(entry, buf(buf.length - 1))) buf
+      else {
+        insertSorted(buf, entry)
+        if (buf.length > k) buf.remove(buf.length - 1)
+        buf
+      }
     }
   }
 

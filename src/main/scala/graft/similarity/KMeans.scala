@@ -79,12 +79,27 @@ object KMeans {
     * tie-break (highest cosine, then lowest centroid id) — bit-parity with
     * the window formulation is pinned in KMeansSpec. Requires `vec_id`
     * unique in `corpus` (the repo-wide vector-table contract).
+    *
+    * Degenerate-centroid rule: a zero-norm centroid (or vector) makes the
+    * cosine denominator zero — under ANSI mode (Spark 4 default) a bare
+    * division would THROW DIVIDE_BY_ZERO mid-fit, and with ANSI off the
+    * window form's `orderBy(desc)` sorts the resulting NaN first and
+    * assigns every vector to the degenerate centroid. The guard below
+    * pins the degenerate pair's sort key to +∞ instead: such a centroid
+    * never wins an assignment, and an all-zero corpus vector falls to the
+    * lowest centroid id deterministically. Deliberately NOT bit-parity
+    * with the window form on this edge (the parity pin holds on
+    * non-degenerate inputs; the degenerate rule has its own spec).
     */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val others = corpus.columns.toSeq.filterNot(_ == "vec_id")
+    val denom = Similarity.l2norm(col("embedding")) *
+      Similarity.l2norm(col("centroid"))
     corpus.crossJoin(broadcast(centroids))
       .withColumn("_negcos",
-        -Similarity.cosine(col("embedding"), col("centroid")))
+        when(denom > 0,
+          -Similarity.dot(col("embedding"), col("centroid")) / denom)
+          .otherwise(lit(Double.PositiveInfinity)))
       .groupBy(col("vec_id"))
       .agg(
         min_by(col("centroid_id"),

@@ -240,9 +240,24 @@ case class EspiOffset(watermark: Long, recent: Seq[String])
 }
 
 object EspiOffset {
-  /** Mod-time slack absorbed by the `recent` set (FS timestamp granularity
-    * + listing races). */
-  val graceMs: Long = 5000L
+  /** Mod-time slack absorbed by the `recent` set: files whose mod time is
+    * within this window of the watermark stay in the dedup set, and a file
+    * materializing with an OLDER mod time than `watermark - graceMs` is
+    * permanently dropped (bounded lateness, like FileStreamSource's
+    * maxFileAge). The default covers the canonical atomic-delivery pattern
+    * (mv/rsync/cp -p preserve the ORIGINAL mtime, so a file can enter the
+    * watch dir minutes "late" by mod time). Session-configurable —
+    * `spark.graft.espi.graceMs` — because the trade is offset size
+    * (O(arrivals within grace)) vs lateness tolerance; like maxFileAge,
+    * changing it mid-checkpoint shifts the lateness horizon for
+    * subsequent batches only.
+    */
+  val defaultGraceMs: Long = 300000L
+  def graceMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(sp => scala.util.Try(
+        sp.conf.get("spark.graft.espi.graceMs").toLong).toOption)
+      .getOrElse(defaultGraceMs)
 
   val initial: EspiOffset = EspiOffset(Long.MinValue, Seq.empty)
 
@@ -326,16 +341,42 @@ class EspiMicroBatchStream(scan: EspiScan)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  // Monotonicity guard: a transient empty/partial listing (object-store
+  // hiccup, glob race, dir briefly moved) must not regress the offset —
+  // committing a REGRESSED end (worst case `initial`) would erase the
+  // dedup state and re-ingest every still-present file on the next
+  // trigger. The high-water offset only ever advances within a run;
+  // across restarts the committed offset log plays the same role (a
+  // regressed end never gets committed, so no start ever goes backward).
+  @volatile private var highWater: EspiOffset = null
+
   override def initialOffset(): Offset = EspiOffset.initial
 
-  override def latestOffset(): Offset =
-    EspiOffset.ofListing(scan.listFilesWithTimes())
+  override def latestOffset(): Offset = {
+    val listed = EspiOffset.ofListing(scan.listFilesWithTimes())
+    val hw = highWater
+    val next =
+      if (hw == null) listed
+      else if (listed.watermark < hw.watermark) hw // regression -> hold
+      else if (listed.watermark == hw.watermark)
+        EspiOffset(hw.watermark,
+          (listed.recent ++ hw.recent).distinct.sorted)
+      else listed
+    highWater = next
+    next
+  }
 
   // The compacted offset no longer carries the batch's file list, so the
   // batch is re-derived from a fresh listing bounded by (start, end]:
   // new-as-of-start AND already-listed-by-end. Replay of a committed batch
   // therefore requires the source files to still exist — the same contract
-  // as every file-based streaming source.
+  // as every file-based streaming source — AND assumes no file
+  // materializes with a mod time older than end.watermark - graceMs
+  // between the original attempt and the replay (such a file would pass
+  // seenBy's below-grace branch and join the replayed batch). Both halves
+  // of that listing-stability assumption are the price of O(grace)
+  // offsets; widen spark.graft.espi.graceMs if deliveries carry old
+  // mtimes (mv/rsync -a).
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EspiOffset]
     val e = end.asInstanceOf[EspiOffset]

@@ -68,7 +68,12 @@ object StreamingDedup {
             out += StreamDup(h.doc_id, s.doc_id, h.band,
               s.sig_hash == h.sig_hash)
         }
-        if (existing.length < maxBucketSize) {
+        // membership check: an at-least-once source re-delivering a doc
+        // must not store it twice — duplicate SeenDoc records would
+        // multiply every later candidate emission and squat the bounded
+        // cell slots (O(cap) scan, bounded by maxBucketSize)
+        if (existing.length < maxBucketSize &&
+            !existing.exists(_.doc_id == h.doc_id)) {
           val rec = SeenDoc(h.doc_id, h.sig_hash)
           existing += rec
           seen.appendValue(rec)

@@ -34,6 +34,21 @@ class KMeansSpec extends SparkTestBase {
     assert(viaArgmin == viaWindow)
   }
 
+  test("a degenerate (zero-norm, NaN-cosine) centroid never wins an " +
+      "assignment — the argmin's nanvl pins its sort key to +inf") {
+    import spark.implicits._
+    val corpus = emb.limit(40)
+    val good = KMeans.fit(corpus, k = 3, iters = 1)
+      .filter(col("centroid_id") < 3)
+    val degenerate = Seq((99L, Array.fill(64)(0.0f)))
+      .toDF("centroid_id", "centroid")
+    val out = KMeans.assign(corpus, good.unionByName(degenerate))
+      .select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!out.contains(99L),
+      s"zero-norm centroid won assignments: $out")
+  }
+
   test("assign carries extra corpus columns through unchanged") {
     val corpus = emb.limit(50).withColumn("label", col("vec_id") % 7)
     val centroids = KMeans.fit(emb.limit(50), k = 4, iters = 1)

@@ -148,6 +148,9 @@ class EspiDataSourceSpec extends SparkTestBase {
   }
 
   test("streaming offset is log-compacted: O(grace-window), not O(files-seen)") {
+    // pin the (session-configurable) grace window so the mod-time spacing
+    // below puts exactly one file inside it
+    spark.conf.set("spark.graft.espi.graceMs", "5000")
     val dir = java.nio.file.Files.createTempDirectory("espi_compact").toFile
     val nFiles = 30
     val base = System.currentTimeMillis() - 1000L * 3600
@@ -180,6 +183,24 @@ class EspiDataSourceSpec extends SparkTestBase {
     val batch2 = stream.planInputPartitions(latest, latest2)
     assert(batch2.length == 1, s"grace-window twin missed or duplicated: " +
       batch2.map(_.asInstanceOf[EspiFilePartition].path).mkString(","))
+  }
+
+  test("a transient empty listing does not regress the offset (a regressed " +
+      "end would erase dedup state and mass re-ingest on the next trigger)") {
+    val dir = java.nio.file.Files.createTempDirectory("espi_regress").toFile
+    val f = new java.io.File(dir, "a.xml")
+    java.nio.file.Files.writeString(f.toPath, "<feed/>")
+    val scan = new EspiScan(Seq(dir.getAbsolutePath + "/*.xml"),
+      EspiDataSource.schema, failfast = false)
+    val stream = new EspiMicroBatchStream(scan)
+    val o1 = stream.latestOffset().asInstanceOf[EspiOffset]
+    assert(o1.recent.nonEmpty)
+    // listing hiccup: the file vanishes for one trigger
+    assert(f.delete())
+    val o2 = stream.latestOffset().asInstanceOf[EspiOffset]
+    assert(o2 == o1, s"offset regressed to $o2 on an empty listing")
+    // and the held offset plans an empty batch, not a re-ingest
+    assert(stream.planInputPartitions(o1, o2).isEmpty)
   }
 
   test("a file whose mod time advances after ingest is NOT re-ingested " +

@@ -97,6 +97,31 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("re-delivered doc_id is not stored twice: an at-least-once source " +
+      "must not multiply candidate emissions") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[StreamDoc]
+      val dups = StreamingDedup.nearDupCandidates(mem.toDF())
+      val q = dups.writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_redeliver").start()
+      try {
+        mem.addData(StreamDoc(1, textA))
+        q.processAllAvailable()
+        mem.addData(StreamDoc(1, textA)) // redelivery of the SAME doc
+        q.processAllAvailable()
+        mem.addData(StreamDoc(2, textA)) // a real duplicate arrives
+        q.processAllAvailable()
+        val out = spark.sql("SELECT * FROM sdedup_redeliver")
+          .as[StreamDup].collect()
+        // doc 2 collides with doc 1 once per band (8), NOT twice per band
+        val twoVsOne = out.filter(d => d.doc_id == 2L && d.dup_of == 1L)
+        assert(twoVsOne.length == 8,
+          s"duplicate state records multiplied emissions: ${twoVsOne.length}")
+      } finally q.stop()
+    }
+  }
+
   test("maxBucketSize caps per-cell state: an adversarial pileup emits " +
       "bounded candidates, not O(n^2)") {
     withRocksDb {
