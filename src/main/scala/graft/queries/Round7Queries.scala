@@ -113,13 +113,18 @@ object Round7Queries {
     // the train-once / serve-many deployment path — then the same planted
     // contract: identical embeddings encode to identical codes under ANY
     // codebook, so the duplicate reaches the exact re-score and ranks
-    // first at cosine 1 regardless of what training produced. numSub=4 ×
-    // iters=2 keeps the training pass a bounded share of the bench run.
+    // first at cosine 1 regardless of what training produced. Training is
+    // bench-scaled (numSub=4 × iters=1 on the even-id half — each Lloyd
+    // round is ~3 jobs of mostly fixed overhead at this SF, so rounds,
+    // not data, dominate); production trains once offline at full
+    // strength and serves from the persisted books, which is exactly the
+    // split this query exercises.
     "e_ann_pq_trained" -> ((s, dir) => {
       val corpus = plantedEmb(s, dir, 30)
       val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
       val trained = graft.similarity.ProductQuantizer.codebooksKMeans(
-        load(s, dir, "embeddings"), dim = 64, numSub = 4, k = 16, iters = 2)
+        load(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+        dim = 64, numSub = 4, k = 16, iters = 1)
       val statePath = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         "graft_pq_books_" + Integer.toHexString(dir.hashCode)).getAbsolutePath

@@ -15,6 +15,10 @@ import graft.queries.QueryShared.packedK
   *   - blocked fuzzy (edit-distance) dedup — the non-token near-dup
   *     family (typo'd titles, OCR noise) that MinHash misses
   *   - deterministic train/eval corpus split with a leakage guard
+  *   - integer-exact PageRank (iterative-fixpoint family next to the
+  *     connected-components dedup clustering)
+  *   - deterministic per-group sampling on the custom BottomKByHash
+  *     partial-aggregable aggregate
   */
 object Round8Queries {
 
