@@ -120,7 +120,9 @@ class EspiScanBuilder(options: CaseInsensitiveStringMap)
       .getOrElse(Seq.empty)
     val failfast =
       Option(options.get("mode")).exists(_.equalsIgnoreCase("failfast"))
-    new EspiScan(paths, required, failfast, pushed)
+    val maxFilesPerTrigger =
+      Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
+    new EspiScan(paths, required, failfast, pushed, maxFilesPerTrigger)
   }
 }
 
@@ -154,7 +156,8 @@ object EspiScan {
 }
 
 class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
-               pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+               pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+               private[sources] val maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -338,8 +341,10 @@ object EspiOffset {
   * and reader code path as the batch scan, so column pruning and filter
   * pushdown apply to the stream too). `spark.readStream.format("espi")`. */
 class EspiMicroBatchStream(scan: EspiScan)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit,
+    ReadMaxFiles}
 
   // Monotonicity guard: a transient empty/partial listing (object-store
   // hiccup, glob race, dir briefly moved) must not regress the offset —
@@ -364,6 +369,40 @@ class EspiMicroBatchStream(scan: EspiScan)
       else listed
     highWater = next
     next
+  }
+
+  // ---- admission control (maxFilesPerTrigger): bound each micro-batch to
+  // N new files so a backfill against a full directory proceeds in
+  // bounded-size batches instead of one giant batch 0. The end offset of a
+  // capped batch is the compaction of the listing PREFIX at-or-before the
+  // admitted frontier in (modTime, path) order — the same offset algebra,
+  // just evaluated on a prefix, so isNew/seenBy bound the batch exactly
+  // and the files beyond the frontier surface as new on the next trigger.
+  override def getDefaultReadLimit: ReadLimit =
+    scan.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EspiOffset]
+    val sRecent = s.recent.toSet
+    val listing = scan.listFilesWithTimes()
+    val fresh = listing
+      .filter { case (p, mt) => EspiOffset.isNew(s, sRecent, p, mt) }
+      .sortBy { case (p, mt) => (mt, p) }
+    val admitted = limit match {
+      case rm: ReadMaxFiles => fresh.take(rm.maxFiles())
+      case _ => fresh
+    }
+    if (admitted.isEmpty) s // nothing new (or a listing hiccup): hold
+    else {
+      val (lastP, lastMt) = admitted.last
+      val frontier = listing.filter { case (p, mt) =>
+        mt < lastMt || (mt == lastMt && p <= lastP) }
+      val end = EspiOffset.ofListing(frontier)
+      if (end.watermark < s.watermark) s else end // partial-listing guard
+    }
   }
 
   // The compacted offset no longer carries the batch's file list, so the

@@ -185,6 +185,52 @@ class EspiDataSourceSpec extends SparkTestBase {
       batch2.map(_.asInstanceOf[EspiFilePartition].path).mkString(","))
   }
 
+  test("admission control: maxFilesPerTrigger bounds each micro-batch and " +
+      "every file still ingests exactly once across batches") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.sparkContext // force the shared session (listing reads its conf)
+    val dir = java.nio.file.Files.createTempDirectory("espi_admit").toFile
+    val base = System.currentTimeMillis() - 1000L * 600
+    (0 until 5).foreach { i =>
+      val f = new java.io.File(dir, f"f$i.xml")
+      java.nio.file.Files.writeString(f.toPath, "<feed/>")
+      assert(f.setLastModified(base + i * 60000L)) // distinct mod times
+    }
+    // option wiring: the DataFrameReader option string reaches the scan
+    val viaBuilder = new EspiScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir.getAbsolutePath + "/*.xml",
+          "maxFilesPerTrigger", "2"))).build().asInstanceOf[EspiScan]
+    assert(viaBuilder.maxFilesPerTrigger == Some(2))
+    val scan = new EspiScan(Seq(dir.getAbsolutePath + "/*.xml"),
+      EspiDataSource.schema, failfast = false,
+      maxFilesPerTrigger = Some(2))
+    val stream = new EspiMicroBatchStream(scan)
+    assert(stream.getDefaultReadLimit.toString.contains("2"))
+    // drive the admission loop the way MicroBatchExecution does
+    var start = stream.initialOffset().asInstanceOf[EspiOffset]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var done = false
+    while (!done) {
+      val end = stream.latestOffset(start, ReadLimit.maxFiles(2))
+        .asInstanceOf[EspiOffset]
+      if (end == start) done = true
+      else {
+        batches += stream.planInputPartitions(start, end)
+          .map(_.asInstanceOf[EspiFilePartition].path).toSeq.sorted
+        start = end
+      }
+    }
+    assert(batches.map(_.size) == Seq(2, 2, 1),
+      s"batch sizes ${batches.map(_.size)}")
+    // exactly once, all files, in (modTime, path) order
+    val all = batches.flatten
+    assert(all.distinct.size == 5 && all.size == 5)
+    assert(all == all.sorted) // f0..f4 mtime order == name order here
+    // no further batch once drained
+    assert(stream.latestOffset(start, ReadLimit.maxFiles(2)) == start)
+  }
+
   test("a transient empty listing does not regress the offset (a regressed " +
       "end would erase dedup state and mass re-ingest on the next trigger)") {
     val dir = java.nio.file.Files.createTempDirectory("espi_regress").toFile
