@@ -126,4 +126,32 @@ class PlanShapeSpec extends SparkTestBase {
   test("d_winsorize: per-lang bounds re-attach by broadcast (doc table never re-shuffles)") {
     assert(plan("d_winsorize").contains("BroadcastHashJoin"))
   }
+
+  test("d_dedup_fuzzy: blocking passes plan as equi joins — never a " +
+      "cartesian/nested-loop product over the corpus") {
+    val p = plan("d_dedup_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy blocking degenerated to a product join:\n$p")
+    assert(p.contains("Join"), s"blocking joins missing entirely:\n$p")
+  }
+
+  test("d_split_train_eval: split assignment is map-only; the leak check " +
+      "shuffles digests once (plus the broadcast-able leak-set re-attach)") {
+    val p = plan("d_split_train_eval")
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    // shuffles keyed only by the md5 digest or the final split agg —
+    // never by doc text
+    assert(hashEx.nonEmpty && hashEx.forall(c => c == "h" || c == "split"),
+      s"unexpected shuffle keys $hashEx in:\n$p")
+  }
+
+  test("d_sample_bottomk: the custom aggregate partial-aggregates below " +
+      "the exchange (buffers shuffle, not rows)") {
+    val p = plan("d_sample_bottomk")
+    assert(p.contains("bottomk_by_hash"), s"custom agg missing:\n$p")
+    assert(p.toLowerCase.contains("partial_bottomk_by_hash"),
+      s"no partial phase — rows would shuffle raw:\n$p")
+  }
 }
