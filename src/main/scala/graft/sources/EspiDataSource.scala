@@ -287,6 +287,19 @@ object EspiOffset {
     if (off.watermark == Long.MinValue) recentSet.contains(path)
     else modTime < off.watermark - graceMs || recentSet.contains(path)
 
+  /** Monotone high-water advance: a freshly-listed offset may only move
+    * the committed frontier forward — an empty/partial listing (lower
+    * watermark) holds the previous offset, and an equal-watermark listing
+    * unions the membership sets (a partial listing at the same watermark
+    * must not drop same-mtime files from the dedup set). Pure — property-
+    * tested in PropertySpec against arbitrary arrival schedules. */
+  def advance(hw: EspiOffset, listed: EspiOffset): EspiOffset =
+    if (hw == null) listed
+    else if (listed.watermark < hw.watermark) hw
+    else if (listed.watermark == hw.watermark)
+      EspiOffset(hw.watermark, (listed.recent ++ hw.recent).distinct.sorted)
+    else listed
+
   /** Compact a full listing into an offset. */
   def ofListing(listing: Seq[(String, Long)]): EspiOffset =
     if (listing.isEmpty) initial
@@ -358,15 +371,8 @@ class EspiMicroBatchStream(scan: EspiScan)
   override def initialOffset(): Offset = EspiOffset.initial
 
   override def latestOffset(): Offset = {
-    val listed = EspiOffset.ofListing(scan.listFilesWithTimes())
-    val hw = highWater
-    val next =
-      if (hw == null) listed
-      else if (listed.watermark < hw.watermark) hw // regression -> hold
-      else if (listed.watermark == hw.watermark)
-        EspiOffset(hw.watermark,
-          (listed.recent ++ hw.recent).distinct.sorted)
-      else listed
+    val next = EspiOffset.advance(highWater,
+      EspiOffset.ofListing(scan.listFilesWithTimes()))
     highWater = next
     next
   }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.propBoolean
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.RollingHash
@@ -168,6 +169,117 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(Gen.long, Gen.long) { (a, b) =>
       java.lang.Long.bitCount(a ^ b) == java.lang.Long.bitCount(b ^ a) &&
         java.lang.Long.bitCount(a ^ a) == 0
+    })
+  }
+
+  // ------------------------------------------------ ESPI offset algebra
+  // The compacted streaming offset has produced two real bugs (mtime
+  // advance re-ingest; empty-listing regression) — so the algebra gets a
+  // MODEL test: simulate arbitrary schedules of file arrivals, mtime
+  // advances, and triggers against the REAL isNew/seenBy/ofListing/advance
+  // functions, exactly the way EspiMicroBatchStream composes them.
+
+  import graft.sources.EspiOffset
+
+  private sealed trait FsOp
+  private case class AddF(path: Int, mt: Long) extends FsOp
+  private case class TouchF(path: Int, mt: Long) extends FsOp
+  private case object TriggerF extends FsOp
+
+  /** Run the trigger loop; returns every (trigger, path, mtime-at-
+    * ingestion). `safeTouches` restricts mtime advances to files still
+    * inside the grace window of the listing maximum (advances that never
+    * cross the compaction frontier). */
+  private def simulate(ops: Seq[FsOp], safeTouches: Boolean)
+      : Seq[(Int, String, Long)] = {
+    val grace = EspiOffset.graceMs
+    var listing = Map.empty[Int, Long]
+    var start = EspiOffset.initial
+    var hw: EspiOffset = null
+    val ingested =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var trigger = 0
+    ops.foreach {
+      case AddF(p, mt) => if (!listing.contains(p)) listing += p -> mt
+      case TouchF(p, mt) =>
+        val maxMt = if (listing.isEmpty) 0L else listing.values.max
+        val ok = listing.get(p).exists(_ < mt) &&
+          (!safeTouches || listing(p) >= maxMt - grace)
+        if (ok) listing += p -> mt
+      case TriggerF =>
+        trigger += 1
+        val files = listing.toSeq.map { case (p, mt) => (s"f$p", mt) }
+        val next = EspiOffset.advance(hw, EspiOffset.ofListing(files))
+        hw = next
+        val sR = start.recent.toSet
+        val eR = next.recent.toSet
+        files.foreach { case (p, mt) =>
+          if (EspiOffset.isNew(start, sR, p, mt) &&
+              EspiOffset.seenBy(next, eR, p, mt))
+            ingested += ((trigger, p, mt))
+        }
+        start = next
+    }
+    ingested.toSeq
+  }
+
+  private val graceG = EspiOffset.defaultGraceMs
+  private val adversarialOps: Gen[List[FsOp]] = Gen.listOf(Gen.frequency(
+    4 -> (for { p <- Gen.choose(0, 8); mt <- Gen.choose(0L, 4 * graceG) }
+      yield AddF(p, mt)),
+    2 -> (for { p <- Gen.choose(0, 8); mt <- Gen.choose(0L, 5 * graceG) }
+      yield TouchF(p, mt)),
+    3 -> Gen.const(TriggerF)))
+
+  test("ESPI offsets: a re-ingestion REQUIRES an mtime advance across the " +
+      "compaction frontier — never the same mtime twice (the bounded-" +
+      "state trade, stated exactly)") {
+    // ScalaCheck found the frontier-crossing case immediately (a file
+    // ingested via the below-grace path whose mtime later jumps above the
+    // frontier re-enters as new): with O(grace) state that case is
+    // indistinguishable from a new file — same trade as FileStreamSource's
+    // maxFileAge. What MUST hold unconditionally: a file whose mtime never
+    // changes is never ingested twice.
+    check(Prop.forAll(adversarialOps) { ops =>
+      val byPath = simulate(ops :+ TriggerF, safeTouches = false)
+        .groupBy(_._2)
+      byPath.forall { case (_, ing) =>
+        ing.map(_._3).distinct.size == ing.size // strictly new mtime each time
+      } :| s"re-ingested at an unchanged mtime: $byPath"
+    })
+  }
+
+  test("ESPI offsets: NO file is ever ingested twice when mtime advances " +
+      "stay inside the grace window (the operating regime)") {
+    check(Prop.forAll(adversarialOps) { ops =>
+      val dups = simulate(ops :+ TriggerF, safeTouches = true)
+        .groupBy(_._2).filter(_._2.size > 1)
+      dups.isEmpty :| s"files ingested twice: $dups"
+    })
+  }
+
+  test("ESPI offsets: FRESH arrivals (mod time at-or-after the current " +
+      "maximum) all ingest exactly once, whatever the trigger schedule") {
+    val grace = EspiOffset.defaultGraceMs
+    // non-decreasing arrival mtimes → every add is inside the grace
+    // horizon at its arrival; interleave triggers arbitrarily
+    val stepGen: Gen[Seq[FsOp]] = for {
+      n <- Gen.choose(1, 25)
+      deltas <- Gen.listOfN(n, Gen.choose(0L, grace / 2))
+      trig <- Gen.listOfN(n, Gen.prob(0.4))
+    } yield {
+      var t = 0L
+      deltas.zipWithIndex.zip(trig).flatMap { case ((d, i), doTrig) =>
+        t += d
+        AddF(i, t) +: (if (doTrig) Seq(TriggerF) else Seq.empty)
+      }
+    }
+    check(Prop.forAll(stepGen) { ops =>
+      val all = ops :+ TriggerF
+      val adds = all.collect { case AddF(p, _) => s"f$p" }.toSet
+      val ingested = simulate(all, safeTouches = true).map(_._2)
+      (ingested.toSet == adds && ingested.size == adds.size) :|
+        s"adds=$adds ingested=$ingested"
     })
   }
 }
