@@ -172,6 +172,41 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BottomKByHash: any partition split merges to the global bottom-k, " +
+      "merge is commutative, and buffers survive serialization — the laws " +
+      "partial aggregation relies on") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.functions.BottomKByHash(
+      BoundReference(0, StringType, nullable = true), 5, "ps")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def buffer(vals: Seq[String]) =
+      vals.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+        agg.update(b, InternalRow(UTF8String.fromString(v)))
+      }
+    def result(b: scala.collection.mutable.ArrayBuffer[(String, String)]) =
+      agg.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+    check(Prop.forAll(Gen.listOf(Gen.asciiPrintableStr),
+      Gen.choose(0, 100)) { (vals, cut0) =>
+      val cut = if (vals.isEmpty) 0 else cut0 % (vals.length + 1)
+      val (l, r) = vals.splitAt(cut)
+      val expected = vals.map(v => (md5hex("ps" + v), v)).sorted.take(5)
+        .map(_._2)
+      val ab = result(agg.merge(buffer(l), buffer(r)))
+      val ba = result(agg.merge(buffer(r), buffer(l)))
+      val roundTrip = result(agg.merge(
+        agg.deserialize(agg.serialize(buffer(l))),
+        agg.deserialize(agg.serialize(buffer(r)))))
+      (ab == expected && ba == expected && roundTrip == expected) :|
+        s"expected=$expected ab=$ab ba=$ba rt=$roundTrip"
+    })
+  }
+
   // ------------------------------------------------ ESPI offset algebra
   // The compacted streaming offset has produced two real bugs (mtime
   // advance re-ingest; empty-listing regression) — so the algebra gets a
