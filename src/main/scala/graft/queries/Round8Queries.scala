@@ -81,22 +81,9 @@ object Round8Queries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
           concat(substring(col("text"), 1, 20), lit("x"),
             expr("substring(text, 22)")).as("text"))
-      val docs = base.unionByName(typos)
-        .withColumn("head", substring(col("text"), 1, 100))
-        .withColumn("pre", substring(col("text"), 1, 8))
-        .withColumn("suf", substring(col("text"), -8, 8))
-      def pass(key: String): DataFrame = {
-        val a = docs.select(col("doc_id").as("id_a"), col("lang"),
-          col(key).as("bk"), col("head").as("head_a"))
-        val b = docs.select(col("doc_id").as("id_b"), col("lang"),
-          col(key).as("bk"), col("head").as("head_b"))
-        a.join(b, Seq("lang", "bk")).filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("head_a"), col("head_b"))
-      }
-      pass("pre").unionByName(pass("suf")).distinct()
-        .withColumn("dist", levenshtein(col("head_a"), col("head_b")))
-        .filter(col("dist") <= 2)
-        .select(col("id_a"), col("id_b"), col("dist"))
+      graft.text.FuzzyDedup.pairs(base.unionByName(typos),
+          idCol = "doc_id", textCol = "text", groupCols = Seq("lang"),
+          blockLen = 8, headLen = 100, maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
