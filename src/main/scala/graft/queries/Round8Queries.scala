@@ -87,6 +87,25 @@ object Round8Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The SAME fuzzy pass with the adversarial-pileup guard ACTIVE
+    // (maxBlockSize=3): oversized blocks drop before pairing, per pass.
+    // The cap predicate is plain SQL (HAVING COUNT(*) <= 3 per block), so
+    // the guard's exact semantics — which blocks drop, which pairs
+    // survive via the OTHER anchor — are oracle-checked, not just spec'd.
+    "d_dedup_fuzzy_capped" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("doc_id") < 500)
+        .filter(length(col("text")) >= 60)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val typos = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          concat(substring(col("text"), 1, 20), lit("x"),
+            expr("substring(text, 22)")).as("text"))
+      graft.text.FuzzyDedup.pairs(base.unionByName(typos),
+          idCol = "doc_id", textCol = "text", groupCols = Seq("lang"),
+          blockLen = 8, headLen = 100, maxDist = 2, maxBlockSize = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Deterministic train/eval split + leakage guard: ~10% eval by md5
     // hash threshold (stable across runs/engines — no RNG), with an
     // exact-duplicate cross-split leak count over md5(text) so shuffled
@@ -240,6 +259,40 @@ object Round8Queries {
         |  SELECT a.doc_id, b.doc_id, a.head, b.head
         |  FROM d a JOIN d b
         |    ON a.lang = b.lang AND a.suf = b.suf AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, levenshtein(head_a, head_b) AS dist
+        |FROM cand
+        |WHERE levenshtein(head_a, head_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_dedup_fuzzy_capped" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id < 500 AND length(text) >= 60),
+        |docs AS (
+        |  SELECT doc_id, lang, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang,
+        |    substr(text, 1, 20) || 'x' || substr(text, 22)
+        |  FROM base WHERE doc_id < 40),
+        |d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 100) AS head,
+        |    substr(text, 1, 8) AS pre,
+        |    substr(text, length(text) - 7) AS suf
+        |  FROM docs),
+        |pre_ok AS (SELECT lang, pre FROM d GROUP BY 1, 2
+        |           HAVING COUNT(*) <= 3),
+        |suf_ok AS (SELECT lang, suf FROM d GROUP BY 1, 2
+        |           HAVING COUNT(*) <= 3),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.head AS head_a, b.head AS head_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.pre = b.pre AND a.doc_id < b.doc_id
+        |  JOIN pre_ok k ON k.lang = a.lang AND k.pre = a.pre
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.head, b.head
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.suf = b.suf AND a.doc_id < b.doc_id
+        |  JOIN suf_ok k ON k.lang = a.lang AND k.suf = a.suf)
         |SELECT id_a, id_b, levenshtein(head_a, head_b) AS dist
         |FROM cand
         |WHERE levenshtein(head_a, head_b) <= 2
