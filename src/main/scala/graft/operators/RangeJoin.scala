@@ -40,4 +40,30 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval×interval OVERLAP join (end-exclusive: `aStart < bEnd AND
+    * bStart < aEnd`), same grid trick — both sides explode across their
+    * bucket span and equi-join on (keys, bucket). A pair that overlaps
+    * across several buckets would match once per shared bucket; instead of
+    * a `distinct` over the full output, each pair is emitted only in its
+    * CANONICAL bucket — `max(floor(aStart/w), floor(bStart/w))`, the first
+    * bucket both rows inhabit — so the join output is exactly-once by
+    * construction and nothing re-shuffles for dedup. Column names must be
+    * disjoint between the two sides (alias before calling).
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keys: Seq[String],
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val aB = a.withColumn("_bucket", explode(sequence(
+      floor(col(aStart) / bucketWidth), floor(col(aEnd) / bucketWidth))))
+    val bB = b.withColumn("_bucket", explode(sequence(
+      floor(col(bStart) / bucketWidth), floor(col(bEnd) / bucketWidth))))
+    aB.join(bB, keys :+ "_bucket")
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("_bucket") === greatest(
+        floor(col(aStart) / bucketWidth), floor(col(bStart) / bucketWidth)))
+      .drop("_bucket")
+  }
 }

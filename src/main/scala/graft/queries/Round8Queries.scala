@@ -177,6 +177,31 @@ object Round8Queries {
         .orderBy(col("node"))
     }),
 
+    // Interval×interval overlap join via the grid-bucket trick
+    // (operators.RangeJoin.intervalOverlap): purchase attribution windows
+    // [k, k+1h) against view windows [k, k+30m) per user. A bare overlap
+    // predicate would plan BroadcastNestedLoopJoin (O(n·m)); the bucketed
+    // form is ONE hash shuffle on (user, bucket), and the canonical-bucket
+    // rule makes the output exactly-once without a distinct. The oracle is
+    // the naive inequality join — same pairs, any plan.
+    "q_interval_overlap" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val H = 3600L * 1000000L
+      val HALF = 1800L * 1000000L
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          packedK.as("p_start"))
+        .withColumn("p_end", col("p_start") + H)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          packedK.as("v_start"))
+        .withColumn("v_end", col("v_start") + HALF)
+      graft.operators.RangeJoin.intervalOverlap(purch, views, Seq("user_id"),
+          "p_start", "p_end", "v_start", "v_end", bucketWidth = H)
+        .select(col("p_id"), col("v_id"))
+        .orderBy(col("p_id"), col("v_id"))
+    }),
+
     // Deterministic per-group k-sample via the custom partial-aggregable
     // BottomKByHash aggregate (TypedImperativeAggregate): the shuffle
     // carries one O(k) buffer per (group × map task), never the group's
@@ -358,6 +383,21 @@ object Round8Queries {
         |    WHERE e.dst = n.node), 0) AS rank FROM nodes n)
         |SELECT node, CAST(rank AS BIGINT) AS rank_ppm
         |FROM r3 ORDER BY node""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, k AS p_start,
+        |        k + 3600000000 AS p_end
+        |      FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, k AS v_start,
+        |        k + 1800000000 AS v_end
+        |      FROM e WHERE event_type = 'view')
+        |SELECT p.p_id, v.v_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND p.p_start < v.v_end AND v.v_start < p.p_end
+        |ORDER BY 1, 2""".stripMargin,
     "d_sample_bottomk" ->
       """SELECT lang,
         |  array_to_string((list(CAST(doc_id AS VARCHAR)
