@@ -207,6 +207,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("EspiXml.parseFeed NEVER throws — truncations, mutations, and " +
+      "alien input all land in ParsedFeed.error (the permissive-skip " +
+      "contract executors rely on)") {
+    import graft.gb.EspiXml
+    val feed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // truncation at any point: a partially-delivered file must skip, not
+    // kill the task
+    check(Prop.forAll(Gen.choose(0, feed.length)) { cut =>
+      val p = EspiXml.parseFeed("t.xml", feed.substring(0, cut))
+      p != null && (p.error == null || p.error.nonEmpty)
+    })
+    // random character mutation: corrupted bytes must skip, not kill
+    check(Prop.forAll(Gen.choose(0, feed.length - 1),
+      Gen.asciiPrintableChar) { (pos, c) =>
+      val p = EspiXml.parseFeed("m.xml", feed.updated(pos, c))
+      p != null
+    })
+    // alien input: arbitrary strings parse to an error, never an escape
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      EspiXml.parseFeed("a.xml", s) != null
+    })
+  }
+
   // ------------------------------------------------ ESPI offset algebra
   // The compacted streaming offset has produced two real bugs (mtime
   // advance re-ingest; empty-listing regression) — so the algebra gets a
