@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions.col
   */
 object GreenButtonCli {
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("greenbutton-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(args, spark)
+    finally spark.stop()
+  }
+
+  /** The CLI body against a caller-owned session (testable: `main` owns
+    * session lifecycle, `run` owns semantics). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
     var filetype = "csv"
     var out = ""
     val inputs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -29,16 +45,6 @@ object GreenButtonCli {
     }
     require(inputs.nonEmpty, "no input files")
     require(out.nonEmpty, "--out required")
-
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
-      .appName("greenbutton-cli")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     val parsed = GreenButton.parse(spark, inputs.mkString(","))
     val st = GreenButton.staging(parsed)
@@ -59,6 +65,5 @@ object GreenButtonCli {
       case other => throw new IllegalArgumentException(s"Unknown filetype $other")
     }
     println(s"wrote $filetype to $out")
-    spark.stop()
   }
 }
