@@ -85,6 +85,12 @@ object AsOfJoinStrategy extends SparkStrategy {
   * child's required ordering ends with xxhash64(struct(vals)) so ties among
   * right rows sharing (key, time) resolve to the same row the window form's
   * ordering picks, keeping the two implementations bit-identical.
+  *
+  * AQE note: CoalesceShufflePartitions applies one partition spec across a
+  * stage's shuffles, so both children coalesce consistently (observed in
+  * the plan-shape spec's final plan); if any rule ever broke the
+  * co-partitioning, `zipPartitions` asserts equal partition counts and the
+  * job FAILS — a wrong-plan here is loud, never silently wrong rows.
   */
 case class AsOfJoinExec(
     left: SparkPlan,
