@@ -38,6 +38,8 @@ object Multimodal {
       mean_intensity: Double)
 
   case class FrameRow(media_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+  case class AudioWindow(media_id: Long, window_idx: Int, n_samples: Int,
+                         energy: Long)
 
   /** STUB CODEC — stands in for libjpeg/ffmpeg/etc. Encodes a 16-byte
     * little-endian header (magic, width, height, sampleRate, nFrames is
@@ -104,6 +106,31 @@ object Multimodal {
             s.toDouble / body.length
           }
         ImageFeatures(m.media_id, w, h, body.length, mean)
+      }
+    }
+  }
+
+  /** Fixed-window audio featurization over decoded sample bytes (stub
+    * codec: one byte = one sample): per window, sample count + integer
+    * energy (sum of unsigned sample values). The frame-energy/VAD shape
+    * every audio front-end computes; windows stream out of one
+    * `mapPartitions` pass, so memory is bounded by window size — never the
+    * clip. Integer energy keeps the feature cross-engine exact (a float
+    * RMS would put a sqrt between the engines); a real front-end swaps the
+    * per-window fold, the plumbing stays.
+    */
+  def audioWindows(media: Dataset[MediaRow], window: Int): Dataset[AudioWindow] = {
+    require(window > 0)
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { m =>
+        val (_, _, _, body) = FakeCodec.decode(m.payload)
+        body.grouped(window).zipWithIndex.map { case (chunk, i) =>
+          var s = 0L
+          var j = 0
+          while (j < chunk.length) { s += chunk(j) & 0xff; j += 1 }
+          AudioWindow(m.media_id, i, chunk.length, s)
+        }
       }
     }
   }

@@ -32,6 +32,14 @@ object MultimodalQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    "m_audio_windows" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(load(s, dir, "documents"))
+      Multimodal.audioWindows(media, window = 400).toDF()
+        .select(col("media_id"), col("window_idx"), col("n_samples"),
+          col("energy"))
+        .orderBy(col("media_id"), col("window_idx"))
+    }),
+
     "m_resize_roundtrip" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(load(s, dir, "documents"))
       val resized = Multimodal.resize(media, 224, 224)
@@ -52,6 +60,14 @@ object MultimodalQueries {
         |        i -> CAST(unicode(text[i]) AS BIGINT))),
         |      (a, b) -> a + b) AS DOUBLE) / length(text), 6) AS mean_intensity
         |FROM documents ORDER BY media_id""".stripMargin,
+    "m_audio_windows" ->
+      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |ch AS (SELECT doc_id, (i - 1) // 400 AS w, unicode(text[i]) AS v
+        |       FROM a, unnest(range(1, length(text) + 1)) AS t(i))
+        |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS window_idx,
+        |  CAST(COUNT(*) AS INTEGER) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS energy
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
         |  CAST(length(text) // (n_chars % 30 + 1) AS INTEGER) AS frame_len
