@@ -122,7 +122,13 @@ class EspiScanBuilder(options: CaseInsensitiveStringMap)
       Option(options.get("mode")).exists(_.equalsIgnoreCase("failfast"))
     val maxFilesPerTrigger =
       Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
-    new EspiScan(paths, required, failfast, pushed, maxFilesPerTrigger)
+    // grace resolved ONCE here (option > session conf > default): offset
+    // planning and batch planning on different driver threads must observe
+    // the SAME lateness horizon, or the isNew/seenBy algebra the
+    // exactly-once contract depends on skews mid-query
+    val graceMs = Option(options.get("graceMs")).map(_.trim.toLong)
+      .getOrElse(EspiOffset.graceMs)
+    new EspiScan(paths, required, failfast, pushed, maxFilesPerTrigger, graceMs)
   }
 }
 
@@ -157,7 +163,11 @@ object EspiScan {
 
 class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
                pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-               private[sources] val maxFilesPerTrigger: Option[Int] = None)
+               private[sources] val maxFilesPerTrigger: Option[Int] = None,
+               // default arg evaluates at CONSTRUCTION (driver thread with
+               // the session active), so direct constructions also pin one
+               // grace horizon for the scan's lifetime
+               private[sources] val graceMs: Long = EspiOffset.graceMs)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -275,17 +285,17 @@ object EspiOffset {
     * re-enters as new — the same bounded-memory trade `maxFileAge`
     * makes.) */
   def isNew(off: EspiOffset, recentSet: Set[String], path: String,
-            modTime: Long): Boolean =
+            modTime: Long, grace: Long = graceMs): Boolean =
     if (off.watermark == Long.MinValue) !recentSet.contains(path) // legacy/initial
-    else !recentSet.contains(path) && modTime >= off.watermark - graceMs
+    else !recentSet.contains(path) && modTime >= off.watermark - grace
 
   /** Was (path, modTime) already listed when `off` was taken? (Bounds a
     * batch's end: a file that raced in after the end offset waits for the
     * next batch — exactly-once.) */
   def seenBy(off: EspiOffset, recentSet: Set[String], path: String,
-             modTime: Long): Boolean =
+             modTime: Long, grace: Long = graceMs): Boolean =
     if (off.watermark == Long.MinValue) recentSet.contains(path)
-    else modTime < off.watermark - graceMs || recentSet.contains(path)
+    else modTime < off.watermark - grace || recentSet.contains(path)
 
   /** Monotone high-water advance: a freshly-listed offset may only move
     * the committed frontier forward — an empty/partial listing (lower
@@ -301,14 +311,41 @@ object EspiOffset {
     else listed
 
   /** Compact a full listing into an offset. */
-  def ofListing(listing: Seq[(String, Long)]): EspiOffset =
+  def ofListing(listing: Seq[(String, Long)], grace: Long = graceMs): EspiOffset =
     if (listing.isEmpty) initial
     else {
       val w = listing.map(_._2).max
       EspiOffset(w, listing.collect {
-        case (p, mt) if mt >= w - graceMs => p
+        case (p, mt) if mt >= w - grace => p
       }.sorted)
     }
+
+  /** End-offset algebra for an admitted batch: the planned end must
+    * DOMINATE the start. A bare `ofListing(frontier)` breaks it two ways:
+    * (a) when every admitted file is late-within-grace (mt < start
+    * watermark — the mv/rsync old-mtime deliveries the grace window
+    * exists for), the frontier's watermark is BELOW start's, a
+    * monotonicity guard then holds `start`, and the identical empty batch
+    * recurs every trigger — the late file is withheld forever; (b) when
+    * the frontier's watermark EQUALS start's, the frontier compaction
+    * contains only frontier files, silently dropping already-ingested
+    * same-mtime paths that sort after the admitted frontier — they
+    * re-enter as new next trigger (re-ingestion). So: watermark =
+    * max(start, frontier), recent = union of both memberships, pruned
+    * only where the CURRENT listing proves a path has aged below the
+    * grace horizon (isNew can never admit those again). A path absent
+    * from the listing is retained — over-retention is the safe direction
+    * for exactly-once, and a deleted path costs offset bytes, never a
+    * duplicate (planning only ever draws from the listing). */
+  def dominate(start: EspiOffset, frontier: EspiOffset,
+               listing: Seq[(String, Long)], grace: Long): EspiOffset = {
+    val w = math.max(start.watermark, frontier.watermark)
+    val listedMt = listing.toMap
+    val r = (frontier.recent ++ start.recent).distinct
+      .filter(p => listedMt.get(p).forall(_ >= w - grace))
+      .sorted
+    EspiOffset(w, r)
+  }
 
   def fromJson(json: String): EspiOffset = {
     val t = json.trim
@@ -367,13 +404,20 @@ class EspiMicroBatchStream(scan: EspiScan)
   // across restarts the committed offset log plays the same role (a
   // regressed end never gets committed, so no start ever goes backward).
   @volatile private var highWater: EspiOffset = null
+  // last offset actually computed by a planning call — reportLatestOffset
+  // returns this instead of performing an independent second listing per
+  // trigger (cost on object stores, and two listings can observe different
+  // directory snapshots, making the reported offset disagree with the
+  // planned one)
+  @volatile private var lastComputed: EspiOffset = null
 
   override def initialOffset(): Offset = EspiOffset.initial
 
   override def latestOffset(): Offset = {
     val next = EspiOffset.advance(highWater,
-      EspiOffset.ofListing(scan.listFilesWithTimes()))
+      EspiOffset.ofListing(scan.listFilesWithTimes(), scan.graceMs))
     highWater = next
+    lastComputed = next
     next
   }
 
@@ -388,27 +432,37 @@ class EspiMicroBatchStream(scan: EspiScan)
     scan.maxFilesPerTrigger.map(ReadLimit.maxFiles)
       .getOrElse(ReadLimit.allAvailable())
 
-  override def reportLatestOffset(): Offset = latestOffset()
+  override def reportLatestOffset(): Offset =
+    if (lastComputed != null) lastComputed else latestOffset()
 
+  // This is the engine's ONLY planning path once SupportsAdmissionControl
+  // is implemented (MicroBatchExecution calls it even for allAvailable),
+  // so the end offset must DOMINATE start — see EspiOffset.dominate for
+  // the two failure modes of a bare frontier compaction (late-within-grace
+  // withholding; same-mtime membership drop).
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val grace = scan.graceMs
     val s = start.asInstanceOf[EspiOffset]
     val sRecent = s.recent.toSet
     val listing = scan.listFilesWithTimes()
     val fresh = listing
-      .filter { case (p, mt) => EspiOffset.isNew(s, sRecent, p, mt) }
+      .filter { case (p, mt) => EspiOffset.isNew(s, sRecent, p, mt, grace) }
       .sortBy { case (p, mt) => (mt, p) }
     val admitted = limit match {
       case rm: ReadMaxFiles => fresh.take(rm.maxFiles())
       case _ => fresh
     }
-    if (admitted.isEmpty) s // nothing new (or a listing hiccup): hold
-    else {
-      val (lastP, lastMt) = admitted.last
-      val frontier = listing.filter { case (p, mt) =>
-        mt < lastMt || (mt == lastMt && p <= lastP) }
-      val end = EspiOffset.ofListing(frontier)
-      if (end.watermark < s.watermark) s else end // partial-listing guard
-    }
+    val end =
+      if (admitted.isEmpty) s // nothing new (or a listing hiccup): hold
+      else {
+        val (lastP, lastMt) = admitted.last
+        val frontier = listing.filter { case (p, mt) =>
+          mt < lastMt || (mt == lastMt && p <= lastP) }
+        EspiOffset.dominate(s, EspiOffset.ofListing(frontier, grace),
+          listing, grace)
+      }
+    lastComputed = end
+    end
   }
 
   // The compacted offset no longer carries the batch's file list, so the
@@ -429,8 +483,8 @@ class EspiMicroBatchStream(scan: EspiScan)
     val eRecent = e.recent.toSet
     val listing = scan.listFilesWithTimes()
     val planned = listing.collect {
-      case (p, mt) if EspiOffset.isNew(s, sRecent, p, mt) &&
-        EspiOffset.seenBy(e, eRecent, p, mt) =>
+      case (p, mt) if EspiOffset.isNew(s, sRecent, p, mt, scan.graceMs) &&
+        EspiOffset.seenBy(e, eRecent, p, mt, scan.graceMs) =>
         EspiFilePartition(p): InputPartition
     }.toArray
     if (sys.env.contains("ESPI_DEBUG_OFFSETS"))

@@ -343,4 +343,99 @@ class PropertySpec extends AnyFunSuite {
         s"adds=$adds ingested=$ingested"
     })
   }
+
+  // --------------------------------------- admission-control planning path
+  // With SupportsAdmissionControl implemented, latestOffset(start, limit)
+  // is the engine's ONLY planning path — so the MODEL must compose the
+  // algebra exactly as that method does (isNew filter → (mt, path) sort →
+  // take(limit) → frontier compaction → dominate), not as the no-arg
+  // latestOffset does. This is where the round-4 review found two holes
+  // (late-within-grace withholding; same-mtime membership drop).
+
+  private case class TrigL(limit: Int) extends FsOp
+
+  /** Mirror of EspiMicroBatchStream.latestOffset(start, limit) +
+    * planInputPartitions over a simulated directory. */
+  private def simulateAdmission(ops: Seq[FsOp], grace: Long)
+      : Seq[(Int, String, Long)] = {
+    var listing = Map.empty[Int, Long]
+    var start = EspiOffset.initial
+    val ingested =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var trigger = 0
+    ops.foreach {
+      case AddF(p, mt) => if (!listing.contains(p)) listing += p -> mt
+      case TouchF(p, mt) =>
+        if (listing.get(p).exists(_ < mt)) listing += p -> mt
+      case TrigL(limit) =>
+        trigger += 1
+        val files = listing.toSeq.map { case (p, mt) => (s"f$p", mt) }
+        val sR = start.recent.toSet
+        val fresh = files
+          .filter { case (p, mt) => EspiOffset.isNew(start, sR, p, mt, grace) }
+          .sortBy { case (p, mt) => (mt, p) }
+        val admitted = fresh.take(limit)
+        val end =
+          if (admitted.isEmpty) start
+          else {
+            val (lastP, lastMt) = admitted.last
+            val frontier = files.filter { case (p, mt) =>
+              mt < lastMt || (mt == lastMt && p <= lastP) }
+            EspiOffset.dominate(start,
+              EspiOffset.ofListing(frontier, grace), files, grace)
+          }
+        val eR = end.recent.toSet
+        files.foreach { case (p, mt) =>
+          if (EspiOffset.isNew(start, sR, p, mt, grace) &&
+              EspiOffset.seenBy(end, eR, p, mt, grace))
+            ingested += ((trigger, p, mt))
+        }
+        start = end
+      case TriggerF => throw new IllegalStateException("use TrigL here")
+    }
+    ingested.toSeq
+  }
+
+  test("ESPI admission path: arrivals within one grace window of each " +
+      "other — late and equal-mtime alike — ALL ingest exactly once under " +
+      "arbitrary capped-trigger schedules") {
+    // every mtime inside [0, grace] keeps every file inside the lateness
+    // horizon of every possible watermark, so eventual exactly-once
+    // delivery must hold UNCONDITIONALLY: a withheld late file or a
+    // re-ingested same-mtime neighbour is a planning-path bug (both were
+    // real in round 4's latestOffset(start, limit)).
+    val grace = 10000L
+    val opsGen: Gen[List[FsOp]] = for {
+      n <- Gen.choose(1, 20)
+      body <- Gen.listOfN(n, Gen.frequency(
+        5 -> (for { p <- Gen.choose(0, 9); mt <- Gen.choose(0L, grace) }
+          yield AddF(p, mt): FsOp),
+        3 -> Gen.choose(1, 3).map(TrigL(_): FsOp)))
+    } yield body
+    check(Prop.forAll(opsGen) { ops =>
+      val all = ops :+ TrigL(Int.MaxValue) :+ TrigL(Int.MaxValue)
+      val adds = all.collect { case AddF(p, _) => s"f$p" }.toSet
+      val ingested = simulateAdmission(all, grace).map(_._2)
+      (ingested.toSet == adds && ingested.size == adds.size) :|
+        s"adds=$adds ingested=$ingested"
+    })
+  }
+
+  test("ESPI admission path: no unchanged-mtime file is ever ingested " +
+      "twice, whatever the arrival spread, touches, or caps") {
+    val grace = 10000L
+    val opsGen: Gen[List[FsOp]] = Gen.listOf(Gen.frequency(
+      4 -> (for { p <- Gen.choose(0, 8); mt <- Gen.choose(0L, 4 * grace) }
+        yield AddF(p, mt): FsOp),
+      2 -> (for { p <- Gen.choose(0, 8); mt <- Gen.choose(0L, 5 * grace) }
+        yield TouchF(p, mt): FsOp),
+      3 -> Gen.choose(1, 4).map(TrigL(_): FsOp)))
+    check(Prop.forAll(opsGen) { ops =>
+      val byPath = simulateAdmission(ops :+ TrigL(Int.MaxValue), grace)
+        .groupBy(_._2)
+      byPath.forall { case (_, ing) =>
+        ing.map(_._3).distinct.size == ing.size
+      } :| s"re-ingested at an unchanged mtime: $byPath"
+    })
+  }
 }

@@ -231,6 +231,84 @@ class EspiDataSourceSpec extends SparkTestBase {
     assert(stream.latestOffset(start, ReadLimit.maxFiles(2)) == start)
   }
 
+  test("a late-within-grace arrival is ingested through " +
+      "latestOffset(start, limit) — the end offset dominates start") {
+    // mv/rsync -a deliveries carry their ORIGINAL mtime, so a file can
+    // enter the watch dir with a mod time BELOW the committed watermark.
+    // latestOffset(start, limit) is the engine's only planning path (the
+    // source implements SupportsAdmissionControl), and a bare frontier
+    // compaction here yields end.watermark < start.watermark → the
+    // monotonicity guard holds start → the identical empty batch recurs
+    // every trigger and the late file is withheld forever.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("espi_late").toFile
+    val t = (System.currentTimeMillis() / 1000L) * 1000L - 600000L
+    val a = new java.io.File(dir, "a.xml")
+    java.nio.file.Files.writeString(a.toPath, "<feed/>")
+    assert(a.setLastModified(t))
+    val scan = new EspiScan(Seq(dir.getAbsolutePath + "/*.xml"),
+      EspiDataSource.schema, failfast = false, graceMs = 5000L)
+    val stream = new EspiMicroBatchStream(scan)
+    val init = stream.initialOffset().asInstanceOf[EspiOffset]
+    val o1 = stream.latestOffset(init, ReadLimit.allAvailable())
+      .asInstanceOf[EspiOffset]
+    assert(stream.planInputPartitions(init, o1).length == 1)
+    // late delivery: mtime 2s OLDER than the watermark, inside the 5s grace
+    val late = new java.io.File(dir, "late.xml")
+    java.nio.file.Files.writeString(late.toPath, "<feed/>")
+    assert(late.setLastModified(t - 2000L))
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[EspiOffset]
+    assert(o2.watermark == o1.watermark, "end watermark regressed below start")
+    val batch = stream.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[EspiFilePartition].path)
+    assert(batch.toSeq == Seq("file:" + late.getAbsolutePath),
+      s"late-within-grace file withheld: planned=$batch off=${o2.json()}")
+    // the state must not recur: the next trigger is a clean no-op
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable())
+      .asInstanceOf[EspiOffset]
+    assert(o3 == o2 && stream.planInputPartitions(o2, o3).isEmpty)
+  }
+
+  test("an equal-mtime arrival keeps already-ingested same-mtime files in " +
+      "the end offset (no silent drop → re-ingestion)") {
+    // a.xml and c.xml ingested at mtime t; b.xml arrives later with the
+    // SAME mtime (coarse-granularity or rsync-preserved timestamps),
+    // sorting between them. A bare compaction of the admitted frontier
+    // {..., b} drops c from `recent`; c then re-enters as new on the next
+    // trigger — an exactly-once violation.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("espi_eqmt").toFile
+    val t = (System.currentTimeMillis() / 1000L) * 1000L - 600000L
+    def mk(name: String): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, "<feed/>")
+      assert(f.setLastModified(t))
+      f
+    }
+    mk("a.xml"); val c = mk("c.xml")
+    val scan = new EspiScan(Seq(dir.getAbsolutePath + "/*.xml"),
+      EspiDataSource.schema, failfast = false, graceMs = 5000L)
+    val stream = new EspiMicroBatchStream(scan)
+    val init = stream.initialOffset().asInstanceOf[EspiOffset]
+    val o1 = stream.latestOffset(init, ReadLimit.allAvailable())
+      .asInstanceOf[EspiOffset]
+    assert(stream.planInputPartitions(init, o1).length == 2)
+    val b = mk("b.xml") // same mtime, sorts between a and c
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[EspiOffset]
+    assert(o2.recent.contains("file:" + c.getAbsolutePath),
+      s"same-mtime file dropped from the end offset: ${o2.json()}")
+    val batch = stream.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[EspiFilePartition].path)
+    assert(batch.toSeq == Seq("file:" + b.getAbsolutePath))
+    // next trigger: nothing re-enters
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable())
+      .asInstanceOf[EspiOffset]
+    assert(o3 == o2 && stream.planInputPartitions(o2, o3).isEmpty,
+      s"re-ingestion after same-mtime arrival: ${o3.json()}")
+  }
+
   test("a transient empty listing does not regress the offset (a regressed " +
       "end would erase dedup state and mass re-ingest on the next trigger)") {
     val dir = java.nio.file.Files.createTempDirectory("espi_regress").toFile
