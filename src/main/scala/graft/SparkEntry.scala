@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Round5Queries.queries ++
       graft.queries.Round6Queries.queries ++
       graft.queries.Round7Queries.queries ++
-      graft.queries.Round8Queries.queries
+      graft.queries.Round8Queries.queries ++
+      graft.queries.Round9Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Round5Queries.oracleSql ++
       graft.queries.Round6Queries.oracleSql ++
       graft.queries.Round7Queries.oracleSql ++
-      graft.queries.Round8Queries.oracleSql
+      graft.queries.Round8Queries.oracleSql ++
+      graft.queries.Round9Queries.oracleSql
 }

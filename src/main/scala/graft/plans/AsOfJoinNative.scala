@@ -227,6 +227,16 @@ object AsOfNative {
       s"asOfNative: time columns must share one type, got " +
         s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}" +
         " (the merge comparator is monomorphic — cast one side first)")
+    // mismatched key types would hash the two sides DIFFERENTLY
+    // (Murmur3 over int ≠ over long), landing matching keys in different
+    // partitions, and keyOrd compares right projections with left-typed
+    // ordering — silently missing/wrong matches, not the loud failure the
+    // exec promises. Reject up front.
+    keys.foreach { k =>
+      val (lt, rt) = (left.schema(k).dataType, right.schema(k).dataType)
+      require(lt == rt, s"asOfNative: key '$k' types must match, got " +
+        s"$lt vs $rt (cast one side first)")
+    }
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
     val lPlan = PlanBridge.analyzed(left)
@@ -247,5 +257,92 @@ object AsOfNative {
       keys.map(lMap), keys.map(rMap), lMap(leftTime), rMap(rightTime),
       rightVals.map(rMap), asOfAttrs, tolerance)
     PlanBridge.ofRows(spark, node)
+  }
+
+  /** Hot-key-skew form of [[asOf]]: pre-partitions BOTH sides on
+    * (keys, time-slice) with boundary handoff, so one pathological key (a
+    * single meter with a billion readings — the shape AQE's skew splitting
+    * cannot rewrite for Window or custom execs) spreads over
+    * `span / sliceWidth` tasks instead of landing in one.
+    *
+    * Construction (all distributed, no driver loops):
+    *  1. slice = floorDiv(time, sliceWidth); rows with a null time (the
+    *     −∞ fallback rows) take a dedicated lowest slice.
+    *  2. per (key, slice), the LAST right row under the as-of ordering
+    *     (time asc nulls-first, then the same xxhash64 tie-break the exec
+    *     sorts by) — one aggregated row per key-slice on the shuffle.
+    *  3. the slice DOMAIN is every (key, slice) seen on either side; a
+    *     running `last(...) ignoreNulls` window over slice order hands
+    *     each slice the latest preceding last-row (the boundary handoff —
+    *     a left slice with no in-slice right rows still matches). The
+    *     window shuffles one row per key-slice, not per input row, so the
+    *     hot key costs O(span/sliceWidth) in its window task.
+    *  4. union carries into the sliced right side and run the native
+    *     as-of with keys :+ slice — bit-identical semantics because every
+    *     left row's true at-or-before match is either in its own slice or
+    *     IS the carry row, and carry time < sliceStart ≤ left time keeps
+    *     the merge ordering intact. Tolerance still gates inside the
+    *     merge, so a carry staler than `tolerance` nulls out exactly as
+    *     in the unsliced form.
+    *
+    * Cost: one extra shuffle per side (the domain distinct / the
+    * per-slice aggregate) with key-slice-sized payloads — the opt-in
+    * price of unbounded per-key parallelism. Choose `sliceWidth` so a hot
+    * key's span covers ≫ 1 slice but a typical key's rows stay in few
+    * slices. Requires an integral time column (cast timestamps to epoch
+    * first). Reference semantics analog: the per-key sequential link
+    * resolution of lib/personalgreenbutton/src/lib.rs:117-166.
+    */
+  def asOfSliced(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTime: String, rightTime: String, rightVals: Seq[String],
+                 sliceWidth: Long, tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{coalesce, expr, last, lit,
+      max_by, struct, when, xxhash64}
+    require(sliceWidth > 0, "asOfSliced: sliceWidth must be positive")
+    val tt = left.schema(leftTime).dataType
+    require(tt == LongType || tt == IntegerType,
+      s"asOfSliced: requires an integral time column, got $tt " +
+        "(cast timestamps to epoch seconds/micros first)")
+
+    val S = "__graft_slice"
+    // exact integral floorDiv: (t - pmod(t, w)) is a multiple of w, so
+    // `div` is exact — no double rounding on large epochs
+    def withSlice(df: DataFrame, timeCol: String): DataFrame =
+      df.withColumn(S,
+        when(col(timeCol).isNull, lit(Long.MinValue)).otherwise(expr(
+          s"(cast(`$timeCol` as bigint) - pmod(cast(`$timeCol` as bigint), " +
+            s"${sliceWidth}L)) div ${sliceWidth}L")))
+
+    val lS = withSlice(left, leftTime)
+    val rCols = ((keys :+ rightTime) ++ rightVals).distinct
+    val rS = withSlice(right.select(rCols.map(col): _*), rightTime)
+    val rPayload = (rightTime +: rightVals).distinct
+
+    // 2. last right row per (key, slice) under the exec's ordering
+    val ord = struct(
+      coalesce(col(rightTime).cast("long"), lit(Long.MinValue)),
+      xxhash64(struct(rightVals.map(col): _*)))
+    val lastPerSlice = rS.groupBy((keys :+ S).map(col): _*)
+      .agg(max_by(struct(rPayload.map(col): _*), ord).as("__graft_last"))
+
+    // 3. boundary handoff over the full slice domain
+    val domain = lS.select((keys :+ S).map(col): _*)
+      .union(rS.select((keys :+ S).map(col): _*)).distinct()
+    val carryW = W.partitionBy(keys.map(col): _*).orderBy(col(S))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val carries = domain
+      .join(lastPerSlice, (keys :+ S).toSeq, "left")
+      .withColumn("__graft_carry",
+        last(col("__graft_last"), ignoreNulls = true).over(carryW))
+      .filter(col("__graft_carry").isNotNull)
+      .select(keys.map(col) ++ Seq(col(S)) ++
+        rPayload.map(n => col(s"__graft_carry.`$n`").as(n)): _*)
+
+    // 4. sliced native as-of; drop the plumbing column from the output
+    val rAug = rS.select(keys.map(col) ++ Seq(col(S)) ++
+      rPayload.map(col): _*).unionByName(carries)
+    asOf(lS, rAug, keys :+ S, leftTime, rightTime, rightVals, tolerance)
+      .drop(S)
   }
 }

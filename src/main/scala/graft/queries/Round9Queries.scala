@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.plans.AsOfNative
+import graft.queries.QueryShared.packedK
+
+/** Round-9 additions — this session's new operator surfaces:
+  *
+  *   - the SLICED native as-of join (key + time-slice pre-partitioning
+  *     with boundary handoff — the hot-key skew mitigation for the one
+  *     shape AQE cannot rewrite on Window/custom execs), oracled against
+  *     the same DuckDB ASOF form as the unsliced queries it must match
+  *     bit-for-bit
+  */
+object Round9Queries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sliced as-of: IDENTICAL semantics (and oracle) to q_asof_native,
+    // produced through the skew-mitigated path — per-day slices on the
+    // packed microsecond key, so a hot user's purchases spread over one
+    // task per active day instead of one task total.
+    "q_asof_sliced" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), packedK.as("k"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), packedK.as("vk"),
+          round(col("value") * 100).cast("long").as("v_cents"))
+      AsOfNative.asOfSliced(purchases, views, Seq("user_id"),
+          leftTime = "k", rightTime = "vk",
+          rightVals = Seq("vk", "v_cents"),
+          sliceWidth = 86400L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_vk"), lit(-1L)).as("view_k"),
+          coalesce(col("asof_v_cents"), lit(-1L)).as("view_cents"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // same oracle as q_asof_native — slicing is an execution strategy,
+    // not a semantics change
+    "q_asof_sliced" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, k FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, k AS vk,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+        |      FROM e WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.event_id, arg_max(v.vk, v.vk) AS view_k,
+        |    arg_max(v.v_cents, v.vk) AS view_cents
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.vk <= p.k
+        |  GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |  COALESCE(m.view_k, -1) AS view_k,
+        |  COALESCE(m.view_cents, -1) AS view_cents
+        |FROM p LEFT JOIN m ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin
+  )
+}

@@ -92,6 +92,88 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(sortedRows(native) == sortedRows(window))
   }
 
+  test("asOfSliced parity: fixture incl. empty slices between right rows " +
+      "(the boundary handoff), null edges, ties, and tolerance") {
+    // sliceWidth 4 puts u1's left rows across slices {1, 2, 5} with right
+    // rows only in slices {2, 3} — u1@20 (slice 5) must match via carry
+    val wide = leftFixture.union(Seq(("u1", 23L, "g")).toDF("k", "t", "payload"))
+    for (tol <- Seq(None, Some(3L))) {
+      val unsliced = AsOfNative.asOf(wide, rightFixture,
+        Seq("k"), "t", "t", Seq("v"), tol)
+      val sliced = AsOfNative.asOfSliced(wide, rightFixture,
+        Seq("k"), "t", "t", Seq("v"), sliceWidth = 4L, tolerance = tol)
+      assert(sliced.columns.toSeq == unsliced.columns.toSeq)
+      assert(sortedRows(sliced) == sortedRows(unsliced), s"tol=$tol")
+    }
+    // null edges: null left times match only null-time right rows; a
+    // null-time right row is the −∞ fallback and must CARRY across slices
+    val l = Seq(("a", Some(10L), "x"), ("a", None, "y"), ("b", None, "z"),
+      ("a", Some(2L), "w")).toDF("k", "t", "payload").repartition(2)
+    val r = Seq(("a", Some(5L), 1.0), ("a", None, 9.0), ("c", Some(1L), 7.0))
+      .toDF("k", "t", "v").repartition(2)
+    assert(sortedRows(AsOfNative.asOfSliced(l, r, Seq("k"), "t", "t", Seq("v"), 4L))
+      == sortedRows(AsOfNative.asOf(l, r, Seq("k"), "t", "t", Seq("v"))))
+    // right-side ties share a slice, so the xxhash64 tie-break is preserved
+    val lt = Seq(("a", 10L, "x")).toDF("k", "t", "payload").repartition(2)
+    val rt = Seq(("a", 10L, 1.0), ("a", 10L, 2.0), ("a", 10L, 3.0))
+      .toDF("k", "t", "v").repartition(2)
+    assert(sortedRows(AsOfNative.asOfSliced(lt, rt, Seq("k"), "t", "t", Seq("v"), 4L))
+      == sortedRows(AsOfNative.asOf(lt, rt, Seq("k"), "t", "t", Seq("v"))))
+  }
+
+  test("asOfSliced: one pathological hot key lands in MULTIPLE tasks, " +
+      "bit-identical to the unsliced form (the 100TB skew shape)") {
+    // 100k readings on one meter vs a handful on others — unsliced, the
+    // hot key is one task by construction (hash on the key alone)
+    val hotLeft = spark.range(100000).select(lit("hot").as("k"),
+      (col("id") * 10L).as("t"), col("id").as("payload"))
+    val left = hotLeft.unionByName(
+      Seq(("cold1", 5L, -1L), ("cold2", 7L, -2L)).toDF("k", "t", "payload"))
+      .repartition(8)
+    val right = spark.range(500).select(lit("hot").as("k"),
+      (col("id") * 1000L).as("t"), (col("id") + lit(0.5)).as("v"))
+      .unionByName(Seq(("cold1", 1L, 9.9)).toDF("k", "t", "v"))
+      .repartition(8)
+    val unsliced = AsOfNative.asOf(left, right, Seq("k"), "t", "t", Seq("v"))
+    val sliced = AsOfNative.asOfSliced(left, right, Seq("k"), "t", "t",
+      Seq("v"), sliceWidth = 100000L) // hot span 10^6 → 10 slices
+    assert(sortedRows(sliced) == sortedRows(unsliced))
+    // the executed sliced plan hashes on (key, slice): the hot key's rows
+    // must arrive in >1 task (rdd partitions mirror the exec's partitions —
+    // the projection/filter above the exec is narrow). AQE's partition
+    // coalescing is pinned OFF here: at this toy size it would legally fold
+    // the whole 10-slice shuffle back into one partition, which is exactly
+    // what CANNOT happen at the 100TB shape the slicing exists for.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val hotPerPart = sliced.filter(col("k") === "hot").rdd
+        .mapPartitions(it => Iterator(it.size), preservesPartitioning = true)
+        .collect()
+      assert(hotPerPart.count(_ > 0) > 1,
+        s"hot key still single-task: ${hotPerPart.mkString(",")}")
+      // and the unsliced form, for contrast, concentrates it in exactly one
+      val unslicedPerPart = unsliced.filter(col("k") === "hot").rdd
+        .mapPartitions(it => Iterator(it.size), preservesPartitioning = true)
+        .collect()
+      assert(unslicedPerPart.count(_ > 0) == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
+
+  test("key-type mismatch is rejected up front (a mismatched hash would " +
+      "silently mis-partition, not fail loud)") {
+    val l = Seq((1, 10L, "x")).toDF("k", "t", "payload")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfNative.asOf(l, r, Seq("k"), "t", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("key 'k' types must match"))
+  }
+
   test("plan shape: AsOfJoinExec present, one exchange per side, no Window " +
       "or Join fallback") {
     val native = AsOfNative.asOf(leftFixture, rightFixture,
