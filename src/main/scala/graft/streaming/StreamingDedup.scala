@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode}
+  StatefulProcessor, TTLConfig, TimeMode, ValueState}
 
 import graft.similarity.Similarity
 import graft.text.TextOps
@@ -125,5 +125,160 @@ object StreamingDedup {
       .transformWithState(new BucketDedupProcessor(maxBucketSize, ttl),
         if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
         OutputMode.Append(), Encoders.product[StreamDup])
+  }
+
+  // ------------------------------------------------------- verified pairs
+
+  /** Band hit carrying the arriving doc's shingle ids as a RIDER — the
+    * same payload the batch operator ships through its band shuffle. Cell
+    * STATE still stores only 16-byte [[SeenDoc]] records. */
+  case class BandHitV(band: Int, bucket: Long, doc_id: Long, sig_hash: Long,
+                      sh: Array[Long])
+
+  /** Verify-stage input, keyed by `key`: a doc ARRIVAL (key = its own id,
+    * `sh` = its shingles, stored once per doc) or a CANDIDATE (key = the
+    * seen doc's id, `sh` = the NEW doc's shingles riding along). */
+  case class VerifyIn(key: Long, doc_id: Long, sh: Array[Long],
+                      isArrival: Boolean)
+
+  /** Same contract as [[Similarity.minhashPairs]]' output rows:
+    * id_a < id_b, exact shingle-set Jaccard, ≥ minJaccard. */
+  case class VerifiedDup(id_a: Long, id_b: Long, jaccard: Double)
+
+  // public: a private case class makes the state encoder's generated code
+  // fall back to the interpreted path (Janino cannot touch private members)
+  case class ShRec(sh: Array[Long])
+
+  /** Cell stage of the VERIFIED path: identical probe/append logic to
+    * [[BucketDedupProcessor]] (16-byte state records, cap, redelivery
+    * guard), but emits candidates keyed for the verify stage with the new
+    * doc's shingles riding along. */
+  class BucketCandidateProcessor(maxBucketSize: Int, ttl: TTLConfig)
+      extends StatefulProcessor[String, BandHitV, VerifyIn] {
+    @transient private var seen: ListState[SeenDoc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[SeenDoc]("seen",
+        Encoders.product[SeenDoc], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[BandHitV],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[VerifyIn] = {
+      val existing = scala.collection.mutable.ArrayBuffer
+        .empty[SeenDoc] ++= seen.get()
+      val out = scala.collection.mutable.ArrayBuffer.empty[VerifyIn]
+      // doc_id order makes the probe-before-append emission DIRECTION
+      // deterministic: two same-batch duplicates hitting several cells
+      // whose shuffle iterators order them differently would otherwise
+      // emit (a→b) from one band and (b→a) from another — two different
+      // verify keys, so the pair would verify (and emit) twice
+      rows.toArray.sortBy(_.doc_id).foreach { h =>
+        existing.foreach { s =>
+          if (s.doc_id != h.doc_id)
+            out += VerifyIn(s.doc_id, h.doc_id, h.sh, isArrival = false)
+        }
+        if (existing.length < maxBucketSize &&
+            !existing.exists(_.doc_id == h.doc_id)) {
+          val rec = SeenDoc(h.doc_id, h.sig_hash)
+          existing += rec
+          seen.appendValue(rec)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Exact-Jaccard verify, keyed by the SEEN doc's id: a per-doc
+    * ValueState holds that doc's shingle ids (stored once per doc — the
+    * price of exact verification; TTL-bound it to the dedup horizon, the
+    * same horizon the cell TTL uses). Arrivals in a batch apply before
+    * candidates, so same-batch pairs verify against same-batch state;
+    * cross-band duplicates of one pair land in one call (single arrival
+    * batch) and dedupe in-memory, so each pair emits ONCE — matching the
+    * batch operator's dropDuplicates. A candidate whose seen-doc state was
+    * TTL-evicted is beyond the retention horizon and drops silently. */
+  class ShingleVerifyProcessor(minJaccard: Double, ttl: TTLConfig)
+      extends StatefulProcessor[Long, VerifyIn, VerifiedDup] {
+    @transient private var sh: ValueState[ShRec] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sh = getHandle.getValueState[ShRec]("sh", Encoders.product[ShRec], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[VerifyIn],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[VerifiedDup] = {
+      val buf = rows.toArray
+      buf.find(_.isArrival).foreach(a => sh.update(ShRec(a.sh)))
+      val cur = Option(sh.get()).map(_.sh).orNull
+      if (cur == null) Iterator.empty
+      else {
+        val curSet = cur.toSet
+        buf.iterator.filterNot(_.isArrival)
+          .map(c => c.doc_id -> c).toMap.valuesIterator // per-pair dedup
+          .flatMap { c =>
+            val other = c.sh.toSet
+            val inter = curSet.count(other)
+            val uni = curSet.size + other.size - inter
+            val j = if (uni > 0) inter.toDouble / uni else 0.0
+            if (j >= minJaccard)
+              Some(VerifiedDup(math.min(key, c.doc_id),
+                math.max(key, c.doc_id), j))
+            else None
+          }
+      }
+    }
+  }
+
+  /** VERIFIED streaming near-dup pairs — the full batch contract of
+    * [[Similarity.minhashPairs]] ((id_a, id_b, jaccard), id_a < id_b,
+    * exact shingle Jaccard ≥ `minJaccard`, one row per pair), computed
+    * incrementally: LSH cells generate candidates (16-byte state records,
+    * capped), then a per-doc shingle store verifies them with exact set
+    * Jaccard. Two chained `transformWithState` stages in one query; under
+    * an at-least-once source a REDELIVERED doc can re-verify its pairs
+    * (at-least-once output — same caveat as the candidates API). */
+  def nearDupVerified(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", shingleN: Int = 3,
+                      numHashes: Int = 32, numBands: Int = 8,
+                      minJaccard: Double = 0.5, maxBucketSize: Int = 64,
+                      ttl: TTLConfig = TTLConfig.NONE): Dataset[VerifiedDup] = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / numBands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+
+    val sigs = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        array_distinct(TextOps.ngramHashes(TextOps.tokens(col(textCol)),
+          shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Similarity.minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .repartition(col("doc_id")) // staging barrier — see nearDupCandidates
+
+    val banded = sigs
+      .select(col("doc_id"), col("sh"), xxhash64(col("sig")).as("sig_hash"),
+        explode(Similarity.bands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("b.band").as("band"), col("b.bucket").as("bucket"),
+        col("doc_id"), col("sig_hash"), col("sh"))
+      .as[BandHitV]
+
+    val candidates = banded
+      .groupByKey(h => s"${h.band}:${h.bucket}")
+      .transformWithState(new BucketCandidateProcessor(maxBucketSize, ttl),
+        timeMode, OutputMode.Append(), Encoders.product[VerifyIn])
+
+    val arrivals = sigs
+      .select(col("doc_id").as("key"), col("doc_id"), col("sh"),
+        lit(true).as("isArrival"))
+      .as[VerifyIn]
+
+    candidates.unionByName(arrivals)
+      .groupByKey(_.key)
+      .transformWithState(new ShingleVerifyProcessor(minJaccard, ttl),
+        timeMode, OutputMode.Append(), Encoders.product[VerifiedDup])
   }
 }

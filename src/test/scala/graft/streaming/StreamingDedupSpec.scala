@@ -97,6 +97,46 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("VERIFIED streaming pairs == minhashPairs' FULL contract (ids AND " +
+      "exact jaccard, one row per pair), across batch boundaries") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val textA2 = textA.replace("today", "tonight") // near-dup of textA
+      val docsSeq = Seq(StreamDoc(1, textA), StreamDoc(2, textB),
+        StreamDoc(3, textC), StreamDoc(10, textA), StreamDoc(11, textB),
+        StreamDoc(12, textA2))
+      val mem = MemoryStream[StreamDoc]
+      val verified = StreamingDedup.nearDupVerified(mem.toDF(),
+        minJaccard = 0.3)
+      val q = verified.writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_verified").start()
+      try {
+        // mixed batching: cross-batch pairs (1↔10 span batches) AND
+        // same-batch pairs (10, 11, 12 arrive together)
+        mem.addData(docsSeq(0), docsSeq(1)); q.processAllAvailable()
+        mem.addData(docsSeq(2)); q.processAllAvailable()
+        mem.addData(docsSeq(3), docsSeq(4), docsSeq(5))
+        q.processAllAvailable()
+        val stream = spark.sql("SELECT * FROM sdedup_verified")
+          .as[StreamingDedup.VerifiedDup].collect()
+          .map(v => (v.id_a, v.id_b, v.jaccard)).toSeq
+        val batch = graft.similarity.Similarity.minhashPairs(
+            docsSeq.toDF("doc_id", "text"), "doc_id", "text",
+            shingleN = 3, numHashes = 32, numBands = 8, minJaccard = 0.3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
+        // one row per pair (the batch dropDuplicates contract), and the
+        // exact-jaccard VALUES agree, not just the id sets
+        assert(stream.size == stream.distinct.size,
+          s"pair emitted twice: ${stream.sorted}")
+        assert(stream.sorted == batch.sorted,
+          s"stream ${stream.sorted} != batch ${batch.sorted}")
+        // sanity: the corpus exercises both exact (j=1.0) and near (j<1)
+        assert(batch.exists(_._3 == 1.0) && batch.exists(_._3 < 1.0))
+      } finally q.stop()
+    }
+  }
+
   test("re-delivered doc_id is not stored twice: an at-least-once source " +
       "must not multiply candidate emissions") {
     withRocksDb {
