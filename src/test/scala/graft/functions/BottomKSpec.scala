@@ -82,6 +82,51 @@ class BottomKSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("hot group: 10^6 rows in ONE group shuffle as one O(k) buffer per " +
+      "map task — partial buffers never hold the group (the 100TB question " +
+      "for any TypedImperativeAggregate)") {
+    // memory side, exercised directly: a million updates through one
+    // buffer never grow it beyond k entries
+    val agg = BottomKByHash(
+      org.apache.spark.sql.graftshim.ColumnBridge.expression(col("v")), 5, "hg")
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    val buf = agg.createAggregationBuffer()
+    // bind the child to the single input slot and drive the real update()
+    val bound = agg.copy(child =
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.StringType, nullable = true))
+    var j = 0
+    while (j < 1000000) {
+      row.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(s"v$j"))
+      bound.update(buf, row)
+      assert(buf.length <= 5)
+      j += 1
+    }
+
+    // plan + shuffle side: with AQE pinned off (stable tree), the exchange
+    // above the partial phase writes ONE record per map task for the
+    // single group — never the million rows
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val df = spark.range(1000000)
+        .select(lit("hot").as("g"), concat(lit("v"), col("id")).as("v"))
+        .repartition(8)
+        .groupBy("g").agg(bottomKByHash(col("v"), 5, "hg").as("s"))
+      val got = df.head.getSeq[String](1)
+      assert(got == buf.sorted.take(5).map(_._2),
+        "distributed result != single-buffer result")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.nonEmpty, "no shuffle exchange found")
+      val written = exchanges.map(_.metrics("shuffleRecordsWritten").value).sum
+      assert(written <= 8,
+        s"shuffle carried $written records — partial buffers not O(k)/task")
+    } finally spark.conf.set(aqeKey, prevAqe)
+  }
+
   test("plan shape: partial aggregation below the exchange (ObjectHashAggregate " +
       "partial_bottomk), so the shuffle carries buffers, not rows") {
     val df = (0 until 100).map(i => (s"g${i % 4}", s"v$i")).toDF("g", "v")
