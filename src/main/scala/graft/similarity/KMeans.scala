@@ -68,6 +68,79 @@ object KMeans {
     centroids
   }
 
+  /** GROUPED Lloyd training: one fit over many independent groups — each
+    * round is ONE distributed job for ALL groups, not one per group.
+    * `corpus` carries (`grp`, `vec_id`, `embedding`) with `vec_id` unique
+    * within each group; returns (grp, centroid_id, centroid).
+    *
+    * The motivating shape is PQ codebook training
+    * ([[ProductQuantizer.codebooksKMeans]]): numSub independent subspace
+    * fits cost numSub × iters × ~3 fixed-overhead jobs when looped, but
+    * the per-group work is tiny — fusing the subspaces into (grp, subvec)
+    * keyed rounds collapses that to iters × ~3 jobs total, with the SAME
+    * per-group math (init picks each group's k smallest-xxhash64(vec_id)
+    * vectors — the hash ignores grp, matching what the per-group [[fit]]
+    * loop picked; assign joins broadcast centroids on grp; the update
+    * means aggregate by (grp, centroid_id, pos)).
+    *
+    * Init ranks each group's vectors with one window over grp — a
+    * per-group total sort, same asymptotics as one assign round. [[fit]]
+    * keeps its sort-limit init (a global TakeOrderedAndProject is cheaper
+    * when there is only one group). */
+  def fitGrouped(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = corpus
+      .withColumn("_h", xxhash64(col("vec_id")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("_h"))))
+      .filter(col("_rn") <= k)
+      .select(col("grp"), (col("_rn") - 1).cast("long").as("centroid_id"),
+        col("embedding").as("centroid"))
+      // groups × k rows; truncating here keeps round 1 from re-running the
+      // full-corpus init window through BOTH of its references
+      .localCheckpoint(true)
+
+    for (_ <- 1 to iters) {
+      val assigned = assignGrouped(corpus, centroids)
+      val updated = assigned
+        .select(col("grp"), col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("grp", "centroid_id", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("grp", "centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("grp"), col("centroid_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("centroid"))
+      centroids = centroids
+        .select(col("grp"), col("centroid_id"), col("centroid").as("_prev"))
+        .join(updated, Seq("grp", "centroid_id"), "left")
+        .select(col("grp"), col("centroid_id"),
+          coalesce(col("centroid"), col("_prev")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Grouped twin of [[assign]]: centroids join on `grp` instead of a
+    * cross join; argmin per (grp, vec_id) with the same degenerate-
+    * centroid guard. */
+  def assignGrouped(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val others = corpus.columns.toSeq
+      .filterNot(c => c == "vec_id" || c == "grp")
+    val denom = Similarity.l2norm(col("embedding")) *
+      Similarity.l2norm(col("centroid"))
+    corpus.join(broadcast(centroids), Seq("grp"))
+      .withColumn("_negcos",
+        when(denom > 0,
+          -Similarity.dot(col("embedding"), col("centroid")) / denom)
+          .otherwise(lit(Double.PositiveInfinity)))
+      .groupBy(col("grp"), col("vec_id"))
+      .agg(
+        min_by(col("centroid_id"),
+          struct(col("_negcos"), col("centroid_id"))).as("centroid_id"),
+        others.map(c => first(col(c)).as(c)): _*)
+      .select((corpus.columns.toSeq :+ "centroid_id").map(col): _*)
+  }
+
   /** Nearest-centroid assignment by cosine (broadcast centroids).
     *
     * Argmin aggregation, not a window: the groupBy partial-aggregates

@@ -45,21 +45,23 @@ object ProductQuantizer {
         col("subvec").as("centroid"))
   }
 
-  /** Trained codebooks: per-subspace [[KMeans.fit]] (offline training
-    * path — run once, persist, ship to the search job). Returns the same
-    * (sub, code, centroid) shape as [[codebooks]], so [[topKWith]] is
-    * oblivious to how books were built. */
+  /** Trained codebooks via ONE fused [[KMeans.fitGrouped]] over
+    * (subspace, subvector) keyed rows (offline training path — run once,
+    * persist, ship to the search job). Each Lloyd round is a single
+    * distributed job covering ALL subspaces, vs the numSub × iters × ~3
+    * fixed-overhead jobs of a per-subspace fit loop — at bench scale that
+    * loop's job overhead WAS most of the training wall-clock. Returns the
+    * same (sub, code, centroid) shape as [[codebooks]], so [[topKWith]]
+    * is oblivious to how books were built. */
   def codebooksKMeans(corpus: DataFrame, dim: Int, numSub: Int, k: Int,
                       iters: Int): DataFrame = {
     val subDim = dim / numSub
-    (0 until numSub).map { s =>
-      KMeans.fit(
-        corpus.select(col("vec_id"),
-          slice(col("embedding"), lit(s * subDim + 1), lit(subDim)).as("embedding")),
-        k, iters)
-        .select(lit(s).as("sub"), col("centroid_id").cast("int").as("code"),
-          col("centroid"))
-    }.reduce(_.unionByName(_))
+    val subs = explodeSubs(corpus, "embedding", numSub, subDim)
+      .select(col("sub").as("grp"), col("vec_id"),
+        col("subvec").as("embedding"))
+    KMeans.fitGrouped(subs, k, iters)
+      .select(col("grp").cast("int").as("sub"),
+        col("centroid_id").cast("int").as("code"), col("centroid"))
   }
 
   /** Encode the corpus: (vec_id, sub, code) — nearest centroid per

@@ -73,6 +73,34 @@ class KMeansSpec extends SparkTestBase {
     assert(secs < 120, f"20-iteration fit took $secs%.0f s — lineage blowup?")
   }
 
+  test("fused codebook training (fitGrouped) matches the per-subspace " +
+      "fit loop it replaces — same codes, same centroids") {
+    val corpus = emb.limit(300)
+    val (dim, numSub, k, iters) = (64, 8, 8, 2)
+    val subDim = dim / numSub
+    val fused = ProductQuantizer
+      .codebooksKMeans(corpus, dim, numSub, k, iters).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    // the pre-fusion formulation: one independent fit per subspace
+    val legacy = (0 until numSub).flatMap { s =>
+      KMeans.fit(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), lit(s * subDim + 1), lit(subDim))
+            .as("embedding")), k, iters)
+        .collect()
+        .map(r => (s, r.getLong(0).toInt) -> r.getSeq[Float](1))
+    }.toMap
+    assert(fused.keySet == legacy.keySet,
+      s"codebook keys differ: ${fused.keySet} vs ${legacy.keySet}")
+    // identical math per group; only float-summation order can differ
+    fused.foreach { case (key, c) =>
+      val l = legacy(key)
+      assert(c.length == l.length)
+      c.zip(l).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-5f, s"$key: $a vs $b") }
+    }
+  }
+
   test("trained codebooks round-trip through disk bit-identically and " +
       "keep PQ recall") {
     val queries = emb.filter(col("vec_id") < 10)
