@@ -234,4 +234,16 @@ object TimeSeriesOps {
     val lines = influxProjection(ts, hasCost(ts)).collect().map(_.getString(0))
     lines.mkString("", "\n", if (lines.nonEmpty) "\n" else "")
   }
+
+  /** K3 bulk form: distributed line-protocol export — the influx twin of
+    * [[writeCsv]]. `singleFile=true` coalesces to one part for parity with
+    * the reference CLI's single-payload POST; false lets every partition
+    * write its own part file (influx bulk loaders ingest a directory of
+    * line-protocol files; a 100TB export through one task is a
+    * non-starter). Same schema-variant cost rule as [[influxString]]. */
+  def writeInflux(ts: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val proj = influxProjection(ts, hasCost(ts))
+    (if (singleFile) proj.coalesce(1) else proj)
+      .write.mode("overwrite").text(path)
+  }
 }

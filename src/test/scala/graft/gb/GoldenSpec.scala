@@ -152,4 +152,29 @@ class GoldenSpec extends SparkTestBase {
     assert(back.exceptAll(ours).count() == 0)
     assert(ours.exceptAll(back).count() == 0)
   }
+
+  test("distributed influx export (singleFile=false) writes multiple " +
+      "parts whose line set equals influxString's, byte for byte") {
+    val tmp = java.nio.file.Files.createTempDirectory("gb_influx_dist").toString
+    TimeSeriesOps.writeInflux(ours.repartition(4), tmp + "/influx",
+      singleFile = false)
+    val parts = new java.io.File(tmp + "/influx").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(parts > 1, s"expected a multi-part export, got $parts part file(s)")
+    // line protocol has no header and no intra-line ordering dependence:
+    // the multi-part export must carry exactly the single-payload lines
+    val back = spark.read.text(tmp + "/influx")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val single = TimeSeriesOps.influxString(ours)
+      .split("\n").filter(_.nonEmpty).sorted.toSeq
+    assert(back == single)
+    // and the single-file mode produces one part with the same content
+    TimeSeriesOps.writeInflux(ours, tmp + "/influx1")
+    val one = new java.io.File(tmp + "/influx1").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(one == 1)
+    val backOne = spark.read.text(tmp + "/influx1")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(backOne == single)
+  }
 }
