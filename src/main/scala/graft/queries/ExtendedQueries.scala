@@ -262,19 +262,27 @@ object ExtendedQueries {
     // Frequent-items sketch: corpus tokens → one count-min sketch (scalar
     // subquery), probed per top-20 token by the native cms_estimate
     // expression (functions.CountMin — the read side Spark doesn't ship).
-    // Estimates are deterministic for the fixed seed and never undercount;
-    // engine-specific sketch → rows-only check (SketchSpec bounds error).
+    // The sketch VALUE is engine-specific, but the CMS contract is not:
+    // est ≥ true and est ≤ true + εN (ε = 1e-4 here) — emitted as boolean
+    // columns DuckDB states as literal TRUE, so the inequality oracle
+    // value-checks the sketch without a DuckDB twin of the sketch itself
+    // (SketchSpec additionally bounds error at the operator level).
     "d_freq_sketch" -> ((s, dir) => {
       val toks = load(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("term"))
       val cms = toks.agg(
         expr("count_min_sketch(term, 0.0001d, 0.99d, 42)").as("cms"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val sub = org.apache.spark.sql.graftshim.ColumnBridge.scalarSubquery _
       val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("term")).limit(20)
       top
         .withColumn("cms_est", graft.functions.CountMin.cms_estimate(
-          org.apache.spark.sql.graftshim.ColumnBridge.scalarSubquery(cms),
-          col("term")))
+          sub(cms), col("term")))
+        .select(col("term"), col("n_exact"),
+          (col("cms_est") >= col("n_exact")).as("lower_ok"),
+          (col("cms_est") <= col("n_exact") +
+            ceil(sub(total) * lit(0.0001)).cast("long")).as("upper_ok"))
         .orderBy(col("n_exact").desc, col("term"))
     }),
 
@@ -401,6 +409,15 @@ object ExtendedQueries {
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   val oracleSql: Map[String, String] = Map(
+    // inequality oracle: exact top-20 counts checked directly; the CMS
+    // estimate enters only through the lower/upper bound booleans, which
+    // must both be TRUE (est ≥ true; est ≤ true + εN)
+    "d_freq_sketch" ->
+      s"""SELECT term, n_exact, TRUE AS lower_ok, TRUE AS upper_ok
+         |FROM (SELECT term, COUNT(*) AS n_exact
+         |      FROM (SELECT unnest($tokensSql) AS term FROM documents)
+         |      GROUP BY 1 ORDER BY n_exact DESC, term LIMIT 20) t
+         |ORDER BY n_exact DESC, term""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         |  SUM(l_quantity) AS sum_qty

@@ -147,9 +147,12 @@ object TrainingDataQueries {
     }),
 
     // HLL sketch distinct counts (DataSketches): mergeable across
-    // partitions — the sketch path for cardinality at 100TB. Deterministic
-    // (register maxes are order-independent) but engine-specific → no SQL
-    // oracle; SketchSpec bounds the error against exact counts.
+    // partitions — the sketch path for cardinality at 100TB. The estimate
+    // VALUE is engine-specific, but its accuracy contract is checkable:
+    // |est − exact| ≤ 5% of exact (3× the lgK=12 RSE of 1.04/√2¹²≈1.6%) —
+    // emitted as a boolean DuckDB states as literal TRUE, next to the
+    // exact counts it can verify directly. SketchSpec additionally bounds
+    // the error at the operator level.
     "d_sketch_distinct" -> ((s, dir) => {
       // spread the compute-bound sketch updates (~1µs/token) across cores:
       // a single-row-group parquet file scans as ONE partition, which would
@@ -160,8 +163,12 @@ object TrainingDataQueries {
         .select(explode(TextOps.tokens(col("text"))).as("term"),
           col("lang"))
         .groupBy(col("lang"))
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(term))").as("approx_terms"),
-          count(lit(1)).as("n_tokens"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(term))").as("approx"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_distinct"))
+        .select(col("lang"), col("n_tokens"), col("n_distinct"),
+          (abs(col("approx") - col("n_distinct")) <=
+            col("n_distinct").cast("double") * lit(0.05)).as("est_ok"))
         .orderBy(col("lang"))
     }),
 
@@ -365,6 +372,13 @@ object TrainingDataQueries {
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   val oracleSql: Map[String, String] = Map(
+    // inequality oracle: exact counts checked directly; the HLL estimate
+    // enters only through the est_ok bound, which must be TRUE
+    "d_sketch_distinct" ->
+      s"""SELECT lang, COUNT(*) AS n_tokens,
+         |  COUNT(DISTINCT term) AS n_distinct, TRUE AS est_ok
+         |FROM (SELECT lang, unnest($tokensSql) AS term FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
