@@ -91,6 +91,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs}"""
     println(line)
+    // The full line is ~3KB and the driver's log capture has front-
+    // truncated lines that long (BENCH_r04 parsed null) — and a front-
+    // eaten JSON object is unparseable no matter which key comes first.
+    // So ALSO print a SHORT, self-contained total line (fits any capture
+    // window; the per-query map lives in the file mirror below).
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries_file":"BENCH_LAST.json"}""")
     // belt-and-braces: the same JSON as a file, immune to log truncation
     // (cwd-relative: the driver runs sbt from the repo root)
     try java.nio.file.Files.writeString(

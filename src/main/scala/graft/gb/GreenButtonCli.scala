@@ -59,9 +59,7 @@ object GreenButtonCli {
     filetype match {
       case "csv" => TimeSeriesOps.writeCsv(ts, out)
       case "parquet" => TimeSeriesOps.writeParquet(ts, out)
-      case "influxdb" =>
-        TimeSeriesOps.influxProjection(ts, TimeSeriesOps.hasCost(ts))
-          .coalesce(1).write.mode("overwrite").text(out)
+      case "influxdb" => TimeSeriesOps.writeInflux(ts, out)
       case other => throw new IllegalArgumentException(s"Unknown filetype $other")
     }
     println(s"wrote $filetype to $out")
