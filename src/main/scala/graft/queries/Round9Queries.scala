@@ -38,6 +38,31 @@ object Round9Queries {
           coalesce(col("asof_vk"), lit(-1L)).as("view_k"),
           coalesce(col("asof_v_cents"), lit(-1L)).as("view_cents"))
         .orderBy(col("event_id"))
+    }),
+
+    // Quantile sketch with an INEQUALITY oracle (the same pattern as the
+    // CMS/HLL queries): approx_percentile is a GK sketch whose rank error
+    // is a WORST-CASE guarantee (≤ N/accuracy, not probabilistic), so the
+    // approx value must lie between the exact quantiles at p ± 2/accuracy
+    // — booleans DuckDB states as literal TRUE next to the exact counts.
+    // The sketch is the 100TB percentile path (one partial-aggregable
+    // pass; exact percentile buffers whole groups in ObjectAgg).
+    "d_quantile_sketch" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("approx_percentile(cents, array(0.5D, 0.95D), 100)").as("ap"),
+          expr("percentile(cents, array(0.48D, 0.52D, 0.93D, 0.97D))").as("ex"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (element_at(col("ap"), 1).cast("double")
+            .between(element_at(col("ex"), 1), element_at(col("ex"), 2)))
+            .as("p50_ok"),
+          (element_at(col("ap"), 2).cast("double")
+            .between(element_at(col("ex"), 3), element_at(col("ex"), 4)))
+            .as("p95_ok"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -63,6 +88,13 @@ object Round9Queries {
         |  COALESCE(m.view_k, -1) AS view_k,
         |  COALESCE(m.view_cents, -1) AS view_cents
         |FROM p LEFT JOIN m ON p.event_id = m.event_id
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    "d_quantile_sketch" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM (SELECT l_returnflag,
+        |        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
