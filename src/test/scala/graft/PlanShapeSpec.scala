@@ -154,4 +154,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.toLowerCase.contains("partial_bottomk_by_hash"),
       s"no partial phase — rows would shuffle raw:\n$p")
   }
+
+  test("q_asof_sliced: the skew path still plans the native merge exec — " +
+      "no cartesian, no nested-loop, no window fallback") {
+    val p = plan("q_asof_sliced")
+    assert(p.contains("AsOfJoin ["), s"native exec missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"product join leaked:\n$p")
+    // the boundary-handoff window runs over ONE ROW PER KEY-SLICE (the
+    // lastPerSlice aggregate), never the fact rows: a Window is fine, a
+    // Window directly over the unaggregated right scan is not — pin that
+    // the carry window's input went through the per-slice aggregate
+    assert(p.contains("max_by"), s"per-slice last aggregate missing:\n$p")
+  }
+
+  test("d_quantile_sketch: approx and exact anchors compute in ONE " +
+      "aggregation pass (no second scan of lineitem)") {
+    val p = plan("d_quantile_sketch")
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+  }
 }
