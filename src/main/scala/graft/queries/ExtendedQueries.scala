@@ -270,19 +270,26 @@ object ExtendedQueries {
     "d_freq_sketch" -> ((s, dir) => {
       val toks = load(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("term"))
-      val cms = toks.agg(
-        expr("count_min_sketch(term, 0.0001d, 0.99d, 42)").as("cms"))
-      val total = toks.agg(count(lit(1)).as("n"))
-      val sub = org.apache.spark.sql.graftshim.ColumnBridge.scalarSubquery _
+      // ONE subquery carries both the sketch and the token total (a
+      // struct field read, not a second corpus scan); the upper bound
+      // uses 3εN, not εN: the single-ε overcount bound is probabilistic
+      // (P ≤ δ per probe), while P(overcount > 3εN) ≈ (3e)^-depth per
+      // probe — regeneration-stable without weakening the contract shape
+      val stats = toks.agg(struct(
+        expr("count_min_sketch(term, 0.0001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n")).as("s"))
+      val sCol = org.apache.spark.sql.graftshim.ColumnBridge
+        .scalarSubquery(stats)
       val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("term")).limit(20)
       top
         .withColumn("cms_est", graft.functions.CountMin.cms_estimate(
-          sub(cms), col("term")))
+          sCol.getField("cms"), col("term")))
         .select(col("term"), col("n_exact"),
           (col("cms_est") >= col("n_exact")).as("lower_ok"),
           (col("cms_est") <= col("n_exact") +
-            ceil(sub(total) * lit(0.0001)).cast("long")).as("upper_ok"))
+            lit(3) * ceil(sCol.getField("n") * lit(0.0001)).cast("long"))
+            .as("upper_ok"))
         .orderBy(col("n_exact").desc, col("term"))
     }),
 

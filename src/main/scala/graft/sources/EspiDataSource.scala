@@ -236,8 +236,23 @@ class EspiScan(paths: Seq[String], required: StructType, failfast: Boolean,
   * membership alone decides newness, so existing checkpoints restart
   * correctly and the very next offset written is the compacted form.
   */
-case class EspiOffset(watermark: Long, recent: Seq[String])
+case class EspiOffset(watermark: Long, recent: Seq[String],
+                      mts: Seq[Long] = Seq.empty)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
+  // `mts` carries the LAST-KNOWN modification time per `recent` entry
+  // (aligned by index; empty on legacy/hand-built offsets = unknown). It
+  // exists so a path that disappears from the listing (deleted after
+  // ingest — a standard retention pattern) still AGES OUT of the offset
+  // within one grace window instead of being retained forever: without a
+  // stored mtime, an absent path is indistinguishable from a transient
+  // listing flicker and the safe direction (retain) grows the offset
+  // without bound. With it, retention is exactly the window in which
+  // isNew could re-admit the path — the FileStreamSource maxFileAge
+  // semantics.
+  /** Last-known mtime per member; `default` for legacy offsets. */
+  def mtMap(default: Long): Map[String, Long] =
+    if (mts.length == recent.length) recent.zip(mts).toMap
+    else recent.map(_ -> default).toMap
   // escape ALL control characters too: the offset log is line-oriented, so
   // a (legal) file name containing a newline would otherwise split the
   // offset across log lines and corrupt recovery
@@ -248,8 +263,11 @@ case class EspiOffset(watermark: Long, recent: Seq[String])
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+  // "m" MUST precede "r": the r-parser collects every quoted string after
+  // the "r": key, so a trailing "m" KEY would be swallowed as a path
   override def json(): String =
-    s"""{"w":$watermark,"r":${recent.map(esc).mkString("[", ",", "]")}}"""
+    s"""{"w":$watermark,"m":${mts.mkString("[", ",", "]")},""" +
+      s""""r":${recent.map(esc).mkString("[", ",", "]")}}"""
 }
 
 object EspiOffset {
@@ -303,22 +321,28 @@ object EspiOffset {
     * unions the membership sets (a partial listing at the same watermark
     * must not drop same-mtime files from the dedup set). Pure — property-
     * tested in PropertySpec against arbitrary arrival schedules. */
-  def advance(hw: EspiOffset, listed: EspiOffset): EspiOffset =
+  def advance(hw: EspiOffset, listed: EspiOffset,
+              grace: Long = graceMs): EspiOffset =
     if (hw == null) listed
     else if (listed.watermark < hw.watermark) hw
     else if (listed.watermark == hw.watermark)
-      EspiOffset(hw.watermark, (listed.recent ++ hw.recent).distinct.sorted)
+      build(hw.watermark,
+        hw.mtMap(hw.watermark) ++ listed.mtMap(listed.watermark), grace)
     else listed
+
+  /** Assemble an offset from a path→last-known-mtime map, keeping only
+    * members still inside the grace window of `w` — the single aging
+    * rule every construction path shares. */
+  private def build(w: Long, byPath: Map[String, Long],
+                    grace: Long): EspiOffset = {
+    val kept = byPath.toSeq.filter(_._2 >= w - grace).sortBy(_._1)
+    EspiOffset(w, kept.map(_._1), kept.map(_._2))
+  }
 
   /** Compact a full listing into an offset. */
   def ofListing(listing: Seq[(String, Long)], grace: Long = graceMs): EspiOffset =
     if (listing.isEmpty) initial
-    else {
-      val w = listing.map(_._2).max
-      EspiOffset(w, listing.collect {
-        case (p, mt) if mt >= w - grace => p
-      }.sorted)
-    }
+    else build(listing.map(_._2).max, listing.toMap, grace)
 
   /** End-offset algebra for an admitted batch: the planned end must
     * DOMINATE the start. A bare `ofListing(frontier)` breaks it two ways:
@@ -331,34 +355,49 @@ object EspiOffset {
     * contains only frontier files, silently dropping already-ingested
     * same-mtime paths that sort after the admitted frontier — they
     * re-enter as new next trigger (re-ingestion). So: watermark =
-    * max(start, frontier), recent = union of both memberships, pruned
-    * only where the CURRENT listing proves a path has aged below the
-    * grace horizon (isNew can never admit those again). A path absent
-    * from the listing is retained — over-retention is the safe direction
-    * for exactly-once, and a deleted path costs offset bytes, never a
-    * duplicate (planning only ever draws from the listing). */
+    * max(start, frontier), recent = union of both memberships, and every
+    * member ages by its best-known mtime (current listing first, then the
+    * mtime stored in the offset, then — legacy offsets without stored
+    * mtimes — the new watermark, i.e. retained one full grace window).
+    * A path below the grace horizon is dropped whether listed or absent:
+    * isNew can never re-admit it, so dropping is free, and retaining
+    * ABSENT paths forever would grow the offset without bound under
+    * delete-after-ingest retention; a transiently flickering path is
+    * still protected for exactly the window in which it could re-enter. */
   def dominate(start: EspiOffset, frontier: EspiOffset,
                listing: Seq[(String, Long)], grace: Long): EspiOffset = {
     val w = math.max(start.watermark, frontier.watermark)
     val listedMt = listing.toMap
-    val r = (frontier.recent ++ start.recent).distinct
-      .filter(p => listedMt.get(p).forall(_ >= w - grace))
-      .sorted
-    EspiOffset(w, r)
+    val merged = (start.mtMap(w) ++ frontier.mtMap(frontier.watermark))
+      .map { case (p, mt) => p -> listedMt.getOrElse(p, mt) }
+    build(w, merged, grace)
   }
 
   def fromJson(json: String): EspiOffset = {
     val t = json.trim
     if (t.startsWith("[")) EspiOffset(Long.MinValue, parseStrings(t)) // legacy
     else {
-      // {"w":N,"r":[...]} — the key tokens are safe to search for: quotes
-      // inside file-name strings are escaped, and "w" precedes the only
-      // string content, so the FIRST "r": is the real key
+      // {"w":N,"m":[...],"r":[...]} — the key tokens are safe to search
+      // for: quotes inside file-name strings are escaped, and "w"/"m"
+      // precede the only string content, so the FIRST "r": is the real
+      // key. Offsets from before the mtime field ({"w":N,"r":[...]})
+      // deserialize with mts empty = unknown.
       val rPos = t.indexOf("\"r\":")
       val wPos = t.indexOf("\"w\":") + 4
       require(rPos > 0 && wPos >= 4, s"malformed espi offset: $t")
-      val w = t.substring(wPos, t.lastIndexOf(',', rPos)).trim.toLong
-      EspiOffset(w, parseStrings(t.substring(rPos + 4)))
+      val w = t.substring(wPos, t.indexOf(',', wPos)).trim.toLong
+      val mPos = t.indexOf("\"m\":")
+      val mts =
+        if (mPos < 0 || mPos > rPos) Seq.empty[Long]
+        else {
+          val body = t.substring(t.indexOf('[', mPos) + 1,
+            t.indexOf(']', mPos))
+          if (body.trim.isEmpty) Seq.empty[Long]
+          else body.split(',').toSeq.map(_.trim.toLong)
+        }
+      val paths = parseStrings(t.substring(rPos + 4))
+      EspiOffset(w, paths,
+        if (mts.length == paths.length) mts else Seq.empty)
     }
   }
 

@@ -45,6 +45,45 @@ object StreamingDedup {
   /** Seen-doc record per LSH cell: 16 bytes, never the document. */
   case class SeenDoc(doc_id: Long, sig_hash: Long)
 
+  /** The shared cell loop: probe BEFORE append (a doc never pairs with
+    * itself; two same-batch duplicates pair once, (later, earlier), not
+    * twice), rows processed in doc_id order (deterministic emission
+    * direction — cells whose shuffle iterators order a same-batch pair
+    * differently would otherwise emit it both ways), membership-guarded
+    * append (an at-least-once source re-delivering a doc must not store
+    * it twice: duplicate SeenDoc records would multiply every later
+    * emission and squat the bounded cell slots).
+    *
+    * Cap semantics — deliberately DIFFERENT from the batch operator's:
+    * `maxBucketSize` here is an arrival-order STATE guard (the first cap
+    * docs are stored; later arrivals still probe the stored ones but are
+    * not stored themselves), while batch `minhashPairs` drops an overfull
+    * cell ENTIRELY — a rule that needs the final bucket size, which an
+    * incremental operator cannot know. Outputs therefore agree with batch
+    * exactly when no cell exceeds the cap (the batch default is uncapped);
+    * on a hot cell the streaming form degrades to bounded emission instead
+    * of batch's all-or-nothing drop. */
+  private def probeCell[H, O](seen: ListState[SeenDoc], maxBucketSize: Int,
+      rows: Iterator[H], docId: H => Long, sigHash: H => Long,
+      emit: (SeenDoc, H) => O): Iterator[O] = {
+    // cell population is bounded by maxBucketSize — safe to materialize
+    val existing = scala.collection.mutable.ArrayBuffer
+      .empty[SeenDoc] ++= seen.get()
+    val out = scala.collection.mutable.ArrayBuffer.empty[O]
+    rows.toVector.sortBy(docId).foreach { h =>
+      existing.foreach { s =>
+        if (s.doc_id != docId(h)) out += emit(s, h)
+      }
+      if (existing.length < maxBucketSize &&
+          !existing.exists(_.doc_id == docId(h))) {
+        val rec = SeenDoc(docId(h), sigHash(h))
+        existing += rec
+        seen.appendValue(rec)
+      }
+    }
+    out.iterator
+  }
+
   class BucketDedupProcessor(maxBucketSize: Int, ttl: TTLConfig)
       extends StatefulProcessor[String, BandHit, StreamDup] {
     @transient private var seen: ListState[SeenDoc] = _
@@ -55,32 +94,11 @@ object StreamingDedup {
 
     override def handleInputRows(key: String, rows: Iterator[BandHit],
         timers: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[StreamDup] = {
-      // cell population is bounded by maxBucketSize — safe to materialize
-      val existing = scala.collection.mutable.ArrayBuffer
-        .empty[SeenDoc] ++= seen.get()
-      val out = scala.collection.mutable.ArrayBuffer.empty[StreamDup]
-      rows.foreach { h =>
-        // probe BEFORE append: a doc never pairs with itself, and two
-        // same-batch duplicates pair once ((later, earlier)) not twice
-        existing.foreach { s =>
-          if (s.doc_id != h.doc_id)
-            out += StreamDup(h.doc_id, s.doc_id, h.band,
-              s.sig_hash == h.sig_hash)
-        }
-        // membership check: an at-least-once source re-delivering a doc
-        // must not store it twice — duplicate SeenDoc records would
-        // multiply every later candidate emission and squat the bounded
-        // cell slots (O(cap) scan, bounded by maxBucketSize)
-        if (existing.length < maxBucketSize &&
-            !existing.exists(_.doc_id == h.doc_id)) {
-          val rec = SeenDoc(h.doc_id, h.sig_hash)
-          existing += rec
-          seen.appendValue(rec)
-        }
-      }
-      out.iterator
-    }
+        : Iterator[StreamDup] =
+      probeCell[BandHit, StreamDup](seen, maxBucketSize, rows,
+        _.doc_id, _.sig_hash,
+        (s, h) => StreamDup(h.doc_id, s.doc_id, h.band,
+          s.sig_hash == h.sig_hash))
   }
 
   /** @param docs streaming DataFrame with (`idCol`: long, `textCol`: string)
@@ -149,10 +167,12 @@ object StreamingDedup {
   // fall back to the interpreted path (Janino cannot touch private members)
   case class ShRec(sh: Array[Long])
 
-  /** Cell stage of the VERIFIED path: identical probe/append logic to
+  /** Cell stage of the VERIFIED path: the same [[probeCell]] loop as
     * [[BucketDedupProcessor]] (16-byte state records, cap, redelivery
     * guard), but emits candidates keyed for the verify stage with the new
-    * doc's shingles riding along. */
+    * doc's shingles riding along. The deterministic doc_id processing
+    * order matters doubly here: an order-dependent emission direction
+    * would route one pair to two different verify keys (see probeCell). */
   class BucketCandidateProcessor(maxBucketSize: Int, ttl: TTLConfig)
       extends StatefulProcessor[String, BandHitV, VerifyIn] {
     @transient private var seen: ListState[SeenDoc] = _
@@ -163,29 +183,10 @@ object StreamingDedup {
 
     override def handleInputRows(key: String, rows: Iterator[BandHitV],
         timers: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[VerifyIn] = {
-      val existing = scala.collection.mutable.ArrayBuffer
-        .empty[SeenDoc] ++= seen.get()
-      val out = scala.collection.mutable.ArrayBuffer.empty[VerifyIn]
-      // doc_id order makes the probe-before-append emission DIRECTION
-      // deterministic: two same-batch duplicates hitting several cells
-      // whose shuffle iterators order them differently would otherwise
-      // emit (a→b) from one band and (b→a) from another — two different
-      // verify keys, so the pair would verify (and emit) twice
-      rows.toArray.sortBy(_.doc_id).foreach { h =>
-        existing.foreach { s =>
-          if (s.doc_id != h.doc_id)
-            out += VerifyIn(s.doc_id, h.doc_id, h.sh, isArrival = false)
-        }
-        if (existing.length < maxBucketSize &&
-            !existing.exists(_.doc_id == h.doc_id)) {
-          val rec = SeenDoc(h.doc_id, h.sig_hash)
-          existing += rec
-          seen.appendValue(rec)
-        }
-      }
-      out.iterator
-    }
+        : Iterator[VerifyIn] =
+      probeCell[BandHitV, VerifyIn](seen, maxBucketSize, rows,
+        _.doc_id, _.sig_hash,
+        (s, h) => VerifyIn(s.doc_id, h.doc_id, h.sh, isArrival = false))
   }
 
   /** Exact-Jaccard verify, keyed by the SEEN doc's id: a per-doc
@@ -229,14 +230,19 @@ object StreamingDedup {
     }
   }
 
-  /** VERIFIED streaming near-dup pairs — the full batch contract of
+  /** VERIFIED streaming near-dup pairs — the batch contract of
     * [[Similarity.minhashPairs]] ((id_a, id_b, jaccard), id_a < id_b,
     * exact shingle Jaccard ≥ `minJaccard`, one row per pair), computed
     * incrementally: LSH cells generate candidates (16-byte state records,
     * capped), then a per-doc shingle store verifies them with exact set
-    * Jaccard. Two chained `transformWithState` stages in one query; under
-    * an at-least-once source a REDELIVERED doc can re-verify its pairs
-    * (at-least-once output — same caveat as the candidates API). */
+    * Jaccard. Two chained `transformWithState` stages in one query.
+    *
+    * Contract caveats vs batch: (a) under an at-least-once source a
+    * REDELIVERED doc can re-verify its pairs (at-least-once output — same
+    * caveat as the candidates API); (b) `maxBucketSize` is an
+    * arrival-order state guard, NOT batch's whole-cell drop — outputs
+    * match `minhashPairs` exactly when no cell exceeds the cap (see
+    * [[probeCell]] for why the batch rule cannot exist incrementally). */
   def nearDupVerified(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", shingleN: Int = 3,
                       numHashes: Int = 32, numBands: Int = 8,

@@ -63,7 +63,6 @@ class SecondProviderSpec extends SparkTestBase {
 
   test("CLI csv + influxdb e2e: csv matches the library string; influx " +
       "lines OMIT the cost field (hasCost=false variant)") {
-    spark.sparkContext
     val out = java.nio.file.Files.createTempDirectory("epc_cli").toFile
     GreenButtonCli.run(Array("--filetype", "csv",
       "--out", out.getAbsolutePath + "/csv", feedPath), spark)

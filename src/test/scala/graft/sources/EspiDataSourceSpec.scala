@@ -309,6 +309,40 @@ class EspiDataSourceSpec extends SparkTestBase {
       s"re-ingestion after same-mtime arrival: ${o3.json()}")
   }
 
+  test("a file deleted after ingest AGES OUT of the offset — bounded " +
+      "state under delete-after-ingest retention, not unbounded growth") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("espi_delete").toFile
+    val t = (System.currentTimeMillis() / 1000L) * 1000L - 600000L
+    val a = new java.io.File(dir, "a.xml")
+    java.nio.file.Files.writeString(a.toPath, "<feed/>")
+    assert(a.setLastModified(t))
+    val scan = new EspiScan(Seq(dir.getAbsolutePath + "/*.xml"),
+      EspiDataSource.schema, failfast = false, graceMs = 5000L)
+    val stream = new EspiMicroBatchStream(scan)
+    val init = stream.initialOffset().asInstanceOf[EspiOffset]
+    val o1 = stream.latestOffset(init, ReadLimit.allAvailable())
+      .asInstanceOf[EspiOffset]
+    assert(stream.planInputPartitions(init, o1).length == 1)
+    assert(o1.mts == Seq(t), s"offset lost the member mtime: ${o1.json()}")
+    // retention pipeline: the ingested file is deleted, and a new file
+    // arrives WELL past the grace window — the dead path must age out of
+    // the offset instead of riding every future checkpoint
+    assert(a.delete())
+    val b = new java.io.File(dir, "b.xml")
+    java.nio.file.Files.writeString(b.toPath, "<feed/>")
+    assert(b.setLastModified(t + 60000L))
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[EspiOffset]
+    assert(stream.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[EspiFilePartition].path).toSeq ==
+      Seq("file:" + b.getAbsolutePath))
+    assert(o2.recent == Seq("file:" + b.getAbsolutePath),
+      s"deleted path retained past the grace horizon: ${o2.json()}")
+    // the enriched offset (with mtimes) round-trips through the log format
+    assert(EspiOffset.fromJson(o2.json()) == o2)
+  }
+
   test("a transient empty listing does not regress the offset (a regressed " +
       "end would erase dedup state and mass re-ingest on the next trigger)") {
     val dir = java.nio.file.Files.createTempDirectory("espi_regress").toFile
