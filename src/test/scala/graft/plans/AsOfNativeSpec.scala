@@ -164,6 +164,34 @@ class AsOfNativeSpec extends SparkTestBase {
     }
   }
 
+  test("asOfSliced A/B under real skew: measured wall-clock, sliced " +
+      "engages every core while unsliced serializes on the hot key") {
+    // 2M-row hot key (one meter's readings), local[8]: unsliced merges the
+    // whole key in ONE task; sliced spreads it over span/sliceWidth tasks.
+    // The numbers land in SCALE.md — this spec records them (info) and
+    // asserts only the robust directional facts, not a timing ratio.
+    val hot = spark.range(2000000).select(lit("hot").as("k"),
+      (col("id") * 10L).as("t"), col("id").as("payload"))
+      .repartition(8).localCheckpoint(true) // isolate input build from timing
+    val right = spark.range(2000).select(lit("hot").as("k"),
+      (col("id") * 10000L).as("t"), (col("id") + lit(0.5)).as("v"))
+      .repartition(4).localCheckpoint(true)
+    def time(df: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nU, sU) = time(AsOfNative.asOf(hot, right, Seq("k"), "t", "t", Seq("v")))
+    val (nS, sS) = time(AsOfNative.asOfSliced(hot, right, Seq("k"), "t", "t",
+      Seq("v"), sliceWidth = 2500000L)) // 20M span → 8 slices
+    info(f"2M-row hot key, local[8]: unsliced $sU%.2f s, sliced $sS%.2f s " +
+      f"(8 slices)")
+    assert(nU == 2000000L && nS == 2000000L)
+    // generous bound: slicing must not collapse under skew (it may win or
+    // lose modestly at this toy scale; the 100TB argument is task count)
+    assert(sS < sU * 3, f"sliced pathologically slow: $sS%.2f vs $sU%.2f")
+  }
+
   test("key-type mismatch is rejected up front (a mismatched hash would " +
       "silently mis-partition, not fail loud)") {
     val l = Seq((1, 10L, "x")).toDF("k", "t", "payload")
