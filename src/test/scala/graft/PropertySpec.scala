@@ -353,11 +353,13 @@ class PropertySpec extends AnyFunSuite {
   // (late-within-grace withholding; same-mtime membership drop).
 
   private case class TrigL(limit: Int) extends FsOp
+  private case class DelF(path: Int) extends FsOp
 
   /** Mirror of EspiMicroBatchStream.latestOffset(start, limit) +
-    * planInputPartitions over a simulated directory. */
+    * planInputPartitions over a simulated directory. Returns every
+    * ingestion plus the final offset (for boundedness invariants). */
   private def simulateAdmission(ops: Seq[FsOp], grace: Long)
-      : Seq[(Int, String, Long)] = {
+      : (Seq[(Int, String, Long)], EspiOffset) = {
     var listing = Map.empty[Int, Long]
     var start = EspiOffset.initial
     val ingested =
@@ -365,6 +367,7 @@ class PropertySpec extends AnyFunSuite {
     var trigger = 0
     ops.foreach {
       case AddF(p, mt) => if (!listing.contains(p)) listing += p -> mt
+      case DelF(p) => listing -= p
       case TouchF(p, mt) =>
         if (listing.get(p).exists(_ < mt)) listing += p -> mt
       case TrigL(limit) =>
@@ -393,7 +396,7 @@ class PropertySpec extends AnyFunSuite {
         start = end
       case TriggerF => throw new IllegalStateException("use TrigL here")
     }
-    ingested.toSeq
+    (ingested.toSeq, start)
   }
 
   test("ESPI admission path: arrivals within one grace window of each " +
@@ -415,27 +418,36 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(opsGen) { ops =>
       val all = ops :+ TrigL(Int.MaxValue) :+ TrigL(Int.MaxValue)
       val adds = all.collect { case AddF(p, _) => s"f$p" }.toSet
-      val ingested = simulateAdmission(all, grace).map(_._2)
+      val ingested = simulateAdmission(all, grace)._1.map(_._2)
       (ingested.toSet == adds && ingested.size == adds.size) :|
         s"adds=$adds ingested=$ingested"
     })
   }
 
   test("ESPI admission path: no unchanged-mtime file is ever ingested " +
-      "twice, whatever the arrival spread, touches, or caps") {
+      "twice — arrivals, touches, caps, AND deletions — and the final " +
+      "offset is aged (every member's stored mtime within grace)") {
     val grace = 10000L
     val opsGen: Gen[List[FsOp]] = Gen.listOf(Gen.frequency(
       4 -> (for { p <- Gen.choose(0, 8); mt <- Gen.choose(0L, 4 * grace) }
         yield AddF(p, mt): FsOp),
       2 -> (for { p <- Gen.choose(0, 8); mt <- Gen.choose(0L, 5 * grace) }
         yield TouchF(p, mt): FsOp),
+      1 -> Gen.choose(0, 8).map(DelF(_): FsOp), // delete-after-ingest
       3 -> Gen.choose(1, 4).map(TrigL(_): FsOp)))
     check(Prop.forAll(opsGen) { ops =>
-      val byPath = simulateAdmission(ops :+ TrigL(Int.MaxValue), grace)
-        .groupBy(_._2)
-      byPath.forall { case (_, ing) =>
-        ing.map(_._3).distinct.size == ing.size
-      } :| s"re-ingested at an unchanged mtime: $byPath"
+      val (ing, fin) = simulateAdmission(ops :+ TrigL(Int.MaxValue), grace)
+      val byPath = ing.groupBy(_._2)
+      val once = byPath.forall { case (_, i) =>
+        i.map(_._3).distinct.size == i.size }
+      // boundedness invariant: a member may only ride the offset while
+      // its last-known mtime is inside the grace window — deleted files
+      // age out instead of accumulating forever
+      val aged = fin.watermark == Long.MinValue ||
+        (fin.mts.length == fin.recent.length &&
+          fin.mts.forall(_ >= fin.watermark - grace))
+      (once :| s"re-ingested at an unchanged mtime: $byPath") &&
+        (aged :| s"unaged offset member: ${fin.json()}")
     })
   }
 }

@@ -390,6 +390,13 @@ class EspiDataSourceSpec extends SparkTestBase {
     // a filename that embeds the key tokens must not confuse the parser
     val tricky = EspiOffset(7L, Seq("""/evil","r":[".xml"""))
     assert(EspiOffset.fromJson(tricky.json()) == tricky)
+    // ...including the mtime key, with mtimes present
+    val trickyM = EspiOffset(9L, Seq("""/evil","m":[9],".xml"""), Seq(5L))
+    assert(EspiOffset.fromJson(trickyM.json()) == trickyM)
+    // pre-mtime compacted offsets ({"w","r"} — no "m") deserialize with
+    // unknown mtimes (empty), not a parse failure
+    val preM = EspiOffset.fromJson("""{"w":123,"r":["/a.xml"]}""")
+    assert(preM == EspiOffset(123L, Seq("/a.xml")))
 
     // pre-compaction checkpoints stored a bare JSON array of all files
     val legacy = EspiOffset.fromJson("""["/a.xml","/b.xml"]""")
