@@ -35,7 +35,7 @@ object Round7Queries {
   }
 
   /** embeddings plus planted exact copies of the first `nPlant` vectors. */
-  private def plantedEmb(s: SparkSession, dir: String, nPlant: Int): DataFrame = {
+  private[queries] def plantedEmb(s: SparkSession, dir: String, nPlant: Int): DataFrame = {
     val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     emb.unionByName(
       emb.filter(col("vec_id") < nPlant)

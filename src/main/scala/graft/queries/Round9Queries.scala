@@ -63,6 +63,30 @@ object Round9Queries {
             .between(element_at(col("ex"), 3), element_at(col("ex"), 4)))
             .as("p95_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // TRAINED IVF, end to end — the centroid twin of e_ann_pq_trained:
+    // k-means cells (deterministic hash-spread init), persisted and
+    // re-loaded through TrainedState (train-once / serve-many), then the
+    // planted contract: an identical copy of the query vector lands in
+    // the query's own argmin cell under ANY centroids, so probing that
+    // cell always finds it and exact cosine re-scores it first at 1.
+    "e_ann_ivf_trained" -> ((s, dir) => {
+      val corpus = Round7Queries.plantedEmb(s, dir, 30)
+      val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
+      val trained = graft.similarity.KMeans.fit(
+        load(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+        k = 16, iters = 1)
+      val statePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ivf_cent_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.similarity.TrainedState.saveCentroids(trained, statePath)
+      val cents = graft.similarity.TrainedState.loadCentroids(s, statePath)
+      graft.similarity.Similarity.ivfTopKWith(queries, corpus, k = 1,
+        centroidsDf = cents, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -95,6 +119,10 @@ object Round9Queries {
         |FROM (SELECT l_returnflag,
         |        CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents
         |      FROM lineitem)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e_ann_ivf_trained" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin
   )
 }
