@@ -345,4 +345,36 @@ object AsOfNative {
     asOf(lS, rAug, keys :+ S, leftTime, rightTime, rightVals, tolerance)
       .drop(S)
   }
+
+  /** Skew diagnostics for [[asOfSliced]]: ONE aggregation pass over the
+    * left side (partial-aggregated count/min/max per key, then a 1-row
+    * TakeOrdered) finds the hottest key and proposes the slice width that
+    * splits it into ~`targetRowsPerSlice`-row tasks. Returns None when no
+    * key needs slicing (hottest key under target, or zero time span) —
+    * the unsliced form is then the right plan, since slicing buys task
+    * parallelism at the price of an extra key-slice shuffle per side.
+    * Run it once on a sample or the planning pass, not per query. */
+  def suggestSliceWidth(left: DataFrame, keys: Seq[String], timeCol: String,
+                        targetRowsPerSlice: Long = 4L * 1024 * 1024)
+      : Option[Long] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    require(targetRowsPerSlice > 0, "targetRowsPerSlice must be positive")
+    val hot = left
+      .groupBy(keys.map(col): _*)
+      .agg(count(col(timeCol)).as("_n"),
+        min(col(timeCol).cast("long")).as("_lo"),
+        max(col(timeCol).cast("long")).as("_hi"))
+      .orderBy(col("_n").desc)
+      .limit(1).collect()
+    hot.headOption
+      .filterNot(r => r.isNullAt(keys.length + 1) ||
+        r.isNullAt(keys.length + 2)) // all-null times: nothing to slice
+      .flatMap { r =>
+        val n = r.getLong(keys.length)
+        val span = r.getLong(keys.length + 2) - r.getLong(keys.length + 1)
+        val slices = n / targetRowsPerSlice
+        if (slices <= 1 || span <= 0) None
+        else Some(math.max(1L, span / slices))
+      }
+  }
 }

@@ -192,6 +192,29 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(sS < sU * 3, f"sliced pathologically slow: $sS%.2f vs $sU%.2f")
   }
 
+  test("suggestSliceWidth: proposes a width that splits the hottest key " +
+      "to target-size tasks; says None when nothing needs slicing") {
+    val skewed = spark.range(100000).select(lit("hot").as("k"),
+      (col("id") * 10L).as("t"))
+      .unionByName(Seq(("cold", 5L)).toDF("k", "t"))
+    // hot key: 100k rows over span ~10^6; target 10k rows/slice → 10
+    // slices → width ≈ span/10
+    val w = AsOfNative.suggestSliceWidth(skewed, Seq("k"), "t",
+      targetRowsPerSlice = 10000L)
+    assert(w.isDefined && w.get > 0)
+    assert(math.abs(w.get - 99999L) <= 10, s"width off: $w")
+    // the suggestion actually spreads the key: floorDiv span into ~10 ids
+    val slices = 999990L / w.get + 1
+    assert(slices >= 9 && slices <= 11, s"slices=$slices")
+    // uniform data under target: no slicing recommended
+    assert(AsOfNative.suggestSliceWidth(skewed, Seq("k"), "t",
+      targetRowsPerSlice = 1000000L).isEmpty)
+    // all-null times: nothing to slice, no NPE
+    val nulls = Seq(("a", Option.empty[java.lang.Long]),
+      ("a", Option.empty[java.lang.Long])).toDF("k", "t")
+    assert(AsOfNative.suggestSliceWidth(nulls, Seq("k"), "t", 1L).isEmpty)
+  }
+
   test("key-type mismatch is rejected up front (a mismatched hash would " +
       "silently mis-partition, not fail loud)") {
     val l = Seq((1, 10L, "x")).toDF("k", "t", "payload")
