@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming ANN serve must be the batch `ivfTopKWith` verbatim per
+  * micro-batch — parity, cross-batch independence, and the trained-state
+  * serve path. */
+class StreamingAnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private lazy val centroids = graft.similarity.KMeans.fit(
+    emb.filter(col("vec_id") % 2 === 0), k = 8, iters = 1)
+    .localCheckpoint(true)
+
+  test("per-batch results == batch ivfTopKWith on the same queries, " +
+      "across multiple micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L), Seq(7L, 9L, 11L))
+    val qVecs = emb.filter(col("vec_id") < 12).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveIvf(
+      mem.toDF().toDF("vec_id", "embedding"), emb, centroids,
+      k = 3, nprobe = 2) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchRef = graft.similarity.Similarity.ivfTopKWith(
+      emb.filter(col("vec_id") < 12).filter(col("vec_id") % 2 === 1),
+      emb, k = 3, centroidsDf = centroids, nprobe = 2).collect()
+    // (query_id, rank) -> (neighbor_id, cos) — ranks must agree too
+    def keyed(rows: Seq[Row]): Map[(Long, Int), (Long, Double)] =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef.toSeq),
+      "streamed top-k diverged from the batch plan")
+    assert(collected.nonEmpty)
+  }
+}
