@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Round6Queries.queries ++
       graft.queries.Round7Queries.queries ++
       graft.queries.Round8Queries.queries ++
-      graft.queries.Round9Queries.queries
+      graft.queries.Round9Queries.queries ++
+      graft.queries.Round10Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Round6Queries.oracleSql ++
       graft.queries.Round7Queries.oracleSql ++
       graft.queries.Round8Queries.oracleSql ++
-      graft.queries.Round9Queries.oracleSql
+      graft.queries.Round9Queries.oracleSql ++
+      graft.queries.Round10Queries.oracleSql
 }
