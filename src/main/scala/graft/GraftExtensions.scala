@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramHashesDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.bottomKDescriptor)
+    ext.injectFunction(GraftExtensions.simhash64Descriptor)
+    ext.injectFunction(GraftExtensions.pow10fDescriptor)
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.hyperplaneBucketsDescriptor)
+    ext.injectFunction(GraftExtensions.zorderKeyDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -94,5 +99,66 @@ object GraftExtensions {
       require(children.length == 2,
         s"minhash_sig(gram_ids, k) takes 2 arguments, got ${children.length}")
       graft.functions.MinHashSig(children(0), litInt(children(1), "minhash_sig"))
+    })
+
+  val simhash64Descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[graft.functions.SimHash64].getName,
+      "simhash64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"simhash64(gram_ids) takes 1 argument, got ${children.length}")
+      graft.functions.SimHash64(children.head)
+    })
+
+  val pow10fDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("pow10f"),
+    new ExpressionInfo(classOf[graft.functions.Pow10F].getName, "pow10f"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"pow10f(exponent) takes 1 argument, got ${children.length}")
+      graft.functions.Pow10F(children.head)
+    })
+
+  val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+      "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"dot_product(a, b) takes 2 arguments, got ${children.length}")
+      graft.functions.DotProduct(children(0), children(1))
+    })
+
+  val hyperplaneBucketsDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_buckets"),
+    new ExpressionInfo(classOf[graft.functions.HyperplaneBucketsExpr].getName,
+      "hyperplane_buckets"),
+    (children: Seq[Expression]) => {
+      require(children.length == 4,
+        "hyperplane_buckets(emb, dim, num_planes, num_tables) takes 4 " +
+          s"arguments, got ${children.length}")
+      graft.functions.HyperplaneBucketsExpr(children(0),
+        litInt(children(1), "hyperplane_buckets"),
+        litInt(children(2), "hyperplane_buckets"),
+        litInt(children(3), "hyperplane_buckets"))
+    })
+
+  // zorder_key builds the same shift/mask tree the DataFrame API composes,
+  // as plain Catalyst nodes (a registry builder must return a resolvable
+  // Expression — a composed Column's ColumnNode wrapper never converts on
+  // this path)
+  val zorderKeyDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_key"),
+    new ExpressionInfo(graft.functions.ZOrder.getClass.getName, "zorder_key"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"zorder_key(x, y) takes 2 arguments, got ${children.length}")
+      graft.functions.ZOrder.zorderKeyExpr(children(0), children(1))
     })
 }

@@ -18,6 +18,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  // the kernel reads elements as UTF8String — reject anything but
+  // ARRAY<STRING> at analysis time (SQL-exposed via GraftExtensions, so a
+  // mistyped call must fail in the analyzer, not as an eval-time cast)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects ARRAY<STRING> tokens, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     SimHash64.simhash(input.asInstanceOf[ArrayData])
 

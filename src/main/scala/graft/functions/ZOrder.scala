@@ -32,4 +32,26 @@ object ZOrder {
     */
   def zorderKey(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Catalyst-expression twin of [[zorderKey]] for the SQL function
+    * registry (a builder must return a plain Expression tree — a composed
+    * Column's ColumnNode wrapper never converts on that path). Equality
+    * with the Column form is pinned in GraftExtensionsSpec. */
+  def zorderKeyExpr(x: org.apache.spark.sql.catalyst.expressions.Expression,
+                    y: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr,
+      Cast, Expression, Literal, ShiftLeft}
+    import org.apache.spark.sql.types.LongType
+    def spread(e: Expression): Expression = {
+      var v: Expression = BitwiseAnd(Cast(e, LongType), Literal(0xFFFFL))
+      def step(shift: Int, mask: Long): Unit =
+        v = BitwiseAnd(BitwiseOr(v, ShiftLeft(v, Literal(shift))),
+          Literal(mask))
+      step(8, 0x00FF00FFL); step(4, 0x0F0F0F0FL)
+      step(2, 0x33333333L); step(1, 0x55555555L)
+      v
+    }
+    BitwiseOr(spread(x), ShiftLeft(spread(y), Literal(1)))
+  }
 }

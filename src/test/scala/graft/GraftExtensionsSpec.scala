@@ -18,4 +18,67 @@ class GraftExtensionsSpec extends SparkTestBase {
     val got = spark.sql("SELECT rolling_hash('ab') AS h").head.getLong(0)
     assert(got == (('a'.toLong * 31) + 'b'.toLong) % 1000000007L)
   }
+
+  test("every native kernel is SQL-registered and matches its Column-API twin") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.functions._
+    // install the full descriptor set into the live session (getOrCreate
+    // may reuse a session built without spark.sql.extensions)
+    Seq(GraftExtensions.rollingHashDescriptor,
+      GraftExtensions.cmsEstimateDescriptor,
+      GraftExtensions.ngramHashesDescriptor,
+      GraftExtensions.minhashSigDescriptor,
+      GraftExtensions.bottomKDescriptor,
+      GraftExtensions.simhash64Descriptor,
+      GraftExtensions.pow10fDescriptor,
+      GraftExtensions.dotProductDescriptor,
+      GraftExtensions.hyperplaneBucketsDescriptor,
+      GraftExtensions.zorderKeyDescriptor).foreach { case (ident, _, b) =>
+      ColumnBridge.registerFunction(spark, ident.funcName, b)
+    }
+
+    // simhash64 over string tokens == the Column-API kernel; a mistyped
+    // argument fails in the ANALYZER (SQL users get a type error, not an
+    // eval-time ClassCastException)
+    val sigSql = spark.sql("SELECT simhash64(array('ab', 'cd', 'ef')) AS s")
+      .head.getLong(0)
+    val sigApi = spark.range(1)
+      .select(ColumnBridge.column(graft.functions.SimHash64(
+        ColumnBridge.expression(array(lit("ab"), lit("cd"), lit("ef")))))
+        .as("s"))
+      .head.getLong(0)
+    assert(sigSql == sigApi)
+    val typeErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array(1L, 2L)) AS s").collect()
+    }
+    assert(typeErr.getMessage.toLowerCase.contains("simhash64"))
+
+    // pow10f: fdlibm-stable f32 scale factor
+    assert(spark.sql("SELECT pow10f(3) AS f").head.getFloat(0) == 1000.0f)
+    assert(spark.sql("SELECT pow10f(-2) AS f").head.getFloat(0) == 0.01f)
+
+    // dot_product on float vectors
+    val dp = spark.sql(
+      "SELECT dot_product(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS d").head.getDouble(0)
+    assert(dp == 32.0)
+
+    // hyperplane_buckets == Similarity.hyperplaneBuckets
+    val embSql = "CAST(array(0.5, -1.0, 2.0, 0.25) AS ARRAY<FLOAT>)"
+    val hbSql = spark.sql(
+      s"SELECT hyperplane_buckets($embSql, 4, 8, 2) AS b")
+      .head.getSeq[Long](0)
+    val hbApi = spark.range(1)
+      .select(graft.similarity.Similarity.hyperplaneBuckets(
+        expr(embSql), dim = 4, numPlanes = 8, numTables = 2).as("b"))
+      .head.getSeq[Long](0)
+    assert(hbSql == hbApi)
+
+    // zorder_key: interleaved Morton bits, SQL == Column API
+    val zSql = spark.sql("SELECT zorder_key(3, 5) AS z").head.getLong(0)
+    val zApi = spark.range(1)
+      .select(graft.functions.ZOrder.zorderKey(lit(3), lit(5)).as("z"))
+      .head.getLong(0)
+    assert(zSql == zApi && zSql == 39L) // 3→bits at 0,2 = 5; 5→bits at 1,5 = 34
+  }
 }
