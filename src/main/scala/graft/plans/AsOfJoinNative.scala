@@ -354,6 +354,46 @@ object AsOfNative {
     * the unsliced form is then the right plan, since slicing buys task
     * parallelism at the price of an extra key-slice shuffle per side.
     * Run it once on a sample or the planning pass, not per query. */
+  /** Auto-dispatching as-of: run the [[suggestSliceWidth]] diagnostics on
+    * BOTH sides (the hot key can sit on either — a billion-reading meter on
+    * the right, a billion-event user on the left) and route to [[asOfSliced]]
+    * with the finer of the two suggested widths, or to the plain [[asOf]]
+    * when neither side needs slicing. Returns the decision alongside the
+    * frame so callers (and specs) can see which path ran.
+    *
+    * The diagnostics are ONE aggregation job per side at planning time —
+    * the pipeline-author shape is "diagnose once per source, reuse the
+    * width"; this form is for the operational default where the caller
+    * doesn't want to think about skew at all. Non-integral time columns
+    * always take the plain path (slicing needs integral arithmetic).
+    */
+  def asOfAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String, rightVals: Seq[String],
+               tolerance: Option[Long] = None,
+               targetRowsPerSlice: Long = 4L * 1024 * 1024)
+      : (DataFrame, Option[Long]) = {
+    val tt = left.schema(leftTime).dataType
+    val width: Option[Long] =
+      if (tt != LongType && tt != IntegerType) None
+      else {
+        val lw = suggestSliceWidth(left, keys, leftTime, targetRowsPerSlice)
+        val rw = suggestSliceWidth(right, keys, rightTime, targetRowsPerSlice)
+        (lw, rw) match {
+          case (None, None) => None
+          // finer slices satisfy both sides' row-per-slice targets
+          case _ => Some(math.min(lw.getOrElse(Long.MaxValue),
+            rw.getOrElse(Long.MaxValue)))
+        }
+      }
+    val out = width match {
+      case Some(w) => asOfSliced(left, right, keys, leftTime, rightTime,
+        rightVals, w, tolerance)
+      case None => asOf(left, right, keys, leftTime, rightTime, rightVals,
+        tolerance)
+    }
+    (out, width)
+  }
+
   def suggestSliceWidth(left: DataFrame, keys: Seq[String], timeCol: String,
                         targetRowsPerSlice: Long = 4L * 1024 * 1024)
       : Option[Long] = {

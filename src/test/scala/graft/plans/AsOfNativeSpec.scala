@@ -215,6 +215,36 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(AsOfNative.suggestSliceWidth(nulls, Seq("k"), "t", 1L).isEmpty)
   }
 
+  test("asOfAuto routes hot-key inputs to the sliced path and uniform " +
+      "inputs to the plain path, bit-identical either way") {
+    // hot RIGHT side: one key with 50k rows over a wide span — the sliced
+    // path must trigger off the right-side diagnostics alone
+    val hotRight = spark.range(50000).select(lit("hot").as("k"),
+      (col("id") * 10L).as("t"), (col("id") % 97).cast("double").as("v"))
+    val coldLeft = Seq(("hot", 250001L, "a"), ("hot", 10L, "b"),
+      ("cold", 5L, "c")).toDF("k", "t", "payload").repartition(2)
+    val (auto, width) = AsOfNative.asOfAuto(coldLeft, hotRight, Seq("k"),
+      "t", "t", Seq("v"), targetRowsPerSlice = 5000L)
+    assert(width.isDefined, "hot right side must trigger slicing")
+    assert(sortedRows(auto) == sortedRows(
+      AsOfNative.asOf(coldLeft, hotRight, Seq("k"), "t", "t", Seq("v"))))
+    // hot on BOTH sides: the finer width (here the left's — more rows over
+    // the same span) wins
+    val hotLeft = spark.range(100000).select(lit("hot").as("k"),
+      (col("id") * 5L).as("t"), lit("p").as("payload"))
+    val (_, wBoth) = AsOfNative.asOfAuto(hotLeft, hotRight, Seq("k"),
+      "t", "t", Seq("v"), targetRowsPerSlice = 5000L)
+    val wLeft = AsOfNative.suggestSliceWidth(hotLeft, Seq("k"), "t", 5000L)
+    val wRight = AsOfNative.suggestSliceWidth(hotRight, Seq("k"), "t", 5000L)
+    assert(wBoth.contains(math.min(wLeft.get, wRight.get)))
+    // uniform data: plain path, parity trivially
+    val (plainOut, plainW) = AsOfNative.asOfAuto(leftFixture, rightFixture,
+      Seq("k"), "t", "t", Seq("v"))
+    assert(plainW.isEmpty)
+    assert(sortedRows(plainOut) == sortedRows(
+      AsOfNative.asOf(leftFixture, rightFixture, Seq("k"), "t", "t", Seq("v"))))
+  }
+
   test("key-type mismatch is rejected up front (a mismatched hash would " +
       "silently mis-partition, not fail loud)") {
     val l = Seq((1, 10L, "x")).toDF("k", "t", "payload")
