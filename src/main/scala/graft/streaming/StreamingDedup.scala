@@ -287,4 +287,50 @@ object StreamingDedup {
       .transformWithState(new ShingleVerifyProcessor(minJaccard, ttl),
         timeMode, OutputMode.Append(), Encoders.product[VerifiedDup])
   }
+
+  /** Exactly-once gate per pair: a (id_a, id_b)-keyed ValueState marks
+    * pairs already emitted; re-sightings (an at-least-once source
+    * redelivering a doc re-runs its verifications) drop. One boolean per
+    * emitted pair within the TTL horizon — the pair-key state cost NOTES
+    * flagged, now opt-in. */
+  class PairOnceProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[(Long, Long), VerifiedDup, VerifiedDup] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, ttl)
+
+    override def handleInputRows(key: (Long, Long),
+        rows: Iterator[VerifiedDup],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[VerifiedDup] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        rows.take(1) // re-sightings within the batch are the same pair
+      }
+  }
+
+  /** [[nearDupVerified]] with EXACTLY-ONCE output under source redelivery:
+    * a third stage drops pairs already emitted (TTL-bound the memory to
+    * the same dedup horizon as the cell/shingle state). Without a TTL the
+    * pair set grows with the emitted-pair count — near-dup output is
+    * normally a tiny fraction of the corpus, but bound it in production. */
+  def nearDupVerifiedOnce(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", shingleN: Int = 3,
+                          numHashes: Int = 32, numBands: Int = 8,
+                          minJaccard: Double = 0.5, maxBucketSize: Int = 64,
+                          ttl: TTLConfig = TTLConfig.NONE)
+      : Dataset[VerifiedDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    nearDupVerified(docs, idCol, textCol, shingleN, numHashes, numBands,
+        minJaccard, maxBucketSize, ttl)
+      .groupByKey(d => (d.id_a, d.id_b))
+      .transformWithState(new PairOnceProcessor(ttl),
+        timeMode, OutputMode.Append(), Encoders.product[VerifiedDup])
+  }
 }

@@ -187,4 +187,47 @@ class StreamingDedupSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("nearDupVerifiedOnce: a redelivered doc re-verifies its pairs in " +
+      "the base path but emits exactly once through the pair-once gate") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // base path: redelivery re-emits (documents the at-least-once caveat)
+      val memA = MemoryStream[StreamDoc]
+      val qA = StreamingDedup.nearDupVerified(memA.toDF(), minJaccard = 0.5)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_als").start()
+      // gated path: same schedule, exactly-once
+      val memB = MemoryStream[StreamDoc]
+      val qB = StreamingDedup.nearDupVerifiedOnce(memB.toDF(), minJaccard = 0.5)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_once").start()
+      try {
+        for (mem <- Seq(memA, memB)) {
+          mem.addData(StreamDoc(1, textA), StreamDoc(2, textB))
+        }
+        qA.processAllAvailable(); qB.processAllAvailable()
+        for (mem <- Seq(memA, memB)) mem.addData(StreamDoc(3, textA))
+        qA.processAllAvailable(); qB.processAllAvailable()
+        // redeliver doc 1: its cell probe re-pairs it with doc 3
+        for (mem <- Seq(memA, memB)) mem.addData(StreamDoc(1, textA))
+        qA.processAllAvailable(); qB.processAllAvailable()
+
+        val als = spark.sql("SELECT * FROM sdedup_als")
+          .as[StreamingDedup.VerifiedDup].collect()
+          .map(v => (v.id_a, v.id_b, v.jaccard)).toSeq
+        val once = spark.sql("SELECT * FROM sdedup_once")
+          .as[StreamingDedup.VerifiedDup].collect()
+          .map(v => (v.id_a, v.id_b, v.jaccard)).toSeq
+        // the caveat is real: the base path emitted (1,3) twice
+        assert(als.count(p => (p._1, p._2) == (1L, 3L)) == 2,
+          s"expected the redelivery to re-verify (1,3): ${als.sorted}")
+        // the gate collapses it: one row per pair, same pair SET and values
+        assert(once.size == once.distinct.size, s"pair repeated: ${once.sorted}")
+        assert(once.sorted == als.distinct.sorted,
+          s"gated ${once.sorted} != distinct base ${als.distinct.sorted}")
+        assert(once.map(p => (p._1, p._2)).toSet == Set((1L, 3L)))
+      } finally { qA.stop(); qB.stop() }
+    }
+  }
 }
