@@ -3,16 +3,31 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables.load
 import graft.similarity.IncrementalDedup
+import graft.text.TextOps
 
-/** Round-10 additions — incremental corpus maintenance:
+/** Round-10 additions — incremental corpus maintenance and retrieval:
   *
   *   - dedup of an ARRIVING batch against a persisted corpus signature
   *     index (build → save → load → probe inside the query, the
   *     train-once/serve-many shape for dedup), with the planted-duplicate
   *     oracle contract: identical text collides in every band and scores
-  *     exact Jaccard 1.0, for batch-vs-corpus AND batch-vs-batch pairs.
+  *     exact Jaccard 1.0, for batch-vs-corpus AND batch-vs-batch pairs
+  *   - BM25 retrieval scoring (query-driven corpus curation) with the
+  *     full closed-form DuckDB twin
+  *   - deterministic stratified sampling (per-stratum seeded-hash keep
+  *     rates, engine-exact)
+  *   - auto-dispatched as-of under the gate (routing is execution
+  *     strategy, same ASOF oracle)
+  *   - int8 embedding quantization with exact integer-dot oracles, and
+  *     the two-stage quantized serving path (coarse int8 over the
+  *     compressed index, exact float cosine re-rank) — fully
+  *     value-checked end to end
+  *   - MMR-diversified retrieval over bounded ANN candidates (integer
+  *     scoring ⇒ the DuckDB oracle unrolls the greedy steps exactly)
   */
 object Round10Queries {
 
@@ -46,6 +61,140 @@ object Round10Queries {
         .filter(col("id_b") === col("id_a") + PlantA)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Auto-dispatched as-of under the gate: the diagnostics pass picks the
+    // path (with a low row target it routes to the SLICED form at every
+    // SF), and the output must match the same DuckDB ASOF oracle as the
+    // manual forms — routing is an execution decision, never semantics.
+    "q_asof_auto" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          graft.queries.QueryShared.packedK.as("k"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"),
+          graft.queries.QueryShared.packedK.as("vk"),
+          round(col("value") * 100).cast("long").as("v_cents"))
+      val (joined, _) = graft.plans.AsOfNative.asOfAuto(purchases, views,
+        Seq("user_id"), leftTime = "k", rightTime = "vk",
+        rightVals = Seq("vk", "v_cents"), targetRowsPerSlice = 500L)
+      joined
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_vk"), lit(-1L)).as("view_k"),
+          coalesce(col("asof_v_cents"), lit(-1L)).as("view_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75, Lucene-style idf) — the
+    // retrieval primitive for query-driven corpus curation. The query-term
+    // filter lands BEFORE the tf shuffle (only Q-term hits ride it), df and
+    // the corpus stats broadcast, so the corpus-sized work is one map-side
+    // tokenize pass. Ordering and selection are on the ROUNDED score (+
+    // doc_id tiebreak) so both engines pick the same top-20.
+    "d_bm25" -> ((s, dir) => {
+      val qTerms = Seq("stream", "filter", "merge")
+      val base = load(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val docs = base.filter(size(col("toks")) > 0)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      val tf = base.select(col("doc_id"), explode(col("toks")).as("t"))
+        .filter(col("t").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("t"))
+        .join(docs, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(sum(
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            col("tf") * 2.2 /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + col("dl") * 0.75 / col("avgdl"))))
+          .as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Int8 embedding quantization: the serving-side 4× index compression.
+    // Codes are deterministic integers (identical doubles → identical
+    // round in both engines), so the pairwise code dots and self-norms are
+    // EXACT integer arithmetic — fully value-checkable, no planted
+    // contract needed.
+    "e_quant_int8" -> ((s, dir) => {
+      val q = load(s, dir, "embeddings").filter(col("vec_id") < 64)
+        .select(col("vec_id"),
+          graft.similarity.Quantize.quantizeInt8(col("embedding")).as("q"))
+      val a = q.select(col("vec_id"), col("q.codes").as("ca"))
+      val b = q.select((col("vec_id") - 1).as("vec_id"),
+        col("q.codes").as("cb"))
+      a.join(b, Seq("vec_id"))
+        .select(col("vec_id"),
+          graft.similarity.Quantize.dotCodes(col("ca"), col("cb")).as("idot"),
+          graft.similarity.Quantize.dotCodes(col("ca"), col("ca")).as("inorm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Quantized ANN serving: coarse top-20 per query by the int8
+    // approximate dot over the COMPRESSED codes index, exact float cosine
+    // re-rank to top-5. Every stage is engine-reproducible (integer code
+    // dots; one IEEE multiply per scale; sequential-fold float dots =
+    // DuckDB's list_dot_product), so the full two-stage path is
+    // value-checked — no planted contract needed.
+    "e_ann_quant" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      graft.similarity.Quantize.topKQuant(probes, emb, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_e6"),
+          round(col("qdot") * 1e4).cast("long").as("qdot_e4"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // MMR-diversified retrieval: ANN top-8 candidates per query, then the
+    // greedy maximal-marginal-relevance re-order to 3 selections (λ=0.7).
+    // Scoring is integer end to end (int8-code dots, rational λ), so the
+    // greedy trajectory is bit-exact and the DuckDB oracle UNROLLS the 3
+    // selection steps as chained CTEs — the PageRank-oracle technique.
+    "e_mmr_diversify" -> ((s, dir) => {
+      val qz = load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          graft.similarity.Quantize.quantizeInt8(col("embedding"))
+            .getField("codes").as("codes"))
+      val probes = qz.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("neighbor_id"))
+      val cand = qz.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.similarity.Quantize.dotCodes(col("codes"), col("qc"))
+            .as("rel"),
+          col("codes"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+        .drop("rn")
+      graft.similarity.Mmr.diversify(cand, k = 3)
+        .orderBy(col("query_id"), col("sel_rank"))
+    }),
+
+    // Deterministic stratified sampling: per-stratum keep rates driven by
+    // an md5 hash threshold on the doc id (seeded, engine-agnostic — the
+    // same predicate DuckDB evaluates), so the sample is reproducible,
+    // join-free, map-only, and exact across engines; the aggregate proves
+    // WHICH docs were kept, not just how many.
+    "d_sample_stratified_rates" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("hb", substring(
+          md5(concat(lit("strat"), col("doc_id").cast("string"))
+            .cast("binary")), 1, 2))
+        .filter(col("hb") <
+          when(col("lang") === "en", "33").otherwise("80"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -62,6 +211,190 @@ object Round10Queries {
         |FROM documents
         |WHERE doc_id < 20
         |  AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same oracle as q_asof_native / q_asof_sliced — auto-routing is an
+    // execution strategy, not a semantics change
+    "q_asof_auto" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS k
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, k FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, k AS vk,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+        |      FROM e WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.event_id, arg_max(v.vk, v.vk) AS view_k,
+        |    arg_max(v.v_cents, v.vk) AS view_cents
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.vk <= p.k
+        |  GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |  COALESCE(m.view_k, -1) AS view_k,
+        |  COALESCE(m.view_cents, -1) AS view_cents
+        |FROM p LEFT JOIN m ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "d_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |docs AS (
+        |  SELECT doc_id, len(toks) AS dl FROM base WHERE len(toks) > 0),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+        |tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        |  WHERE t IN ('stream', 'filter', 'merge')
+        |  GROUP BY 1, 2),
+        |df AS (
+        |  SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |        tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / stats.avgdl)))
+        |      AS score
+        |  FROM tf JOIN df USING (t)
+        |    JOIN docs ON tf.doc_id = docs.doc_id
+        |    CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, ROUND(score, 6) AS bm25
+        |FROM scored
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    "e_quant_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x -> CAST(round(
+        |        CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) / 127.0)) AS BIGINT))
+        |    END AS codes
+        |  FROM embeddings WHERE vec_id < 64),
+        |flat AS (
+        |  SELECT vec_id, generate_subscripts(codes, 1) AS i,
+        |    unnest(codes) AS c FROM q)
+        |SELECT a.vec_id, CAST(SUM(a.c * b.c) AS BIGINT) AS idot,
+        |  CAST(SUM(a.c * a.c) AS BIGINT) AS inorm
+        |FROM flat a JOIN flat b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e_ann_quant" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |    list_max(list_transform(embedding,
+        |      y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale,
+        |    CASE WHEN list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x -> CAST(round(
+        |        CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) / 127.0)) AS BIGINT))
+        |    END AS codes
+        |  FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT * FROM qz WHERE vec_id % 50 = 0),
+        |coarse AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(c.codes, p.codes) * c.scale * p.scale AS qdot,
+        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_dot_product(c.codes, p.codes) * c.scale * p.scale
+        |        DESC, c.vec_id) AS crank
+        |  FROM qz c JOIN p ON p.vec_id <> c.vec_id),
+        |cand AS (SELECT * FROM coarse WHERE crank <= 20),
+        |rr AS (
+        |  SELECT cand.query_id, cand.neighbor_id, cand.qdot,
+        |    list_dot_product(c.emb, q.emb) /
+        |      (sqrt(list_dot_product(q.emb, q.emb)) *
+        |       sqrt(list_dot_product(c.emb, c.emb))) AS cos_sim
+        |  FROM cand JOIN qz c ON cand.neighbor_id = c.vec_id
+        |    JOIN p q ON cand.query_id = q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROUND(cos_sim * 1e6) AS BIGINT) AS cos_e6,
+        |    CAST(ROUND(qdot * 1e4) AS BIGINT) AS qdot_e4,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM rr)
+        |SELECT query_id, rank, neighbor_id, cos_e6, qdot_e4
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "e_mmr_diversify" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x -> CAST(round(
+        |        CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) / 127.0)) AS BIGINT))
+        |    END AS codes
+        |  FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT vec_id AS query_id, codes AS qc FROM qz
+        |      WHERE vec_id % 50 = 0),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, neighbor_id, rel, codes, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        |    FROM (
+        |      SELECT p.query_id, c.vec_id AS neighbor_id,
+        |        CAST(list_dot_product(c.codes, p.qc) AS BIGINT) AS rel,
+        |        c.codes
+        |      FROM qz c JOIN p ON c.vec_id <> p.query_id)) WHERE rn <= 8),
+        |sims AS (
+        |  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+        |    CAST(list_dot_product(a.codes, b.codes) AS BIGINT) AS sim
+        |  FROM cand a JOIN cand b ON a.query_id = b.query_id),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id, 7 * rel AS score
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY rel DESC, neighbor_id) AS r FROM cand)
+        |  WHERE r = 1),
+        |c2 AS (
+        |  SELECT c.query_id, c.neighbor_id, 7 * c.rel - 3 * s.sim AS score
+        |  FROM cand c
+        |  JOIN s1 ON c.query_id = s1.query_id
+        |    AND c.neighbor_id <> s1.neighbor_id
+        |  JOIN sims s ON s.query_id = c.query_id AND s.ia = c.neighbor_id
+        |    AND s.ib = s1.neighbor_id),
+        |s2 AS (SELECT query_id, neighbor_id, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS r FROM c2) WHERE r = 1),
+        |c3 AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    7 * c.rel - 3 * GREATEST(sa.sim, sb.sim) AS score
+        |  FROM cand c
+        |  JOIN s1 ON c.query_id = s1.query_id
+        |    AND c.neighbor_id <> s1.neighbor_id
+        |  JOIN s2 ON c.query_id = s2.query_id
+        |    AND c.neighbor_id <> s2.neighbor_id
+        |  JOIN sims sa ON sa.query_id = c.query_id
+        |    AND sa.ia = c.neighbor_id AND sa.ib = s1.neighbor_id
+        |  JOIN sims sb ON sb.query_id = c.query_id
+        |    AND sb.ia = c.neighbor_id AND sb.ib = s2.neighbor_id),
+        |s3 AS (SELECT query_id, neighbor_id, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS r FROM c3) WHERE r = 1)
+        |SELECT query_id, 1 AS sel_rank, neighbor_id, score AS mmr_score
+        |FROM s1
+        |UNION ALL SELECT query_id, 2, neighbor_id, score FROM s2
+        |UNION ALL SELECT query_id, 3, neighbor_id, score FROM s3
+        |ORDER BY query_id, sel_rank""".stripMargin,
+    "d_sample_stratified_rates" ->
+      """WITH tagged AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    substring(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 2)
+        |      AS hb
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_sampled,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM tagged
+        |WHERE hb < CASE WHEN lang = 'en' THEN '33' ELSE '80' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

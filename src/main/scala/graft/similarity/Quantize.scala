@@ -1,0 +1,92 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 embedding quantization — the serving-side
+  * compression for ANN at 100 TB: 4 bytes/dim float32 → 1 byte/dim codes
+  * (+ one scale per vector), so a corpus' resident index shrinks ~4× and
+  * the ADC-style integer dot products stay EXACT integer arithmetic
+  * (engine-reproducible, unlike float sums whose order matters).
+  *
+  * scale = max|v| / 127; codes[i] = round(v[i] / scale) ∈ [-127, 127].
+  * The all-zero vector quantizes to zero codes with scale 0 (its dot with
+  * anything is 0 — no division ever runs against a zero scale).
+  *
+  * Reconstruction error per element is ≤ scale/2, so the approximate dot
+  * `dotInt8` deviates from the float dot by at most
+  * Σ (|a|·εb + |b|·εa + εa·εb) — bounded and spec'd, the standard
+  * symmetric-quantization trade. Map-only; composes with
+  * [[Similarity.ivfTopKWith]] / [[ProductQuantizer]] as the coarse scorer
+  * with exact re-rank on the float column.
+  */
+object Quantize {
+
+  /** struct(scale: double, codes: array<long>) for a float-array column. */
+  def quantizeInt8(emb: Column): Column = {
+    val absMax = array_max(transform(emb, v => abs(v.cast("double"))))
+    val scale = absMax / 127.0
+    struct(
+      scale.as("scale"),
+      when(absMax === 0.0, transform(emb, _ => lit(0L)))
+        .otherwise(transform(emb,
+          v => round(v.cast("double") / scale).cast("long")))
+        .as("codes"))
+  }
+
+  /** Exact integer dot of two code arrays. */
+  def dotCodes(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Approximate float dot from two quantized structs. */
+  def dotInt8(qa: Column, qb: Column): Column =
+    dotCodes(qa("codes"), qb("codes")) * qa("scale") * qb("scale")
+
+  /** Dequantized (reconstructed) float vector, for error analysis. */
+  def dequantize(q: Column): Column =
+    transform(q("codes"), c => c.cast("double") * q("scale"))
+
+  /** Quantized ANN serving: coarse top-(k·coarseFactor) per query by the
+    * int8 approximate dot over the COMPRESSED index, then exact float
+    * cosine re-rank of the survivors — the standard two-stage serving
+    * shape ([[ProductQuantizer]]'s ADC twin at 8-bit symmetric precision).
+    *
+    * Scale shape: the corpus is quantized map-only into the (id, scale,
+    * codes) serving index (~4× smaller resident than float32) and NEVER
+    * shuffles its float vectors through coarse scoring; the query side
+    * broadcasts. Coarse scores are an exact integer dot (order-free,
+    * engine-reproducible) times two per-vector scales — one IEEE multiply
+    * each, so the coarse ranking is deterministic bit-for-bit. Float
+    * vectors are fetched (equi-join on id) only for the k·coarseFactor
+    * finalists per query. Compose with [[Similarity.ivfTopKWith]]-style
+    * cells when even one coarse pass over the corpus is too much.
+    */
+  def topKQuant(queries: DataFrame, corpus: DataFrame, k: Int,
+                coarseFactor: Int = 4): DataFrame = {
+    require(k > 0 && coarseFactor > 0, s"k=$k coarseFactor=$coarseFactor")
+    val cq = corpus.select(col("vec_id").as("neighbor_id"),
+      quantizeInt8(col("embedding")).as("cq"))
+    val qq = broadcast(queries.select(col("vec_id").as("query_id"),
+      quantizeInt8(col("embedding")).as("qq")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val cand = cq.join(qq, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", dotInt8(col("cq"), col("qq")))
+      .withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= k * coarseFactor)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), col("qdot"))
+  }
+}

@@ -250,13 +250,14 @@ object StreamingDedup {
                       ttl: TTLConfig = TTLConfig.NONE): Dataset[VerifiedDup] = {
     require(numBands > 0 && numHashes % numBands == 0,
       s"numBands ($numBands) must divide numHashes ($numHashes)")
-    val rowsPerBand = numHashes / numBands
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val timeMode =
-      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    verifiedFromSigs(sigsOf(docs, idCol, textCol, shingleN, numHashes),
+      numHashes / numBands, numBands, minJaccard, maxBucketSize, ttl)
+  }
 
-    val sigs = docs.select(
+  /** The map-only signature stage shared by the verified paths. */
+  private def sigsOf(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, numHashes: Int): DataFrame =
+    docs.select(
         col(idCol).cast("long").as("doc_id"),
         array_distinct(TextOps.ngramHashes(TextOps.tokens(col(textCol)),
           shingleN)).as("sh"))
@@ -264,6 +265,15 @@ object StreamingDedup {
       .withColumn("sig", Similarity.minhashSignature(col("sh"), numHashes))
       .select(col("doc_id"), col("sh"), col("sig"))
       .repartition(col("doc_id")) // staging barrier — see nearDupCandidates
+
+  private def verifiedFromSigs(sigs: DataFrame, rowsPerBand: Int,
+                               numBands: Int, minJaccard: Double,
+                               maxBucketSize: Int, ttl: TTLConfig)
+      : Dataset[VerifiedDup] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
 
     val banded = sigs
       .select(col("doc_id"), col("sh"), xxhash64(col("sig")).as("sig_hash"),
@@ -329,6 +339,74 @@ object StreamingDedup {
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     nearDupVerified(docs, idCol, textCol, shingleN, numHashes, numBands,
         minJaccard, maxBucketSize, ttl)
+      .groupByKey(d => (d.id_a, d.id_b))
+      .transformWithState(new PairOnceProcessor(ttl),
+        timeMode, OutputMode.Append(), Encoders.product[VerifiedDup])
+  }
+
+  /** Streaming dedup against BOTH a persisted corpus index and the stream
+    * itself — the full production composition: arrivals are checked
+    * against everything ever admitted
+    * ([[graft.similarity.IncrementalDedup]]'s index, via a stream-static
+    * band join verified map-side — no state) AND against earlier stream
+    * docs (the stateful cell path), with one pair-once gate over the
+    * union, so the output is EXACTLY-ONCE per pair even under source
+    * redelivery.
+    *
+    * Contract: over any prefix of the stream, the emitted pair set equals
+    * `IncrementalDedup.pairsAgainstIndex(prefixDocs, index)` at the same
+    * parameters (parity-spec'd), modulo the cell cap caveat of
+    * [[probeCell]].
+    *
+    * `index` must be built with the SAME shingleN/numHashes family.
+    * At scale: `persist()` the index (or pre-band and bucket it by
+    * (band, bucket)) — a stream-static join re-executes the static side
+    * every micro-batch; the index scan reads (id, sh, sig) only, never
+    * corpus text. */
+  def nearDupVerifiedWithIndex(docs: DataFrame, index: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text", shingleN: Int = 3,
+                               numHashes: Int = 32, numBands: Int = 8,
+                               minJaccard: Double = 0.5,
+                               maxBucketSize: Int = 64,
+                               ttl: TTLConfig = TTLConfig.NONE)
+      : Dataset[VerifiedDup] = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / numBands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+
+    val sigs = sigsOf(docs, idCol, textCol, shingleN, numHashes)
+    val streamPairs = verifiedFromSigs(sigs, rowsPerBand, numBands,
+      minJaccard, maxBucketSize, ttl)
+
+    def bandedOf(df: DataFrame, id: String, sh: String): DataFrame =
+      df.select(col("id").as(id), col("sh").as(sh),
+          explode(Similarity.bands(col("sig"), numBands, rowsPerBand)).as("b"))
+        .select(col(id), col(sh), col("b.band").as("band"),
+          col("b.bucket").as("bucket"))
+    val bandedIdx = bandedOf(index, "idx_id", "idx_sh")
+    val bandedStream = bandedOf(
+      sigs.select(col("doc_id").as("id"), col("sh"), col("sig")),
+      "doc_id", "doc_sh")
+    // stream-vs-index: both shingle sets are in hand, so verification is
+    // map-side — no state; per-band duplicate collisions of one pair
+    // collapse in the pair-once gate below (all of them land in the batch
+    // the doc arrives in, since the index side is static)
+    val idxPairs = bandedStream
+      .join(bandedIdx, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("idx_id"))
+      .select(
+        least(col("doc_id"), col("idx_id")).as("id_a"),
+        greatest(col("doc_id"), col("idx_id")).as("id_b"),
+        Similarity.jaccard(col("doc_sh"), col("idx_sh")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .as[VerifiedDup]
+
+    streamPairs.unionByName(idxPairs)
       .groupByKey(d => (d.id_a, d.id_b))
       .transformWithState(new PairOnceProcessor(ttl),
         timeMode, OutputMode.Append(), Encoders.product[VerifiedDup])

@@ -174,4 +174,40 @@ class PlanShapeSpec extends SparkTestBase {
     val scans = "Scan parquet".r.findAllMatchIn(p).length
     assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
   }
+
+  test("d_bm25: df and corpus stats BROADCAST (corpus-sized work is the " +
+      "tokenize pass; only query-term hits ride the tf shuffle)") {
+    val p = plan("d_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      p.contains("BroadcastNestedLoopJoin"), // the 1-row stats cross join
+      s"broadcast sides missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("d_sample_stratified_rates: map-only sampling predicate, one exchange " +
+      "for the per-stratum aggregate") {
+    val p = plan("d_sample_stratified_rates")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-stratum aggregate must partial-aggregate:\n$p")
+    // the tree prints top-down, so everything BELOW the partial aggregate
+    // (filter, scan) follows it in the string — no Exchange may appear
+    // there: the sampling predicate runs map-side on the scan
+    val below = p.split("partial_count", 2).last
+    assert(!below.contains("Exchange"),
+      s"sampling shuffled rows before the partial aggregate:\n$p")
+  }
+
+  test("d_dedup_incremental: equi-joins only (the banded join contract), " +
+      "and the probe never recomputes index signatures") {
+    val p = plan("d_dedup_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"product join leaked:\n$p")
+    // the only minhash kernel evaluations are the batch side's (staged
+    // behind localCheckpoint before this plan) — the probe plan itself
+    // must contain none
+    assert(!p.toLowerCase.contains("minhash_sig"),
+      s"index signatures recomputed in the probe:\n$p")
+  }
 }

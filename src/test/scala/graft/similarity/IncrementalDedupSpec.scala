@@ -109,6 +109,36 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(!scanLine.contains("text"), s"index scan reads text: $scanLine")
   }
 
+  test("randomized restriction parity: any corpus/batch split of any doc set " +
+      "agrees with the full batch recompute") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (round <- 1 to 4) {
+      // docs drawn from a tiny vocabulary so near-dup collisions are common
+      val all = (0L until 24L).map { i =>
+        val n = 4 + rnd.nextInt(10)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val (corpusRows, batchRows) = all.partition(_ => rnd.nextBoolean())
+      if (corpusRows.nonEmpty && batchRows.nonEmpty) {
+        val corpusDf = corpusRows.toDF("doc_id", "text").repartition(2)
+        val batchDf = batchRows.toDF("doc_id", "text").repartition(2)
+        val batchIds = batchRows.map(_._1).toSet
+        val got = pairSet(IncrementalDedup.pairsAgainstIndex(batchDf,
+          IncrementalDedup.buildIndex(corpusDf, "doc_id", "text"),
+          "doc_id", "text", minJaccard = 0.0))
+        val expected = pairSet(
+          Similarity.minhashPairs(corpusDf.unionByName(batchDf),
+            "doc_id", "text", minJaccard = 0.0)
+            .filter(col("id_a").isin(batchIds.toSeq: _*) ||
+              col("id_b").isin(batchIds.toSeq: _*)))
+        assert(got == expected,
+          s"round $round (|corpus|=${corpusRows.size}): $got != $expected")
+      }
+    }
+  }
+
   test("foldIntoIndex admits batch minus rejects; next probe sees admitted docs") {
     val index = IncrementalDedup.buildIndex(corpus, "doc_id", "text")
     // reject the two batch docs that duplicated something (10, 11, 13 are

@@ -230,4 +230,46 @@ class StreamingDedupSpec extends SparkTestBase {
       } finally { qA.stop(); qB.stop() }
     }
   }
+
+  test("nearDupVerifiedWithIndex: stream-vs-corpus (static index) and " +
+      "stream-vs-stream pairs, exactly-once, == pairsAgainstIndex on the " +
+      "streamed prefix") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val corpus = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      val index = graft.similarity.IncrementalDedup
+        .buildIndex(corpus, "doc_id", "text").persist()
+      val mem = MemoryStream[StreamDoc]
+      val q = StreamingDedup.nearDupVerifiedWithIndex(mem.toDF(), index,
+          minJaccard = 0.5)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_idx").start()
+      try {
+        // batch 1: duplicates corpus doc 1 → stream-vs-INDEX pair (1,10)
+        mem.addData(StreamDoc(10, textA)); q.processAllAvailable()
+        // batch 2: duplicates both → adds (1,11) via index and (10,11)
+        // via the stateful stream path; plus an unrelated doc
+        mem.addData(StreamDoc(11, textA), StreamDoc(12, textC))
+        q.processAllAvailable()
+        // batch 3: REDELIVER doc 10 — nothing new may emit
+        mem.addData(StreamDoc(10, textA)); q.processAllAvailable()
+
+        val got = spark.sql("SELECT * FROM sdedup_idx")
+          .as[StreamingDedup.VerifiedDup].collect()
+          .map(v => (v.id_a, v.id_b, v.jaccard)).toSeq
+        assert(got.size == got.distinct.size, s"pair repeated: ${got.sorted}")
+        val expected = graft.similarity.IncrementalDedup.pairsAgainstIndex(
+            Seq((10L, textA), (11L, textA), (12L, textC))
+              .toDF("doc_id", "text"),
+            index, "doc_id", "text", minJaccard = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
+        assert(got.sorted == expected.sorted,
+          s"stream ${got.sorted} != batch-incremental ${expected.sorted}")
+        // both paths contributed: an index pair and a stream-stream pair
+        val keys = got.map(p => (p._1, p._2)).toSet
+        assert(keys.contains((1L, 10L)) && keys.contains((10L, 11L)), s"$keys")
+      } finally { q.stop(); index.unpersist() }
+    }
+  }
 }
