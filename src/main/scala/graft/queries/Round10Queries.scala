@@ -90,8 +90,12 @@ object Round10Queries {
     // retrieval primitive for query-driven corpus curation. The query-term
     // filter lands BEFORE the tf shuffle (only Q-term hits ride it), df and
     // the corpus stats broadcast, so the corpus-sized work is one map-side
-    // tokenize pass. Ordering and selection are on the ROUNDED score (+
-    // doc_id tiebreak) so both engines pick the same top-20.
+    // tokenize pass. Each (doc, term) contribution is a sum-free chain of
+    // deterministic double ops INTEGERIZED at 1e9 before the per-doc SUM
+    // (the repo's integerize-then-sum convention), so the score, the
+    // ordering, and the top-20 cut are exact in both engines — a raw
+    // double sum would combine in shuffle-fetch order and could round
+    // differently at a 0.5e-6 boundary.
     "d_bm25" -> ((s, dir) => {
       val qTerms = Seq("stream", "filter", "merge")
       val base = load(s, dir, "documents").filter(col("doc_id") < 500)
@@ -106,15 +110,15 @@ object Round10Queries {
       tf.join(broadcast(dfreq), Seq("t"))
         .join(docs, Seq("doc_id"))
         .crossJoin(broadcast(stats))
-        .groupBy(col("doc_id"))
-        .agg(sum(
+        .withColumn("term_e9", round(
           log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
             col("tf") * 2.2 /
             (col("tf") + lit(1.2) *
-              (lit(0.25) + col("dl") * 0.75 / col("avgdl"))))
-          .as("score"))
-        .select(col("doc_id"), round(col("score"), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"))
+              (lit(0.25) + col("dl") * 0.75 / col("avgdl"))) * 1e9)
+          .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_e9")).as("bm25_e9"))
+        .orderBy(col("bm25_e9").desc, col("doc_id"))
         .limit(20)
     }),
 
@@ -251,17 +255,18 @@ object Round10Queries {
         |  SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
         |scored AS (
         |  SELECT tf.doc_id,
-        |    SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |    SUM(CAST(ROUND(
+        |        ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
         |        tf.tf * 2.2 /
-        |        (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / stats.avgdl)))
-        |      AS score
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / stats.avgdl))
+        |        * 1e9) AS BIGINT)) AS score
         |  FROM tf JOIN df USING (t)
         |    JOIN docs ON tf.doc_id = docs.doc_id
         |    CROSS JOIN stats
         |  GROUP BY 1)
-        |SELECT doc_id, ROUND(score, 6) AS bm25
+        |SELECT doc_id, CAST(score AS BIGINT) AS bm25_e9
         |FROM scored
-        |ORDER BY bm25 DESC, doc_id
+        |ORDER BY bm25_e9 DESC, doc_id
         |LIMIT 20""".stripMargin,
     "e_quant_int8" ->
       """WITH q AS (

@@ -39,6 +39,11 @@ object Mmr {
     require(k > 0, s"k=$k")
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"lambda $lambdaNum/$lambdaDen must be a rational in [0, 1]")
+    // int8-code dots are ≤ 127²·dim ≈ 2^24 for dim ≤ 4096; a small λ
+    // denominator keeps λnum·rel − penalty·sim far from Long overflow
+    // even for caller-supplied rel columns up to ~2^40
+    require(lambdaDen <= (1 << 20),
+      s"lambdaDen=$lambdaDen too large (overflow headroom)")
     require(maxCandidates >= k, s"maxCandidates=$maxCandidates < k=$k")
     val spark = cands.sparkSession
     import spark.implicits._
@@ -54,14 +59,14 @@ object Mmr {
         // highest relevance first, id tie-break
         val cs = it.toArray.sortBy(c => (-c._3, c._2)).take(maxCandidates)
         val n = cs.length
-        val chosen = new Array[Int](math.min(k, n))
+        val take = math.min(k, n)
         val isChosen = new Array[Boolean](n)
         // maxSim(i) = max over selected j of idot(codes_i, codes_j),
         // updated incrementally after each selection: O(k·N) dots total
         val maxSim = Array.fill(n)(Long.MinValue)
         val out = Vector.newBuilder[(Long, Int, Long, Long)]
         var s = 0
-        while (s < chosen.length) {
+        while (s < take) {
           var best = -1; var bestScore = Long.MinValue
           var i = 0
           while (i < n) {
@@ -70,7 +75,7 @@ object Mmr {
               val score = lambdaNum * cs(i)._3 - penalty * sim
               // candidate order is id-ascending within equal rel, but
               // equal SCORES can span rels — tie-break on id explicitly
-              if (score > bestScore ||
+              if (best < 0 || score > bestScore ||
                   (score == bestScore && cs(i)._2 < cs(best)._2)) {
                 best = i; bestScore = score
               }
@@ -78,7 +83,6 @@ object Mmr {
             i += 1
           }
           isChosen(best) = true
-          chosen(s) = best
           out += ((qid, s + 1, cs(best)._2, bestScore))
           var j = 0
           while (j < n) {

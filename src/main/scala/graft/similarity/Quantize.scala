@@ -23,17 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** struct(scale: double, codes: array<long>) for a float-array column. */
-  def quantizeInt8(emb: Column): Column = {
-    val absMax = array_max(transform(emb, v => abs(v.cast("double"))))
-    val scale = absMax / 127.0
-    struct(
-      scale.as("scale"),
-      when(absMax === 0.0, transform(emb, _ => lit(0L)))
-        .otherwise(transform(emb,
-          v => round(v.cast("double") / scale).cast("long")))
-        .as("codes"))
-  }
+  /** struct(scale: double, codes: array<long>) for a float-array column.
+    *
+    * The abs-max reduction is BOUND ONCE per row by routing it through a
+    * single-element-array `transform` whose lambda variable the code
+    * lambdas then reference: HOF *inputs* evaluate once per row while
+    * lambda *bodies* evaluate per element, so inlining `absMax` directly
+    * into the per-element division would re-run the O(d) max for every
+    * element — O(d²) per vector at serving dims (the HOF re-evaluation
+    * trap; see `Similarity.minhashSignatureFold`'s staging note). */
+  def quantizeInt8(emb: Column): Column =
+    element_at(
+      transform(
+        array(array_max(transform(emb, v => abs(v.cast("double"))))),
+        absMax =>
+          struct(
+            (absMax / 127.0).as("scale"),
+            when(absMax === 0.0, transform(emb, _ => lit(0L)))
+              .otherwise(transform(emb,
+                v => round(v.cast("double") / (absMax / 127.0)).cast("long")))
+              .as("codes"))),
+      1)
 
   /** Exact integer dot of two code arrays. */
   def dotCodes(a: Column, b: Column): Column =

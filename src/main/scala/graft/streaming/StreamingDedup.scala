@@ -355,14 +355,21 @@ object StreamingDedup {
     *
     * Contract: over any prefix of the stream, the emitted pair set equals
     * `IncrementalDedup.pairsAgainstIndex(prefixDocs, index)` at the same
-    * parameters (parity-spec'd), modulo the cell cap caveat of
-    * [[probeCell]].
+    * parameters (parity-spec'd) WHEN NO BUCKET CAP BINDS. When one does,
+    * the two sides bound work differently — that call counts the
+    * index∪batch union per bucket, while here the stream path caps its
+    * LSH cells ([[probeCell]]) and the static join drops index buckets
+    * whose INDEX-side population exceeds `maxBucketSize` (an arrival
+    * cannot know prefix-wide union counts without keeping them as
+    * state). Both are hard bounds on per-arrival work; a hot boilerplate
+    * cell in a billion-doc index can no longer fan one arrival out into
+    * thousands of verify rows per band per micro-batch.
     *
     * `index` must be built with the SAME shingleN/numHashes family.
     * At scale: `persist()` the index (or pre-band and bucket it by
     * (band, bucket)) — a stream-static join re-executes the static side
-    * every micro-batch; the index scan reads (id, sh, sig) only, never
-    * corpus text. */
+    * every micro-batch, including the bucket-size census; the index scan
+    * reads (id, sh, sig) only, never corpus text. */
   def nearDupVerifiedWithIndex(docs: DataFrame, index: DataFrame,
                                idCol: String = "doc_id",
                                textCol: String = "text", shingleN: Int = 3,
@@ -388,7 +395,17 @@ object StreamingDedup {
           explode(Similarity.bands(col("sig"), numBands, rowsPerBand)).as("b"))
         .select(col(id), col(sh), col("b.band").as("band"),
           col("b.bucket").as("bucket"))
-    val bandedIdx = bandedOf(index, "idx_id", "idx_sh")
+    val bandedIdxAll = bandedOf(index, "idx_id", "idx_sh")
+    // cap hot index cells: same pileup guard as the stream path's
+    // probeCell, counted on the index side (see the scaladoc caveat)
+    val bandedIdx =
+      if (maxBucketSize <= 0) bandedIdxAll
+      else bandedIdxAll.join(
+        bandedIdxAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBucketSize)
+          .select("band", "bucket"),
+        Seq("band", "bucket"), "left_semi")
     val bandedStream = bandedOf(
       sigs.select(col("doc_id").as("id"), col("sh"), col("sig")),
       "doc_id", "doc_sh")

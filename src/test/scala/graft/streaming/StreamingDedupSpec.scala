@@ -272,4 +272,35 @@ class StreamingDedupSpec extends SparkTestBase {
       } finally { q.stop(); index.unpersist() }
     }
   }
+
+  test("nearDupVerifiedWithIndex: over-cap index cells are dropped " +
+      "(the pileup guard binds on the static side too)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // five IDENTICAL corpus docs: every band cell for that text holds
+      // all five index entries, so maxBucketSize = 4 must drop them all
+      val corpus = (1L to 5L).map(i => (i, textA)).toDF("doc_id", "text")
+      val index = graft.similarity.IncrementalDedup
+        .buildIndex(corpus, "doc_id", "text").persist()
+      try {
+        def runWith(cap: Int, name: String): Seq[(Long, Long)] = {
+          val mem = MemoryStream[StreamDoc]
+          val q = StreamingDedup.nearDupVerifiedWithIndex(mem.toDF(), index,
+              minJaccard = 0.5, maxBucketSize = cap)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try {
+            mem.addData(StreamDoc(10, textA)); q.processAllAvailable()
+            spark.sql(s"SELECT id_a, id_b FROM $name").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+          } finally q.stop()
+        }
+        assert(runWith(cap = 4, "sdedup_capped").isEmpty,
+          "hot cell must be dropped at cap 4")
+        assert(runWith(cap = 64, "sdedup_uncapped")
+          == (1L to 5L).map(i => (i, 10L)),
+          "cap 64 must keep the 5-entry cell")
+      } finally index.unpersist()
+    }
+  }
 }
