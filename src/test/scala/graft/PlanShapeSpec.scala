@@ -199,6 +199,32 @@ class PlanShapeSpec extends SparkTestBase {
       s"sampling shuffled rows before the partial aggregate:\n$p")
   }
 
+  test("e_ann_quant: both rank cuts prune per-partition (WindowGroupLimit) " +
+      "and the finalist float fetch is a broadcast equi-join") {
+    val p = plan("e_ann_quant")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    // coarse crank<=20 and final rank<=5 both push a group limit below
+    // the window — partitions keep k+ rows, not the full corpus scoring
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank cuts must prune per-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"finalist fetch must broadcast the candidate side:\n$p")
+  }
+
+  test("e_mmr_diversify: candidate top-8 prunes per-partition; the greedy " +
+      "stage adds at most one more hash exchange") {
+    val p = plan("e_mmr_diversify")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"candidate cut must prune per-partition:\n$p")
+    // map-only quantize → broadcast probe join → ONE hash exchange for
+    // the window, ONE for groupByKey, ONE range exchange for the final
+    // orderBy — anything more means the candidate stage shuffles twice
+    // (BroadcastExchange is not a shuffle; count only the partitioned ones)
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges shuffles (expected ≤3):\n$p")
+  }
+
   test("d_dedup_incremental: equi-joins only (the banded join contract), " +
       "and the probe never recomputes index signatures") {
     val p = plan("d_dedup_incremental")
