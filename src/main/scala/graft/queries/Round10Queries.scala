@@ -28,11 +28,47 @@ import graft.text.TextOps
   *     value-checked end to end
   *   - MMR-diversified retrieval over bounded ANN candidates (integer
   *     scoring ⇒ the DuckDB oracle unrolls the greedy steps exactly)
+  *   - quantized-serving recall@5 vs exact brute force, as oracled data
+  *   - hybrid retrieval: reciprocal-rank fusion of the BM25 arm and an
+  *     int8-dot semantic arm (integer ranks and contributions — fully
+  *     value-checked)
   */
 object Round10Queries {
 
   private val PlantA = 1000000L
   private val PlantB = 2000000L
+
+  /** BM25 scores (k1=1.2, b=0.75, Lucene idf) for the fixed query terms
+    * over documents with doc_id < 500 — (doc_id, bm25_e9). Shared by
+    * `d_bm25` and the `d_rrf_hybrid` lexical arm so the two stay one
+    * implementation. Each (doc, term) contribution is a sum-free chain of
+    * deterministic double ops integerized at 1e9 before the per-doc sum
+    * (the integerize-then-sum convention), so scores and any downstream
+    * ordering are engine-exact. The query-term filter lands BEFORE the tf
+    * shuffle; df and corpus stats broadcast. */
+  private def bm25e9(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("stream", "filter", "merge")
+    val base = load(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val docs = base.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .join(docs, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_e9", round(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + col("dl") * 0.75 / col("avgdl"))) * 1e9)
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_e9")).as("bm25_e9"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -96,30 +132,43 @@ object Round10Queries {
     // ordering, and the top-20 cut are exact in both engines — a raw
     // double sum would combine in shuffle-fetch order and could round
     // differently at a 0.5e-6 boundary.
-    "d_bm25" -> ((s, dir) => {
-      val qTerms = Seq("stream", "filter", "merge")
-      val base = load(s, dir, "documents").filter(col("doc_id") < 500)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val docs = base.filter(size(col("toks")) > 0)
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-      val tf = base.select(col("doc_id"), explode(col("toks")).as("t"))
-        .filter(col("t").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), Seq("t"))
-        .join(docs, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("term_e9", round(
-          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-            col("tf") * 2.2 /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + col("dl") * 0.75 / col("avgdl"))) * 1e9)
-          .cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("term_e9")).as("bm25_e9"))
+    "d_bm25" -> ((s, dir) =>
+      bm25e9(s, dir)
         .orderBy(col("bm25_e9").desc, col("doc_id"))
-        .limit(20)
+        .limit(20)),
+
+    // Hybrid retrieval: fuse the LEXICAL ranking (BM25) with a SEMANTIC
+    // ranking (int8-quantized embedding dot vs a probe vector) by
+    // reciprocal-rank fusion — the standard two-tower serving combiner.
+    // Both arms' ranks and the fused contributions are integers, so the
+    // whole fusion is value-checked; each arm's top-50 cut is
+    // TakeOrderedAndProject (no global-window rank over the corpus).
+    "d_rrf_hybrid" -> ((s, dir) => {
+      def ranked(df: DataFrame, scoreCol: String): DataFrame = {
+        val w = Window
+          .partitionBy(graft.functions.WindowKeys
+            .constantPartitionKey(col("doc_id")))
+          .orderBy(col(scoreCol).desc, col("doc_id"))
+        df.orderBy(col(scoreCol).desc, col("doc_id")).limit(50)
+          .withColumn("rank", row_number().over(w))
+          .select(col("doc_id").as("id"), col("rank"))
+      }
+      val lex = ranked(bm25e9(s, dir), "bm25_e9")
+      val emb = load(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"),
+          graft.similarity.Quantize.quantizeInt8(col("embedding"))
+            .getField("codes").as("codes"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("codes").as("pc"))
+      val sem = ranked(
+        emb.crossJoin(broadcast(probe))
+          .select(col("vec_id").as("doc_id"),
+            graft.similarity.Quantize.dotCodes(col("codes"), col("pc"))
+              .as("qdot")),
+        "qdot")
+      graft.text.RankFusion.rrf(Seq(lex, sem))
+        .orderBy(col("rrf_e9").desc, col("id"))
+        .limit(10)
     }),
 
     // Int8 embedding quantization: the serving-side 4× index compression.
@@ -156,6 +205,24 @@ object Round10Queries {
           round(col("cos_sim") * 1e6).cast("long").as("cos_e6"),
           round(col("qdot") * 1e4).cast("long").as("qdot_e4"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Recall@5 of the quantized serving path against exact brute-force —
+    // the fidelity statement for the 4× index compression, as DATA under
+    // the gate (both top-5 sets are engine-reproducible, so the
+    // intersection count is exact). n_hit = 5 everywhere at these dims.
+    "e_ann_quant_recall" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      val approx = graft.similarity.Quantize.topKQuant(probes, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = graft.similarity.Similarity.bruteTopK(probes, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .orderBy(col("query_id"))
     }),
 
     // MMR-diversified retrieval: ANN top-8 candidates per query, then the
@@ -328,6 +395,112 @@ object Round10Queries {
         |SELECT query_id, rank, neighbor_id, cos_e6, qdot_e4
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "d_rrf_hybrid" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |docs AS (
+        |  SELECT doc_id, len(toks) AS dl FROM base WHERE len(toks) > 0),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+        |tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        |  WHERE t IN ('stream', 'filter', 'merge')
+        |  GROUP BY 1, 2),
+        |df AS (
+        |  SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(CAST(ROUND(
+        |        ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |        tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / stats.avgdl))
+        |        * 1e9) AS BIGINT)) AS bm25_e9
+        |  FROM tf JOIN df USING (t)
+        |    JOIN docs ON tf.doc_id = docs.doc_id
+        |    CROSS JOIN stats
+        |  GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id AS id, rank FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (
+        |      ORDER BY bm25_e9 DESC, doc_id) AS rank FROM scored)
+        |  WHERE rank <= 50),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x -> CAST(round(
+        |        CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) / 127.0)) AS BIGINT))
+        |    END AS codes
+        |  FROM embeddings WHERE vec_id < 500),
+        |sem AS (
+        |  SELECT id, rank FROM (
+        |    SELECT q.vec_id AS id, ROW_NUMBER() OVER (
+        |      ORDER BY CAST(list_dot_product(q.codes, p.codes) AS BIGINT)
+        |        DESC, q.vec_id) AS rank
+        |    FROM qz q CROSS JOIN (SELECT codes FROM qz WHERE vec_id = 0) p)
+        |  WHERE rank <= 50),
+        |u AS (
+        |  SELECT id, CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) AS contrib
+        |  FROM lex
+        |  UNION ALL
+        |  SELECT id, CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) FROM sem)
+        |SELECT id, CAST(SUM(contrib) AS BIGINT) AS rrf_e9,
+        |  COUNT(*) AS n_lists
+        |FROM u GROUP BY 1
+        |ORDER BY rrf_e9 DESC, id LIMIT 10""".stripMargin,
+    "e_ann_quant_recall" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |    CASE WHEN list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x -> CAST(round(
+        |        CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))) / 127.0)) AS BIGINT))
+        |    END AS codes,
+        |    list_max(list_transform(embedding,
+        |      y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT vec_id AS query_id, emb AS qemb, codes AS qc,
+        |        scale AS qs
+        |      FROM qz WHERE vec_id % 50 = 0),
+        |coarse AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_dot_product(c.codes, p.qc) * c.scale * p.qs
+        |        DESC, c.vec_id) AS crank
+        |  FROM qz c JOIN p ON c.vec_id <> p.query_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT cand.query_id, cand.neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
+        |        (list_dot_product(c.emb, q.qemb) /
+        |         (sqrt(list_dot_product(q.qemb, q.qemb)) *
+        |          sqrt(list_dot_product(c.emb, c.emb)))) DESC,
+        |        cand.neighbor_id) AS r
+        |    FROM (SELECT query_id, neighbor_id FROM coarse
+        |          WHERE crank <= 20) cand
+        |      JOIN qz c ON cand.neighbor_id = c.vec_id
+        |      JOIN p q ON cand.query_id = q.query_id) WHERE r <= 5),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        |        (list_dot_product(c.emb, p.qemb) /
+        |         (sqrt(list_dot_product(p.qemb, p.qemb)) *
+        |          sqrt(list_dot_product(c.emb, c.emb)))) DESC,
+        |        c.vec_id) AS r
+        |    FROM qz c JOIN p ON c.vec_id <> p.query_id) WHERE r <= 5)
+        |SELECT e.query_id, COUNT(*) AS n_hit
+        |FROM exact e JOIN approx a USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e_mmr_diversify" ->
       """WITH qz AS (
         |  SELECT vec_id,

@@ -47,4 +47,29 @@ object StreamingAnn {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** Serve `k` neighbors per streamed query vector from the int8
+    * QUANTIZED index ([[graft.similarity.Quantize.buildIndex]] — built
+    * once, persisted; ~4× smaller resident than the float corpus) with
+    * exact float re-rank of the finalists. Same foreachBatch rationale
+    * as [[serveIvf]]: one code path with the batch `topKQuantWith`, so
+    * the value-checked oracle contract (`e_ann_quant`) carries over
+    * verbatim to the stream.
+    *
+    * @param index pre-built quantized index (vec_id, scale, codes)
+    * @param corpus the float-vector side, touched only by the finalist
+    *   equi-join fetch */
+  def serveQuant(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+                 k: Int, coarseFactor: Int = 4,
+                 availableNow: Boolean = false)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.similarity.Quantize.topKQuantWith(batch.toDF(), index,
+          corpus, k, coarseFactor), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
 }

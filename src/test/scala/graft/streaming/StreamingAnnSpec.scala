@@ -50,4 +50,43 @@ class StreamingAnnSpec extends SparkTestBase {
       "streamed top-k diverged from the batch plan")
     assert(collected.nonEmpty)
   }
+
+  test("serveQuant: per-batch results == batch topKQuantWith against the " +
+      "same pre-built index, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") < 100)
+    // built once, persisted — the serve-many contract
+    val index = graft.similarity.Quantize.buildIndex(corpus)
+      .localCheckpoint(true)
+    val qVecs = emb.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveQuant(
+      mem.toDF().toDF("vec_id", "embedding"), index, corpus, k = 3) {
+      (df, _) => collected ++= df.collect()
+    }
+    try {
+      Seq(Seq(1L, 3L), Seq(5L, 7L)).foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchRef = graft.similarity.Quantize.topKQuantWith(
+      emb.filter(col("vec_id").isin(1L, 3L, 5L, 7L)), index, corpus, k = 3)
+      .collect()
+    // all five columns must agree, including the coarse qdot
+    def keyed(rows: Seq[Row]): Map[(Long, Int), (Long, Double, Double)] =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(r.getDouble(4)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef.toSeq),
+      "streamed quantized top-k diverged from the batch plan")
+    assert(collected.nonEmpty)
+  }
 }
