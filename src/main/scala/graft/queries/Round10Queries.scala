@@ -207,6 +207,43 @@ object Round10Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Contrastive triplet construction (anchor, positive, negative) for
+    // embedding training — deterministic end to end: the positive is the
+    // next same-label id (cyclic, one shuffle on label), the negative is
+    // a bucket REPRESENTATIVE of the next label (per-(label, id%16) min,
+    // one corpus aggregation broadcast as a tiny dimension) — so the
+    // corpus-sized work is one window pass + one aggregation, never an
+    // anchors × label-members join, and the whole mining is oracled.
+    "d_triplets" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("label"))
+      val wl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val withPos = e
+        .withColumn("pos", coalesce(lead(col("vec_id"), 1).over(wl),
+          first(col("vec_id")).over(wl)))
+        .filter(col("pos") =!= col("vec_id")) // singleton labels drop
+      val labsW = Window
+        .partitionBy(graft.functions.WindowKeys
+          .constantPartitionKey(col("label")))
+        .orderBy(col("label"))
+      val labNext = e.select(col("label")).distinct()
+        .withColumn("next_label", coalesce(lead(col("label"), 1).over(labsW),
+          first(col("label")).over(labsW)))
+      val reps = e.groupBy(col("label").as("rep_l"),
+          pmod(col("vec_id"), lit(16)).as("b"))
+        .agg(min(col("vec_id")).as("rep"))
+      val labMin = e.groupBy(col("label").as("min_l"))
+        .agg(min(col("vec_id")).as("lmin"))
+      withPos
+        .join(broadcast(labNext), Seq("label"))
+        .join(broadcast(reps), col("rep_l") === col("next_label") &&
+          col("b") === pmod(col("vec_id"), lit(16)), "left")
+        .join(broadcast(labMin), col("min_l") === col("next_label"))
+        .select(col("vec_id").as("anchor"), col("label"), col("pos"),
+          coalesce(col("rep"), col("lmin")).as("neg"))
+        .orderBy(col("anchor"))
+    }),
+
     // Recall@5 of the quantized serving path against exact brute-force —
     // the fidelity statement for the 4× index compression, as DATA under
     // the gate (both top-5 sets are engine-reproducible, so the
@@ -395,6 +432,29 @@ object Round10Queries {
         |SELECT query_id, rank, neighbor_id, cos_e6, qdot_e4
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "d_triplets" ->
+      """WITH e AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 200),
+        |wp AS (
+        |  SELECT vec_id, label,
+        |    COALESCE(lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+        |             first_value(vec_id) OVER (PARTITION BY label
+        |               ORDER BY vec_id)) AS pos
+        |  FROM e),
+        |labs AS (SELECT DISTINCT label FROM e),
+        |ln AS (SELECT label, COALESCE(lead(label) OVER (ORDER BY label),
+        |        first_value(label) OVER (ORDER BY label)) AS next_label
+        |       FROM labs),
+        |reps AS (SELECT label AS nl, vec_id % 16 AS b, MIN(vec_id) AS rep
+        |         FROM e GROUP BY 1, 2),
+        |lmin AS (SELECT label AS nl, MIN(vec_id) AS lmin FROM e GROUP BY 1)
+        |SELECT wp.vec_id AS anchor, wp.label, wp.pos,
+        |  COALESCE(reps.rep, lmin.lmin) AS neg
+        |FROM wp JOIN ln USING (label)
+        |  LEFT JOIN reps ON reps.nl = ln.next_label
+        |    AND reps.b = wp.vec_id % 16
+        |  JOIN lmin ON lmin.nl = ln.next_label
+        |WHERE wp.pos <> wp.vec_id
+        |ORDER BY anchor""".stripMargin,
     "d_rrf_hybrid" ->
       """WITH base AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
