@@ -215,7 +215,11 @@ object Round10Queries {
     // corpus-sized work is one window pass + one aggregation, never an
     // anchors × label-members join, and the whole mining is oracled.
     "d_triplets" -> ((s, dir) => {
+      // NULL labels are excluded explicitly: Spark windows sort nulls
+      // FIRST on ASC while DuckDB sorts them LAST, so a null label would
+      // silently skew the cyclic next-label chain differently per engine
       val e = load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .filter(col("label").isNotNull)
         .select(col("vec_id"), col("label"))
       val wl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       val withPos = e
@@ -245,9 +249,12 @@ object Round10Queries {
     }),
 
     // Recall@5 of the quantized serving path against exact brute-force —
-    // the fidelity statement for the 4× index compression, as DATA under
+    // the fidelity statement for the index compression, as DATA under
     // the gate (both top-5 sets are engine-reproducible, so the
-    // intersection count is exact). n_hit = 5 everywhere at these dims.
+    // intersection count is exact). Every probe emits a row — a
+    // recall-ZERO probe must show up as n_hit = 0, not silently vanish
+    // and inflate any recall average a consumer computes. n_hit = 5
+    // everywhere at these dims.
     "e_ann_quant_recall" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings").filter(col("vec_id") < 200)
         .select(col("vec_id"), col("embedding"))
@@ -256,9 +263,14 @@ object Round10Queries {
         .select(col("query_id"), col("neighbor_id"))
       val exact = graft.similarity.Similarity.bruteTopK(probes, emb, 5)
         .select(col("query_id"), col("neighbor_id"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      val hits = exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_hit"))
+        .agg(count(lit(1)).as("hits"))
+      probes.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("n_hit"))
         .orderBy(col("query_id"))
     }),
 
@@ -433,7 +445,8 @@ object Round10Queries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "d_triplets" ->
-      """WITH e AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 200),
+      """WITH e AS (SELECT vec_id, label FROM embeddings
+        |           WHERE vec_id < 200 AND label IS NOT NULL),
         |wp AS (
         |  SELECT vec_id, label,
         |    COALESCE(lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
@@ -557,10 +570,14 @@ object Round10Queries {
         |         (sqrt(list_dot_product(p.qemb, p.qemb)) *
         |          sqrt(list_dot_product(c.emb, c.emb)))) DESC,
         |        c.vec_id) AS r
-        |    FROM qz c JOIN p ON c.vec_id <> p.query_id) WHERE r <= 5)
-        |SELECT e.query_id, COUNT(*) AS n_hit
-        |FROM exact e JOIN approx a USING (query_id, neighbor_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |    FROM qz c JOIN p ON c.vec_id <> p.query_id) WHERE r <= 5),
+        |hits AS (
+        |  SELECT e.query_id, COUNT(*) AS hits
+        |  FROM exact e JOIN approx a USING (query_id, neighbor_id)
+        |  GROUP BY 1)
+        |SELECT p.query_id, COALESCE(hits.hits, 0) AS n_hit
+        |FROM p LEFT JOIN hits USING (query_id)
+        |ORDER BY 1""".stripMargin,
     "e_mmr_diversify" ->
       """WITH qz AS (
         |  SELECT vec_id,

@@ -50,7 +50,9 @@ object StreamingAnn {
 
   /** Serve `k` neighbors per streamed query vector from the int8
     * QUANTIZED index ([[graft.similarity.Quantize.buildIndex]] — built
-    * once, persisted; ~4× smaller resident than the float corpus) with
+    * once, persisted; ~4× smaller as PARQUET-encoded payload — in-plan
+    * the codes are longs, so the win is on the stored/scanned index, not
+    * a raw memory cache; see the buildIndex caveat) with
     * exact float re-rank of the finalists. Same foreachBatch rationale
     * as [[serveIvf]]: one code path with the batch `topKQuantWith`, so
     * the value-checked oracle contract (`e_ann_quant`) carries over

@@ -21,14 +21,24 @@ import org.apache.spark.sql.functions._
 object RankFusion {
 
   /** Fuse rankings, each a DataFrame with (`id`: long, `rank`: int-like,
-    * 1-based). Returns (id, rrf_e9, n_lists). */
+    * 1-based). Returns (id, rrf_e9, n_lists).
+    *
+    * An id appearing more than once WITHIN one list (e.g. an arm built by
+    * unioning shard top-Ns without dedup) is collapsed to its BEST (=
+    * minimum) rank in that list before fusing — otherwise one list would
+    * contribute twice and inflate `n_lists`, silently outranking genuine
+    * multi-list hits. The collapse is a deterministic min, so the fusion
+    * stays engine-exact. */
   def rrf(rankings: Seq[DataFrame], c: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrf of no rankings")
     require(c >= 0, s"c=$c must be non-negative")
     rankings
-      .map(df => df.select(col("id").cast("long").as("id"),
-        round(lit(1e9) / (col("rank").cast("long") + c)).cast("long")
-          .as("contrib_e9")))
+      .map(df => df
+        .groupBy(col("id").cast("long").as("id"))
+        .agg(min(col("rank").cast("long")).as("rank"))
+        .select(col("id"),
+          round(lit(1e9) / (col("rank") + c)).cast("long")
+            .as("contrib_e9")))
       .reduce(_.unionByName(_))
       .groupBy(col("id"))
       .agg(sum(col("contrib_e9")).as("rrf_e9"),

@@ -24,6 +24,17 @@ class RankFusionSpec extends SparkTestBase {
       (4L, 16129032L, 1L)), got.toString)
   }
 
+  test("duplicate id WITHIN one list collapses to its best rank — one " +
+      "contribution, n_lists not inflated") {
+    val l1 = Seq((7L, 3), (7L, 41), (8L, 1)).toDF("id", "rank")
+    val l2 = Seq((9L, 1)).toDF("id", "rank")
+    val got = collect(RankFusion.rrf(Seq(l1, l2)))
+    assert(got == Seq(
+      (8L, 16393443L, 1L), (9L, 16393443L, 1L),
+      (7L, 15873016L, 1L)), // rank 3 only; the rank-41 duplicate is gone
+      got.toString)
+  }
+
   test("partition-invariant (integer sums, no float-order drift)") {
     val rnd = new scala.util.Random(5L)
     val lists = Seq.fill(3) {
