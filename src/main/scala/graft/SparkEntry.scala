@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Round7Queries.queries ++
       graft.queries.Round8Queries.queries ++
       graft.queries.Round9Queries.queries ++
-      graft.queries.Round10Queries.queries
+      graft.queries.Round10Queries.queries ++
+      graft.queries.Round11Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Round7Queries.oracleSql ++
       graft.queries.Round8Queries.oracleSql ++
       graft.queries.Round9Queries.oracleSql ++
-      graft.queries.Round10Queries.oracleSql
+      graft.queries.Round10Queries.oracleSql ++
+      graft.queries.Round11Queries.oracleSql
 }

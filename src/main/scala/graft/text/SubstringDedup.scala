@@ -1,0 +1,135 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT-substring dedup: find every maximal character span that is part
+  * of some length-`L` window whose text occurs in at least `minDocs`
+  * distinct documents, and optionally strip those spans from the corpus.
+  *
+  * This is the ExactSubstr shape from the training-data dedup literature
+  * (repeated passages — boilerplate, licenses, templated headers — are
+  * memorization hazards even when the *documents* containing them are not
+  * near-duplicates, so document-level MinHash/SimHash misses them). The
+  * reference engine has no substring-level operator; this is part of the
+  * LLM-pipeline extension surface.
+  *
+  * Scale design (the whole point — a naive gram `groupBy` shuffles L×
+  * the corpus bytes):
+  *
+  *   1. window→hash pass: map-only `xxhash64` over each sliding window;
+  *      only `(h, doc_id, pos)` — 24 bytes/row, never the gram text —
+  *      rides the corpus-sized shuffles. Partial aggregation on
+  *      `(h, doc_id)` dedups within-doc repeats map-side before the
+  *      distinct-doc count.
+  *   2. candidate restriction: windows whose hash is shared by ≥
+  *      `minDocs` docs survive a left-semi join on `h` (ints only).
+  *   3. text verification: candidate sites re-derive their gram by
+  *      re-attaching the doc text (ONE corpus-text shuffle, 1× bytes,
+  *      hash-partitioned on doc_id — not the L× window blowup) and
+  *      re-checking the distinct-doc count on the exact gram string, so
+  *      an xxhash64 collision can never mark a span. Gram text shuffles
+  *      only for candidates.
+  *   4. island merge: per-doc sort-merge of overlapping windows into
+  *      maximal spans — one int-only shuffle on doc_id.
+  *
+  * Windows never cross doc boundaries; docs shorter than `L` produce no
+  * windows. Output spans are 1-based inclusive `[span_start, span_end]`
+  * and non-overlapping per doc by construction.
+  */
+object SubstringDedup {
+
+  /** Maximal duplicated spans: `(doc_id, span_start, span_end, n_win)`
+    * where `n_win` counts the marked windows merged into the span.
+    *
+    * @param docs    input with `idCol` (castable to long) and `textCol`
+    * @param L       window length in characters (≥ 2)
+    * @param minDocs a window is duplicated when its exact text occurs in
+    *                at least this many DISTINCT docs (≥ 2): cross-doc
+    *                boilerplate, not within-doc repetition
+    */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+            L: Int, minDocs: Int = 2): DataFrame = {
+    require(L >= 2, s"window length L=$L must be >= 2")
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    // sequence() infers a DESCENDING step when start > stop, so guard the
+    // short-doc case explicitly rather than relying on an empty array
+    val sites = base.filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        xxhash64(col("text").substr(col("p"), lit(L))).as("h"))
+    // distinct-doc count per hash; (h, doc_id) pre-group keeps the
+    // count-distinct partial-aggregable (no Expand) and dedups map-side
+    val dupH = sites.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h"))
+    val candSites = sites.join(dupH, Seq("h"), "left_semi")
+    // re-derive gram text for candidates only: one 1× corpus-text shuffle
+    // (doc_id equi-join), then exact-text verification within hash groups
+    val candGrams = candSites.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        col("text").substr(col("pos"), lit(L)).as("gram"))
+    val verified = candGrams.select(col("h"), col("gram"), col("doc_id"))
+      .distinct()
+      .groupBy(col("h"), col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h"), col("gram"))
+    val marked = candGrams.join(verified, Seq("h", "gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // islands: windows [pos, pos+L-1] overlap/touch when the next start
+    // is within L of the previous start
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(byDoc) + L), 1L)
+          .otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).as("span_end"),
+        count(lit(1)).as("n_win"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_win"))
+  }
+
+  /** Remove every duplicated span from every doc (the decontamination
+    * direction: no canonical copy is kept — keep-one policies are a
+    * caller-side choice of which doc to exempt). Returns
+    * `(doc_id, text)` with the same row count as `docs`: a doc fully
+    * covered by spans keeps an EMPTY string, not a missing row.
+    *
+    * The rebuild walks each doc's sorted span list once with an
+    * `aggregate` HOF (native, no UDF): accumulator carries the kept
+    * prefix and the next unread position; the finish lambda appends the
+    * tail. Spans are non-overlapping and sorted (guaranteed by [[spans]]),
+    * so every kept segment has non-negative length.
+    */
+  def strip(docs: DataFrame, spanDf: DataFrame,
+            idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val spanArr = spanDf
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e")))).as("sp"))
+    base.join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, col("text")).otherwise(expr(
+          """aggregate(
+            |  sp,
+            |  named_struct('out', '', 'prev', 1),
+            |  (acc, x) -> named_struct(
+            |    'out', concat(acc.out,
+            |             substr(text, acc.prev, x.s - acc.prev)),
+            |    'prev', x.e + 1),
+            |  acc -> concat(acc.out, substr(text, acc.prev))
+            |)""".stripMargin)).as("text"))
+  }
+}

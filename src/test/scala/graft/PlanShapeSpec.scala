@@ -239,4 +239,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.toLowerCase.contains("minhash_sig"),
       s"index signatures recomputed in the probe:\n$p")
   }
+
+  test("d_substr_dedup: corpus-sized shuffles are int-keyed (window hash " +
+      "/ doc_id); gram TEXT is shuffle-keyed only in the candidate-" +
+      "restricted verification stages") {
+    val p = plan("d_substr_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"product join leaked:\n$p")
+    // the L× window blowup must ride int-only exchanges: at least one
+    // exchange keyed by the xxhash64 column alone
+    assert("hashpartitioning\\(h#\\d+L, \\d+\\)".r.findAllIn(p).nonEmpty,
+      s"no int-only hash-stage exchange:\n$p")
+    // gram-text-keyed exchanges exist (verification is real) but stay
+    // bounded — they carry candidates, not the corpus windows
+    val gramKeyed = "hashpartitioning\\([^)]*gram#".r.findAllIn(p).size
+    assert(gramKeyed >= 1 && gramKeyed <= 4,
+      s"$gramKeyed gram-keyed exchanges (expected 1..4):\n$p")
+  }
+
+  test("d_merge_cdc: the merge is ONE full-outer equi join — no product " +
+      "join, payloads travel as structs") {
+    val p = plan("d_merge_cdc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"product join leaked:\n$p")
+    assert(p.contains("FullOuter"), s"full-outer join missing:\n$p")
+    // two input shuffles + the final range exchange for orderBy
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges >= 1 && exchanges <= 3,
+      s"$exchanges shuffles (expected 1..3):\n$p")
+  }
+
+  test("d_sample_weighted: map-only priorities; rn<=20 prunes per-" +
+      "partition (WindowGroupLimit); at most stratum-window + final-sort " +
+      "exchanges") {
+    val p = plan("d_sample_weighted")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-partition top-k pruning missing:\n$p")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges >= 1 && exchanges <= 2,
+      s"$exchanges shuffles (expected 1..2):\n$p")
+  }
 }

@@ -18,6 +18,30 @@ class SparkEntrySpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
 
+  test("no query key is defined by two providers (Map ++ silently keeps " +
+      "the last — a collision would shadow an oracled query)") {
+    val providers: Seq[(String, Map[String, _])] = Seq(
+      "Core" -> queries.CoreQueries.queries,
+      "Operator" -> queries.OperatorQueries.queries,
+      "TrainingData" -> queries.TrainingDataQueries.queries,
+      "Multimodal" -> queries.MultimodalQueries.queries,
+      "Extended" -> queries.ExtendedQueries.queries,
+      "Round4" -> queries.Round4Queries.queries,
+      "Round5" -> queries.Round5Queries.queries,
+      "Round6" -> queries.Round6Queries.queries,
+      "Round7" -> queries.Round7Queries.queries,
+      "Round8" -> queries.Round8Queries.queries,
+      "Round9" -> queries.Round9Queries.queries,
+      "Round10" -> queries.Round10Queries.queries,
+      "Round11" -> queries.Round11Queries.queries)
+    val dupes = providers
+      .flatMap { case (p, m) => m.keys.map(_ -> p) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .map { case (k, ps) => s"$k in ${ps.map(_._2).mkString("+")}" }
+    assert(dupes.isEmpty, s"duplicate query keys: $dupes")
+    assert(providers.map(_._2.size).sum == SparkEntry.queries.size)
+  }
+
   test("q_agg_pricing matches hand-computed group count") {
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
     val li = Tables.load(spark, sfDir, "lineitem")
