@@ -100,6 +100,74 @@ object Round11Queries {
             .as("price_cents"),
           col("o_orderstatus"), col("from_source"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Snapshot delta between two corpus versions: A = ids < 400, B = ids
+    // ≥ 100 with every 5th text revised. Output scales with churn
+    // (unchanged rows omitted) — the release-audit step between crawls.
+    "d_snapshot_diff" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val before = docs.filter(col("doc_id") < 400)
+      val after = docs.filter(col("doc_id") >= 100)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(before, after, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Retrieval quality as oracled DATA: nDCG@10 and MRR of exact
+    // brute-force cosine retrieval, judged by label agreement. The log2
+    // rank discounts are a LITERAL integer table (values fixed at
+    // authoring time, echoed verbatim in the SQL twin) — so the metric
+    // pipeline is pure integer joins/aggregation with zero cross-engine
+    // float risk; the ranking itself reuses the sequential-fold cosine
+    // contract every ANN oracle already pins.
+    "d_retrieval_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val pool = load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val probes = pool.filter(col("vec_id") < 30)
+      val ranked = graft.similarity.Similarity.bruteTopK(
+        probes.select(col("vec_id"), col("embedding")), pool, 10)
+      val disc = Seq(1 -> 1000000L, 2 -> 630930L, 3 -> 500000L,
+        4 -> 430677L, 5 -> 386853L, 6 -> 356207L, 7 -> 333333L,
+        8 -> 315465L, 9 -> 301030L, 10 -> 289065L).toDF("dr", "d_e6")
+      val cum = Seq(1 -> 1000000L, 2 -> 1630930L, 3 -> 2130930L,
+        4 -> 2561607L, 5 -> 2948460L, 6 -> 3304667L, 7 -> 3638000L,
+        8 -> 3953465L, 9 -> 4254495L, 10 -> 4543560L).toDF("cn", "c_e6")
+      val qlab = probes.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))
+      val nlab = pool.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))
+      val rel = ranked
+        .join(broadcast(qlab), Seq("query_id"))
+        .join(broadcast(nlab), Seq("neighbor_id"))
+        .join(broadcast(disc), col("dr") === col("rank"))
+        .groupBy(col("query_id"))
+        .agg(min(when(col("nlabel") === col("qlabel"), col("rank")))
+          .as("first_rel"),
+          sum(when(col("nlabel") === col("qlabel"), col("d_e6"))
+            .otherwise(0L)).as("dcg_e6"))
+      // fresh aliases: qlab and pool share lineage (self-join) — renamed
+      // projections give Spark unambiguous attribute ids
+      val poolRef = pool.select(col("vec_id").as("p_vec"),
+        col("label").as("p_label"))
+      val nrel = qlab.join(poolRef,
+          col("p_label") === col("qlabel") &&
+            col("p_vec") =!= col("query_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(least(count(col("p_vec")), lit(10L)).as("nr"))
+      rel.join(nrel, Seq("query_id"))
+        .join(broadcast(cum), col("cn") === col("nr"), "left")
+        .select(col("query_id"),
+          expr("cast(coalesce(1000000 div first_rel, 0) as bigint)")
+            .as("mrr_ppm"),
+          col("dcg_e6"),
+          expr("cast(coalesce(c_e6, 0) as bigint)").as("idcg_e6"),
+          expr("cast(case when c_e6 is null then 0 " +
+            "else (dcg_e6 * 1000000) div c_e6 end as bigint)")
+            .as("ndcg_ppm"))
+        .orderBy(col("query_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -214,5 +282,69 @@ object Round11Queries {
         |SELECT o_orderkey,
         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
         |  o_orderstatus, from_source
-        |FROM merged ORDER BY o_orderkey""".stripMargin)
+        |FROM merged ORDER BY o_orderkey""".stripMargin,
+    "d_snapshot_diff" ->
+      """WITH a AS (SELECT * FROM documents WHERE doc_id < 400),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id >= 100)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+        |   OR a.text IS DISTINCT FROM b.text
+        |   OR a.lang IS DISTINCT FROM b.lang
+        |   OR a.source IS DISTINCT FROM b.source
+        |   OR a.n_chars IS DISTINCT FROM b.n_chars
+        |ORDER BY doc_id""".stripMargin,
+    "d_retrieval_ndcg" ->
+      """WITH pool AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id < 200),
+        |p AS (
+        |  SELECT vec_id AS query_id, embedding AS qemb, label AS qlabel
+        |  FROM pool WHERE vec_id < 30),
+        |ranked AS (
+        |  SELECT * FROM (
+        |    SELECT p.query_id, p.qlabel, c.vec_id AS neighbor_id,
+        |      c.label AS nlabel,
+        |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |        (list_dot_product(p.qemb, c.embedding) /
+        |         (sqrt(list_dot_product(p.qemb, p.qemb)) *
+        |          sqrt(list_dot_product(c.embedding, c.embedding)))) DESC,
+        |        c.vec_id) AS r
+        |    FROM pool c JOIN p ON c.vec_id <> p.query_id) WHERE r <= 10),
+        |disc(dr, d_e6) AS (VALUES (1,1000000),(2,630930),(3,500000),
+        |  (4,430677),(5,386853),(6,356207),(7,333333),(8,315465),
+        |  (9,301030),(10,289065)),
+        |cum(cn, c_e6) AS (VALUES (1,1000000),(2,1630930),(3,2130930),
+        |  (4,2561607),(5,2948460),(6,3304667),(7,3638000),(8,3953465),
+        |  (9,4254495),(10,4543560)),
+        |rel AS (
+        |  SELECT query_id,
+        |    min(CASE WHEN nlabel = qlabel THEN ranked.r END) AS first_rel,
+        |    CAST(SUM(CASE WHEN nlabel = qlabel THEN d.d_e6 ELSE 0 END)
+        |      AS BIGINT) AS dcg_e6
+        |  FROM ranked JOIN disc d ON d.dr = ranked.r GROUP BY query_id),
+        |nrel AS (
+        |  SELECT p.query_id,
+        |    least(count(*) FILTER (WHERE c.label = p.qlabel), 10) AS nr
+        |  FROM p LEFT JOIN pool c ON c.vec_id <> p.query_id
+        |  GROUP BY p.query_id, p.qlabel)
+        |SELECT rel.query_id,
+        |  CAST(coalesce(1000000 // rel.first_rel, 0) AS BIGINT)
+        |    AS mrr_ppm,
+        |  rel.dcg_e6,
+        |  CAST(coalesce(c.c_e6, 0) AS BIGINT) AS idcg_e6,
+        |  CAST(CASE WHEN c.c_e6 IS NULL THEN 0
+        |       ELSE (rel.dcg_e6 * 1000000) // c.c_e6 END AS BIGINT)
+        |    AS ndcg_ppm
+        |FROM rel JOIN nrel n USING (query_id)
+        |LEFT JOIN cum c ON c.cn = n.nr
+        |ORDER BY query_id""".stripMargin)
 }

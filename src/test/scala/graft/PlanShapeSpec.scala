@@ -269,6 +269,27 @@ class PlanShapeSpec extends SparkTestBase {
       s"$exchanges shuffles (expected 1..3):\n$p")
   }
 
+  test("d_snapshot_diff: one full-outer equi join, churn-only output " +
+      "(no product join, struct-packed payload compare)") {
+    val p = plan("d_snapshot_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"product join leaked:\n$p")
+    assert(p.contains("FullOuter"), s"full-outer join missing:\n$p")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges >= 1 && exchanges <= 3,
+      s"$exchanges shuffles (expected 1..3):\n$p")
+  }
+
+  test("d_retrieval_ndcg: rank cut prunes per-partition; label/discount " +
+      "attaches BROADCAST (corpus-sized work is the scoring pass only)") {
+    val p = plan("d_retrieval_ndcg")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-10 cut must prune per-partition:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"label/discount/cum joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   test("d_sample_weighted: map-only priorities; rn<=20 prunes per-" +
       "partition (WindowGroupLimit); at most stratum-window + final-sort " +
       "exchanges") {
