@@ -168,7 +168,37 @@ object Round11Queries {
             "else (dcg_e6 * 1000000) div c_e6 end as bigint)")
             .as("ndcg_ppm"))
         .orderBy(col("query_id"))
-    }))
+    }),
+
+    // Deterministic epoch shuffle — the training-loader contract: each
+    // epoch reshuffles the corpus into shards with a DIFFERENT but fully
+    // reproducible permutation (draw = md5(epoch, doc_id); shard = draw
+    // mod nShards; order within shard by draw). No RNG state to
+    // checkpoint, any worker can recompute its shard, and engines agree
+    // bit-for-bit. Map-only until one per-(epoch, shard) window.
+    "d_epoch_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(2))).as("ep"))
+        .select(col("ep").cast("long").as("epoch"), col("doc_id"),
+          expr("cast(conv(substring(md5(cast(concat('ep', " +
+            "cast(ep as string), ':', cast(doc_id as string)) as binary" +
+            ")), 1, 15), 16, 10) as bigint)").as("draw"))
+        .withColumn("shard", col("draw") % 8)
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("draw"), col("doc_id"))
+      d.withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    }),
+
+    // Column profiling of the corpus table — single-pass, exact distinct
+    // (the approx path is spec'd plan-level in ProfileSpec).
+    "d_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(load(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))))
 
   def oracleSql: Map[String, String] = Map(
     "d_substr_dedup" ->
@@ -346,5 +376,39 @@ object Round11Queries {
         |    AS ndcg_ppm
         |FROM rel JOIN nrel n USING (query_id)
         |LEFT JOIN cum c ON c.cn = n.nr
-        |ORDER BY query_id""".stripMargin)
+        |ORDER BY query_id""".stripMargin,
+    "d_epoch_shuffle" ->
+      """WITH ep AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+        |d AS (
+        |  SELECT ep.epoch, doc_id,
+        |    CAST(('0x' || substr(md5('ep' || CAST(ep.epoch AS VARCHAR)
+        |      || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      AS draw
+        |  FROM documents CROSS JOIN ep),
+        |s AS (
+        |  SELECT epoch, doc_id, draw, draw % 8 AS shard,
+        |    row_number() OVER (PARTITION BY epoch, draw % 8
+        |      ORDER BY draw, doc_id) AS pos
+        |  FROM d)
+        |SELECT epoch, shard, pos, doc_id FROM s
+        |ORDER BY epoch, shard, pos""".stripMargin,
+    "d_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_null,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_s,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_s
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |  CAST(max(n_chars) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source), min(source), max(source)
+        |FROM documents
+        |ORDER BY col_name""".stripMargin)
 }

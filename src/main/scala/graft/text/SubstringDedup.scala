@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *
   *   1. window→hash pass: map-only `xxhash64` over each sliding window;
   *      only `(h, doc_id, pos)` — 24 bytes/row, never the gram text —
-  *      rides the corpus-sized shuffles. Partial aggregation on
-  *      `(h, doc_id)` dedups within-doc repeats map-side before the
-  *      distinct-doc count.
+  *      rides the corpus-sized shuffles. The distinct-doc count is a
+  *      single `countDistinct` grouped by `h`: one exchange, partial
+  *      distinct inside the h-partitions.
   *   2. candidate restriction: windows whose hash is shared by ≥
   *      `minDocs` docs survive a left-semi join on `h` (ints only).
   *   3. text verification: candidate sites re-derive their gram by
@@ -50,32 +50,42 @@ object SubstringDedup {
     *                boilerplate, not within-doc repetition
     */
   def spans(docs: DataFrame, idCol: String, textCol: String,
-            L: Int, minDocs: Int = 2): DataFrame = {
+            L: Int, minDocs: Int = 2, staged: Boolean = true): DataFrame = {
     require(L >= 2, s"window length L=$L must be >= 2")
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
     // sequence() infers a DESCENDING step when start > stop, so guard the
     // short-doc case explicitly rather than relying on an empty array
-    val sites = base.filter(length(col("text")) >= L)
+    val sites0 = base.filter(length(col("text")) >= L)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (L - 1))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         xxhash64(col("text").substr(col("p"), lit(L))).as("h"))
-    // distinct-doc count per hash; (h, doc_id) pre-group keeps the
-    // count-distinct partial-aggregable (no Expand) and dedups map-side
-    val dupH = sites.select(col("h"), col("doc_id")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    // sites feeds BOTH the dup-hash aggregate and the semi-join probe;
+    // without a staging barrier Catalyst re-runs the explode+hash subtree
+    // for each consumer (same trap as the staged minhash signatures —
+    // same-run A/B at sf0.1: dedup 6.4→5.7s, strip 6.6→5.4s). Eager
+    // localCheckpoint = the write-staging-to-storage step of the 100 TB
+    // run.
+    val sites = if (staged) sites0.localCheckpoint(true) else sites0
+    // single countDistinct groups by (h) in ONE exchange (partial
+    // distinct runs within the h-partitions) — a distinct()-then-count
+    // chain would shuffle twice
+    val dupH = sites.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select(col("h"))
     val candSites = sites.join(dupH, Seq("h"), "left_semi")
     // re-derive gram text for candidates only: one 1× corpus-text shuffle
     // (doc_id equi-join), then exact-text verification within hash groups
-    val candGrams = candSites.join(base, Seq("doc_id"))
+    val candGrams0 = candSites.join(base, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("h"),
         col("text").substr(col("pos"), lit(L)).as("gram"))
-    val verified = candGrams.select(col("h"), col("gram"), col("doc_id"))
-      .distinct()
-      .groupBy(col("h"), col("gram")).agg(count(lit(1)).as("nd"))
+    // candGrams also has two consumers (verify aggregate + mark join)
+    val candGrams = if (staged) candGrams0.localCheckpoint(true)
+                    else candGrams0
+    val verified = candGrams.groupBy(col("h"), col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select(col("h"), col("gram"))
     val marked = candGrams.join(verified, Seq("h", "gram"), "left_semi")
       .select(col("doc_id"), col("pos"))
