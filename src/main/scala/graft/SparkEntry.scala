@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Round8Queries.queries ++
       graft.queries.Round9Queries.queries ++
       graft.queries.Round10Queries.queries ++
-      graft.queries.Round11Queries.queries
+      graft.queries.Round11Queries.queries ++
+      graft.queries.Round12Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Round8Queries.oracleSql ++
       graft.queries.Round9Queries.oracleSql ++
       graft.queries.Round10Queries.oracleSql ++
-      graft.queries.Round11Queries.oracleSql
+      graft.queries.Round11Queries.oracleSql ++
+      graft.queries.Round12Queries.oracleSql
 }

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.operators.Drift
+
+/** Round-12 additions — corpus release hygiene:
+  *
+  *   - distribution DRIFT between snapshots (PSI per feature, integer
+  *     1e-9 units so the float sum is engine-exact) — the check a corpus
+  *     release runs before training on it; [[graft.streaming
+  *     .StreamingDrift]] evaluates the identical contract per ingest
+  *     micro-batch
+  *   - cluster-aware train/eval split: the leakage guard
+  *     `d_split_train_eval` can't give — near-duplicate documents must
+  *     land in the SAME split (an eval doc whose near-twin sits in train
+  *     leaks), so the split key is the dedup CLUSTER label, not the doc
+  */
+object Round12Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PSI drift between the even-doc_id and odd-doc_id halves of the
+    // corpus (deterministic stand-ins for "previous release / candidate
+    // release"). Two features show the one-scan-per-side multi-feature
+    // extraction: categorical lang and a derived length band.
+    "d_drift_psi" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val cur = docs.filter(col("doc_id") % 2 =!= 0)
+      Drift.psi(ref, cur, Seq(
+          "lang" -> col("lang"),
+          "len_band" -> expr("cast(n_chars as bigint) div 100")))
+        .orderBy(col("feature"), col("bucket"))
+    }),
+
+    // Cluster-aware split: assign train/eval by md5 draw on the dedup
+    // cluster label (QueryShared.chainClusterLabels — the same
+    // connected-components labels d_dedup_clusters oracles), so every
+    // member of a near-dup cluster lands in one split. cluster_intact
+    // states that invariant as data: min==max split within the cluster.
+    "d_split_by_cluster" -> ((s, dir) => {
+      val cl = QueryShared.chainClusterLabels(s, dir)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val sp = cl.withColumn("split",
+        when(expr("cast(conv(substring(md5(cast(concat('sp:', " +
+            "cast(cluster as string)) as binary)), 1, 15), 16, 10) " +
+            "as bigint) % 10") < 2,
+          lit("eval")).otherwise(lit("train")))
+      val byCluster = Window.partitionBy(col("cluster"))
+      sp.withColumn("cluster_intact",
+          min(col("split")).over(byCluster) ===
+            max(col("split")).over(byCluster))
+        .orderBy(col("doc_id"))
+    }))
+
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  def oracleSql: Map[String, String] = Map(
+    "d_drift_psi" ->
+      """WITH f AS (
+        |  SELECT doc_id % 2 = 0 AS is_ref, 'lang' AS feature,
+        |    lang AS bucket FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 2 = 0, 'len_band',
+        |    CAST(CAST(n_chars AS BIGINT) // 100 AS VARCHAR)
+        |  FROM documents),
+        |b AS (SELECT feature, bucket,
+        |        count(*) FILTER (is_ref) AS n_ref,
+        |        count(*) FILTER (NOT is_ref) AS n_cur
+        |      FROM f GROUP BY 1, 2),
+        |t AS (
+        |  SELECT feature, bucket, n_ref, n_cur,
+        |    (CAST(n_ref + 1 AS DOUBLE) /
+        |      (SUM(n_ref) OVER (PARTITION BY feature)
+        |        + COUNT(*) OVER (PARTITION BY feature))) AS p,
+        |    (CAST(n_cur + 1 AS DOUBLE) /
+        |      (SUM(n_cur) OVER (PARTITION BY feature)
+        |        + COUNT(*) OVER (PARTITION BY feature))) AS q
+        |  FROM b)
+        |SELECT feature, bucket, n_ref, n_cur,
+        |  CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS psi_e9,
+        |  CAST(SUM(CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT))
+        |    OVER (PARTITION BY feature) AS BIGINT) AS psi_total_e9
+        |FROM t ORDER BY feature, bucket""".stripMargin,
+    "d_split_by_cluster" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |j AS (
+         |  SELECT a.doc_id,
+         |    CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+         |      THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |           / len(list_distinct(a.grams || b.grams))
+         |      ELSE 0 END AS jac
+         |  FROM g a JOIN g b ON b.doc_id = a.doc_id - 1),
+         |flags AS (
+         |  SELECT g.doc_id, COALESCE(j.jac >= 0.005, FALSE) AS linked_prev
+         |  FROM g LEFT JOIN j ON g.doc_id = j.doc_id),
+         |cl AS (
+         |  SELECT doc_id,
+         |    MAX(CASE WHEN NOT linked_prev THEN doc_id END)
+         |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cluster
+         |  FROM flags),
+         |sp AS (
+         |  SELECT doc_id, cluster,
+         |    CASE WHEN CAST(('0x' ||
+         |        substr(md5('sp:' || CAST(cluster AS VARCHAR)), 1, 15))
+         |        AS BIGINT) % 10 < 2 THEN 'eval' ELSE 'train' END AS split
+         |  FROM cl)
+         |SELECT doc_id, cluster, split,
+         |  (MIN(split) OVER (PARTITION BY cluster))
+         |    = (MAX(split) OVER (PARTITION BY cluster)) AS cluster_intact
+         |FROM sp ORDER BY doc_id""".stripMargin)
+}
