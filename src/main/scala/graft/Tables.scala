@@ -13,11 +13,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's
-      // reader; read the raw INT64 nanos and truncate to micros (what
-      // DuckDB's reader does too, so oracles agree).
+      // events.ts encoding varies across testdata generations:
+      //  - TIMESTAMP(NANOS): unsupported by Spark's reader — read the raw
+      //    INT64 nanos (legacy flag) and truncate to micros (what DuckDB's
+      //    reader does too, so oracles agree);
+      //  - timestamp[us] (no tz): Spark reads TIMESTAMP_NTZ — cast to the
+      //    session-tz TIMESTAMP (session tz is pinned UTC everywhere, so
+      //    wall-clock == instant and epoch math matches DuckDB's epoch()).
+      // Branch on the loaded dtype so either generation works unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
