@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
   *
   *   1. window→hash pass: map-only `xxhash64` over each sliding window;
   *      only `(h, doc_id, pos)` — 24 bytes/row, never the gram text —
-  *      rides the corpus-sized shuffles. The distinct-doc count is a
-  *      single `countDistinct` grouped by `h`: one exchange, partial
-  *      distinct inside the h-partitions.
-  *   2. candidate restriction: windows whose hash is shared by ≥
-  *      `minDocs` docs survive a left-semi join on `h` (ints only).
+  *      rides the corpus-sized shuffles.
+  *   2. candidate restriction: the distinct-doc count per hash is a pair
+  *      of window functions (`max(dense_rank)` over the h-partition), so
+  *      restriction costs ONE exchange and consumes the site table once
+  *      — no aggregate + semi-join back, no staging barrier.
   *   3. text verification: candidate sites re-derive their gram by
   *      re-attaching the doc text (ONE corpus-text shuffle, 1× bytes,
   *      hash-partitioned on doc_id — not the L× window blowup) and
@@ -50,44 +50,59 @@ object SubstringDedup {
     *                boilerplate, not within-doc repetition
     */
   def spans(docs: DataFrame, idCol: String, textCol: String,
-            L: Int, minDocs: Int = 2, staged: Boolean = true): DataFrame = {
+            L: Int, minDocs: Int = 2): DataFrame = {
     require(L >= 2, s"window length L=$L must be >= 2")
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+    val base0 = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
+    // The window explode inflates work ~L× per input byte, so it must not
+    // inherit a coarse scan partitioning (a single-row-group parquet file
+    // scans as ONE task and the whole hash pass runs on one core). When
+    // the input has fewer partitions than the cluster, spread it by
+    // doc_id first: the 1× text shuffle amortizes against the L× compute,
+    // and hash-partitioning on doc_id is the distribution the candidate
+    // re-attach join needs anyway. At real scale (thousands of splits)
+    // this branch is a no-op.
+    val targetPar = docs.sparkSession.sparkContext.defaultParallelism
+    val base = if (base0.rdd.getNumPartitions < targetPar)
+      base0.repartition(targetPar, col("doc_id")) else base0
     // sequence() infers a DESCENDING step when start > stop, so guard the
     // short-doc case explicitly rather than relying on an empty array
-    val sites0 = base.filter(length(col("text")) >= L)
+    val sites = base.filter(length(col("text")) >= L)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (L - 1))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         xxhash64(col("text").substr(col("p"), lit(L))).as("h"))
-    // sites feeds BOTH the dup-hash aggregate and the semi-join probe;
-    // without a staging barrier Catalyst re-runs the explode+hash subtree
-    // for each consumer (same trap as the staged minhash signatures —
-    // same-run A/B at sf0.1: dedup 6.4→5.7s, strip 6.6→5.4s). Eager
-    // localCheckpoint = the write-staging-to-storage step of the 100 TB
-    // run.
-    val sites = if (staged) sites0.localCheckpoint(true) else sites0
-    // single countDistinct groups by (h) in ONE exchange (partial
-    // distinct runs within the h-partitions) — a distinct()-then-count
-    // chain would shuffle twice
-    val dupH = sites.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("h"))
-    val candSites = sites.join(dupH, Seq("h"), "left_semi")
+    // Distinct-doc count per hash as WINDOW functions, not an aggregate
+    // plus a semi-join back: dense_rank over (h ↦ doc_id) numbers the
+    // distinct docs within each hash group and its partition-wide max is
+    // the distinct count — ONE exchange, and `sites` has a single
+    // consumer, so no staging barrier is needed (the agg+join-back form
+    // consumed sites twice, forcing an eager localCheckpoint, and paid
+    // two more full-width exchanges for the aggregate and the join
+    // probe; same-run A/B at sf0.1: dedup 4.4→3.2s, strip 4.1→2.8s —
+    // 6.1s/5.6s before the pre-explode repartition above).
+    // Skew note: a WindowExec group = all sites of one gram hash, held in
+    // a spillable buffer; the agg+join form carried the same hot-hash
+    // exposure on its join probe side.
+    val byH = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val candSites = sites
+      .withColumn("nd", max(dense_rank().over(byH)).over(
+        Window.partitionBy(col("h"))))
+      .filter(col("nd") >= minDocs).drop("nd")
     // re-derive gram text for candidates only: one 1× corpus-text shuffle
-    // (doc_id equi-join), then exact-text verification within hash groups
-    val candGrams0 = candSites.join(base, Seq("doc_id"))
+    // (doc_id equi-join), then exact-text verification within (hash, gram)
+    // groups — the same single-exchange window shape, so a hash collision
+    // can never mark a span and nothing is consumed twice
+    val candGrams = candSites.join(base, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("h"),
         col("text").substr(col("pos"), lit(L)).as("gram"))
-    // candGrams also has two consumers (verify aggregate + mark join)
-    val candGrams = if (staged) candGrams0.localCheckpoint(true)
-                    else candGrams0
-    val verified = candGrams.groupBy(col("h"), col("gram"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("h"), col("gram"))
-    val marked = candGrams.join(verified, Seq("h", "gram"), "left_semi")
+    val byHG = Window.partitionBy(col("h"), col("gram"))
+      .orderBy(col("doc_id"))
+    val marked = candGrams
+      .withColumn("nd", max(dense_rank().over(byHG)).over(
+        Window.partitionBy(col("h"), col("gram"))))
+      .filter(col("nd") >= minDocs)
       .select(col("doc_id"), col("pos"))
     // islands: windows [pos, pos+L-1] overlap/touch when the next start
     // is within L of the previous start
