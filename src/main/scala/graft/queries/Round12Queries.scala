@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.load
 import graft.operators.Drift
+import graft.text.BpeTrain
 
 /** Round-12 additions — corpus release hygiene:
   *
@@ -18,8 +19,17 @@ import graft.operators.Drift
   *     `d_split_train_eval` can't give — near-duplicate documents must
   *     land in the SAME split (an eval doc whose near-twin sits in train
   *     leaks), so the split key is the dedup CLUSTER label, not the doc
+  *   - BPE merge training + tokenization ([[graft.text.BpeTrain]]): the
+  *     tokenizer-training shape, oracled by UNROLLING the k merge rounds
+  *     as generated chained CTEs (the PageRank oracle technique applied
+  *     to an argmax-per-round loop)
   */
 object Round12Queries {
+
+  /** Merge rounds for the BPE queries — enough for multi-char merges to
+    * emerge (incl. marker merges) while the generated oracle stays
+    * readable. */
+  private val BpeK = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -55,11 +65,82 @@ object Round12Queries {
           min(col("split")).over(byCluster) ===
             max(col("split")).over(byCluster))
         .orderBy(col("doc_id"))
+    }),
+
+    // Learn the first BpeK merges from the corpus. The corpus-sized work
+    // is one distributed word count; the merge loop runs on the
+    // vocabulary-sized frequency table (see BpeTrain's scale notes).
+    "d_bpe_train" -> ((s, dir) =>
+      BpeTrain.merges(load(s, dir, "documents"), "text", BpeK)
+        .orderBy(col("rank"))),
+
+    // Tokenize the corpus with the learned merges and emit the token
+    // histogram — the "what did the tokenizer learn" readout.
+    "d_bpe_tokens" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      BpeTrain.tokenize(docs, "text", BpeTrain.merges(docs, "text", BpeK))
+        .orderBy(col("token"))
     }))
 
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** The BPE merge chain as DuckDB CTEs, generated for [[BpeK]] rounds:
+    * w0 is the word-frequency table with space-delimited symbol strings;
+    * each round r derives pair counts (p_r), the argmax merge (b_r, ties
+    * by pair string — the same (cnt DESC, pair ASC) the Spark side
+    * collects), and the post-merge table (w_{r+1}) via the identical
+    * doubled-delimiter left-to-right replace. Both engines state the
+    * SAME arithmetic, so the compare is exact. */
+  private def bpeChain(k: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so each
+    // round's reference to the previous round would RE-EVALUATE the whole
+    // chain (per row, via the argmax reference) — measured 511s for k=8
+    // at sf0.01 vs 0.5s materialized. The argmax joins in as a 1-row
+    // cross join rather than scalar subqueries for the same reason.
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym
+       |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
+       |  GROUP BY word)""".stripMargin
+    for (r <- 0 until k) {
+      sb ++= s""",
+       |p$r AS MATERIALIZED (
+       |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(list_transform(
+       |        range(1, len(string_split(sym, ' '))),
+       |        i -> string_split(sym, ' ')[i] || ' ' ||
+       |             string_split(sym, ' ')[i+1])) AS p
+       |    FROM w$r) GROUP BY p),
+       |b$r AS MATERIALIZED (
+       |  SELECT CAST(${r + 1} AS BIGINT) AS rank, p AS pair,
+       |    replace(p, ' ', '') AS merged, cnt AS freq
+       |  FROM p$r ORDER BY cnt DESC, p ASC LIMIT 1),
+       |w${r + 1} AS MATERIALIZED (
+       |  SELECT w.word, w.freq,
+       |    trim(regexp_replace(replace(
+       |      ' ' || replace(w.sym, ' ', '  ') || ' ',
+       |      ' ' || replace(b.pair, ' ', '  ') || ' ',
+       |      ' ' || b.merged || ' '),
+       |      ' +', ' ', 'g')) AS sym
+       |  FROM w$r w, b$r b)""".stripMargin
+    }
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "d_bpe_train" -> (bpeChain(BpeK) + "\n" +
+      (0 until BpeK).map(r => s"SELECT * FROM b$r")
+        .mkString(" UNION ALL ") + " ORDER BY rank"),
+
+    "d_bpe_tokens" -> (bpeChain(BpeK) +
+      s"""
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n
+       |FROM (SELECT freq, unnest(string_split(sym, ' ')) AS token
+       |      FROM w$BpeK)
+       |GROUP BY token ORDER BY token""".stripMargin),
+
     "d_drift_psi" ->
       """WITH f AS (
         |  SELECT doc_id % 2 = 0 AS is_ref, 'lang' AS feature,

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BpeTrainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(texts: String*) = texts.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private def mergeRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  test("hand-computed merges: left-to-right application and " +
+      "space-before-letter tie-break") {
+    // one word "aaa": sym 'a a a </w>' — pairs (a,a)x2, (a,</w>)x1.
+    // r1 picks (a,a) cnt 2; L-to-R apply gives 'aa a </w>' (NOT 'a aa').
+    // r2: pairs (aa,a),(a,</w>) cnt 1 each; tie-break on pair string:
+    // 'a </w>' < 'aa a' (space sorts before 'a') so (a,</w>) merges.
+    // r3: (aa,a</w>) is the only pair left.
+    val got = mergeRows(BpeTrain.merges(docs("aaa"), "text", 3))
+    assert(got == Seq(
+      (1L, "a a", "aa", 2L),
+      (2L, "a </w>", "a</w>", 1L),
+      (3L, "aa a</w>", "aaa</w>", 1L)), got.toString)
+  }
+
+  test("pair counts weight by word frequency across docs") {
+    // "ab" x3 (one doc has it twice), "ba" x1:
+    // pairs: (a,b)=3, (b,</w>)=3, (b,a)=1, (a,</w>)=1 — the 3-3 tie
+    // breaks to 'a b' (pair string ascending)
+    val got = mergeRows(BpeTrain.merges(docs("ab ab ba", "ab"), "text", 1))
+    assert(got == Seq((1L, "a b", "ab", 3L)), got.toString)
+  }
+
+  test("early stop when fully merged") {
+    // single word of one char: 'a </w>' merges once, then nothing left
+    val got = mergeRows(BpeTrain.merges(docs("a a a"), "text", 5))
+    assert(got == Seq((1L, "a </w>", "a</w>", 3L)), got.toString)
+  }
+
+  test("tokenize conservation laws on the synthetic corpus") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val merges = BpeTrain.merges(d, "text", 6)
+    assert(merges.count() == 6)
+    val toks = BpeTrain.tokenize(d, "text", merges)
+    // every word instance ends in exactly one marker-bearing token
+    val words = d.select(explode(TextOps.tokens(col("text"))).as("w"))
+    val nWords = words.count()
+    val markerToks = toks.filter(col("token").contains("</w>"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(markerToks == nWords, s"$markerToks != $nWords")
+    // character conservation: sum(n * len(token)) == sum over words of
+    // len(word) + 4 (the '</w>' marker)
+    val lhs = toks.agg(sum(col("n") * length(col("token"))))
+      .collect()(0).getLong(0)
+    val rhs = words.agg(sum(length(col("w")) + 4)).collect()(0).getLong(0)
+    assert(lhs == rhs, s"$lhs != $rhs")
+  }
+
+  test("k bound rejects") {
+    intercept[IllegalArgumentException](
+      BpeTrain.merges(docs("ab"), "text", 0))
+  }
+}
