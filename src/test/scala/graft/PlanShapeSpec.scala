@@ -300,4 +300,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges >= 1 && exchanges <= 2,
       s"$exchanges shuffles (expected 1..2):\n$p")
   }
+
+  test("d_substr_dedup: windowed distinct-doc counting leaves NO staging " +
+      "barrier (no ExistingRDD) and stays within the designed exchange " +
+      "budget") {
+    val p = plan("d_substr_dedup")
+    // the agg+semi-join-back form needed eager localCheckpoints, which
+    // plan as ExistingRDD scans and sever pushdown/pruning across the
+    // barrier — the window form must not reintroduce them
+    assert(!p.contains("ExistingRDD"), s"staging barrier reappeared:\n$p")
+    // 2 pre-explode spreads + h window + (h,gram) window + doc_id islands
+    // + final range sort
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 6, s"$exchanges shuffles (expected <= 6):\n$p")
+  }
+
+  test("d_bpe_tokens: scan prunes to text only; word count and token " +
+      "histogram both partial-aggregate; the k-merge fold stays one " +
+      "codegen'd expression (no UDF)") {
+    val p = plan("d_bpe_tokens")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"scan must prune to the text column:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size == 4,
+      s"expected 2 two-phase aggregations:\n$p")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges == 3, s"$exchanges shuffles (expected 3):\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      s"merge fold fell out of codegen:\n$p")
+  }
 }
