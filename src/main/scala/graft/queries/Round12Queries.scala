@@ -23,6 +23,9 @@ import graft.text.BpeTrain
   *     tokenizer-training shape, oracled by UNROLLING the k merge rounds
   *     as generated chained CTEs (the PageRank oracle technique applied
   *     to an argmax-per-round loop)
+  *   - corpus-trained bigram-LM document scoring ([[graft.text
+  *     .NgramLm]]): the model-based quality gate (CCNet shape), integer-
+  *     exact except the per-transition round(ln·1e6)
   */
 object Round12Queries {
 
@@ -80,7 +83,14 @@ object Round12Queries {
       val docs = load(s, dir, "documents")
       BpeTrain.tokenize(docs, "text", BpeTrain.merges(docs, "text", BpeK))
         .orderBy(col("token"))
-    }))
+    }),
+
+    // Score every doc under a corpus-trained Laplace bigram LM — the
+    // model-based quality gate (CCNet shape) with integer-exact sums;
+    // only the per-transition round(ln·1e6) touches floats.
+    "d_lm_score" -> ((s, dir) =>
+      graft.text.NgramLm.score(load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))))
 
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -129,6 +139,32 @@ object Round12Queries {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "d_lm_score" ->
+      s"""WITH tr AS MATERIALIZED (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents),
+         |    UNNEST(range(1, len(t))) AS u(i)),
+         |bg AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+         |  FROM tr GROUP BY w1, w2),
+         |cx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM bg
+         |       GROUP BY w1),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
+         |       (SELECT unnest($tokensSql) AS w FROM documents)),
+         |sc AS (
+         |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+         |    CAST(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE)
+         |      / (cw + v)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_logp_e6
+         |  FROM tr JOIN bg USING (w1, w2) JOIN cx USING (w1), vv
+         |  GROUP BY tr.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_trans, 0) AS n_trans,
+         |  COALESCE(sum_logp_e6, 0) AS sum_logp_e6,
+         |  CASE WHEN COALESCE(n_trans, 0) = 0 THEN 0
+         |    ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d_bpe_train" -> (bpeChain(BpeK) + "\n" +
       (0 until BpeK).map(r => s"SELECT * FROM b$r")
