@@ -90,7 +90,36 @@ object Round12Queries {
     // only the per-transition round(ln·1e6) touches floats.
     "d_lm_score" -> ((s, dir) =>
       graft.text.NgramLm.score(load(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // Temperature-scaled source mixing (α = 0.5): keep-rate ∝ 1/√T_s
+    // normalized so the smallest source keeps everything — the standard
+    // knob BETWEEN d_mix_sources' full flattening and no resampling.
+    // Integer-exact: the only float step is sqrt (correctly rounded IEEE
+    // in both engines), immediately integerized to s_x =
+    // round(√T_x · 1e6); the per-doc gate v·s_s < s_min·65536 and the
+    // reported rate are pure integer arithmetic on those.
+    "d_mix_temperature" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.text.TextOps.tokenCountWs(col("text")).cast("long")
+            .as("tok"))
+      val totals = docs.groupBy(col("source"))
+        .agg(sum(col("tok")).as("t_s"))
+        .withColumn("s_s",
+          round(sqrt(col("t_s").cast("double")) * 1e6).cast("long"))
+      val smin = totals.agg(min(col("s_s")).as("s_min"))
+      val v = conv(substring(md5(
+        concat(lit("temp:"), col("doc_id").cast("string")).cast("binary")),
+        1, 4), 16, 10).cast("long")
+      docs.join(broadcast(totals), "source")
+        .crossJoin(broadcast(smin))
+        .filter(v * col("s_s") < col("s_min") * 65536L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tok_kept"),
+          max(expr("(s_min * 1000000) div s_s")).as("r_ppm"))
+        .orderBy(col("source"))
+    }))
 
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -165,6 +194,28 @@ object Round12Queries {
          |    ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "d_mix_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |t AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS t_s
+        |      FROM d GROUP BY 1),
+        |w AS (SELECT source, t_s,
+        |        CAST(round(sqrt(CAST(t_s AS DOUBLE)) * 1e6) AS BIGINT)
+        |          AS s_s FROM t),
+        |m AS (SELECT MIN(s_s) AS s_min FROM w),
+        |k AS (
+        |  SELECT d.source, d.tok, w.s_s, m.s_min,
+        |    CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 4)) AS BIGINT) AS v
+        |  FROM d JOIN w USING (source), m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(tok) AS BIGINT) AS tok_kept,
+        |  CAST(max((s_min * 1000000) // s_s) AS BIGINT) AS r_ppm
+        |FROM k WHERE v * s_s < s_min * 65536
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "d_bpe_train" -> (bpeChain(BpeK) + "\n" +
       (0 until BpeK).map(r => s"SELECT * FROM b$r")
