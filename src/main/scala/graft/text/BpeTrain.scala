@@ -94,33 +94,56 @@ object BpeTrain {
         StructField("freq", LongType, nullable = false))))
   }
 
-  /** Tokenize `docs` with a learned merge table: apply the merges in
-    * rank order to each word and count the resulting corpus tokens per
-    * symbol. Returns `(token, n)` — the post-BPE token histogram, the
-    * "what did the tokenizer learn" readout. Merge application is the
-    * same doubled-delimiter replace chain as training, folded over the
-    * (small, broadcast-collected) merge list inside one map-only pass —
-    * the corpus shuffles once for the final histogram aggregation.
-    */
-  def tokenize(docs: DataFrame, textCol: String,
-               mergeTable: DataFrame): DataFrame = {
-    // merge tables are k rows by construction — driver-collect is the
-    // broadcast-a-dictionary pattern, not a data collect
-    val ms = mergeTable.orderBy(col("rank")).collect()
-      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
-    val words = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val sym0 = concat(regexp_replace(col("word"), "(.)", "$1 "),
-      lit("</w>"))
-    val symN = ms.foldLeft(sym0) { case (s, (pair, merged)) =>
+  /** The merge-application expression: fold the (k-row, driver-collected)
+    * merge list over a word column as one codegen'd replace chain — the
+    * same doubled-delimiter left-to-right semantics as training. */
+  private def applyExpr(word: org.apache.spark.sql.Column,
+                        ms: Seq[(String, String)]) = {
+    val sym0 = concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
+    ms.foldLeft(sym0) { case (s, (pair, merged)) =>
       trim(regexp_replace(
         replace(concat(lit(" "), regexp_replace(s, " ", "  "), lit(" ")),
           lit(" " + pair.replace(" ", "  ") + " "),
           lit(" " + merged + " ")),
         " +", " "))
     }
-    words.select(col("freq"), explode(split(symN, " ")).as("token"))
+  }
+
+  /** Collect a merge table to the (pair, merged) list in rank order —
+    * k rows by construction: the broadcast-a-dictionary pattern, not a
+    * data collect. */
+  def collectMerges(mergeTable: DataFrame): Seq[(String, String)] =
+    mergeTable.orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
+      .toSeq
+
+  /** Apply a learned merge table to every doc: `(doc_id, tokens)` with
+    * the per-doc BPE token sequence in order — the serving-side shape
+    * (training examples want sequences, not histograms). MAP-ONLY: the
+    * merge fold runs in-row per word; no shuffle at all.
+    */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+                  mergeTable: DataFrame): DataFrame = {
+    val ms = collectMerges(mergeTable)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      flatten(transform(TextOps.tokens(col(textCol)),
+        w => split(applyExpr(w, ms), " "))).as("tokens"))
+  }
+
+  /** Tokenize `docs` with a learned merge table: apply the merges in
+    * rank order to each word and count the resulting corpus tokens per
+    * symbol. Returns `(token, n)` — the post-BPE token histogram, the
+    * "what did the tokenizer learn" readout. The corpus shuffles once
+    * for the word count and once for the histogram aggregation.
+    */
+  def tokenize(docs: DataFrame, textCol: String,
+               mergeTable: DataFrame): DataFrame = {
+    val ms = collectMerges(mergeTable)
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words.select(col("freq"),
+        explode(split(applyExpr(col("word"), ms), " ")).as("token"))
       .groupBy(col("token")).agg(sum(col("freq")).as("n"))
   }
 }
