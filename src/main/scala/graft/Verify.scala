@@ -15,13 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Run queries on a small thread pool: each query is mostly fixed
+    // job-submission overhead at gate SF, so 4-way submission ~4×'s the
+    // gate wall-clock (Spark schedules concurrent jobs fairly within one
+    // session). Failures stay isolated per query and loud on stderr;
+    // deterministic name order keeps any truncation visible as a tail.
+    // Safe w.r.t. the SQL-surface queries' fixed-name temp views: every
+    // registration within one run binds the same (dir, table) plan, so
+    // concurrent re-registers are idempotent. (Do NOT reuse this pool
+    // pattern across DIFFERENT dirs in one JVM.)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
