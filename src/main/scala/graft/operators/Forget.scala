@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deletion propagation ("right to be forgotten"): remove a set of
+  * document ids from the primary corpus AND every derived artifact
+  * (chunk tables, embedding indexes, gram/dedup indexes, …), and emit a
+  * verification MANIFEST as data — per artifact, how many rows existed,
+  * were removed, and remain. Compliance wants the receipt, not just the
+  * side effect; making the manifest a DataFrame keeps it queryable and
+  * oracle-checkable like any other output.
+  *
+  * Scale design: the deletion list is broadcast (deletion batches are
+  * small by nature); each artifact is scanned ONCE — a left join against
+  * the broadcast list yields the removed-flag, from which the cleaned
+  * rows (filter) and the manifest counts (aggregate) both derive. No
+  * artifact shuffles; the manifest is a per-artifact 1-row aggregate
+  * unioned across artifacts.
+  */
+object Forget {
+
+  /** Clean one artifact: rows whose `idCol` is NOT in `deletions`. */
+  def clean(artifact: DataFrame, idCol: String,
+            deletions: DataFrame): DataFrame = {
+    // artifacts commonly name their id column doc_id too — rename the
+    // deletion side so the join condition can never be ambiguous
+    val dels = deletions.select(col("doc_id").as("_forget_id"))
+    artifact.join(broadcast(dels),
+      artifact(idCol) === col("_forget_id"), "left_anti")
+  }
+
+  /** Verification manifest over artifacts: one row per artifact with
+    * `(artifact, n_before, n_removed, n_after)`.
+    *
+    * @param artifacts (name, df, idCol) triples; idCol joins against
+    *   `deletions.doc_id`
+    */
+  def manifest(deletions: DataFrame,
+               artifacts: Seq[(String, DataFrame, String)]): DataFrame = {
+    val dels = deletions.select(col("doc_id").as("_forget_id")).distinct()
+      .withColumn("_del", lit(1L))
+    artifacts.map { case (name, df, idCol) =>
+      df.join(broadcast(dels), df(idCol) === dels("_forget_id"), "left")
+        .agg(count(lit(1)).as("n_before"),
+          coalesce(sum(col("_del")), lit(0L)).as("n_removed"))
+        .select(lit(name).as("artifact"), col("n_before"),
+          col("n_removed"),
+          (col("n_before") - col("n_removed")).as("n_after"))
+    }.reduce(_ unionAll _)
+  }
+}

@@ -99,6 +99,34 @@ object Round12Queries {
     // in both engines), immediately integerized to s_x =
     // round(√T_x · 1e6); the per-doc gate v·s_s < s_min·65536 and the
     // reported rate are pure integer arithmetic on those.
+    // Deletion propagation with a verification MANIFEST: remove the
+    // (deterministic stand-in) deletion list from the corpus and every
+    // derived artifact — chunk table, gram index, embedding set — and
+    // emit the per-artifact receipt as data. Grams are STRINGS here (not
+    // 64-bit hashes) so the oracle states exact set semantics.
+    "d_forget" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val dels = docs.filter(col("doc_id") % 37 === 0).select("doc_id")
+      val t = graft.text.TextOps.tokens(col("text"))
+      val toks = docs.select(col("doc_id"), t.as("t"))
+      val chunks = toks.select(col("doc_id"),
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+          lit(40))).as("start"))
+      val grams = toks.select(col("doc_id"),
+        explode(when(size(col("t")) >= 3, array_distinct(
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      graft.operators.Forget.manifest(dels, Seq(
+          ("documents", docs, "doc_id"),
+          ("chunks", chunks, "doc_id"),
+          ("gram_index", grams, "doc_id"),
+          ("embeddings", load(s, dir, "embeddings"), "vec_id")))
+        .orderBy(col("artifact"))
+    }),
+
     "d_mix_temperature" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -194,6 +222,30 @@ object Round12Queries {
          |    ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "d_forget" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |ch AS (SELECT doc_id,
+         |  unnest(range(0, greatest(len(t) - 1, 0) + 1, 40)) AS start
+         |  FROM t),
+         |gr AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) < 3 THEN []
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS g
+         |  FROM t),
+         |m AS (
+         |  SELECT 'documents' AS artifact, count(*) AS n_before,
+         |    count(*) FILTER (doc_id % 37 = 0) AS n_removed FROM documents
+         |  UNION ALL SELECT 'chunks', count(*),
+         |    count(*) FILTER (doc_id % 37 = 0) FROM ch
+         |  UNION ALL SELECT 'gram_index', count(*),
+         |    count(*) FILTER (doc_id % 37 = 0) FROM gr
+         |  UNION ALL SELECT 'embeddings', count(*),
+         |    count(*) FILTER (vec_id % 37 = 0) FROM embeddings)
+         |SELECT artifact, CAST(n_before AS BIGINT) AS n_before,
+         |  CAST(n_removed AS BIGINT) AS n_removed,
+         |  CAST(n_before - n_removed AS BIGINT) AS n_after
+         |FROM m ORDER BY artifact""".stripMargin,
 
     "d_mix_temperature" ->
       """WITH d AS (
