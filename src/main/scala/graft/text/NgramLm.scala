@@ -55,8 +55,13 @@ object NgramLm {
     */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tr = transitions(docs, idCol, textCol)
+    // bigrams feeds BOTH the score join and the context aggregation;
+    // stage it (eager localCheckpoint — the model-table write of a real
+    // pipeline) or Catalyst re-runs the corpus count once per consumer.
+    // The checkpoint is vocabulary-sized, the saved re-scan corpus-sized.
     val bigrams = tr.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // context counts from the (vocabulary-sized) bigram table — not a
     // second pass over the corpus
     val ctx = bigrams.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
