@@ -66,4 +66,17 @@ class BpeTrainSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       BpeTrain.merges(docs("ab"), "text", 0))
   }
+
+  test("merges are partition-invariant (argmax + tie-break see the " +
+      "same global counts regardless of layout)") {
+    val d = graft.Tables.load(spark, sfDir, "documents").limit(200)
+    val a = mergeRows(BpeTrain.merges(d, "text", 4))
+    val b = mergeRows(BpeTrain.merges(d.repartition(7), "text", 4))
+    assert(a == b, s"$a != $b")
+  }
+
+  test("tokenless corpus trains zero merges") {
+    val got = BpeTrain.merges(docs("!!!", "???"), "text", 3).collect()
+    assert(got.isEmpty)
+  }
 }
