@@ -68,6 +68,20 @@ object NgramLm {
     val vocab = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
+    scoreWith(docs, idCol, textCol, bigrams, ctx, vocab)
+  }
+
+  /** Score docs under an ALREADY-TRAINED model — the serve-many half
+    * (train on the corpus once with [[score]]'s internals or persist
+    * the tables; score any doc set, including streams, against them).
+    * Unseen transitions join away exactly as in training-corpus scoring:
+    * a transition absent from `bigrams` contributes nothing (the
+    * training-corpus contract; smoothing covers seen-context novelty).
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                bigrams: DataFrame, ctx: DataFrame,
+                vocab: DataFrame): DataFrame = {
+    val tr = transitions(docs, idCol, textCol)
     val scored = tr
       .join(bigrams, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))
@@ -90,5 +104,17 @@ object NgramLm {
           // re-apply the sign so both state the same truncation
           .otherwise(expr("-((-sum_logp_e6) div n_trans)"))
           .as("avg_logp_e6"))
+  }
+
+  /** The trained model as three tables `(bigrams, ctx, vocab)` — the
+    * persist-and-serve artifact set for [[scoreWith]]. */
+  def fit(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bigrams = train(docs, idCol, textCol).localCheckpoint(true)
+    val ctx = bigrams.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    (bigrams, ctx, vocab)
   }
 }

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.text.NgramLm
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming LM score must be the batch `scoreWith` verbatim per
+  * micro-batch under a model trained once. */
+class StreamingLmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("per-batch scores == batch scoreWith under the same trained " +
+      "model, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val (bigrams, ctx, vocab) = NgramLm.fit(corpus, "doc_id", "text")
+
+    val docs = corpus.filter(col("doc_id") < 24).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingLm.serveScore(
+      mem.toDF().toDF("doc_id", "text"), bigrams, ctx, vocab) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      docs.grouped(10).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchRef = NgramLm.scoreWith(corpus.filter(col("doc_id") < 24),
+      "doc_id", "text", bigrams, ctx, vocab).collect()
+    def keyed(rows: Seq[Row]): Map[Long, (Long, Long, Long)] =
+      rows.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef.toSeq),
+      "streamed scores diverged from the batch plan")
+    assert(collected.size == 24)
+  }
+
+  test("self-trained score() == fit() + scoreWith() on the same corpus") {
+    val corpus = graft.Tables.load(spark, sfDir, "documents")
+      .limit(100).localCheckpoint(true)
+    val (bigrams, ctx, vocab) = NgramLm.fit(corpus, "doc_id", "text")
+    val a = NgramLm.score(corpus, "doc_id", "text")
+    val b = NgramLm.scoreWith(corpus, "doc_id", "text", bigrams, ctx,
+      vocab)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "score and fit+scoreWith disagree")
+  }
+}
