@@ -41,6 +41,22 @@ object TrainedState {
   def loadCodebooks(spark: SparkSession, path: String): DataFrame =
     load(spark, codebookSchema, path)
 
+  val mergeSchema: StructType = StructType(Seq(
+    StructField("rank", LongType, nullable = false),
+    StructField("pair", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("freq", LongType, nullable = false)))
+
+  /** Persist [[graft.text.BpeTrain.merges]] output — the tokenizer's
+    * trained artifact (k rows), served by
+    * [[graft.streaming.StreamingTokenize.serveBpe]]. */
+  def saveMerges(mergeTable: DataFrame, path: String): Unit =
+    save(mergeTable, mergeSchema, path)
+
+  /** Load a merge table for [[graft.text.BpeTrain.applyMerges]]. */
+  def loadMerges(spark: SparkSession, path: String): DataFrame =
+    load(spark, mergeSchema, path)
+
   private def save(df: DataFrame, schema: StructType, path: String): Unit = {
     val cols = schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))

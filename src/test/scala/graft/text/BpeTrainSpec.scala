@@ -79,4 +79,29 @@ class BpeTrainSpec extends SparkTestBase {
     val got = BpeTrain.merges(docs("!!!", "???"), "text", 3).collect()
     assert(got.isEmpty)
   }
+
+  test("merge table persists and serves through TrainedState (train " +
+      "once, tokenize from disk)") {
+    val d = graft.Tables.load(spark, sfDir, "documents").limit(200)
+      .localCheckpoint(true)
+    val merges = BpeTrain.merges(d, "text", 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe")
+      .toString
+    graft.similarity.TrainedState.saveMerges(merges, dir + "/m")
+    val loaded = graft.similarity.TrainedState.loadMerges(spark,
+      dir + "/m")
+    assert(mergeRows(loaded) == mergeRows(merges),
+      "merge table changed through the parquet round-trip")
+    val a = BpeTrain.tokenize(d, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = BpeTrain.tokenize(d, "text", loaded).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "tokenizing from the persisted table diverged")
+    // schema validation fails fast on a mis-pointed path
+    d.limit(3).write.parquet(dir + "/junk")
+    val e = intercept[IllegalArgumentException] {
+      graft.similarity.TrainedState.loadMerges(spark, dir + "/junk")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
 }
