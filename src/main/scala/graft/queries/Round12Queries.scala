@@ -99,6 +99,22 @@ object Round12Queries {
     // in both engines), immediately integerized to s_x =
     // round(√T_x · 1e6); the per-doc gate v·s_s < s_min·65536 and the
     // reported rate are pure integer arithmetic on those.
+    // Delivery-shard manifest: deterministic md5 shard assignment (the
+    // engine-portable convention — no RNG, no engine hash) with per-
+    // shard doc and token counts; operators.Export.jsonlShards writes
+    // the matching artifact.
+    "d_export_shards" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextOps.tokenCountWs(col("text")).cast("long")
+            .as("tok"))
+      docs.withColumn("shard",
+          graft.operators.Export.shardOf(col("doc_id"), 8))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     // Deletion propagation with a verification MANIFEST: remove the
     // (deterministic stand-in) deletion list from the corpus and every
     // derived artifact — chunk table, gram index, embedding set — and
@@ -222,6 +238,14 @@ object Round12Queries {
          |    ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "d_export_shards" ->
+      """SELECT CAST(('0x' || substr(md5('shard:' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_forget" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS t FROM documents),
