@@ -65,18 +65,32 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Repeat each query REPS times and report the MEDIAN: the shared
+    // sandbox shows 3-8× per-query swings on UNCHANGED code (co-tenant
+    // drift, see NOTES.md round-6) which would mask any real regression
+    // in a single-shot time. Median-of-3 costs ~2× wall (rep 1 doubles as
+    // the in-SF warmup) and makes round-over-round deltas meaningful.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must be LOUD in the JSON too: stderr plus a -1
-      // sentinel time — a normal-looking time-to-fail entry would read as
-      // a phantom speedup in round-over-round bench diffs
-      val ok =
-        try { exec(fn(spark, sfDir)); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query must be LOUD in the JSON too: stderr plus a -1
+        // sentinel time — a normal-looking time-to-fail entry would read
+        // as a phantom speedup in round-over-round bench diffs
+        val ok =
+          try { exec(fn(spark, sfDir)); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // any failed rep poisons the query: report the sentinel, not a
+      // median that averages successes with a time-to-fail
+      val med =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      (name, med, times.min, times.max)
     }
     // ms precision keeps the line short (the driver's log capture has
     // truncated multi-KB lines before; sub-ms digits are noise anyway).
@@ -84,13 +98,19 @@ object Bench {
     // de_DE/fr_FR host would print "66,123" — malformed JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${ms(v)}""" }
+    val qs = results.map { case (k, v, _, _) => s""""$k":${ms(v)}""" }
       .mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but don't deflate total
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs}"""
     println(line)
+    // min/max spread per query — the noise-floor record that lets a
+    // reader distinguish co-tenant drift from a genuine regression. File
+    // mirror only: the stdout line is already at the capture limit.
+    val spread = results
+      .map { case (k, _, lo, hi) => s""""$k":[${ms(lo)},${ms(hi)}]""" }
+      .mkString("{", ",", "}")
     // The full line is ~3KB and the driver's log capture has front-
     // truncated lines that long (BENCH_r04 parsed null) — and a front-
     // eaten JSON object is unparseable no matter which key comes first.
@@ -99,8 +119,10 @@ object Bench {
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries_file":"BENCH_LAST.json"}""")
     // belt-and-braces: the same JSON as a file, immune to log truncation
     // (cwd-relative: the driver runs sbt from the repo root)
+    val fileLine = line.dropRight(1) +
+      s""","reps":$reps,"spread":$spread}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath, line + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath, fileLine + "\n")
     catch { case _: Throwable => } // read-only checkout must not fail bench
     spark.stop()
   }
