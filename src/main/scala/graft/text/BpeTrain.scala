@@ -33,18 +33,57 @@ import org.apache.spark.sql.types._
   */
 object BpeTrain {
 
+  /** Vocab-row threshold below which training runs driver-local. A
+    * 4M-word vocabulary at ~30 bytes/row is ~120 MB on the driver —
+    * comfortably within any production driver heap, and far above real
+    * natural-language vocabularies (web-scale English ~10-20M raw words
+    * only when unfiltered). Above it the distributed per-round loop
+    * keeps correctness at any scale. Same adaptive split as
+    * [[graft.similarity.DedupClusters.connectedComponents]].
+    */
+  val LocalVocabMax: Long = 4L * 1000 * 1000
+
+  /** The corpus-scale pass shared by both engines: distributed word
+    * count with map-side partial aggregation. */
+  private def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
   /** Learn `k` merges. Returns `(rank, pair, merged, freq)` — one row
     * per merge in selection order; `freq` is the weighted pair count at
     * selection time. Stops early if no pair remains (fully merged).
+    *
+    * ADAPTIVE: the corpus pays exactly one distributed word count;
+    * training then runs on the vocabulary-sized frequency table. Below
+    * [[LocalVocabMax]] rows that table is collected and trained with the
+    * classic heap-based incremental-pair-count loop — O(1) Spark jobs
+    * total instead of one `groupBy`+`limit(1).collect()` job PER MERGE
+    * (at a production vocab of 32k merges the per-round job overhead
+    * alone is hours). Above the threshold the distributed loop runs
+    * unchanged. Both engines implement the identical determinism
+    * contract (occurrence-weighted pair counts, ties by pair string
+    * ascending, greedy left-to-right merge application), spec-proven
+    * equal on shared vectors.
     */
-  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def merges(docs: DataFrame, textCol: String, k: Int,
+             localVocabMax: Long = LocalVocabMax): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    val spark = docs.sparkSession
-    // THE corpus-scale pass: distributed word count. Everything after
-    // operates on the vocabulary-sized frequency table.
-    val words = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // Materialize the one corpus pass so the row count and the
+    // subsequent train (collect or distributed loop) don't re-scan.
+    val words = wordFreq(docs, textCol).localCheckpoint(true)
+    if (words.count() <= localVocabMax) mergesLocalFromWords(words, k)
+    else mergesDistributedFromWords(words, k)
+  }
+
+  /** Forced-distributed variant (the over-threshold engine), exposed for
+    * the local==distributed parity spec. */
+  def mergesDistributed(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    mergesDistributedFromWords(wordFreq(docs, textCol), k)
+  }
+
+  private def mergesDistributedFromWords(words: DataFrame, k: Int): DataFrame = {
+    val spark = words.sparkSession
     var w = words
       .select(col("word"), col("freq"),
         concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>"))
@@ -85,13 +124,131 @@ object BpeTrain {
         r += 1
       }
     }
+    toMergeDf(spark, out.toSeq)
+  }
+
+  private def toMergeDf(spark: SparkSession, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq, 1),
+      spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("rank", LongType, nullable = false),
         StructField("pair", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("freq", LongType, nullable = false))))
+
+  /** Forced-local variant (the under-threshold engine), exposed for the
+    * parity spec. */
+  def mergesLocal(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    mergesLocalFromWords(wordFreq(docs, textCol), k)
+  }
+
+  private def mergesLocalFromWords(words: DataFrame, k: Int): DataFrame = {
+    val spark = words.sparkSession
+    val wf = words.collect().map(r =>
+      (r.getAs[String]("word"), r.getAs[Long]("freq")))
+    toMergeDf(spark, trainLocal(wf, k))
+  }
+
+  /** Classic heap-based BPE trainer over a collected (word, freq) table.
+    * Pair counts update INCREMENTALLY (only words containing the chosen
+    * pair are touched per round) and the argmax comes from a lazy-
+    * deletion max-heap — so per-round cost is proportional to the
+    * affected words, not the vocabulary, and zero Spark jobs run.
+    *
+    * Semantics are bit-identical to the distributed loop: pair counts
+    * are occurrence-weighted (a word `aaa` = symbols `a a a </w>`
+    * contributes freq twice to pair `a a`), ties break by the
+    * space-joined pair string ascending (symbols are ASCII by the token
+    * contract, so Java and UTF8-binary string order agree), and merge
+    * application is the greedy left-to-right non-overlapping scan —
+    * exactly what the doubled-delimiter `replace` computes.
+    */
+  private[text] def trainLocal(wordFreqs: Array[(String, Long)],
+                               k: Int): Seq[Row] = {
+    import scala.collection.mutable
+    final class W(var syms: Array[String], val freq: Long)
+    val ws = wordFreqs.map { case (w, f) =>
+      new W(w.map(_.toString).toArray :+ "</w>", f)
+    }
+    def pairStr(a: String, b: String) = a + " " + b
+    val counts = mutable.HashMap.empty[String, Long]
+    // pair -> indices of words that contained it at some point (grow-only;
+    // staleness is fine — application re-checks adjacency)
+    val where = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+    // max-heap with lazy deletion: (count, pair) ordered count desc then
+    // pair asc; entries are stale unless count == counts(pair)
+    val heap = mutable.PriorityQueue.empty[(Long, String)](
+      Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+    def bump(p: String, delta: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c <= 0L) counts.remove(p) else { counts(p) = c; heap.enqueue((c, p)) }
+    }
+    ws.zipWithIndex.foreach { case (w, i) =>
+      var j = 0
+      while (j < w.syms.length - 1) {
+        val p = pairStr(w.syms(j), w.syms(j + 1))
+        bump(p, w.freq)
+        where.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += i
+        j += 1
+      }
+    }
+    def applyPair(syms: Array[String], a: String, b: String,
+                  merged: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += merged; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    var r = 0
+    var done = false
+    while (r < k && !done) {
+      // pop to the first live entry
+      var best: Option[(Long, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, p) = heap.dequeue()
+        if (counts.getOrElse(p, 0L) == c) best = Some((c, p))
+      }
+      best match {
+        case None => done = true
+        case Some((cnt, pair)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          val merged = a + b
+          out += Row((r + 1).toLong, pair, merged, cnt)
+          val touched = where.getOrElse(pair, mutable.ArrayBuffer.empty[Int])
+          touched.distinct.foreach { i =>
+            val w = ws(i)
+            var has = false
+            var j = 0
+            while (!has && j < w.syms.length - 1) {
+              has = w.syms(j) == a && w.syms(j + 1) == b; j += 1
+            }
+            if (has) {
+              var j2 = 0
+              while (j2 < w.syms.length - 1) {
+                bump(pairStr(w.syms(j2), w.syms(j2 + 1)), -w.freq); j2 += 1
+              }
+              w.syms = applyPair(w.syms, a, b, merged)
+              j2 = 0
+              while (j2 < w.syms.length - 1) {
+                val p2 = pairStr(w.syms(j2), w.syms(j2 + 1))
+                bump(p2, w.freq)
+                where.getOrElseUpdate(p2,
+                  mutable.ArrayBuffer.empty[Int]) += i
+                j2 += 1
+              }
+            }
+          }
+          where.remove(pair)
+          r += 1
+      }
+    }
+    out.toSeq
   }
 
   /** The merge-application expression: fold the (k-row, driver-collected)

@@ -80,6 +80,34 @@ class BpeTrainSpec extends SparkTestBase {
     assert(got.isEmpty)
   }
 
+  test("local and distributed trainers are bit-identical (hand vectors, " +
+      "tie-breaks, overlap, early stop, real corpus)") {
+    val cases = Seq(
+      docs("aaa") -> 3, // overlapping pair + tie-break vector
+      docs("ab ab ba", "ab") -> 1, // freq-weighted tie
+      docs("a a a") -> 5, // early stop
+      docs("the cat sat", "the bat sat on the mat", "a cab") -> 12,
+      graft.Tables.load(spark, sfDir, "documents").limit(300) -> 8)
+    cases.foreach { case (d, k) =>
+      val cached = d.localCheckpoint(true)
+      val loc = mergeRows(BpeTrain.mergesLocal(cached, "text", k))
+      val dist = mergeRows(BpeTrain.mergesDistributed(cached, "text", k))
+      assert(loc == dist, s"k=$k:\nlocal $loc\ndist  $dist")
+      // and the adaptive front door routes somewhere consistent with both
+      val adaptive = mergeRows(BpeTrain.merges(cached, "text", k))
+      assert(adaptive == loc, s"adaptive diverged at k=$k")
+    }
+  }
+
+  test("adaptive threshold routes above-threshold corpora to the " +
+      "distributed engine with identical output") {
+    val d = docs("the cat sat", "the bat sat on the mat")
+    // localVocabMax=0 forces every vocab over threshold -> distributed
+    val forcedDist = mergeRows(BpeTrain.merges(d, "text", 4, localVocabMax = 0L))
+    val forcedLoc = mergeRows(BpeTrain.mergesLocal(d, "text", 4))
+    assert(forcedDist == forcedLoc, s"$forcedDist != $forcedLoc")
+  }
+
   test("merge table persists and serves through TrainedState (train " +
       "once, tokenize from disk)") {
     val d = graft.Tables.load(spark, sfDir, "documents").limit(200)
