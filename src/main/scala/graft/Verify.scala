@@ -20,10 +20,11 @@ object Verify {
     // gate wall-clock (Spark schedules concurrent jobs fairly within one
     // session). Failures stay isolated per query and loud on stderr;
     // deterministic name order keeps any truncation visible as a tail.
-    // Safe w.r.t. the SQL-surface queries' fixed-name temp views: every
-    // registration within one run binds the same (dir, table) plan, so
-    // concurrent re-registers are idempotent. (Do NOT reuse this pool
-    // pattern across DIFFERENT dirs in one JVM.)
+    // Safe w.r.t. the SQL-surface queries' canonical-name temp views
+    // STRUCTURALLY: each such query registers its views in its own
+    // spark.newSession() child catalog, so concurrent queries can never
+    // observe (or clobber) each other's registrations regardless of what
+    // a future query binds under those names.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {

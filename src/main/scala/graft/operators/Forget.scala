@@ -20,14 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Forget {
 
+  /** Internal deletion-side column names; artifacts must not use them
+    * (they'd shadow the join/flag columns). */
+  private val Reserved = Set("_forget_id", "_del")
+
+  private def checkReserved(name: String, df: DataFrame): Unit = {
+    val clash = df.columns.toSet.intersect(Reserved)
+    require(clash.isEmpty,
+      s"artifact '$name' uses reserved column name(s) ${clash.mkString(", ")}")
+  }
+
   /** Clean one artifact: rows whose `idCol` is NOT in `deletions`. */
   def clean(artifact: DataFrame, idCol: String,
             deletions: DataFrame): DataFrame = {
+    checkReserved("artifact", artifact)
     // artifacts commonly name their id column doc_id too — rename the
-    // deletion side so the join condition can never be ambiguous
+    // deletion side so the join condition can never be ambiguous, and
+    // reference it through the dels frame (not an unqualified col) so
+    // resolution can never drift to an artifact column
     val dels = deletions.select(col("doc_id").as("_forget_id"))
     artifact.join(broadcast(dels),
-      artifact(idCol) === col("_forget_id"), "left_anti")
+      artifact(idCol) === dels("_forget_id"), "left_anti")
   }
 
   /** Verification manifest over artifacts: one row per artifact with
@@ -38,6 +51,8 @@ object Forget {
     */
   def manifest(deletions: DataFrame,
                artifacts: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(artifacts.nonEmpty, "manifest needs at least one artifact")
+    artifacts.foreach { case (name, df, _) => checkReserved(name, df) }
     val dels = deletions.select(col("doc_id").as("_forget_id")).distinct()
       .withColumn("_del", lit(1L))
     artifacts.map { case (name, df, idCol) =>

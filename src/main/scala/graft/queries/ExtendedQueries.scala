@@ -95,8 +95,14 @@ object ExtendedQueries {
     // oracle. Runs are short (random corpus), so recursion depth is tiny;
     // unbounded-depth graphs belong to DedupClusters' CC operators.
     "q_recursive_cte" -> ((s, dir) => {
-      load(s, dir, "documents").createOrReplaceTempView("documents")
-      s.sql(recursiveChainSql)
+      // SQL-surface queries run in their OWN child session (isolated
+      // temp-view catalog, shared SparkContext): the canonical view names
+      // the verbatim-shared oracle text requires can then never race with
+      // another query's registration under Verify's concurrent pool —
+      // the idempotence invariant is structural, not a convention.
+      val ss = s.newSession()
+      load(ss, dir, "documents").createOrReplaceTempView("documents")
+      ss.sql(recursiveChainSql)
     }),
 
     // Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
@@ -104,9 +110,10 @@ object ExtendedQueries {
     // instead of a window (Spark decorrelates it to a join plan). One SQL
     // text shared verbatim with the oracle.
     "q_lateral_topn" -> ((s, dir) => {
-      load(s, dir, "customer").createOrReplaceTempView("customer")
-      load(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(lateralTopnSql)
+      val ss = s.newSession() // isolated view catalog (see q_recursive_cte)
+      load(ss, dir, "customer").createOrReplaceTempView("customer")
+      load(ss, dir, "orders").createOrReplaceTempView("orders")
+      ss.sql(lateralTopnSql)
     }),
 
     // Argmin/argmax aggregates: which row holds the extreme value. The

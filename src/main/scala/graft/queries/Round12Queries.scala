@@ -179,7 +179,10 @@ object Round12Queries {
     // round's reference to the previous round would RE-EVALUATE the whole
     // chain (per row, via the argmax reference) — measured 511s for k=8
     // at sf0.01 vs 0.5s materialized. The argmax joins in as a 1-row
-    // cross join rather than scalar subqueries for the same reason.
+    // LEFT JOIN ON TRUE rather than scalar subqueries for the same
+    // reason; LEFT (not cross) so a round past the corpus's merge
+    // capacity (b_r empty) carries w_r through unchanged — mirroring the
+    // Spark side's early stop — instead of collapsing w_{r+1} to empty.
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -201,12 +204,13 @@ object Round12Queries {
        |  FROM p$r ORDER BY cnt DESC, p ASC LIMIT 1),
        |w${r + 1} AS MATERIALIZED (
        |  SELECT w.word, w.freq,
-       |    trim(regexp_replace(replace(
-       |      ' ' || replace(w.sym, ' ', '  ') || ' ',
-       |      ' ' || replace(b.pair, ' ', '  ') || ' ',
-       |      ' ' || b.merged || ' '),
-       |      ' +', ' ', 'g')) AS sym
-       |  FROM w$r w, b$r b)""".stripMargin
+       |    CASE WHEN b.pair IS NULL THEN w.sym
+       |      ELSE trim(regexp_replace(replace(
+       |        ' ' || replace(w.sym, ' ', '  ') || ' ',
+       |        ' ' || replace(b.pair, ' ', '  ') || ' ',
+       |        ' ' || b.merged || ' '),
+       |        ' +', ' ', 'g')) END AS sym
+       |  FROM w$r w LEFT JOIN b$r b ON TRUE)""".stripMargin
     }
     sb.toString
   }
@@ -265,7 +269,9 @@ object Round12Queries {
          |  UNION ALL SELECT 'gram_index', count(*),
          |    count(*) FILTER (doc_id % 37 = 0) FROM gr
          |  UNION ALL SELECT 'embeddings', count(*),
-         |    count(*) FILTER (vec_id % 37 = 0) FROM embeddings)
+         |    count(*) FILTER (vec_id IN (
+         |      SELECT doc_id FROM documents WHERE doc_id % 37 = 0))
+         |    FROM embeddings)
          |SELECT artifact, CAST(n_before AS BIGINT) AS n_before,
          |  CAST(n_removed AS BIGINT) AS n_removed,
          |  CAST(n_before - n_removed AS BIGINT) AS n_after

@@ -64,18 +64,22 @@ object Round4Queries {
     // left-anti joins (visible in the plan — no per-row subquery loops).
     // One SQL text shared verbatim with the oracle.
     "q_exists_subquery" -> ((s, dir) => {
-      load(s, dir, "customer").createOrReplaceTempView("customer")
-      load(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(existsSql)
+      // own child session: canonical view names without cross-query races
+      // (see q_recursive_cte in ExtendedQueries)
+      val ss = s.newSession()
+      load(ss, dir, "customer").createOrReplaceTempView("customer")
+      load(ss, dir, "orders").createOrReplaceTempView("orders")
+      ss.sql(existsSql)
     }),
 
     // Correlated scalar subqueries in SELECT: decorrelated to a left outer
     // join against a pre-aggregated subquery — including the COUNT bug
     // (no-match groups must surface 0, not NULL). Shared SQL text.
     "q_scalar_subquery" -> ((s, dir) => {
-      load(s, dir, "customer").createOrReplaceTempView("customer")
-      load(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(scalarSubquerySql)
+      val ss = s.newSession() // isolated view catalog (see q_exists_subquery)
+      load(ss, dir, "customer").createOrReplaceTempView("customer")
+      load(ss, dir, "orders").createOrReplaceTempView("orders")
+      ss.sql(scalarSubquerySql)
     }),
 
     // Deterministic mode: most frequent user per event type, exact packed

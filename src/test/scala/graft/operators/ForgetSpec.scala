@@ -47,4 +47,18 @@ class ForgetSpec extends SparkTestBase {
       Seq(("documents", docs, "doc_id"))).collect()(0)
     assert((m.getLong(1), m.getLong(2), m.getLong(3)) == ((4L, 2L, 2L)))
   }
+
+  test("empty artifact list and reserved column names fail fast") {
+    val e1 = intercept[IllegalArgumentException](
+      Forget.manifest(dels, Seq.empty))
+    assert(e1.getMessage.contains("at least one artifact"))
+    val poisoned = docs.withColumn("_forget_id", col("doc_id"))
+    val e2 = intercept[IllegalArgumentException](
+      Forget.clean(poisoned, "doc_id", dels))
+    assert(e2.getMessage.contains("_forget_id"))
+    val e3 = intercept[IllegalArgumentException](
+      Forget.manifest(dels,
+        Seq(("bad", docs.withColumn("_del", lit(1)), "doc_id"))))
+    assert(e3.getMessage.contains("_del"))
+  }
 }
