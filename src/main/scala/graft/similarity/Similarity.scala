@@ -133,20 +133,50 @@ object Similarity {
 
   // -------------------------------------------------------------- SimHash
 
-  /** Per-row simhash + near-dup pairs with hamming ≤ maxHamming among
-    * rows sharing the top-16-bit bucket (single-probe; raise buckets via
-    * rotation for higher recall). */
+  /** Per-row simhash + near-dup pairs with hamming ≤ maxHamming, found by
+    * MULTI-PROBE block LSH: the 64-bit signature splits into `numProbes`
+    * disjoint 16-bit blocks, each an independent bucket table
+    * (OR-construction, like [[lshTopK]]'s tables). Pigeonhole guarantee:
+    * a pair at hamming ≤ numProbes-1 has at least one untouched block, so
+    * with the default 4 probes recall at hamming ≤ 3 is EXACT, not
+    * heuristic — the round-6 single-probe miss (differing bits all inside
+    * the top-16 block) is structurally closed.
+    *
+    * Scale: each row emits numProbes bucket entries (a constant 4× on the
+    * candidate shuffle, ids + 8-byte signatures only); pairs colliding in
+    * several blocks dedup BEFORE the hamming evaluation.
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 48))
-    val l = sigs.select(col("bucket"), col("id").as("id_a"),
+                   maxHamming: Int = 3, numProbes: Int = 4): DataFrame =
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("id"),
+        TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash")),
+      maxHamming, numProbes)
+
+  /** The banding/probe stage over precomputed `(id, simhash)` signatures —
+    * the seam the multi-probe recall spec drives with hand-planted bit
+    * patterns (text→simhash is a hash; specific bit differences can only
+    * be planted at the signature level). */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+                           numProbes: Int = 4): DataFrame = {
+    require(numProbes >= 1 && numProbes <= 4,
+      s"numProbes=$numProbes must be in [1, 4] (16-bit blocks of a 64-bit hash)")
+    val probes = (0 until numProbes).map { t =>
+      struct(lit(t).as("t"),
+        shiftright(col("simhash"), 48 - 16 * t)
+          .bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array(probes: _*)).as("p"))
+      .select(col("id"), col("simhash"), col("p.t").as("t"),
+        col("p.bucket").as("bucket"))
+    val l = banded.select(col("t"), col("bucket"), col("id").as("id_a"),
       col("simhash").as("sim_a"))
-    val r = sigs.select(col("bucket"), col("id").as("id_b"),
+    val r = banded.select(col("t"), col("bucket"), col("id").as("id_b"),
       col("simhash").as("sim_b"))
-    l.join(r, Seq("bucket"))
+    l.join(r, Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", TextOps.hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

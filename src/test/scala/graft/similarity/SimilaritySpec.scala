@@ -41,6 +41,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
   }
 
+  test("simhash multi-probe finds a hamming-3 pair whose differing bits " +
+      "all sit in the top-16 block (single-probe provably misses it)") {
+    // bits 63, 55, 50 — all inside block 0 (the old single-probe bucket)
+    val sigs = Seq(
+      (1L, 0L),
+      (2L, (1L << 63) | (1L << 55) | (1L << 50)),
+      // control pair in a shared bucket everywhere (hamming 1, bit 0)
+      (10L, 0x0123456789abcdefL),
+      (11L, 0x0123456789abcdeeL)).toDF("id", "simhash")
+    val single = Similarity.simhashPairsFromSigs(sigs, maxHamming = 3,
+        numProbes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((1L, 2L)),
+      "single-probe unexpectedly found the top-block pair — test premise broken")
+    assert(single.contains((10L, 11L)), s"control pair missed: $single")
+    val multi = Similarity.simhashPairsFromSigs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2)
+        .longValue)).toSet
+    assert(multi.contains((1L, 2L, 3L)), s"multi-probe missed: $multi")
+    assert(multi.contains((10L, 11L, 1L)), s"control pair missed: $multi")
+  }
+
+  test("simhash 4-probe pigeonhole guarantee: every <=3-bit perturbation " +
+      "is found wherever the bits land; pairs dedup across blocks") {
+    val base = 0x5a5a5a5a5a5a5a5aL
+    // 3 flipped bits straddling every block combination, incl. all-in-one
+    val flips = Seq(
+      Seq(63, 40, 5), Seq(63, 62, 61), Seq(47, 46, 45), Seq(31, 30, 29),
+      Seq(15, 1, 0), Seq(60, 44, 28), Seq(50, 20, 10), Seq(12, 8, 3))
+    val rows = (1L, base) +: flips.zipWithIndex.map { case (bs, i) =>
+      ((i + 2).toLong, bs.foldLeft(base)((a, b) => a ^ (1L << b)))
+    }
+    val got = Similarity.simhashPairsFromSigs(rows.toDF("id", "simhash"),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    flips.indices.foreach { i =>
+      assert(got.contains((1L, (i + 2).toLong)),
+        s"perturbation ${flips(i)} missed: $got")
+    }
+    // dropDuplicates: a pair colliding in several block tables appears once
+    assert(got.distinct == got, s"duplicate pairs emitted: $got")
+  }
+
   test("simhash of identical token streams is identical") {
     val sigs = docs.select(col("doc_id"),
       TextOps.simhash64(TextOps.tokens(col("text"))).as("s"))
