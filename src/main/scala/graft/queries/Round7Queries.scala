@@ -135,6 +135,37 @@ object Round7Queries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"))
+    }),
+
+    // INCREMENTAL IVF, end to end: the codes index is built WITHOUT the
+    // planted copies, persisted partitionBy(centroid_id) and re-loaded
+    // (build→persist→probe→fold-in lifecycle), then the planted batch
+    // folds in against the SAME centroids — no retrain, no corpus
+    // re-scan. An identical embedding assigns to the query's own argmin
+    // cell, so probe cell #1 contains it and the exact re-score pins
+    // cosine 1; fold-in never touches existing index rows, so the probe
+    // equals a full rebuild (IvfIncrementalSpec proves it at any nprobe).
+    "e_ann_ivf_incremental" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val centroids = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ivf_idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.similarity.TrainedState.saveIvfIndex(
+        Similarity.ivfAssign(base, centroids), idxPath)
+      val index = graft.similarity.TrainedState.loadIvfIndex(s, idxPath)
+      val batch = base.filter(col("vec_id") < 30)
+        .select((col("vec_id") + PlantBase).as("vec_id"), col("embedding"))
+      val folded = Similarity.ivfFoldIn(index, batch, centroids)
+      val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
+      Similarity.ivfTopKFromIndex(queries, folded, k = 1, centroids,
+        nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -169,6 +200,10 @@ object Round7Queries {
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
     "e_ann_pq_trained" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+    "e_ann_ivf_incremental" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin

@@ -251,42 +251,73 @@ object Similarity {
           col("embedding").as("centroid")),
       nprobe)
 
-  /** IVF with caller-provided centroids (e.g. [[KMeans.fit]]). */
+  /** IVF with caller-provided centroids (e.g. [[KMeans.fit]]): assign the
+    * corpus, then probe — one-shot composition of [[ivfAssign]] +
+    * [[ivfTopKFromIndex]]. */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
-                  centroidsDf: DataFrame, nprobe: Int): DataFrame = {
-    val centroids = broadcast(centroidsDf)
+                  centroidsDf: DataFrame, nprobe: Int): DataFrame =
+    ivfTopKFromIndex(queries, ivfAssign(corpus, centroidsDf), k,
+      centroidsDf, nprobe)
 
-    def nearestCells(df: DataFrame, vecCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(
-        col("_cdist").asc, col("centroid_id"))
-      df.crossJoin(centroids)
-        .withColumn("_cdist", -dot(col(vecCol), col("centroid")) /
-          (l2norm(col(vecCol)) * l2norm(col("centroid"))))
-        .withColumn("_crank", row_number().over(w))
-        .filter(col("_crank") <= n)
-        .drop("_cdist", "_crank", "centroid")
-    }
-
-    // Corpus-side assignment is an argmin AGGREGATION, not a window: the
-    // groupBy partial-aggregates map-side, so the shuffle carries one row
-    // per corpus vector instead of |corpus| × |centroids| scored rows —
-    // the difference that matters when the corpus is the 100TB side.
-    // min_by's ordering struct (distance, centroid_id) reproduces the
-    // window's deterministic tie-break.
-    val assigned = corpus.crossJoin(centroids)
+  /** The IVF CODES INDEX: each corpus vector's cell assignment —
+    * `(vec_id, centroid_id, embedding)`. This is the materializable
+    * artifact of the build→persist→probe→fold-in lifecycle
+    * ([[TrainedState.saveIvfIndex]]); probing reads it instead of
+    * re-assigning the corpus, and [[ivfFoldIn]] appends new vectors
+    * without touching existing rows.
+    *
+    * Corpus-side assignment is an argmin AGGREGATION, not a window: the
+    * groupBy partial-aggregates map-side, so the shuffle carries one row
+    * per corpus vector instead of |corpus| × |centroids| scored rows —
+    * the difference that matters when the corpus is the 100TB side.
+    * min_by's ordering struct (distance, centroid_id) reproduces the
+    * probe window's deterministic tie-break.
+    */
+  def ivfAssign(corpus: DataFrame, centroidsDf: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroidsDf))
       .withColumn("_cdist", -dot(col("embedding"), col("centroid")) /
         (l2norm(col("embedding")) * l2norm(col("centroid"))))
       .groupBy(col("vec_id"))
       .agg(
         min_by(col("centroid_id"),
           struct(col("_cdist"), col("centroid_id"))).as("centroid_id"),
-        first(col("embedding")).as("c_emb"))
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
-        col("c_emb"))
-    val probed = broadcast(nearestCells(queries, "embedding", nprobe)
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+
+  /** Fold a batch of new vectors into an existing codes index WITHOUT
+    * retraining or re-scanning the indexed corpus: the batch alone is
+    * assigned against the SAME centroids and appended. Because cell
+    * assignment is per-vector under fixed centroids, existing rows are
+    * bit-unchanged — so probe(foldIn(index, batch)) ==
+    * probe(rebuild(corpus ∪ batch)) exactly, at any nprobe (spec-proven).
+    * Same contract as [[IncrementalDedup.foldIntoIndex]]: ingest cost
+    * scales with the BATCH, not the index. */
+  def ivfFoldIn(index: DataFrame, newVectors: DataFrame,
+                centroidsDf: DataFrame): DataFrame =
+    index.unionByName(ivfAssign(newVectors, centroidsDf))
+
+  /** Probe a prebuilt codes index: queries pick their `nprobe` nearest
+    * cells (broadcast, k×nprobe-sized), then join cell-to-cell against
+    * the index — only the probed cells' rows are touched (with a
+    * centroid_id-partitioned persisted index this is partition pruning,
+    * see [[TrainedState.saveIvfIndex]]). */
+  def ivfTopKFromIndex(queries: DataFrame, index: DataFrame, k: Int,
+                       centroidsDf: DataFrame, nprobe: Int): DataFrame = {
+    val centroids = broadcast(centroidsDf)
+    val w0 = Window.partitionBy(col("vec_id")).orderBy(
+      col("_cdist").asc, col("centroid_id"))
+    val probed = broadcast(queries.crossJoin(centroids)
+      .withColumn("_cdist", -dot(col("embedding"), col("centroid")) /
+        (l2norm(col("embedding")) * l2norm(col("centroid"))))
+      .withColumn("_crank", row_number().over(w0))
+      .filter(col("_crank") <= nprobe)
+      .drop("_cdist", "_crank", "centroid")
       .select(col("vec_id").as("query_id"), col("centroid_id"),
         col("embedding").as("q_emb")))
-    val scored = assigned.join(probed, Seq("centroid_id"))
+    val scored = index
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("embedding").as("c_emb"))
+      .join(probed, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))

@@ -57,6 +57,41 @@ object TrainedState {
   def loadMerges(spark: SparkSession, path: String): DataFrame =
     load(spark, mergeSchema, path)
 
+  val ivfIndexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true)))
+
+  /** Persist an IVF codes index ([[Similarity.ivfAssign]] /
+    * [[Similarity.ivfFoldIn]] output). UNLIKE the k-row trained state,
+    * the index is CORPUS-sized — so no repartition(1); instead it writes
+    * `partitionBy(centroid_id)`, making a probe of `nprobe` cells a
+    * partition-pruned read of exactly those cells' files. Fold-in batches
+    * append new files into the touched cells only. */
+  def saveIvfIndex(index: DataFrame, path: String,
+                   append: Boolean = false): Unit = {
+    val cols = ivfIndexSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    index.select(cols.toIndexedSeq: _*)
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Load a codes index for [[Similarity.ivfTopKFromIndex]]. */
+  def loadIvfIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    ivfIndexSchema.fields.foreach { f =>
+      // partitionBy writes the partition column back as its directory-
+      // inferred type; ints widen to long on the cast-select below
+      require(got.contains(f.name),
+        s"trained-state schema mismatch at $path: missing ${f.name}")
+    }
+    df.select(ivfIndexSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        .as(f.name)).toIndexedSeq: _*)
+  }
+
   private def save(df: DataFrame, schema: StructType, path: String): Unit = {
     val cols = schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
