@@ -133,6 +133,42 @@ object TimeSeriesOps {
       .write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** Per-series shard export — the reference's sort_and_chunk
+    * (timeseries.rs:140-147) as a SINK: one CSV file per series title
+    * under `path/title=<t>/`, rows in time order within the file, and a
+    * per-series manifest `(title, n_rows, t_min, t_max)` READ BACK from
+    * the written artifact (the [[graft.operators.Export.jsonlShards]]
+    * receipt convention — the manifest can never disagree with the
+    * files). The writer repartitions BY title so exactly one task
+    * produces each series' file (stable per-series file identity for
+    * downstream charting/export consumers); `partitionBy` keeps the disk
+    * layout title-pruned, so a one-series consumer reads one directory.
+    */
+  def writeSeriesShards(ts: DataFrame, path: String): DataFrame = {
+    val proj = csvProjection(ts)
+    proj
+      .repartition(col("title"))
+      // the projection stringifies the epoch column (Display parity);
+      // order by its numeric value, not the string
+      .sortWithinPartitions(col("title"),
+        col("time_period_start_unix").cast("long"))
+      .write.mode("overwrite").option("header", "true")
+      .partitionBy("title").csv(path)
+    val payloadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cost STRING, quality STRING, value STRING, tou STRING, " +
+        "time_period_start_unix LONG, time_period_duration_seconds INT, " +
+        "accumulation_behaviour STRING, commodity STRING, currency STRING, " +
+        "data_qualifier STRING, flow_direction STRING, kind STRING, " +
+        "phase STRING, uom STRING")
+    ts.sparkSession.read.option("header", "true").schema(payloadSchema)
+      .csv(path)
+      .groupBy(col("title").cast("string").as("title"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("time_period_start_unix")).as("t_min"),
+        max(col("time_period_start_unix")).as("t_max"))
+      .orderBy(col("title"))
+  }
+
   /** Read a TimeSeries CSV (as written by [[writeCsv]] or the reference
     * CLI) back into the typed 15-column DataFrame — source round-trip. */
   def readCsv(spark: SparkSession, path: String): DataFrame =

@@ -127,6 +127,42 @@ class GoldenSpec extends SparkTestBase {
       "a title spans multiple partitions")
   }
 
+  test("writeSeriesShards: one file per title, time-ordered within, " +
+      "manifest read back from the written artifact") {
+    val tmp = java.nio.file.Files.createTempDirectory("gb_shards").toString
+    val manifest = TimeSeriesOps.writeSeriesShards(ours, tmp + "/shards")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // manifest titles == series titles; counts == per-title row counts
+    val expected = ours.groupBy("title")
+      .agg(count(lit(1)).as("n"),
+        min("time_period_start_unix").as("lo"),
+        max("time_period_start_unix").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(manifest.toSeq == expected.toSeq,
+      s"manifest diverged:\n${manifest.toSeq}\n${expected.toSeq}")
+    // exactly ONE data file per title directory
+    val titleDirs = new java.io.File(tmp + "/shards").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("title="))
+    assert(titleDirs.length == manifest.length,
+      "one directory per title expected")
+    titleDirs.foreach { d =>
+      val parts = d.listFiles().filter(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".csv"))
+      assert(parts.length == 1,
+        s"${d.getName}: expected 1 shard file, got ${parts.length}")
+      // rows inside the file are in ascending time order (col 5 of the
+      // headerless payload: time_period_start_unix)
+      val lines = java.nio.file.Files.readAllLines(parts(0).toPath)
+      val times = lines.subList(1, lines.size()).toArray.map(
+        _.toString.split(",")(4).toLong)
+      assert(times.sameElements(times.sorted),
+        s"${d.getName}: rows not time-ordered")
+    }
+  }
+
   test("CSV sink/source round-trip preserves all values") {
     val tmp = java.nio.file.Files.createTempDirectory("gb_csv_rt").toString
     TimeSeriesOps.writeCsv(ours, tmp + "/csv")
