@@ -48,6 +48,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("e_ann_ivf_incremental: probe side broadcasts; the index never " +
+      "re-shuffles for the probe join") {
+    // the probe joins centroid_id cell-to-cell: the (query × nprobe)-sized
+    // probe list must be the broadcast side, the corpus-sized index the
+    // streamed side — a shuffled (sort-merge) probe join would re-shuffle
+    // the 100TB side per query batch
+    val p = plan("e_ann_ivf_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join is not broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "index side got sort-merge-joined:\n" + p.take(2000))
+  }
+
   test("q_first_last: supplier predicate is pushed into the parquet scan") {
     val p = plan("q_first_last")
     assert(p.contains("PushedFilters") && p.contains("LessThan(l_suppkey,20)"))
