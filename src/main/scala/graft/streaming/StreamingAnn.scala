@@ -48,6 +48,42 @@ object StreamingAnn {
       .start()
   }
 
+  /** Fold a STREAM of new corpus vectors into a persisted IVF codes
+    * index — the online half of the index's ingest side
+    * ([[graft.similarity.Similarity.ivfFoldIn]] per micro-batch): each
+    * batch assigns ONLY its own vectors against the fixed trained
+    * centroids and writes them under the index root. No retrain, no
+    * rescan of the already-indexed corpus; probes between batches load
+    * the growing index with [[graft.similarity.TrainedState.loadIvfIndex]].
+    *
+    * Exactly-once: each micro-batch writes to a batch-stamped
+    * subdirectory (`batch=&lt;id&gt;/centroid_id=…`) in OVERWRITE mode —
+    * a foreachBatch replay of the same batch id rewrites the same
+    * directory instead of appending duplicates (the standard idempotent
+    * recipe for file sinks; [[foldBatch]] is the replayable unit the
+    * spec re-invokes directly). Partition discovery still exposes
+    * `centroid_id` below the batch level, so cell pruning on probes is
+    * unchanged.
+    */
+  def foldInIvf(newVectors: DataFrame, centroids: DataFrame,
+                indexPath: String, availableNow: Boolean = false): StreamingQuery = {
+    val writer = newVectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        foldBatch(centroids, indexPath)(batch.toDF(), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** The per-batch fold-in unit — public so the replay-idempotence spec
+    * can invoke the same batch id twice and assert no duplication. */
+  def foldBatch(centroids: DataFrame, indexPath: String)
+               (batch: DataFrame, batchId: Long): Unit =
+    graft.similarity.TrainedState.saveIvfIndex(
+      Similarity.ivfAssign(batch, centroids),
+      s"$indexPath/batch=$batchId")
+
   /** Serve `k` neighbors per streamed query vector from the int8
     * QUANTIZED index ([[graft.similarity.Quantize.buildIndex]] — built
     * once, persisted; ~4× smaller as PARQUET-encoded payload — in-plan

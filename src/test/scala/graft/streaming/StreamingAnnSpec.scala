@@ -89,4 +89,51 @@ class StreamingAnnSpec extends SparkTestBase {
       "streamed quantized top-k diverged from the batch plan")
     assert(collected.nonEmpty)
   }
+
+  test("foldInIvf: streamed fold-in grows the persisted index to exactly " +
+      "the batch-built one (probe parity); batch-id replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sivf")
+      .toString + "/idx"
+    // seed: the initial batch-built corpus as its own batch directory
+    val seed = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+      .localCheckpoint(true)
+    StreamingAnn.foldBatch(centroids, dir)(seed, -1L)
+    val vecs = emb.filter(col("vec_id") < 100).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.foldInIvf(mem.toDF().toDF("vec_id", "embedding"),
+      centroids, dir)
+    try {
+      Seq(0L until 50L, 50L until 100L).foreach { ids =>
+        mem.addData(ids.map(id => id -> vecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val loaded = graft.similarity.TrainedState.loadIvfIndex(spark, dir)
+      .localCheckpoint(true)
+    val rebuilt = graft.similarity.Similarity.ivfAssign(
+      emb.filter(col("vec_id") < 300), centroids).localCheckpoint(true)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loaded.count() == 300)
+    assert(cells(loaded) == cells(rebuilt),
+      "streamed index cell assignments diverged from batch build")
+    // probe parity through the persisted streamed index
+    val queries = emb.filter(col("vec_id") < 10)
+    def keyedProbe(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(
+      keyedProbe(graft.similarity.Similarity.ivfTopKFromIndex(queries,
+        loaded, k = 3, centroids, nprobe = 2)) ==
+      keyedProbe(graft.similarity.Similarity.ivfTopKFromIndex(queries,
+        rebuilt, k = 3, centroids, nprobe = 2)),
+      "probe through streamed index diverged")
+    // REPLAY batch 0 (same id, same content): overwrite, not append
+    val batch0 = emb.filter(col("vec_id") < 50)
+    StreamingAnn.foldBatch(centroids, dir)(batch0, 0L)
+    assert(graft.similarity.TrainedState.loadIvfIndex(spark, dir)
+      .count() == 300, "batch-id replay duplicated rows")
+  }
 }
