@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Round9Queries.queries ++
       graft.queries.Round10Queries.queries ++
       graft.queries.Round11Queries.queries ++
-      graft.queries.Round12Queries.queries
+      graft.queries.Round12Queries.queries ++
+      graft.queries.Round13Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Round9Queries.oracleSql ++
       graft.queries.Round10Queries.oracleSql ++
       graft.queries.Round11Queries.oracleSql ++
-      graft.queries.Round12Queries.oracleSql
+      graft.queries.Round12Queries.oracleSql ++
+      graft.queries.Round13Queries.oracleSql
 }

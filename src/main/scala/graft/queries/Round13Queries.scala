@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.similarity.{KMeans, Similarity}
+
+/** Round-13 additions — SemDeDup-style SEMANTIC dedup
+  * ([[graft.similarity.Similarity.semanticDedup]]): cluster-bounded
+  * embedding near-dup removal, the embedding-space sibling of the
+  * MinHash/SimHash text paths.
+  *
+  * Two contracts, mirroring the ANN suite's convention:
+  *
+  *   - `e_dedup_semantic` — FULLY value-oracled: stride centroids (every
+  *     50th vector — deterministic and SQL-expressible, like
+  *     [[Similarity.ivfTopK]]'s), so DuckDB replicates the whole
+  *     pipeline: argmin cell assignment (ROW_NUMBER over the identical
+  *     `-cos` distance with the identical centroid_id tie-break), the
+  *     within-cell pair scan, the threshold filter, and the per-victim
+  *     (dup_of, max_cos) aggregation. Cross-engine exactness rests on
+  *     bit-identical doubles (f32→f64 widening + left-to-right
+  *     accumulation on both engines — the `e_ann_brute` precedent) plus
+  *     measured margins: nearest pair-to-threshold gap 2.6e-4, nearest
+  *     argmin best-to-second gap 1.5e-5 at sf0.1 — both ≥10¹¹× the
+  *     ~1e-16 FP divergence a non-bit-identical kernel could introduce.
+  *   - `e_dedup_semantic_planted` — the TRAINED path end-to-end
+  *     ([[KMeans.fit]] → dedup): k-means output isn't SQL-expressible,
+  *     but planted exact copies are invariant to it — an identical
+  *     embedding lands in the same cell under ANY centroids (bit-equal
+  *     distances, same tie-break) and scores cos ≈ 1 ≥ 0.9999 against
+  *     its original, while the strongest NATURAL pair in the data sits
+  *     at cos 0.60 — so the full (is_dup, dup_of, max_cos) row of every
+  *     planted victim is a closed-form oracle.
+  */
+object Round13Queries {
+
+  /** DuckDB double-precision cosine between two FLOAT[] list expressions —
+    * the same f32→f64 widen + left-to-right fold the engine's DotProduct
+    * kernel performs (see [[Similarity.dotFold]]), so both engines
+    * produce bit-identical doubles. Shared by the oracles below; same
+    * formulation as the `e_ann_brute` / `e_dedup_cosine` oracles. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip($a, $b),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) /
+       |    (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (x, y) -> x + y)) *
+       |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (x, y) -> x + y)))""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Full-pipeline value check against DuckDB; threshold 0.45 sits below
+    // the corpus's natural similarity ceiling (max same-cell cosine 0.52
+    // at sf0.1) so real dups fire — 7 victims at sf0.01, 18 at sf0.1.
+    "e_dedup_semantic" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Similarity.semanticDedup(emb, cents, threshold = 0.45)
+        .select(col("vec_id"), col("centroid_id"), col("is_dup"),
+          col("dup_of"), round(col("max_cos"), 6).as("max_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Trained end-to-end: fit k-means on the planted corpus, dedup, and
+    // emit the planted victims' full decision rows. Every planted copy
+    // MUST be dropped with dup_of = its original and max_cos rounding to
+    // 1.0 — no natural pair reaches 0.9999 (ceiling 0.60), so the oracle
+    // is closed-form over the planting rule.
+    "e_dedup_semantic_planted" -> ((s, dir) => {
+      val corpus = Round7Queries.plantedEmb(s, dir, 30)
+      val cents = KMeans.fit(corpus, k = 8, iters = 2)
+      Similarity.semanticDedup(corpus, cents, threshold = 0.9999)
+        .filter(col("vec_id") >= 1000000L)
+        .select(col("vec_id"), col("is_dup"), col("dup_of"),
+          round(col("max_cos"), 6).as("max_cos"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "e_dedup_semantic" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT e.vec_id, c.centroid_id, e.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY -(${cosSql("e.embedding", "c.centroid")}) ASC,
+         |          c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS c
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+         |dups AS (
+         |  SELECT id_b, MIN(id_a) AS dup_of, MAX(c) AS max_cos
+         |  FROM pairs WHERE c >= 0.45 GROUP BY 1)
+         |SELECT a.vec_id, a.centroid_id, d.dup_of IS NOT NULL AS is_dup,
+         |  d.dup_of, ROUND(d.max_cos, 6) AS max_cos
+         |FROM assigned a LEFT JOIN dups d ON d.id_b = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
+    "e_dedup_semantic_planted" ->
+      """SELECT vec_id + 1000000 AS vec_id, TRUE AS is_dup,
+        |  vec_id AS dup_of, CAST(1.0 AS DOUBLE) AS max_cos
+        |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin
+  )
+}

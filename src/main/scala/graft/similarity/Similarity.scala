@@ -391,4 +391,82 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** SemDeDup-style semantic dedup — cluster-bounded embedding near-dup
+    * removal (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): assign
+    * every vector to its nearest centroid ([[ivfAssign]] — one broadcast
+    * pass + map-side argmin aggregation), then compare ONLY within cells.
+    * A vector is a duplicate iff some SAME-CELL vector with a SMALLER id
+    * scores cosine ≥ `threshold` (keep-lowest-id: deterministic, no RNG,
+    * and an exact-duplicate family always keeps its first-ingested
+    * member).
+    *
+    * Scale: pairwise work is Σ|cell|², not |corpus|² — the centroid count
+    * is the dial (the paper's setting is ~0.1% of corpus size). The pair
+    * join is ONE hash shuffle on `centroid_id`; `maxCellSize` is the same
+    * skew guard as [[minhashPairs]]' maxBucketSize — an over-threshold
+    * cell pairs O(n²), so oversized cells are SKIPPED (their vectors come
+    * back is_dup = false / un-deduped; run exact dedup first, or train
+    * more centroids).
+    *
+    * The decision is per-edge, NOT transitive: in a chain a~b~c with
+    * cos(a,c) < threshold, both b and c are dropped (c via b) — the
+    * SemDeDup contract (one representative per ε-neighborhood chain
+    * head), not connected-components keep-one; [[DedupClusters]] is the
+    * transitive tool when that is wanted.
+    *
+    * @param corpus (`vec_id` LONG, `embedding` ARRAY&lt;FLOAT&gt;) — the
+    *   repo-wide vector contract
+    * @param centroidsDf (`centroid_id`, `centroid`) — [[KMeans.fit]]
+    *   output, [[TrainedState.loadCentroids]], or a stride slice
+    * @return one row PER corpus vector: (vec_id, centroid_id, is_dup,
+    *   dup_of, max_cos) — `dup_of` = the smallest qualifying lower-id
+    *   cell-mate, `max_cos` its strongest qualifying similarity; both
+    *   NULL on kept rows
+    */
+  def semanticDedup(corpus: DataFrame, centroidsDf: DataFrame,
+                    threshold: Double, maxCellSize: Int = 0): DataFrame =
+    semanticDedupFromIndex(ivfAssign(corpus, centroidsDf), threshold,
+      maxCellSize)
+
+  /** [[semanticDedup]] over an existing CODES INDEX (`vec_id`,
+    * `centroid_id`, `embedding` — [[ivfAssign]] output /
+    * [[TrainedState.loadIvfIndex]]). This is the production form: the
+    * one-shot composition recomputes the assignment subtree once per
+    * join side (Spark plans are trees — a diamond re-evaluates), which
+    * is three corpus scans; with the index persisted
+    * ([[TrainedState.saveIvfIndex]] — centroid_id-partitioned) each side
+    * is a pruned columnar read of already-assigned rows, and the same
+    * index serves the ANN probes and [[ivfFoldIn]] ingest. */
+  def semanticDedupFromIndex(index: DataFrame, threshold: Double,
+                             maxCellSize: Int = 0): DataFrame = {
+    val assigned = index
+    val cells =
+      if (maxCellSize <= 0) assigned
+      else {
+        val ok = assigned.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("_cn"))
+          .filter(col("_cn") <= maxCellSize)
+          .select(col("centroid_id"))
+        assigned.join(ok, Seq("centroid_id"), "left_semi")
+      }
+    val l = cells.select(col("centroid_id"), col("vec_id").as("_id_a"),
+      col("embedding").as("_e_a"))
+    val r = cells.select(col("centroid_id"), col("vec_id").as("_id_b"),
+      col("embedding").as("_e_b"))
+    // threshold filter BEFORE the per-victim aggregation: only qualifying
+    // edges shuffle into the groupBy, and the cosine is computed map-side
+    // inside the cell join's output stage
+    val dups = l.join(r, Seq("centroid_id"))
+      .filter(col("_id_a") < col("_id_b"))
+      .withColumn("_cos", cosine(col("_e_a"), col("_e_b")))
+      .filter(col("_cos") >= threshold)
+      .groupBy(col("_id_b"))
+      .agg(min(col("_id_a")).as("dup_of"), max(col("_cos")).as("max_cos"))
+    val base = assigned.select(col("vec_id"), col("centroid_id"))
+    base.join(dups, base("vec_id") === dups("_id_b"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("max_cos"))
+  }
 }

@@ -341,4 +341,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
       s"merge fold fell out of codegen:\n$p")
   }
+
+  test("e_dedup_semantic: centroids broadcast everywhere; the pair scan " +
+      "is an equi join on centroid_id, never an all-pairs product") {
+    val p = plan("e_dedup_semantic")
+    // corpus × centroids assignment: broadcast nested-loop against the
+    // k-row centroid table (twice: stride slice feeds assign), NEVER a
+    // CartesianProduct — that's corpus × corpus territory
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    // the within-cell pair join must key on centroid_id (hash-shuffled
+    // equi join) — Σ|cell|² work, not |corpus|²
+    assert(p.contains("centroid_id"), p)
+    // argmin assignment partial-aggregates map-side: one row per corpus
+    // vector on the shuffle, not |corpus|×|centroids| scored rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"assignment argmin is not two-phase:\n$p")
+  }
 }
