@@ -11,7 +11,10 @@ import graft.similarity.{KMeans, Similarity}
   * embedding near-dup removal, the embedding-space sibling of the
   * MinHash/SimHash text paths.
   *
-  * Two contracts, mirroring the ANN suite's convention:
+  * Three contracts, mirroring the ANN suite's convention
+  * (`e_dedup_semantic_incremental` adds the ingest-side admission check —
+  * the same closed-form planted oracle over
+  * [[Similarity.semanticDedupAgainstIndex]]):
   *
   *   - `e_dedup_semantic` — FULLY value-oracled: stride centroids (every
   *     50th vector — deterministic and SQL-expressible, like
@@ -82,6 +85,23 @@ object Round13Queries {
         .select(col("vec_id"), col("is_dup"), col("dup_of"),
           round(col("max_cos"), 6).as("max_cos"))
         .orderBy(col("vec_id"))
+    }),
+
+    // The ingest-side ADMISSION check ([[Similarity
+    // .semanticDedupAgainstIndex]]): corpus = the immutable index, the 30
+    // planted copies arrive as the new batch — every one must be refused
+    // with dup_of = its original (same closed-form contract as the
+    // planted twin; the batch side broadcasts, the index never shuffles).
+    "e_dedup_semantic_incremental" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = KMeans.fit(emb, k = 8, iters = 2)
+      val batch = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDedupAgainstIndex(batch,
+        Similarity.ivfAssign(emb, cents), cents, threshold = 0.9999)
+        .select(col("vec_id"), col("is_dup"), col("dup_of"),
+          round(col("max_cos"), 6).as("max_cos"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -113,6 +133,11 @@ object Round13Queries {
          |ORDER BY a.vec_id""".stripMargin,
 
     "e_dedup_semantic_planted" ->
+      """SELECT vec_id + 1000000 AS vec_id, TRUE AS is_dup,
+        |  vec_id AS dup_of, CAST(1.0 AS DOUBLE) AS max_cos
+        |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
+
+    "e_dedup_semantic_incremental" ->
       """SELECT vec_id + 1000000 AS vec_id, TRUE AS is_dup,
         |  vec_id AS dup_of, CAST(1.0 AS DOUBLE) AS max_cos
         |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin

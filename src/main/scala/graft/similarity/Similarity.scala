@@ -469,4 +469,59 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("max_cos"))
   }
+
+  /** INCREMENTAL [[semanticDedup]]: decide a BATCH of new vectors against
+    * an immutable codes index — the ingest-side admission check of the
+    * build→persist→probe→fold-in lifecycle ([[ivfFoldIn]] admits the
+    * keepers afterwards; [[IncrementalDedup.pairsAgainstIndex]] is the
+    * MinHash sibling).
+    *
+    * Contract (spec-pinned): the returned decisions equal
+    * [[semanticDedupFromIndex]] over (index ∪ assign(batch)) RESTRICTED
+    * to batch ids — incremental == full rebuild, bucket for bucket
+    * (`maxCellSize` counts the union's cells, matching the rebuild).
+    * Under the ingest invariant of monotonically increasing ids this is
+    * exactly "a new vector is dropped iff it matches anything already
+    * admitted or an earlier batch-mate"; a redelivered (same-id) vector
+    * pairs with its index copy only as id_a = id_b, which the
+    * orientation filter drops — redelivery emits a kept row, not a dup.
+    *
+    * Scale: the BATCH side of the pair probe is broadcast (micro-batches
+    * are small by nature; the index is the 100 TB side) — the index
+    * never shuffles, one pruned scan per trigger. Decisions come back
+    * one row per batch vector, same schema as [[semanticDedup]].
+    */
+  def semanticDedupAgainstIndex(newVectors: DataFrame, index: DataFrame,
+                                centroidsDf: DataFrame, threshold: Double,
+                                maxCellSize: Int = 0): DataFrame = {
+    val batchIdx = ivfAssign(newVectors, centroidsDf)
+    val keep = Seq("vec_id", "centroid_id", "embedding").map(col)
+    val all = index.select(keep: _*)
+      .unionByName(batchIdx.select(keep: _*))
+    val cells =
+      if (maxCellSize <= 0) all
+      else {
+        val ok = all.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("_cn"))
+          .filter(col("_cn") <= maxCellSize)
+          .select(col("centroid_id"))
+        all.join(ok, Seq("centroid_id"), "left_semi")
+      }
+    val l = cells.select(col("centroid_id"), col("vec_id").as("_id_a"),
+      col("embedding").as("_e_a"))
+    // victims are batch rows only — and the batch side broadcasts, so the
+    // index side of the probe is a map-side pass, never a shuffle
+    val r = broadcast(batchIdx.select(col("centroid_id"),
+      col("vec_id").as("_id_b"), col("embedding").as("_e_b")))
+    val dups = l.join(r, Seq("centroid_id"))
+      .filter(col("_id_a") < col("_id_b"))
+      .withColumn("_cos", cosine(col("_e_a"), col("_e_b")))
+      .filter(col("_cos") >= threshold)
+      .groupBy(col("_id_b"))
+      .agg(min(col("_id_a")).as("dup_of"), max(col("_cos")).as("max_cos"))
+    val base = batchIdx.select(col("vec_id"), col("centroid_id"))
+    base.join(dups, base("vec_id") === dups("_id_b"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("max_cos"))
+  }
 }

@@ -97,6 +97,28 @@ object StreamingAnn {
     * @param index pre-built quantized index (vec_id, scale, codes)
     * @param corpus the float-vector side, touched only by the finalist
     *   equi-join fetch */
+  /** Streaming SEMANTIC-DEDUP admission: per micro-batch of new vectors,
+    * decide each against the persisted codes index
+    * ([[graft.similarity.Similarity.semanticDedupAgainstIndex]] — batch
+    * side broadcast, index never shuffles), hand the decisions to `sink`
+    * (which typically [[foldInIvf]]-admits the keepers). Same
+    * one-code-path rationale as [[serveIvf]]: the batch operator's
+    * incremental==rebuild contract carries to the stream verbatim.
+    */
+  def serveSemanticDedup(newVectors: DataFrame, index: DataFrame,
+                         centroids: DataFrame, threshold: Double,
+                         maxCellSize: Int = 0, availableNow: Boolean = false)
+                        (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = newVectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(Similarity.semanticDedupAgainstIndex(batch.toDF(), index,
+          centroids, threshold, maxCellSize), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   def serveQuant(queries: DataFrame, index: DataFrame, corpus: DataFrame,
                  k: Int, coarseFactor: Int = 4,
                  availableNow: Boolean = false)

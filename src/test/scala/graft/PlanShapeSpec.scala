@@ -360,4 +360,16 @@ class PlanShapeSpec extends SparkTestBase {
       "ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"assignment argmin is not two-phase:\n$p")
   }
+
+  test("e_dedup_semantic_incremental: the admission probe BROADCASTS the " +
+      "batch — the index side never shuffles for it") {
+    val p = plan("e_dedup_semantic_incremental")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    // pair probe = BroadcastHashJoin on centroid_id (batch is the build
+    // side); the ONLY sort-merge join is the batch-sized final decisions
+    // attach — nothing index-sized ever hash-shuffles for a join
+    assert(p.contains("BroadcastHashJoin"), s"probe not broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"index-sized shuffled join appeared:\n$p")
+  }
 }

@@ -110,6 +110,49 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(viaIndex === oneShot)
   }
 
+  test("incremental == rebuild: batch decisions against an index equal " +
+      "the full recompute restricted to batch ids, cells counted union-wide") {
+    val base = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // interleaved split — both sides contribute lower-id witnesses
+    val index = base.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val batch = base.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val cents = KMeans.fit(base, k = 4, iters = 1)
+    for (cap <- Seq(0, 40)) {
+      val inc = Similarity.semanticDedupAgainstIndex(
+        batch, Similarity.ivfAssign(index, cents), cents, 0.4, cap)
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val full = Similarity.semanticDedup(base, cents, 0.4, cap)
+        .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      assert(inc === full, s"cap=$cap")
+      assert(inc.nonEmpty)
+    }
+  }
+
+  test("incremental: a batch-mate is a valid witness; an index vector " +
+      "wins regardless of batch order") {
+    // index holds id 0 [1,0]; batch brings 5 (dup of 0), 6 (dup of 5),
+    // 20 (clean, other cell)
+    val index = Similarity.ivfAssign(emb(0L -> Seq(1f, 0f)), centroids)
+    val batch = emb(5L -> Seq(1f, 0f), 6L -> Seq(0.999f, 0.045f),
+      20L -> Seq(0f, 1f))
+    val d = Similarity.semanticDedupAgainstIndex(batch, index, centroids, 0.99)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(d === Seq((5L, true, 0L), (6L, true, 0L), (20L, false, -1L)))
+  }
+
+  test("incremental: redelivered same-id vector emits a kept row, not a " +
+      "self-dup") {
+    val index = Similarity.ivfAssign(emb(7L -> Seq(1f, 0f)), centroids)
+    val d = Similarity.semanticDedupAgainstIndex(
+      emb(7L -> Seq(1f, 0f)), index, centroids, 0.99)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(d === Seq((7L, false)))
+  }
+
   test("max_cos reports the strongest qualifying witness") {
     val d = Similarity.semanticDedup(corpus, centroids, 0.99)
       .filter(col("vec_id") === 1L).collect().head

@@ -136,4 +136,42 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(graft.similarity.TrainedState.loadIvfIndex(spark, dir)
       .count() == 300, "batch-id replay duplicated rows")
   }
+
+  test("serveSemanticDedup: per-batch admission decisions == the batch " +
+      "semanticDedupAgainstIndex on the same vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = graft.similarity.Similarity.ivfAssign(emb, centroids)
+      .localCheckpoint(true)
+    // planted copies (guaranteed dups) + far-id clean vectors re-planted
+    // under fresh ids (dup of their source — also refused): every
+    // decision is knowable, and batches exercise both outcomes
+    val src = emb.filter(col("vec_id") < 6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batches = Seq(Seq(0L, 1L), Seq(2L, 3L, 4L))
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveSemanticDedup(
+      mem.toDF().toDF("vec_id", "embedding"), index, centroids,
+      threshold = 0.9999) { (df, _) => collected ++= df.collect() }
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map(id => (id + 1000000L) -> src(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchRef = batches.flatMap { b =>
+      val batchDf = b.map(id => (id + 1000000L) -> src(id))
+        .toDF("vec_id", "embedding").repartition(2)
+      graft.similarity.Similarity.semanticDedupAgainstIndex(
+        batchDf, index, centroids, 0.9999).collect()
+    }
+    def keyed(rows: Seq[Row]) = rows.map(r => r.getLong(0) ->
+      (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef))
+    // and the contract itself: every copy refused, traced to its source
+    assert(keyed(collected.toSeq) ==
+      batches.flatten.map(id => (id + 1000000L) -> ((true, id))).toMap)
+  }
 }
