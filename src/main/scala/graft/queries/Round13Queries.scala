@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.load
 import graft.similarity.{KMeans, Similarity}
+import graft.text.QualityClassifier
 
 /** Round-13 additions — SemDeDup-style SEMANTIC dedup
   * ([[graft.similarity.Similarity.semanticDedup]]): cluster-bounded
@@ -87,6 +88,25 @@ object Round13Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // Trainable quality gate ([[QualityClassifier]]): batch-perceptron
+    // training unrolled by the oracle — k iterations of integer-exact
+    // weight updates must match DuckDB bit for bit (see the operator's
+    // exactness ladder). Output = the final integer weight vector.
+    "d_classifier_train" -> ((s, dir) => {
+      val w = QualityClassifier.fit(load(s, dir, "documents"),
+        QualityClassifier.enLabel, iters = ClassifierIters)
+      s.range(1).select(
+        (0 until QualityClassifier.Dim).map(j => lit(w(j)).as(s"w$j")): _*)
+    }),
+
+    // Train + map-only serve end to end: per-doc margin (1e-6 units),
+    // prediction, and label under the trained weights.
+    "d_classifier_score" -> ((s, dir) => {
+      QualityClassifier.score(load(s, dir, "documents"),
+        QualityClassifier.enLabel, iters = ClassifierIters)
+        .orderBy(col("doc_id"))
+    }),
+
     // The ingest-side ADMISSION check ([[Similarity
     // .semanticDedupAgainstIndex]]): corpus = the immutable index, the 30
     // planted copies arrive as the new batch — every one must be refused
@@ -105,7 +125,71 @@ object Round13Queries {
     })
   )
 
+  private val ClassifierIters = 3
+
+  /** Generated perceptron-training CTE chain (the BPE-oracle technique
+    * applied to gradient-free model training): `feat` mirrors
+    * [[QualityClassifier.features]] expression for expression, then each
+    * iteration CTE adds the integer update sums of the rows the PREVIOUS
+    * weights misclassify. Everything compared downstream is either a
+    * BIGINT or a bit-identical double — see the operator scaladoc. */
+  private def classifierCtes: String = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val stop = "['the','a','and','of','to','in','is','on','for','with']"
+    val dim = QualityClassifier.Dim
+    val featSql =
+      s"""feat AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    CAST(1.0 AS DOUBLE) AS x0,
+         |    (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |           / length(text) ELSE 0 END) AS x1,
+         |    (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+         |           / length(text) ELSE 0 END) AS x2,
+         |    (CASE WHEN len($toks) > 0
+         |      THEN CAST(len(list_intersect($toks, $stop)) AS DOUBLE) / 10.0
+         |      ELSE 0 END) AS x3,
+         |    LEAST(len($toks) / 64.0, 1.0) AS x4
+         |  FROM documents),
+         |featc AS (
+         |  SELECT *,
+         |${(0 until dim).map(j =>
+              s"    CAST(ROUND(x$j * 1000000.0) AS BIGINT) AS c$j")
+              .mkString(",\n")}
+         |  FROM feat),
+         |w0 AS (SELECT ${(0 until dim).map(j =>
+              s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})""".stripMargin
+    val iterSql = (1 to ClassifierIters).map { i =>
+      val m = (0 until dim).map(j => s"w.w$j * x$j").mkString(" + ")
+      val sums = (0 until dim).map(j =>
+        s"      CAST(SUM(CASE WHEN y * ($m) <= 0 THEN y * c$j ELSE 0 END) AS BIGINT) AS d$j")
+        .mkString(",\n")
+      s"""w$i AS (
+         |  SELECT ${(0 until dim).map(j => s"w.w$j + u.d$j AS w$j").mkString(", ")}
+         |  FROM w${i - 1} w CROSS JOIN (
+         |    SELECT
+         |$sums
+         |    FROM featc, w${i - 1} w) u)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $featSql,\n$iterSql"
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "d_classifier_train" ->
+      s"""$classifierCtes
+         |SELECT ${(0 until QualityClassifier.Dim).map(j => s"w$j")
+              .mkString(", ")} FROM w$ClassifierIters""".stripMargin,
+
+    "d_classifier_score" -> {
+      val m = (0 until QualityClassifier.Dim).map(j => s"w.w$j * x$j")
+        .mkString(" + ")
+      s"""$classifierCtes
+         |SELECT doc_id, CAST(ROUND($m) AS BIGINT) AS margin_e6,
+         |  ($m) > 0 AS pred_en, y
+         |FROM featc, w$ClassifierIters w ORDER BY doc_id""".stripMargin
+    },
 
     "e_dedup_semantic" ->
       s"""WITH cents AS (

@@ -57,6 +57,34 @@ object TrainedState {
   def loadMerges(spark: SparkSession, path: String): DataFrame =
     load(spark, mergeSchema, path)
 
+  val linearModelSchema: StructType = StructType(Seq(
+    StructField("feature", IntegerType, nullable = false),
+    StructField("weight", LongType, nullable = false)))
+
+  /** Persist a [[graft.text.QualityClassifier.fit]] weight vector (Dim
+    * rows of integer 1e-6-unit weights) — the quality gate's trained
+    * artifact; serving is the stateless
+    * [[graft.text.QualityClassifier.scoreWith]]. */
+  def saveLinearModel(spark: SparkSession, weights: Seq[Long],
+                      path: String): Unit = {
+    import spark.implicits._
+    save(weights.zipWithIndex
+      .map { case (w, j) => (j, w) }.toDF("feature", "weight"),
+      linearModelSchema, path)
+  }
+
+  /** Load weights back as the Array [[graft.text.QualityClassifier
+    * .scoreWith]] takes, ordered by feature slot; fails fast on slot
+    * gaps or duplicates. */
+  def loadLinearModel(spark: SparkSession, path: String): Array[Long] = {
+    val rows = load(spark, linearModelSchema, path)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"trained-state slots at $path are not 0..${rows.length - 1}: " +
+        rows.map(_._1).mkString(","))
+    rows.map(_._2)
+  }
+
   val ivfIndexSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
     StructField("centroid_id", LongType, nullable = false),
