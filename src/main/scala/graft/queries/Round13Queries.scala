@@ -7,10 +7,19 @@ import graft.Tables.load
 import graft.similarity.{KMeans, Similarity}
 import graft.text.QualityClassifier
 
-/** Round-13 additions — SemDeDup-style SEMANTIC dedup
-  * ([[graft.similarity.Similarity.semanticDedup]]): cluster-bounded
-  * embedding near-dup removal, the embedding-space sibling of the
-  * MinHash/SimHash text paths.
+/** Round-13 additions — the embedding-space hygiene suite plus two
+  * delivery/gating operators:
+  *
+  *   - SemDeDup-style SEMANTIC dedup ([[Similarity.semanticDedup]]) —
+  *     cluster-bounded embedding near-dup removal, the embedding-space
+  *     sibling of the MinHash/SimHash text paths (contracts below);
+  *   - semantic DECONTAMINATION ([[Similarity.semanticContamination]])
+  *     — benchmark-leakage flagging by embedding similarity, map-only;
+  *   - the trainable QUALITY GATE ([[QualityClassifier]]) — integer-
+  *     exact batch perceptron, k training iterations replayed by the
+  *     oracle as generated CTEs;
+  *   - weight-BALANCED shard export ([[graft.operators.Export
+  *     .balancedShards]]) — snake-striped token-weighted assignment.
   *
   * Three contracts, mirroring the ANN suite's convention
   * (`e_dedup_semantic_incremental` adds the ingest-side admission check —
@@ -40,22 +49,26 @@ import graft.text.QualityClassifier
   */
 object Round13Queries {
 
-  /** DuckDB double-precision cosine between two FLOAT[] list expressions —
-    * the same f32→f64 widen + left-to-right fold the engine's DotProduct
-    * kernel performs (see [[Similarity.dotFold]]), so both engines
-    * produce bit-identical doubles. Shared by the oracles below; same
-    * formulation as the `e_ann_brute` / `e_dedup_cosine` oracles. */
-  private def cosSql(a: String, b: String): String =
+  /** DuckDB double-precision dot/norm/cosine over FLOAT[] list
+    * expressions — the same f32→f64 widen + left-to-right fold the
+    * engine's DotProduct kernel performs (see [[Similarity.dotFold]]),
+    * so both engines produce bit-identical doubles. Same formulation as
+    * the `e_ann_brute` / `e_dedup_cosine` oracles. */
+  private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(list_zip($a, $b),
        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
-       |      (x, y) -> x + y) /
-       |    (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      (x, y) -> x + y)""".stripMargin
+
+  private def normSql(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-       |      (x, y) -> x + y)) *
-       |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-       |      (x, y) -> x + y)))""".stripMargin
+       |      (x, y) -> x + y))""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""${dotSql(a, b)} /
+       |    (${normSql(a)} *
+       |     ${normSql(b)})""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -105,6 +118,40 @@ object Round13Queries {
       QualityClassifier.score(load(s, dir, "documents"),
         QualityClassifier.enLabel, iters = ClassifierIters)
         .orderBy(col("doc_id"))
+    }),
+
+    // Semantic decontamination ([[Similarity.semanticContamination]]):
+    // every-97th vector is the "benchmark" slice, the rest the corpus.
+    // MAP-ONLY corpus pass (eval inlined as a literal with precomputed
+    // norms) — plan-pinned: zero joins, zero hash shuffles. The oracle
+    // replays the exact (dot/evalNorm)/corpusNorm association and the
+    // strict-max/earliest-id tie-break.
+    "e_decontaminate_semantic" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+        threshold = 0.45)
+        .select(col("vec_id"), col("nearest_eval_id"),
+          round(col("max_eval_cos"), 6).as("max_eval_cos"),
+          col("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Weight-balanced shard export ([[graft.operators.Export
+    // .balancedShards]]): snake-striped token-weighted assignment;
+    // output is the per-shard manifest whose near-equal totals ARE the
+    // operator's contract (hash sharding leaves heavy-tailed weight
+    // skew; balanced shards keep 1000 trainers in lockstep).
+    "d_export_balanced" -> ((s, dir) => {
+      val weighted = load(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextOps.tokenCountWs(col("text")).cast("long").as("w"))
+      graft.operators.Export
+        .balancedShards(weighted, "doc_id", col("w"),
+          numShards = 8, numSlices = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_w"))
+        .orderBy(col("shard"))
     }),
 
     // The ingest-side ADMISSION check ([[Similarity
@@ -224,6 +271,43 @@ object Round13Queries {
     "e_dedup_semantic_incremental" ->
       """SELECT vec_id + 1000000 AS vec_id, TRUE AS is_dup,
         |  vec_id AS dup_of, CAST(1.0 AS DOUBLE) AS max_cos
-        |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin
+        |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
+
+    "e_decontaminate_semantic" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS e_emb,
+         |    ${normSql("embedding")} AS nb
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |corp AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS na
+         |  FROM embeddings WHERE vec_id % 97 <> 0),
+         |sc AS (
+         |  SELECT c.vec_id, c.na, e.eval_id,
+         |    ${dotSql("c.embedding", "e.e_emb")} / e.nb AS s
+         |  FROM corp c CROSS JOIN ev e)
+         |SELECT vec_id, eval_id AS nearest_eval_id,
+         |  ROUND(s / na, 6) AS max_eval_cos,
+         |  (s / na) >= 0.45 AS contaminated
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, eval_id ASC) AS rn
+         |  FROM sc) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "d_export_balanced" ->
+      """WITH wt AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w
+        |  FROM documents),
+        |rk AS (
+        |  SELECT w, ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+        |    ORDER BY w DESC, doc_id ASC) - 1 AS r
+        |  FROM wt),
+        |sh AS (
+        |  SELECT w, CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+        |    ELSE 7 - (r % 8) END AS shard
+        |  FROM rk)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS total_w
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

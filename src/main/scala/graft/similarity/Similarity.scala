@@ -524,4 +524,66 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("max_cos"))
   }
+
+  /** Semantic DECONTAMINATION: flag corpus vectors whose embedding sits
+    * within `threshold` cosine of ANY eval/benchmark vector — the
+    * embedding-space counterpart of the n-gram `d_decontaminate` probe
+    * (catches paraphrased benchmark leakage that exact n-grams miss; the
+    * contamination audit of modern LLM training pipelines).
+    *
+    * Scale shape: eval sets are KBs–MBs BY NATURE (same contract as the
+    * n-gram probe's broadcast fingerprint set), so the eval side is
+    * driver-collected and inlined as a LITERAL array with PRECOMPUTED
+    * norms — the corpus pass is then MAP-ONLY: zero shuffles, no join,
+    * nothing corpus-sized ever moves. Each corpus row folds once over
+    * the eval array (corpus norm hoisted OUT of the lambda — computed
+    * once per row, not once per eval element; the HOF re-evaluation
+    * trap). Ties on max cosine keep the smallest eval id (strict `>`
+    * keeps the first element of the id-ordered array).
+    *
+    * @param evalVecs (`vec_id`, `embedding`) — must be small enough to
+    *   collect; enforced via `maxEvalRows`
+    * @return one row per corpus vector: (vec_id, nearest_eval_id,
+    *   max_eval_cos, contaminated)
+    */
+  def semanticContamination(corpus: DataFrame, evalVecs: DataFrame,
+                            threshold: Double,
+                            maxEvalRows: Int = 100000): DataFrame = {
+    val evals = evalVecs.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).collect()
+    require(evals.nonEmpty, "semanticContamination: empty eval set")
+    require(evals.length <= maxEvalRows,
+      s"semanticContamination: ${evals.length} eval vectors exceed " +
+        s"maxEvalRows=$maxEvalRows — an eval set this large should be " +
+        "indexed (ivfAssign) and probed, not inlined")
+    // norms precomputed driver-side with the same f32→f64 widen +
+    // left-to-right fold as dotFold — bit-identical to the in-plan value
+    def normOf(xs: Seq[Float]): Double =
+      math.sqrt(xs.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val evalArr = array(evals.map { r =>
+      val emb = r.getSeq[Float](1)
+      struct(lit(r.getLong(0)).as("id"),
+        array(emb.map(lit): _*).cast("array<float>").as("emb"),
+        lit(normOf(emb)).as("n"))
+    }.toIndexedSeq: _*)
+    // the fold ranks by s = dot/evalNorm — the corpus norm is a POSITIVE
+    // per-row constant, so argmax(s) == argmax(cosine) and it stays OUT
+    // of the lambda entirely (projection collapse would otherwise inline
+    // the norm into the lambda body and re-evaluate it per eval element
+    // — the HOF trap). cos = s/corpusNorm is applied once, outside; the
+    // oracle mirrors this exact (d/nb)/na association.
+    val best = aggregate(evalArr,
+      struct(lit(-1L).as("id"), lit(Double.NegativeInfinity).as("s")),
+      (acc, e) => {
+        val s = dot(col("embedding"), e.getField("emb")) / e.getField("n")
+        when(s > acc.getField("s"),
+          struct(e.getField("id").as("id"), s.as("s"))).otherwise(acc)
+      })
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("_best", best)
+      .select(col("vec_id"), col("_best.id").as("nearest_eval_id"),
+        (col("_best.s") / l2norm(col("embedding"))).as("max_eval_cos"),
+        (col("_best.s") / l2norm(col("embedding")) >= threshold)
+          .as("contaminated"))
+  }
 }

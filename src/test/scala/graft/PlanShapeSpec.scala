@@ -372,4 +372,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert("SortMergeJoin".r.findAllIn(p).size <= 1,
       s"index-sized shuffled join appeared:\n$p")
   }
+
+  test("e_decontaminate_semantic: the corpus pass is MAP-ONLY — zero " +
+      "joins, zero hash shuffles (eval set inlined as a literal)") {
+    val p = plan("e_decontaminate_semantic")
+    assert(!p.contains("Join"), s"a join appeared in the map-only pass:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a hash shuffle appeared:\n$p")
+    // the only exchange is the output-order range sort
+    assert("Exchange".r.findAllIn(p).size <= 1, s"extra exchanges:\n$p")
+  }
+
+  test("d_export_balanced: the ranking window is SLICED (parallel), " +
+      "never a single-partition global sort") {
+    val p = plan("d_export_balanced")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-task global window:\n$p")
+    assert(p.contains("Window"), p)
+  }
 }

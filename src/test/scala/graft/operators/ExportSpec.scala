@@ -48,4 +48,49 @@ class ExportSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Export.jsonlShards(d, "doc_id", "/tmp/never", 0))
   }
+
+  test("balancedShards: single-slice snake is the exact boustrophedon " +
+      "assignment; totals balance to within one max weight") {
+    // weights 9..1, one slice, 3 shards: stripes (0,1,2)(2,1,0)(0,1,2)
+    // → shard0 = 9+4+3, shard1 = 8+5+2, shard2 = 7+6+1
+    val d = (1L to 9L).map(id => (id, 10L - id)).toDF("doc_id", "w")
+      .repartition(3)
+    val totals = Export.balancedShards(d, "doc_id", col("w"),
+        numShards = 3, numSlices = 1)
+      .groupBy("shard").agg(sum("w").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals === Map(0L -> 16L, 1L -> 15L, 2L -> 14L))
+  }
+
+  test("balancedShards: every row assigned exactly once to a valid " +
+      "shard; per-shard totals beat the hash-shard imbalance bound") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextOps.tokenCountWs(col("text")).cast("long").as("w"))
+      .localCheckpoint(true)
+    val k = 8
+    val assigned = Export.balancedShards(docs, "doc_id", col("w"), k,
+      numSlices = 4).localCheckpoint(true)
+    assert(assigned.count() == docs.count())
+    assert(assigned.filter(col("shard") < 0 || col("shard") >= k)
+      .count() == 0)
+    val totals = assigned.groupBy("shard").agg(sum("w").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.length == k)
+    // documented bound: imbalance <= numSlices × max single weight
+    val maxW = docs.agg(max("w")).collect().head.getLong(0)
+    assert(totals.max - totals.min <= 4L * maxW,
+      s"imbalance ${totals.max - totals.min} > ${4L * maxW}")
+  }
+
+  test("balancedShards is deterministic under repartitioning") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextOps.tokenCountWs(col("text")).cast("long").as("w"))
+    def assign(parts: Int) = Export.balancedShards(
+        docs.repartition(parts), "doc_id", col("w"), 8, numSlices = 4)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(1) === assign(5))
+  }
 }
