@@ -90,6 +90,14 @@ object Bench {
       val med =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.size / 2)
+      // drop cached blocks the query left behind (eager localCheckpoints
+      // in KMeans/BPE/CC staging): accumulated over ~170 queries they
+      // build storage-memory pressure that taxed the alphabetical TAIL
+      // 3-5× (measured: d_decontaminate 2.4s in the full run vs 0.38s
+      // isolated, same code). Between-queries cleanup makes each timing
+      // independent of what ran before — which is the point of a bench.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, med, times.min, times.max)
     }
     // ms precision keeps the line short (the driver's log capture has

@@ -120,6 +120,27 @@ object Round13Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // IVF REBALANCE ([[Similarity.ivfRebalance]]) under the gate: split
+    // every cell (cap 20 forces it), then probe FULL — the contract is
+    // correctness preservation (full probe == brute force on any valid
+    // codes index), so every planted copy must come back at cosine 1.
+    // Partial-probe recall after a rebalance is spec'd empirically; the
+    // oracle pins the invariant that holds by construction.
+    "e_ann_ivf_rebalanced" -> ((s, dir) => {
+      val corpus = Round7Queries.plantedEmb(s, dir, 30)
+      val cents = corpus.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val (nc, ni) = Similarity.ivfRebalance(
+        Similarity.ivfAssign(corpus, cents), cents,
+        maxCellSize = 20, subK = 4)
+      val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
+      Similarity.ivfTopKFromIndex(queries, ni, k = 1, nc, nprobe = 100000)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
     // Semantic decontamination ([[Similarity.semanticContamination]]):
     // every-97th vector is the "benchmark" slice, the rest the corpus.
     // MAP-ONLY corpus pass (eval inlined as a literal with precomputed
@@ -272,6 +293,11 @@ object Round13Queries {
       """SELECT vec_id + 1000000 AS vec_id, TRUE AS is_dup,
         |  vec_id AS dup_of, CAST(1.0 AS DOUBLE) AS max_cos
         |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
+
+    "e_ann_ivf_rebalanced" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
 
     "e_decontaminate_semantic" ->
       s"""WITH ev AS (

@@ -296,6 +296,73 @@ object Similarity {
                 centroidsDf: DataFrame): DataFrame =
     index.unionByName(ivfAssign(newVectors, centroidsDf))
 
+  /** REBALANCE oversized IVF cells — the maintenance pass after
+    * [[ivfFoldIn]] drift (a cell that keeps catching fold-ins degrades
+    * toward a linear scan for every probe that ranks it): cells with
+    * more than `maxCellSize` rows are SPLIT by training `subK`
+    * sub-centroids on their own rows, and ONLY those cells' vectors
+    * reassign; untouched cells keep their rows and centroid ids
+    * verbatim. Split-cell training is one fused
+    * [[KMeans.fitGrouped]] pass for ALL oversized cells (iters × ~3
+    * jobs total, not per cell); sub-centroids renumber from
+    * max(existing id)+1 so ids never collide, and the retiring fat
+    * cells' ids leave the codebook.
+    *
+    * Invariants (spec-pinned): the vector SET is preserved exactly; an
+    * identical pair of vectors stays co-located (bit-equal distances,
+    * same tie-break — planted-dup probes keep their guarantee); probes
+    * at full nprobe over the result still equal brute force. One round
+    * splits each fat cell into ≤ subK children bounded by k-means
+    * balance, not a hard cap — loop if a pathological cell needs it.
+    *
+    * @return (new centroids, new codes index)
+    */
+  def ivfRebalance(index: DataFrame, centroidsDf: DataFrame,
+                   maxCellSize: Int, subK: Int,
+                   iters: Int = 2): (DataFrame, DataFrame) = {
+    require(maxCellSize > 0 && subK > 1,
+      s"maxCellSize=$maxCellSize must be > 0 and subK=$subK > 1")
+    val bigIds = index.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxCellSize)
+      .select(col("centroid_id"))
+    val small = index.join(broadcast(bigIds), Seq("centroid_id"), "left_anti")
+    val big = index.join(broadcast(bigIds), Seq("centroid_id"), "left_semi")
+    val subs = KMeans.fitGrouped(
+      big.select(col("centroid_id").as("grp"), col("vec_id"),
+        col("embedding")), subK, iters)
+    // centroid-sized table: a single-partition renumber window is fine
+    // here (cells × subK rows), anchored like KMeans' init rank
+    val maxIdRow = centroidsDf.agg(max(col("centroid_id"))).head()
+    val base = (if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)) + 1
+    val renumbered = subs.withColumn("new_id",
+      lit(base) - 1 + row_number().over(
+        Window.partitionBy(graft.functions.WindowKeys
+          .constantPartitionKey(col("grp")))
+          .orderBy(col("grp"), col("centroid_id"))).cast("long"))
+      .select(col("grp"), col("new_id"), col("centroid"))
+    // reassign ONLY fat-cell rows, each against ITS OWN cell's children
+    // (equi join on the old cell id — k'×subK broadcast, argmin agg:
+    // one row per reassigned vector on the shuffle, the ivfAssign shape)
+    val reassigned = big
+      .join(broadcast(renumbered), big("centroid_id") === renumbered("grp"))
+      .withColumn("_cdist", -dot(col("embedding"), col("centroid")) /
+        (l2norm(col("embedding")) * l2norm(col("centroid"))))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("new_id"), struct(col("_cdist"), col("new_id")))
+          .as("centroid_id"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    val keptCentroids = centroidsDf
+      .join(broadcast(bigIds), Seq("centroid_id"), "left_anti")
+    val newCentroids = keptCentroids.unionByName(
+      renumbered.select(col("new_id").as("centroid_id"), col("centroid")))
+    (newCentroids,
+      small.select(col("vec_id"), col("centroid_id"), col("embedding"))
+        .unionByName(reassigned))
+  }
+
   /** Probe a prebuilt codes index: queries pick their `nprobe` nearest
     * cells (broadcast, k×nprobe-sized), then join cell-to-cell against
     * the index — only the probed cells' rows are touched (with a

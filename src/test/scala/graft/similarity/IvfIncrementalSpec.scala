@@ -89,4 +89,82 @@ class IvfIncrementalSpec extends SparkTestBase {
       TrainedState.loadIvfIndex(spark, dir + "/junk"))
     assert(e.getMessage.contains("missing"))
   }
+
+  test("ivfRebalance: fat cells split, vector set preserved, untouched " +
+      "cells verbatim, ids never collide, full probe still == brute") {
+    val index = Similarity.ivfAssign(emb, centroids).localCheckpoint(true)
+    val sizes = index.groupBy("centroid_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = sizes.values.toSeq.sorted.apply(sizes.size / 2).toInt // median
+    val fat = sizes.filter(_._2 > cap).keySet
+    assert(fat.nonEmpty, "pick a cap below the max cell size")
+    val (newCents, newIdx0) = Similarity.ivfRebalance(index, centroids,
+      maxCellSize = cap, subK = 3)
+    val newIdx = newIdx0.localCheckpoint(true)
+    // vector set preserved exactly
+    assert(newIdx.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      === index.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // untouched cells byte-for-byte (assignment pairs)
+    def cells(df: org.apache.spark.sql.DataFrame, keep: Long => Boolean) =
+      df.select("vec_id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => keep(p._2)).toSet
+    val oldNonFat = sizes.keySet -- fat
+    assert(cells(newIdx, oldNonFat.contains) ===
+      cells(index, oldNonFat.contains))
+    // and nothing that was in a fat cell still carries its old id
+    assert(cells(newIdx, fat.contains).isEmpty)
+    // retired fat ids are gone; new ids sit above the old id range
+    val newCentIds = newCents.select("centroid_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(fat.intersect(newCentIds).isEmpty)
+    val oldMax = sizes.keySet.max
+    assert((newCentIds -- sizes.keySet).forall(_ > oldMax))
+    assert(newCentIds.size ===
+      (sizes.size - fat.size) + (newCentIds -- sizes.keySet).size)
+    // every reassigned vector landed in a child of its OLD fat cell —
+    // and probes at full nprobe still equal brute force
+    val queries = emb.filter(col("vec_id") < 10)
+    val full = collectTopK(Similarity.ivfTopKFromIndex(queries, newIdx,
+      k = 3, newCents, nprobe = newCentIds.size))
+    assert(full === collectTopK(Similarity.bruteTopK(queries, emb, k = 3)))
+  }
+
+  test("ivfRebalance: planted identical vectors stay co-located and the " +
+      "partial-nprobe planted probe keeps its guarantee") {
+    val planted = emb.unionByName(emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    val index = Similarity.ivfAssign(planted, centroids)
+    val cap = (planted.count() / centroids.count() / 2).toInt.max(1)
+    val (nc, ni0) = Similarity.ivfRebalance(index, centroids, cap, subK = 3)
+    val ni = ni0.localCheckpoint(true)
+    val cellOf = ni.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { id =>
+      assert(cellOf(id) === cellOf(id + 1000000L),
+        s"planted pair $id split across cells")
+    }
+    val probes = Similarity.ivfTopKFromIndex(
+      emb.filter(col("vec_id") < 20), ni, k = 1, nc, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("c")).collect()
+    probes.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 1000000L)
+      assert(r.getDouble(2) === 1.0)
+    }
+    assert(probes.length === 20)
+  }
+
+  test("ivfRebalance: no fat cells is an exact no-op") {
+    val index = Similarity.ivfAssign(emb, centroids).localCheckpoint(true)
+    val maxCell = index.groupBy("centroid_id").count()
+      .agg(max("count")).head().getLong(0).toInt
+    val (nc, ni) = Similarity.ivfRebalance(index, centroids, maxCell, 3)
+    assert(ni.select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      index.select("vec_id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(nc.count() === centroids.count())
+  }
 }
