@@ -120,6 +120,32 @@ object Round13Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hard-negative mining ([[Similarity.hardNegatives]]): top-3 most
+    // similar DIFFERENT-label corpus vectors per labeled anchor — the
+    // exact brute baseline (query side broadcast, corpus never
+    // shuffles), fully value-oracled like e_ann_brute.
+    "e_hard_negatives" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("neighbor_label"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Quality-ranked token-budget cut ([[graft.text.BudgetSelect]]):
+    // histogram-cut selection — whole bins best-first, exact prefix
+    // inside the one cut bin; all-integer arithmetic, so the three-stage
+    // oracle matches exactly.
+    "d_budget_select" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.text.BudgetSelect.selectToBudget(docs, "doc_id",
+          round(graft.text.TextOps.qualityScore(col("text")) * 1e6)
+            .cast("long"),
+          graft.text.TextOps.tokenCountWs(col("text")).cast("long"),
+          budget = 30000L, binWidth = 1000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF REBALANCE ([[Similarity.ivfRebalance]]) under the gate: split
     // every cell (cap 20 forces it), then probe FULL — the contract is
     // correctness preservation (full probe == brute force on any valid
@@ -298,6 +324,66 @@ object Round13Queries {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+
+    "e_hard_negatives" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS neighbor_label,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id <> c.vec_id
+         |    AND q.label IS NOT NULL AND c.label IS NOT NULL
+         |    AND q.label <> c.label
+         |  WHERE q.vec_id < 20)
+         |SELECT query_id, rank, neighbor_id, neighbor_label,
+         |  ROUND(cos_sim, 6) AS cos_sim
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "d_budget_select" -> {
+      val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+      val stop = "['the','a','and','of','to','in','is','on','for','with']"
+      val qual =
+        s"""ROUND(
+           |    0.4 * (CASE WHEN length(text) > 0
+           |      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |           / length(text) ELSE 0 END) +
+           |    0.2 * (1.0 - CASE WHEN length(text) > 0
+           |      THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+           |           / length(text) ELSE 0 END) +
+           |    0.2 * (CASE WHEN len($toks) > 0
+           |      THEN CAST(len(list_intersect($toks, $stop)) AS DOUBLE) / 10.0
+           |      ELSE 0 END) +
+           |    0.2 * LEAST(len($toks) / 64.0, 1.0), 6)""".stripMargin
+      s"""WITH q0 AS (
+         |  SELECT doc_id,
+         |    CAST(ROUND($qual * 1000000) AS BIGINT) AS quality_e6,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w
+         |  FROM documents),
+         |b2 AS (SELECT *, quality_e6 // 1000 AS bin FROM q0),
+         |hist AS (SELECT bin, SUM(w) AS bw FROM b2 GROUP BY 1),
+         |hc AS (SELECT bin, bw,
+         |  SUM(bw) OVER (ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist),
+         |cutb AS (SELECT bin, cum - bw AS bef FROM hc
+         |  WHERE cum - bw <= 30000 AND cum > 30000),
+         |sel_cut AS (
+         |  SELECT doc_id, quality_e6, w FROM (
+         |    SELECT b2.doc_id, b2.quality_e6, b2.w, c.bef,
+         |      SUM(b2.w) OVER (ORDER BY b2.quality_e6 DESC, b2.doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+         |    FROM b2 JOIN cutb c ON b2.bin = c.bin) t
+         |  WHERE c2 <= 30000 - bef)
+         |SELECT doc_id, quality_e6, w FROM (
+         |  SELECT doc_id, quality_e6, w FROM b2
+         |  WHERE bin IN (SELECT bin FROM hc WHERE cum <= 30000)
+         |  UNION ALL SELECT * FROM sel_cut) u
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "e_decontaminate_semantic" ->
       s"""WITH ev AS (

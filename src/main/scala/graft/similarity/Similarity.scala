@@ -592,6 +592,42 @@ object Similarity {
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("max_cos"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for each
+    * labeled query vector, the `k` most similar corpus vectors with a
+    * DIFFERENT label — the high-similarity wrong-class examples a
+    * triplet/InfoNCE loss learns most from (random negatives are mostly
+    * trivial; `d_triplets` is the random-pair counterpart). Null-label
+    * rows are excluded on both sides: an unlabeled candidate is not a
+    * KNOWN negative.
+    *
+    * Same scale shape as [[bruteTopK]]: the query batch broadcasts, the
+    * corpus never shuffles, the rank cut prunes per-partition. For
+    * corpus sizes past brute reach, restrict the corpus side through an
+    * ANN candidate stage first ([[ivfTopKFromIndex]] output joined back
+    * on label) — the contract here is the exact baseline.
+    *
+    * @param queries / corpus: (`vec_id`, `embedding`, `label`)
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    k: Int): DataFrame = {
+    val q = broadcast(queries.filter(col("label").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    val c = corpus.filter(col("label").isNotNull)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("label").as("c_label"))
+    val scored = c.join(q,
+      col("query_id") =!= col("neighbor_id") &&
+        col("c_label") =!= col("q_label"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("c_label").as("neighbor_label"), col("cos_sim"))
+  }
+
   /** Semantic DECONTAMINATION: flag corpus vectors whose embedding sits
     * within `threshold` cosine of ANY eval/benchmark vector — the
     * embedding-space counterpart of the n-gram `d_decontaminate` probe
