@@ -73,6 +73,15 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        // drop cached blocks BEFORE starting the clock, every rep, and
+        // synchronously: eager localCheckpoint staging accumulated over
+        // ~170 queries taxed the alphabetical tail 3-5× (measured:
+        // d_decontaminate 2.4s in the full run vs 0.38s isolated, same
+        // code), and async removal would overlap the next timed region.
+        // Per-rep (not per-query) so rep 1's leftovers don't pollute
+        // reps 2-3 — each timing starts from the same clean state.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         // a failed query must be LOUD in the JSON too: stderr plus a -1
         // sentinel time — a normal-looking time-to-fail entry would read
@@ -90,14 +99,6 @@ object Bench {
       val med =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.size / 2)
-      // drop cached blocks the query left behind (eager localCheckpoints
-      // in KMeans/BPE/CC staging): accumulated over ~170 queries they
-      // build storage-memory pressure that taxed the alphabetical TAIL
-      // 3-5× (measured: d_decontaminate 2.4s in the full run vs 0.38s
-      // isolated, same code). Between-queries cleanup makes each timing
-      // independent of what ran before — which is the point of a bench.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
       (name, med, times.min, times.max)
     }
     // ms precision keeps the line short (the driver's log capture has

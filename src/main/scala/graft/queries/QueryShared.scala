@@ -24,6 +24,41 @@ private[queries] object QueryShared {
   def packedK: Column =
     unix_timestamp(col("ts")) * 1000000L + col("event_id")
 
+  /** DuckDB token-array expression — the SQL twin of [[TextOps.tokens]]. */
+  val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** The SQL twin of [[TextOps.Stopwords]]. */
+  val stopListSql: String =
+    TextOps.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** SQL mirrors of [[TextOps.qualityComponents]] — (alpha ratio, punct
+    * ratio, stopword hit rate, capped length term), in that order. The
+    * classifier/budget oracles' cross-engine EXACTNESS contracts ride on
+    * these staying in lockstep with the Column definitions; keep both in
+    * one place per engine. */
+  def qualityComponentsSql: Seq[String] = Seq(
+    s"""(CASE WHEN length(text) > 0
+       |      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |           / length(text) ELSE 0 END)""".stripMargin,
+    s"""(CASE WHEN length(text) > 0
+       |      THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+       |           / length(text) ELSE 0 END)""".stripMargin,
+    s"""(CASE WHEN len($tokensSql) > 0
+       |      THEN CAST(len(list_intersect($tokensSql, $stopListSql)) AS DOUBLE)
+       |           / ${TextOps.Stopwords.size}.0
+       |      ELSE 0 END)""".stripMargin,
+    s"LEAST(len($tokensSql) / 64.0, 1.0)")
+
+  /** The SQL twin of [[TextOps.qualityScore]] (round-6 form). */
+  def qualitySql: String = {
+    val Seq(a, p, s, l) = qualityComponentsSql
+    s"""ROUND(
+       |    0.4 * $a +
+       |    0.2 * (1.0 - $p) +
+       |    0.2 * $s +
+       |    0.2 * $l, 6)""".stripMargin
+  }
+
   /** Table row count memoized per (dir, table) — for queries that size a
     * parameter from the corpus (e.g. PQ codebooks): repeated bench/verify
     * invocations must not pay an extra count scan per run. */

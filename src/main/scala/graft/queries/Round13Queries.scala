@@ -228,23 +228,14 @@ object Round13Queries {
     * weights misclassify. Everything compared downstream is either a
     * BIGINT or a bit-identical double — see the operator scaladoc. */
   private def classifierCtes: String = {
-    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-    val stop = "['the','a','and','of','to','in','is','on','for','with']"
     val dim = QualityClassifier.Dim
+    val comps = QueryShared.qualityComponentsSql
     val featSql =
       s"""feat AS (
          |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
          |    CAST(1.0 AS DOUBLE) AS x0,
-         |    (CASE WHEN length(text) > 0
-         |      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-         |           / length(text) ELSE 0 END) AS x1,
-         |    (CASE WHEN length(text) > 0
-         |      THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-         |           / length(text) ELSE 0 END) AS x2,
-         |    (CASE WHEN len($toks) > 0
-         |      THEN CAST(len(list_intersect($toks, $stop)) AS DOUBLE) / 10.0
-         |      ELSE 0 END) AS x3,
-         |    LEAST(len($toks) / 64.0, 1.0) AS x4
+         |${comps.zipWithIndex.map { case (c, j) =>
+              s"    $c AS x${j + 1}" }.mkString(",\n")}
          |  FROM documents),
          |featc AS (
          |  SELECT *,
@@ -344,20 +335,7 @@ object Round13Queries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "d_budget_select" -> {
-      val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-      val stop = "['the','a','and','of','to','in','is','on','for','with']"
-      val qual =
-        s"""ROUND(
-           |    0.4 * (CASE WHEN length(text) > 0
-           |      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-           |           / length(text) ELSE 0 END) +
-           |    0.2 * (1.0 - CASE WHEN length(text) > 0
-           |      THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-           |           / length(text) ELSE 0 END) +
-           |    0.2 * (CASE WHEN len($toks) > 0
-           |      THEN CAST(len(list_intersect($toks, $stop)) AS DOUBLE) / 10.0
-           |      ELSE 0 END) +
-           |    0.2 * LEAST(len($toks) / 64.0, 1.0), 6)""".stripMargin
+      val qual = QueryShared.qualitySql
       s"""WITH q0 AS (
          |  SELECT doc_id,
          |    CAST(ROUND($qual * 1000000) AS BIGINT) AS quality_e6,

@@ -386,18 +386,7 @@ object TrainingDataQueries {
         |  length(text) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_quality_score" ->
-      s"""SELECT doc_id, ROUND(
-         |  0.4 * (CASE WHEN length(text) > 0
-         |    THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-         |         / length(text) ELSE 0 END) +
-         |  0.2 * (1.0 - CASE WHEN length(text) > 0
-         |    THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-         |         / length(text) ELSE 0 END) +
-         |  0.2 * (CASE WHEN len($tokensSql) > 0
-         |    THEN CAST(len(list_intersect($tokensSql,
-         |      ['the','a','and','of','to','in','is','on','for','with'])) AS DOUBLE)
-         |         / 10.0 ELSE 0 END) +
-         |  0.2 * LEAST(len($tokensSql) / 64.0, 1.0), 6) AS quality
+      s"""SELECT doc_id, ${QueryShared.qualitySql} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "d_lang_id" ->
       s"""SELECT doc_id,

@@ -97,6 +97,20 @@ object StreamingAnn {
     * @param index pre-built quantized index (vec_id, scale, codes)
     * @param corpus the float-vector side, touched only by the finalist
     *   equi-join fetch */
+  def serveQuant(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+                 k: Int, coarseFactor: Int = 4,
+                 availableNow: Boolean = false)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.similarity.Quantize.topKQuantWith(batch.toDF(), index,
+          corpus, k, coarseFactor), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Streaming SEMANTIC-DEDUP admission: per micro-batch of new vectors,
     * decide each against the persisted codes index
     * ([[graft.similarity.Similarity.semanticDedupAgainstIndex]] — batch
@@ -114,20 +128,6 @@ object StreamingAnn {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         sink(Similarity.semanticDedupAgainstIndex(batch.toDF(), index,
           centroids, threshold, maxCellSize), batchId)
-      }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
-  }
-
-  def serveQuant(queries: DataFrame, index: DataFrame, corpus: DataFrame,
-                 k: Int, coarseFactor: Int = 4,
-                 availableNow: Boolean = false)
-                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.similarity.Quantize.topKQuantWith(batch.toDF(), index,
-          corpus, k, coarseFactor), batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

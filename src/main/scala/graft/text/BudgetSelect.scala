@@ -40,10 +40,16 @@ object BudgetSelect {
                      binWidth: Long = 1000L): DataFrame = {
     require(budget >= 0, s"budget=$budget must be >= 0")
     require(binWidth > 0, s"binWidth=$binWidth must be > 0")
+    // persist: the projection (often a multi-regex quality pass) feeds
+    // the histogram collect AND both returned branches — staged once, not
+    // three times. persist (not localCheckpoint) so the cache manager
+    // owns the blocks; they serve the returned (lazy) union and clear
+    // with the session/catalog rather than pinning checkpoint RDDs.
     val base = docs.select(col(idCol), qualityE6.cast("long").as("quality_e6"),
         weightCol.cast("long").as("w"))
       .withColumn("_bin",
         floor(col("quality_e6").cast("double") / binWidth).cast("long"))
+      .persist()
     val hist = base.groupBy(col("_bin")).agg(sum(col("w")).as("_bw"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
       .sortBy(-_._1)

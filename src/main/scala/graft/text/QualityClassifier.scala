@@ -46,21 +46,7 @@ object QualityClassifier {
     * `y` from `labelExpr`. All expressions mirror
     * [[TextOps.qualityScore]]'s components verbatim. */
   def features(docs: DataFrame, labelExpr: Column): DataFrame = {
-    val text = col("text")
-    val nChars = length(text).cast("double")
-    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    val nPunct = length(regexp_replace(text, "[^.,!?;:]", "")).cast("double")
-    val toks = TextOps.tokens(text)
-    val nTok = size(toks).cast("double")
-    val stop = array(TextOps.Stopwords.map(lit): _*)
-    val nStop = size(array_intersect(toks, stop)).cast("double")
-    val xs = Seq(
-      lit(1.0),
-      when(nChars > 0, nAlpha / nChars).otherwise(0.0),
-      when(nChars > 0, nPunct / nChars).otherwise(0.0),
-      when(nTok > 0, nStop / lit(TextOps.Stopwords.size.toDouble))
-        .otherwise(0.0),
-      least(nTok / 64.0, lit(1.0)))
+    val xs = lit(1.0) +: TextOps.qualityComponents(col("text"))
     val cols = col("doc_id") +: labelExpr.cast("long").as("y") +:
       (xs.zipWithIndex.map { case (x, j) => x.as(s"x$j") } ++
         xs.zipWithIndex.map { case (x, j) =>
@@ -88,19 +74,25 @@ object QualityClassifier {
     * updates, the standard bootstrap). Returns integer 1e-6-unit
     * weights. Deterministic: no RNG, no order dependence. */
   def fit(docs: DataFrame, labelExpr: Column, iters: Int): Array[Long] = {
-    // one regex pass over the corpus, not k: features are corpus-sized
-    // work; the loop only re-aggregates the staged columns
-    val f = features(docs, labelExpr).localCheckpoint(true)
-    var w = Array.fill(Dim)(0L)
-    for (_ <- 1 to iters) {
-      val mis = col("y").cast("double") * margin(w.toIndexedSeq) <= 0.0
-      val sums = (0 until Dim).map(j =>
-        sum(when(mis, col("y") * col(s"c$j")).otherwise(0L)).as(s"d$j"))
-      val row = f.agg(sums.head, sums.tail: _*).collect().head
-      w = Array.tabulate(Dim)(j =>
-        w(j) + (if (row.isNullAt(j)) 0L else row.getLong(j)))
-    }
-    w
+    // one regex pass over the corpus, not k: features cache on first use
+    // and the loop re-aggregates the cached columns. persist/unpersist
+    // (not localCheckpoint): the blocks are fully consumed INSIDE this
+    // method, so they must not outlive it — a long-lived session
+    // retraining repeatedly would otherwise accumulate corpus-sized
+    // cached blocks (the storage-pressure class the bench's tail paid).
+    val f = features(docs, labelExpr).persist()
+    try {
+      var w = Array.fill(Dim)(0L)
+      for (_ <- 1 to iters) {
+        val mis = col("y").cast("double") * margin(w.toIndexedSeq) <= 0.0
+        val sums = (0 until Dim).map(j =>
+          sum(when(mis, col("y") * col(s"c$j")).otherwise(0L)).as(s"d$j"))
+        val row = f.agg(sums.head, sums.tail: _*).collect().head
+        w = Array.tabulate(Dim)(j =>
+          w(j) + (if (row.isNullAt(j)) 0L else row.getLong(j)))
+      }
+      w
+    } finally f.unpersist(blocking = false)
   }
 
   /** Map-only serve: margin (1e-6 units, rounded to BIGINT) + predicted

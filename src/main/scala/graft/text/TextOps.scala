@@ -69,10 +69,14 @@ object TextOps {
     }
   }
 
-  /** Quality score in [0,1] from length/punctuation/stopword ratios — the
-    * standard cheap heuristics, all per-row arithmetic (deterministic across
-    * engines; oracle-friendly). */
-  def qualityScore(text: Column): Column = {
+  /** The four quality-heuristic component ratios (alpha, punct, stopword
+    * hit rate, capped length term) — THE single definition shared by
+    * [[qualityScore]] and [[QualityClassifier.features]], with
+    * [[graft.queries.QueryShared.qualityComponentsSql]] as its one SQL
+    * mirror: the cross-engine-exactness contracts of the classifier and
+    * budget-select oracles ride on these expressions staying in lockstep,
+    * so they live in exactly one place per engine. */
+  def qualityComponents(text: Column): Seq[Column] = {
     val nChars = length(text).cast("double")
     val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
     val nPunct = length(regexp_replace(text, "[^.,!?;:]", "")).cast("double")
@@ -80,10 +84,19 @@ object TextOps {
     val nTok = size(toks).cast("double")
     val stop = array(Stopwords.map(lit): _*)
     val nStop = size(array_intersect(toks, stop)).cast("double")
-    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(0.0)
-    val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(0.0)
-    val stopHit = when(nTok > 0, nStop / lit(Stopwords.size.toDouble)).otherwise(0.0)
-    val lengthTerm = least(nTok / 64.0, lit(1.0))
+    Seq(
+      when(nChars > 0, nAlpha / nChars).otherwise(0.0),
+      when(nChars > 0, nPunct / nChars).otherwise(0.0),
+      when(nTok > 0, nStop / lit(Stopwords.size.toDouble)).otherwise(0.0),
+      least(nTok / 64.0, lit(1.0)))
+  }
+
+  /** Quality score in [0,1] from length/punctuation/stopword ratios — the
+    * standard cheap heuristics, all per-row arithmetic (deterministic across
+    * engines; oracle-friendly). */
+  def qualityScore(text: Column): Column = {
+    val Seq(alphaRatio, punctRatio, stopHit, lengthTerm) =
+      qualityComponents(text)
     round(
       lit(0.4) * alphaRatio + lit(0.2) * (lit(1.0) - punctRatio) +
         lit(0.2) * stopHit + lit(0.2) * lengthTerm, 6)
