@@ -83,6 +83,25 @@ class ExportSpec extends SparkTestBase {
       s"imbalance ${totals.max - totals.min} > ${4L * maxW}")
   }
 
+  test("balancedShards law: over seeded random weight sets, single-slice " +
+      "snake imbalance never exceeds one max weight") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 15) {
+      val n = 5 + rnd.nextInt(40)
+      val k = 2 + rnd.nextInt(5)
+      val rows = (1L to n).map(id => (id, rnd.nextInt(1000).toLong))
+      val d = rows.toDF("doc_id", "w").repartition(3)
+      val totals = Export.balancedShards(d, "doc_id", col("w"), k,
+          numSlices = 1)
+        .groupBy("shard").agg(sum("w").as("t"))
+        .collect().map(_.getLong(1))
+      val pad = totals ++ Array.fill(k - totals.length)(0L) // empty shards
+      val maxW = rows.map(_._2).max
+      assert(pad.max - pad.min <= maxW,
+        s"trial $trial (n=$n k=$k): spread ${pad.max - pad.min} > $maxW")
+    }
+  }
+
   test("balancedShards is deterministic under repartitioning") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),

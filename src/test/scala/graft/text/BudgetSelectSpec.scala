@@ -46,6 +46,30 @@ class BudgetSelectSpec extends SparkTestBase {
     assert(got === Seq("x", "y"))
   }
 
+  test("law over seeded random corpora: total within budget, and the " +
+      "best unselected row would always overflow it") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val n = 5 + rnd.nextInt(40)
+      val budget = rnd.nextInt(2000).toLong
+      val rows = (1L to n).map(id =>
+        (id, rnd.nextInt(100).toLong, 1L + rnd.nextInt(200)))
+      val d = rows.toDF("doc_id", "q", "w").repartition(3)
+      val sel = BudgetSelect.selectToBudget(d, "doc_id", col("q"),
+        col("w"), budget, binWidth = 10L).collect()
+      val total = sel.map(_.getLong(2)).sum
+      assert(total <= budget, s"trial $trial: $total > $budget")
+      val selIds = sel.map(_.getLong(0)).toSet
+      val best = rows.filterNot(r => selIds(r._1))
+        .sortBy(r => (-r._2, r._1)).headOption
+      best.foreach { b =>
+        assert(total + b._3 > budget,
+          s"trial $trial: best unselected ${b._1} (w=${b._3}) fits " +
+            s"($total + ${b._3} <= $budget) — not a maximal prefix")
+      }
+    }
+  }
+
   test("real corpus: budget respected, selection is the greedy prefix, " +
       "invariant to partitioning") {
     val d = graft.Tables.load(spark, sfDir, "documents")
