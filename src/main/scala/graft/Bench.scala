@@ -127,12 +127,16 @@ object Bench {
     // window; the per-query map lives in the file mirror below).
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries_file":"BENCH_LAST.json"}""")
     // belt-and-braces: the same JSON as a file, immune to log truncation
-    // (cwd-relative: the driver runs sbt from the repo root)
+    // (cwd-relative: the driver runs sbt from the repo root). FILTERED
+    // runs (SPARK_GRAFT_ONLY — the iteration tool) must NOT clobber the
+    // last full-run mirror: a 3-query file silently replacing the
+    // 169-query record has burned two full re-runs already.
     val fileLine = line.dropRight(1) +
       s""","reps":$reps,"spread":$spread}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath, fileLine + "\n")
-    catch { case _: Throwable => } // read-only checkout must not fail bench
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath, fileLine + "\n")
+      catch { case _: Throwable => } // read-only checkout must not fail bench
     spark.stop()
   }
 }

@@ -157,9 +157,13 @@ object Round13Queries {
       val cents = corpus.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("centroid"))
+      // iters=1: the planted/full-probe contract is invariant to HOW
+      // WELL the split cells train (identical vectors co-locate under
+      // any children; full probe == brute on any valid index), so the
+      // gate query buys nothing from a second Lloyd round
       val (nc, ni) = Similarity.ivfRebalance(
         Similarity.ivfAssign(corpus, cents), cents,
-        maxCellSize = 20, subK = 4)
+        maxCellSize = 20, subK = 4, iters = 1)
       val queries = load(s, dir, "embeddings").filter(col("vec_id") < 30)
       Similarity.ivfTopKFromIndex(queries, ni, k = 1, nc, nprobe = 100000)
         .select(col("query_id"), col("neighbor_id"),
