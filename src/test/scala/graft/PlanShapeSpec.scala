@@ -390,4 +390,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"single-task global window:\n$p")
     assert(p.contains("Window"), p)
   }
+
+  test("e_hard_negatives: anchors broadcast (corpus streams), rank cut " +
+      "prunes per-partition") {
+    val p = plan("e_hard_negatives")
+    // the label-inequality join can't be an equi join — it must still be
+    // broadcast-nested-loop against the SMALL anchor side, never a
+    // corpus×corpus product
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"corpus-sized product:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not push a per-partition limit:\n$p")
+  }
+
+  test("d_classifier_score: serving is a pure projection — training " +
+      "happened at plan-build, the served plan has no join/aggregate") {
+    val p = plan("d_classifier_score")
+    assert(!p.contains("Join"), s"serve plan joined:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"serve plan aggregated:\n$p")
+  }
 }
