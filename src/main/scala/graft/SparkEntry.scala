@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.Round10Queries.queries ++
       graft.queries.Round11Queries.queries ++
       graft.queries.Round12Queries.queries ++
-      graft.queries.Round13Queries.queries
+      graft.queries.Round13Queries.queries ++
+      graft.queries.Round14Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.Round10Queries.oracleSql ++
       graft.queries.Round11Queries.oracleSql ++
       graft.queries.Round12Queries.oracleSql ++
-      graft.queries.Round13Queries.oracleSql
+      graft.queries.Round13Queries.oracleSql ++
+      graft.queries.Round14Queries.oracleSql
 }

@@ -59,6 +59,39 @@ private[queries] object QueryShared {
        |    0.2 * $l, 6)""".stripMargin
   }
 
+  /** DuckDB CTE chain for the corpus-trained Laplace bigram LM score —
+    * the SQL twin of [[graft.text.NgramLm.score]], ending in
+    * `lmsc(doc_id, n_trans, sum_logp_e6, avg_logp_e6)` with one row per
+    * document (0-transition docs carry zeros). Callers prepend `WITH `
+    * and append their own final SELECT (plus further CTEs). MATERIALIZED
+    * on the corpus-sized stages — DuckDB inlines plain CTEs, and the
+    * downstream joins reference them more than once. */
+  def lmScoreCtes: String =
+    s"""tr AS MATERIALIZED (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM documents),
+       |    UNNEST(range(1, len(t))) AS u(i)),
+       |bg AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+       |  FROM tr GROUP BY w1, w2),
+       |cx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM bg
+       |       GROUP BY w1),
+       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
+       |       (SELECT unnest($tokensSql) AS w FROM documents)),
+       |lmraw AS (
+       |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+       |    CAST(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE)
+       |      / (cw + v)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_logp_e6
+       |  FROM tr JOIN bg USING (w1, w2) JOIN cx USING (w1), vv
+       |  GROUP BY tr.doc_id),
+       |lmsc AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(n_trans, 0) AS n_trans,
+       |    COALESCE(sum_logp_e6, 0) AS sum_logp_e6,
+       |    CASE WHEN COALESCE(n_trans, 0) = 0 THEN 0
+       |      ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
+       |  FROM documents d LEFT JOIN lmraw ON d.doc_id = lmraw.doc_id)""".stripMargin
+
   /** Table row count memoized per (dir, table) — for queries that size a
     * parameter from the corpus (e.g. PQ codebooks): repeated bench/verify
     * invocations must not pay an extra count scan per run. */

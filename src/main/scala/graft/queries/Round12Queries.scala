@@ -217,31 +217,12 @@ object Round12Queries {
 
   def oracleSql: Map[String, String] = Map(
 
+    // Chain shared with d_ppl_buckets (QueryShared.lmScoreCtes) — one
+    // SQL definition of the LM score per engine, like qualitySql.
     "d_lm_score" ->
-      s"""WITH tr AS MATERIALIZED (
-         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents),
-         |    UNNEST(range(1, len(t))) AS u(i)),
-         |bg AS MATERIALIZED (
-         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
-         |  FROM tr GROUP BY w1, w2),
-         |cx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM bg
-         |       GROUP BY w1),
-         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
-         |       (SELECT unnest($tokensSql) AS w FROM documents)),
-         |sc AS (
-         |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
-         |    CAST(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE)
-         |      / (cw + v)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_logp_e6
-         |  FROM tr JOIN bg USING (w1, w2) JOIN cx USING (w1), vv
-         |  GROUP BY tr.doc_id)
-         |SELECT d.doc_id,
-         |  COALESCE(n_trans, 0) AS n_trans,
-         |  COALESCE(sum_logp_e6, 0) AS sum_logp_e6,
-         |  CASE WHEN COALESCE(n_trans, 0) = 0 THEN 0
-         |    ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
-         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH ${QueryShared.lmScoreCtes}
+         |SELECT doc_id, n_trans, sum_logp_e6, avg_logp_e6
+         |FROM lmsc ORDER BY doc_id""".stripMargin,
 
     "d_export_shards" ->
       """SELECT CAST(('0x' || substr(md5('shard:' ||

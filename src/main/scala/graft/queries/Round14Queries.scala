@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.text.{Decontaminate, Dsir, MixPlanner, NgramLm, TextOps}
+
+/** Round-14 additions — the data-SELECTION quartet a pre-training corpus
+  * pipeline runs between cleaning and delivery:
+  *
+  *   - DSIR importance selection ([[Dsir]]) — keep the raw docs most
+  *     target-like under a two-model token log-ratio;
+  *   - data-constrained epoch allocation ([[MixPlanner]]) — per-source
+  *     token budgets with a repeat cap (the "how many epochs of each
+  *     source" plan);
+  *   - CCNet-style perplexity buckets over the [[NgramLm]] score —
+  *     head/middle/tail per language;
+  *   - Bloom-prefiltered decontamination ([[Decontaminate.flagBloom]]) —
+  *     the exact eval-overlap flag behind a map-only Bloom prefilter
+  *     (Spark's `BloomFilterAggregate` as an explicit runtime filter);
+  *     false positives die in the verify join, so the oracle is the
+  *     EXACT overlap query.
+  *
+  * Exactness: every float touch is an established convention — round(ln·
+  * 1e6) per token (the d_lm_score PSI ladder), round(sqrt·1e6) (the
+  * d_mix_temperature convention) — integerized immediately, with all
+  * downstream sums/divisions in BIGINTs and sign-corrected division
+  * where a numerator can be negative.
+  */
+object Round14Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DSIR selection: target = the EN/src0 slice, raw = the full corpus;
+    // keep the 50 docs with the highest summed token log-ratio. Ties
+    // break by doc_id inside the distributed TakeOrdered.
+    "d_dsir_select" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      Dsir.selectTop(docs,
+          docs.filter(col("lang") === "en" && col("source") === "src0"),
+          "doc_id", "text", m = 50)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Epoch allocation: α=0.5 temperature shares of a 50k-token budget,
+    // capped at 2.00 epochs per source. At sf0.01 the cap binds for the
+    // smallest sources and not the largest (both branches live under the
+    // oracle); at sf0.1 the same budget is a sub-epoch skim.
+    "d_mix_epochs" -> ((s, dir) => {
+      MixPlanner.epochAllocation(load(s, dir, "documents"), "source",
+          TextOps.tokenCountWs(col("text")).cast("long"),
+          budget = 50000L, capX100 = 200L)
+        .orderBy(col("source"))
+    }),
+
+    // Perplexity buckets: rank docs per language by LM score (higher avg
+    // log-prob = lower perplexity = bucket 1), split into thirds by rank
+    // arithmetic — `(r-1)·3 div n + 1` with the (avg DESC, doc_id) order
+    // is deterministic on both engines, unlike quantile interpolation.
+    // The per-lang window is the gate form; the 100 TB path derives cut
+    // thresholds from a quantile sketch (d_quantile_sketch) and buckets
+    // map-only.
+    "d_ppl_buckets" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val scored = NgramLm.score(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // per-lang sizes come from the raw table, not the scored one —
+      // scoring runs once
+      val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      scored
+        .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("avg_logp_e6").desc, col("doc_id").asc)))
+        .join(broadcast(n), Seq("lang"))
+        .withColumn("bucket", expr("((r - 1) * 3) div n + 1"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_logp_e6")).as("min_avg_e6"),
+          max(col("avg_logp_e6")).as("max_avg_e6"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // Content-defined chunking ([[graft.text.CdcChunk]]): Rabin-style
+    // boundaries on the 16-bit md5 prefix of the 4-token gram ending at
+    // each position (mod 8 → ~8-token chunks). Map-only; the md5
+    // convention makes the DuckDB oracle replay boundaries exactly.
+    "d_chunk_cdc" -> ((s, dir) => {
+      graft.text.CdcChunk.chunks(load(s, dir, "documents"),
+          "doc_id", "text", w = 4, modulus = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Bloom-prefiltered decontamination: eval = docs 5-9 (a different
+    // slice from d_decontaminate, which pins the plain-broadcast form).
+    // numBits sized ~8 bits/gram; ANY sizing yields the same rows — the
+    // oracle is the exact overlap.
+    "d_decontaminate_bloom" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      Decontaminate.flagBloom(docs,
+          docs.filter(col("doc_id") >= 5 && col("doc_id") < 10),
+          "doc_id", "text", n = 8,
+          estimatedItems = 100000L, numBits = 800000L)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val tokensSql = QueryShared.tokensSql
+
+  val oracleSql: Map[String, String] = Map(
+
+    "d_dsir_select" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, lang, source, unnest($tokensSql) AS w
+         |  FROM documents),
+         |cr AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cr FROM tk GROUP BY w),
+         |ct AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tk
+         |  WHERE lang = 'en' AND source = 'src0' GROUP BY w),
+         |md AS MATERIALIZED (
+         |  SELECT cr.w, cr.cr, COALESCE(ct.ct, 0) AS ct
+         |  FROM cr LEFT JOIN ct USING (w)),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+         |  CAST(sum(ct) AS BIGINT) AS tt,
+         |  CAST(count(*) AS BIGINT) AS v FROM md),
+         |mw AS MATERIALIZED (
+         |  SELECT w,
+         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tt + v)) * 1e6) AS BIGINT)
+         |    - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / (tr + v)) * 1e6) AS BIGINT)
+         |    AS dsir_e6
+         |  FROM md, tot),
+         |sc AS (
+         |  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(dsir_e6) AS BIGINT) AS sum_dsir_e6
+         |  FROM tk JOIN mw USING (w) GROUP BY tk.doc_id),
+         |f AS (
+         |  SELECT d.doc_id, COALESCE(n_toks, 0) AS n_toks,
+         |    COALESCE(sum_dsir_e6, 0) AS sum_dsir_e6,
+         |    CASE WHEN COALESCE(n_toks, 0) = 0 THEN 0
+         |      WHEN sum_dsir_e6 >= 0 THEN sum_dsir_e6 // n_toks
+         |      ELSE -((-sum_dsir_e6) // n_toks) END AS avg_dsir_e6
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT * FROM (
+         |  SELECT doc_id, n_toks, sum_dsir_e6, avg_dsir_e6 FROM f
+         |  ORDER BY sum_dsir_e6 DESC, doc_id ASC LIMIT 50)
+         |ORDER BY doc_id""".stripMargin,
+
+    "d_mix_epochs" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT *,
+        |  CAST(round(sqrt(CAST(toks AS DOUBLE)) * 1e6) AS BIGINT) AS s_s
+        |  FROM t),
+        |ss AS (SELECT CAST(sum(s_s) AS BIGINT) AS s_sum FROM s),
+        |p AS (SELECT source, toks, (s_s * 1000000) // s_sum AS share_ppm
+        |  FROM s, ss),
+        |w AS (SELECT *, (50000 * share_ppm) // 1000000 AS want_toks FROM p),
+        |a AS (SELECT *,
+        |  LEAST(want_toks, (toks * 200) // 100) AS alloc_toks FROM w)
+        |SELECT source, toks, share_ppm, want_toks, alloc_toks,
+        |  CASE WHEN toks = 0 THEN 0
+        |    ELSE (alloc_toks * 1000) // toks END AS epochs_x1000
+        |FROM a ORDER BY source""".stripMargin,
+
+    "d_ppl_buckets" ->
+      s"""WITH ${QueryShared.lmScoreCtes},
+         |wl AS (
+         |  SELECT l.doc_id, d.lang, l.avg_logp_e6
+         |  FROM lmsc l JOIN documents d USING (doc_id)),
+         |rk AS (
+         |  SELECT lang, avg_logp_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY avg_logp_e6 DESC, doc_id ASC) AS r,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM wl)
+         |SELECT lang, ((r - 1) * 3) // n + 1 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  MIN(avg_logp_e6) AS min_avg_e6,
+         |  MAX(avg_logp_e6) AS max_avg_e6
+         |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d_chunk_cdc" ->
+      s"""WITH tt AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN len(t) >= 5 THEN list_filter(range(4, len(t)),
+         |      j -> CAST(('0x' || substr(md5(
+         |             array_to_string(array_slice(t, j - 3, j), ' ')),
+         |             1, 4)) AS BIGINT) % 8 = 0)
+         |    ELSE [] END AS bp
+         |  FROM tt),
+         |c AS (SELECT doc_id, t, [0] || bp || [len(t)] AS cuts FROM b),
+         |ch AS (SELECT doc_id, t, cuts,
+         |  unnest(range(1, len(cuts))) AS i FROM c)
+         |SELECT doc_id, i AS chunk_id,
+         |  CAST(cuts[i] + 1 AS BIGINT) AS start_tok,
+         |  CAST(cuts[i+1] - cuts[i] AS BIGINT) AS n_toks,
+         |  md5(array_to_string(array_slice(t, cuts[i] + 1, cuts[i+1]), ' '))
+         |    AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_decontaminate_bloom" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN []
+         |    ELSE list_transform(range(1, len(t) - 6),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+         |           ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+         |           t[i+7]) END) AS grams
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |bench AS (
+         |  SELECT DISTINCT unnest(grams) AS gr FROM g
+         |  WHERE doc_id >= 5 AND doc_id < 10),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits
+         |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g) d
+         |  JOIN bench USING (gr) GROUP BY 1)
+         |SELECT g.doc_id, COALESCE(n_hits, 0) AS n_hits,
+         |  COALESCE(n_hits, 0) > 0 AS contaminated
+         |FROM g LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+  )
+}

@@ -120,6 +120,24 @@ object TrainedState {
         .as(f.name)).toIndexedSeq: _*)
   }
 
+  val dsirModelSchema: StructType = StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("dsir_e6", LongType, nullable = false)))
+
+  /** Persist a [[graft.text.Dsir.model]] table. VOCABULARY-sized — unlike
+    * the k-row artifacts above it keeps its partitioning (no
+    * single-file coalesce; a 100 TB corpus vocabulary is millions of
+    * rows). Served by [[graft.streaming.StreamingDsir.serveScore]]. */
+  def saveDsirModel(model: DataFrame, path: String): Unit = {
+    val cols = dsirModelSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    model.select(cols.toIndexedSeq: _*).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a DSIR model for [[graft.text.Dsir.score]]. */
+  def loadDsirModel(spark: SparkSession, path: String): DataFrame =
+    load(spark, dsirModelSchema, path)
+
   private def save(df: DataFrame, schema: StructType, path: String): Unit = {
     val cols = schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))

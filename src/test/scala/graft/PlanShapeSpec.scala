@@ -410,4 +410,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
       s"serve plan aggregated:\n$p")
   }
+
+  test("d_decontaminate_bloom: the bloom prefilter sits BELOW the verify " +
+      "join (corpus grams drop map-side before any join)") {
+    val p = plan("d_decontaminate_bloom")
+    assert(p.contains("might_contain"), s"no bloom prefilter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
+    // executedPlan prints root-first: the prefilter Filter must appear
+    // UNDER (after) the join it feeds
+    assert(p.indexOf("might_contain") > p.indexOf("BroadcastHashJoin"),
+      s"prefilter not below the verify join:\n$p")
+  }
+
+  test("d_dsir_select: top-m is TakeOrderedAndProject; the totals attach " +
+      "as a broadcast, never a product") {
+    val p = plan("d_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-m:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-sized product:\n$p")
+  }
+
+  test("d_mix_epochs: ONE corpus hash shuffle (the source aggregation); " +
+      "plan math runs on the sources-sized table") {
+    val p = plan("d_mix_epochs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"extra corpus shuffles:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d_ppl_buckets: the rank window partitions by language — never a " +
+      "global (unpartitioned) window") {
+    val p = plan("d_ppl_buckets")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"window not partitioned by lang:\n$p")
+    assert(!p.contains("windowspecdefinition(avg_logp"),
+      s"global window:\n$p")
+  }
 }
