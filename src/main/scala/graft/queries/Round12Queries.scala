@@ -32,7 +32,7 @@ object Round12Queries {
   /** Merge rounds for the BPE queries — enough for multi-char merges to
     * emerge (incl. marker merges) while the generated oracle stays
     * readable. */
-  private val BpeK = 8
+  private[queries] val BpeK = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -174,7 +174,7 @@ object Round12Queries {
     * collects), and the post-merge table (w_{r+1}) via the identical
     * doubled-delimiter left-to-right replace. Both engines state the
     * SAME arithmetic, so the compare is exact. */
-  private def bpeChain(k: Int): String = {
+  private[queries] def bpeChain(k: Int): String = {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so each
     // round's reference to the previous round would RE-EVALUATE the whole
     // chain (per row, via the argmax reference) — measured 511s for k=8

@@ -91,6 +91,32 @@ object Round14Queries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Tokenizer fertility by language under the learned BPE merges
+    // ([[graft.text.BpeTrain.fertility]]): tokens-per-word ×1000, the
+    // standard tokenizer-evaluation readout. The oracle derives
+    // per-word token counts from the trained w_k table of the shared
+    // BPE merge chain (sym split length) — no per-doc replay needed.
+    "d_bpe_fertility" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.text.BpeTrain.fertility(docs, "lang", "text",
+          graft.text.BpeTrain.merges(docs, "text", Round12Queries.BpeK))
+        .orderBy(col("lang"))
+    }),
+
+    // Chunk-level dedup over the CDC table — the operator's use case:
+    // chunks repeated across documents, found by ONE groupBy on
+    // chunk_md5 (32-hex digests on the shuffle, never chunk text).
+    "d_chunk_dedup" -> ((s, dir) => {
+      graft.text.CdcChunk.chunks(load(s, dir, "documents"),
+          "doc_id", "text", w = 4, modulus = 8)
+        .groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("n_toks")).as("min_toks"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("chunk_md5"))
+    }),
+
     // Bloom-prefiltered decontamination: eval = docs 5-9 (a different
     // slice from d_decontaminate, which pins the plain-broadcast form).
     // numBits sized ~8 bits/gram; ANY sizing yields the same rows — the
@@ -201,6 +227,45 @@ object Round14Queries {
          |  md5(array_to_string(array_slice(t, cuts[i] + 1, cuts[i+1]), ' '))
          |    AS chunk_md5
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_bpe_fertility" ->
+      (Round12Queries.bpeChain(Round12Queries.BpeK) + s""",
+         |lw AS (SELECT lang, unnest($tokensSql) AS word FROM documents),
+         |lwf AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+         |        FROM lw GROUP BY 1, 2),
+         |wc AS (SELECT word,
+         |  CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_syms
+         |  FROM w${Round12Queries.BpeK})
+         |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+         |  CAST(sum(freq * n_syms) AS BIGINT) AS n_tokens,
+         |  (CAST(sum(freq * n_syms) AS BIGINT) * 1000)
+         |    // CAST(sum(freq) AS BIGINT) AS fert_x1000
+         |FROM lwf JOIN wc USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "d_chunk_dedup" ->
+      s"""WITH tt AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN len(t) >= 5 THEN list_filter(range(4, len(t)),
+         |      j -> CAST(('0x' || substr(md5(
+         |             array_to_string(array_slice(t, j - 3, j), ' ')),
+         |             1, 4)) AS BIGINT) % 8 = 0)
+         |    ELSE [] END AS bp
+         |  FROM tt),
+         |c AS (SELECT doc_id, t, [0] || bp || [len(t)] AS cuts FROM b),
+         |ch AS (SELECT doc_id, t, cuts,
+         |  unnest(range(1, len(cuts))) AS i FROM c),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    CAST(cuts[i+1] - cuts[i] AS BIGINT) AS n_toks,
+         |    md5(array_to_string(array_slice(t, cuts[i] + 1, cuts[i+1]), ' '))
+         |      AS chunk_md5
+         |  FROM ch)
+         |SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ, MIN(n_toks) AS min_toks
+         |FROM chunks GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_md5""".stripMargin,
 
     "d_decontaminate_bloom" ->
       s"""WITH g AS (

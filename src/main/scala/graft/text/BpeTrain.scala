@@ -287,6 +287,34 @@ object BpeTrain {
         w => split(applyExpr(w, ms), " "))).as("tokens"))
   }
 
+  /** Tokenizer FERTILITY by group (post-BPE tokens per word — the
+    * standard tokenizer-evaluation readout, per language): `(group,
+    * n_words, n_tokens, fert_x1000)` with fert_x1000 = tokens·1000 div
+    * words. Scale: one corpus shuffle for the (group, word) count; the
+    * merge fold runs once per DISTINCT word (vocabulary-sized, the
+    * [[tokenize]] contract), re-attached by a vocabulary-sized equi
+    * join; per-group sums map-side combine. The (group, word) table is
+    * staged — it feeds both the distinct-word cost pass and the join.
+    */
+  def fertility(docs: DataFrame, groupCol: String, textCol: String,
+                mergeTable: DataFrame): DataFrame = {
+    val ms = collectMerges(mergeTable)
+    val lw = docs.select(col(groupCol).as("grp"),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val wcost = lw.select(col("word")).distinct()
+      .select(col("word"),
+        size(split(applyExpr(col("word"), ms), " ")).cast("long")
+          .as("n_syms"))
+    lw.join(wcost, Seq("word"))
+      .groupBy(col("grp"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_syms")).as("n_tokens"))
+      .select(col("grp").as(groupCol), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 1000) div n_words").as("fert_x1000"))
+  }
+
   /** Tokenize `docs` with a learned merge table: apply the merges in
     * rank order to each word and count the resulting corpus tokens per
     * symbol. Returns `(token, n)` — the post-BPE token histogram, the

@@ -57,6 +57,30 @@ class Round14Spec extends SparkTestBase {
     assert(rows.map(_._4).sum <= 50000L)
   }
 
+  test("d_bpe_fertility: token totals conserve against the tokenize " +
+      "histogram; merges only ever lower fertility") {
+    import org.apache.spark.sql.functions._
+    import graft.text.BpeTrain
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val rows = Round14Queries.queries("d_bpe_fertility")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // conservation: Σ_lang n_tokens == the corpus token histogram total
+    val histTotal = BpeTrain.tokenize(docs, "text",
+        BpeTrain.merges(docs, "text", Round12Queries.BpeK))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === histTotal)
+    // fewer merges = fertility ceiling: each further merge can only
+    // shrink a word's symbol count (k must be >= 1 by contract)
+    val k1 = BpeTrain.fertility(docs, "lang", "text",
+        BpeTrain.merges(docs, "text", 1))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.foreach { case (lang, nw, nt, fert) =>
+      assert(nw > 0 && nt >= nw)
+      assert(fert <= k1(lang), s"$lang: fertility rose under merges")
+    }
+  }
+
   test("d_chunk_cdc: chunks partition every doc's token stream") {
     import org.apache.spark.sql.functions._
     val got = Round14Queries.queries("d_chunk_cdc")(spark, sfDir)
