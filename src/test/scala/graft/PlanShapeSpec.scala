@@ -397,10 +397,19 @@ class PlanShapeSpec extends SparkTestBase {
     // the label-inequality join can't be an equi join — it must still be
     // broadcast-nested-loop against the SMALL anchor side, never a
     // corpus×corpus product
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
     assert(!p.contains("CartesianProduct"), s"corpus-sized product:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"rank<=k did not push a per-partition limit:\n$p")
+    // WHICH side broadcasts is the whole point: the anchor filter
+    // (vec_id < 20) must sit UNDER the BroadcastExchange (root-first
+    // print → higher index). A regression that broadcasts the corpus
+    // instead still plans a BNLJ at test SF and would pass a
+    // presence-only check.
+    assert(p.indexOf("LessThan(vec_id,20)") > p.indexOf("BroadcastExchange"),
+      s"anchor filter not on the broadcast side:\n$p")
+    // Partial mode = the PRE-shuffle per-partition prune; a Final-only
+    // WindowGroupLimit would ship every scored row per query
+    assert(p.contains("row_number(), 3, Partial"),
+      s"rank<=k did not push a per-partition (Partial) limit:\n$p")
   }
 
   test("d_classifier_score: serving is a pure projection — training " +
@@ -409,6 +418,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"serve plan joined:\n$p")
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
       s"serve plan aggregated:\n$p")
+    // positive anchors so the pin can't pass vacuously on a broken or
+    // renamed query: the serve plan must still scan the corpus and
+    // project the margin
+    assert(p.contains("FileScan parquet") && p.contains("margin_e6"),
+      s"serve plan lost its scan/margin projection:\n$p")
   }
 
   test("d_decontaminate_bloom: the bloom prefilter sits BELOW the verify " +
