@@ -54,18 +54,18 @@ object Round13Queries {
     * engine's DotProduct kernel performs (see [[Similarity.dotFold]]),
     * so both engines produce bit-identical doubles. Same formulation as
     * the `e_ann_brute` / `e_dedup_cosine` oracles. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(list_zip($a, $b),
        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
        |      (x, y) -> x + y)""".stripMargin
 
-  private def normSql(a: String): String =
+  private[queries] def normSql(a: String): String =
     s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |      (x, y) -> x + y))""".stripMargin
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""${dotSql(a, b)} /
        |    (${normSql(a)} *
        |     ${normSql(b)})""".stripMargin

@@ -296,6 +296,11 @@ object TrainingDataQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // FULLY oracled since round 7: stride centroids are SQL-expressible,
+    // so DuckDB replays the whole pipeline — argmin cell assignment,
+    // nprobe-cell query probing, within-cell cosine ranking — with the
+    // bit-identical-double argument of e_dedup_semantic (which borrowed
+    // the technique from this query's planted twin).
     "e_ann_ivf" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb, k = 3,
@@ -547,6 +552,39 @@ object TrainingDataQueries {
         |      FROM embeddings) t
         |WHERE pos < 8
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, centroid_id, embedding FROM (
+         |    SELECT e.vec_id, c.centroid_id, e.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY -(${Round13Queries.cosSql("e.embedding", "c.centroid")}) ASC,
+         |          c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT vec_id AS query_id, centroid_id, embedding AS q_emb FROM (
+         |    SELECT q.vec_id, c.centroid_id, q.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY -(${Round13Queries.cosSql("q.embedding", "c.centroid")}) ASC,
+         |          c.centroid_id ASC) AS rn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 50) t
+         |  WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    ${Round13Queries.cosSql("p.q_emb", "a.embedding")} AS cos_sim
+         |  FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+         |  WHERE p.query_id <> a.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos_sim, 6) AS cos_sim
+         |FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "e_ann_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
