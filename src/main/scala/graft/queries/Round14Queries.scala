@@ -103,6 +103,37 @@ object Round14Queries {
         .orderBy(col("lang"))
     }),
 
+    // Version-to-version chunk REUSE — the CDC property as gate data:
+    // every 41st doc gets a token prepended ("the new crawl edited it");
+    // content-defined boundaries re-sync, so all but the first chunk or
+    // two keep their md5 and the release dedups/delta-encodes against
+    // the previous chunk table. Multiset reuse counted by joining on
+    // (doc_id, chunk_md5, occurrence-rank).
+    "d_chunk_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(s, dir, "documents")
+      val v2 = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(41)) === 0,
+          concat(lit("edit "), col("text"))).otherwise(col("text")))
+      def occ(d: DataFrame) =
+        graft.text.CdcChunk.chunks(d, "doc_id", "text", 4, 8)
+          .filter(pmod(col("doc_id"), lit(41)) === 0)
+          .withColumn("occ", row_number().over(
+            Window.partitionBy(col("doc_id"), col("chunk_md5"))
+              .orderBy(col("chunk_id"))))
+      val a = occ(docs).localCheckpoint(true)
+      val b = occ(v2).localCheckpoint(true)
+      val reused = a.join(b, Seq("doc_id", "chunk_md5", "occ"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_reused"))
+      a.groupBy(col("doc_id")).agg(count(lit(1)).as("n_v1"))
+        .join(b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_v2")),
+          Seq("doc_id"))
+        .join(reused, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_v1"), col("n_v2"),
+          coalesce(col("n_reused"), lit(0L)).as("n_reused"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Chunk-level dedup over the CDC table — the operator's use case:
     // chunks repeated across documents, found by ONE groupBy on
     // chunk_md5 (32-hex digests on the shuffle, never chunk text).
@@ -132,6 +163,33 @@ object Round14Queries {
   )
 
   private val tokensSql = QueryShared.tokensSql
+
+  /** The [[graft.text.CdcChunk.chunks]] pipeline as DuckDB CTEs over a
+    * source relation with (doc_id, text) — ONE SQL definition shared by
+    * every chunk oracle (the lmScoreCtes convention). `sfx` uniquifies
+    * CTE names so two chains can coexist in one query; the final CTE is
+    * `chunks$sfx(doc_id, chunk_id, start_tok, n_toks, chunk_md5)`. */
+  private def cdcSql(src: String, sfx: String): String =
+    s"""tt$sfx AS (SELECT doc_id, $tokensSql AS t FROM $src),
+       |b$sfx AS (
+       |  SELECT doc_id, t,
+       |    CASE WHEN len(t) >= 5 THEN list_filter(range(4, len(t)),
+       |      j -> CAST(('0x' || substr(md5(
+       |             array_to_string(array_slice(t, j - 3, j), ' ')),
+       |             1, 4)) AS BIGINT) % 8 = 0)
+       |    ELSE [] END AS bp
+       |  FROM tt$sfx),
+       |c$sfx AS (SELECT doc_id, t, [0] || bp || [len(t)] AS cuts
+       |          FROM b$sfx),
+       |ch$sfx AS (SELECT doc_id, t, cuts,
+       |  unnest(range(1, len(cuts))) AS i FROM c$sfx),
+       |chunks$sfx AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |    CAST(cuts[i] + 1 AS BIGINT) AS start_tok,
+       |    CAST(cuts[i+1] - cuts[i] AS BIGINT) AS n_toks,
+       |    md5(array_to_string(array_slice(t, cuts[i] + 1, cuts[i+1]), ' '))
+       |      AS chunk_md5
+       |  FROM ch$sfx)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -209,24 +267,36 @@ object Round14Queries {
          |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d_chunk_cdc" ->
-      s"""WITH tt AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |b AS (
-         |  SELECT doc_id, t,
-         |    CASE WHEN len(t) >= 5 THEN list_filter(range(4, len(t)),
-         |      j -> CAST(('0x' || substr(md5(
-         |             array_to_string(array_slice(t, j - 3, j), ' ')),
-         |             1, 4)) AS BIGINT) % 8 = 0)
-         |    ELSE [] END AS bp
-         |  FROM tt),
-         |c AS (SELECT doc_id, t, [0] || bp || [len(t)] AS cuts FROM b),
-         |ch AS (SELECT doc_id, t, cuts,
-         |  unnest(range(1, len(cuts))) AS i FROM c)
-         |SELECT doc_id, i AS chunk_id,
-         |  CAST(cuts[i] + 1 AS BIGINT) AS start_tok,
-         |  CAST(cuts[i+1] - cuts[i] AS BIGINT) AS n_toks,
-         |  md5(array_to_string(array_slice(t, cuts[i] + 1, cuts[i+1]), ' '))
-         |    AS chunk_md5
-         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH ${cdcSql("documents", "")}
+         |SELECT doc_id, chunk_id, start_tok, n_toks, chunk_md5
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_chunk_delta" ->
+      s"""WITH v2src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 41 = 0 THEN 'edit ' || text ELSE text END
+         |      AS text
+         |  FROM documents),
+         |${cdcSql("documents", "1")},
+         |${cdcSql("v2src", "2")},
+         |o1 AS (
+         |  SELECT doc_id, chunk_md5, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id, chunk_md5 ORDER BY chunk_id) AS occ
+         |  FROM chunks1 WHERE doc_id % 41 = 0),
+         |o2 AS (
+         |  SELECT doc_id, chunk_md5, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id, chunk_md5 ORDER BY chunk_id) AS occ
+         |  FROM chunks2 WHERE doc_id % 41 = 0),
+         |r AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_reused
+         |  FROM o1 JOIN o2 USING (doc_id, chunk_md5, occ) GROUP BY 1),
+         |n1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_v1
+         |       FROM chunks1 WHERE doc_id % 41 = 0 GROUP BY 1),
+         |n2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_v2
+         |       FROM chunks2 WHERE doc_id % 41 = 0 GROUP BY 1)
+         |SELECT doc_id, n_v1, n_v2, COALESCE(n_reused, 0) AS n_reused
+         |FROM n1 JOIN n2 USING (doc_id) LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "d_bpe_fertility" ->
       (Round12Queries.bpeChain(Round12Queries.BpeK) + s""",
@@ -244,24 +314,7 @@ object Round14Queries {
          |GROUP BY lang ORDER BY lang""".stripMargin),
 
     "d_chunk_dedup" ->
-      s"""WITH tt AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |b AS (
-         |  SELECT doc_id, t,
-         |    CASE WHEN len(t) >= 5 THEN list_filter(range(4, len(t)),
-         |      j -> CAST(('0x' || substr(md5(
-         |             array_to_string(array_slice(t, j - 3, j), ' ')),
-         |             1, 4)) AS BIGINT) % 8 = 0)
-         |    ELSE [] END AS bp
-         |  FROM tt),
-         |c AS (SELECT doc_id, t, [0] || bp || [len(t)] AS cuts FROM b),
-         |ch AS (SELECT doc_id, t, cuts,
-         |  unnest(range(1, len(cuts))) AS i FROM c),
-         |chunks AS (
-         |  SELECT doc_id,
-         |    CAST(cuts[i+1] - cuts[i] AS BIGINT) AS n_toks,
-         |    md5(array_to_string(array_slice(t, cuts[i] + 1, cuts[i+1]), ' '))
-         |      AS chunk_md5
-         |  FROM ch)
+      s"""WITH ${cdcSql("documents", "")}
          |SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(count(*) AS BIGINT) AS n_occ, MIN(n_toks) AS min_toks
          |FROM chunks GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2

@@ -99,6 +99,20 @@ class Round14Spec extends SparkTestBase {
     }
   }
 
+  test("d_chunk_delta: an edited doc reuses all but its leading chunks") {
+    val rows = Round14Queries.queries("d_chunk_delta")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v1, v2, reused) =>
+      assert(reused <= math.min(v1, v2), s"doc $id over-reused")
+      // the resync guarantee: at most the chunks touching the edit
+      // point differ (the prepended token lives in the first chunk;
+      // one boundary near it may move)
+      assert(reused >= v1 - 2, s"doc $id resync failed: $reused/$v1")
+    }
+  }
+
   test("d_decontaminate_bloom: eval slice self-flags; flags have hits") {
     val rows = Round14Queries.queries("d_decontaminate_bloom")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
