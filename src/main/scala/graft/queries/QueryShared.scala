@@ -92,6 +92,28 @@ private[queries] object QueryShared {
        |      ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
        |  FROM documents d LEFT JOIN lmraw ON d.doc_id = lmraw.doc_id)""".stripMargin
 
+  /** The decontamination oracle parameterized by the eval-slice
+    * predicate — ONE SQL definition for d_decontaminate (plain
+    * broadcast) and d_decontaminate_bloom (bloom-prefiltered), whose
+    * engine plans differ but whose results are identical by contract. */
+  def decontaminateSql(evalPred: String): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN []
+       |    ELSE list_transform(range(1, len(t) - 6),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+       |           ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+       |           t[i+7]) END) AS grams
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+       |bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gr FROM g WHERE $evalPred),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_hits
+       |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g) d
+       |  JOIN bench USING (gr) GROUP BY 1)
+       |SELECT g.doc_id, COALESCE(n_hits, 0) AS n_hits,
+       |  COALESCE(n_hits, 0) > 0 AS contaminated
+       |FROM g LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Table row count memoized per (dir, table) — for queries that size a
     * parameter from the corpus (e.g. PQ codebooks): repeated bench/verify
     * invocations must not pay an extra count scan per run. */

@@ -321,22 +321,6 @@ object Round14Queries {
          |ORDER BY chunk_md5""".stripMargin,
 
     "d_decontaminate_bloom" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN []
-         |    ELSE list_transform(range(1, len(t) - 6),
-         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
-         |           ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
-         |           t[i+7]) END) AS grams
-         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
-         |bench AS (
-         |  SELECT DISTINCT unnest(grams) AS gr FROM g
-         |  WHERE doc_id >= 5 AND doc_id < 10),
-         |hits AS (
-         |  SELECT doc_id, COUNT(*) AS n_hits
-         |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g) d
-         |  JOIN bench USING (gr) GROUP BY 1)
-         |SELECT g.doc_id, COALESCE(n_hits, 0) AS n_hits,
-         |  COALESCE(n_hits, 0) > 0 AS contaminated
-         |FROM g LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+      QueryShared.decontaminateSql("doc_id >= 5 AND doc_id < 10")
   )
 }

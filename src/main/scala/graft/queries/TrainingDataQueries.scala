@@ -244,21 +244,12 @@ object TrainingDataQueries {
     // joins without shuffling, and re-aggregates per doc. The standard
     // pre-training decontamination shape at any corpus size.
     "d_decontaminate" -> ((s, dir) => {
+      // the plain-broadcast form of graft.text.Decontaminate (64-bit
+      // gram ids both sides); d_decontaminate_bloom pins the
+      // bloom-prefiltered plan of the SAME operator on docs 5-9
       val docs = load(s, dir, "documents")
-      // 64-bit 8-gram ids both sides — no gram strings built or broadcast;
-      // overlap counts equal string-gram counts up to 2^-64 collisions
-      def grams(c: org.apache.spark.sql.Column) =
-        array_distinct(TextOps.ngramHashes(TextOps.tokens(c), 8))
-      val bench = docs.filter(col("doc_id") < 5)
-        .select(explode(grams(col("text"))).as("g")).distinct()
-      val hits = docs
-        .select(col("doc_id"), explode(grams(col("text"))).as("g"))
-        .join(broadcast(bench), Seq("g"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      docs.select("doc_id").join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      graft.text.Decontaminate.flag(docs, docs.filter(col("doc_id") < 5),
+          "doc_id", "text", n = 8)
         .orderBy("doc_id")
     }),
 
@@ -471,23 +462,7 @@ object TrainingDataQueries {
       """SELECT lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "d_decontaminate" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN []
-         |    ELSE list_transform(range(1, len(t) - 6),
-         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
-         |           ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
-         |           t[i+7]) END) AS grams
-         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
-         |bench AS (
-         |  SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 5),
-         |hits AS (
-         |  SELECT doc_id, COUNT(*) AS n_hits
-         |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g) d
-         |  JOIN bench USING (gr) GROUP BY 1)
-         |SELECT g.doc_id, COALESCE(n_hits, 0) AS n_hits,
-         |  COALESCE(n_hits, 0) > 0 AS contaminated
-         |FROM g LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d_decontaminate" -> QueryShared.decontaminateSql("doc_id < 5"),
     "d_dedup_clusters" ->
       s"""WITH g AS (
          |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []

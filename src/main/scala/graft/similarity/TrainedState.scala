@@ -128,21 +128,21 @@ object TrainedState {
     * the k-row artifacts above it keeps its partitioning (no
     * single-file coalesce; a 100 TB corpus vocabulary is millions of
     * rows). Served by [[graft.streaming.StreamingDsir.serveScore]]. */
-  def saveDsirModel(model: DataFrame, path: String): Unit = {
-    val cols = dsirModelSchema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
-    model.select(cols.toIndexedSeq: _*).write.mode("overwrite").parquet(path)
-  }
+  def saveDsirModel(model: DataFrame, path: String): Unit =
+    save(model, dsirModelSchema, path, singleFile = false)
 
   /** Load a DSIR model for [[graft.text.Dsir.score]]. */
   def loadDsirModel(spark: SparkSession, path: String): DataFrame =
     load(spark, dsirModelSchema, path)
 
-  private def save(df: DataFrame, schema: StructType, path: String): Unit = {
+  private def save(df: DataFrame, schema: StructType, path: String,
+                   singleFile: Boolean = true): Unit = {
     val cols = schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
-    df.select(cols.toIndexedSeq: _*)
-      .repartition(1) // trained state is k-or-so rows; one copyable file
+    val projected = df.select(cols.toIndexedSeq: _*)
+    // k-row artifacts coalesce to one copyable file; vocabulary-sized
+    // ones (singleFile = false) keep their partitioning
+    (if (singleFile) projected.repartition(1) else projected)
       .write.mode("overwrite").parquet(path)
   }
 

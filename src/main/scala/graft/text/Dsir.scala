@@ -45,7 +45,15 @@ object Dsir {
     * Tokens absent from the target slice contribute the (negative)
     * smoothed floor — exactly the paper's smoothing role. Staged eagerly:
     * it feeds the scoring join and would otherwise re-aggregate the
-    * corpus once per consumer. */
+    * corpus once per consumer.
+    *
+    * Feature space: the model is defined over the RAW vocabulary (the
+    * analogue of the paper's fixed hashed-feature space). Target tokens
+    * outside it are excluded BY CONSTRUCTION — from the table and from
+    * `tt`, so the in-vocabulary probabilities stay consistent. For an
+    * external target corpus (not a raw slice), measure the excluded
+    * mass first with [[oovTargetFraction]]; a large value means the
+    * vocabulary should come from raw ∪ target instead. */
   def model(raw: DataFrame, target: DataFrame,
             idCol: String, textCol: String): DataFrame = {
     val cr = toks(raw, idCol, textCol)
@@ -64,6 +72,23 @@ object Dsir {
           - round(log((col("cr") + 1).cast("double") /
             (col("tr") + col("v")).cast("double")) * 1e6).cast("long"))
           .as("dsir_e6"))
+  }
+
+  /** Diagnostic for external targets: the fraction of target token
+    * OCCURRENCES outside the raw vocabulary (0 for a raw slice). One
+    * row `(oov_toks, target_toks, oov_ppm)`. Cheap relative to
+    * training — the same two token streams, one anti-join. */
+  def oovTargetFraction(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val vocab = toks(raw, idCol, textCol).select(col("w")).distinct()
+    val tt = toks(target, idCol, textCol)
+    tt.join(vocab, Seq("w"), "left_anti")
+      .agg(count(lit(1)).as("oov_toks"))
+      .crossJoin(broadcast(tt.agg(count(lit(1)).as("target_toks"))))
+      .select(col("oov_toks"), col("target_toks"),
+        when(col("target_toks") === 0, lit(0L))
+          .otherwise(expr("(oov_toks * 1000000) div target_toks"))
+          .as("oov_ppm"))
   }
 
   /** Score every raw doc under a trained model: `(doc_id, n_toks,

@@ -54,7 +54,11 @@ object MixPlanner {
       .localCheckpoint(true)
     val ssum = totals.agg(sum(col("s_s")).as("s_sum"))
     totals.crossJoin(broadcast(ssum))
-      .withColumn("share_ppm", expr("(s_s * 1000000) div s_sum"))
+      // s_sum = 0 iff every source is empty — the plan is all zeros,
+      // not an ANSI DIVIDE_BY_ZERO
+      .withColumn("share_ppm",
+        when(col("s_sum") === 0, lit(0L))
+          .otherwise(expr("(s_s * 1000000) div s_sum")))
       .withColumn("want_toks", expr(s"($budget * share_ppm) div 1000000"))
       .withColumn("alloc_toks",
         least(col("want_toks"), expr(s"(toks * $capX100) div 100")))

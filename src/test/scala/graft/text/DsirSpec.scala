@@ -61,6 +61,18 @@ class DsirSpec extends SparkTestBase {
     assert(ids === Seq(1L, 4L))
   }
 
+  test("oovTargetFraction: zero for a raw slice, counted for an " +
+      "external target with novel tokens") {
+    val slice = Dsir.oovTargetFraction(raw, target, "doc_id", "text")
+      .collect()(0)
+    assert((slice.getLong(0), slice.getLong(2)) === ((0L, 0L)))
+    val ext = Seq((7L, "apple zzznovel zzznovel"))
+      .toDF("doc_id", "text")
+    val r = Dsir.oovTargetFraction(raw, ext, "doc_id", "text").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 666666L) // 2e6 div 3
+  }
+
   test("a doc of only target-absent tokens ranks last") {
     val ids = Dsir.selectTop(raw, target, "doc_id", "text", m = 3)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq

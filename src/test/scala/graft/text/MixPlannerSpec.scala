@@ -42,6 +42,14 @@ class MixPlannerSpec extends SparkTestBase {
     assert(p("A")._4 === 199L && p("B")._4 === 399L)
   }
 
+  test("an all-empty corpus plans all zeros instead of dividing by zero") {
+    val empty = Seq(("A", 0L), ("B", 0L)).toDF("source", "w")
+    val p = MixPlanner.epochAllocation(empty, "source", col("w"),
+        600L, 150L)
+      .collect().map(r => (r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(p.toSeq === Seq((0L, 0L, 0L), (0L, 0L, 0L)))
+  }
+
   test("invalid cap rejected") {
     intercept[IllegalArgumentException] {
       MixPlanner.epochAllocation(docs, "source", col("w"), 600L, 0L)
