@@ -34,6 +34,36 @@ class TablesSpec extends SparkTestBase {
     }
   }
 
+  test("pinned dtypes for the columns the query suite leans on — " +
+      "documents/embeddings drift fails here, not as opaque per-query " +
+      "errors (the events.ts lesson, applied to the other hot tables)") {
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$d"
+      if (new java.io.File(dir).isDirectory) {
+        val doc = Tables.load(spark, dir, "documents")
+        for ((c, t) <- Seq("doc_id" -> LongType, "text" -> StringType,
+            "lang" -> StringType, "source" -> StringType,
+            "n_chars" -> LongType))
+          assert(doc.schema(c).dataType == t,
+            s"$d documents.$c: ${doc.schema(c).dataType} != $t")
+        val emb = Tables.load(spark, dir, "embeddings")
+        emb.schema("embedding").dataType match {
+          case ArrayType(FloatType, _) =>
+          case dt => fail(s"$d embeddings.embedding: $dt — the f32→f64 " +
+            "widening exactness contracts of every e_* oracle assume " +
+            "array<float>")
+        }
+        assert(emb.schema("vec_id").dataType == LongType,
+          s"$d embeddings.vec_id: ${emb.schema("vec_id").dataType}")
+        val ev = Tables.load(spark, dir, "events")
+        for ((c, t) <- Seq("event_id" -> LongType, "user_id" -> LongType,
+            "value" -> DoubleType, "event_type" -> StringType))
+          assert(ev.schema(c).dataType == t,
+            s"$d events.$c: ${ev.schema(c).dataType} != $t")
+      }
+    }
+  }
+
   test("every table loads with a non-empty schema and rows at sf0.001") {
     for (t <- Tables.all) {
       val df = Tables.load(spark, sfDir, t)
