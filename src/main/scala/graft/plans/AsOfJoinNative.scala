@@ -118,7 +118,21 @@ case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(a => SortOrder(a, Ascending)),
     (rightKeys :+ rightTime).map(a => SortOrder(a, Ascending)) :+
-      SortOrder(XxHash64(Seq(CreateStruct(rightVals)), 42L), Ascending))
+      SortOrder(XxHash64(Seq(CreateStruct(tieVals)), 42L), Ascending))
+
+  /** Tie-break hash input among right rows sharing (key, time) — MUST
+    * mirror the window form exactly: plain asOf hashes struct(rightVals);
+    * asOfTolerance routes through asOf with rightTime APPENDED to the
+    * struct (it needs asof_<rightTime> for the freshness filter), so the
+    * tolerance path's tie hash covers (rightVals :+ rightTime). Within a
+    * tie group rightTime is constant, but the hash VALUE differs — a
+    * rightVals-only hash can crown a different winner than the window
+    * form on duplicate (key, time) rows. */
+  private def tieVals: Seq[Attribute] =
+    if (tolerance.isDefined &&
+        !rightVals.exists(_.exprId == rightTime.exprId))
+      rightVals :+ rightTime
+    else rightVals
 
   // rows stream out in the left child's clustering/order
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -127,14 +141,6 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
-
-  private def timeAsLong(row: InternalRow, idx: Int): Long =
-    leftTime.dataType match {
-      case LongType | TimestampType | TimestampNTZType => row.getLong(idx)
-      case IntegerType | DateType => row.getInt(idx).toLong
-      case other => throw new IllegalArgumentException(
-        s"asOfNative tolerance requires a long/int-backed time column, got $other")
-    }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
@@ -152,6 +158,20 @@ case class AsOfJoinExec(
     require(lTimeIdx >= 0 && rTimeIdx >= 0,
       "as-of time columns must come from the respective child")
     val tolOpt = tolerance
+    // resolved OUTSIDE the zipPartitions closure: calling an exec method
+    // from inside would capture `this` (the whole physical subtree) into
+    // every task closure, defeating the local-val copies above. Only the
+    // tolerance path needs it, so non-integral time types stay legal for
+    // the plain merge.
+    val timeAsLong: (InternalRow, Int) => Long =
+      if (tolOpt.isEmpty) null
+      else timeType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          (row, idx) => row.getLong(idx)
+        case IntegerType | DateType => (row, idx) => row.getInt(idx).toLong
+        case other => throw new IllegalArgumentException(
+          s"asOfNative tolerance requires a long/int-backed time column, got $other")
+      }
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyAttrs, lOut)
@@ -223,6 +243,19 @@ object AsOfNative {
            leftTime: String, rightTime: String, rightVals: Seq[String],
            tolerance: Option[Long] = None): DataFrame = {
     require(rightVals.nonEmpty, "asOfNative: rightVals must be non-empty")
+    // the custom exec clusters children on the keys; ClusteredDistribution
+    // rejects an empty clustering at planning with an opaque message —
+    // fail here with the routing answer instead
+    require(keys.nonEmpty, "asOfNative: keys must be non-empty — use " +
+      "graft.operators.AsOfJoin.asOf (the window form) for a global as-of")
+    // column-existence checks FIRST: the schema() accesses below throw
+    // Spark's generic missing-field error, which would shadow these
+    // friendlier messages
+    val missingL = (keys :+ leftTime).filterNot(left.columns.contains)
+    require(missingL.isEmpty, s"asOfNative: left side lacks column(s): $missingL")
+    val missingR = ((keys :+ rightTime) ++ rightVals)
+      .filterNot(right.columns.contains)
+    require(missingR.isEmpty, s"asOfNative: right side lacks column(s): $missingR")
     require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
       s"asOfNative: time columns must share one type, got " +
         s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}" +
@@ -236,6 +269,17 @@ object AsOfNative {
       val (lt, rt) = (left.schema(k).dataType, right.schema(k).dataType)
       require(lt == rt, s"asOfNative: key '$k' types must match, got " +
         s"$lt vs $rt (cast one side first)")
+      // floating keys: the analyzer's NormalizeFloatingNumbers rule
+      // rewrites known node types (Join/Aggregate/Window), never this
+      // custom node — two NaN bit patterns would hash to different
+      // partitions here while the window form matches them. Loud beats
+      // silently-divergent; floating-point join identities are a smell
+      // anyway.
+      require(lt != org.apache.spark.sql.types.FloatType &&
+          lt != org.apache.spark.sql.types.DoubleType,
+        s"asOfNative: key '$k' is floating-point ($lt) — NaN/-0.0 " +
+          "normalization does not reach custom plan nodes; cast the key " +
+          "or use graft.operators.AsOfJoin.asOf")
     }
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
@@ -249,8 +293,6 @@ object AsOfNative {
     val rPlan = Project(aliases, rPruned)
     val rMap = aliases.map(al => al.name -> al.toAttribute).toMap
     val lMap = lPlan.output.map(a => a.name -> a).toMap
-    val missingL = (keys :+ leftTime).filterNot(lMap.contains)
-    require(missingL.isEmpty, s"left side lacks column(s): $missingL")
     val asOfAttrs = rightVals.map(c =>
       AttributeReference(s"asof_$c", rMap(c).dataType, nullable = true)())
     val node = AsOfJoinPlan(lPlan, rPlan,
@@ -306,6 +348,8 @@ object AsOfNative {
         "(cast timestamps to epoch seconds/micros first)")
 
     val S = "__graft_slice"
+    require(!left.columns.contains(S) && !right.columns.contains(S),
+      s"asOfSliced: input already carries the reserved column $S")
     // exact integral floorDiv: (t - pmod(t, w)) is a multiple of w, so
     // `div` is exact — no double rounding on large epochs
     def withSlice(df: DataFrame, timeCol: String): DataFrame =
@@ -326,34 +370,43 @@ object AsOfNative {
     val lastPerSlice = rS.groupBy((keys :+ S).map(col): _*)
       .agg(max_by(struct(rPayload.map(col): _*), ord).as("__graft_last"))
 
-    // 3. boundary handoff over the full slice domain
+    // 3. boundary handoff over the full slice domain. The right side's
+    // (key, slice) set IS lastPerSlice's key set — deriving the domain
+    // from it (instead of a third rS projection) saves a full right-side
+    // scan, and its aggregation exchange is identical to the carry
+    // join's, so ReuseExchange serves both from one shuffle.
     val domain = lS.select((keys :+ S).map(col): _*)
-      .union(rS.select((keys :+ S).map(col): _*)).distinct()
+      .union(lastPerSlice.select((keys :+ S).map(col): _*)).distinct()
     val carryW = W.partitionBy(keys.map(col): _*).orderBy(col(S))
       .rowsBetween(W.unboundedPreceding, -1)
-    val carries = domain
-      .join(lastPerSlice, (keys :+ S).toSeq, "left")
+    // null-SAFE carry join: an equi-join (or USING) never matches null
+    // keys, but the window form, the native merge, and the carry WINDOW
+    // all treat a null key as one matching group — a plain join here
+    // silently dropped cross-slice carries for null-keyed rows
+    val dAl = domain.alias("__gd")
+    val pAl = lastPerSlice.alias("__gp")
+    val joinCond = (keys :+ S)
+      .map(k => col(s"__gd.`$k`") <=> col(s"__gp.`$k`"))
+      .reduce(_ && _)
+    val carries = dAl.join(pAl, joinCond, "left")
+      .select((keys :+ S).map(k => col(s"__gd.`$k`").as(k)) :+
+        col("__gp.__graft_last").as("__graft_last"): _*)
       .withColumn("__graft_carry",
         last(col("__graft_last"), ignoreNulls = true).over(carryW))
       .filter(col("__graft_carry").isNotNull)
-      .select(keys.map(col) ++ Seq(col(S)) ++
-        rPayload.map(n => col(s"__graft_carry.`$n`").as(n)): _*)
+      .select((keys :+ S).map(col) ++
+        rPayload.filterNot(keys.contains)
+          .map(n => col(s"__graft_carry.`$n`").as(n)): _*)
 
-    // 4. sliced native as-of; drop the plumbing column from the output
-    val rAug = rS.select(keys.map(col) ++ Seq(col(S)) ++
-      rPayload.map(col): _*).unionByName(carries)
+    // 4. sliced native as-of; drop the plumbing column from the output.
+    // distinct: a key appearing in rightVals must not duplicate a column
+    // name (plain asOf dedupes the same way via rCols.distinct)
+    val rAug = rS.select(((keys :+ S) ++ rPayload).distinct.map(col): _*)
+      .unionByName(carries)
     asOf(lS, rAug, keys :+ S, leftTime, rightTime, rightVals, tolerance)
       .drop(S)
   }
 
-  /** Skew diagnostics for [[asOfSliced]]: ONE aggregation pass over the
-    * left side (partial-aggregated count/min/max per key, then a 1-row
-    * TakeOrdered) finds the hottest key and proposes the slice width that
-    * splits it into ~`targetRowsPerSlice`-row tasks. Returns None when no
-    * key needs slicing (hottest key under target, or zero time span) —
-    * the unsliced form is then the right plan, since slicing buys task
-    * parallelism at the price of an extra key-slice shuffle per side.
-    * Run it once on a sample or the planning pass, not per query. */
   /** Auto-dispatching as-of: run the [[suggestSliceWidth]] diagnostics on
     * BOTH sides (the hot key can sit on either — a billion-reading meter on
     * the right, a billion-event user on the left) and route to [[asOfSliced]]
@@ -394,6 +447,14 @@ object AsOfNative {
     (out, width)
   }
 
+  /** Skew diagnostics for [[asOfSliced]]: ONE aggregation pass over the
+    * given side (partial-aggregated count/min/max per key, then a 1-row
+    * TakeOrdered) finds the hottest key and proposes the slice width that
+    * splits it into ~`targetRowsPerSlice`-row tasks. Returns None when no
+    * key needs slicing (hottest key under target, or zero time span) —
+    * the unsliced form is then the right plan, since slicing buys task
+    * parallelism at the price of an extra key-slice shuffle per side.
+    * Run it once on a sample or the planning pass, not per query. */
   def suggestSliceWidth(left: DataFrame, keys: Seq[String], timeCol: String,
                         targetRowsPerSlice: Long = 4L * 1024 * 1024)
       : Option[Long] = {

@@ -245,6 +245,65 @@ class AsOfNativeSpec extends SparkTestBase {
       AsOfNative.asOf(leftFixture, rightFixture, Seq("k"), "t", "t", Seq("v"))))
   }
 
+  test("tolerance tie-break parity on duplicate (key, time) right rows " +
+      "(the tolerance path hashes rightTime into the tie struct)") {
+    val l = Seq(("a", 10L, "x")).toDF("k", "t", "payload").repartition(2)
+    val r = Seq(("a", 5L, 1.0), ("a", 5L, 2.0), ("a", 5L, 3.0))
+      .toDF("k", "t", "v").repartition(2)
+    val window = AsOfJoin.asOfTolerance(l, r, Seq("k"), "t", "t",
+      Seq("v"), tolerance = 100L)
+    val native = AsOfNative.asOf(l, r, Seq("k"), "t", "t", Seq("v"),
+      tolerance = Some(100L))
+    assert(sortedRows(native) == sortedRows(window))
+  }
+
+  test("asOfSliced carries cross-slice matches for NULL keys (equi-joins " +
+      "drop them; the window/native forms treat null as a key group)") {
+    val l = Seq((Option.empty[String], 100L, "x"), (Some("a"), 100L, "y"))
+      .toDF("k", "t", "payload").repartition(2)
+    val r = Seq((Option.empty[String], 10L, 1.0), (Some("a"), 10L, 2.0))
+      .toDF("k", "t", "v").repartition(2)
+    // sliceWidth 50: right rows in slice 0, left rows in slice 2 — every
+    // match crosses slices, so it rides the carry pipeline
+    val sliced = AsOfNative.asOfSliced(l, r, Seq("k"), "t", "t",
+      Seq("v"), sliceWidth = 50L)
+    val plain = AsOfNative.asOf(l, r, Seq("k"), "t", "t", Seq("v"))
+    assert(sortedRows(sliced) == sortedRows(plain))
+    assert(sliced.filter(col("k").isNull)
+      .select("asof_v").collect()(0).getDouble(0) == 1.0,
+      "null-key carry lost")
+  }
+
+  test("asOfSliced supports rightVals overlapping the keys (plain asOf " +
+      "dedupes; the sliced union must too)") {
+    val sliced = AsOfNative.asOfSliced(leftFixture, rightFixture,
+      Seq("k"), "t", "t", Seq("k", "v"), sliceWidth = 4L)
+    val plain = AsOfNative.asOf(leftFixture, rightFixture,
+      Seq("k"), "t", "t", Seq("k", "v"))
+    assert(sortedRows(sliced) == sortedRows(plain))
+  }
+
+  test("empty keys, floating keys, and a reserved-column collision are " +
+      "rejected with routing messages") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfNative.asOf(l, r, Seq.empty, "t", "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("window form"))
+    val lf = Seq((1.0, 10L, "x")).toDF("k", "t", "payload")
+    val rf = Seq((1.0, 5L, 1.0)).toDF("k", "t", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfNative.asOf(lf, rf, Seq("k"), "t", "t", Seq("v"))
+    }
+    assert(e2.getMessage.contains("floating-point"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfNative.asOfSliced(l.withColumn("__graft_slice", lit(1)), r,
+        Seq("k"), "t", "t", Seq("v"), sliceWidth = 10L)
+    }
+    assert(e3.getMessage.contains("reserved column"))
+  }
+
   test("key-type mismatch is rejected up front (a mismatched hash would " +
       "silently mis-partition, not fail loud)") {
     val l = Seq((1, 10L, "x")).toDF("k", "t", "payload")
