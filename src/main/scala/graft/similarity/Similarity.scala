@@ -203,6 +203,31 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Cosine with the ZERO-NORM guard every ranking/threshold consumer in
+    * this file uses: a degenerate (zero-norm) vector scores −∞ instead of
+    * NaN. Spark treats NaN as LARGER than any value — unguarded, one
+    * zero-norm corpus vector becomes the rank-1 "neighbor" of every query
+    * under `orderBy(desc)`, passes every `>= threshold` filter, and (in a
+    * dedup cell) mass-deletes its cell-mates. −∞ inverts that: degenerate
+    * vectors never rank, never match, never delete — the similarity-DESC
+    * orientation of [[KMeans.assign]]'s +∞ distance rule (which has its
+    * own spec). Identical to [[cosine]] whenever both norms are positive,
+    * so the bit-exactness oracles are untouched on real data. */
+  private[graft] def cosineGuarded(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom > 0, dot(a, b) / denom)
+      .otherwise(lit(Double.NegativeInfinity))
+  }
+
+  /** The distance-orientation twin of [[cosineGuarded]] for argmin
+    * assignment/probing: −cos, with degenerate pairs pinned to +∞ (never
+    * the nearest cell). */
+  private[graft] def negCosGuarded(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom > 0, -dot(a, b) / denom)
+      .otherwise(lit(Double.PositiveInfinity))
+  }
+
   private[graft] def cosineFold(a: Column, b: Column): Column =
     dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
 
@@ -215,7 +240,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -241,7 +266,14 @@ object Similarity {
     * a 100TB ANN deployment.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroidStride: Int, nprobe: Int): DataFrame =
+              centroidStride: Int, nprobe: Int): DataFrame = {
+    // a non-positive stride makes pmod null/always-false — zero centroids
+    // and a silently EMPTY result, not an error. Same hazard if the id
+    // space is non-dense (no vec_id % stride == 0, e.g. snowflake ids):
+    // stride selection assumes dense-ish ids; use ivfTopKWith with
+    // explicit centroids otherwise.
+    require(centroidStride > 0,
+      s"ivfTopK: centroidStride must be positive, got $centroidStride")
     // every strideth vector is a centroid — a pure filter, no global
     // window/shuffle, deterministic at any corpus size; swap in
     // [[KMeans.fit]] output via [[ivfTopKWith]] for trained cells
@@ -250,6 +282,7 @@ object Similarity {
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("centroid")),
       nprobe)
+  }
 
   /** IVF with caller-provided centroids (e.g. [[KMeans.fit]]): assign the
     * corpus, then probe — one-shot composition of [[ivfAssign]] +
@@ -275,8 +308,7 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, centroidsDf: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroidsDf))
-      .withColumn("_cdist", -dot(col("embedding"), col("centroid")) /
-        (l2norm(col("embedding")) * l2norm(col("centroid"))))
+      .withColumn("_cdist", negCosGuarded(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))
       .agg(
         min_by(col("centroid_id"),
@@ -346,8 +378,7 @@ object Similarity {
     // one row per reassigned vector on the shuffle, the ivfAssign shape)
     val reassigned = big
       .join(broadcast(renumbered), big("centroid_id") === renumbered("grp"))
-      .withColumn("_cdist", -dot(col("embedding"), col("centroid")) /
-        (l2norm(col("embedding")) * l2norm(col("centroid"))))
+      .withColumn("_cdist", negCosGuarded(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))
       .agg(
         min_by(col("new_id"), struct(col("_cdist"), col("new_id")))
@@ -374,8 +405,7 @@ object Similarity {
     val w0 = Window.partitionBy(col("vec_id")).orderBy(
       col("_cdist").asc, col("centroid_id"))
     val probed = broadcast(queries.crossJoin(centroids)
-      .withColumn("_cdist", -dot(col("embedding"), col("centroid")) /
-        (l2norm(col("embedding")) * l2norm(col("centroid"))))
+      .withColumn("_cdist", negCosGuarded(col("embedding"), col("centroid")))
       .withColumn("_crank", row_number().over(w0))
       .filter(col("_crank") <= nprobe)
       .drop("_cdist", "_crank", "centroid")
@@ -386,7 +416,7 @@ object Similarity {
         col("embedding").as("c_emb"))
       .join(probed, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -451,7 +481,7 @@ object Similarity {
       .select("query_id", "q_emb", "neighbor_id", "c_emb")
       .dropDuplicates(Seq("query_id", "neighbor_id"))
     val scored = candidates
-      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -527,7 +557,7 @@ object Similarity {
     // inside the cell join's output stage
     val dups = l.join(r, Seq("centroid_id"))
       .filter(col("_id_a") < col("_id_b"))
-      .withColumn("_cos", cosine(col("_e_a"), col("_e_b")))
+      .withColumn("_cos", cosineGuarded(col("_e_a"), col("_e_b")))
       .filter(col("_cos") >= threshold)
       .groupBy(col("_id_b"))
       .agg(min(col("_id_a")).as("dup_of"), max(col("_cos")).as("max_cos"))
@@ -561,7 +591,12 @@ object Similarity {
   def semanticDedupAgainstIndex(newVectors: DataFrame, index: DataFrame,
                                 centroidsDf: DataFrame, threshold: Double,
                                 maxCellSize: Int = 0): DataFrame = {
-    val batchIdx = ivfAssign(newVectors, centroidsDf)
+    // staged: batchIdx feeds THREE plan branches (the union, the broadcast
+    // probe side, and the decision base) — plans are trees, so without the
+    // stage the batch crossJoin+argmin assignment runs three times per
+    // call (and this runs once per streaming trigger). Batch-sized by
+    // contract — the minhashPairs staging convention.
+    val batchIdx = ivfAssign(newVectors, centroidsDf).localCheckpoint(true)
     val keep = Seq("vec_id", "centroid_id", "embedding").map(col)
     val all = index.select(keep: _*)
       .unionByName(batchIdx.select(keep: _*))
@@ -582,7 +617,7 @@ object Similarity {
       col("vec_id").as("_id_b"), col("embedding").as("_e_b")))
     val dups = l.join(r, Seq("centroid_id"))
       .filter(col("_id_a") < col("_id_b"))
-      .withColumn("_cos", cosine(col("_e_a"), col("_e_b")))
+      .withColumn("_cos", cosineGuarded(col("_e_a"), col("_e_b")))
       .filter(col("_cos") >= threshold)
       .groupBy(col("_id_b"))
       .agg(min(col("_id_a")).as("dup_of"), max(col("_cos")).as("max_cos"))
@@ -619,7 +654,7 @@ object Similarity {
     val scored = c.join(q,
       col("query_id") =!= col("neighbor_id") &&
         col("c_label") =!= col("q_label"))
-      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -651,18 +686,27 @@ object Similarity {
     */
   def semanticContamination(corpus: DataFrame, evalVecs: DataFrame,
                             threshold: Double,
-                            maxEvalRows: Int = 100000): DataFrame = {
-    val evals = evalVecs.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).collect()
-    require(evals.nonEmpty, "semanticContamination: empty eval set")
-    require(evals.length <= maxEvalRows,
-      s"semanticContamination: ${evals.length} eval vectors exceed " +
-        s"maxEvalRows=$maxEvalRows — an eval set this large should be " +
-        "indexed (ivfAssign) and probed, not inlined")
+                            maxEvalRows: Int = 2000): DataFrame = {
     // norms precomputed driver-side with the same f32→f64 widen +
     // left-to-right fold as dotFold — bit-identical to the in-plan value
     def normOf(xs: Seq[Float]): Double =
       math.sqrt(xs.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    // zero-norm eval vectors are excluded up front: dot/0 = NaN inside
+    // the fold, and NaN (larger than everything in Spark) would beat
+    // every finite score — ONE degenerate eval row would otherwise flag
+    // the entire corpus as contaminated
+    val evals = evalVecs.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).collect()
+      .filter(r => normOf(r.getSeq[Float](1)) > 0)
+    require(evals.nonEmpty,
+      "semanticContamination: empty eval set (after dropping zero-norm rows)")
+    // the cap bounds the LITERAL PLAN, not memory: each eval row inlines
+    // dim Literal nodes, so rows × dim is the analyzer's working set —
+    // a few thousand rows is the practical ceiling. Larger eval sets
+    // should be indexed (ivfAssign) and probed, not inlined.
+    require(evals.length <= maxEvalRows,
+      s"semanticContamination: ${evals.length} eval vectors exceed " +
+        s"maxEvalRows=$maxEvalRows — index (ivfAssign) and probe instead")
     val evalArr = array(evals.map { r =>
       val emb = r.getSeq[Float](1)
       struct(lit(r.getLong(0)).as("id"),
@@ -682,11 +726,16 @@ object Similarity {
         when(s > acc.getField("s"),
           struct(e.getField("id").as("id"), s.as("s"))).otherwise(acc)
       })
+    // corpus-side zero-norm guard: s/0 = NaN would flag the degenerate
+    // row as contaminated (NaN >= threshold is true in Spark); −∞ keeps
+    // it visible and un-flagged — the cosineGuarded rule
+    val cn = l2norm(col("embedding"))
+    val cosOrNegInf = when(cn > 0, col("_best.s") / cn)
+      .otherwise(lit(Double.NegativeInfinity))
     corpus.select(col("vec_id"), col("embedding"))
       .withColumn("_best", best)
       .select(col("vec_id"), col("_best.id").as("nearest_eval_id"),
-        (col("_best.s") / l2norm(col("embedding"))).as("max_eval_cos"),
-        (col("_best.s") / l2norm(col("embedding")) >= threshold)
-          .as("contaminated"))
+        cosOrNegInf.as("max_eval_cos"),
+        (cosOrNegInf >= threshold).as("contaminated"))
   }
 }
