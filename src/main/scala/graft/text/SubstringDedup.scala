@@ -48,24 +48,33 @@ object SubstringDedup {
     * @param minDocs a window is duplicated when its exact text occurs in
     *                at least this many DISTINCT docs (≥ 2): cross-doc
     *                boilerplate, not within-doc repetition
+    * @param spreadInput repartition the corpus by doc_id before the
+    *                window explode (default true). The explode inflates
+    *                work ~L× per input byte, so a coarse scan
+    *                partitioning (single-row-group parquet = ONE task)
+    *                serializes the whole hash pass; the 1× text shuffle
+    *                amortizes against the L× compute, and doc_id hash
+    *                distribution is what the candidate re-attach join
+    *                needs anyway. Pass false when the input is already
+    *                cluster-wide (thousands of splits) — an explicit
+    *                knob, NOT a runtime partition probe: under AQE,
+    *                `df.rdd.getNumPartitions` materializes the final
+    *                plan, which EXECUTES every upstream stage of a
+    *                derived input at call time and re-runs them on the
+    *                real action.
     */
   def spans(docs: DataFrame, idCol: String, textCol: String,
-            L: Int, minDocs: Int = 2): DataFrame = {
+            L: Int, minDocs: Int = 2, spreadInput: Boolean = true): DataFrame = {
     require(L >= 2, s"window length L=$L must be >= 2")
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
     val base0 = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
-    // The window explode inflates work ~L× per input byte, so it must not
-    // inherit a coarse scan partitioning (a single-row-group parquet file
-    // scans as ONE task and the whole hash pass runs on one core). When
-    // the input has fewer partitions than the cluster, spread it by
-    // doc_id first: the 1× text shuffle amortizes against the L× compute,
-    // and hash-partitioning on doc_id is the distribution the candidate
-    // re-attach join needs anyway. At real scale (thousands of splits)
-    // this branch is a no-op.
-    val targetPar = docs.sparkSession.sparkContext.defaultParallelism
-    val base = if (base0.rdd.getNumPartitions < targetPar)
-      base0.repartition(targetPar, col("doc_id")) else base0
+    val base = if (spreadInput) {
+      val targetPar = math.max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      base0.repartition(targetPar, col("doc_id"))
+    } else base0
     // sequence() infers a DESCENDING step when start > stop, so guard the
     // short-doc case explicitly rather than relying on an empty array
     val sites = base.filter(length(col("text")) >= L)
@@ -82,9 +91,15 @@ object SubstringDedup {
     // two more full-width exchanges for the aggregate and the join
     // probe; same-run A/B at sf0.1: dedup 4.4→3.2s, strip 4.1→2.8s —
     // 6.1s/5.6s before the pre-explode repartition above).
-    // Skew note: a WindowExec group = all sites of one gram hash, held in
-    // a spillable buffer; the agg+join form carried the same hot-hash
-    // exposure on its join probe side.
+    // Skew trade (stated honestly): a WindowExec group = ALL sites of one
+    // gram hash, buffered (spillable) in a single task — a boilerplate
+    // gram present in millions of docs makes that task the straggler. The
+    // replaced agg+semi-join form STREAMED the hot group (the probe side
+    // of a semi join never buffers; the aggregate held only distinct
+    // (h, doc_id) pairs) at the price of two extra full-width exchanges
+    // and an eager staging barrier — the measured 2× at gate SF. At a
+    // corpus whose gram-frequency tail is adversarial, revert to the
+    // agg+semi-join form or pre-cap pathological hashes.
     val byH = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val candSites = sites
       .withColumn("nd", max(dense_rank().over(byH)).over(
