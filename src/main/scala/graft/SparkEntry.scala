@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.Round11Queries.queries ++
       graft.queries.Round12Queries.queries ++
       graft.queries.Round13Queries.queries ++
-      graft.queries.Round14Queries.queries
+      graft.queries.Round14Queries.queries ++
+      graft.queries.Round15Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Round11Queries.oracleSql ++
       graft.queries.Round12Queries.oracleSql ++
       graft.queries.Round13Queries.oracleSql ++
-      graft.queries.Round14Queries.oracleSql
+      graft.queries.Round14Queries.oracleSql ++
+      graft.queries.Round15Queries.oracleSql
 }

@@ -26,7 +26,13 @@ object Verify {
     // observe (or clobber) each other's registrations regardless of what
     // a future query binds under those names.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter (same contract as Bench's SPARK_GRAFT_ONLY):
+    // comma-separated query names; unset = the full gate (driver mode).
+    val onlySet = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlySet.forall(_.contains(n)) }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

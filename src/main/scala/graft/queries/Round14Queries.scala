@@ -169,7 +169,7 @@ object Round14Queries {
     * every chunk oracle (the lmScoreCtes convention). `sfx` uniquifies
     * CTE names so two chains can coexist in one query; the final CTE is
     * `chunks$sfx(doc_id, chunk_id, start_tok, n_toks, chunk_md5)`. */
-  private def cdcSql(src: String, sfx: String): String =
+  private[queries] def cdcSql(src: String, sfx: String): String =
     s"""tt$sfx AS (SELECT doc_id, $tokensSql AS t FROM $src),
        |b$sfx AS (
        |  SELECT doc_id, t,
