@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
+import graft.similarity.Similarity
 import graft.text.Boilerplate
 
 /** Round-15 additions — corpus-hygiene and serving-side operators:
@@ -28,6 +29,27 @@ object Round15Queries {
       Boilerplate.strip(load(s, dir, "documents"), "doc_id", "text",
           w = 4, modulus = 8, minDocs = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // Filtered ANN with adaptive probe depth: label = 3 qualifies ~10%
+    // of the corpus (~5 per stride-50 cell at every sf), so the
+    // 12-candidate floor makes every query walk ~3 cells — the adaptive
+    // branch is live under the oracle, not just the happy path. Stride
+    // centroids keep the whole pipeline SQL-replayable (the e_ann_ivf
+    // technique: argmin assignment, distance-ordered cumulative walk,
+    // within-cell ranking — all bit-identical double arithmetic).
+    "e_ann_filtered" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Similarity.ivfTopKFiltered(
+          emb.filter(col("vec_id") < 50),
+          Similarity.ivfAssignWith(emb, cents, Seq("label")),
+          col("label") === 3, k = 3, cents, minCandidates = 12)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -50,6 +72,54 @@ object Round15Queries {
          |      array_slice(t, start_tok, start_tok + n_toks - 1), ' ') END,
          |    ' ' ORDER BY chunk_id), '') AS text
          |FROM mk m JOIN tt USING (doc_id)
-         |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin
+         |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin,
+
+    "e_ann_filtered" -> {
+      def cos(a: String, b: String) = Round13Queries.cosSql(a, b)
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, centroid_id, embedding, label
+         |  FROM (
+         |    SELECT e.vec_id, c.centroid_id, e.embedding, e.label,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY -(${cos("e.embedding", "c.centroid")}) ASC,
+         |          c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |qual AS (SELECT * FROM assigned WHERE label = 3),
+         |cellcn AS (
+         |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS cn
+         |  FROM qual GROUP BY 1),
+         |walk AS (
+         |  SELECT q.vec_id AS query_id, c.centroid_id,
+         |    q.embedding AS q_emb, COALESCE(cc.cn, 0) AS cn,
+         |    -(${cos("q.embedding", "c.centroid")}) AS cd
+         |  FROM embeddings q CROSS JOIN cents c
+         |  LEFT JOIN cellcn cc ON cc.centroid_id = c.centroid_id
+         |  WHERE q.vec_id < 50),
+         |cum AS (
+         |  SELECT *, COALESCE(SUM(cn) OVER (PARTITION BY query_id
+         |    ORDER BY cd ASC, centroid_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS cumprev
+         |  FROM walk),
+         |probed AS (
+         |  SELECT query_id, centroid_id, q_emb FROM cum
+         |  WHERE cumprev < 12 AND cn > 0),
+         |scored AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    ${cos("p.q_emb", "a.embedding")} AS cos_sim
+         |  FROM qual a JOIN probed p ON a.centroid_id = p.centroid_id
+         |  WHERE p.query_id <> a.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos_sim, 6) AS cos_sim
+         |FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

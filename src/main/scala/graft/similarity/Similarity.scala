@@ -307,14 +307,27 @@ object Similarity {
     * probe window's deterministic tie-break.
     */
   def ivfAssign(corpus: DataFrame, centroidsDf: DataFrame): DataFrame =
+    ivfAssignWith(corpus, centroidsDf, Nil)
+
+  /** [[ivfAssign]] carrying named METADATA columns through the argmin
+    * aggregation (`first` within the per-vector group — exact, the group
+    * holds one distinct value per vector): a filtered-search deployment
+    * stores its predicate columns IN the index rows so serving never
+    * joins back to the corpus ([[ivfTopKFiltered]]). */
+  def ivfAssignWith(corpus: DataFrame, centroidsDf: DataFrame,
+                    extraCols: Seq[String]): DataFrame = {
+    val aggs =
+      min_by(col("centroid_id"),
+        struct(col("_cdist"), col("centroid_id"))).as("centroid_id") +:
+      first(col("embedding")).as("embedding") +:
+      extraCols.map(c => first(col(c)).as(c))
     corpus.crossJoin(broadcast(centroidsDf))
       .withColumn("_cdist", negCosGuarded(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))
-      .agg(
-        min_by(col("centroid_id"),
-          struct(col("_cdist"), col("centroid_id"))).as("centroid_id"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((Seq("vec_id", "centroid_id", "embedding") ++ extraCols)
+        .map(col): _*)
+  }
 
   /** Fold a batch of new vectors into an existing codes index WITHOUT
     * retraining or re-scanning the indexed corpus: the batch alone is
@@ -422,6 +435,79 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Per-cell QUALIFYING-row counts for a metadata predicate over a codes
+    * index — `(centroid_id, n_qual)`, centroid-sized. This is the
+    * metadata artifact a production deployment maintains NEXT TO the
+    * index (updated by fold-in/forget deltas); [[ivfTopKFiltered]]
+    * accepts it precomputed so serving never rescans the index, and
+    * computes it in one count-only aggregation (centroid ids on the
+    * shuffle, nothing else) when not supplied. */
+  def ivfCellCounts(index: DataFrame, pred: Column): DataFrame =
+    index.filter(pred).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_qual"))
+
+  /** Predicate-FILTERED ANN over a codes index with ADAPTIVE probe
+    * depth — the standard vector-DB "filtered search" problem: under a
+    * selective metadata filter a fixed `nprobe` silently under-delivers
+    * (the nearest cells may hold zero qualifying vectors), while
+    * pre-filtering to a brute scan throws the index away. Here each
+    * query walks its cells in distance order and probes until the
+    * cumulative QUALIFYING count reaches `minCandidates` — so the
+    * candidate pool is guaranteed ≥ min(minCandidates, total qualifying)
+    * and every query returns min(k, total qualifying) rows. Cells with
+    * zero qualifying rows are skipped outright (they widen the walk at
+    * zero probe cost).
+    *
+    * Cost model: probe work scales with the QUALIFYING rows of the
+    * probed cells only — the predicate is pushed below the probe join,
+    * so with a centroid_id-partitioned index plus a column-pruned scan
+    * this reads the probed cells' qualifying rows and nothing else.
+    * The cell-count side table is centroid-sized and broadcast with the
+    * centroids; recall semantics stay IVF (approximate between
+    * `minCandidates` and a full walk — `minCandidates ≥` total
+    * qualifying degenerates to exact filtered brute force, spec-pinned).
+    *
+    * @param cellCounts optional precomputed [[ivfCellCounts]] artifact;
+    *                   MUST have been built with this same `pred`
+    * @param minCandidates ≥ k; the per-query qualifying-candidate floor
+    */
+  def ivfTopKFiltered(queries: DataFrame, index: DataFrame, pred: Column,
+                      k: Int, centroidsDf: DataFrame, minCandidates: Int,
+                      cellCounts: Option[DataFrame] = None): DataFrame = {
+    require(minCandidates >= k,
+      s"minCandidates=$minCandidates must be >= k=$k")
+    val counts = cellCounts.getOrElse(ivfCellCounts(index, pred))
+    val cents = broadcast(centroidsDf
+      .join(counts, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("centroid"),
+        coalesce(col("n_qual"), lit(0L)).as("_cn")))
+    // cumulative qualifying count over the PRECEDING cells in distance
+    // order: keep a cell while the walk is still short of minCandidates
+    // when it arrives — the cell that crosses the threshold is probed,
+    // later ones are not
+    val wCum = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_cdist").asc, col("centroid_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val probed = broadcast(queries.crossJoin(cents)
+      .withColumn("_cdist", negCosGuarded(col("embedding"), col("centroid")))
+      .withColumn("_cum", coalesce(sum(col("_cn")).over(wCum), lit(0L)))
+      .filter(col("_cum") < minCandidates && col("_cn") > 0)
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("embedding").as("q_emb")))
+    val scored = index.filter(pred)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("embedding").as("c_emb"))
+      .join(probed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
   }
 
   /** Multi-table hyperplane buckets: element t is the bucket id in hash
