@@ -50,6 +50,40 @@ object Round15Queries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // k-NN graph: EVERY vector's top-3 neighbors, cell-bounded
+    // (nprobe=2 of the stride-50 cells) — the whole-corpus artifact, not
+    // a bounded query batch, so this exercises the non-broadcast probe
+    // path. Fully oracled: the walk + within-cell ranking replay in SQL.
+    "e_knn_graph" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Similarity.knnGraph(Similarity.ivfAssign(emb, cents), cents,
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // One-round kNN label propagation: nodes with vec_id % 7 == 0 are
+    // masked unlabeled and take the majority label of their labeled
+    // top-5 neighbors (integer votes, ties to the smallest label) —
+    // the semi-supervised backfill over the e_knn_graph artifact.
+    "e_label_prop" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val graph = Similarity.knnGraph(Similarity.ivfAssign(emb, cents),
+        cents, k = 5, nprobe = 2)
+      val labels = emb.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("label")).as("label"))
+      Similarity.labelPropagate(graph, labels)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -120,6 +154,72 @@ object Round15Queries {
          |      ORDER BY cos_sim DESC, neighbor_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    }
+    },
+
+    "e_knn_graph" ->
+      s"""WITH ${knnGraphCtes(k = 3, nprobe = 2)}
+         |SELECT query_id, rank, neighbor_id, ROUND(cos_sim, 6) AS cos_sim
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "e_label_prop" ->
+      s"""WITH ${knnGraphCtes(k = 5, nprobe = 2)},
+         |votes AS (
+         |  SELECT r.query_id, e.label,
+         |    CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+         |  WHERE r.rank <= 5 AND r.query_id % 7 = 0
+         |    AND e.vec_id % 7 <> 0
+         |  GROUP BY 1, 2),
+         |win AS (
+         |  SELECT query_id, label, n_votes,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY n_votes DESC, label ASC) AS wr,
+         |    CAST(SUM(n_votes) OVER (PARTITION BY query_id) AS BIGINT)
+         |      AS n_labeled
+         |  FROM votes)
+         |SELECT query_id AS vec_id, label AS pred_label, n_votes,
+         |  n_labeled
+         |FROM win WHERE wr = 1 ORDER BY vec_id""".stripMargin
   )
+
+  /** The [[Similarity.knnGraph]] pipeline (stride-50 centroids) as
+    * DuckDB CTEs ending in `ranked(query_id, rank, neighbor_id,
+    * cos_sim)` — ONE SQL definition shared by the graph and
+    * label-propagation oracles (the cdcSql convention). The cell walk
+    * (`rn <= nprobe` over the (distance, centroid_id) order) replays
+    * the engine's in-row `array_sort` probe bit-for-bit. */
+  private def knnGraphCtes(k: Int, nprobe: Int): String = {
+    def cos(a: String, b: String) = Round13Queries.cosSql(a, b)
+    s"""cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS centroid
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, centroid_id, embedding FROM (
+       |    SELECT e.vec_id, c.centroid_id, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -(${cos("e.embedding", "c.centroid")}) ASC,
+       |          c.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |walked AS (
+       |  SELECT vec_id AS query_id, centroid_id, embedding AS q_emb
+       |  FROM (
+       |    SELECT e.vec_id, c.centroid_id, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -(${cos("e.embedding", "c.centroid")}) ASC,
+       |          c.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT w.query_id, a.neighbor_id,
+       |    ${cos("w.q_emb", "a.embedding")} AS cos_sim
+       |  FROM assigned a JOIN walked w ON a.centroid_id = w.centroid_id
+       |  WHERE w.query_id <> a.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |  QUALIFY rank <= $k)""".stripMargin
+  }
 }

@@ -510,6 +510,110 @@ object Similarity {
         col("cos_sim"))
   }
 
+  /** k-NN GRAPH construction: every corpus vector's top-k cosine
+    * neighbors — the backbone artifact for label propagation
+    * ([[labelPropagate]]), graph-based dedup, and cluster-quality
+    * readouts. Brute force is n² and dead at corpus scale; this is the
+    * IVF-bounded form: each vector probes its `nprobe` nearest cells and
+    * ranks only within them, so pairwise work is Σ (cell probes ×
+    * cell size) — the [[semanticDedup]] cost model with an nprobe dial.
+    *
+    * Scale design: the centroid table is centroid-sized BY CONTRACT, so
+    * it is collected and inlined as a LITERAL — the per-vector cell walk
+    * is then MAP-ONLY (in-row `array_sort` over the centroid array; no
+    * corpus×centroids rows on any shuffle, no corpus-wide window — the
+    * [[semanticContamination]] trick). The probe and candidate sides
+    * then meet in ONE centroid_id equi-shuffle, and the final top-k is
+    * a per-query window over candidate pairs. `maxCellSize` mirrors
+    * [[minhashPairs]]' skew guard: cells above the cap are dropped from
+    * the CANDIDATE side (documented recall trade — a pathological fat
+    * cell otherwise turns one task into a straggler; rebalance with
+    * [[ivfRebalance]] instead of raising the cap).
+    *
+    * Self-edges are excluded; a vector whose probed cells contain only
+    * itself emits no rows (the recall-zero convention of [[lshTopK]]).
+    */
+  def knnGraph(index: DataFrame, centroidsDf: DataFrame, k: Int,
+               nprobe: Int, maxCellSize: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1 && nprobe >= 1,
+      s"knnGraph: k=$k and nprobe=$nprobe must be >= 1")
+    val cents = centroidsDf
+      .select(col("centroid_id").cast("long"), col("centroid")).collect()
+    require(cents.nonEmpty, "knnGraph: empty centroid table")
+    val centLit = array(cents.map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        array(r.getSeq[Float](1).map(lit(_)): _*)
+          .cast("array<float>").as("c"))
+    }: _*)
+    // in-row walk: struct sort order (distance, centroid_id) is the
+    // probe tie-break every IVF surface here uses
+    val probes = index
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("_pc", explode(slice(array_sort(transform(centLit,
+        c => struct(
+          negCosGuarded(col("q_emb"), c.getField("c")).as("d"),
+          c.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("query_id"), col("q_emb"),
+        col("_pc").getField("cid").as("centroid_id"))
+    val cand = index.select(col("centroid_id"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val candCapped =
+      if (maxCellSize == Long.MaxValue) cand
+      else {
+        val big = cand.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxCellSize).select(col("centroid_id"))
+        cand.join(broadcast(big), Seq("centroid_id"), "left_anti")
+      }
+    val scored = probes.join(candCapped, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  /** ONE round of kNN LABEL PROPAGATION: predict a label for every
+    * UNLABELED node (null label) by plain majority vote of its LABELED
+    * graph neighbors — the semi-supervised backfill step for partially
+    * labeled corpora (quality tags, domain tags). Votes are integer
+    * counts (no similarity weighting — weighted votes would put a float
+    * comparison between engines; rank-weighted voting is a trivial
+    * caller-side variant), ties break to the smallest label, and a node
+    * with zero labeled neighbors emits NO row (the caller owns the
+    * fallback policy; a silently-guessed label would poison downstream
+    * training). Multi-round propagation = iterate with predictions
+    * folded into `labels` — each round is this same one-shuffle vote.
+    *
+    * @param graph  `(query_id, rank, neighbor_id, …)` as produced by
+    *               [[knnGraph]]/[[bruteTopK]]
+    * @param labels `(vec_id, label)`, null label = unlabeled
+    * @return `(vec_id, pred_label, n_votes, n_labeled)` for unlabeled
+    *         nodes with ≥ 1 labeled neighbor
+    */
+  def labelPropagate(graph: DataFrame, labels: DataFrame): DataFrame = {
+    val targets = labels.filter(col("label").isNull)
+      .select(col("vec_id").as("query_id"))
+    val voters = labels.filter(col("label").isNotNull)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    graph.join(targets, Seq("query_id"))
+      .join(voters, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy(col("query_id"))
+      .agg(
+        min_by(struct(col("label"), col("n_votes")),
+          struct(-col("n_votes"), col("label"))).as("_win"),
+        sum(col("n_votes")).as("n_labeled"))
+      .select(col("query_id").as("vec_id"),
+        col("_win").getField("label").as("pred_label"),
+        col("_win").getField("n_votes").as("n_votes"),
+        col("n_labeled"))
+  }
+
   /** Multi-table hyperplane buckets: element t is the bucket id in hash
     * table t (per-table plane sets seeded independently). OR-construction:
     * a candidate pair need only collide in ONE table — the recall knob that
