@@ -459,4 +459,43 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("windowspecdefinition(avg_logp"),
       s"global window:\n$p")
   }
+
+  test("d_boilerplate_strip: the chunk table stages ONCE (one checkpoint, " +
+      "consumed twice); mark join + frequency count stay broadcast/" +
+      "two-phase — corpus text never rides a digest shuffle") {
+    val p = plan("d_boilerplate_strip")
+    assert(!p.contains("CartesianProduct"), p)
+    // the boilerplate digest set joins back as a broadcast — the chunk
+    // table must not hash-shuffle on chunk_md5 for the mark
+    assert(p.contains("BroadcastHashJoin"), s"mark join not broadcast:\n$p")
+    // distinct-doc frequency partial-aggregates below its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"frequency count is not two-phase:\n$p")
+  }
+
+  test("e_ann_filtered: probe set broadcasts (index side never shuffles " +
+      "for the probe join); rank cut prunes per-partition") {
+    val p = plan("e_ann_filtered")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"probe not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pruned:\n$p")
+  }
+
+  test("e_knn_graph: the cell walk is MAP-ONLY (literal centroids — no " +
+      "corpus-wide window, no extra join); probes meet candidates in " +
+      "ONE equi-shuffle join; top-k prunes per-partition") {
+    val p = plan("e_knn_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one shuffled join: probe rows × candidate cells on
+    // centroid_id (both sides corpus-sized by design)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffled join:\n$p")
+    // the walk explodes an in-row array — a Generate, not a Window over
+    // corpus×centroids rows
+    assert(p.contains("Generate"), s"walk is not the in-row explode:\n$p")
+    // the only Window is the final per-query rank, and it group-limits
+    assert(p.contains("WindowGroupLimit"), s"top-k not pruned:\n$p")
+    assert("windowspecdefinition\\(query_id".r.findAllIn(p).nonEmpty,
+      s"rank window must partition by query_id:\n$p")
+  }
 }
