@@ -555,6 +555,54 @@ object Similarity {
           c.getField("cid").as("cid")))), 1, nprobe)))
       .select(col("query_id"), col("q_emb"),
         col("_pc").getField("cid").as("centroid_id"))
+    rankCellCandidates(probes, index, k, maxCellSize)
+  }
+
+  /** [[knnGraph]] with CELL-ADJACENCY probing — the form that survives a
+    * centroid count that grows with the corpus. The per-vector literal
+    * walk above costs n×C centroid distances; with cell sizes bounded
+    * (C ∝ n after [[ivfRebalance]]) that term goes quadratic. Here the
+    * probe set is a property of the CELL, not the vector: each centroid
+    * precomputes its `nprobe` nearest centroids (its own cell ranks
+    * first — cos(c,c) is maximal), a C²-but-centroid-sized broadcast
+    * self-join, and every vector probes its assigned cell's adjacency
+    * list via one broadcast join — O(1) per vector after assignment,
+    * the standard IVF neighbor-cell trick. Recall differs from the
+    * per-vector walk only for vectors near a cell boundary whose true
+    * second cell is not among their centroid's neighbors; at
+    * `nprobe = C` both degenerate to exact brute force (spec-pinned).
+    */
+  def knnGraphAdjacent(index: DataFrame, centroidsDf: DataFrame, k: Int,
+                       nprobe: Int,
+                       maxCellSize: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1 && nprobe >= 1,
+      s"knnGraphAdjacent: k=$k and nprobe=$nprobe must be >= 1")
+    val src = centroidsDf.select(col("centroid_id").as("_src"),
+      col("centroid").as("_srcc"))
+    val dst = broadcast(centroidsDf.select(col("centroid_id").as("_dst"),
+      col("centroid").as("_dstc")))
+    val wAdj = Window.partitionBy(col("_src"))
+      .orderBy(col("_d").asc, col("_dst"))
+    val adj = broadcast(src.crossJoin(dst)
+      .withColumn("_d", negCosGuarded(col("_srcc"), col("_dstc")))
+      .withColumn("_r", row_number().over(wAdj))
+      .filter(col("_r") <= nprobe)
+      .select(col("_src").as("centroid_id"), col("_dst")))
+    val probes = index
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+      .join(adj, Seq("centroid_id"))
+      .select(col("query_id"), col("q_emb"),
+        col("_dst").as("centroid_id"))
+    rankCellCandidates(probes, index, k, maxCellSize)
+  }
+
+  /** Shared candidate stage of the kNN-graph forms: join probe rows
+    * `(query_id, q_emb, centroid_id)` to the index cell-to-cell, drop
+    * self-edges, rank per query. `maxCellSize` drops oversized cells
+    * from the candidate side (skew guard, documented recall trade). */
+  private def rankCellCandidates(probes: DataFrame, index: DataFrame,
+                                 k: Int, maxCellSize: Long): DataFrame = {
     val cand = index.select(col("centroid_id"),
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val candCapped =

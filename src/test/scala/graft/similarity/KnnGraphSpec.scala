@@ -83,6 +83,49 @@ class KnnGraphSpec extends SparkTestBase {
     assert(neighbors.intersect(fatMembers).isEmpty)
   }
 
+  test("knnGraphAdjacent: full probe == brute force (same degeneration " +
+      "law as the per-vector walk)") {
+    val e = emb
+    val cents = centroids(e)
+    val nCells = cents.count().toInt
+    val graph = Similarity.knnGraphAdjacent(Similarity.ivfAssign(e, cents),
+      cents, k = 3, nprobe = nCells)
+    assert(collectTopK(graph) === collectTopK(Similarity.bruteTopK(e, e, 3)))
+  }
+
+  test("knnGraphAdjacent == per-vector walk on well-separated cells; " +
+      "own cell always probed (real corpus law)") {
+    // planted: two orthogonal clusters — the cell adjacency and the
+    // per-vector walk agree exactly
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (50L, Array(0.0f, 1.0f)),
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0.1f, 0.9f)), (4L, Array(0.2f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val cents2 = centroids(vecs)
+    val idx2 = Similarity.ivfAssign(vecs, cents2)
+    assert(
+      collectTopK(Similarity.knnGraphAdjacent(idx2, cents2, 2, 1)) ===
+      collectTopK(Similarity.knnGraph(idx2, cents2, 2, 1)))
+    // real corpus: every vector's best SAME-CELL neighbor must appear in
+    // its adjacency-probed top-k candidates' reachable set — own cell is
+    // rank-1 in the adjacency list by construction
+    val e = emb
+    val cents = centroids(e)
+    val index = Similarity.ivfAssign(e, cents).localCheckpoint(true)
+    val g = Similarity.knnGraphAdjacent(index, cents, k = 1000, nprobe = 1)
+    // with nprobe=1 the probed set IS the own cell: candidate edges ==
+    // all same-cell ordered pairs
+    val gotEdges = g.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellPairs = index.select(col("vec_id"), col("centroid_id")).collect()
+      .groupBy(_.getLong(1)).values.flatMap { rs =>
+        val ids = rs.map(_.getLong(0)).toSeq
+        for (a <- ids; b <- ids if a != b) yield (a, b)
+      }.toSet
+    assert(gotEdges === cellPairs)
+  }
+
   test("labelPropagate: majority vote, smallest-label tie-break, " +
       "no-voter rows absent") {
     val graph = Seq(
