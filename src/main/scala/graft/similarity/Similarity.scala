@@ -645,10 +645,22 @@ object Similarity {
   def labelPropagate(graph: DataFrame, labels: DataFrame): DataFrame = {
     val targets = labels.filter(col("label").isNull)
       .select(col("vec_id").as("query_id"))
-    val voters = labels.filter(col("label").isNotNull)
-      .select(col("vec_id").as("neighbor_id"), col("label"))
-    graph.join(targets, Seq("query_id"))
-      .join(voters, Seq("neighbor_id"))
+    majorityVote(graph.join(targets, Seq("query_id")),
+      labels.filter(col("label").isNotNull)
+        .select(col("vec_id").as("neighbor_id"), col("label")))
+  }
+
+  /** The vote stage of [[labelPropagate]], exposed for serving paths
+    * where EVERY query is a target (kNN classification of a fresh
+    * batch against a labeled index — [[graft.streaming.StreamingAnn
+    * .serveKnnClassify]]): per query, count neighbor labels and keep
+    * the majority, ties to the smallest label.
+    *
+    * @param graph  `(query_id, …, neighbor_id, …)` edges
+    * @param voters `(neighbor_id, label)`, null-free
+    */
+  def majorityVote(graph: DataFrame, voters: DataFrame): DataFrame =
+    graph.join(voters, Seq("neighbor_id"))
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
       .groupBy(col("query_id"))
@@ -660,7 +672,6 @@ object Similarity {
         col("_win").getField("label").as("pred_label"),
         col("_win").getField("n_votes").as("n_votes"),
         col("n_labeled"))
-  }
 
   /** Multi-table hyperplane buckets: element t is the bucket id in hash
     * table t (per-table plane sets seeded independently). OR-construction:

@@ -111,6 +111,66 @@ object StreamingAnn {
       .start()
   }
 
+  /** Streaming kNN CLASSIFICATION: per micro-batch of query vectors,
+    * find `k` approximate neighbors in a LABELED codes index
+    * ([[Similarity.ivfTopKFromIndex]]) and emit the majority label
+    * ([[Similarity.majorityVote]] — integer votes, smallest-label
+    * ties). The serving half of the [[Similarity.labelPropagate]]
+    * story: the batch side backfills a partially labeled corpus, this
+    * classifies fresh arrivals against the same persisted artifact.
+    * Queries with zero labeled neighbors in the probed cells emit no
+    * row (the caller owns fallback — same contract as the batch vote).
+    *
+    * @param index labeled codes index — [[Similarity.ivfAssignWith]]
+    *   output carrying a `label` column (nulls allowed; null-labeled
+    *   rows rank as neighbors but never vote)
+    */
+  def serveKnnClassify(queries: DataFrame, index: DataFrame,
+                       centroids: DataFrame, k: Int, nprobe: Int,
+                       availableNow: Boolean = false)
+                      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(classifyBatch(index, centroids, k, nprobe)(batch.toDF()),
+          batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** The per-batch classify unit — public so the stream==batch parity
+    * spec invokes the identical plan. */
+  def classifyBatch(index: DataFrame, centroids: DataFrame, k: Int,
+                    nprobe: Int)(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Similarity.majorityVote(
+      Similarity.ivfTopKFromIndex(batch.select("vec_id", "embedding"),
+        index, k, centroids, nprobe),
+      index.filter(col("label").isNotNull)
+        .select(col("vec_id").as("neighbor_id"), col("label")))
+  }
+
+  /** Streaming FILTERED ANN: [[Similarity.ivfTopKFiltered]] per
+    * micro-batch — metadata-predicate search with the adaptive cell
+    * walk, against a static labeled index plus its (optionally
+    * precomputed) [[Similarity.ivfCellCounts]] metadata. */
+  def serveFiltered(queries: DataFrame, index: DataFrame,
+                    pred: org.apache.spark.sql.Column, k: Int,
+                    centroids: DataFrame, minCandidates: Int,
+                    cellCounts: Option[DataFrame] = None,
+                    availableNow: Boolean = false)
+                   (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(Similarity.ivfTopKFiltered(batch.toDF(), index, pred, k,
+          centroids, minCandidates, cellCounts), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Streaming SEMANTIC-DEDUP admission: per micro-batch of new vectors,
     * decide each against the persisted codes index
     * ([[graft.similarity.Similarity.semanticDedupAgainstIndex]] — batch

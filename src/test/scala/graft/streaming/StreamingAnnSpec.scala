@@ -174,4 +174,81 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(keyed(collected.toSeq) ==
       batches.flatten.map(id => (id + 1000000L) -> ((true, id))).toMap)
   }
+
+  test("serveKnnClassify: streamed predictions == the batch classify " +
+      "plan; null-labeled index rows never vote") {
+    implicit val sqlCtx = spark.sqlContext
+    val full = graft.Tables.load(spark, sfDir, "embeddings")
+      // every 7th corpus label masked — ranks as a neighbor, never votes
+      .select(col("vec_id"), col("embedding"),
+        when(pmod(col("vec_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("label")).as("label"))
+    val index = graft.similarity.Similarity
+      .ivfAssignWith(full, centroids, Seq("label")).localCheckpoint(true)
+    val qVecs = full.filter(col("vec_id") < 12).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveKnnClassify(
+      mem.toDF().toDF("vec_id", "embedding"), index, centroids,
+      k = 5, nprobe = 2) { (df, _) => collected ++= df.collect() }
+    try {
+      Seq(Seq(1L, 3L), Seq(5L, 7L)).foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchRef = StreamingAnn.classifyBatch(index, centroids, 5, 2)(
+      full.filter(col("vec_id").isin(1L, 3L, 5L, 7L))
+        .select("vec_id", "embedding")).collect()
+    def keyed(rows: Seq[Row]) =
+      rows.map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef.toSeq))
+    assert(collected.nonEmpty)
+    // a masked-label vector must not appear as a vote source: with k=5
+    // votes per query, n_labeled <= 5 always, and every prediction is a
+    // real label value
+    assert(collected.forall(r => r.getLong(3) <= 5L))
+  }
+
+  test("serveFiltered: streamed filtered top-k == the batch " +
+      "ivfTopKFiltered plan with precomputed cell counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val full = graft.Tables.load(spark, sfDir, "embeddings")
+    val index = graft.similarity.Similarity
+      .ivfAssignWith(full, centroids, Seq("label")).localCheckpoint(true)
+    val pred = col("label") === 3
+    val counts = graft.similarity.Similarity.ivfCellCounts(index, pred)
+      .localCheckpoint(true)
+    val qVecs = full.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveFiltered(
+      mem.toDF().toDF("vec_id", "embedding"), index, pred, 3,
+      centroids, minCandidates = 12, cellCounts = Some(counts)) {
+      (df, _) => collected ++= df.collect()
+    }
+    try {
+      Seq(Seq(0L, 2L), Seq(4L, 6L)).foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchRef = graft.similarity.Similarity.ivfTopKFiltered(
+      full.filter(col("vec_id").isin(0L, 2L, 4L, 6L))
+        .select("vec_id", "embedding"),
+      index, pred, 3, centroids, 12, Some(counts)).collect()
+    def keyed(rows: Seq[Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef.toSeq))
+    assert(collected.nonEmpty)
+  }
 }
