@@ -84,6 +84,16 @@ object Round15Queries {
           .otherwise(col("label")).as("label"))
       Similarity.labelPropagate(graph, labels)
         .orderBy(col("vec_id"))
+    }),
+
+    // Curriculum interleave by language: the delivery-order key under
+    // which any contiguous training window sees every language at ≈ its
+    // corpus share (±1-exact per pos_ppm threshold — the prefix law
+    // CurriculumSpec pins). Deterministic md5 draw, zero RNG state.
+    "d_curriculum" -> ((s, dir) => {
+      graft.text.Curriculum.interleave(load(s, dir, "documents"),
+          "doc_id", "lang", epoch = 0L)
+        .orderBy(col("pos_ppm"), col("band"), col("id"))
     })
   )
 
@@ -179,7 +189,23 @@ object Round15Queries {
          |  FROM votes)
          |SELECT query_id AS vec_id, label AS pred_label, n_votes,
          |  n_labeled
-         |FROM win WHERE wr = 1 ORDER BY vec_id""".stripMargin
+         |FROM win WHERE wr = 1 ORDER BY vec_id""".stripMargin,
+
+    "d_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(lang AS VARCHAR) AS band,
+        |    CAST(('0x' || substr(md5('cur0:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS draw
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, band, draw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY band
+        |      ORDER BY draw, doc_id) AS BIGINT) AS r_in_band,
+        |    CAST(COUNT(*) OVER (PARTITION BY band) AS BIGINT) AS n_band
+        |  FROM d)
+        |SELECT doc_id AS id, band, r_in_band,
+        |  (r_in_band - 1) * 1000000 // n_band AS pos_ppm
+        |FROM r ORDER BY pos_ppm, band, id""".stripMargin
   )
 
   /** The [[Similarity.knnGraph]] pipeline (stride-50 centroids) as
