@@ -111,6 +111,19 @@ object Round15Queries {
       graft.text.NgramLm.scoreBackoffWith(d, "doc_id", "text",
           tri, bi0.localCheckpoint(true), uni, total)
         .orderBy(col("doc_id"))
+    }),
+
+    // Mix EXECUTION: the d_mix_epochs plan (same budget/cap) turned
+    // into an actual doc selection with repeat counts — full epochs +
+    // deterministic draw-order prefix of the remainder. At sf0.01 the
+    // cap binds for 2 sources (e_full = 2, empty prefix) and not the
+    // rest — both repeat regimes live under the oracle.
+    "d_mix_execute" -> ((s, dir) => {
+      graft.text.MixPlanner.executeAllocation(
+          load(s, dir, "documents"), "source", "doc_id",
+          graft.text.TextOps.tokenCountWs(col("text")).cast("long"),
+          budget = 50000L, capX100 = 200L)
+        .orderBy(col("source"), col("doc_id"))
     })
   )
 
@@ -285,7 +298,49 @@ object Round15Queries {
          |    WHEN sum_logp_e6 >= 0 THEN sum_logp_e6 // n_trans
          |    ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
          |FROM documents d LEFT JOIN ag USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "d_mix_execute" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS toks
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT *,
+        |  CAST(round(sqrt(CAST(toks AS DOUBLE)) * 1e6) AS BIGINT) AS s_s
+        |  FROM t),
+        |ss AS (SELECT CAST(sum(s_s) AS BIGINT) AS s_sum FROM s),
+        |p AS (SELECT source, toks,
+        |  (s_s * 1000000) // s_sum AS share_ppm FROM s, ss),
+        |w AS (SELECT *, (50000 * share_ppm) // 1000000 AS want_toks
+        |  FROM p),
+        |a AS (SELECT source, toks,
+        |  LEAST(want_toks, (toks * 200) // 100) AS alloc_toks FROM w),
+        |d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |      AS doc_toks,
+        |    CAST(('0x' || substr(md5('mix0:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS draw
+        |  FROM documents),
+        |c AS (
+        |  SELECT d.source, doc_id, doc_toks, a.toks, a.alloc_toks,
+        |    CASE WHEN a.toks = 0 THEN 0
+        |      ELSE a.alloc_toks // a.toks END AS e_full,
+        |    SUM(doc_toks) OVER (PARTITION BY d.source
+        |      ORDER BY draw, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d JOIN a USING (source)),
+        |r AS (
+        |  SELECT source, doc_id, doc_toks,
+        |    e_full + CASE WHEN alloc_toks > 0
+        |      AND cum <= alloc_toks - e_full * toks
+        |      THEN 1 ELSE 0 END AS n_repeats
+        |  FROM c)
+        |SELECT source, doc_id, doc_toks, CAST(n_repeats AS BIGINT)
+        |  AS n_repeats
+        |FROM r WHERE n_repeats >= 1
+        |ORDER BY source, doc_id""".stripMargin
   )
 
   /** The [[Similarity.knnGraph]] pipeline (stride-50 centroids) as

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-constrained mixture planning (the Muennighoff et al. 2023 shape,
@@ -67,5 +68,61 @@ object MixPlanner {
           .otherwise(expr("(alloc_toks * 1000) div toks")))
       .select(col("source"), col("toks"), col("share_ppm"),
         col("want_toks"), col("alloc_toks"), col("epochs_x1000"))
+  }
+
+  /** EXECUTE the allocation: turn the per-source token plan into an
+    * actual document selection with repeat counts — the delivery half
+    * of [[epochAllocation]] (a plan nobody materializes trains
+    * nothing). Per source: `e_full = alloc div T_s` complete epochs for
+    * every doc, plus a deterministic PREFIX of the md5-draw order
+    * filling the remainder (`cum ≤ rem`, inclusive-cumsum — the
+    * budget-prefix convention of [[BudgetSelect]]: the first
+    * overflowing doc stops the prefix; no knapsack backfill, so
+    * selection is order-stable under corpus growth). Output
+    * `(source, doc_id, doc_toks, n_repeats)`, rows with
+    * `n_repeats ≥ 1` only.
+    *
+    * Laws (spec-pinned): Σ(doc_toks · n_repeats) per source ≤
+    * alloc_toks, and maximal — the first unselected doc in draw order
+    * would overflow the remainder. All integers; division operands
+    * non-negative.
+    *
+    * Scale: the plan side is sources-sized (broadcast); the corpus pays
+    * one weight projection + ONE per-source cumsum window (sources are
+    * few and huge — same trade as [[Curriculum.interleave]]; the
+    * map-only alternative derives a remainder draw-threshold from a
+    * quantile sketch of the weight distribution, proportional rather
+    * than ±1-exact).
+    */
+  def executeAllocation(docs: DataFrame, sourceCol: String, idCol: String,
+                        weight: Column, budget: Long, capX100: Long,
+                        epoch: Long = 0L): DataFrame = {
+    val plan = epochAllocation(docs, sourceCol, weight, budget, capX100)
+    val d = docs.select(col(sourceCol).as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        weight.cast("long").as("doc_toks"))
+      .withColumn("draw",
+        expr(s"cast(conv(substring(md5(cast(concat('mix', '$epoch', " +
+          "':', cast(doc_id as string)) as binary)), 1, 15), 16, 10) " +
+          "as bigint)"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("draw"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(plan.select(col("source"), col("toks"),
+        col("alloc_toks"))), Seq("source"))
+      .withColumn("cum", sum(col("doc_toks")).over(wCum))
+      .withColumn("e_full",
+        when(col("toks") === 0, lit(0L))
+          .otherwise(expr("alloc_toks div toks")))
+      .withColumn("rem", col("alloc_toks") - col("e_full") * col("toks"))
+      // alloc_toks > 0 gate: a zero-weight doc has cum ≤ rem even under
+      // a ZERO allocation (0 ≤ 0) — free riders are fine inside a real
+      // allocation, but a zero-budget source must select nothing
+      .withColumn("n_repeats", col("e_full") +
+        when(col("alloc_toks") > 0 && col("cum") <= col("rem"), 1L)
+          .otherwise(0L))
+      .filter(col("n_repeats") >= 1)
+      .select(col("source"), col("doc_id"), col("doc_toks"),
+        col("n_repeats"))
   }
 }

@@ -55,4 +55,73 @@ class MixPlannerSpec extends SparkTestBase {
       MixPlanner.epochAllocation(docs, "source", col("w"), 600L, 0L)
     }
   }
+
+  // --- executeAllocation ----------------------------------------------
+
+  private def docsWithIds = Seq(
+    ("A", 1L, 60L), ("A", 2L, 40L), ("B", 3L, 400L), ("C", 4L, 0L))
+    .toDF("source", "doc_id", "w").repartition(2)
+
+  private def exec(budget: Long, cap: Long) =
+    MixPlanner.executeAllocation(docsWithIds, "source", "doc_id",
+        col("w"), budget, cap)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getString(0), r.getLong(2), r.getLong(3)))).toMap
+
+  test("executeAllocation == a plain-Scala reference replay on the " +
+      "real corpus (budget law and prefix maximality follow)") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val weight = TextOps.tokenCountWs(col("text")).cast("long")
+    val planned = MixPlanner.epochAllocation(d, "source", weight,
+        50000L, 200L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    val got = MixPlanner.executeAllocation(d, "source", "doc_id",
+        weight, 50000L, 200L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def draw(id: Long): BigInt =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix0:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val allDocs = d.select(col("source"),
+        col("doc_id").cast("long").as("doc_id"), weight.as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = allDocs.groupBy(_._1).flatMap { case (s, rows) =>
+      val (toks, alloc) = planned(s)
+      val eFull = if (toks == 0) 0L else alloc / toks
+      val rem = alloc - eFull * toks
+      var cum = 0L
+      rows.sortBy(r => (draw(r._2), r._2)).toSeq.flatMap { r =>
+        cum += r._3
+        val n = eFull + (if (alloc > 0 && cum <= rem) 1L else 0L)
+        if (n >= 1) Some((s, r._2, r._3, n)) else None
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("executeAllocation: capped source repeats e_full times; a doc " +
+      "overflowing its source's ppm-floored alloc stays OUT (hand " +
+      "sources)") {
+    // budget 600, cap 150: A (100 toks) caps at alloc 150 → e_full = 1,
+    // rem = 50: both A docs repeat ≥ 1, the prefix may add one more to
+    // whichever draws first IF it fits in 50 (only doc 2, w=40, can).
+    // B's share floors to 399 ppm-wise (want 600·666666÷1e6), so its
+    // single 400-token doc OVERFLOWS the prefix — strict-prefix
+    // semantics leave B empty rather than over-filling by 1 token.
+    val got = exec(600L, 150L)
+    assert(got.contains(1L) && got.contains(2L))
+    assert(got(1L)._3 >= 1L && got(2L)._3 >= 1L)
+    assert(60L * got(1L)._3 + 40L * got(2L)._3 <= 150L)
+    assert(got(1L)._3 === 1L, "doc 1 (w=60) cannot fit the 50-token rem")
+    assert(!got.contains(3L), "B's 400-token doc must overflow alloc 399")
+    // C has zero tokens -> zero alloc -> absent (incl. its w=0 doc)
+    assert(!got.contains(4L))
+  }
+
+  test("executeAllocation: zero budget selects nothing") {
+    assert(exec(0L, 150L).isEmpty)
+  }
 }
