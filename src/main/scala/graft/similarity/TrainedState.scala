@@ -135,6 +135,43 @@ object TrainedState {
   def loadDsirModel(spark: SparkSession, path: String): DataFrame =
     load(spark, dsirModelSchema, path)
 
+  val backoffTriSchema: StructType = StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("w3", StringType, nullable = false),
+    StructField("c3", LongType, nullable = false)))
+  val backoffBiSchema: StructType = StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("c", LongType, nullable = false)))
+  val backoffUniSchema: StructType = StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("cu", LongType, nullable = false)))
+  val backoffTotalSchema: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false)))
+
+  /** Persist a stupid-backoff model ([[graft.text.NgramLm.fitBackoff]]
+    * output) as four tables under one root. tri/bi/uni are
+    * vocabulary-sized (no single-file coalesce — the DSIR convention);
+    * the 1-row total coalesces. Served by
+    * [[graft.streaming.StreamingLm.serveBackoffScore]]. */
+  def saveBackoffModel(tri: DataFrame, bi: DataFrame, uni: DataFrame,
+                       total: DataFrame, path: String): Unit = {
+    save(tri, backoffTriSchema, s"$path/tri", singleFile = false)
+    save(bi, backoffBiSchema, s"$path/bi", singleFile = false)
+    save(uni, backoffUniSchema, s"$path/uni", singleFile = false)
+    save(total, backoffTotalSchema, s"$path/total")
+  }
+
+  /** Load a stupid-backoff model for
+    * [[graft.text.NgramLm.scoreBackoffWith]]. */
+  def loadBackoffModel(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (load(spark, backoffTriSchema, s"$path/tri"),
+      load(spark, backoffBiSchema, s"$path/bi"),
+      load(spark, backoffUniSchema, s"$path/uni"),
+      load(spark, backoffTotalSchema, s"$path/total"))
+
   private def save(df: DataFrame, schema: StructType, path: String,
                    singleFile: Boolean = true): Unit = {
     val cols = schema.fields.map(f =>

@@ -35,4 +35,25 @@ object StreamingLm {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** Score each micro-batch under a trained STUPID-BACKOFF model
+    * ([[NgramLm.fitBackoff]] output, persisted via
+    * [[graft.similarity.TrainedState.saveBackoffModel]]) — the
+    * held-out-scoring serving half: arriving docs naturally exercise
+    * all three backoff arms, and OOV-w3 positions drop per the batch
+    * contract, which carries here verbatim (one code path,
+    * [[NgramLm.scoreBackoffWith]] per batch). */
+  def serveBackoffScore(docs: DataFrame, tri: DataFrame, bi: DataFrame,
+                        uni: DataFrame, total: DataFrame,
+                        availableNow: Boolean = false)
+                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(NgramLm.scoreBackoffWith(batch.toDF(), "doc_id", "text",
+          tri, bi, uni, total), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
 }

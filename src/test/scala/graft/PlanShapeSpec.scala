@@ -498,4 +498,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert("windowspecdefinition\\(query_id".r.findAllIn(p).nonEmpty,
       s"rank window must partition by query_id:\n$p")
   }
+
+  test("d_curriculum: rank window partitions by band — never a " +
+      "single-partition global window; no global row_number") {
+    val p = plan("d_curriculum")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-task global window:\n$p")
+    assert(p.contains("windowspecdefinition(band"),
+      s"window not partitioned by band:\n$p")
+  }
+
+  test("d_lm_backoff: gram extraction is map-only (Generate, no " +
+      "self-join); every count table partial-aggregates; no product") {
+    val p = plan("d_lm_backoff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), s"grams not in-row:\n$p")
+    // tri/bi/uni/total + per-doc aggregation — all two-phase
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"count tables are not two-phase:\n$p")
+  }
+
+  test("d_mix_execute: plan side joins as a broadcast (sources-sized); " +
+      "the cumsum window partitions by source") {
+    val p = plan("d_mix_execute")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"plan join not broadcast:\n$p")
+    // the corpus-sized cumsum must partition by source — a global
+    // (unpartitioned) window spec would be the single-task smell. The
+    // share denominator's 1-row SinglePartition AGGREGATE is fine: its
+    // input is the sources-sized totals table, not the corpus.
+    assert(p.contains("windowspecdefinition(source"),
+      s"cumsum window not per-source:\n$p")
+    assert(!"windowspecdefinition\\(draw".r.findAllIn(p).nonEmpty,
+      s"global (band-free) window appeared:\n$p")
+  }
 }
