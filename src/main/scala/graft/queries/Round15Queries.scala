@@ -124,6 +124,40 @@ object Round15Queries {
           graft.text.TextOps.tokenCountWs(col("text")).cast("long"),
           budget = 50000L, capX100 = 200L)
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // IVF index deletion: forget vec_id % 37 == 0 (the d_forget id
+    // slice) from the stride-50 codes index; the gate data is the
+    // per-touched-cell RECEIPT — with a partitioned persisted index,
+    // exactly the partitions a deletion rewrite touches.
+    "e_ann_ivf_forget" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val (_, receipt) = Similarity.ivfForget(
+        Similarity.ivfAssign(emb, cents),
+        emb.filter(col("vec_id") % 37 === 0).select(col("vec_id")))
+      receipt.orderBy(col("centroid_id"))
+    }),
+
+    // Inverted-index BM25 retrieval: three literal query-term sets
+    // served from the built postings index — top-10 each, the
+    // query-driven curation readout. Shares the d_bm25 scoring
+    // arithmetic (integerize-then-sum at 1e9).
+    "d_retrieval_topk" -> ((s, dir) => {
+      import s.implicits._
+      val (postings, terms, docLens, stats) =
+        graft.text.Retrieval.buildIndex(load(s, dir, "documents"),
+          "doc_id", "text")
+      val qs = Seq(
+        (1L, Seq("stream", "filter", "merge")),
+        (2L, Seq("table", "scan")),
+        (3L, Seq("vector", "spark", "batch", "batch")))
+        .toDF("query_id", "terms")
+      graft.text.Retrieval.topK(qs, postings, terms, docLens, stats,
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -340,7 +374,72 @@ object Round15Queries {
         |SELECT source, doc_id, doc_toks, CAST(n_repeats AS BIGINT)
         |  AS n_repeats
         |FROM r WHERE n_repeats >= 1
-        |ORDER BY source, doc_id""".stripMargin
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "e_ann_ivf_forget" -> {
+      def cos(a: String, b: String) = Round13Queries.cosSql(a, b)
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY -(${cos("e.embedding", "c.centroid")}) ASC,
+         |          c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |sizes AS (
+         |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_before
+         |  FROM assigned GROUP BY 1),
+         |removed AS (
+         |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_removed
+         |  FROM assigned WHERE vec_id % 37 = 0 GROUP BY 1)
+         |SELECT centroid_id, n_before, n_removed,
+         |  n_before - n_removed AS n_after
+         |FROM sizes JOIN removed USING (centroid_id)
+         |ORDER BY centroid_id""".stripMargin
+    },
+
+    "d_retrieval_topk" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${QueryShared.tokensSql} AS toks
+         |  FROM documents),
+         |docs AS (
+         |  SELECT doc_id, len(toks) AS dl FROM base WHERE len(toks) > 0),
+         |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+         |tf AS (
+         |  SELECT doc_id, t, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+         |qq AS (SELECT * FROM (VALUES
+         |  (1, ['stream', 'filter', 'merge']),
+         |  (2, ['table', 'scan']),
+         |  (3, ['vector', 'spark', 'batch', 'batch']))
+         |  AS v(query_id, terms)),
+         |qt AS (
+         |  SELECT DISTINCT query_id, t
+         |  FROM (SELECT query_id, unnest(terms) AS t FROM qq)),
+         |scored AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    SUM(CAST(ROUND(
+         |        ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |        tf.tf * 2.2 /
+         |        (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / stats.avgdl))
+         |        * 1e9) AS BIGINT)) AS bm25_e9
+         |  FROM qt JOIN tf USING (t) JOIN df USING (t)
+         |    JOIN docs ON tf.doc_id = docs.doc_id
+         |    CROSS JOIN stats
+         |  GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+         |  bm25_e9
+         |FROM (
+         |  SELECT query_id, doc_id, bm25_e9,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY bm25_e9 DESC, doc_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 
   /** The [[Similarity.knnGraph]] pipeline (stride-50 centroids) as

@@ -407,6 +407,37 @@ object Similarity {
         .unionByName(reassigned))
   }
 
+  /** FORGET vectors from a codes index — the deletion half of the index
+    * lifecycle (build → persist → fold-in → rebalance → FORGET), the
+    * ANN-side counterpart of [[graft.operators.Forget]]: remove the
+    * listed vec_ids and report, per TOUCHED cell, `(centroid_id,
+    * n_before, n_removed, n_after)`. The receipt is the operational
+    * artifact: with a centroid_id-partitioned persisted index
+    * ([[TrainedState.saveIvfIndex]]) the touched cells are exactly the
+    * partitions to rewrite — deletion cost scales with the deletion's
+    * cell footprint, not the index.
+    *
+    * The deletion list broadcasts (deletions are small by nature); the
+    * cleaned index is one anti join. Cell sizes for `n_before` come
+    * from one centroid_id-only aggregation here — a deployment that
+    * maintains [[ivfCellCounts]]-style metadata passes the bookkeeping
+    * there instead of re-counting.
+    *
+    * @return (cleaned index, receipt — touched cells only)
+    */
+  def ivfForget(index: DataFrame, deleteIds: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val dels = broadcast(deleteIds.select(col("vec_id")))
+    val removed = index.join(dels, Seq("vec_id"), "left_semi")
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_removed"))
+    val sizes = index.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_before"))
+    val receipt = sizes.join(removed, Seq("centroid_id"))
+      .select(col("centroid_id"), col("n_before"), col("n_removed"),
+        (col("n_before") - col("n_removed")).as("n_after"))
+    (index.join(dels, Seq("vec_id"), "left_anti"), receipt)
+  }
+
   /** Probe a prebuilt codes index: queries pick their `nprobe` nearest
     * cells (broadcast, k×nprobe-sized), then join cell-to-cell against
     * the index — only the probed cells' rows are touched (with a

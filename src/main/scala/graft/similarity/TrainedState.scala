@@ -172,6 +172,43 @@ object TrainedState {
       load(spark, backoffUniSchema, s"$path/uni"),
       load(spark, backoffTotalSchema, s"$path/total"))
 
+  val postingsSchema: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false)))
+  val retrievalTermsSchema: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("df", LongType, nullable = false)))
+  val docLensSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dl", LongType, nullable = false)))
+  val retrievalStatsSchema: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("avgdl", DoubleType, nullable = false)))
+
+  /** Persist a [[graft.text.Retrieval.buildIndex]] artifact set under
+    * one root. postings/terms/docLens keep their partitioning (corpus-/
+    * vocabulary-sized); stats is the 1-row coalesced artifact. A
+    * production layout BUCKETS postings by term (a query then opens
+    * only its terms' buckets) — partitionBy(term) would mint one
+    * directory per vocabulary entry, the small-files failure mode. */
+  def saveRetrievalIndex(postings: DataFrame, terms: DataFrame,
+                         docLens: DataFrame, stats: DataFrame,
+                         path: String): Unit = {
+    save(postings, postingsSchema, s"$path/postings", singleFile = false)
+    save(terms, retrievalTermsSchema, s"$path/terms", singleFile = false)
+    save(docLens, docLensSchema, s"$path/doclens", singleFile = false)
+    save(stats, retrievalStatsSchema, s"$path/stats")
+  }
+
+  /** Load a retrieval index for [[graft.text.Retrieval.topK]]. */
+  def loadRetrievalIndex(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (load(spark, postingsSchema, s"$path/postings"),
+      load(spark, retrievalTermsSchema, s"$path/terms"),
+      load(spark, docLensSchema, s"$path/doclens"),
+      load(spark, retrievalStatsSchema, s"$path/stats"))
+
   private def save(df: DataFrame, schema: StructType, path: String,
                    singleFile: Boolean = true): Unit = {
     val cols = schema.fields.map(f =>
