@@ -532,4 +532,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!"windowspecdefinition\\(draw".r.findAllIn(p).nonEmpty,
       s"global (band-free) window appeared:\n$p")
   }
+
+  test("d_retrieval_topk: the query-term set broadcasts into postings " +
+      "(corpus side never shuffles for the probe); rank cut prunes") {
+    val p = plan("d_retrieval_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term probe not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pruned:\n$p")
+  }
+
+  test("e_ann_ivf_forget: deletion list broadcasts on BOTH the receipt " +
+      "and the count paths — the index never shuffles for a join") {
+    val p = plan("e_ann_ivf_forget")
+    assert(!p.contains("CartesianProduct"), p)
+    // the deletion semi-join against the index is the broadcast one
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"deletions not broadcast:\n$p")
+    // the only shuffled join is sizes ⋈ removed — BOTH centroid-sized
+    // aggregates (AQE folds it to broadcast at runtime); nothing
+    // index-sized may shuffle for a join
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"index-sized shuffled join appeared:\n$p")
+  }
 }
