@@ -547,8 +547,9 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("e_ann_ivf_forget")
     assert(!p.contains("CartesianProduct"), p)
     // the deletion semi-join against the index is the broadcast one
-    assert(p.contains("BroadcastHashJoin LeftSemi"),
-      s"deletions not broadcast:\n$p")
+    // (simple-mode toString renders the type after the keys)
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftSemi".r
+      .findAllIn(p).nonEmpty, s"deletions not broadcast:\n$p")
     // the only shuffled join is sizes ⋈ removed — BOTH centroid-sized
     // aggregates (AQE folds it to broadcast at runtime); nothing
     // index-sized may shuffle for a join
