@@ -31,13 +31,42 @@ object CorpusPipeline {
                    n_after_decontam: Long, n_after_quality: Long,
                    n_bins: Long, total_tokens: Long)
 
+  /** @param boilerplateMinDocs when set, stage 0 strips chunks
+    *   recurring in ≥ this many DISTINCT docs ([[Boilerplate.strip]])
+    *   BEFORE dedup — boilerplate inflates near-dup similarity between
+    *   unrelated docs, so removal belongs upstream of the pair build
+    * @param curriculumEpoch when set, the pack order within each lang
+    *   shard follows the [[Curriculum.interleave]] key with `source` as
+    *   the band — every context bin then samples sources at ≈ their
+    *   corpus share instead of doc_id (≈ crawl) order
+    */
   def run(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
           outDir: String, contextTokens: Int = 512,
-          minQuality: Double = 0.2, jaccardThreshold: Double = 0.8)
+          minQuality: Double = 0.2, jaccardThreshold: Double = 0.8,
+          boilerplateMinDocs: Option[Int] = None,
+          curriculumEpoch: Option[Long] = None)
       : Stats = {
+    // a missing source column degenerates the curriculum band to one
+    // stratum (a plain deterministic shuffle order) instead of failing
+    val meta = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("lang"),
+      (if (docs.columns.contains("source")) col("source")
+       else lit("all")).as("source"))
+    // 0. optional cross-doc boilerplate strip — rebuilt text re-attaches
+    //    the metadata columns by doc_id (one small join; the strip
+    //    itself is the chunk-table pass documented in Boilerplate)
+    val input = boilerplateMinDocs match {
+      case Some(k) =>
+        Boilerplate.strip(docs, "doc_id", "text", minDocs = k)
+          .select(col("doc_id"), col("text"))
+          .join(meta, Seq("doc_id"))
+      case None =>
+        meta.join(docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("text")), Seq("doc_id"))
+    }
     // 1. normalize; hash identifies byte-identical docs post-normalization
-    val normed = docs.select(col("doc_id"), col("lang"), col("text"),
-      TextOps.normalize(col("text")).as("norm"))
+    val normed = input.select(col("doc_id"), col("lang"), col("source"),
+      col("text"), TextOps.normalize(col("text")).as("norm"))
       .withColumn("norm_hash", md5(col("norm").cast("binary")))
 
     // 2. exact dedup: keep the min doc_id per normalized hash. Cached: it
@@ -79,11 +108,31 @@ object CorpusPipeline {
     val quality = clean
       .filter(TextOps.qualityScore(col("text")) >= minQuality)
 
-    // 6. pack into context bins per language shard (no global window)
-    val packed = quality
+    // 6. pack into context bins per language shard (no global window).
+    //    With a curriculum epoch, the within-shard order follows the
+    //    interleave key over (lang, source) bands — each (lang, source)
+    //    stratum spreads ±1-exactly inside its lang shard, so every
+    //    context bin samples sources at ≈ their corpus share instead of
+    //    doc_id (≈ crawl) order.
+    val ordered = curriculumEpoch match {
+      case Some(ep) =>
+        quality.join(
+          Curriculum.interleave(
+            quality.select(col("doc_id"),
+              concat_ws("|", col("lang"), col("source")).as("band")),
+            "doc_id", "band", ep)
+            .select(col("id").as("doc_id"), col("pos_ppm")),
+          Seq("doc_id"))
+      case None => quality.withColumn("pos_ppm", lit(0L))
+    }
+    val packOrder =
+      if (curriculumEpoch.isDefined)
+        Seq(col("pos_ppm"), col("source"), col("doc_id"))
+      else Seq(col("doc_id")) // the historical crawl-order contract
+    val packed = ordered
       .withColumn("tok", TextOps.tokenCountWs(col("text")).cast("long"))
       .withColumn("cum", sum(col("tok")).over(
-        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("lang")).orderBy(packOrder: _*)))
       .withColumn("bin", expr(s"(cum - tok) div $contextTokens"))
 
     // 7. write partitioned: lang + coarse bin block → partition pruning

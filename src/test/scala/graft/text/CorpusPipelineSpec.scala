@@ -58,4 +58,46 @@ class CorpusPipelineSpec extends SparkTestBase {
           s"bins not monotone for $lang")
       }
   }
+
+  test("curated path: boilerplate strip shrinks tokens; curriculum " +
+      "packing spreads sources across bins") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // plant shared boilerplate: the same 30-token header prepended to
+    // forty docs (well above minDocs) — strip must remove its chunks
+    val header = (1 to 30).map(i => s"bp${i * 13 % 89}").mkString(" ")
+    val corpus = docs.withColumn("text",
+      when(col("doc_id") < 40, concat(lit(header), lit(" "), col("text")))
+        .otherwise(col("text")))
+    val eval_ = docs.filter(col("doc_id") === 0).select(col("text"))
+
+    val outPlain = java.nio.file.Files
+      .createTempDirectory("corpus_plain").toString
+    val outCurated = java.nio.file.Files
+      .createTempDirectory("corpus_cur").toString
+    val plain = CorpusPipeline.run(spark, corpus, eval_, outPlain)
+    val curated = CorpusPipeline.run(spark, corpus, eval_, outCurated,
+      boilerplateMinDocs = Some(3), curriculumEpoch = Some(1L))
+
+    // the planted header's chunks are cross-doc boilerplate: stripped
+    assert(curated.total_tokens < plain.total_tokens,
+      s"boilerplate not stripped: ${curated.total_tokens} vs " +
+        s"${plain.total_tokens}")
+    assert(curated.n_after_quality > 0)
+
+    // curriculum packing: within the largest lang shard, early and late
+    // bin halves both see every major source (crawl order would cluster
+    // doc_id ranges — sources are uniform in doc_id here, so instead
+    // assert the interleave key ordered the shard: bins are monotone in
+    // pos order, NOT doc_id order for at least one lang)
+    val written = spark.read.parquet(outCurated)
+    val byLang = written.select("lang", "doc_id", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val anyNonIdOrder = byLang.values.exists { rows =>
+      val bins = rows.sortBy(_._2).map(_._3)
+      bins.zip(bins.drop(1)).exists { case (a, b) => a > b }
+    }
+    assert(anyNonIdOrder,
+      "curriculum order collapsed to doc_id order — epoch key inert")
+  }
 }
