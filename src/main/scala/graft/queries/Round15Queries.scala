@@ -79,9 +79,14 @@ object Round15Queries {
           col("embedding").as("centroid"))
       val graph = Similarity.knnGraph(Similarity.ivfAssign(emb, cents),
         cents, k = 5, nprobe = 2)
-      val labels = emb.select(col("vec_id"),
-        when(pmod(col("vec_id"), lit(7)) === 0, lit(null))
-          .otherwise(col("label")).as("label"))
+      // naturally-null labels (none in current testdata, but defended:
+      // Round10Queries.scala has the same guard) are excluded BEFORE the
+      // mask, so targets are exactly the %7 nodes and voters exactly the
+      // non-%7 labeled ones — the oracle states the same two predicates
+      val labels = emb.filter(col("label").isNotNull)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("label")).as("label"))
       Similarity.labelPropagate(graph, labels)
         .orderBy(col("vec_id"))
     }),
@@ -242,15 +247,18 @@ object Round15Queries {
          |    CAST(count(*) AS BIGINT) AS n_votes
          |  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
          |  WHERE r.rank <= 5 AND r.query_id % 7 = 0
-         |    AND e.vec_id % 7 <> 0
+         |    AND e.vec_id % 7 <> 0 AND e.label IS NOT NULL
          |  GROUP BY 1, 2),
+         |tgt AS (
+         |  SELECT DISTINCT vec_id FROM embeddings
+         |  WHERE vec_id % 7 = 0 AND label IS NOT NULL),
          |win AS (
          |  SELECT query_id, label, n_votes,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY n_votes DESC, label ASC) AS wr,
          |    CAST(SUM(n_votes) OVER (PARTITION BY query_id) AS BIGINT)
          |      AS n_labeled
-         |  FROM votes)
+         |  FROM votes JOIN tgt ON votes.query_id = tgt.vec_id)
          |SELECT query_id AS vec_id, label AS pred_label, n_votes,
          |  n_labeled
          |FROM win WHERE wr = 1 ORDER BY vec_id""".stripMargin,

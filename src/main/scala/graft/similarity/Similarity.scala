@@ -487,9 +487,13 @@ object Similarity {
     * query walks its cells in distance order and probes until the
     * cumulative QUALIFYING count reaches `minCandidates` — so the
     * candidate pool is guaranteed ≥ min(minCandidates, total qualifying)
-    * and every query returns min(k, total qualifying) rows. Cells with
-    * zero qualifying rows are skipped outright (they widen the walk at
-    * zero probe cost).
+    * and every query returns min(k, total qualifying) rows, with ONE
+    * caveat: a query that is itself indexed and satisfies `pred` counts
+    * toward its own walk's floor but is excluded from results (no
+    * self-edges) — when queries are drawn from the corpus, pass
+    * `minCandidates ≥ k + 1` to keep the k-row guarantee tight. Cells
+    * with zero qualifying rows are skipped outright (they widen the
+    * walk at zero probe cost).
     *
     * Cost model: probe work scales with the QUALIFYING rows of the
     * probed cells only — the predicate is pushed below the probe join,
@@ -527,18 +531,7 @@ object Similarity {
       .filter(col("_cum") < minCandidates && col("_cn") > 0)
       .select(col("vec_id").as("query_id"), col("centroid_id"),
         col("embedding").as("q_emb")))
-    val scored = index.filter(pred)
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
-        col("embedding").as("c_emb"))
-      .join(probed, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos_sim"))
+    rankCellCandidates(probed, index.filter(pred), k, Long.MaxValue)
   }
 
   /** k-NN GRAPH construction: every corpus vector's top-k cosine

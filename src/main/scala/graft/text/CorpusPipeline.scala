@@ -48,21 +48,31 @@ object CorpusPipeline {
       : Stats = {
     // a missing source column degenerates the curriculum band to one
     // stratum (a plain deterministic shuffle order) instead of failing
-    val meta = docs.select(col("doc_id").cast("long").as("doc_id"),
-      col("lang"),
+    val sourceCol =
       (if (docs.columns.contains("source")) col("source")
-       else lit("all")).as("source"))
-    // 0. optional cross-doc boilerplate strip — rebuilt text re-attaches
-    //    the metadata columns by doc_id (one small join; the strip
-    //    itself is the chunk-table pass documented in Boilerplate)
+       else lit("all")).as("source")
+    // 0. optional cross-doc boilerplate strip. The rebuilt text is
+    //    token-joined (Boilerplate's alphabet), which on raw text would
+    //    lossily rewrite EVERY doc (casing/punctuation feed the quality
+    //    gate downstream) — so docs the strip did NOT touch keep their
+    //    original text verbatim; only docs that actually lost chunks
+    //    carry the token-space rebuild. Metadata re-attaches by doc_id
+    //    (Some-branch only — the default path stays a single projection,
+    //    no join).
     val input = boilerplateMinDocs match {
       case Some(k) =>
         Boilerplate.strip(docs, "doc_id", "text", minDocs = k)
-          .select(col("doc_id"), col("text"))
-          .join(meta, Seq("doc_id"))
+          .select(col("doc_id"),
+            (col("n_kept") =!= col("n_chunks")).as("_stripped"),
+            col("text").as("_stripped_text"))
+          .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+            col("lang"), sourceCol, col("text")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            when(col("_stripped"), col("_stripped_text"))
+              .otherwise(col("text")).as("text"))
       case None =>
-        meta.join(docs.select(col("doc_id").cast("long").as("doc_id"),
-          col("text")), Seq("doc_id"))
+        docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          sourceCol, col("text"))
     }
     // 1. normalize; hash identifies byte-identical docs post-normalization
     val normed = input.select(col("doc_id"), col("lang"), col("source"),
