@@ -163,6 +163,28 @@ object Round15Queries {
       graft.text.Retrieval.topK(qs, postings, terms, docLens, stats,
           k = 10)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Decontamination ATTRIBUTION: per contaminated (corpus doc, eval
+    // doc) pair, the distinct 8-gram overlap — eval = docs 0-4 (the
+    // d_decontaminate slice, which this report refines from "doc X is
+    // contaminated" to "by eval item Y, Z grams").
+    "d_decontaminate_attrib" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.text.Decontaminate.attribute(docs,
+          docs.filter(col("doc_id") < 5), "doc_id", "doc_id", "text")
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
+    // k-anonymity receipt over the (lang, source) quasi-identifiers,
+    // k=8: every observed combination with its size and suppression
+    // flag — the privacy release gate's audit artifact. At sf0.01
+    // (~5 docs/combo) most groups suppress; at sf0.1 (~50/combo) the
+    // kept branch dominates — both branches live across the gate SFs.
+    "d_k_anon" -> ((s, dir) => {
+      graft.operators.Anonymize.kAnonymityReceipt(
+          load(s, dir, "documents"), Seq("lang", "source"), k = 8L)
+        .orderBy(col("lang"), col("source"))
     })
   )
 
@@ -447,7 +469,34 @@ object Round15Queries {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY bm25_e9 DESC, doc_id) AS rank
          |  FROM scored) t
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "d_decontaminate_attrib" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN []
+         |    ELSE list_transform(range(1, len(t) - 6),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |           t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+         |           t[i+6] || ' ' || t[i+7]) END) AS grams
+         |  FROM (SELECT doc_id, ${QueryShared.tokensSql} AS t
+         |        FROM documents)),
+         |bench AS (
+         |  SELECT doc_id AS eval_id, unnest(grams) AS gr FROM g
+         |  WHERE doc_id < 5),
+         |pairs AS (
+         |  SELECT d.doc_id, b.eval_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g) d
+         |  JOIN bench b USING (gr)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, eval_id, n_shared FROM pairs
+         |ORDER BY doc_id, eval_id""".stripMargin,
+
+    "d_k_anon" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  count(*) < 8 AS suppressed
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin
   )
 
   /** The [[Similarity.knnGraph]] pipeline (stride-50 centroids) as

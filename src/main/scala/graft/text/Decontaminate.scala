@@ -57,6 +57,32 @@ object Decontaminate {
     flagOutput(corpus, idCol, hits)
   }
 
+  /** ATTRIBUTION: which eval item leaked into which corpus doc — the
+    * report a decontamination audit actually needs ([[flag]] says "doc
+    * 17 is contaminated", this says "by eval docs 3 and 9, 4 and 2
+    * shared 8-grams respectively"). One row per contaminated (corpus
+    * doc, eval doc) pair: `(doc_id, eval_id, n_shared)` with
+    * `n_shared` = distinct gram overlap of the PAIR. Same plan shape
+    * as [[flag]] — the broadcast eval table just carries its id, and
+    * grams are distinct per doc on both sides so a plain count is the
+    * distinct-overlap count. Σ over eval_id ≥ the pair-blind
+    * [[flag]].n_hits (a corpus gram shared with TWO eval docs counts
+    * once in `flag`, once per pair here — the attribution semantics).
+    */
+  def attribute(corpus: DataFrame, eval: DataFrame, idCol: String,
+                evalIdCol: String, textCol: String, n: Int = 8)
+      : DataFrame = {
+    val evalGrams = eval
+      .select(col(evalIdCol).cast("long").as("eval_id"),
+        explode(gramSet(col(textCol), n)).as("g"))
+    corpus
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(gramSet(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Bloom-prefiltered exact: same output as [[flag]] for ANY `numBits`
     * (false positives die in the verify join; Bloom filters have no
     * false negatives). The eval gram table is staged once — it feeds
