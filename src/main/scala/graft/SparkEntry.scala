@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.Round12Queries.queries ++
       graft.queries.Round13Queries.queries ++
       graft.queries.Round14Queries.queries ++
-      graft.queries.Round15Queries.queries
+      graft.queries.Round15Queries.queries ++
+      graft.queries.Round16Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.Round12Queries.oracleSql ++
       graft.queries.Round13Queries.oracleSql ++
       graft.queries.Round14Queries.oracleSql ++
-      graft.queries.Round15Queries.oracleSql
+      graft.queries.Round15Queries.oracleSql ++
+      graft.queries.Round16Queries.oracleSql
 }

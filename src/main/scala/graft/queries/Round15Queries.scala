@@ -453,11 +453,11 @@ object Round15Queries {
          |  FROM (SELECT query_id, unnest(terms) AS t FROM qq)),
          |scored AS (
          |  SELECT qt.query_id, tf.doc_id,
-         |    SUM(CAST(ROUND(
+         |    CAST(SUM(CAST(ROUND(
          |        ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
          |        tf.tf * 2.2 /
          |        (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / stats.avgdl))
-         |        * 1e9) AS BIGINT)) AS bm25_e9
+         |        * 1e9) AS BIGINT)) AS BIGINT) AS bm25_e9
          |  FROM qt JOIN tf USING (t) JOIN df USING (t)
          |    JOIN docs ON tf.doc_id = docs.doc_id
          |    CROSS JOIN stats

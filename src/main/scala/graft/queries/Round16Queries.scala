@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.text.{Fingerprint, SftOps}
+
+/** Round-16 additions — two new first-class pipeline surfaces:
+  *
+  *   - winnowing fingerprints ([[Fingerprint]]) — MOSS-style local
+  *     similarity with the k+w−1 coverage guarantee, the
+  *     position-aware complement to MinHash (whole-doc) and
+  *     exact-substring (contiguous-run) dedup;
+  *   - SFT conversation preparation ([[SftOps]]) — loss-mask span
+  *     emission over rendered chat sequences and whole-turn
+  *     context-window truncation.
+  *
+  * Exactness: winnowing is 60-bit packed-integer algebra over md5
+  * prefixes (both engines agree on md5); SFT spans are integer window
+  * cumsums over string lengths; the truncation receipt is an integer
+  * suffix-sum. Zero float surface anywhere — every oracle replays the
+  * full semantics.
+  */
+object Round16Queries {
+
+  /** Winnow parameters for the oracled queries: 12-char grams, window
+    * of 5 → any shared normalized run of ≥ 16 chars is guaranteed a
+    * shared fingerprint. On this corpus (~300-char docs, small shared
+    * vocabulary) that yields ~77 fingerprints/doc and a planted-pair
+    * overlap readout at minShared = 5.
+    */
+  private val WinK = 12
+  private val WinW = 5
+  private val WinShared = 5
+
+  private val SftT = 12 // tokens per synthetic turn
+  private val SftMax = 24L // truncation budget in tokens
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Winnowed fingerprint set, exploded: the full (pos, hash)
+    // selection per document — the artifact overlap detection and
+    // match-locating tools consume. Selection (window min + rightmost
+    // tie-break) replays exactly in SQL via the packed-key trick.
+    "d_winnow" -> ((s, dir) => {
+      Fingerprint.winnow(load(s, dir, "documents"), "doc_id", "text",
+          k = WinK, w = WinW)
+        .orderBy(col("doc_id"), col("fp_pos"))
+    }),
+
+    // MOSS overlap: pairs sharing ≥ 5 fingerprint hashes. Uncapped
+    // (maxBucket = 0) so the oracle states the full pair semantics;
+    // the skew cap is the at-scale knob, spec'd separately.
+    "d_winnow_overlap" -> ((s, dir) => {
+      val fps = Fingerprint.winnow(load(s, dir, "documents"),
+        "doc_id", "text", k = WinK, w = WinW)
+      Fingerprint.overlapPairs(fps, "doc_id", minShared = WinShared)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Loss-mask spans over the rendered chat sequence. masked_text is
+    // extracted from the ACTUAL rendered string at the emitted span —
+    // so the span arithmetic and the rendering are cross-checked
+    // against each other in both engines, not just row-counted.
+    "d_sft_mask" -> ((s, dir) => {
+      val turns = SftOps.toTurns(load(s, dir, "documents"),
+        "doc_id", "text", turnTokens = SftT)
+      SftOps.flattenWithMask(turns, "doc_id")
+        .orderBy(col("doc_id"), col("turn_idx"))
+    }),
+
+    // Whole-turn tail truncation receipt: per conversation, how many
+    // turns fit the 24-token budget from the tail, their token total,
+    // and the first kept index — the audit row a packing planner
+    // consumes before rendering.
+    "d_sft_truncate" -> ((s, dir) => {
+      val turns = SftOps.toTurns(load(s, dir, "documents"),
+        "doc_id", "text", turnTokens = SftT)
+      SftOps.truncateReceipt(turns, "doc_id", maxTokens = SftMax)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val tokensSql = QueryShared.tokensSql
+
+  private def winnowFpsSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, s,
+       |    unnest(range(1, greatest(length(s) - $WinK + 1, 0) + 1)) AS pos
+       |  FROM n),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    CAST(('0x' || substr(md5(substr(s, CAST(pos AS INT), $WinK)),
+       |      1, 10)) AS BIGINT) * 1048576 + (1048575 - pos) AS key,
+       |    max(pos) OVER (PARTITION BY doc_id) AS maxpos
+       |  FROM g),
+       |wmin AS (
+       |  -- frame BEFORE the full-window filter: the tail rows beyond
+       |  -- the last window START still participate in earlier frames
+       |  SELECT doc_id, pos, maxpos,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS sel
+       |  FROM h),
+       |fp AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(1048575 - (sel % 1048576) AS BIGINT) AS fp_pos,
+       |    CAST(sel // 1048576 AS BIGINT) AS fp_hash
+       |  FROM wmin WHERE pos <= maxpos - ${WinW - 1})""".stripMargin
+
+  private def sftTurnsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS tok FROM documents),
+       |turns AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(len(tok) / $SftT.0) AS BIGINT))) AS ti,
+       |    tok
+       |  FROM t),
+       |pieces AS (
+       |  SELECT doc_id, ti,
+       |    array_to_string(
+       |      list_slice(tok, ti * $SftT + 1, ti * $SftT + $SftT), ' ') AS txt,
+       |    CASE WHEN ti % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    CASE WHEN ti % 2 = 0 THEN 8 ELSE 13 END AS mk
+       |  FROM turns)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "d_winnow" -> (winnowFpsSql +
+      "\nSELECT doc_id, fp_pos, fp_hash FROM fp ORDER BY doc_id, fp_pos"),
+
+    "d_winnow_overlap" -> (winnowFpsSql +
+      s"""
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM (SELECT DISTINCT doc_id, fp_hash FROM fp) a
+       |JOIN (SELECT DISTINCT doc_id, fp_hash FROM fp) b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinShared
+       |ORDER BY id_a, id_b""".stripMargin),
+
+    "d_sft_mask" -> (sftTurnsSql +
+      s""",
+       |seqs AS (
+       |  SELECT doc_id,
+       |    string_agg('<|' || role || '|>' || txt, '' ORDER BY ti) AS seq
+       |  FROM pieces GROUP BY doc_id),
+       |cum AS (
+       |  SELECT doc_id, ti, txt, role, mk,
+       |    COALESCE(SUM(mk + length(txt)) OVER (PARTITION BY doc_id
+       |      ORDER BY ti ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS bef
+       |  FROM pieces)
+       |SELECT c.doc_id, CAST(c.ti AS BIGINT) AS turn_idx,
+       |  CAST(c.bef + c.mk AS BIGINT) AS s,
+       |  CAST(c.bef + c.mk + length(c.txt) AS BIGINT) AS e,
+       |  substr(q.seq, CAST(c.bef + c.mk + 1 AS INT),
+       |    CAST(length(c.txt) AS INT)) AS masked_text,
+       |  CAST(length(q.seq) AS BIGINT) AS seq_len
+       |FROM cum c JOIN seqs q ON c.doc_id = q.doc_id
+       |WHERE c.role = 'assistant'
+       |ORDER BY c.doc_id, c.ti""".stripMargin),
+
+    "d_sft_truncate" -> (sftTurnsSql +
+      s""",
+       |rc AS (
+       |  SELECT doc_id, ti,
+       |    len(string_split(txt, ' ')) AS n_tok,
+       |    SUM(len(string_split(txt, ' ')))
+       |      OVER (PARTITION BY doc_id ORDER BY ti DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ts
+       |  FROM pieces)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_turns,
+       |  CAST(count(*) FILTER (ts <= $SftMax) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(sum(n_tok) FILTER (ts <= $SftMax), 0) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(min(ti) FILTER (ts <= $SftMax) AS BIGINT) AS head_kept_idx
+       |FROM rc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+  * 2003 — the MOSS algorithm): hash every character k-gram of the
+  * normalized text, slide a window of `w` consecutive gram hashes, and
+  * select each window's minimum (rightmost position on hash ties). The
+  * selected `(position, hash)` set is a ~2/(w+1)-density fingerprint
+  * with the winnowing guarantee: any match of length ≥ k + w − 1
+  * between two documents shares at least one selected fingerprint —
+  * local similarity detection with a coverage proof, vs MinHash's
+  * whole-document probabilistic estimate.
+  *
+  * Exactness contract (the reason this oracles bit-for-bit): the gram
+  * hash is the first 10 hex digits of md5 (40 bits — both engines
+  * agree on md5), and the rightmost-min tie-break is encoded
+  * arithmetically by packing `hash * 2^20 + (2^20 − 1 − pos)` into one
+  * BIGINT: minimizing the packed key minimizes the hash and, among
+  * equal hashes, MAXIMIZES the position. 40 + 20 = 60 bits — no
+  * overflow, no float surface anywhere.
+  *
+  * The 2^20 position field caps supported documents at ~1M normalized
+  * characters. That is deliberate: web/training documents beyond 1 MB
+  * are chunked upstream anyway ([[CdcChunk]]), and keeping the pack in
+  * one BIGINT keeps the whole operator inside whole-stage codegen.
+  *
+  * Scale: gram explosion is map-only (per-doc explode, no shuffle);
+  * the window min is ONE shuffle on the doc id; the overlap join
+  * shuffles the (doc, hash) fingerprint set — 2/(w+1) of the gram
+  * count, i.e. the winnowing density IS the shuffle discount. Bucket
+  * skew (a boilerplate gram selected by thousands of docs) is capped
+  * by `maxBucket`, same contract as MinHash LSH's `maxBucketSize`.
+  */
+object Fingerprint {
+
+  private val PosBits = 20
+  private val PosField = 1L << PosBits // 2^20
+
+  /** Winnowed fingerprints: one row per selected `(fp_pos, fp_hash)`
+    * per document (distinct — adjacent windows usually select the same
+    * gram; that collapse is the density guarantee).
+    *
+    * @param k gram length in normalized characters
+    * @param w window length in grams; guarantee threshold = k + w − 1
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k w=$w)")
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val grams = docs
+      .select(col(idCol), norm.as("_s"))
+      // docs shorter than k have no grams; the filter also keeps the
+      // explode bound positive (Spark sequence(1, 0) counts DOWN)
+      .filter(length(col("_s")) >= k)
+      .select(col(idCol), col("_s"),
+        explode(sequence(lit(1L),
+          length(col("_s")).cast("long") - (k - 1))).as("pos"))
+    // packed key: 40-bit md5 prefix above a descending 20-bit position
+    val h40 = conv(substring(md5(
+      expr(s"substring(_s, cast(pos as int), $k)")), 1, 10), 16, 10)
+      .cast("long")
+    val keyed = grams
+      .withColumn("_key", h40 * PosField + (lit(PosField - 1) - col("pos")))
+      .withColumn("_maxpos", max(col("pos"))
+        .over(Window.partitionBy(col(idCol))))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    keyed
+      .withColumn("_sel", min(col("_key")).over(win))
+      // only full windows select (the last w−1 start positions are
+      // suffixes of earlier windows)
+      .filter(col("pos") <= col("_maxpos") - (w - 1))
+      .select(col(idCol),
+        (lit(PosField - 1) - (col("_sel") % PosField)).as("fp_pos"),
+        // keys are positive 60-bit, so a logical shift IS the integer
+        // divide (Column./ would be double division — a float surface)
+        shiftright(col("_sel"), PosBits).as("fp_hash"))
+      .distinct()
+  }
+
+  /** MOSS-style overlap detection over [[winnow]] output: document
+    * pairs sharing ≥ `minShared` distinct fingerprint HASHES, with the
+    * shared count. Position-blind (a moved block still matches — the
+    * point of fingerprinting over substring-dedup).
+    *
+    * `maxBucket` drops hashes selected by more than that many
+    * documents before pairing — boilerplate grams pair quadratically
+    * and signal nothing (the same skew cap as LSH banding). `0`
+    * disables the cap (the oracled query runs uncapped so the SQL twin
+    * states the full semantics).
+    */
+  def overlapPairs(fps: DataFrame, idCol: String,
+                   minShared: Int, maxBucket: Int = 0): DataFrame = {
+    val dfp = fps.select(col(idCol).as("_id"), col("fp_hash")).distinct()
+    val bucketed =
+      if (maxBucket <= 0) dfp
+      else {
+        val cnt = Window.partitionBy(col("fp_hash"))
+        dfp.withColumn("_n", count(lit(1)).over(cnt))
+          .filter(col("_n") <= maxBucket).drop("_n")
+      }
+    val a = bucketed.select(col("_id").as("id_a"), col("fp_hash"))
+    val b = bucketed.select(col("_id").as("id_b"), col("fp_hash"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -57,6 +57,22 @@ object Round15ScaleMeasure {
       run(s"boilerplate_strip x$n") {
         graft.text.Boilerplate.strip(d, "doc_id", "text")
       }
+      run(s"lm_backoff x$n") {
+        val (tri, bi, uni, total) = graft.text.NgramLm.fitBackoff(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        graft.text.NgramLm.scoreBackoffWith(d, "doc_id", "text",
+          tri, bi.localCheckpoint(true), uni, total)
+      }
+      run(s"retrieval_topk x$n") {
+        val (p, t, dl, st) = graft.text.Retrieval.buildIndex(
+          d, "doc_id", "text")
+        val qs = spark.createDataFrame(Seq(
+          (1L, Seq("stream", "filter", "merge")),
+          (2L, Seq("table", "scan")),
+          (3L, Seq("vector", "spark", "batch"))))
+          .toDF("query_id", "terms")
+        graft.text.Retrieval.topK(qs, p, t, dl, st, 10)
+      }
     }
 
     // --- embeddings: kNN graph (both forms) + filtered ANN ------------

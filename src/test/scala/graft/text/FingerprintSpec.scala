@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** [[Fingerprint.winnow]] / [[Fingerprint.overlapPairs]] — bit-parity
+  * against an independent brute-force winnower (including the
+  * rightmost-on-tie rule on periodic text), the k+w−1 coverage
+  * guarantee on a planted match, the short-document boundary, and the
+  * overlap skew cap. */
+class FingerprintSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val K = 12
+  private val W = 5
+
+  /** Independent reimplementation, straight from the paper: normalize,
+    * hash every k-gram (40-bit md5 prefix — the operator's convention),
+    * take each window's min hash with the RIGHTMOST minimizing
+    * position, dedupe selections. No packed keys — so a packing bug in
+    * the operator cannot be mirrored here. */
+  private def brute(text: String, k: Int = K, w: Int = W): Set[(Long, Long)] = {
+    val s = text.toLowerCase.replaceAll("[^a-z0-9]", "")
+    if (s.length < k + w - 1) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = (1 to s.length - k + 1).map { pos =>
+      val hex = md.digest(s.substring(pos - 1, pos - 1 + k)
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (pos.toLong, java.lang.Long.parseLong(hex.take(10), 16))
+    }
+    (0 to grams.length - w).map { j =>
+      val win = grams.slice(j, j + w)
+      val minH = win.map(_._2).min
+      (win.filter(_._2 == minH).map(_._1).max, minH)
+    }.toSet
+  }
+
+  private def winnow(rows: Seq[(Long, String)]) =
+    Fingerprint.winnow(rows.toDF("doc_id", "text").repartition(2),
+        "doc_id", "text", K, W)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("bit-parity with the brute-force winnower on the real corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = Fingerprint.winnow(
+        Tables.load(spark, sfDir, "documents").limit(60),
+        "doc_id", "text", K, W)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) === brute(text),
+        s"doc $id diverges from brute force")
+    }
+    assert(got.values.map(_.size).sum > docs.length,
+      "corpus produced implausibly few fingerprints")
+  }
+
+  test("rightmost-on-tie: periodic text ties every window; parity holds") {
+    // period-2 text: k-grams at distance 2 are identical, so every
+    // window of 5 grams contains 2-3 copies of each hash — the
+    // tie-break is exercised at every single window
+    val periodic = "ab" * 40
+    val got = winnow(Seq((1L, periodic)))
+      .map(r => (r._2, r._3)).toSet
+    assert(got === brute(periodic))
+    // and the tie-break really bites: selected positions must be the
+    // RIGHTMOST of their window's minimizers, so with period 2 no two
+    // selections are adjacent
+    val positions = got.map(_._1).toSeq.sorted
+    positions.sliding(2).foreach {
+      case Seq(a, b) => assert(b - a >= 2,
+        s"adjacent selections $a,$b contradict rightmost tie-break")
+      case _ =>
+    }
+  }
+
+  test("guarantee: a shared run of k+w-1 normalized chars always " +
+      "yields a shared fingerprint") {
+    val shared = "thequickbrownfox" // 16 = K + W - 1 chars
+    val a = s"zzzzzzzzzzzzzzzzzzzzzz $shared qqqqqqqqqqqqqqqqqqqq"
+    val b = s"mmmmmmmmmmmmmmmmmmmm $shared tttttttttttttttttttttt"
+    val fps = winnow(Seq((1L, a), (2L, b)))
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert(h1.intersect(h2).nonEmpty,
+      "winnowing guarantee violated: no shared fingerprint")
+  }
+
+  test("documents below the k+w-1 threshold yield no fingerprints") {
+    // 15 normalized chars = k + w - 2: grams exist but no full window
+    val got = winnow(Seq((1L, "abcdefghijklmno"), (2L, "short")))
+    assert(got.isEmpty)
+  }
+
+  test("overlapPairs finds planted near-dups and respects maxBucket") {
+    val base = Tables.load(spark, sfDir, "documents").limit(8)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // plant: docs 100/101 are copies of doc base(0), everything else unique
+    val rows = base.toSeq ++ Seq((100L, base(0)._2), (101L, base(0)._2))
+    val fps = Fingerprint.winnow(rows.toDF("doc_id", "text").repartition(2),
+      "doc_id", "text", K, W)
+    val pairs = Fingerprint.overlapPairs(fps, "doc_id", minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((base(0)._1, 100L)))
+    assert(pairs.contains((base(0)._1, 101L)))
+    assert(pairs.contains((100L, 101L)))
+    // cap of 2: every fingerprint of the planted TRIPLE sits in a
+    // 3-doc bucket, so the triple's pairs vanish; nothing new appears
+    val capped = Fingerprint.overlapPairs(fps, "doc_id",
+        minShared = 5, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((100L, 101L)),
+      "3-doc buckets must be dropped at maxBucket=2")
+    assert(capped.subsetOf(pairs))
+  }
+}
