@@ -74,33 +74,31 @@ object SftOps {
     * and a render bug cannot cancel — the extraction crosses them), and
     * `seq_len` is the full sequence length.
     *
-    * One shuffle on the doc id: the ordered per-doc render is a
-    * `sort_array(collect_list(struct(turn_idx, piece)))` aggregate —
-    * collect_list order is nondeterministic, the sort_array restores
-    * the turn order deterministically — joined back to the span rows
-    * computed by a window cumsum over the same key (Catalyst reuses the
-    * one exchange).
+    * ONE shuffle on the doc id: the span cumsum and the per-doc render
+    * are both window expressions over the same partitioning — the
+    * cumsum on the ordered prefix frame, the render as a whole-
+    * partition `collect_list(struct(turn_idx, piece))` (order is
+    * nondeterministic, so `sort_array` restores turn order before the
+    * join-to-string). No groupBy, no self-join: Catalyst plans a
+    * single exchange with two Window operators on top (pinned by
+    * PlanShapeSpec).
     */
   def flattenWithMask(turns: DataFrame, idCol: String): DataFrame = {
     val piece = concat(marker(col("role")), col("txt"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx"))
+    val wCum = Window.partitionBy(col(idCol)).orderBy(col("turn_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val spans = turns
+    val wAll = Window.partitionBy(col(idCol))
+    turns
       .withColumn("_piece_len",
         (length(marker(col("role"))) + length(col("txt"))).cast("long"))
-      .withColumn("_bef", coalesce(sum(col("_piece_len")).over(w), lit(0L)))
+      .withColumn("_bef",
+        coalesce(sum(col("_piece_len")).over(wCum), lit(0L)))
+      .withColumn("_seq", array_join(transform(
+        sort_array(collect_list(struct(col("turn_idx"), piece.as("p")))
+          .over(wAll)), x => x("p")), ""))
       .filter(col("role") === "assistant")
-      .select(col(idCol), col("turn_idx"),
-        (col("_bef") + length(marker(col("role")))).as("s"),
-        (col("_bef") + length(marker(col("role"))) + length(col("txt")))
-          .as("e"))
-    val seqs = turns
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("turn_idx"), piece.as("p"))))
-        .as("_ps"))
-      .select(col(idCol),
-        array_join(transform(col("_ps"), x => x("p")), "").as("_seq"))
-    spans.join(seqs, idCol)
+      .withColumn("s", col("_bef") + length(marker(col("role"))))
+      .withColumn("e", col("s") + length(col("txt")))
       .select(col(idCol), col("turn_idx"), col("s"), col("e"),
         expr("substring(_seq, cast(s as int) + 1, cast(e - s as int))")
           .as("masked_text"),

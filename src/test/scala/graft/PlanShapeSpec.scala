@@ -556,4 +556,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert("SortMergeJoin".r.findAllIn(p).size <= 1,
       s"index-sized shuffled join appeared:\n$p")
   }
+
+  test("d_sft_mask: span cumsum and render share ONE doc-id exchange " +
+      "(no groupBy-plus-join round trip)") {
+    val p = plan("d_sft_mask")
+    // one hash exchange for the doc-id windows + the final ORDER BY range
+    // exchange; a join-based render would add a second hash exchange and
+    // a join node
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash exchange:\n$p")
+    assert(!p.contains("Join"), s"flatten must not join:\n$p")
+  }
+
+  test("d_winnow: ONE doc-id exchange total — explode and hashing are " +
+      "map-side below it, and the distinct reuses the window's " +
+      "partitioning (doc_id is a prefix of the distinct keys)") {
+    val p = plan("d_winnow")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash exchange:\n$p")
+    assert(p.contains("Generate"), s"no explode in:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), p)
+  }
+
+  test("d_winnow_overlap: pairs join on the fingerprint hash only — " +
+      "no cartesian, and the shuffled relation is the deduped " +
+      "(id, hash) projection, never gram rows") {
+    val p = plan("d_winnow_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Join \\[fp_hash".r.findAllIn(p).nonEmpty,
+      s"pair join not keyed on fp_hash:\n$p")
+    // the join inputs are the distinct (id, hash) aggregates — pairing
+    // over raw gram rows would blow the shuffle up by the window factor
+    assert("HashAggregate\\(keys=\\[_id".r.findAllIn(p).size >= 2,
+      s"join inputs are not the deduped fingerprint sets:\n$p")
+  }
 }
