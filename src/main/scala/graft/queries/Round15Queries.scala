@@ -188,6 +188,61 @@ object Round15Queries {
     })
   )
 
+  /** The backoff-LM oracle chain (train on even docs, score all)
+    * up through the per-doc `ag` aggregate — shared by the
+    * d_lm_backoff final select and Round16's d_mix_reweight. */
+  private[queries] val lmBackoffChainSql: String =
+    s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, ${QueryShared.tokensSql} AS t FROM documents),
+         |tkm AS MATERIALIZED (
+         |  SELECT doc_id, t FROM tk WHERE doc_id % 2 = 0),
+         |tri AS MATERIALIZED (
+         |  SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+         |    CAST(count(*) AS BIGINT) AS c3
+         |  FROM tkm, UNNEST(range(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 3 GROUP BY 1, 2, 3),
+         |bi AS MATERIALIZED (
+         |  SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c
+         |  FROM tkm, UNNEST(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2 GROUP BY 1, 2),
+         |uni AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(t) AS w FROM tkm) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+         |tr AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         |  FROM tk, UNNEST(range(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 3),
+         |sc AS (
+         |  SELECT tr.doc_id,
+         |    CASE
+         |      WHEN tri.c3 IS NOT NULL THEN
+         |        CAST(round(ln(CAST(tri.c3 AS DOUBLE) / b12.c) * 1e6)
+         |          AS BIGINT)
+         |      WHEN b23.c IS NOT NULL THEN
+         |        -916291 + CAST(round(ln(CAST(b23.c AS DOUBLE) / u2.cu)
+         |          * 1e6) AS BIGINT)
+         |      ELSE
+         |        -1832582 + CAST(round(ln(CAST(u3.cu AS DOUBLE) / tot.n)
+         |          * 1e6) AS BIGINT)
+         |    END AS logp_e6,
+         |    CASE WHEN tri.c3 IS NOT NULL THEN 1 ELSE 0 END AS is3,
+         |    CASE WHEN tri.c3 IS NULL AND b23.c IS NOT NULL THEN 1
+         |      ELSE 0 END AS is2
+         |  FROM tr
+         |  LEFT JOIN tri USING (w1, w2, w3)
+         |  LEFT JOIN bi b12 ON b12.w1 = tr.w1 AND b12.w2 = tr.w2
+         |  LEFT JOIN bi b23 ON b23.w1 = tr.w2 AND b23.w2 = tr.w3
+         |  LEFT JOIN uni u2 ON u2.w = tr.w2
+         |  JOIN uni u3 ON u3.w = tr.w3, tot),
+         |ag AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+         |    CAST(sum(is3) AS BIGINT) AS n_tri,
+         |    CAST(sum(is2) AS BIGINT) AS n_bi,
+         |    CAST(count(*) - sum(is3) - sum(is2) AS BIGINT) AS n_uni,
+         |    CAST(sum(logp_e6) AS BIGINT) AS sum_logp_e6
+         |  FROM sc GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "d_boilerplate_strip" ->
@@ -301,57 +356,8 @@ object Round15Queries {
         |  (r_in_band - 1) * 1000000 // n_band AS pos_ppm
         |FROM r ORDER BY pos_ppm, band, id""".stripMargin,
 
-    "d_lm_backoff" ->
-      s"""WITH tk AS MATERIALIZED (
-         |  SELECT doc_id, ${QueryShared.tokensSql} AS t FROM documents),
-         |tkm AS MATERIALIZED (
-         |  SELECT doc_id, t FROM tk WHERE doc_id % 2 = 0),
-         |tri AS MATERIALIZED (
-         |  SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
-         |    CAST(count(*) AS BIGINT) AS c3
-         |  FROM tkm, UNNEST(range(1, len(t) - 1)) AS u(i)
-         |  WHERE len(t) >= 3 GROUP BY 1, 2, 3),
-         |bi AS MATERIALIZED (
-         |  SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c
-         |  FROM tkm, UNNEST(range(1, len(t))) AS u(i)
-         |  WHERE len(t) >= 2 GROUP BY 1, 2),
-         |uni AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS cu
-         |  FROM (SELECT unnest(t) AS w FROM tkm) GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
-         |tr AS (
-         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
-         |  FROM tk, UNNEST(range(1, len(t) - 1)) AS u(i)
-         |  WHERE len(t) >= 3),
-         |sc AS (
-         |  SELECT tr.doc_id,
-         |    CASE
-         |      WHEN tri.c3 IS NOT NULL THEN
-         |        CAST(round(ln(CAST(tri.c3 AS DOUBLE) / b12.c) * 1e6)
-         |          AS BIGINT)
-         |      WHEN b23.c IS NOT NULL THEN
-         |        -916291 + CAST(round(ln(CAST(b23.c AS DOUBLE) / u2.cu)
-         |          * 1e6) AS BIGINT)
-         |      ELSE
-         |        -1832582 + CAST(round(ln(CAST(u3.cu AS DOUBLE) / tot.n)
-         |          * 1e6) AS BIGINT)
-         |    END AS logp_e6,
-         |    CASE WHEN tri.c3 IS NOT NULL THEN 1 ELSE 0 END AS is3,
-         |    CASE WHEN tri.c3 IS NULL AND b23.c IS NOT NULL THEN 1
-         |      ELSE 0 END AS is2
-         |  FROM tr
-         |  LEFT JOIN tri USING (w1, w2, w3)
-         |  LEFT JOIN bi b12 ON b12.w1 = tr.w1 AND b12.w2 = tr.w2
-         |  LEFT JOIN bi b23 ON b23.w1 = tr.w2 AND b23.w2 = tr.w3
-         |  LEFT JOIN uni u2 ON u2.w = tr.w2
-         |  JOIN uni u3 ON u3.w = tr.w3, tot),
-         |ag AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
-         |    CAST(sum(is3) AS BIGINT) AS n_tri,
-         |    CAST(sum(is2) AS BIGINT) AS n_bi,
-         |    CAST(count(*) - sum(is3) - sum(is2) AS BIGINT) AS n_uni,
-         |    CAST(sum(logp_e6) AS BIGINT) AS sum_logp_e6
-         |  FROM sc GROUP BY 1)
+    "d_lm_backoff" -> (Round15Queries.lmBackoffChainSql +
+      s"""
          |SELECT d.doc_id,
          |  COALESCE(n_trans, 0) AS n_trans,
          |  COALESCE(n_tri, 0) AS n_tri,
@@ -362,7 +368,8 @@ object Round15Queries {
          |    WHEN sum_logp_e6 >= 0 THEN sum_logp_e6 // n_trans
          |    ELSE -((-sum_logp_e6) // n_trans) END AS avg_logp_e6
          |FROM documents d LEFT JOIN ag USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+         |ORDER BY d.doc_id""".stripMargin),
+
 
     "d_mix_execute" ->
       """WITH t AS (

@@ -79,6 +79,23 @@ object Round16Queries {
         "doc_id", "text", turnTokens = SftT)
       SftOps.truncateReceipt(turns, "doc_id", maxTokens = SftMax)
         .orderBy(col("doc_id"))
+    }),
+
+    // Loss-aware mixture reweighting (linearized DoReMi): the held-out
+    // backoff-LM scores (d_lm_backoff's exact chain) aggregated per
+    // SOURCE, excess micro-nats over the best domain, and the
+    // integer-exact reweight share × (1000 + excess÷1000) normalized
+    // to ppm — the feedback edge from LM scoring into the mix planner.
+    "d_mix_reweight" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val (tri, bi0, uni, total) = graft.text.NgramLm.fitBackoff(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val scored = graft.text.NgramLm.scoreBackoffWith(
+        d, "doc_id", "text", tri, bi0.localCheckpoint(true), uni, total)
+      graft.text.MixPlanner.reweightByLoss(
+          scored.join(d.select(col("doc_id"), col("source")), "doc_id"),
+          "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -180,6 +197,45 @@ object Round16Queries {
        |  CAST(COALESCE(sum(n_tok) FILTER (ts <= $SftMax), 0) AS BIGINT)
        |    AS kept_tokens,
        |  CAST(min(ti) FILTER (ts <= $SftMax) AS BIGINT) AS head_kept_idx
-       |FROM rc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+       |FROM rc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "d_mix_reweight" -> (Round15Queries.lmBackoffChainSql +
+      s""",
+       |ds AS (
+       |  SELECT d.source,
+       |    COALESCE(a.n_trans, 0) AS n_trans,
+       |    COALESCE(a.sum_logp_e6, 0) AS sum_logp_e6
+       |  FROM documents d LEFT JOIN ag a USING (doc_id)),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_trans) AS BIGINT) AS n_trans,
+       |    CAST(sum(sum_logp_e6) AS BIGINT) AS s_logp
+       |  FROM ds GROUP BY 1),
+       |pa AS (
+       |  SELECT *, CASE WHEN n_trans = 0 THEN 0
+       |    ELSE (-s_logp) // n_trans END AS avg_nll_e6
+       |  FROM per),
+       |tots AS (
+       |  SELECT min(avg_nll_e6) FILTER (n_trans > 0) AS base_nll,
+       |    CAST(sum(n_trans) AS BIGINT) AS trans_sum
+       |  FROM pa),
+       |rw AS (
+       |  SELECT pa.source, pa.n_docs, pa.n_trans, pa.avg_nll_e6,
+       |    CASE WHEN pa.n_trans = 0 THEN 0
+       |      ELSE pa.avg_nll_e6 - tots.base_nll END AS excess_e6,
+       |    CASE WHEN tots.trans_sum = 0 THEN 0
+       |      ELSE (pa.n_trans * 1000000) // tots.trans_sum END AS share_ppm
+       |  FROM pa, tots),
+       |raw AS (
+       |  SELECT *, CASE WHEN n_trans = 0 THEN 0
+       |    ELSE share_ppm * (1000 + excess_e6 // 1000) END AS r
+       |  FROM rw),
+       |rs AS (SELECT CAST(sum(r) AS BIGINT) AS raw_sum FROM raw)
+       |SELECT raw.source, raw.n_docs, raw.n_trans, raw.avg_nll_e6,
+       |  raw.excess_e6, raw.share_ppm,
+       |  CASE WHEN rs.raw_sum = 0 THEN 0
+       |    ELSE CAST((raw.r * 1000000) // rs.raw_sum AS BIGINT)
+       |  END AS new_weight_ppm
+       |FROM raw, rs ORDER BY raw.source""".stripMargin)
   )
 }

@@ -125,4 +125,64 @@ object MixPlanner {
       .select(col("source"), col("doc_id"), col("doc_toks"),
         col("n_repeats"))
   }
+
+  /** Loss-aware mixture reweighting (the DoReMi idea, linearized to
+    * stay integer-exact): domains whose held-out LM loss exceeds the
+    * best domain's are UP-weighted proportionally to their excess —
+    * hard domains get more epochs, saturated domains fewer. The full
+    * DoReMi runs exponentiated-gradient updates against a proxy model;
+    * this one-step linear variant (weight ∝ share × (1 + excess)) is
+    * the deterministic, oracle-checkable core of the loop: feed
+    * `new_weight_ppm` back into [[epochAllocation]]'s weights and
+    * iterate outside.
+    *
+    * Input: one row per scored doc with `sourceCol`, `n_trans`,
+    * `sum_logp_e6` ([[NgramLm.scoreBackoffWith]]'s schema plus the
+    * source column). All arithmetic integer: per-source average NLL in
+    * e6 (micro-nats, floor), excess over the min-loss domain, an
+    * excess factor in e3 (milli-nat resolution — coarse enough that
+    * share_ppm × factor_e3 × 1e6 stays far inside 64 bits), and a ppm
+    * normalization.
+    *
+    * Output per source: `(source, n_docs, n_trans, avg_nll_e6,
+    * excess_e6, share_ppm, new_weight_ppm)`. Sources with no scored
+    * transitions get zero weight and are excluded from the baseline.
+    *
+    * Scale: one shuffle (per-source aggregation); the totals/baseline
+    * are a 1-row broadcast over the sources-sized table — the
+    * [[epochAllocation]] pattern.
+    */
+  def reweightByLoss(scored: DataFrame, sourceCol: String): DataFrame = {
+    val per = scored.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_trans")), lit(0L)).as("n_trans"),
+        coalesce(sum(col("sum_logp_e6")), lit(0L)).as("sum_logp_e6"))
+      .withColumn("avg_nll_e6",
+        when(col("n_trans") === 0, lit(0L))
+          .otherwise(expr("(-sum_logp_e6) div n_trans")))
+      .localCheckpoint(true) // feeds totals AND the plan rows once
+    val totals = per.agg(
+      min(when(col("n_trans") > 0, col("avg_nll_e6"))).as("base_nll_e6"),
+      sum(col("n_trans")).as("trans_sum"))
+    val raw = per.crossJoin(broadcast(totals))
+      .withColumn("excess_e6",
+        when(col("n_trans") === 0, lit(0L))
+          .otherwise(col("avg_nll_e6") - col("base_nll_e6")))
+      .withColumn("share_ppm",
+        when(col("trans_sum") === 0, lit(0L))
+          .otherwise(expr("(n_trans * 1000000) div trans_sum")))
+      .withColumn("_raw",
+        when(col("n_trans") === 0, lit(0L))
+          .otherwise(col("share_ppm") *
+            (lit(1000L) + expr("excess_e6 div 1000"))))
+      .localCheckpoint(true)
+    val rawSum = raw.agg(sum(col("_raw")).as("raw_sum"))
+    raw.crossJoin(broadcast(rawSum))
+      .withColumn("new_weight_ppm",
+        when(col("raw_sum") === 0, lit(0L))
+          .otherwise(expr("(_raw * 1000000) div raw_sum")))
+      .select(col("source"), col("n_docs"), col("n_trans"),
+        col("avg_nll_e6"), col("excess_e6"), col("share_ppm"),
+        col("new_weight_ppm"))
+  }
 }

@@ -568,12 +568,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"flatten must not join:\n$p")
   }
 
-  test("d_winnow: ONE doc-id exchange total — explode and hashing are " +
-      "map-side below it, and the distinct reuses the window's " +
-      "partitioning (doc_id is a prefix of the distinct keys)") {
+  test("d_winnow: MAP-ONLY — zero hash exchanges; selection happens in " +
+      "array expressions per doc row, only the winnowed set explodes") {
     val p = plan("d_winnow")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"expected exactly 1 hash exchange:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"winnow must not shuffle:\n$p")
     assert(p.contains("Generate"), s"no explode in:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), p)
   }

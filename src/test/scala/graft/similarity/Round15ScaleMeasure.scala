@@ -73,6 +73,22 @@ object Round15ScaleMeasure {
           .toDF("query_id", "terms")
         graft.text.Retrieval.topK(qs, p, t, dl, st, 10)
       }
+      run(s"winnow x$n") {
+        graft.text.Fingerprint.winnow(d, "doc_id", "text", 12, 5)
+      }
+      // copymark suffixes make the blown-up copies near- but not
+      // exact-dups; overlap still pairs them (winnowing is local), so
+      // this measures the pair stage under a real quadratic load —
+      // with and without the skew cap
+      run(s"winnow_overlap x$n") {
+        graft.text.Fingerprint.overlapPairs(
+          graft.text.Fingerprint.winnow(d, "doc_id", "text", 12, 5),
+          "doc_id", minShared = 5, maxBucket = 64)
+      }
+      run(s"sft_mask x$n") {
+        graft.text.SftOps.flattenWithMask(
+          graft.text.SftOps.toTurns(d, "doc_id", "text", 12), "doc_id")
+      }
     }
 
     // --- embeddings: kNN graph (both forms) + filtered ANN ------------

@@ -124,4 +124,48 @@ class MixPlannerSpec extends SparkTestBase {
   test("executeAllocation: zero budget selects nothing") {
     assert(exec(0L, 150L).isEmpty)
   }
+
+  private def reweight(rows: Seq[(String, Long, Long)]) =
+    MixPlanner.reweightByLoss(
+        rows.toDF("source", "n_trans", "sum_logp_e6").repartition(2),
+        "source")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+
+  test("reweightByLoss: hand vector — the lossier domain is " +
+      "up-weighted by exactly (1000 + excess/1000) over its share") {
+    // A: 100 transitions at avg nll 2.0 nats; B: 100 at avg 5.0 nats
+    val got = reweight(Seq(
+      ("A", 60L, -120_000_000L), ("A", 40L, -80_000_000L),
+      ("B", 100L, -500_000_000L)))
+    val (_, _, avgA, exA, shareA, wA) = got("A")
+    val (_, _, avgB, exB, shareB, wB) = got("B")
+    assert(avgA === 2_000_000L && avgB === 5_000_000L)
+    assert(exA === 0L && exB === 3_000_000L)
+    assert(shareA === 500000L && shareB === 500000L)
+    // raw: A = 500000*1000, B = 500000*4000 → weights 200000 / 800000
+    assert(wA === 200000L && wB === 800000L)
+  }
+
+  test("reweightByLoss: equal losses reproduce the shares; a scored-" +
+      "empty source gets zero weight and is excluded from the baseline") {
+    val got = reweight(Seq(
+      ("A", 300L, -600_000_000L), // avg 2.0
+      ("B", 100L, -200_000_000L), // avg 2.0
+      ("C", 0L, 0L))) // never scored
+    assert(got("C")._6 === 0L && got("C")._4 === 0L)
+    // shares by transitions: 750000 / 250000; equal excess → weights
+    // equal shares
+    assert(got("A")._6 === 750000L && got("B")._6 === 250000L)
+    // baseline must come from A/B (2.0), not C's zero
+    assert(got("A")._5 === 750000L)
+  }
+
+  test("reweightByLoss: all-empty input yields all-zero weights, " +
+      "no division by zero") {
+    val got = reweight(Seq(("A", 0L, 0L), ("B", 0L, 0L)))
+    assert(got.values.forall(_._6 === 0L))
+  }
 }
