@@ -81,6 +81,23 @@ object Round16Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental winnow probe: the %10 id slice arrives as a "new
+    // crawl batch" against a fingerprint index of the rest — emitted
+    // pairs are exactly the full recompute restricted to batch-touching
+    // pairs (corpus text never re-read; parity spec'd incl. redelivery
+    // and the bucket cap).
+    "d_winnow_incremental" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val index = Fingerprint.winnow(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          k = WinK, w = WinW)
+        .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash"))
+      Fingerprint.pairsAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), index,
+          "doc_id", "text", WinK, WinW, minShared = WinShared)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Loss-aware mixture reweighting (linearized DoReMi): the held-out
     // backoff-LM scores (d_lm_backoff's exact chain) aggregated per
     // SOURCE, excess micro-nats over the best domain, and the
@@ -157,6 +174,17 @@ object Round16Queries {
        |FROM (SELECT DISTINCT doc_id, fp_hash FROM fp) a
        |JOIN (SELECT DISTINCT doc_id, fp_hash FROM fp) b
        |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinShared
+       |ORDER BY id_a, id_b""".stripMargin),
+
+    "d_winnow_incremental" -> (winnowFpsSql +
+      s"""
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM (SELECT DISTINCT doc_id, fp_hash FROM fp) a
+       |JOIN (SELECT DISTINCT doc_id, fp_hash FROM fp) b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
        |GROUP BY 1, 2 HAVING count(*) >= $WinShared
        |ORDER BY id_a, id_b""".stripMargin),
 

@@ -112,4 +112,103 @@ object Fingerprint {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  // ---- index lifecycle (build → persist → probe → fold-in) -----------
+  // The IncrementalDedup contract for the winnowing family: a new crawl
+  // batch probes a persisted fingerprint index — corpus TEXT is never
+  // re-read or re-hashed (fingerprints are ~2/(w+1) of the gram count,
+  // a few hundred bytes per doc) — then the admitted docs' fingerprints
+  // fold in for the next batch.
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("fp_pos", LongType, nullable = true),
+    StructField("fp_hash", LongType, nullable = true)))
+
+  /** Persist a fingerprint index ([[winnow]] rows with the id column
+    * named `id`) — distributed layout, no single-file coalesce (the
+    * index is O(corpus·density); at scale writers bucket by fp_hash so
+    * probe joins co-locate). */
+  def saveIndex(index: DataFrame, path: String): Unit = {
+    val cols = indexSchema.fields
+      .map(f => col(f.name).cast(f.dataType).as(f.name))
+    index.select(cols.toIndexedSeq: _*).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a fingerprint index, failing fast at the driver on schema
+    * drift (the [[graft.similarity.IncrementalDedup]] convention). */
+  def loadIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    indexSchema.fields.foreach { f =>
+      require(got.get(f.name).contains(f.dataType),
+        s"fingerprint-index schema mismatch at $path: expected " +
+          s"${f.name}: ${f.dataType.sql}, found " +
+          got.get(f.name).map(_.sql).getOrElse("<missing>"))
+    }
+    df.select(indexSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Overlap pairs between a new batch and the indexed corpus — exactly
+    * `overlapPairs(winnow(corpus ∪ batch))` restricted to pairs with at
+    * least one batch side (index-vs-index pairs were previous batches'
+    * job and are never re-derived; a redelivered unchanged doc pairs
+    * with its indexed self only as id_a = id_b, which the orientation
+    * filter drops). Batch fingerprints are computed fresh (map-only);
+    * the index contributes stored rows only. `maxBucket` counts the
+    * UNION's buckets — bucket-for-bucket the full-recompute semantics.
+    * k and w must match the index's build parameters.
+    */
+  def pairsAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String, k: Int, w: Int,
+                        minShared: Int, maxBucket: Int = 0): DataFrame = {
+    val batch = winnow(newDocs, idCol, textCol, k, w)
+      .select(col(idCol).cast(LongType).as("id"), col("fp_hash"),
+        lit(true).as("is_new"))
+    val all = batch.unionByName(
+        index.select(col("id"), col("fp_hash"), lit(false).as("is_new")))
+      .distinct()
+    val bucketed =
+      if (maxBucket <= 0) all
+      else {
+        val cnt = Window.partitionBy(col("fp_hash"))
+        all.withColumn("_n",
+            size(collect_set(col("id")).over(cnt)))
+          .filter(col("_n") <= maxBucket).drop("_n")
+      }
+    val a = bucketed.select(col("id").as("id_a"), col("fp_hash"),
+      col("is_new").as("new_a"))
+    val b = bucketed.select(col("id").as("id_b"), col("fp_hash"),
+      col("is_new").as("new_b"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("new_a") || col("new_b"))
+      // a doc present in BOTH batch and index (redelivery) pairs a
+      // shared hash through up to 4 (new_a × new_b) row combinations —
+      // collapse to one per (pair, hash) so counts match full recompute
+      .dropDuplicates("id_a", "id_b", "fp_hash")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Admit a batch: index ∪ the batch's fingerprints, minus ids the
+    * caller rejected as duplicates. Write with [[saveIndex]] to a NEW
+    * path and swap — never overwrite a path a prober is reading. */
+  def foldIntoIndex(index: DataFrame, newDocs: DataFrame,
+                    idCol: String, textCol: String, k: Int, w: Int,
+                    rejectIds: DataFrame = null): DataFrame = {
+    var batch = winnow(newDocs, idCol, textCol, k, w)
+      .select(col(idCol).cast(LongType).as("id"),
+        col("fp_pos"), col("fp_hash"))
+    if (rejectIds != null) {
+      val rj = rejectIds.select(
+        col(rejectIds.columns.head).cast(LongType).as("id"))
+      batch = batch.join(rj, Seq("id"), "left_anti")
+    }
+    index.unionByName(batch)
+  }
 }

@@ -97,6 +97,76 @@ class FingerprintSpec extends SparkTestBase {
     assert(got.isEmpty)
   }
 
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("pairsAgainstIndex == full recompute restricted to batch-" +
+      "touching pairs — including under a redelivered doc and a cap") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(30)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 20)
+    // batch: the other docs PLUS a redelivery of doc 3 and a planted
+    // copy of doc 5 under a new id
+    val planted = docs.filter(col("doc_id") === 5)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") >= 20)
+      .unionByName(docs.filter(col("doc_id") === 3))
+      .unionByName(planted)
+    val all = corpus.unionByName(batch).dropDuplicates("doc_id")
+    for (cap <- Seq(0, 8)) {
+      val index = Fingerprint.winnow(corpus, "doc_id", "text", K, W)
+        .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash"))
+      val got = pairsOf(Fingerprint.pairsAgainstIndex(
+        batch, index, "doc_id", "text", K, W, minShared = 3,
+        maxBucket = cap))
+      val batchIds = Set(3L, 1005L) ++ (20L until 30L)
+      val want = pairsOf(Fingerprint.overlapPairs(
+          Fingerprint.winnow(all, "doc_id", "text", K, W), "doc_id",
+          minShared = 3, maxBucket = cap))
+        .filter { case ((a, b), _) =>
+          batchIds.contains(a) || batchIds.contains(b) }
+      assert(got === want, s"cap=$cap")
+      if (cap == 0)
+        assert(got.contains((5L, 1005L)), "planted copy not found")
+    }
+  }
+
+  test("foldIntoIndex: probing after fold-in == probing a rebuilt " +
+      "index; rejected ids never enter; save/load round-trips") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(24)
+      .select(col("doc_id"), col("text"))
+    val first = docs.filter(col("doc_id") < 12)
+    val second = docs.filter(col("doc_id") >= 12 && col("doc_id") < 18)
+    val third = docs.filter(col("doc_id") >= 18)
+    val idx0 = Fingerprint.winnow(first, "doc_id", "text", K, W)
+      .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash"))
+    val folded = Fingerprint.foldIntoIndex(idx0, second,
+      "doc_id", "text", K, W, rejectIds = Seq(13L).toDF("doc_id"))
+    val rebuilt = Fingerprint.winnow(
+        first.unionByName(second.filter(col("doc_id") =!= 13)),
+        "doc_id", "text", K, W)
+      .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash"))
+    assert(folded.filter(col("id") === 13L).count() === 0L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("fp_idx").toString + "/idx"
+    Fingerprint.saveIndex(folded, dir)
+    val loaded = Fingerprint.loadIndex(spark, dir)
+    assert(pairsOf(Fingerprint.pairsAgainstIndex(third, loaded,
+        "doc_id", "text", K, W, minShared = 3))
+      === pairsOf(Fingerprint.pairsAgainstIndex(third, rebuilt,
+        "doc_id", "text", K, W, minShared = 3)))
+    // schema fail-fast on drift
+    val bad = dir + "_bad"
+    folded.withColumn("fp_pos", col("fp_pos").cast("int"))
+      .write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalArgumentException] {
+      Fingerprint.loadIndex(spark, bad)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("overlapPairs finds planted near-dups and respects maxBucket") {
     val base = Tables.load(spark, sfDir, "documents").limit(8)
       .collect().map(r => (r.getLong(0), r.getString(1)))
