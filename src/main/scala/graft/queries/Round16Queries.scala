@@ -98,6 +98,25 @@ object Round16Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Winnow-pair dedup: the MOSS application end-to-end — overlap
+    // pairs (≥ 5 shared fingerprints) solved to connected components,
+    // keep-lowest-id per cluster. The FIRST arbitrary-topology CC under
+    // the gate (d_dedup_clusters' graph is chain-shaped by
+    // construction); the DuckDB twin labels reachability with a
+    // recursive CTE — min reachable id == the operator's min-label
+    // convergence.
+    "d_winnow_dedup" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val pairs = Fingerprint.overlapPairs(
+          Fingerprint.winnow(docs, "doc_id", "text", WinK, WinW),
+          "doc_id", minShared = WinShared)
+        .select(col("id_a"), col("id_b"))
+      graft.similarity.DedupClusters.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .withColumn("kept", col("cluster") === col("id"))
+        .orderBy(col("id"))
+    }),
+
     // Loss-aware mixture reweighting (linearized DoReMi): the held-out
     // backoff-LM scores (d_lm_backoff's exact chain) aggregated per
     // SOURCE, excess micro-nats over the best domain, and the
@@ -226,6 +245,28 @@ object Round16Queries {
        |    AS kept_tokens,
        |  CAST(min(ti) FILTER (ts <= $SftMax) AS BIGINT) AS head_kept_idx
        |FROM rc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // DuckDB 1.0 allows ONE recursive arm per CTE, so the undirected
+    // step joins a symmetrized edge list; RECURSIVE scopes the whole
+    // WITH list (hence the replaceFirst on the shared chain prefix)
+    "d_winnow_dedup" -> (winnowFpsSql
+      .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+       |edges AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM (SELECT DISTINCT doc_id, fp_hash FROM fp) a
+       |  JOIN (SELECT DISTINCT doc_id, fp_hash FROM fp) b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinShared),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(id, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN sym e ON e.src = r.id),
+       |lbl AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
+       |SELECT id, cluster, cluster = id AS kept
+       |FROM lbl ORDER BY id""".stripMargin),
 
     "d_mix_reweight" -> (Round15Queries.lmBackoffChainSql +
       s""",

@@ -54,12 +54,27 @@ object Fingerprint {
     *
     * @param k gram length in normalized characters
     * @param w window length in grams; guarantee threshold = k + w − 1
+    * @param spreadInput repartition the docs before hashing (default
+    *   true — the [[SubstringDedup.spans]] knob, same rationale): the
+    *   selection does O(n·w) hash work per input byte, so a coarse
+    *   scan partitioning (single-row-group parquet = ONE task)
+    *   serializes the whole pass; the 1× text shuffle amortizes
+    *   against it. Pass false when the input is already cluster-wide
+    *   (thousands of splits) — then the operator is genuinely
+    *   shuffle-free.
     */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
-             k: Int, w: Int): DataFrame = {
+             k: Int, w: Int, spreadInput: Boolean = true): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k w=$w)")
+    val spread = if (spreadInput) {
+      val targetPar = math.max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        docs.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt)
+      docs.repartition(targetPar, col(idCol))
+    } else docs
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
-    docs
+    spread
       .select(col(idCol), norm.as("_s"))
       // need at least one full window of w grams (k + w - 1 chars) —
       // also keeps both sequence() bounds ascending

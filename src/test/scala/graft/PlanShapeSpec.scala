@@ -568,12 +568,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"flatten must not join:\n$p")
   }
 
-  test("d_winnow: MAP-ONLY — zero hash exchanges; selection happens in " +
-      "array expressions per doc row, only the winnowed set explodes") {
+  test("d_winnow: selection is map-side array expressions — the ONLY " +
+      "exchange is the 1×-text input spread, below the explode") {
     val p = plan("d_winnow")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"winnow must not shuffle:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the input-spread exchange:\n$p")
+    // the Generate (winnowed-set explode) must sit ABOVE the spread —
+    // gram hashing and selection happen after redistribution, and
+    // nothing gram-sized ever shuffles
     assert(p.contains("Generate"), s"no explode in:\n$p")
+    assert(p.indexOf("Generate") < p.indexOf("Exchange hashpartitioning"),
+      s"selection ran below the spread exchange:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), p)
   }
 
