@@ -117,6 +117,29 @@ object Round16Queries {
         .orderBy(col("id"))
     }),
 
+    // Asymmetric near-containment: the smaller fingerprint set ≥ 50%
+    // inside the other — quote/subset detection the symmetric shared
+    // count can't rank. Uncapped, full SQL replay.
+    "d_winnow_contain" -> ((s, dir) => {
+      val fps = Fingerprint.winnow(load(s, dir, "documents"),
+        "doc_id", "text", WinK, WinW)
+      Fingerprint.containmentPairs(fps, "doc_id",
+          minContainPpm = 500000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // DPO preference pairs: prompt = first 8 tokens, chosen = own
+    // completion, rejected = the next-lower-quality same-language
+    // doc's completion (mismatched-continuation construction), margin
+    // ≥ 0.002 quality (2000 e6). Integer quality order → engine-exact
+    // pairing.
+    "d_sft_pairs" -> ((s, dir) => {
+      graft.text.SftOps.preferencePairs(load(s, dir, "documents"),
+          "doc_id", "text", "lang", promptTokens = 8,
+          marginE6 = 2000L)
+        .orderBy(col("chosen_id"))
+    }),
+
     // Loss-aware mixture reweighting (linearized DoReMi): the held-out
     // backoff-LM scores (d_lm_backoff's exact chain) aggregated per
     // SOURCE, excess micro-nats over the best domain, and the
@@ -267,6 +290,49 @@ object Round16Queries {
        |lbl AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
        |SELECT id, cluster, cluster = id AS kept
        |FROM lbl ORDER BY id""".stripMargin),
+
+    "d_winnow_contain" -> (winnowFpsSql +
+      s""",
+       |dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |        FROM dfp GROUP BY 1),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM dfp a JOIN dfp b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT pr.id_a, pr.id_b, pr.n_shared,
+       |  ca.n AS n_a, cb.n AS n_b,
+       |  (pr.n_shared * 1000000) // least(ca.n, cb.n) AS contain_ppm
+       |FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a
+       |  JOIN cnt cb ON cb.doc_id = pr.id_b
+       |WHERE (pr.n_shared * 1000000) // least(ca.n, cb.n) >= 500000
+       |ORDER BY id_a, id_b""".stripMargin),
+
+    "d_sft_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $tokensSql AS tok,
+         |    CAST(ROUND(${QueryShared.qualitySql} * 1e6) AS BIGINT) AS q
+         |  FROM documents),
+         |e AS (SELECT * FROM t WHERE len(tok) > 8),
+         |w AS (
+         |  SELECT doc_id, lang, tok, q,
+         |    lead(doc_id) OVER win AS r_id,
+         |    lead(q) OVER win AS r_q,
+         |    lead(tok) OVER win AS r_tok
+         |  FROM e WINDOW win AS (PARTITION BY lang
+         |    ORDER BY q DESC, doc_id))
+         |SELECT doc_id AS chosen_id, r_id AS rejected_id,
+         |  array_to_string(list_slice(tok, 1, 8), ' ') AS prompt,
+         |  array_to_string(list_slice(tok, 9, len(tok)), ' ')
+         |    AS chosen_text,
+         |  array_to_string(list_slice(r_tok, 9, len(r_tok)), ' ')
+         |    AS rejected_text,
+         |  q AS q_chosen_e6, r_q AS q_rejected_e6,
+         |  q - r_q AS gap_e6
+         |FROM w WHERE r_id IS NOT NULL AND q - r_q >= 2000
+         |ORDER BY chosen_id""".stripMargin,
 
     "d_mix_reweight" -> (Round15Queries.lmBackoffChainSql +
       s""",

@@ -111,7 +111,13 @@ object Fingerprint {
     */
   def overlapPairs(fps: DataFrame, idCol: String,
                    minShared: Int, maxBucket: Int = 0): DataFrame = {
+    // stage the deduped fingerprint set: it feeds BOTH sides of the
+    // pair self-join (and the bucket filter) — without the stage every
+    // consumer re-runs the full winnow hash pass (observed 4 scans in
+    // the containment plan). The set is the ~2/(w+1)-density artifact;
+    // the 100 TB analog is a staging write of the fingerprint table.
     val dfp = fps.select(col(idCol).as("_id"), col("fp_hash")).distinct()
+      .localCheckpoint(true)
     val bucketed =
       if (maxBucket <= 0) dfp
       else {
@@ -126,6 +132,46 @@ object Fingerprint {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Asymmetric near-containment over [[winnow]] output: pairs where
+    * the SMALLER fingerprint set is mostly inside the other —
+    * `contain_ppm = shared · 10⁶ div min(|A|, |B|)`. Catches what the
+    * symmetric overlap count can't rank: a short doc quoted wholesale
+    * inside a long one shares few fingerprints in absolute terms but
+    * ~all of its own. Same join shape as [[overlapPairs]] plus two
+    * doc-sized count joins; position-blind.
+    */
+  def containmentPairs(fps: DataFrame, idCol: String,
+                       minContainPpm: Long,
+                       maxBucket: Int = 0): DataFrame = {
+    // staged for the same reason as in [[overlapPairs]] — four
+    // consumers here (two join sides + two count joins)
+    val dfp = fps.select(col(idCol).as("_id"), col("fp_hash")).distinct()
+      .localCheckpoint(true)
+    val counts = dfp.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val bucketed =
+      if (maxBucket <= 0) dfp
+      else {
+        val cnt = Window.partitionBy(col("fp_hash"))
+        dfp.withColumn("_bn", count(lit(1)).over(cnt))
+          .filter(col("_bn") <= maxBucket).drop("_bn")
+      }
+    val a = bucketed.select(col("_id").as("id_a"), col("fp_hash"))
+    val b = bucketed.select(col("_id").as("id_b"), col("fp_hash"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("_id").as("id_a"), col("_n").as("n_a")),
+        Seq("id_a"))
+      .join(counts.select(col("_id").as("id_b"), col("_n").as("n_b")),
+        Seq("id_b"))
+      .withColumn("contain_ppm",
+        expr("(n_shared * 1000000) div least(n_a, n_b)"))
+      .filter(col("contain_ppm") >= minContainPpm)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("contain_ppm"))
   }
 
   // ---- index lifecycle (build → persist → probe → fold-in) -----------
@@ -186,6 +232,8 @@ object Fingerprint {
     val all = batch.unionByName(
         index.select(col("id"), col("fp_hash"), lit(false).as("is_new")))
       .distinct()
+      // staged: both self-join sides (and the bucket filter) consume it
+      .localCheckpoint(true)
     val bucketed =
       if (maxBucket <= 0) all
       else {

@@ -124,6 +124,53 @@ object SftOps {
       .filter(col("tail_sum") <= maxTokens)
   }
 
+  /** Preference-pair construction (DPO/RLHF data prep): each document
+    * splits into (prompt = first `promptTokens` tokens, completion =
+    * the rest); the CHOSEN completion is the doc's own, the REJECTED
+    * one is the completion of the next-lower-quality doc in the same
+    * stratum — the standard mismatched-continuation hard-negative
+    * construction (cf. [[graft.similarity.Similarity.hardNegatives]]),
+    * built deterministically from the integer quality order. Pairs
+    * whose quality gap is below `marginE6` are dropped: a pair with no
+    * margin teaches the reward model nothing.
+    *
+    * Quality is `TextOps.qualityScore · 1e6` (the d_budget_select
+    * integer convention); order within a stratum is (quality desc, id)
+    * so the pairing is total and engine-exact. Docs with no completion
+    * (≤ promptTokens tokens) don't participate on either side.
+    *
+    * One shuffle (the stratum window). Output: `(chosen_id,
+    * rejected_id, prompt, chosen_text, rejected_text, q_chosen_e6,
+    * q_rejected_e6, gap_e6)`.
+    */
+  def preferencePairs(docs: DataFrame, idCol: String, textCol: String,
+                      stratumCol: String, promptTokens: Int,
+                      marginE6: Long): DataFrame = {
+    val qE6 = round(TextOps.qualityScore(col(textCol)) * 1e6).cast("long")
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs
+      .select(col(idCol), col(stratumCol).as("_st"), toks.as("_tok"),
+        qE6.as("q_chosen_e6"))
+      .filter(size(col("_tok")) > promptTokens)
+    val w = Window.partitionBy(col("_st"))
+      .orderBy(col("q_chosen_e6").desc, col(idCol))
+    def completion(c: Column): Column =
+      array_join(slice(c, lit(promptTokens + 1),
+        greatest(size(c) - promptTokens, lit(0))), " ")
+    base
+      .withColumn("_r_id", lead(col(idCol), 1).over(w))
+      .withColumn("_r_q", lead(col("q_chosen_e6"), 1).over(w))
+      .withColumn("_r_tok", lead(col("_tok"), 1).over(w))
+      .filter(col("_r_id").isNotNull &&
+        col("q_chosen_e6") - col("_r_q") >= marginE6)
+      .select(col(idCol).as("chosen_id"), col("_r_id").as("rejected_id"),
+        array_join(slice(col("_tok"), 1, promptTokens), " ").as("prompt"),
+        completion(col("_tok")).as("chosen_text"),
+        completion(col("_r_tok")).as("rejected_text"),
+        col("q_chosen_e6"), col("_r_q").as("q_rejected_e6"),
+        (col("q_chosen_e6") - col("_r_q")).as("gap_e6"))
+  }
+
   /** Per-conversation truncation receipt over [[truncateTail]]:
     * `(idCol, n_turns, n_kept, kept_tokens, head_kept_idx)` — the
     * audit row a token-budget planner consumes. Aggregates the turn

@@ -589,9 +589,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert("Join \\[fp_hash".r.findAllIn(p).nonEmpty,
       s"pair join not keyed on fp_hash:\n$p")
-    // the join inputs are the distinct (id, hash) aggregates — pairing
-    // over raw gram rows would blow the shuffle up by the window factor
-    assert("HashAggregate\\(keys=\\[_id".r.findAllIn(p).size >= 2,
-      s"join inputs are not the deduped fingerprint sets:\n$p")
+    // the deduped (id, hash) set is STAGED before the self-join — both
+    // sides read the checkpoint, so the winnow hash pass (a parquet
+    // scan + explode) must not appear in this plan at all; an unstaged
+    // plan re-ran it once per consumer (4× in the containment audit)
+    assert(!p.contains("Scan parquet"),
+      s"winnow subtree re-executed under the pair join:\n$p")
   }
 }

@@ -167,6 +167,34 @@ class FingerprintSpec extends SparkTestBase {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("containmentPairs: a planted half-doc quote scores ~1M ppm " +
+      "against its source while sharing few absolute fingerprints") {
+    val base = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 6)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val big = base.map(_._2).mkString(" ") // concatenation of all six
+    // doc 500: the middle half of doc 0 — wholly contained in doc 600
+    val quote = base.head._2.substring(
+      base.head._2.length / 4, 3 * base.head._2.length / 4)
+    val rows = base.toSeq ++ Seq((600L, big), (500L, quote))
+    val fps = Fingerprint.winnow(rows.toDF("doc_id", "text")
+      .repartition(2), "doc_id", "text", K, W)
+    val got = Fingerprint.containmentPairs(fps, "doc_id",
+        minContainPpm = 700000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // the quote is inside doc 0 AND inside the concatenation
+    assert(got.contains((0L, 500L)), s"quote-vs-source missing: $got")
+    assert(got.contains((500L, 600L)))
+    val (shared, na, nb, ppm) = got((0L, 500L))
+    assert(ppm >= 700000L && shared === math.min(na, nb) * ppm / 1000000L
+      || ppm === shared * 1000000L / math.min(na, nb))
+    // symmetric check: each base doc IS contained in the concatenation
+    base.foreach { case (id, _) =>
+      assert(got.contains((id, 600L)), s"doc $id not contained in concat")
+    }
+  }
+
   test("overlapPairs finds planted near-dups and respects maxBucket") {
     val base = Tables.load(spark, sfDir, "documents").limit(8)
       .collect().map(r => (r.getLong(0), r.getString(1)))

@@ -86,6 +86,43 @@ class SftOpsSpec extends SparkTestBase {
       === ((3L, 5L, 0L)))
   }
 
+  test("preferencePairs: quality-adjacent pairing within stratum, " +
+      "margin filter, and completion split — hand vector") {
+    // stratum X quality order: a(high) > b(mid) > c(low); margin 1
+    // drops nothing; d sits alone in stratum Y → no pair
+    val rows = Seq(
+      // quality is dominated by the alpha ratio / stopword hits; use
+      // punctuation density to force a strict order
+      (1L, "X", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "X", "the quick brown fox jumps over,,, the lazy;; dog !! yes"),
+      (3L, "X", "a b c d e f junk ,,,;;;!!!??? ,,,;;;!!! ,,,, ;;;; !!!!"),
+      (4L, "Y", "solo stratum doc with some words here to pass the gate"))
+    val df = rows.toDF("doc_id", "lang", "text").repartition(2)
+    val got = SftOps.preferencePairs(df, "doc_id", "text", "lang",
+        promptTokens = 3, marginE6 = 1L)
+      .orderBy("chosen_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 2L), (2L, 3L)))
+    val first = got.head
+    assert(first.getString(2) === "the quick brown") // prompt: 3 toks
+    assert(first.getString(3).startsWith("fox jumps over the lazy"))
+    // rejected completion comes from doc 2's tokens after the prompt
+    assert(first.getString(4).startsWith("fox jumps over"))
+    assert(first.getLong(5) > first.getLong(6) &&
+      first.getLong(7) === first.getLong(5) - first.getLong(6))
+    // margin above both gaps → no pairs at all
+    assert(SftOps.preferencePairs(df, "doc_id", "text", "lang",
+      promptTokens = 3, marginE6 = 10_000_000L).count() === 0L)
+    // short docs (≤ promptTokens tokens) participate on NEITHER side
+    val withShort = (rows :+ ((9L, "X", "tiny doc"))).toDF(
+      "doc_id", "lang", "text")
+    val ids = SftOps.preferencePairs(withShort, "doc_id", "text",
+        "lang", promptTokens = 3, marginE6 = 1L)
+      .select("chosen_id", "rejected_id").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.contains(9L))
+  }
+
   test("truncation + flatten compose: re-flattening the kept suffix " +
       "masks only surviving assistant turns") {
     val docs = Tables.load(spark, sfDir, "documents").limit(30)
