@@ -20,17 +20,28 @@ import graft.text.Fingerprint
 object StreamingFingerprint {
 
   /** Emit `(id_a, id_b, n_shared)` overlap pairs per micro-batch of
-    * `(idCol, textCol)` docs against the static index. */
+    * `(idCol, textCol)` docs against the static index.
+    *
+    * The index's deduped (id, hash) projection is staged ONCE at start
+    * ([[Fingerprint.stageIndexForProbe]]) — per trigger only the batch
+    * side shuffles; the naive per-batch call re-deduped and re-cached
+    * the whole index every trigger. A non-zero `maxBucket` still pays
+    * a per-trigger window over the union (cap semantics count the
+    * union's buckets); leave it 0 and cap at fold-in time when the
+    * trigger cadence is tight.
+    */
   def servePairs(docs: DataFrame, index: DataFrame,
                  idCol: String, textCol: String, k: Int, w: Int,
                  minShared: Int, maxBucket: Int = 0,
                  availableNow: Boolean = false)
                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val staged = Fingerprint.stageIndexForProbe(index)
     val writer = docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(Fingerprint.pairsAgainstIndex(batch.toDF(), index,
-          idCol, textCol, k, w, minShared, maxBucket), batchId)
+        sink(Fingerprint.pairsAgainstIndex(batch.toDF(), staged,
+          idCol, textCol, k, w, minShared, maxBucket,
+          indexDeduped = true), batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

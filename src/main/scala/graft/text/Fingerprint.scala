@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,8 +74,18 @@ object Fingerprint {
       docs.repartition(targetPar, col(idCol))
     } else docs
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    // positions beyond the 20-bit pack field would borrow from the
+    // hash bits and silently corrupt the selection — fail LOUD instead
+    // (the oracle twin shares the overflow, so it could never catch
+    // it); docs this long chunk upstream (CdcChunk) by design
+    val maxLen = PosField - 1 + (k - 1)
     spread
       .select(col(idCol), norm.as("_s"))
+      .withColumn("_s", when(length(col("_s")) > maxLen,
+          raise_error(concat(lit(s"winnow: normalized doc exceeds the " +
+            s"$maxLen-char packed-position cap (doc "),
+            col(idCol).cast("string"), lit(") — chunk upstream"))))
+        .otherwise(col("_s")))
       // need at least one full window of w grams (k + w - 1 chars) —
       // also keeps both sequence() bounds ascending
       .filter(length(col("_s")) >= k + w - 1)
@@ -149,7 +159,6 @@ object Fingerprint {
     // consumers here (two join sides + two count joins)
     val dfp = fps.select(col(idCol).as("_id"), col("fp_hash")).distinct()
       .localCheckpoint(true)
-    val counts = dfp.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val bucketed =
       if (maxBucket <= 0) dfp
       else {
@@ -157,6 +166,11 @@ object Fingerprint {
         dfp.withColumn("_bn", count(lit(1)).over(cnt))
           .filter(col("_bn") <= maxBucket).drop("_bn")
       }
+    // denominators come from the SAME (possibly capped) universe as the
+    // shared counts — counting |A| uncapped while n_shared is capped
+    // would deflate contain_ppm and drop genuinely-contained pairs
+    // whose fingerprints are mostly popular hashes
+    val counts = bucketed.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val a = bucketed.select(col("_id").as("id_a"), col("fp_hash"))
     val b = bucketed.select(col("_id").as("id_b"), col("fp_hash"))
     a.join(b, Seq("fp_hash"))
@@ -192,11 +206,38 @@ object Fingerprint {
   /** Persist a fingerprint index ([[winnow]] rows with the id column
     * named `id`) — distributed layout, no single-file coalesce (the
     * index is O(corpus·density); at scale writers bucket by fp_hash so
-    * probe joins co-locate). */
-  def saveIndex(index: DataFrame, path: String): Unit = {
+    * probe joins co-locate). `k`/`w` persist alongside
+    * (`<path>.params`) so a probe with mismatched build parameters —
+    * which would silently find near-zero overlaps and admit every
+    * duplicate — fails fast at the driver instead
+    * ([[loadIndexParams]] / [[pairsAgainstSavedIndex]]). */
+  def saveIndex(index: DataFrame, path: String, k: Int, w: Int): Unit = {
     val cols = indexSchema.fields
       .map(f => col(f.name).cast(f.dataType).as(f.name))
     index.select(cols.toIndexedSeq: _*).write.mode("overwrite").parquet(path)
+    val spark = index.sparkSession
+    import spark.implicits._
+    Seq((k, w)).toDF("k", "w").coalesce(1)
+      .write.mode("overwrite").parquet(path + ".params")
+  }
+
+  /** The (k, w) an index at `path` was built with. */
+  def loadIndexParams(spark: SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(path + ".params")
+      .select(col("k").cast("int"), col("w").cast("int")).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Probe a SAVED index with its own recorded parameters — the
+    * misuse-proof entry point: the caller cannot supply a k/w that
+    * disagrees with what built the index. */
+  def pairsAgainstSavedIndex(spark: SparkSession, path: String,
+                             newDocs: DataFrame, idCol: String,
+                             textCol: String, minShared: Int,
+                             maxBucket: Int = 0): DataFrame = {
+    val (k, w) = loadIndexParams(spark, path)
+    pairsAgainstIndex(newDocs, loadIndex(spark, path), idCol, textCol,
+      k, w, minShared, maxBucket)
   }
 
   /** Load a fingerprint index, failing fast at the driver on schema
@@ -221,19 +262,39 @@ object Fingerprint {
     * filter drops). Batch fingerprints are computed fresh (map-only);
     * the index contributes stored rows only. `maxBucket` counts the
     * UNION's buckets — bucket-for-bucket the full-recompute semantics.
-    * k and w must match the index's build parameters.
+    * k and w must match the index's build parameters (use
+    * [[pairsAgainstSavedIndex]] for the checked path).
+    *
+    * Repeated probing (streaming triggers): pass `indexDeduped = true`
+    * with an index already staged by [[stageIndexForProbe]] — then the
+    * per-trigger work dedups only the BATCH side; the default path
+    * dedups the whole union per call, an O(index) shuffle each time.
     */
   def pairsAgainstIndex(newDocs: DataFrame, index: DataFrame,
                         idCol: String, textCol: String, k: Int, w: Int,
-                        minShared: Int, maxBucket: Int = 0): DataFrame = {
+                        minShared: Int, maxBucket: Int = 0,
+                        indexDeduped: Boolean = false): DataFrame = {
+    // per-side dedup ≡ dedup of the union here: the is_new flag differs
+    // across sides, so no cross-side (id, hash, is_new) row can repeat
     val batch = winnow(newDocs, idCol, textCol, k, w)
-      .select(col(idCol).cast(LongType).as("id"), col("fp_hash"),
-        lit(true).as("is_new"))
-    val all = batch.unionByName(
-        index.select(col("id"), col("fp_hash"), lit(false).as("is_new")))
+      .select(col(idCol).cast(LongType).as("id"), col("fp_hash"))
       .distinct()
-      // staged: both self-join sides (and the bucket filter) consume it
+      .withColumn("is_new", lit(true))
+      // staged: the self-join and the bucket filter consume it, and the
+      // batch is the small side by nature
       .localCheckpoint(true)
+    val idxSide = {
+      val base = index.select(col("id"), col("fp_hash"))
+      (if (indexDeduped) base else base.distinct())
+        .withColumn("is_new", lit(false))
+    }
+    // one-shot path: stage the union (self-join + bucket filter would
+    // otherwise re-run the index distinct per consumer). Pre-staged
+    // path: the index is already a checkpoint scan — re-reading it per
+    // consumer is the cheap steady state, a second checkpoint per
+    // trigger would just accumulate cached copies.
+    val all0 = batch.unionByName(idxSide)
+    val all = if (indexDeduped) all0 else all0.localCheckpoint(true)
     val bucketed =
       if (maxBucket <= 0) all
       else {
@@ -258,9 +319,22 @@ object Fingerprint {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Dedupe + stage an index projection for REPEATED probing (the
+    * streaming steady state): pass the result to [[pairsAgainstIndex]]
+    * with `indexDeduped = true` so each trigger dedups only its batch
+    * side instead of re-shuffling the whole index. */
+  def stageIndexForProbe(index: DataFrame): DataFrame =
+    index.select(col("id"), col("fp_hash")).distinct()
+      .localCheckpoint(true)
+
   /** Admit a batch: index ∪ the batch's fingerprints, minus ids the
-    * caller rejected as duplicates. Write with [[saveIndex]] to a NEW
-    * path and swap — never overwrite a path a prober is reading. */
+    * caller rejected as duplicates — a SET union: a redelivered doc
+    * already in the index keeps its indexed rows and contributes
+    * nothing (a bag union would double its fingerprints on every
+    * fold-in and grow the index without bound). The membership probe
+    * is one index scan against the broadcast batch-id set; the index
+    * itself never shuffles. Write with [[saveIndex]] to a NEW path and
+    * swap — never overwrite a path a prober is reading. */
   def foldIntoIndex(index: DataFrame, newDocs: DataFrame,
                     idCol: String, textCol: String, k: Int, w: Int,
                     rejectIds: DataFrame = null): DataFrame = {
@@ -272,6 +346,10 @@ object Fingerprint {
         col(rejectIds.columns.head).cast(LongType).as("id"))
       batch = batch.join(rj, Seq("id"), "left_anti")
     }
-    index.unionByName(batch)
+    val batchIds = batch.select(col("id")).distinct()
+    val alreadyIndexed = index.select(col("id"))
+      .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()
+    index.unionByName(
+      batch.join(broadcast(alreadyIndexed), Seq("id"), "left_anti"))
   }
 }

@@ -43,6 +43,8 @@ object SftOps {
     */
   def toTurns(docs: DataFrame, idCol: String, textCol: String,
               turnTokens: Int): DataFrame = {
+    require(turnTokens >= 1,
+      s"turnTokens must be >= 1 (got $turnTokens)")
     val tok = TextOps.tokens(col(textCol))
     val nTurns = ceil(size(tok) / lit(turnTokens.toDouble)).cast("long")
     docs
@@ -116,13 +118,20 @@ object SftOps {
     * shuffle (window on the doc id).
     */
   def truncateTail(turns: DataFrame, idCol: String,
-                   maxTokens: Long): DataFrame = {
+                   maxTokens: Long): DataFrame =
+    withTailSum(turns, idCol).filter(kept(maxTokens))
+
+  /** The ONE definition of the truncation rule, shared by the
+    * executable truncation and its audit receipt — so the two can
+    * never silently drift apart. */
+  private def withTailSum(turns: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    turns
-      .withColumn("tail_sum", sum(col("n_tok")).over(w))
-      .filter(col("tail_sum") <= maxTokens)
+    turns.withColumn("tail_sum", sum(col("n_tok")).over(w))
   }
+
+  private def kept(maxTokens: Long): Column =
+    col("tail_sum") <= maxTokens
 
   /** Preference-pair construction (DPO/RLHF data prep): each document
     * splits into (prompt = first `promptTokens` tokens, completion =
@@ -146,6 +155,9 @@ object SftOps {
   def preferencePairs(docs: DataFrame, idCol: String, textCol: String,
                       stratumCol: String, promptTokens: Int,
                       marginE6: Long): DataFrame = {
+    require(promptTokens >= 1,
+      s"promptTokens must be >= 1 (got $promptTokens)")
+    require(marginE6 >= 0, s"marginE6 must be >= 0 (got $marginE6)")
     val qE6 = round(TextOps.qualityScore(col(textCol)) * 1e6).cast("long")
     val toks = TextOps.tokens(col(textCol))
     val base = docs
@@ -178,15 +190,12 @@ object SftOps {
     */
   def truncateReceipt(turns: DataFrame, idCol: String,
                       maxTokens: Long): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = col("tail_sum") <= maxTokens
-    turns
-      .withColumn("tail_sum", sum(col("n_tok")).over(w))
+    val in = kept(maxTokens)
+    withTailSum(turns, idCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_turns"),
-        count(when(kept, 1)).as("n_kept"),
-        coalesce(sum(when(kept, col("n_tok"))), lit(0L)).as("kept_tokens"),
-        min(when(kept, col("turn_idx"))).as("head_kept_idx"))
+        count(when(in, 1)).as("n_kept"),
+        coalesce(sum(when(in, col("n_tok"))), lit(0L)).as("kept_tokens"),
+        min(when(in, col("turn_idx"))).as("head_kept_idx"))
   }
 }

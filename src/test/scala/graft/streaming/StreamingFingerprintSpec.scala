@@ -25,7 +25,7 @@ class StreamingFingerprintSpec extends SparkTestBase {
     Fingerprint.saveIndex(
       Fingerprint.winnow(corpus, "doc_id", "text", 12, 5)
         .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash")),
-      root)
+      root, 12, 5)
     val index = Fingerprint.loadIndex(spark, root)
 
     // batch 2 plants a copy of corpus doc 0 under id 900

@@ -97,6 +97,19 @@ class FingerprintSpec extends SparkTestBase {
     assert(got.isEmpty)
   }
 
+  test("documents beyond the 2^20 packed-position cap fail LOUD — " +
+      "never silently corrupt the selection") {
+    val huge = "ab" * ((1 << 20) / 2 + 64) // > 1048575 + k - 1 chars
+    val e = intercept[Exception] {
+      winnow(Seq((1L, huge), (2L, "a normal sized document here")))
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("packed-position cap") ||
+        e.getCause != null &&
+        e.getCause.getMessage.contains("packed-position cap")),
+      s"wrong error: ${e.getMessage}")
+  }
+
   private def pairsOf(df: org.apache.spark.sql.DataFrame) =
     df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -142,8 +155,14 @@ class FingerprintSpec extends SparkTestBase {
     val third = docs.filter(col("doc_id") >= 18)
     val idx0 = Fingerprint.winnow(first, "doc_id", "text", K, W)
       .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash"))
-    val folded = Fingerprint.foldIntoIndex(idx0, second,
+    // fold-in batch REDELIVERS doc 2 (already indexed): set-union
+    // semantics must keep the indexed rows once, not duplicate them
+    val folded = Fingerprint.foldIntoIndex(idx0,
+      second.unionByName(first.filter(col("doc_id") === 2)),
       "doc_id", "text", K, W, rejectIds = Seq(13L).toDF("doc_id"))
+    assert(folded.groupBy("id", "fp_pos", "fp_hash").count()
+      .filter(col("count") > 1).count() === 0L,
+      "redelivered doc duplicated its fingerprints in the index")
     val rebuilt = Fingerprint.winnow(
         first.unionByName(second.filter(col("doc_id") =!= 13)),
         "doc_id", "text", K, W)
@@ -151,10 +170,16 @@ class FingerprintSpec extends SparkTestBase {
     assert(folded.filter(col("id") === 13L).count() === 0L)
     val dir = java.nio.file.Files
       .createTempDirectory("fp_idx").toString + "/idx"
-    Fingerprint.saveIndex(folded, dir)
+    Fingerprint.saveIndex(folded, dir, K, W)
     val loaded = Fingerprint.loadIndex(spark, dir)
+    assert(Fingerprint.loadIndexParams(spark, dir) === ((K, W)))
     assert(pairsOf(Fingerprint.pairsAgainstIndex(third, loaded,
         "doc_id", "text", K, W, minShared = 3))
+      === pairsOf(Fingerprint.pairsAgainstIndex(third, rebuilt,
+        "doc_id", "text", K, W, minShared = 3)))
+    // the checked probe path reads (k, w) from the params sidecar
+    assert(pairsOf(Fingerprint.pairsAgainstSavedIndex(spark, dir,
+        third, "doc_id", "text", minShared = 3))
       === pairsOf(Fingerprint.pairsAgainstIndex(third, rebuilt,
         "doc_id", "text", K, W, minShared = 3)))
     // schema fail-fast on drift
