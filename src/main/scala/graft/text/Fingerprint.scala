@@ -74,33 +74,19 @@ object Fingerprint {
       docs.repartition(targetPar, col(idCol))
     } else docs
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
-    // positions beyond the 20-bit pack field would borrow from the
-    // hash bits and silently corrupt the selection — fail LOUD instead
-    // (the oracle twin shares the overflow, so it could never catch
-    // it); docs this long chunk upstream (CdcChunk) by design
-    val maxLen = PosField - 1 + (k - 1)
+    // the selection runs in the native WinnowKeys kernel (one tight
+    // loop, O(1)-amortized deque window-min, codegen'd) — Spark's
+    // array HOFs never enter whole-stage codegen, so the equivalent
+    // transform/array_min/array_distinct form paid boxed-closure
+    // dispatch per gram×w. The kernel throws LOUD on docs beyond the
+    // 2^20 packed-position cap (silent hash-bit borrowing is the
+    // alternative); docs that long chunk upstream (CdcChunk).
     spread
       .select(col(idCol), norm.as("_s"))
-      .withColumn("_s", when(length(col("_s")) > maxLen,
-          raise_error(concat(lit(s"winnow: normalized doc exceeds the " +
-            s"$maxLen-char packed-position cap (doc "),
-            col(idCol).cast("string"), lit(") — chunk upstream"))))
-        .otherwise(col("_s")))
-      // need at least one full window of w grams (k + w - 1 chars) —
-      // also keeps both sequence() bounds ascending
+      // need at least one full window of w grams (k + w - 1 chars)
       .filter(length(col("_s")) >= k + w - 1)
-      // packed key per gram: 40-bit md5 prefix above a DESCENDING
-      // 20-bit position — array_min then yields (min hash, rightmost
-      // position) in one comparison
-      .withColumn("_keys", expr(
-        s"""transform(sequence(1, length(_s) - ${k - 1}),
-           |  p -> cast(conv(substring(md5(substring(_s, p, $k)), 1, 10),
-           |         16, 10) as bigint) * $PosField
-           |       + (${PosField - 1} - cast(p as bigint)))""".stripMargin))
-      .select(col(idCol), explode(expr(
-        s"""array_distinct(transform(sequence(1, size(_keys) - ${w - 1}),
-           |  j -> array_min(slice(_keys, j, $w))))""".stripMargin))
-        .as("_sel"))
+      .select(col(idCol), explode(
+        graft.functions.WinnowKeys.winnowKeys(col("_s"), k, w)).as("_sel"))
       .select(col(idCol),
         (lit(PosField - 1) - (col("_sel") % PosField)).as("fp_pos"),
         // keys are positive 60-bit, so a logical shift IS the integer
