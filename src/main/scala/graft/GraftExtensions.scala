@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneBucketsDescriptor)
     ext.injectFunction(GraftExtensions.zorderKeyDescriptor)
+    ext.injectFunction(GraftExtensions.winnowKeysDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -110,6 +111,19 @@ object GraftExtensions {
       require(children.length == 1,
         s"simhash64(gram_ids) takes 1 argument, got ${children.length}")
       graft.functions.SimHash64(children.head)
+    })
+
+  val winnowKeysDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_keys"),
+    new ExpressionInfo(classOf[graft.functions.WinnowKeys].getName,
+      "winnow_keys"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        s"winnow_keys(normalized_text, k, w) takes 3 arguments, " +
+          s"got ${children.length}")
+      graft.functions.WinnowKeys(children.head,
+        litInt(children(1), "winnow_keys"), litInt(children(2), "winnow_keys"))
     })
 
   val pow10fDescriptor: (FunctionIdentifier, ExpressionInfo,

@@ -33,7 +33,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       GraftExtensions.pow10fDescriptor,
       GraftExtensions.dotProductDescriptor,
       GraftExtensions.hyperplaneBucketsDescriptor,
-      GraftExtensions.zorderKeyDescriptor).foreach { case (ident, _, b) =>
+      GraftExtensions.zorderKeyDescriptor,
+      GraftExtensions.winnowKeysDescriptor).foreach { case (ident, _, b) =>
       ColumnBridge.registerFunction(spark, ident.funcName, b)
     }
 
@@ -80,5 +81,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       .select(graft.functions.ZOrder.zorderKey(lit(3), lit(5)).as("z"))
       .head.getLong(0)
     assert(zSql == zApi && zSql == 39L) // 3→bits at 0,2 = 5; 5→bits at 1,5 = 34
+
+    // winnow_keys: SQL == Column API, and the selection is non-empty on
+    // a string with at least one full window
+    val wSql = spark.sql(
+      "SELECT winnow_keys('thequickbrownfoxjumpsover', 12, 5) AS k")
+      .head.getSeq[Long](0)
+    val wApi = spark.range(1)
+      .select(graft.functions.WinnowKeys.winnowKeys(
+        lit("thequickbrownfoxjumpsover"), 12, 5).as("k"))
+      .head.getSeq[Long](0)
+    assert(wSql == wApi && wSql.nonEmpty)
   }
 }
