@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hyperplaneBucketsDescriptor)
     ext.injectFunction(GraftExtensions.zorderKeyDescriptor)
     ext.injectFunction(GraftExtensions.winnowKeysDescriptor)
+    ext.injectFunction(GraftExtensions.cdcBoundariesDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -124,6 +125,20 @@ object GraftExtensions {
           s"got ${children.length}")
       graft.functions.WinnowKeys(children.head,
         litInt(children(1), "winnow_keys"), litInt(children(2), "winnow_keys"))
+    })
+
+  val cdcBoundariesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("cdc_boundaries"),
+    new ExpressionInfo(classOf[graft.functions.CdcBoundaries].getName,
+      "cdc_boundaries"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        s"cdc_boundaries(tokens, w, modulus) takes 3 arguments, " +
+          s"got ${children.length}")
+      graft.functions.CdcBoundaries(children.head,
+        litInt(children(1), "cdc_boundaries"),
+        litInt(children(2), "cdc_boundaries"))
     })
 
   val pow10fDescriptor: (FunctionIdentifier, ExpressionInfo,

@@ -28,11 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object CdcChunk {
 
-  /** 16-bit integer from the md5 hex prefix — the repo's portable hash
-    * convention (see d_export_shards / d_mix_temperature). */
-  private def hash16(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 4), 16, 10).cast("long")
-
   /** `(doc_id, chunk_id, start_tok, n_toks, chunk_md5)` — one row per
     * chunk, chunk_id 1-based in token order, start_tok the 1-based
     * token index. */
@@ -42,15 +37,14 @@ object CdcChunk {
     val t = TextOps.tokens(col(textCol))
     docs
       .select(col(idCol).cast("long").as("doc_id"), t.as("t"))
-      // boundary positions: gram ending at j ≡ 0 (mod modulus); the
-      // guard matters — Spark's sequence(a, b) runs DESCENDING when
-      // b < a, which would invent boundaries on short docs
+      // boundary positions: gram ending at j ≡ 0 (mod modulus), via the
+      // native CdcBoundaries kernel — the declarative HOF form
+      // (filter(sequence, j -> hash16(concat_ws(slice)))) paid
+      // interpreted per-gram Column evaluation (HOFs never codegen;
+      // the WinnowKeys lesson). Short docs (< w+1 tokens) have no
+      // interior gram end → empty, same as the old guard.
       .withColumn("bp",
-        when(size(col("t")) >= w + 1,
-          filter(sequence(lit(w), size(col("t")) - 1), j =>
-            hash16(concat_ws(" ", slice(col("t"), j - (w - 1), lit(w))))
-              % modulus === 0))
-          .otherwise(array().cast("array<int>")))
+        graft.functions.CdcBoundaries.cdcBoundaries(col("t"), w, modulus))
       .withColumn("cuts",
         concat(array(lit(0)), col("bp"), array(size(col("t")))))
       .select(col("doc_id"), col("t"), col("cuts"),

@@ -34,7 +34,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       GraftExtensions.dotProductDescriptor,
       GraftExtensions.hyperplaneBucketsDescriptor,
       GraftExtensions.zorderKeyDescriptor,
-      GraftExtensions.winnowKeysDescriptor).foreach { case (ident, _, b) =>
+      GraftExtensions.winnowKeysDescriptor,
+      GraftExtensions.cdcBoundariesDescriptor).foreach { case (ident, _, b) =>
       ColumnBridge.registerFunction(spark, ident.funcName, b)
     }
 
@@ -92,5 +93,16 @@ class GraftExtensionsSpec extends SparkTestBase {
         lit("thequickbrownfoxjumpsover"), 12, 5).as("k"))
       .head.getSeq[Long](0)
     assert(wSql == wApi && wSql.nonEmpty)
+
+    // cdc_boundaries: SQL == Column API on a token array with interior
+    // gram ends
+    val toks = "array(" + (1 to 40).map(i => s"'t$i'").mkString(",") + ")"
+    val cSql = spark.sql(
+      s"SELECT cdc_boundaries($toks, 4, 8) AS b").head.getSeq[Int](0)
+    val cApi = spark.range(1)
+      .select(graft.functions.CdcBoundaries.cdcBoundaries(
+        expr(toks), 4, 8).as("b"))
+      .head.getSeq[Int](0)
+    assert(cSql == cApi)
   }
 }
