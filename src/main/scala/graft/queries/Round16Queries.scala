@@ -117,6 +117,17 @@ object Round16Queries {
         .orderBy(col("id"))
     }),
 
+    // MOSS match locations: for the strong pairs (≥ 5 shared hashes),
+    // every shared hash with both documents' anchor positions — the
+    // report view that justifies POSITIONAL fingerprints over MinHash.
+    "d_winnow_spans" -> ((s, dir) => {
+      Fingerprint.matchSpans(
+          Fingerprint.winnow(load(s, dir, "documents"), "doc_id",
+            "text", WinK, WinW),
+          "doc_id", minShared = WinShared)
+        .orderBy(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
+    }),
+
     // Asymmetric near-containment: the smaller fingerprint set ≥ 50%
     // inside the other — quote/subset detection the symmetric shared
     // count can't rank. Uncapped, full SQL replay.
@@ -290,6 +301,21 @@ object Round16Queries {
        |lbl AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
        |SELECT id, cluster, cluster = id AS kept
        |FROM lbl ORDER BY id""".stripMargin),
+
+    "d_winnow_spans" -> (winnowFpsSql +
+      s""",
+       |dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM dfp a JOIN dfp b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinShared)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.fp_pos AS pos_a, b.fp_pos AS pos_b, a.fp_hash
+       |FROM fp a JOIN fp b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |JOIN pr ON pr.id_a = a.doc_id AND pr.id_b = b.doc_id
+       |ORDER BY id_a, id_b, pos_a, pos_b""".stripMargin),
 
     "d_winnow_contain" -> (winnowFpsSql +
       s""",

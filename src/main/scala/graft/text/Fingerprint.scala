@@ -174,6 +174,34 @@ object Fingerprint {
         col("n_b"), col("contain_ppm"))
   }
 
+  /** Match LOCATION for qualifying pairs — the MOSS report view: for
+    * every pair sharing ≥ `minShared` fingerprint hashes, one row per
+    * shared hash with BOTH documents' positions `(id_a, id_b, pos_a,
+    * pos_b, fp_hash)`. Positions are where the winnowing guarantee
+    * anchors the match (any shared run of ≥ k+w−1 chars surfaces
+    * here) — the reason to fingerprint positionally instead of
+    * MinHashing whole docs. A hash selected at multiple positions in
+    * one doc emits the position cross product for that pair (all
+    * anchor candidates).
+    */
+  def matchSpans(fps: DataFrame, idCol: String, minShared: Int,
+                 maxBucket: Int = 0): DataFrame = {
+    val dfp = fps.select(col(idCol).as("_id"), col("fp_pos"),
+        col("fp_hash"))
+      .localCheckpoint(true) // feeds the pair gate AND both span sides
+    val qualifying = overlapPairs(dfp, "_id", minShared, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val a = dfp.select(col("_id").as("id_a"), col("fp_pos").as("pos_a"),
+      col("fp_hash"))
+    val b = dfp.select(col("_id").as("id_b"), col("fp_pos").as("pos_b"),
+      col("fp_hash"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .join(qualifying, Seq("id_a", "id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("fp_hash"))
+  }
+
   // ---- index lifecycle (build → persist → probe → fold-in) -----------
   // The IncrementalDedup contract for the winnowing family: a new crawl
   // batch probes a persisted fingerprint index — corpus TEXT is never

@@ -220,6 +220,29 @@ class FingerprintSpec extends SparkTestBase {
     }
   }
 
+  test("matchSpans: every emitted anchor pair points at IDENTICAL " +
+      "k-grams in the two documents") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(6)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rows = docs.toSeq :+ ((700L, docs.head._2)) // exact copy of doc 0
+    val fps = Fingerprint.winnow(rows.toDF("doc_id", "text")
+      .repartition(2), "doc_id", "text", K, W)
+    val spans = Fingerprint.matchSpans(fps, "doc_id", minShared = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    val norm = rows.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("[^a-z0-9]", "") }.toMap
+    spans.foreach { case (ia, ib, pa, pb) =>
+      val ga = norm(ia).substring(pa.toInt - 1, pa.toInt - 1 + K)
+      val gb = norm(ib).substring(pb.toInt - 1, pb.toInt - 1 + K)
+      assert(ga === gb, s"anchor mismatch at ($ia,$ib,$pa,$pb)")
+    }
+    // the planted copy anchors at mirrored positions
+    assert(spans.exists { case (ia, ib, pa, pb) =>
+      ia == docs.head._1 && ib == 700L && pa == pb })
+  }
+
   test("overlapPairs finds planted near-dups and respects maxBucket") {
     val base = Tables.load(spark, sfDir, "documents").limit(8)
       .collect().map(r => (r.getLong(0), r.getString(1)))
