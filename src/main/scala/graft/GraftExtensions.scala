@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.zorderKeyDescriptor)
     ext.injectFunction(GraftExtensions.winnowKeysDescriptor)
     ext.injectFunction(GraftExtensions.cdcBoundariesDescriptor)
+    ext.injectFunction(GraftExtensions.dotCodesDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -139,6 +140,17 @@ object GraftExtensions {
       graft.functions.CdcBoundaries(children.head,
         litInt(children(1), "cdc_boundaries"),
         litInt(children(2), "cdc_boundaries"))
+    })
+
+  val dotCodesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_codes"),
+    new ExpressionInfo(classOf[graft.functions.DotCodes].getName,
+      "dot_codes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"dot_codes(a, b) takes 2 arguments, got ${children.length}")
+      graft.functions.DotCodes(children(0), children(1))
     })
 
   val pow10fDescriptor: (FunctionIdentifier, ExpressionInfo,

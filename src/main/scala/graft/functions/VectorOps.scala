@@ -110,3 +110,68 @@ object DotProduct {
       (org.apache.spark.sql.functions.sqrt(dot_product(a, a)) *
         org.apache.spark.sql.functions.sqrt(dot_product(b, b)))
 }
+
+/** Native integer-code dot for the int8-quantized serving path —
+  * [[DotProduct]]'s LONG twin: `aggregate(zip_with(codes_a, codes_b,
+  * _*_), 0L, _+_)` is CodegenFallback (boxed lambda per element), and
+  * the coarse stage of quantized ANN runs it corpus × queries times.
+  * Integer addition is associative, but the kernel still runs the same
+  * left-to-right order as the fold — exactness is trivial, the win is
+  * purely the primitive loop.
+  */
+case class DotCodes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_codes"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, LongType => LT}
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LT, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    DotCodes.dotOrNull(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if (graft.functions.DotProduct.wellFormed($a, $b)) {
+         |  ${ev.value} = graft.functions.DotCodes.dot($a, $b);
+         |} else { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotCodes {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Long =
+    if (DotProduct.wellFormed(a, b)) dot(a, b) else null
+
+  def dot_codes(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotCodes(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

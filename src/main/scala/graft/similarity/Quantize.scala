@@ -45,9 +45,12 @@ object Quantize {
               .as("codes"))),
       1)
 
-  /** Exact integer dot of two code arrays. */
+  /** Exact integer dot of two code arrays — the native [[graft
+    * .functions.DotCodes]] kernel: the fold form (aggregate ∘ zip_with)
+    * is CodegenFallback, and coarse scoring runs this corpus × queries
+    * times. Integer sum → same value in any form. */
   def dotCodes(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.DotCodes.dot_codes(a, b)
 
   /** Approximate float dot from two quantized structs. */
   def dotInt8(qa: Column, qb: Column): Column =

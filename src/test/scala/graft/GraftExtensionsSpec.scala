@@ -35,7 +35,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       GraftExtensions.hyperplaneBucketsDescriptor,
       GraftExtensions.zorderKeyDescriptor,
       GraftExtensions.winnowKeysDescriptor,
-      GraftExtensions.cdcBoundariesDescriptor).foreach { case (ident, _, b) =>
+      GraftExtensions.cdcBoundariesDescriptor,
+      GraftExtensions.dotCodesDescriptor).foreach { case (ident, _, b) =>
       ColumnBridge.registerFunction(spark, ident.funcName, b)
     }
 
@@ -104,5 +105,11 @@ class GraftExtensionsSpec extends SparkTestBase {
         expr(toks), 4, 8).as("b"))
       .head.getSeq[Int](0)
     assert(cSql == cApi)
+
+    // dot_codes: exact integer dot, SQL == Column API == hand value
+    val dc = spark.sql(
+      "SELECT dot_codes(CAST(array(1, -2, 3) AS ARRAY<BIGINT>), " +
+        "CAST(array(4, 5, 6) AS ARRAY<BIGINT>)) AS d").head.getLong(0)
+    assert(dc == 4L - 10L + 18L)
   }
 }
