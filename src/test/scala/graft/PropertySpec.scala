@@ -450,4 +450,66 @@ class PropertySpec extends AnyFunSuite {
         (aged :| s"unaged offset member: ${fin.json()}")
     })
   }
+
+  test("WinnowKeys kernel == the paper definition on random ASCII text") {
+    import graft.functions.WinnowKeys
+    import java.security.MessageDigest
+    val textGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString.toLowerCase)
+    def brute(str: String, k: Int, w: Int): Seq[Long] = {
+      if (str.length < k + w - 1) return Seq.empty
+      val md = MessageDigest.getInstance("MD5")
+      val keys = (0 to str.length - k).map { p =>
+        val d = md.digest(str.substring(p, p + k).getBytes("UTF-8"))
+        val h = (0 until 5).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+        h * 1048576L + (1048575L - (p + 1))
+      }
+      // window minima, dedupe contiguous repeats (keys are unique so
+      // contiguous dedup == total dedup)
+      val sels = (0 to keys.length - w).map(j => keys.slice(j, j + w).min)
+      sels.foldLeft(Vector.empty[Long])((acc, x) =>
+        if (acc.nonEmpty && acc.last == x) acc else acc :+ x)
+    }
+    check(Prop.forAll(textGen, Gen.choose(1, 6), Gen.choose(1, 5)) {
+      (str, k, w) =>
+        val got = WinnowKeys.select(
+          org.apache.spark.unsafe.types.UTF8String.fromString(str), k, w)
+          .toLongArray().toSeq
+        got == brute(str, k, w)
+    })
+  }
+
+  test("CdcBoundaries kernel == the md5-prefix definition on random " +
+      "token lists; boundaries are sorted interior positions") {
+    import graft.functions.CdcBoundaries
+    import java.security.MessageDigest
+    def brute(toks: Seq[String], w: Int, m: Int): Seq[Int] = {
+      if (toks.length < w + 1) return Seq.empty
+      val md = MessageDigest.getInstance("MD5")
+      (w to toks.length - 1).filter { j =>
+        val gram = toks.slice(j - w, j).mkString(" ")
+        val d = md.digest(gram.getBytes("UTF-8"))
+        val h16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        h16 % m == 0
+      }
+    }
+    check(Prop.forAll(tokenGen, Gen.choose(1, 5), Gen.choose(1, 8)) {
+      (toks, w, m) =>
+        val got = CdcBoundaries.boundaries(utf8Array(toks), w, m)
+          .toIntArray().toSeq
+        got == brute(toks, w, m) && got == got.sorted &&
+          got.forall(j => j >= w && j <= toks.length - 1)
+    })
+  }
+
+  test("DotCodes kernel == the integer fold; null contract on length " +
+      "mismatch") {
+    import graft.functions.DotCodes
+    val xs = Gen.listOf(Gen.choose(-128L, 127L))
+    check(Prop.forAll(xs, xs) { (a, b) =>
+      val ga = longArray(a); val gb = longArray(b)
+      val got = DotCodes.dotOrNull(ga, gb)
+      if (a.length != b.length) got == null
+      else got == a.zip(b).map { case (x, y) => x * y }.sum
+    })
+  }
 }
