@@ -6,21 +6,29 @@ import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.text.{Fingerprint, SftOps}
 
-/** Round-16 additions — two new first-class pipeline surfaces:
+/** Round-16 additions — three new first-class pipeline surfaces:
   *
   *   - winnowing fingerprints ([[Fingerprint]]) — MOSS-style local
   *     similarity with the k+w−1 coverage guarantee, the
   *     position-aware complement to MinHash (whole-doc) and
-  *     exact-substring (contiguous-run) dedup;
+  *     exact-substring (contiguous-run) dedup; with the full family:
+  *     overlap pairs, match LOCATIONS, asymmetric containment,
+  *     incremental index probe, and CC keep-one dedup (the first
+  *     arbitrary-topology component graph under the gate);
   *   - SFT conversation preparation ([[SftOps]]) — loss-mask span
-  *     emission over rendered chat sequences and whole-turn
-  *     context-window truncation.
+  *     emission over rendered chat sequences, whole-turn
+  *     context-window truncation, and DPO preference-pair
+  *     construction;
+  *   - the mixing feedback edge ([[graft.text.MixPlanner
+  *     .reweightByLoss]]) — linearized DoReMi over held-out backoff-LM
+  *     loss.
   *
   * Exactness: winnowing is 60-bit packed-integer algebra over md5
   * prefixes (both engines agree on md5); SFT spans are integer window
-  * cumsums over string lengths; the truncation receipt is an integer
-  * suffix-sum. Zero float surface anywhere — every oracle replays the
-  * full semantics.
+  * cumsums over string lengths; truncation and reweighting are integer
+  * suffix-sums/ratios; preference pairing rides the round(q·1e6)
+  * integer quality order. Zero float surface anywhere — every oracle
+  * replays the full semantics.
   */
 object Round16Queries {
 
