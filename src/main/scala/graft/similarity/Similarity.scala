@@ -367,12 +367,19 @@ object Similarity {
                    iters: Int = 2): (DataFrame, DataFrame) = {
     require(maxCellSize > 0 && subK > 1,
       s"maxCellSize=$maxCellSize must be > 0 and subK=$subK > 1")
-    val bigIds = index.groupBy(col("centroid_id"))
+    // stage the codes index: FOUR consumers below (size census, kept
+    // slice, fat slice feeding k-means AND the reassignment) — unstaged,
+    // each re-ran the caller's whole assignment lineage (measured: the
+    // gate query spent most of its 5s re-deriving ivfAssign per
+    // consumer). An already-materialized index (loaded parquet) pays
+    // one cheap re-cache.
+    val idx = index.localCheckpoint(true)
+    val bigIds = idx.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") > maxCellSize)
       .select(col("centroid_id"))
-    val small = index.join(broadcast(bigIds), Seq("centroid_id"), "left_anti")
-    val big = index.join(broadcast(bigIds), Seq("centroid_id"), "left_semi")
+    val small = idx.join(broadcast(bigIds), Seq("centroid_id"), "left_anti")
+    val big = idx.join(broadcast(bigIds), Seq("centroid_id"), "left_semi")
     val subs = KMeans.fitGrouped(
       big.select(col("centroid_id").as("grp"), col("vec_id"),
         col("embedding")), subK, iters)
