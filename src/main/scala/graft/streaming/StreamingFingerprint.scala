@@ -46,4 +46,59 @@ object StreamingFingerprint {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** Full streaming ADMISSION loop — the corpus-maintenance shape:
+    * each micro-batch probes the CURRENT index, docs with any
+    * qualifying pair (against the index or an earlier batch-mate) are
+    * rejected, and the survivors' fingerprints fold in before the next
+    * trigger. Per batch the sink receives one decision row per doc:
+    * `(id, admitted, n_pairs)`.
+    *
+    * The index evolves driver-side across triggers; each fold-in is
+    * localCheckpoint'ed so batch N+1's probe reads a materialized
+    * index instead of N batches of stacked lineage (the
+    * [[graft.similarity.DedupClusters]] truncation discipline). At
+    * scale the same loop runs against a PERSISTED index path with
+    * [[Fingerprint.saveIndex]]-to-new-path-and-swap between triggers —
+    * this in-memory form is the single-driver variant, and its
+    * decisions equal the batch-sequential reference loop exactly
+    * (spec-pinned).
+    */
+  def admit(docs: DataFrame, initialIndex: DataFrame,
+            idCol: String, textCol: String, k: Int, w: Int,
+            minShared: Int, maxBucket: Int = 0,
+            availableNow: Boolean = false)
+           (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    // mutable across triggers; foreachBatch runs serially per query
+    var index = initialIndex.localCheckpoint(true)
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val pairs = Fingerprint.pairsAgainstIndex(b, index, idCol,
+          textCol, k, w, minShared, maxBucket)
+        // per-edge keep-one, the repo-wide dedup convention (see
+        // SemanticDedupSpec's "per-edge, not transitive" law): the
+        // HIGHER id of every qualifying pair is rejected. Under the
+        // monotonic-ingest invariant (new ids > indexed ids — the
+        // semanticDedupAgainstIndex contract) the indexed side is
+        // always id_a, so exactly the batch dups reject.
+        val pairCounts = pairs
+          .groupBy(col("id_b").as("id"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val decisions = b.select(col(idCol).cast("long").as("id"))
+          .join(pairCounts, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+          .withColumn("admitted", col("n_pairs") === 0L)
+          .select(col("id"), col("admitted"), col("n_pairs"))
+        index = Fingerprint.foldIntoIndex(index, b, idCol, textCol, k, w,
+            rejectIds = decisions.filter(!col("admitted")).select(col("id")))
+          .localCheckpoint(true)
+        sink(decisions, batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
 }
