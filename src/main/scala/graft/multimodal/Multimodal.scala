@@ -185,4 +185,100 @@ object Multimodal {
       (m.media_id, v)
     }.toDF("media_id", "embedding")
   }
+
+  case class PHashRow(media_id: Long, n_bytes: Int, phash: Long)
+
+  /** Blockhash perceptual signature over the decoded intensity plane: the
+    * byte sequence is striped into `blocks` contiguous blocks (byte i →
+    * block ⌊i·blocks/n⌋), and bit b is set iff block b's mean intensity
+    * exceeds the whole-image mean. The comparison is the integer
+    * cross-multiplication `blockSum·n > total·blockLen` — no division, so
+    * the signature is bit-exact across engines. Near-duplicate images
+    * (crops excepted) differ in a handful of blocks → small hamming
+    * distance, which [[graft.similarity.Similarity.simhashPairsFromSigs]]
+    * turns into banded candidate pairs without an all-pairs scan.
+    *
+    * `blocks` ≤ 60 keeps every set bit below the sign bit, so the packed
+    * BIGINT round-trips through any engine without sign/overflow quirks
+    * (same 60-bit budget as the winnowing fingerprint packing).
+    * Magnitude bound: `blockSum·n ≤ 255·n²` stays inside Int64 for images
+    * up to ~190 MB — far above any single decoded plane we'd batch.
+    */
+  private[graft] def pHash(body: Array[Byte], blocks: Int): Long = {
+    val n = body.length
+    if (n == 0) return 0L
+    val bSum = new Array[Long](blocks)
+    val bLen = new Array[Long](blocks)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * blocks) / n).toInt
+      val v = body(i) & 0xff
+      bSum(b) += v; bLen(b) += 1; total += v
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < blocks) {
+      if (bSum(b) * n > total * bLen(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** Per-image perceptual hash, batched per partition (the codec
+    * boundary, same shape as [[imageFeatures]]). Map-only: signatures
+    * shuffle, payloads never do. */
+  def imagePHash(media: Dataset[MediaRow], blocks: Int = 60): Dataset[PHashRow] = {
+    require(blocks >= 1 && blocks <= 60, s"blocks=$blocks must be in [1, 60]")
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val (_, _, _, body) = FakeCodec.decode(m.payload)
+        PHashRow(m.media_id, body.length, pHash(body, blocks))
+      }
+    }
+  }
+
+  case class FrameStat(media_id: Long, frame_idx: Int, slice_len: Int, fsum: Long)
+
+  /** Per-frame intensity sums for every frame (stride-1 twin of
+    * [[sampleFrames]]' slicing: sliceLen = ⌊bytes/nFrames⌋, frame f =
+    * body[f·sliceLen, (f+1)·sliceLen)). Integer sums keep the feature
+    * cross-engine exact; one output row per frame, payloads stay inside
+    * the partition. */
+  def frameStats(media: Dataset[MediaRow]): Dataset[FrameStat] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { m =>
+        val (_, _, _, body) = FakeCodec.decode(m.payload)
+        val sliceLen = if (m.n_frames == 0) 0 else body.length / m.n_frames
+        (0 until m.n_frames).iterator.map { f =>
+          var s = 0L
+          var j = f * sliceLen
+          val end = math.min(j + sliceLen, body.length)
+          while (j < end) { s += body(j) & 0xff; j += 1 }
+          FrameStat(m.media_id, f, sliceLen, s)
+        }
+      }
+    }
+  }
+
+  /** Scene-cut detection: a cut lands at frame f > 0 iff the absolute
+    * frame-sum delta exceeds `tau` intensity units *per byte* of frame —
+    * i.e. |Σf − Σf₋₁| > tau·sliceLen, all-integer. The decode stage emits
+    * one (media_id, frame_idx, fsum) row per frame; the delta is a plain
+    * lag window per video (ONE hash shuffle on media_id, per-video frame
+    * counts are codec-bounded so no skew concern). A real pipeline swaps
+    * the stub frame sum for a perceptual frame descriptor; the
+    * lag-compare plumbing is unchanged. */
+  def sceneCuts(media: Dataset[MediaRow], tau: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    frameStats(media).toDF()
+      .withColumn("delta", abs(col("fsum") - lag(col("fsum"), 1).over(w)))
+      .filter(col("frame_idx") > 0)
+      .select(col("media_id"), col("frame_idx"), col("fsum"), col("delta"),
+        (col("delta") > col("slice_len").cast("long") * tau).as("is_cut"))
+  }
 }
