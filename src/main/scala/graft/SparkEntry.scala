@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.Round13Queries.queries ++
       graft.queries.Round14Queries.queries ++
       graft.queries.Round15Queries.queries ++
-      graft.queries.Round16Queries.queries
+      graft.queries.Round16Queries.queries ++
+      graft.queries.Round17Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.queries.Round13Queries.oracleSql ++
       graft.queries.Round14Queries.oracleSql ++
       graft.queries.Round15Queries.oracleSql ++
-      graft.queries.Round16Queries.oracleSql
+      graft.queries.Round16Queries.oracleSql ++
+      graft.queries.Round17Queries.oracleSql
 }

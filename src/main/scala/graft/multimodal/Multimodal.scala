@@ -195,17 +195,35 @@ object Multimodal {
     * cross-multiplication `blockSum·n > total·blockLen` — no division, so
     * the signature is bit-exact across engines. Near-duplicate images
     * (crops excepted) differ in a handful of blocks → small hamming
-    * distance, which [[graft.similarity.Similarity.simhashPairsFromSigs]]
-    * turns into banded candidate pairs without an all-pairs scan.
+    * distance; [[pHashPairs]] turns that into banded candidate pairs
+    * without an all-pairs scan.
+    *
+    * BAND-SKEW WARNING: bit b of the raw signature is block b, so only
+    * the LOW `blocks` bits are informative and the top `64-blocks` bits
+    * are constant zero. Feeding this raw value to a banded LSH that
+    * buckets on fixed 16-bit fields (e.g.
+    * [[graft.similarity.Similarity.simhashPairsFromSigs]], which bands on
+    * bits 48-63, 32-47, ...) would make the high band constant for
+    * `blocks` <= 48 — every image in one bucket, quadratic candidates —
+    * and leave it with only `blocks-48` informative bits otherwise. Use
+    * [[pHashPairs]], which first spreads the `blocks` informative bits
+    * evenly across the 64-bit word ([[spreadTo64]], hamming-preserving)
+    * so every band carries ~`blocks/4` informative bits.
     *
     * `blocks` ≤ 60 keeps every set bit below the sign bit, so the packed
     * BIGINT round-trips through any engine without sign/overflow quirks
     * (same 60-bit budget as the winnowing fingerprint packing).
-    * Magnitude bound: `blockSum·n ≤ 255·n²` stays inside Int64 for images
-    * up to ~190 MB — far above any single decoded plane we'd batch.
+    * Magnitude bound: `blockSum·n` is at most `255·n²`, which stays
+    * inside Int64 only for `n` up to ~190 MB — so that bound is ENFORCED:
+    * an oversized plane fails loudly instead of silently wrapping into
+    * wrong bits.
     */
+  private[graft] val MaxPHashBytes: Int = 190000000
+
   private[graft] def pHash(body: Array[Byte], blocks: Int): Long = {
     val n = body.length
+    require(n <= MaxPHashBytes,
+      s"pHash body of $n bytes exceeds $MaxPHashBytes (blockSum*n would overflow Int64)")
     if (n == 0) return 0L
     val bSum = new Array[Long](blocks)
     val bLen = new Array[Long](blocks)
@@ -239,6 +257,47 @@ object Multimodal {
       }
     }
   }
+
+  /** Spread the low `blocks` informative bits of a raw [[pHash]] evenly
+    * across the 64-bit word: bit b moves to position ⌊b·64/blocks⌋. The
+    * placement is injective (64/blocks ≥ 1), so hamming distance between
+    * any two signatures is EXACTLY preserved — and with the default
+    * blocks=60 each of the four 16-bit LSH bands receives 15 informative
+    * bits, closing the constant-zero / starved high band the raw packing
+    * would hand [[graft.similarity.Similarity.simhashPairsFromSigs]].
+    * Highest used position is ⌊(blocks−1)·64/blocks⌋ ≤ 62, so the sign
+    * bit stays clear and the value round-trips any engine's BIGINT. */
+  private[graft] def spreadTo64(h: Long, blocks: Int): Long = {
+    var out = 0L
+    var b = 0
+    while (b < blocks) {
+      if (((h >>> b) & 1L) != 0L) out |= 1L << ((b * 64) / blocks)
+      b += 1
+    }
+    out
+  }
+
+  /** `(id, simhash)` signatures ready for the banded LSH: raw block-hash
+    * bits spread via [[spreadTo64]], columns named for
+    * [[graft.similarity.Similarity.simhashPairsFromSigs]]'s contract. */
+  def pHashSigs(media: Dataset[MediaRow], blocks: Int = 60): DataFrame = {
+    import media.sparkSession.implicits._
+    imagePHash(media, blocks)
+      .map(r => (r.media_id, spreadTo64(r.phash, blocks)))
+      .toDF("id", "simhash")
+  }
+
+  /** Near-duplicate image pairs at hamming ≤ `maxHamming`, via the same
+    * multi-probe 16-bit-block LSH the text simhash path uses — banded
+    * candidates, NOT an all-pairs scan, with the pigeonhole recall
+    * guarantee (exact at hamming ≤ numProbes−1). Returns
+    * `(id_a, id_b, hamming)` where ids are media ids and hamming is
+    * measured on the spread signatures — identical to hamming on the raw
+    * block hashes because [[spreadTo64]] is an injective bit placement. */
+  def pHashPairs(media: Dataset[MediaRow], blocks: Int = 60,
+                 maxHamming: Int = 3, numProbes: Int = 4): DataFrame =
+    graft.similarity.Similarity.simhashPairsFromSigs(
+      pHashSigs(media, blocks), maxHamming, numProbes)
 
   case class FrameStat(media_id: Long, frame_idx: Int, slice_len: Int, fsum: Long)
 

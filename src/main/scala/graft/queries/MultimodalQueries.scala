@@ -46,6 +46,48 @@ object MultimodalQueries {
       Multimodal.imageFeatures(resized).toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
         .orderBy(col("media_id"))
+    }),
+
+    // Blockhash perceptual signature per image — the oracle replays the
+    // integer block-mean bit test byte-for-byte (ASCII corpus: unicode(c)
+    // == byte), so a single miscounted byte or block boundary flips bits.
+    "m_phash" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(load(s, dir, "documents"))
+      Multimodal.imagePHash(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("phash"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Near-dup image pairs via the multi-probe banded LSH (pigeonhole-
+    // exact at hamming <= 3, so the banded result EQUALS the oracle's
+    // all-pairs xor/bit_count scan). The corpus plants SQL-replayable
+    // duplicates: exact copies (hamming 0 guaranteed) and last-byte
+    // tweaks (hamming = whatever the block math says — both engines
+    // compute it independently).
+    "m_phash_pairs" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      val copies = base.filter(col("doc_id") % 21 === 0)
+        .select((col("doc_id") + 999999).as("doc_id"), col("text"), col("n_chars"))
+      val tweaked = base.filter(col("doc_id") % 21 === 6)
+        .select((col("doc_id") + 1999998).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("~")).as("text"),
+          col("n_chars"))
+      val media = Multimodal.mediaFromDocuments(
+        base.unionByName(copies).unionByName(tweaked))
+      Multimodal.pHashPairs(media)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Scene cuts: per-frame intensity sums -> lag delta vs tau*sliceLen.
+    // One hash shuffle on media_id (the lag window); frame extraction
+    // stays inside the codec partition pass.
+    "m_scene_cuts" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(load(s, dir, "documents"))
+      Multimodal.sceneCuts(media, tau = 40)
+        .withColumn("is_cut", col("is_cut").cast("int"))
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -77,6 +119,68 @@ object MultimodalQueries {
     "m_resize_roundtrip" ->
       """SELECT doc_id AS media_id, 224 AS width, 224 AS height,
         |  CAST(length(text) AS INTEGER) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m_phash" ->
+      """WITH img AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |ch AS (SELECT doc_id, n, ((i - 1) * 60) // n AS b,
+        |              CAST(unicode(text[i]) AS BIGINT) AS v
+        |       FROM img, unnest(range(1, n + 1)) AS t(i)),
+        |blk AS (SELECT doc_id, n, b, SUM(v) AS bsum, COUNT(*) AS blen
+        |        FROM ch GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, SUM(v) AS total FROM ch GROUP BY 1)
+        |SELECT blk.doc_id AS media_id, CAST(MAX(blk.n) AS INTEGER) AS n_bytes,
+        |  CAST(SUM(CASE WHEN bsum * blk.n > total * blen
+        |       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
+        |FROM blk JOIN tot USING (doc_id)
+        |GROUP BY blk.doc_id
+        |ORDER BY media_id""".stripMargin,
+    "m_phash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 999999, text FROM documents WHERE doc_id % 21 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1999998, substr(text, 1, length(text) - 1) || '~'
+        |  FROM documents WHERE doc_id % 21 = 6
+        |),
+        |img AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |        FROM corpus WHERE doc_id % 3 = 0),
+        |ch AS (SELECT doc_id, n, ((i - 1) * 60) // n AS b,
+        |              CAST(unicode(text[i]) AS BIGINT) AS v
+        |       FROM img, unnest(range(1, n + 1)) AS t(i)),
+        |blk AS (SELECT doc_id, n, b, SUM(v) AS bsum, COUNT(*) AS blen
+        |        FROM ch GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, SUM(v) AS total FROM ch GROUP BY 1),
+        |ph AS (SELECT blk.doc_id,
+        |         CAST(SUM(CASE WHEN bsum * blk.n > total * blen
+        |              THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS h
+        |       FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "m_scene_cuts" ->
+      """WITH vid AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |                    CAST(n_chars % 30 + 1 AS BIGINT) AS nf
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |v2 AS (SELECT doc_id, text, n, nf, n // nf AS sl FROM vid),
+        |chars AS (SELECT doc_id, (i - 1) // sl AS f,
+        |                 CAST(unicode(text[i]) AS BIGINT) AS v
+        |          FROM v2, unnest(range(1, n + 1)) AS t(i)
+        |          WHERE sl > 0 AND (i - 1) // sl < nf),
+        |frames AS (SELECT doc_id, f, sl FROM v2, unnest(range(0, nf)) AS t(f)),
+        |sums AS (SELECT fr.doc_id, fr.f, fr.sl, COALESCE(SUM(c.v), 0) AS fsum
+        |         FROM frames fr LEFT JOIN chars c
+        |           ON c.doc_id = fr.doc_id AND c.f = fr.f
+        |         GROUP BY 1, 2, 3),
+        |lagd AS (SELECT doc_id, f, sl, fsum,
+        |                ABS(fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+        |         FROM sums)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(fsum AS BIGINT) AS fsum, CAST(delta AS BIGINT) AS delta,
+        |  CAST(CASE WHEN delta > sl * 40 THEN 1 ELSE 0 END AS INTEGER) AS is_cut
+        |FROM lagd WHERE f > 0 ORDER BY media_id, frame_idx""".stripMargin
   )
 }

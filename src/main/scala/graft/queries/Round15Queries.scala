@@ -512,7 +512,7 @@ object Round15Queries {
     * label-propagation oracles (the cdcSql convention). The cell walk
     * (`rn <= nprobe` over the (distance, centroid_id) order) replays
     * the engine's in-row `array_sort` probe bit-for-bit. */
-  private def knnGraphCtes(k: Int, nprobe: Int): String = {
+  private[queries] def knnGraphCtes(k: Int, nprobe: Int): String = {
     def cos(a: String, b: String) = Round13Queries.cosSql(a, b)
     s"""cents AS (
        |  SELECT vec_id AS centroid_id, embedding AS centroid

@@ -248,6 +248,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Matryoshka (MRL) prefix truncation: keep the first `dims`
+    * components. Nested-representation training orders information
+    * front-to-back, so the prefix is itself a usable lower-cost
+    * embedding — at 100 TB the prefix lives as its own (pruned) parquet
+    * column and the coarse stage reads `dims/64` of the vector bytes. */
+  def truncateDims(df: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, s"truncateDims: dims=$dims must be >= 1")
+    df.withColumn("embedding", slice(col("embedding"), 1, dims))
+  }
+
+  /** Two-stage Matryoshka retrieval: a prefix-`dims` cosine scan
+    * shortlists `shortlist` candidates per query (reading a fraction of
+    * the vector bytes), then the full-dimension cosine reranks the
+    * shortlist to top-k — the standard MRL serving funnel. The rerank
+    * join touches only `queries × shortlist` rows, so full vectors are
+    * fetched for a vanishing fraction of the corpus; ties break on
+    * neighbor_id at both stages (the [[bruteTopK]] convention), which
+    * makes the whole funnel SQL-replayable. Exact when the true top-k
+    * survive the shortlist; `shortlist = corpus size` degenerates to
+    * [[bruteTopK]] (spec-pinned). */
+  def mrlTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+              shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"mrlTopK: shortlist=$shortlist must be >= k=$k")
+    val coarse = bruteTopK(truncateDims(queries, dims),
+        truncateDims(corpus, dims), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    coarse.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** In-degree of every node of a kNN graph (output of [[knnGraph]] /
+    * [[knnGraphAdjacent]] / [[bruteTopK]]): how often a vector appears
+    * in other vectors' top-k — the hubness diagnostic. High-hub nodes
+    * dominate retrieval results and semantic-dedup deletions; a skewed
+    * in-degree histogram is the standard symptom of un-normalized or
+    * degenerate embedding spaces. Nodes never retrieved get in_degree
+    * 0 via the left join from the query side (every corpus vector
+    * queries, so the query side enumerates the node set). */
+  def knnInDegree(graph: DataFrame): DataFrame = {
+    val nodes = graph.select(col("query_id").as("vec_id")).distinct()
+    val deg = graph.groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    nodes.join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
   /** Random-hyperplane LSH bucket id: numPlanes sign bits of dot(v, plane),
     * planes derived deterministically from xxhash64 (component j of plane p
     * is ±1 by hash parity) — no trained state to ship. Native fused kernel;

@@ -64,4 +64,122 @@ class MultimodalSpec extends SparkTestBase {
     val df = Multimodal.featurize(media, 16)
     assert(df.filter(size(col("embedding")) =!= 16).count() == 0)
   }
+
+  // ------------------------------------------------------------ pHash
+
+  test("pHash implements the block-mean bit test on a hand-built body") {
+    // [0,0,255,255] blocks=2: total=510 (mean 127.5). Block 0 sum 0 ->
+    // 0*4 > 510*2 false; block 1 sum 510 -> 510*4 > 510*2 true -> h=2.
+    val body = Array[Byte](0, 0, -1, -1) // -1 = 0xff unsigned 255
+    assert(Multimodal.pHash(body, 2) == 2L)
+    // uniform body: no block mean strictly exceeds the global mean
+    assert(Multimodal.pHash(Array.fill[Byte](100)(42), 60) == 0L)
+    // empty body is defined as 0
+    assert(Multimodal.pHash(Array.empty[Byte], 60) == 0L)
+    // deterministic
+    val b2 = "some stable pixel bytes".getBytes("UTF-8")
+    assert(Multimodal.pHash(b2, 60) == Multimodal.pHash(b2.clone(), 60))
+  }
+
+  test("pHash enforces the Int64 cross-multiplication bound") {
+    val over = new Array[Byte](Multimodal.MaxPHashBytes + 1)
+    intercept[IllegalArgumentException] { Multimodal.pHash(over, 60) }
+  }
+
+  test("spreadTo64 preserves hamming and feeds every 16-bit band") {
+    val rnd = new scala.util.Random(7)
+    val hs = Seq.fill(50)(rnd.nextLong() & ((1L << 60) - 1))
+    for (a <- hs.take(10); b <- hs.take(10)) {
+      assert(java.lang.Long.bitCount(a ^ b) ==
+        java.lang.Long.bitCount(Multimodal.spreadTo64(a, 60) ^
+          Multimodal.spreadTo64(b, 60)))
+    }
+    // every one of the four 16-bit LSH blocks gets 15 informative bits
+    val positions = (0 until 60).map(b => (b * 64) / 60)
+    assert(positions.distinct.size == 60) // injective placement
+    for (block <- 0 until 4) {
+      val inBlock = positions.count(p => p >= 16 * block && p < 16 * (block + 1))
+      assert(inBlock == 15, s"block $block got $inBlock informative bits")
+    }
+    // the raw packing starves the top band (constant zero for blocks<=48);
+    // the spread packing populates it
+    val raw48 = hs.map(_ & ((1L << 48) - 1))
+    assert(raw48.map(_ >>> 48).distinct.size == 1) // all collide: bucket 0
+    // spreading lifts raw bits 45-47 into the top block: up to 2^3
+    // buckets from a 48-bit hash (vs exactly 1 raw), and a full-width
+    // 60-bit hash spreads 15 bits there
+    val spreadTop = raw48.map(h => Multimodal.spreadTo64(h, 60) >>> 48)
+    assert(spreadTop.distinct.size > 4)
+    val spreadTopFull = hs.map(h => Multimodal.spreadTo64(h, 60) >>> 48)
+    assert(spreadTopFull.distinct.size > 40)
+  }
+
+  test("pHashPairs finds identical images and skips unrelated ones") {
+    import spark.implicits._
+    def mk(id: Long, body: Array[Byte]) = Multimodal.MediaRow(
+      id, "image", Multimodal.FakeCodec.encode(8, 8, 0, body), 8, 8, 0, 1)
+    val a = "the same decoded plane, byte for byte, long enough to spread"
+      .getBytes("UTF-8")
+    val b = "a completely different image body with other intensity layout!!"
+      .getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(mk(1, a), mk(2, a.clone()), mk(3, b)))
+      .repartition(2)
+    val pairs = Multimodal.pHashPairs(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exact-at-hamming<=3 contract: the banded result equals the
+    // all-pairs reference computed locally from the same raw hashes
+    val h = Map(1L -> Multimodal.pHash(a, 60), 2L -> Multimodal.pHash(a, 60),
+      3L -> Multimodal.pHash(b, 60))
+    val want = (for {
+      x <- h.keys; y <- h.keys if x < y
+      d = java.lang.Long.bitCount(h(x) ^ h(y)) if d <= 3
+    } yield (x, y, d)).toSet
+    assert(pairs == want)
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
+  // ------------------------------------------- frameStats / sceneCuts
+
+  test("frameStats sums equal sampleFrames slice sums at stride 1") {
+    import spark.implicits._
+    val stats = Multimodal.frameStats(media).toDF()
+      .select(col("media_id"), col("frame_idx"), col("fsum"))
+    val sliced = Multimodal.sampleFrames(media, every = 1).toDF()
+      .select(col("media_id"), col("frame_idx"),
+        aggregate(transform(split(hex(col("frame_payload")), "(?<=\\G..)"),
+          s => when(s =!= "", conv(s, 16, 10).cast("long")).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("psum"))
+    val joined = stats.join(sliced, Seq("media_id", "frame_idx"), "full_outer")
+    assert(joined.filter(col("fsum").isNull || col("psum").isNull ||
+      col("fsum") =!= col("psum")).count() == 0)
+  }
+
+  test("sceneCuts flags exactly the planted frame-sum jump") {
+    import spark.implicits._
+    // 3 frames of 10 bytes: [0]*10, [0]*10, [100]*10 -> sums 0, 0, 1000.
+    val body = Array.fill[Byte](10)(0) ++ Array.fill[Byte](10)(0) ++
+      Array.fill[Byte](10)(100)
+    val row = Multimodal.MediaRow(7L, "video",
+      Multimodal.FakeCodec.encode(4, 4, 0, body), 4, 4, 0, 3)
+    val ds = spark.createDataset(Seq(row)).repartition(2)
+    // tau=5: threshold 5*10=50. Frame 1 delta 0 (no cut), frame 2 delta
+    // 1000 (cut).
+    val got = Multimodal.sceneCuts(ds, tau = 5).orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq((1, 0L, 0L, false), (2, 1000L, 1000L, true)))
+  }
+
+  test("audioWindows splits clips into fixed windows with integer energy") {
+    import spark.implicits._
+    val body = Array.tabulate[Byte](1000)(i => (i % 7).toByte)
+    val row = Multimodal.MediaRow(9L, "audio",
+      Multimodal.FakeCodec.encode(0, 0, 16000, body), 0, 0, 16000, 1)
+    val ds = spark.createDataset(Seq(row)).repartition(2)
+    val got = Multimodal.audioWindows(ds, window = 400).orderBy("window_idx")
+      .collect().map(w => (w.window_idx, w.n_samples, w.energy))
+    val want = body.grouped(400).zipWithIndex
+      .map { case (c, i) => (i, c.length, c.map(_ & 0xff).map(_.toLong).sum) }
+      .toSeq
+    assert(got.toSeq == want)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+class LateInteractionSpec extends SparkTestBase {
+
+  test("maxSim computes sum-of-per-token-maxima on a hand corpus") {
+    import spark.implicits._
+    // Query 1 has two tokens: t0 = x-axis, t1 = y-axis.
+    // Doc 10 has tokens {x-axis, y-axis}: both query tokens find a
+    // perfect match -> score 2e6. Doc 20 has {x-axis, -y-axis}: t0
+    // matches (1e6), t1's best is max(cos=0 vs x, cos=-1 vs -y) = 0 ->
+    // score 1e6. Doc 30 has one diagonal token: each query token scores
+    // cos 45° = sqrt(0.5) -> 2*round(707107).
+    val x = Seq(1f, 0f); val y = Seq(0f, 1f); val ny = Seq(0f, -1f)
+    val diag = Seq(math.sqrt(0.5).toFloat, math.sqrt(0.5).toFloat)
+    val qv = Seq((1L, 0L, x), (1L, 1L, y))
+      .toDF("query_id", "token_idx", "embedding").repartition(2)
+    val dv = Seq((10L, 0L, x), (10L, 1L, y), (20L, 0L, x), (20L, 1L, ny),
+        (30L, 0L, diag))
+      .toDF("doc_id", "token_idx", "embedding").repartition(2)
+    val got = LateInteraction.maxSimTopK(qv, dv, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 10L, 2000000L), (2, 30L, 1414214L),
+      (3, 20L, 1000000L)))
+  }
+
+  test("maxSimRerank over the full candidate set equals maxSimTopK") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val qv = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") % 5).as("query_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+    val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+      col("vec_id").as("token_idx"), col("embedding"))
+    val full = LateInteraction.maxSimTopK(qv, dv, k = 3).collect().toSet
+    val allCand = qv.select("query_id").distinct()
+      .crossJoin(dv.select("doc_id").distinct())
+    val rer = LateInteraction.maxSimRerank(allCand, qv, dv, k = 3)
+      .collect().toSet
+    assert(rer == full)
+    assert(full.size == 15) // 5 queries x top-3
+  }
+
+  test("maxSimRerank scores only shortlisted docs") {
+    import spark.implicits._
+    val x = Seq(1f, 0f); val y = Seq(0f, 1f)
+    val qv = Seq((1L, 0L, x)).toDF("query_id", "token_idx", "embedding")
+      .repartition(2)
+    val dv = Seq((10L, 0L, x), (20L, 0L, y))
+      .toDF("doc_id", "token_idx", "embedding").repartition(2)
+    val cand = Seq((1L, 20L)).toDF("query_id", "doc_id").repartition(2)
+    val got = LateInteraction.maxSimRerank(cand, qv, dv, k = 5).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(20L)) // doc 10 never scored
+  }
+}
