@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowKeysDescriptor)
     ext.injectFunction(GraftExtensions.cdcBoundariesDescriptor)
     ext.injectFunction(GraftExtensions.dotCodesDescriptor)
+    ext.injectFunction(GraftExtensions.signedProjectDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -102,6 +103,20 @@ object GraftExtensions {
       require(children.length == 2,
         s"minhash_sig(gram_ids, k) takes 2 arguments, got ${children.length}")
       graft.functions.MinHashSig(children(0), litInt(children(1), "minhash_sig"))
+    })
+
+  val signedProjectDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("signed_project"),
+    new ExpressionInfo(classOf[graft.functions.SignedProjectExpr].getName,
+      "signed_project"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        s"signed_project(emb, dim_in, dim_out) takes 3 arguments, " +
+          s"got ${children.length}")
+      graft.functions.SignedProjectExpr(children(0),
+        litInt(children(1), "signed_project"),
+        litInt(children(2), "signed_project"))
     })
 
   val simhash64Descriptor: (FunctionIdentifier, ExpressionInfo,

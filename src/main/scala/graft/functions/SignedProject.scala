@@ -1,0 +1,124 @@
+package graft.functions
+
+import java.math.RoundingMode
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native signed-random-projection kernel — the codegen'd form of
+  * [[graft.similarity.RandomProjection]]'s per-row work. The declarative
+  * fold (`aggregate(zip_with(quantized, signs, _*_), 0L, _+_)` once per
+  * OUTPUT dim) is CodegenFallback: every element pays boxed-closure
+  * dispatch, and the whole quantization subtree re-evaluates once per
+  * output component (the minhashSignatureFold lesson — HOF inputs
+  * evaluate per row, lambda bodies per element, but a repeated
+  * aggregate's INPUT repeats per aggregate). This kernel quantizes each
+  * input component ONCE (`round(x·1e6)` with Spark's exact
+  * BigDecimal/HALF_UP semantics, so results are bit-identical to the
+  * fold and to the DuckDB oracle) and then runs `dimOut` primitive
+  * sign-sum loops.
+  *
+  * Contract (checked, not padded): input must be ARRAY<FLOAT> of length
+  * `dimIn` with no null elements — anything else yields NULL, loudly
+  * absent rather than silently wrong. The ±1 sign matrix is md5-parity
+  * of `"rp:i:j"` ([[graft.similarity.RandomProjection.sign]] — the one
+  * definition both engines implement), materialized once per plan and
+  * shipped as a reference object, never recomputed per row.
+  */
+case class SignedProjectExpr(child: Expression, dimIn: Int, dimOut: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "signed_project"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT>, got ${other.catalogString}")
+    }
+  }
+
+  @transient private lazy val signs: Array[Int] =
+    SignedProjectExpr.signMatrix(dimIn, dimOut)
+
+  override def nullSafeEval(input: Any): Any =
+    SignedProjectExpr.projectOrNull(
+      input.asInstanceOf[ArrayData], dimIn, dimOut, signs)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = graft.functions.SignedProjectExpr.projectOrNull(
+         |  $a, $dimIn, $dimOut, $signsRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignedProjectExpr = copy(child = newChild)
+}
+
+object SignedProjectExpr {
+
+  /** Flattened ±1 matrix, entry (i, j) at `i * dimOut + j`. */
+  def signMatrix(dimIn: Int, dimOut: Int): Array[Int] = {
+    val out = new Array[Int](dimIn * dimOut)
+    var i = 0
+    while (i < dimIn) {
+      var j = 0
+      while (j < dimOut) {
+        out(i * dimOut + j) = graft.similarity.RandomProjection.sign(i, j)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Spark `round(d)` for DoubleType, exactly: BigDecimal.valueOf +
+    * HALF_UP (NOT `floor(d + 0.5)`, whose double-rounding disagrees at
+    * values one ulp below a half). */
+  private def sparkRound(d: Double): Long =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Null on length mismatch or null element; otherwise the exact
+    * projected BIGINT components. */
+  def projectOrNull(a: ArrayData, dimIn: Int, dimOut: Int,
+                    signs: Array[Int]): ArrayData = {
+    if (a.numElements() != dimIn) return null
+    val q = new Array[Long](dimIn)
+    var i = 0
+    while (i < dimIn) {
+      if (a.isNullAt(i)) return null
+      q(i) = sparkRound(a.getFloat(i).toDouble * 1000000.0)
+      i += 1
+    }
+    val out = new Array[Long](dimOut)
+    var j = 0
+    while (j < dimOut) {
+      var s = 0L
+      var k = 0
+      while (k < dimIn) {
+        s += q(k) * signs(k * dimOut + j)
+        k += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def signed_project(emb: Column, dimIn: Int, dimOut: Int): Column =
+    ColumnBridge.column(
+      SignedProjectExpr(ColumnBridge.expression(emb), dimIn, dimOut))
+}

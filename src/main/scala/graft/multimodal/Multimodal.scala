@@ -295,9 +295,10 @@ object Multimodal {
     * measured on the spread signatures — identical to hamming on the raw
     * block hashes because [[spreadTo64]] is an injective bit placement. */
   def pHashPairs(media: Dataset[MediaRow], blocks: Int = 60,
-                 maxHamming: Int = 3, numProbes: Int = 4): DataFrame =
+                 maxHamming: Int = 3, numProbes: Int = 4,
+                 maxBucket: Int = 0): DataFrame =
     graft.similarity.Similarity.simhashPairsFromSigs(
-      pHashSigs(media, blocks), maxHamming, numProbes)
+      pHashSigs(media, blocks), maxHamming, numProbes, maxBucket)
 
   case class FrameStat(media_id: Long, frame_idx: Int, slice_len: Int, fsum: Long)
 
@@ -321,6 +322,84 @@ object Multimodal {
         }
       }
     }
+  }
+
+  case class VadSegment(media_id: Long, seg_idx: Int, start_w: Int,
+                        end_w: Int, n_windows: Int, seg_energy: Long)
+
+  /** Voice-activity segments: contiguous runs of audio windows whose
+    * mean sample value exceeds `tau` (integer test `energy >
+    * n_samples·tau` — division-free, engine-exact), the
+    * speech/silence segmentation every audio curation pipeline starts
+    * from. Islands form with the classic `window_idx − row_number`
+    * gaps-and-islands key (the q_sessionize shape) — ONE media_id hash
+    * shuffle end-to-end: the row_number window, the island aggregation,
+    * and the segment re-index all share that partitioning. A real VAD
+    * model swaps the energy test; the segmentation plumbing stays. */
+  def vadSegments(media: Dataset[MediaRow], window: Int, tau: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau >= 0, s"vadSegments: tau=$tau must be >= 0")
+    val byMedia = Window.partitionBy(col("media_id")).orderBy(col("window_idx"))
+    audioWindows(media, window).toDF()
+      .filter(col("energy") > col("n_samples").cast("long") * tau)
+      .withColumn("grp", col("window_idx") - row_number().over(byMedia))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("window_idx")).as("start_w"),
+        max(col("window_idx")).as("end_w"),
+        count(lit(1)).cast("int").as("n_windows"),
+        sum(col("energy")).as("seg_energy"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("start_w"))))
+      .select(col("media_id"), col("seg_idx"), col("start_w"), col("end_w"),
+        col("n_windows"), col("seg_energy"))
+  }
+
+  /** Per-frame perceptual signatures for video frames (the
+    * [[frameStats]] slicing: sliceLen = ⌊bytes/nFrames⌋), already
+    * spread for the banded LSH ([[spreadTo64]]). Zero-length frames
+    * (clip shorter than its frame count) are SKIPPED — their empty
+    * slices all hash to 0 and would cross-match as phantom dups.
+    * Map-only; one 8-byte signature per frame leaves the codec pass. */
+  def framePHashSigs(media: Dataset[MediaRow], blocks: Int = 60): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { m =>
+        val (_, _, _, body) = FakeCodec.decode(m.payload)
+        val sliceLen = if (m.n_frames == 0) 0 else body.length / m.n_frames
+        if (sliceLen == 0) Iterator.empty
+        else (0 until m.n_frames).iterator.map { f =>
+          val slice = java.util.Arrays.copyOfRange(body, f * sliceLen,
+            math.min((f + 1) * sliceLen, body.length))
+          (m.media_id, f, spreadTo64(pHash(slice, blocks), blocks))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "simhash")
+  }
+
+  /** Frame ids pack as `media_id·2²⁰ + frame_idx` for the bander. */
+  private[graft] val FramePack = 1048576L
+
+  /** Cross-video near-duplicate FRAMES — the content-ID shape: two
+    * videos sharing near-identical frames at hamming ≤ maxHamming,
+    * found by the same multi-probe banded LSH as [[pHashPairs]] over
+    * per-frame signatures (frame ids packed `media·2²⁰+frame`, the
+    * winnowing pack convention). Within-video pairs are dropped —
+    * self-similar frames are [[sceneCuts]]' business, cross-video
+    * matches are reuse/contamination evidence. */
+  def frameDupPairs(media: Dataset[MediaRow], blocks: Int = 60,
+                    maxHamming: Int = 3, numProbes: Int = 4,
+                    maxBucket: Int = 0): DataFrame = {
+    val sigs = framePHashSigs(media, blocks)
+      .select((col("media_id") * FramePack + col("frame_idx")).as("id"),
+        col("simhash"))
+    graft.similarity.Similarity
+      .simhashPairsFromSigs(sigs, maxHamming, numProbes, maxBucket)
+      .select(expr(s"id_a div $FramePack").as("media_a"),
+        (col("id_a") % FramePack).cast("int").as("frame_a"),
+        expr(s"id_b div $FramePack").as("media_b"),
+        (col("id_b") % FramePack).cast("int").as("frame_b"),
+        col("hamming").cast("int").as("hamming"))
+      .filter(col("media_a") =!= col("media_b"))
   }
 
   /** Scene-cut detection: a cut lands at frame f > 0 iff the absolute

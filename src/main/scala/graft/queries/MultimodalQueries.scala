@@ -80,6 +80,31 @@ object MultimodalQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Voice-activity segments: threshold windows (mean byte > 94, the
+    // integer cross-multiplication) -> gaps-and-islands runs per clip.
+    // One media_id shuffle end-to-end.
+    "m_vad_segments" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(load(s, dir, "documents"))
+      Multimodal.vadSegments(media, window = 400, tau = 94)
+        .orderBy(col("media_id"), col("seg_idx"))
+    }),
+
+    // Cross-video near-dup FRAMES (content-ID): per-frame blockhash
+    // signatures through the banded LSH; planted full-video copies
+    // guarantee hamming-0 frame matches. Pigeonhole-exact at hamming<=3,
+    // so the banded result equals the oracle's all-pairs scan.
+    "m_frame_dedup" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").filter(col("doc_id") < 500)
+      val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      val copies = base.filter(col("doc_id") % 21 === 2)
+        .select((col("doc_id") + 999999).as("doc_id"), col("text"),
+          col("n_chars"))
+      val media = Multimodal.mediaFromDocuments(base.unionByName(copies))
+      Multimodal.frameDupPairs(media)
+        .orderBy(col("media_a"), col("frame_a"), col("media_b"),
+          col("frame_b"))
+    }),
+
     // Scene cuts: per-frame intensity sums -> lag delta vs tau*sliceLen.
     // One hash shuffle on media_id (the lag window); frame extraction
     // stays inside the codec partition pass.
@@ -161,6 +186,65 @@ object MultimodalQueries {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "m_vad_segments" ->
+      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |ch AS (SELECT doc_id, (i - 1) // 400 AS w,
+        |              CAST(unicode(text[i]) AS BIGINT) AS v
+        |       FROM a, unnest(range(1, length(text) + 1)) AS t(i)),
+        |wins AS (SELECT doc_id, w, COUNT(*) AS n, SUM(v) AS e
+        |         FROM ch GROUP BY 1, 2),
+        |act AS (SELECT doc_id, w, e FROM wins WHERE e > n * 94),
+        |grp AS (SELECT doc_id, w, e,
+        |               w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w)
+        |                 AS g
+        |        FROM act),
+        |seg AS (SELECT doc_id, g, MIN(w) AS start_w, MAX(w) AS end_w,
+        |               COUNT(*) AS n_windows, SUM(e) AS seg_energy
+        |        FROM grp GROUP BY 1, 2)
+        |SELECT doc_id AS media_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_w)
+        |    AS INTEGER) AS seg_idx,
+        |  CAST(start_w AS INTEGER) AS start_w,
+        |  CAST(end_w AS INTEGER) AS end_w,
+        |  CAST(n_windows AS INTEGER) AS n_windows,
+        |  CAST(seg_energy AS BIGINT) AS seg_energy
+        |FROM seg ORDER BY media_id, seg_idx""".stripMargin,
+    "m_frame_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 999999, text, n_chars FROM documents
+        |  WHERE doc_id < 500 AND doc_id % 21 = 2
+        |),
+        |vid AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |               CAST(n_chars % 30 + 1 AS BIGINT) AS nf
+        |        FROM corpus WHERE doc_id % 3 = 2),
+        |v2 AS (SELECT doc_id, text, n, nf, n // nf AS sl
+        |       FROM vid WHERE n // nf > 0),
+        |ch AS (SELECT doc_id, (i - 1) // sl AS f,
+        |              (((i - 1) % sl) * 60) // sl AS b,
+        |              CAST(unicode(text[i]) AS BIGINT) AS v
+        |       FROM v2, unnest(range(1, n + 1)) AS t(i)
+        |       WHERE (i - 1) // sl < nf),
+        |blk AS (SELECT doc_id, f, b, SUM(v) AS bsum, COUNT(*) AS blen
+        |        FROM ch GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, f, SUM(v) AS total, COUNT(*) AS nn
+        |        FROM ch GROUP BY 1, 2),
+        |ph AS (SELECT blk.doc_id, blk.f,
+        |         CAST(SUM(CASE WHEN bsum * nn > total * blen
+        |              THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |              ELSE 0 END) AS BIGINT) AS h
+        |       FROM blk JOIN tot
+        |         ON tot.doc_id = blk.doc_id AND tot.f = blk.f
+        |       GROUP BY 1, 2)
+        |SELECT a.doc_id AS media_a, CAST(a.f AS INTEGER) AS frame_a,
+        |  b.doc_id AS media_b, CAST(b.f AS INTEGER) AS frame_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        |FROM ph a JOIN ph b
+        |  ON (a.doc_id * 1048576 + a.f) < (b.doc_id * 1048576 + b.f)
+        |  AND a.doc_id <> b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY media_a, frame_a, media_b, frame_b""".stripMargin,
     "m_scene_cuts" ->
       """WITH vid AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
         |                    CAST(n_chars % 30 + 1 AS BIGINT) AS nf

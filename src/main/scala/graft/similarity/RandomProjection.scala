@@ -41,9 +41,20 @@ object RandomProjection {
     transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
   /** The projected vector as an `array<bigint>` column expression —
-    * component j is Σᵢ round(xᵢ·1e6)·sign(i,j). Map-only; the sign
-    * matrix rides as plan literals. */
-  private def projectedVec(emb: Column, dimIn: Int, dimOut: Int): Column = {
+    * component j is Σᵢ round(xᵢ·1e6)·sign(i,j). Map-only. Primary
+    * implementation is the native codegen'd kernel
+    * ([[graft.functions.SignedProjectExpr]] — quantize once, then
+    * primitive sign-sum loops); [[projectedVecFold]] is the declarative
+    * reference semantics (bit-identical on well-formed input, asserted
+    * in RandomProjectionSpec; the fold re-evaluates the quantization
+    * subtree once per OUTPUT dim and pays boxed HOF dispatch — the
+    * measured 2.7× on the serving scan). */
+  private def projectedVec(emb: Column, dimIn: Int, dimOut: Int): Column =
+    graft.functions.SignedProjectExpr.signed_project(emb, dimIn, dimOut)
+
+  /** Declarative fold form — reference semantics for the kernel. */
+  private[similarity] def projectedVecFold(emb: Column, dimIn: Int,
+                                           dimOut: Int): Column = {
     val qv = quantized(emb)
     array((0 until dimOut).map { j =>
       val signs = array((0 until dimIn).map(i => lit(sign(i, j).toLong)): _*)
@@ -80,9 +91,11 @@ object RandomProjection {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     pc.join(pq, col("query_id") =!= col("neighbor_id"))
+      // per-PAIR integer dot is the hot path (corpus × queries rows) —
+      // the native DotCodes kernel, not a boxed zip_with fold; integer
+      // addition is associative so exactness is trivial either way
       .withColumn("score",
-        aggregate(zip_with(col("q_proj"), col("c_proj"), (a, b) => a * b),
-          lit(0L), (a, b) => a + b))
+        graft.functions.DotCodes.dot_codes(col("q_proj"), col("c_proj")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))

@@ -147,18 +147,19 @@ object Similarity {
     * several blocks dedup BEFORE the hamming evaluation.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, numProbes: Int = 4): DataFrame =
+                   maxHamming: Int = 3, numProbes: Int = 4,
+                   maxBucket: Int = 0): DataFrame =
     simhashPairsFromSigs(
       df.select(col(idCol).as("id"),
         TextOps.simhash64(TextOps.tokens(col(textCol))).as("simhash")),
-      maxHamming, numProbes)
+      maxHamming, numProbes, maxBucket)
 
   /** The banding/probe stage over precomputed `(id, simhash)` signatures —
     * the seam the multi-probe recall spec drives with hand-planted bit
     * patterns (text→simhash is a hash; specific bit differences can only
     * be planted at the signature level). */
   def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
-                           numProbes: Int = 4): DataFrame = {
+                           numProbes: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(numProbes >= 1 && numProbes <= 4,
       s"numProbes=$numProbes must be in [1, 4] (16-bit blocks of a 64-bit hash)")
     val probes = (0 until numProbes).map { t =>
@@ -166,10 +167,24 @@ object Similarity {
         shiftright(col("simhash"), 48 - 16 * t)
           .bitwiseAND(lit(0xFFFFL)).as("bucket"))
     }
-    val banded = sigs.select(col("id"), col("simhash"),
+    var banded = sigs.select(col("id"), col("simhash"),
       explode(array(probes: _*)).as("p"))
       .select(col("id"), col("simhash"), col("p.t").as("t"),
         col("p.bucket").as("bucket"))
+    // skew guard, [[minhashPairs]]' maxBucketSize contract: with
+    // CORRELATED signatures (short video frames, templated images) a
+    // probe block can go hot and one bucket's quadratic pair work
+    // straggles the stage; over-threshold buckets drop entirely — a
+    // DOCUMENTED recall trade (a pair is still found via any of its
+    // other numProbes-1 blocks, so the pigeonhole guarantee degrades
+    // gracefully rather than exactly). 0 = off (the exact default).
+    if (maxBucket > 0) {
+      val sizes = banded.groupBy("t", "bucket")
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= maxBucket)
+        .select("t", "bucket")
+      banded = banded.join(sizes, Seq("t", "bucket"), "left_semi")
+    }
     val l = banded.select(col("t"), col("bucket"), col("id").as("id_a"),
       col("simhash").as("sim_a"))
     val r = banded.select(col("t"), col("bucket"), col("id").as("id_b"),

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.{col, posexplode}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 import graft.similarity.Similarity
@@ -106,6 +107,35 @@ object StreamingAnn {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         sink(graft.similarity.Quantize.topKQuantWith(batch.toDF(), index,
           corpus, k, coarseFactor), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Streaming MaxSim late-interaction serving: per micro-batch of
+    * multi-token queries, rank the static token corpus with
+    * [[graft.similarity.LateInteraction.maxSimTopK]] — one code path
+    * with the batch scorer, so the integer-score oracle contract
+    * carries verbatim.
+    *
+    * Queries arrive ONE ROW PER QUERY — `(query_id, tokens
+    * ARRAY<ARRAY<FLOAT>>)` — so a query's token bag is batch-atomic BY
+    * CONSTRUCTION: token-per-row streaming input could split one
+    * query's tokens across triggers and silently score partial
+    * queries; the nested-array row makes that unrepresentable.
+    *
+    * @param docVecs static token corpus (doc_id, token_idx, embedding)
+    */
+  def serveMaxSim(queries: DataFrame, docVecs: DataFrame, k: Int,
+                  availableNow: Boolean = false)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val qv = batch.toDF().select(col("query_id"),
+          posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
+        sink(graft.similarity.LateInteraction.maxSimTopK(qv, docVecs, k),
+          batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -36,7 +36,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       GraftExtensions.zorderKeyDescriptor,
       GraftExtensions.winnowKeysDescriptor,
       GraftExtensions.cdcBoundariesDescriptor,
-      GraftExtensions.dotCodesDescriptor).foreach { case (ident, _, b) =>
+      GraftExtensions.dotCodesDescriptor,
+      GraftExtensions.signedProjectDescriptor).foreach { case (ident, _, b) =>
       ColumnBridge.registerFunction(spark, ident.funcName, b)
     }
 
@@ -111,5 +112,15 @@ class GraftExtensionsSpec extends SparkTestBase {
       "SELECT dot_codes(CAST(array(1, -2, 3) AS ARRAY<BIGINT>), " +
         "CAST(array(4, 5, 6) AS ARRAY<BIGINT>)) AS d").head.getLong(0)
     assert(dc == 4L - 10L + 18L)
+
+    // signed_project: SQL == Column API on a 4->2 projection
+    val pEmb = "CAST(array(0.5, -0.25, 0.125, 1.0) AS ARRAY<FLOAT>)"
+    val pSql = spark.sql(
+      s"SELECT signed_project($pEmb, 4, 2) AS p").head.getSeq[Long](0)
+    val pApi = spark.range(1)
+      .select(graft.functions.SignedProjectExpr.signed_project(
+        expr(pEmb), 4, 2).as("p"))
+      .head.getSeq[Long](0)
+    assert(pSql == pApi && pSql.length == 2)
   }
 }

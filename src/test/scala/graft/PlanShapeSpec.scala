@@ -596,4 +596,58 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Scan parquet"),
       s"winnow subtree re-executed under the pair join:\n$p")
   }
+
+  test("e_mrl_topk: both funnel stages broadcast the bounded side and " +
+      "the rank filters push as WindowGroupLimit") {
+    val p = plan("e_mrl_topk")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus re-shuffled for the funnel:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"), s"full sort-then-filter:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("e_maxsim: query tokens broadcast; token-max and score aggs are " +
+      "two-phase (map-side partial before each exchange)") {
+    val p = plan("e_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query batch not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // two aggregations, each partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"aggs not two-phase:\n$p")
+  }
+
+  test("e_rand_proj: the projection is map-only — no exchange anywhere " +
+      "in the operator plan (sign matrix rides as literals)") {
+    val spark0 = spark
+    val emb = Tables.load(spark0, sfDir, "embeddings")
+    val p = graft.similarity.RandomProjection
+      .projectSigned(emb, 64, 8).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection shuffled:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), p)
+  }
+
+  test("e_proj_topk: corpus projects in place and meets the broadcast " +
+      "query batch — no corpus shuffle before the rank window") {
+    val p = plan("e_proj_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), s"full sort-then-filter:\n$p")
+  }
+
+  test("d_outlier_mad: per-group stats join back as broadcasts; the two " +
+      "rank windows share the one group-key partitioning") {
+    val p = plan("d_outlier_mad")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"stats joins not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("m_phash_pairs: banded LSH candidates — signatures shuffle, " +
+      "payloads never do, and no cartesian appears") {
+    val p = plan("m_phash_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }

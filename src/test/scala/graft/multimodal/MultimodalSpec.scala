@@ -169,6 +169,66 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1, 0L, 0L, false), (2, 1000L, 1000L, true)))
   }
 
+  test("vadSegments finds exactly the planted active runs") {
+    import spark.implicits._
+    // windows of 400 bytes: [200]*400 | [0]*400 | [200]*400 | [200]*200
+    // tau=100: w0 active (80000 > 40000), w1 silent (0), w2 active,
+    // w3 active (40000 > 20000) -> segments [0,0] and [2,3]
+    val body = Array.fill[Byte](400)(200.toByte) ++ Array.fill[Byte](400)(0) ++
+      Array.fill[Byte](600)(200.toByte)
+    val row = Multimodal.MediaRow(5L, "audio",
+      Multimodal.FakeCodec.encode(0, 0, 16000, body), 0, 0, 16000, 1)
+    val ds = spark.createDataset(Seq(row)).repartition(2)
+    val got = Multimodal.vadSegments(ds, window = 400, tau = 100)
+      .orderBy("seg_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq((1, 0, 0, 1, 80000L), (2, 2, 3, 2, 120000L)))
+  }
+
+  test("frameDupPairs equals the all-pairs cross-video reference and " +
+      "drops within-video pairs") {
+    import spark.implicits._
+    def mkVid(id: Long, body: Array[Byte], nf: Int) = Multimodal.MediaRow(
+      id, "video", Multimodal.FakeCodec.encode(4, 4, 0, body), 4, 4, 0, nf)
+    val shared = ("frame one payload bytes here!" * 4 +
+      "frame TWO has other content :::" * 4 +
+      "third frame, different again..." * 4).getBytes("UTF-8")
+    val other = ("totally unrelated video body " * 12).getBytes("UTF-8")
+    val vids = Seq(mkVid(1L, shared, 3), mkVid(2L, shared.clone(), 3),
+      mkVid(3L, other, 3))
+    val ds = spark.createDataset(vids).repartition(2)
+    val got = Multimodal.frameDupPairs(ds).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSet
+    // local all-pairs reference from the same per-frame hashes
+    val hashes = vids.flatMap { m =>
+      val (_, _, _, body) = Multimodal.FakeCodec.decode(m.payload)
+      val sl = body.length / m.n_frames
+      (0 until m.n_frames).map { f =>
+        (m.media_id, f) -> Multimodal.pHash(
+          java.util.Arrays.copyOfRange(body, f * sl, (f + 1) * sl), 60)
+      }
+    }.toMap
+    val want = (for {
+      a <- hashes.keys; b <- hashes.keys
+      if a._1 * 1048576 + a._2 < b._1 * 1048576 + b._2 && a._1 != b._1
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a._1, a._2, b._1, b._2, d)).toSet
+    assert(got == want)
+    // the planted full copy matches frame-for-frame at hamming 0
+    (0 until 3).foreach { f => assert(got.contains((1L, f, 2L, f, 0))) }
+    assert(!got.exists(p => p._1 == p._3), "within-video pair leaked")
+  }
+
+  test("framePHashSigs skips zero-length frame slices") {
+    import spark.implicits._
+    val tiny = Multimodal.MediaRow(9L, "video",
+      Multimodal.FakeCodec.encode(4, 4, 0, Array[Byte](1, 2)), 4, 4, 0, 5)
+    val ds = spark.createDataset(Seq(tiny)).repartition(2)
+    assert(Multimodal.framePHashSigs(ds).count() == 0)
+  }
+
   test("audioWindows splits clips into fixed windows with integer energy") {
     import spark.implicits._
     val body = Array.tabulate[Byte](1000)(i => (i % 7).toByte)

@@ -40,6 +40,26 @@ class RandomProjectionSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("native kernel == declarative fold, bit for bit, on the corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val both = emb.select(col("vec_id"),
+      graft.functions.SignedProjectExpr.signed_project(
+        col("embedding"), 64, 8).as("k"),
+      RandomProjection.projectedVecFold(col("embedding"), 64, 8).as("f"))
+    assert(both.filter(col("k") =!= col("f")).count() == 0)
+    assert(both.filter(col("k").isNull).count() == 0)
+  }
+
+  test("kernel nulls on malformed input instead of guessing") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .repartition(2)
+    // wrong length (2 != 64) -> NULL, loudly absent
+    val r = df.select(graft.functions.SignedProjectExpr
+      .signed_project(col("embedding"), 64, 8).as("p")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
   test("projectedTopK ranks by the exact projected integer dot") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val got = RandomProjection.projectedTopK(

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.similarity.LateInteraction
+
+/** Streaming MaxSim serving must be the batch scorer verbatim per
+  * micro-batch, with the one-row-per-query token-bag contract. */
+class StreamingMaxSimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("per-batch maxsim == batch maxSimTopK across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val docVecs = emb.select((col("vec_id") % 50).as("doc_id"),
+      col("vec_id").as("token_idx"), col("embedding"))
+      .localCheckpoint(true)
+    // 4 queries, two tokens each, split 2+2 across micro-batches
+    val qtoks = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") % 4).as("query_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        (qid, rows.sortBy(_.getLong(1))
+          .map(_.getSeq[Float](2).toArray).toSeq) }
+      .toSeq.sortBy(_._1)
+    val batches = qtoks.grouped(2).toSeq
+
+    val mem = MemoryStream[(Long, Seq[Array[Float]])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveMaxSim(
+      mem.toDF().toDF("query_id", "tokens"), docVecs, k = 3) {
+      (df, _) => collected ++= df.collect()
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val qv = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") % 4).as("query_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+    val want = LateInteraction.maxSimTopK(qv, docVecs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = collected.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.size == 12) // 4 queries x top-3
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+
+/** The streaming image-admission loop must equal the batch-sequential
+  * reference: probe the current signature index, reject any image with a
+  * qualifying pair, fold survivors in. */
+class StreamingMediaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mk(id: Long, body: String): Multimodal.MediaRow =
+    Multimodal.MediaRow(id, "image",
+      Multimodal.FakeCodec.encode(8, 8, 0, body.getBytes("UTF-8")),
+      8, 8, 0, 1)
+
+  test("admitImages: dup of an indexed image AND of an earlier batch's " +
+      "admit both reject; unrelated images admit; loop == sequential " +
+      "reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val bodies = Seq(
+      "the quick brown fox jumps over the lazy dog again and again!!",
+      "a completely different payload with other bytes and rhythm 123",
+      "third unrelated image body, nothing shared with the others :)",
+      "yet another distinct plane of pixels to admit cleanly this time")
+    // index holds image 1
+    val indexed = Seq(mk(1L, bodies(0)))
+    val idx0 = Multimodal.pHashSigs(spark.createDataset(indexed))
+    // batch 1: 10 = copy of indexed 1 (reject), 11 = fresh (admit)
+    // batch 2: 20 = copy of 11 — an EARLIER BATCH's admit (reject),
+    //          21 = fresh (admit)
+    val batches = Seq(
+      Seq(mk(10L, bodies(0)), mk(11L, bodies(1))),
+      Seq(mk(20L, bodies(1)), mk(21L, bodies(2))))
+
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingMedia.admitImages(mem.toDS(), idx0) {
+      (df, _) => collected ++= df.collect()
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = collected.map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got(10L)._1 == false, "copy of an indexed image admitted")
+    assert(got(11L)._1 == true)
+    assert(got(20L)._1 == false,
+      "copy of an earlier batch's admit admitted (fold-in not live)")
+    assert(got(21L)._1 == true)
+
+    // batch-sequential reference loop
+    var refIndex = idx0.toDF()
+    val refGot = scala.collection.mutable.Map.empty[Long, (Boolean, Long)]
+    batches.foreach { b =>
+      val sigs = Multimodal.pHashSigs(spark.createDataset(b))
+      val batchIds = b.map(_.media_id).toSet
+      val pairBs = Similarity.simhashPairsFromSigs(
+          refIndex.unionByName(sigs), maxHamming = 3)
+        .collect().map(_.getLong(1)) // id_b of each (id_a, id_b) pair
+        .filter(batchIds.contains)
+      val counts = pairBs.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      b.foreach { m =>
+        val n = counts.getOrElse(m.media_id, 0L)
+        refGot(m.media_id) = (n == 0L, n)
+      }
+      val admitted = b.filter(m => refGot(m.media_id)._1)
+      refIndex = refIndex.unionByName(
+        Multimodal.pHashSigs(spark.createDataset(admitted)))
+    }
+    assert(got == refGot.toMap)
+  }
+}
