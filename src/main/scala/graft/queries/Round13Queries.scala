@@ -120,6 +120,19 @@ object Round13Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Calibration/reliability bins over the trained gate's margins:
+    // fixed-width margin buckets vs observed positive rate — is the
+    // score monotone in the actual label rate? Pure integer arithmetic
+    // over the oracled margin_e6 (bin keys offset-shifted positive
+    // because Spark `div` truncates while DuckDB `//` floors).
+    "d_calibration" -> ((s, dir) => {
+      QualityClassifier.calibrationBins(
+          QualityClassifier.score(load(s, dir, "documents"),
+            QualityClassifier.enLabel, iters = ClassifierIters),
+          binWidth = 10000000L)
+        .orderBy(col("bin"))
+    }),
+
     // Hard-negative mining ([[Similarity.hardNegatives]]): top-3 most
     // similar DIFFERENT-label corpus vectors per labeled anchor — the
     // exact brute baseline (query side broadcast, corpus never
@@ -270,6 +283,25 @@ object Round13Queries {
       s"""$classifierCtes
          |SELECT ${(0 until QualityClassifier.Dim).map(j => s"w$j")
               .mkString(", ")} FROM w$ClassifierIters""".stripMargin,
+
+    "d_calibration" -> {
+      val m = (0 until QualityClassifier.Dim).map(j => s"w.w$j * x$j")
+        .mkString(" + ")
+      s"""$classifierCtes,
+         |scored AS (
+         |  SELECT doc_id, CAST(ROUND($m) AS BIGINT) AS margin_e6, y
+         |  FROM featc, w$ClassifierIters w),
+         |b AS (
+         |  SELECT ((margin_e6 + 1000000000000) // 10000000) - 100000 AS bin,
+         |    margin_e6, y
+         |  FROM scored)
+         |SELECT bin, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  (CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // COUNT(*) AS pos_ppm,
+         |  CAST(SUM(margin_e6) AS BIGINT) AS sum_margin_e6
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+    },
 
     "d_classifier_score" -> {
       val m = (0 until QualityClassifier.Dim).map(j => s"w.w$j * x$j")

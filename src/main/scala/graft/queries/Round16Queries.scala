@@ -125,6 +125,23 @@ object Round16Queries {
         .orderBy(col("id"))
     }),
 
+    // Per-cluster edge density over the winnow dedup graph: clique-like
+    // clusters (density -> 1e6 ppm) are genuine mutual near-dups;
+    // star-like ones (2e6/n ppm) hang off one promiscuous hub and
+    // keep-one deletes their spokes on transitive evidence only — the
+    // audit that separates the two before deletion.
+    "d_cluster_density" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val pairs = Fingerprint.overlapPairs(
+          Fingerprint.winnow(docs, "doc_id", "text", WinK, WinW),
+          "doc_id", minShared = WinShared)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.similarity.DedupClusters.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      graft.similarity.DedupClusters.clusterDensity(labels, pairs)
+        .orderBy(col("cluster"))
+    }),
+
     // MOSS match locations: for the strong pairs (≥ 5 shared hashes),
     // every shared hash with both documents' anchor positions — the
     // report view that justifies POSITIONAL fingerprints over MinHash.
@@ -309,6 +326,33 @@ object Round16Queries {
        |lbl AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
        |SELECT id, cluster, cluster = id AS kept
        |FROM lbl ORDER BY id""".stripMargin),
+
+    "d_cluster_density" -> (winnowFpsSql
+      .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+       |edges AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM (SELECT DISTINCT doc_id, fp_hash FROM fp) a
+       |  JOIN (SELECT DISTINCT doc_id, fp_hash FROM fp) b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinShared),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(id, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN sym e ON e.src = r.id),
+       |lbl AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id),
+       |nn AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |       FROM lbl GROUP BY 1 HAVING COUNT(*) > 1),
+       |ec AS (SELECT l2.cluster, CAST(COUNT(*) AS BIGINT) AS n_edges
+       |       FROM edges e JOIN lbl l2 ON l2.id = e.id_a GROUP BY 1)
+       |SELECT nn.cluster, nn.n_nodes,
+       |  CAST(COALESCE(ec.n_edges, 0) AS BIGINT) AS n_edges,
+       |  (CAST(COALESCE(ec.n_edges, 0) AS BIGINT) * 2000000)
+       |    // (nn.n_nodes * (nn.n_nodes - 1)) AS density_ppm
+       |FROM nn LEFT JOIN ec ON ec.cluster = nn.cluster
+       |ORDER BY nn.cluster""".stripMargin),
 
     "d_winnow_spans" -> (winnowFpsSql +
       s""",

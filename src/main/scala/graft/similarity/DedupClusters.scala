@@ -187,4 +187,29 @@ object DedupClusters {
   def clusterSummary(labels: DataFrame): DataFrame =
     labels.groupBy("cluster")
       .agg(count(lit(1)).as("size"), min("id").as("keep_id"))
+
+  /** Per-cluster edge DENSITY — the dedup-quality diagnostic keep-one
+    * reduction hides: a near-dup cluster formed by genuine mutual
+    * similarity is clique-like (density → 1e6 ppm), while a cluster
+    * glued together by one promiscuous hub (boilerplate-heavy doc, hot
+    * LSH bucket survivor) is star-like (density → 2e6/n ppm) — and
+    * keep-one deletes its spokes on transitive evidence only. Density
+    * = 2·10⁶·E / (n·(n−1)), all-integer; singletons are excluded (no
+    * pair evidence to audit). Edges land in exactly one cluster by CC
+    * construction, so one endpoint lookup suffices — one join against
+    * the labels table plus two cluster-grained aggregations. */
+  def clusterDensity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val eCnt = edges
+      .join(labels.select(col("id").as("id_a"), col("cluster")), Seq("id_a"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_edges"))
+    labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .filter(col("n_nodes") > 1)
+      .join(eCnt, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        expr("coalesce(n_edges, 0L) * 2000000 div (n_nodes * (n_nodes - 1))")
+          .as("density_ppm"))
+  }
 }

@@ -106,4 +106,37 @@ object QualityClassifier {
   /** Train + serve in one plan (the gate-query composition). */
   def score(docs: DataFrame, labelExpr: Column, iters: Int): DataFrame =
     scoreWith(docs, fit(docs, labelExpr, iters).toIndexedSeq, labelExpr)
+
+  /** Margin bins are keyed on `(margin_e6 + BinOffset) div width`: both
+    * engines' integer division agrees only on NON-NEGATIVE operands
+    * (Spark `div` truncates toward zero, DuckDB `//` floors — they
+    * differ on every negative margin), so the offset shifts the whole
+    * margin range positive first. 1e12 is far beyond any reachable
+    * |margin| (weights are iteration-bounded integer sums of 1e6-scaled
+    * features). */
+  val BinOffset = 1000000000000L
+
+  /** Calibration/reliability readout for a trained gate: fixed-width
+    * margin bins, each with row count, positive count, and the observed
+    * positive rate in ppm — is the score monotone in the actual label
+    * rate, and where does the decision boundary actually sit? Pure
+    * integer arithmetic over [[scoreWith]] output (`margin_e6`, `y`),
+    * one small aggregation — the post-training audit every deployed
+    * quality gate ships with. */
+  def calibrationBins(scored: DataFrame, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"calibrationBins: binWidth=$binWidth must be > 0")
+    require(BinOffset % binWidth == 0,
+      s"calibrationBins: binWidth=$binWidth must divide $BinOffset " +
+        "(so the shifted bin key subtracts back to the true floor bin)")
+    scored
+      .withColumn("bin",
+        expr(s"(margin_e6 + $BinOffset) div $binWidth") - BinOffset / binWidth)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("margin_e6")).as("sum_margin_e6"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("pos_ppm"),
+        col("sum_margin_e6"))
+  }
 }

@@ -79,6 +79,21 @@ class DedupClustersSpec extends SparkTestBase {
     assert(summary(3L) == (1L, 3L))
   }
 
+  test("clusterDensity separates cliques from stars, drops singletons") {
+    // clique {0,1,2}: 3 edges over 3 nodes -> 2e6*3/(3*2) = 1e6 ppm;
+    // star {10..13} (hub 10): 3 edges over 4 nodes -> 2e6*3/12 = 500000;
+    // singleton {20}: excluded (no pair evidence to audit)
+    val ids = (Seq(0L, 1L, 2L) ++ (10L to 13L) :+ 20L).toDF("id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("id_a", "id_b")
+    val labels = DedupClusters.connectedComponents(ids, pairs)
+    val got = DedupClusters.clusterDensity(labels, pairs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(0L -> (3L, 3L, 1000000L), 10L -> (4L, 3L, 500000L)))
+  }
+
   test("end-to-end: minhash pairs -> clusters keep one per dup group") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

@@ -93,6 +93,34 @@ class QualityClassifierSpec extends SparkTestBase {
         QualityClassifier.enLabel).orderBy("doc_id").collect().toSeq)
   }
 
+  test("calibrationBins: hand-computed bins incl. negative margins") {
+    import spark.implicits._
+    // width 10: margins -15,-11 -> bin -2; -5 -> bin -1; 3,7 -> bin 0;
+    // 23 -> bin 2. FLOOR binning (not truncation): -11 div 10 must land
+    // in bin -2, the Spark-div-vs-DuckDB-// seam the offset closes.
+    val scored = Seq(
+      (1L, -15L, 1L), (2L, -11L, -1L), (3L, -5L, -1L),
+      (4L, 3L, 1L), (5L, 7L, 1L), (6L, 23L, -1L)
+    ).toDF("doc_id", "margin_e6", "y").repartition(2)
+    val got = QualityClassifier.calibrationBins(scored, binWidth = 10L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (-2L, 2L, 1L, 500000L, -26L),
+      (-1L, 1L, 0L, 0L, -5L),
+      (0L, 2L, 2L, 1000000L, 10L),
+      (2L, 1L, 0L, 0L, 23L)))
+  }
+
+  test("calibrationBins partitions the corpus scoring exactly") {
+    val corpus = graft.Tables.load(spark, sfDir, "documents")
+    val scored = QualityClassifier.score(corpus, QualityClassifier.enLabel, 2)
+    val bins = QualityClassifier.calibrationBins(scored, 10000000L)
+    assert(bins.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      == corpus.count())
+  }
+
   test("corpus fit separates en from the rest better than chance") {
     val corpus = graft.Tables.load(spark, sfDir, "documents")
     val w = QualityClassifier.fit(corpus, QualityClassifier.enLabel, 3)
