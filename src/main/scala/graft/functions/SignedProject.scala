@@ -31,6 +31,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 case class SignedProjectExpr(child: Expression, dimIn: Int, dimOut: Int)
     extends UnaryExpression {
+  // validated HERE (not only in the Column API wrapper) so the SQL
+  // registration path gets the same loud error instead of a
+  // NegativeArraySizeException from signMatrix — and the product bound
+  // keeps dimIn*dimOut inside Int (65536*65536 would overflow to 0 and
+  // silently return empty projections)
+  require(dimIn >= 1 && dimOut >= 1,
+    s"signed_project: dimIn=$dimIn and dimOut=$dimOut must be >= 1")
+  require(dimIn.toLong * dimOut <= (1 << 24),
+    s"signed_project: dimIn*dimOut = ${dimIn.toLong * dimOut} exceeds " +
+      s"${1 << 24} (the sign-matrix reference-object budget)")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "signed_project"
   override def nullable: Boolean = true

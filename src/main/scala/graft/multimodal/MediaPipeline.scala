@@ -66,11 +66,16 @@ object MediaPipeline {
       .as[Multimodal.MediaRow]
 
     // 3. video: frame-level content ID; media_a < media_b by the packed
-    //    pair order, so the b side is always the higher id
+    //    pair order, so the b side is always the higher id. "Shared
+    //    frames" counts DISTINCT frames on each side, bounded by the
+    //    smaller — a raw pair count would let one self-similar frame
+    //    region (a static title card matching several frames of the
+    //    other video) satisfy the floor on a single frame's evidence.
     val vRejects = Multimodal.frameDupPairs(cached,
         maxHamming = maxHamming, maxBucket = maxBucket)
       .groupBy(col("media_a"), col("media_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(least(countDistinct(col("frame_a")),
+        countDistinct(col("frame_b"))).as("n_shared"))
       .filter(col("n_shared") >= minSharedFrames)
       .select(col("media_b").as("media_id")).distinct()
     val videoKept = cached.filter(col("kind") === "video")
@@ -88,15 +93,14 @@ object MediaPipeline {
       .partitionBy("kind").parquet(s"$outDir/features")
 
     val featsW = spark.read.parquet(s"$outDir/features")
-    def cnt(kind: String, ds: Dataset[_]): Long = ds.count()
     val stats = Stats(
       n_input = cached.count(),
       n_images = cached.filter(col("kind") === "image").count(),
-      n_images_kept = cnt("image", imagesKept),
+      n_images_kept = imagesKept.count(),
       n_audio = cached.filter(col("kind") === "audio").count(),
-      n_audio_kept = cnt("audio", audioKept),
+      n_audio_kept = audioKept.count(),
       n_video = cached.filter(col("kind") === "video").count(),
-      n_video_kept = cnt("video", videoKept),
+      n_video_kept = videoKept.count(),
       n_features = featsW.count())
     cached.unpersist(); kept.unpersist()
     stats

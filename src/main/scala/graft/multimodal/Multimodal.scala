@@ -364,6 +364,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
       rows.flatMap { m =>
+        // the downstream pair stage packs media_id*2^20 + frame_idx into
+        // one BIGINT; out-of-range rows would silently alias ANOTHER
+        // video's frames — fail loudly instead
+        require(m.n_frames < FramePack,
+          s"framePHashSigs: media ${m.media_id} has ${m.n_frames} frames " +
+            s">= $FramePack (frame index would overflow the packed pair id)")
+        require(m.media_id >= 0 && m.media_id < Long.MaxValue / FramePack,
+          s"framePHashSigs: media_id ${m.media_id} outside the packable " +
+            s"[0, ${Long.MaxValue / FramePack}) range")
         val (_, _, _, body) = FakeCodec.decode(m.payload)
         val sliceLen = if (m.n_frames == 0) 0 else body.length / m.n_frames
         if (sliceLen == 0) Iterator.empty

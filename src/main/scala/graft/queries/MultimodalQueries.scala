@@ -153,12 +153,17 @@ object MultimodalQueries {
         |       FROM img, unnest(range(1, n + 1)) AS t(i)),
         |blk AS (SELECT doc_id, n, b, SUM(v) AS bsum, COUNT(*) AS blen
         |        FROM ch GROUP BY 1, 2, 3),
-        |tot AS (SELECT doc_id, SUM(v) AS total FROM ch GROUP BY 1)
-        |SELECT blk.doc_id AS media_id, CAST(MAX(blk.n) AS INTEGER) AS n_bytes,
-        |  CAST(SUM(CASE WHEN bsum * blk.n > total * blen
-        |       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
-        |FROM blk JOIN tot USING (doc_id)
-        |GROUP BY blk.doc_id
+        |tot AS (SELECT doc_id, SUM(v) AS total FROM ch GROUP BY 1),
+        |ph AS (
+        |  SELECT blk.doc_id,
+        |    CAST(SUM(CASE WHEN bsum * blk.n > total * blen
+        |         THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |         ELSE 0 END) AS BIGINT) AS phash
+        |  FROM blk JOIN tot USING (doc_id)
+        |  GROUP BY blk.doc_id)
+        |SELECT img.doc_id AS media_id, CAST(img.n AS INTEGER) AS n_bytes,
+        |  CAST(COALESCE(ph.phash, 0) AS BIGINT) AS phash
+        |FROM img LEFT JOIN ph ON ph.doc_id = img.doc_id
         |ORDER BY media_id""".stripMargin,
     "m_phash_pairs" ->
       """WITH corpus AS (
@@ -177,10 +182,12 @@ object MultimodalQueries {
         |blk AS (SELECT doc_id, n, b, SUM(v) AS bsum, COUNT(*) AS blen
         |        FROM ch GROUP BY 1, 2, 3),
         |tot AS (SELECT doc_id, SUM(v) AS total FROM ch GROUP BY 1),
-        |ph AS (SELECT blk.doc_id,
+        |ph0 AS (SELECT blk.doc_id,
         |         CAST(SUM(CASE WHEN bsum * blk.n > total * blen
         |              THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS h
-        |       FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id)
+        |       FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id),
+        |ph AS (SELECT img.doc_id, CAST(COALESCE(ph0.h, 0) AS BIGINT) AS h
+        |       FROM img LEFT JOIN ph0 ON ph0.doc_id = img.doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id

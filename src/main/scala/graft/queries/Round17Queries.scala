@@ -177,7 +177,9 @@ object Round17Queries {
 
     "e_knn_degree" ->
       s"""WITH ${Round15Queries.knnGraphCtes(k = 3, nprobe = 2)},
-         |nodes AS (SELECT DISTINCT query_id AS vec_id FROM ranked),
+         |nodes AS (SELECT DISTINCT vec_id FROM (
+         |  SELECT query_id AS vec_id FROM ranked
+         |  UNION ALL SELECT neighbor_id FROM ranked)),
          |deg AS (
          |  SELECT neighbor_id AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
          |  FROM ranked GROUP BY 1)

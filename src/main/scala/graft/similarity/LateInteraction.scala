@@ -64,7 +64,14 @@ object LateInteraction {
     * documents' tokens are scored, so work is candidates × tokens — the
     * production funnel. Agrees with [[maxSimTopK]] whenever the
     * candidate set contains the true top-k (all-pairs candidates ⇒
-    * exact, spec-pinned). */
+    * exact, spec-pinned).
+    *
+    * CONTRACT: every candidate `doc_id` must have token rows in
+    * `docVecs` — a candidate with none joins away SILENTLY (it is
+    * absent from the ranked output, not scored-and-lost), so a pooled
+    * index that drifts from the token table produces invisible recall
+    * holes. Keep the two artifacts in the same snapshot; audit with
+    * `candidates.join(docVecs, "doc_id", "left_anti")` when in doubt. */
   def maxSimRerank(candidates: DataFrame, queryVecs: DataFrame,
                    docVecs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"maxSimRerank: k=$k must be >= 1")

@@ -167,10 +167,16 @@ object Similarity {
         shiftright(col("simhash"), 48 - 16 * t)
           .bitwiseAND(lit(0xFFFFL)).as("bucket"))
     }
+    // STAGED before fan-out: the self-join reads `banded` on both sides
+    // (and the cap adds a third consumer) — unstaged, the whole sigs
+    // subtree re-executes per consumer, which for pHash callers means
+    // re-decoding every media payload (the Fingerprint.overlapPairs
+    // staging lesson). O(rows·numProbes) of 24-byte tuples.
     var banded = sigs.select(col("id"), col("simhash"),
       explode(array(probes: _*)).as("p"))
       .select(col("id"), col("simhash"), col("p.t").as("t"),
         col("p.bucket").as("bucket"))
+      .localCheckpoint(true)
     // skew guard, [[minhashPairs]]' maxBucketSize contract: with
     // CORRELATED signatures (short video frames, templated images) a
     // probe block can go hot and one bucket's quadratic pair work
@@ -307,11 +313,18 @@ object Similarity {
     * in other vectors' top-k — the hubness diagnostic. High-hub nodes
     * dominate retrieval results and semantic-dedup deletions; a skewed
     * in-degree histogram is the standard symptom of un-normalized or
-    * degenerate embedding spaces. Nodes never retrieved get in_degree
-    * 0 via the left join from the query side (every corpus vector
-    * queries, so the query side enumerates the node set). */
+    * degenerate embedding spaces. The node set is the union of BOTH
+    * graph sides: a vector whose probed cells contain only itself emits
+    * no query rows ([[knnGraph]]'s recall-zero convention) yet can
+    * still be retrieved as a neighbor — query-side-only enumeration
+    * would drop exactly those nonzero-degree nodes. Nodes appearing on
+    * neither side (isolated AND never retrieved) are unknowable from
+    * the graph alone; join against the corpus id list for a full
+    * census. */
   def knnInDegree(graph: DataFrame): DataFrame = {
-    val nodes = graph.select(col("query_id").as("vec_id")).distinct()
+    val nodes = graph.select(col("query_id").as("vec_id"))
+      .unionByName(graph.select(col("neighbor_id").as("vec_id")))
+      .distinct()
     val deg = graph.groupBy(col("neighbor_id").as("vec_id"))
       .agg(count(lit(1)).as("in_degree"))
     nodes.join(deg, Seq("vec_id"), "left")

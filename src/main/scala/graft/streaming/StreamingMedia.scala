@@ -17,12 +17,14 @@ import graft.similarity.Similarity
   * indexed or shuffled — the index is `(id, simhash)` rows, a vanishing
   * fraction of the media bytes.
   *
-  * Admission semantics are the repo-wide per-edge keep-one convention
-  * under the monotonic-ingest invariant (batch ids > indexed ids, so the
-  * batch side of every qualifying pair is `id_b`): an image with ANY
-  * qualifying pair — against the index or an earlier batch-mate — is
-  * rejected; decisions equal the batch-sequential reference loop exactly
-  * (spec-pinned). The index evolves driver-side with per-trigger
+  * Admission semantics: a batch image with ANY qualifying pair against
+  * an INDEXED image (regardless of which side of the pair its id lands
+  * on — no monotonic-id invariant is assumed; a batch id LOWER than its
+  * indexed match still rejects) or against a lower-id batch-mate
+  * (per-edge keep-one, the repo-wide convention) is rejected; decisions
+  * equal the batch-sequential reference loop exactly (spec-pinned,
+  * including the low-id arrival). The index evolves driver-side with
+  * per-trigger
   * `localCheckpoint` (the [[graft.similarity.DedupClusters]] lineage
   * truncation discipline); at scale, persist signature shards and swap
   * paths between triggers, as [[StreamingFingerprint]] documents.
@@ -46,11 +48,24 @@ object StreamingMedia {
         val sigs = Multimodal.pHashSigs(batch, blocks).localCheckpoint(true)
         val pairs = Similarity.simhashPairsFromSigs(
             index.unionByName(sigs), maxHamming, numProbes)
-          // only pairs whose HIGHER side is in this batch decide
-          // admission; index-internal pairs (a pre-seeded index is not
-          // guaranteed dup-free) must not re-reject per trigger
-          .join(sigs.select(col("id").as("id_b")), Seq("id_b"), "leftsemi")
-        val counts = pairs.groupBy(col("id_b").as("id"))
+          .localCheckpoint(true)
+        val batchIds = sigs.select(col("id"))
+        val idxIds = index.select(col("id"))
+        // a pair decides a batch id's admission when the OTHER side is
+        // indexed (either orientation — no id-monotonicity assumed: a
+        // batch id lower than its indexed match lands on id_a and would
+        // be silently admitted under a higher-side-only rule) or a
+        // lower batch-mate (per-edge keep-one). Index-internal pairs (a
+        // pre-seeded index is not guaranteed dup-free) never re-reject.
+        val batchVsIndexA = pairs
+          .join(batchIds.select(col("id").as("id_a")), Seq("id_a"), "leftsemi")
+          .join(idxIds.select(col("id").as("id_b")), Seq("id_b"), "leftsemi")
+          .select(col("id_a").as("id"))
+        val batchOnB = pairs
+          .join(batchIds.select(col("id").as("id_b")), Seq("id_b"), "leftsemi")
+          .select(col("id_b").as("id"))
+        val counts = batchVsIndexA.unionByName(batchOnB)
+          .groupBy(col("id"))
           .agg(count(lit(1)).as("n_pairs"))
         val decisions = sigs.select(col("id"))
           .join(counts, Seq("id"), "left")
@@ -58,9 +73,13 @@ object StreamingMedia {
           .withColumn("admitted", col("n_pairs") === 0L)
           .select(col("id"), col("admitted"), col("n_pairs"))
           .localCheckpoint(true)
+        // fold survivors in; a redelivered already-indexed id (no pair
+        // with itself — ids are equal, so id_a < id_b never fires)
+        // must not duplicate its index row
         index = index.unionByName(
             sigs.join(decisions.filter(col("admitted")).select(col("id")),
-              Seq("id"), "leftsemi"))
+              Seq("id"), "leftsemi")
+              .join(idxIds, Seq("id"), "left_anti"))
           .localCheckpoint(true)
         sink(decisions, batchId)
       }

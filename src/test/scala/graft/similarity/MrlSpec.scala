@@ -43,13 +43,18 @@ class MrlSpec extends SparkTestBase {
     assert(got.count() == 15) // 5 queries x top-3
   }
 
-  test("knnInDegree counts arrivals and keeps zero-degree nodes") {
+  test("knnInDegree counts arrivals, keeps zero-degree nodes AND " +
+      "retrieved-but-never-querying nodes") {
     import spark.implicits._
-    // hand graph: 1->2, 1->3, 2->3, 3->2 ; node 1 is never a neighbor
-    val g = Seq((1L, 1, 2L), (1L, 2, 3L), (2L, 1, 3L), (3L, 1, 2L))
+    // hand graph: 1->2, 1->3, 2->3, 3->2, 2->9 ; node 1 is never a
+    // neighbor (degree 0); node 9 never queries (the knnGraph
+    // only-itself-in-cell convention) yet IS retrieved — a query-side
+    // node set would drop it with its nonzero degree
+    val g = Seq((1L, 1, 2L), (1L, 2, 3L), (2L, 1, 3L), (3L, 1, 2L),
+        (2L, 2, 9L))
       .toDF("query_id", "rank", "neighbor_id").repartition(2)
     val got = Similarity.knnInDegree(g).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 2L))
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 9L -> 1L))
   }
 }

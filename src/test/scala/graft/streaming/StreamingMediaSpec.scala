@@ -34,9 +34,13 @@ class StreamingMediaSpec extends SparkTestBase {
     // batch 1: 10 = copy of indexed 1 (reject), 11 = fresh (admit)
     // batch 2: 20 = copy of 11 — an EARLIER BATCH's admit (reject),
     //          21 = fresh (admit)
+    // batch 3: 0 = copy of indexed 1 with a LOWER id than its indexed
+    //          match (the non-monotonic arrival a higher-side-only rule
+    //          silently admits — must reject), 30 = fresh (admit)
     val batches = Seq(
       Seq(mk(10L, bodies(0)), mk(11L, bodies(1))),
-      Seq(mk(20L, bodies(1)), mk(21L, bodies(2))))
+      Seq(mk(20L, bodies(1)), mk(21L, bodies(2))),
+      Seq(mk(0L, bodies(0)), mk(30L, bodies(3))))
 
     val mem = MemoryStream[Multimodal.MediaRow]
     val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -54,24 +58,34 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(got(20L)._1 == false,
       "copy of an earlier batch's admit admitted (fold-in not live)")
     assert(got(21L)._1 == true)
+    assert(got(0L)._1 == false,
+      "LOW-id copy of an indexed image admitted (orientation blindness)")
+    assert(got(30L)._1 == true)
 
-    // batch-sequential reference loop
+    // batch-sequential reference loop: a batch id rejects on a pair
+    // whose other side is indexed (either orientation) or a lower
+    // batch-mate
     var refIndex = idx0.toDF()
     val refGot = scala.collection.mutable.Map.empty[Long, (Boolean, Long)]
     batches.foreach { b =>
       val sigs = Multimodal.pHashSigs(spark.createDataset(b))
       val batchIds = b.map(_.media_id).toSet
-      val pairBs = Similarity.simhashPairsFromSigs(
+      val idxIds = refIndex.collect().map(_.getLong(0)).toSet
+      val ps = Similarity.simhashPairsFromSigs(
           refIndex.unionByName(sigs), maxHamming = 3)
-        .collect().map(_.getLong(1)) // id_b of each (id_a, id_b) pair
-        .filter(batchIds.contains)
-      val counts = pairBs.groupBy(identity)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val deciding = ps.flatMap { case (a, bb) =>
+        (if (batchIds.contains(bb)) Seq(bb) else Nil) ++
+          (if (batchIds.contains(a) && idxIds.contains(bb)) Seq(a) else Nil)
+      }
+      val counts = deciding.groupBy(identity)
         .map { case (k, v) => k -> v.size.toLong }
       b.foreach { m =>
         val n = counts.getOrElse(m.media_id, 0L)
         refGot(m.media_id) = (n == 0L, n)
       }
-      val admitted = b.filter(m => refGot(m.media_id)._1)
+      val admitted = b.filter(m => refGot(m.media_id)._1 &&
+        !idxIds.contains(m.media_id))
       refIndex = refIndex.unionByName(
         Multimodal.pHashSigs(spark.createDataset(admitted)))
     }
