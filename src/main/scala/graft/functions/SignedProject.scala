@@ -95,12 +95,25 @@ object SignedProjectExpr {
     out
   }
 
-  /** Spark `round(d)` for DoubleType, exactly: BigDecimal.valueOf +
-    * HALF_UP (NOT `floor(d + 0.5)`, whose double-rounding disagrees at
-    * values one ulp below a half). */
-  private def sparkRound(d: Double): Long =
-    java.math.BigDecimal.valueOf(d)
-      .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong
+  /** Spark `round(d).cast(long)` under ANSI, exactly: BigDecimal.valueOf
+    * + HALF_UP + toDouble (NOT `floor(d + 0.5)`, whose double-rounding
+    * disagrees at values one ulp below a half), then the ANSI overflow
+    * contract — a non-finite or out-of-Long-range component FAILS
+    * LOUDLY, matching the declarative fold's CAST_OVERFLOW, instead of
+    * Scala's silent `.toLong` saturation. */
+  private def sparkRound(d: Double): Long = {
+    if (d.isNaN || d.isInfinite)
+      throw new ArithmeticException(
+        s"signed_project: non-finite component $d cannot quantize to BIGINT")
+    val rd = java.math.BigDecimal.valueOf(d)
+      .setScale(0, RoundingMode.HALF_UP).doubleValue()
+    // castable doubles are exactly [-2^63, 2^63): -2^63 == Long.MinValue
+    // is representable, 2^63 already exceeds Long.MaxValue
+    if (rd >= 9.223372036854776e18 || rd < -9.223372036854776e18)
+      throw new ArithmeticException(
+        s"signed_project: component $d overflows BIGINT after quantization")
+    rd.toLong
+  }
 
   /** Null on length mismatch or null element; otherwise the exact
     * projected BIGINT components. */

@@ -385,6 +385,41 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "simhash")
   }
 
+  /** Persist a pHash signature index (`(id, simhash)` — the
+    * [[pHashSigs]] output and [[graft.streaming.StreamingMedia]]'s
+    * evolving state) with its `blocks` parameter alongside, so a
+    * probe can never band signatures built under a different block
+    * count (the [[graft.text.Fingerprint.saveIndex]] convention).
+    * Signature shards are 16 bytes/image — the index is a vanishing
+    * fraction of the media bytes and needs no single-file coalesce. */
+  def saveSigIndex(sigs: DataFrame, path: String, blocks: Int): Unit = {
+    sigs.select(col("id").cast("long").as("id"),
+        col("simhash").cast("long").as("simhash"))
+      .write.mode("overwrite").parquet(path)
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    Seq(blocks).toDF("blocks").coalesce(1)
+      .write.mode("overwrite").parquet(path + ".params")
+  }
+
+  /** The `blocks` a signature index at `path` was built with. */
+  def loadSigIndexParams(spark: SparkSession, path: String): Int =
+    spark.read.parquet(path + ".params")
+      .select(col("blocks").cast("int")).head().getInt(0)
+
+  /** Load a signature index, failing fast at the driver on schema
+    * drift (the [[graft.similarity.IncrementalDedup]] convention). */
+  def loadSigIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    Seq("id" -> "bigint", "simhash" -> "bigint").foreach { case (n, t) =>
+      require(got.get(n).contains(t),
+        s"loadSigIndex($path): expected column $n: $t, found " +
+          s"${got.getOrElse(n, "ABSENT")} — not a pHash signature index")
+    }
+    df.select(col("id"), col("simhash"))
+  }
+
   /** Frame ids pack as `media_id·2²⁰ + frame_idx` for the bander. */
   private[graft] val FramePack = 1048576L
 

@@ -229,6 +229,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.framePHashSigs(ds).count() == 0)
   }
 
+  test("signature index round-trips with params; schema drift fails fast") {
+    val root = java.nio.file.Files.createTempDirectory("sig_idx").toString
+    val sigs = Multimodal.pHashSigs(media)
+    Multimodal.saveSigIndex(sigs, s"$root/idx", blocks = 60)
+    val loaded = Multimodal.loadSigIndex(spark, s"$root/idx")
+    assert(loaded.count() == sigs.count())
+    assert(Multimodal.loadSigIndexParams(spark, s"$root/idx") == 60)
+    assert(loaded.except(sigs).count() == 0 &&
+      sigs.except(loaded).count() == 0)
+    // wrong-schema parquet is rejected at the driver
+    sigs.withColumnRenamed("simhash", "sh")
+      .write.mode("overwrite").parquet(s"$root/bad")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.loadSigIndex(spark, s"$root/bad")
+    }
+    assert(e.getMessage.contains("simhash"))
+  }
+
   test("audioWindows splits clips into fixed windows with integer energy") {
     import spark.implicits._
     val body = Array.tabulate[Byte](1000)(i => (i % 7).toByte)

@@ -60,6 +60,27 @@ class RandomProjectionSpec extends SparkTestBase {
     assert(r.head.isNullAt(0))
   }
 
+  test("kernel fails LOUDLY on non-finite and overflowing components, " +
+      "like the fold's ANSI cast") {
+    import spark.implicits._
+    // the fold (round(x*1e6).cast(long)) throws CAST_OVERFLOW under
+    // ANSI for NaN and for values past Long range; the kernel must not
+    // silently saturate where the reference semantics fail
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, 3.0e14f)) {
+      val df = Seq((1L, Seq(bad, 1.0f))).toDF("vec_id", "embedding")
+        .repartition(2)
+      val e = intercept[Exception] {
+        df.select(graft.functions.SignedProjectExpr
+          .signed_project(col("embedding"), 2, 2).as("p")).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[ArithmeticException] &&
+        c.getMessage.contains("signed_project")),
+        s"for $bad got: $e")
+    }
+  }
+
   test("projectedTopK ranks by the exact projected integer dot") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val got = RandomProjection.projectedTopK(
