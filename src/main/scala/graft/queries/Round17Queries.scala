@@ -108,6 +108,21 @@ object Round17Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The FULL late-interaction serving funnel: quantized sum-pooled
+    // token bags -> integer-dot coarse shortlist (10 per query) ->
+    // MaxSim rerank to top-3. Every stage integer-exact, so the whole
+    // funnel — pooling included — replays in SQL.
+    "e_maxsim_funnel" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") % 5).as("query_id"),
+          col("vec_id").as("token_idx"), col("embedding"))
+      val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+      LateInteraction.maxSimFunnel(qv, dv, k = 3, dims = 64, shortlist = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Robust per-language length outliers: |n_chars - med| > 3*MAD,
     // positional lower medians, all-integer.
     "d_outlier_mad" -> ((s, dir) => {
@@ -239,6 +254,53 @@ object Round17Queries {
          |  SELECT q.query_id, d.doc_id, q.tok,
          |    MAX(${cos("q.embedding", "d.embedding")}) AS mx
          |  FROM qv q CROSS JOIN dv d
+         |  GROUP BY 1, 2, 3),
+         |scores AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(SUM(CAST(round(mx * 1000000) AS BIGINT)) AS BIGINT) AS score
+         |  FROM tokmax GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, score FROM (
+         |  SELECT query_id, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM scores) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "e_maxsim_funnel" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id % 5 AS query_id, vec_id AS tok, embedding
+         |  FROM embeddings WHERE vec_id < 10),
+         |dv AS (SELECT vec_id % 50 AS doc_id, embedding FROM embeddings),
+         |qq AS (
+         |  SELECT query_id, t.i AS dim,
+         |    CAST(round(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000000) AS BIGINT) AS v
+         |  FROM qv, range(0, 64) t(i)),
+         |qp AS (SELECT query_id, dim, CAST(SUM(v) AS BIGINT) AS s
+         |       FROM qq GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT doc_id, t.i AS dim,
+         |    CAST(round(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000000) AS BIGINT) AS v
+         |  FROM dv, range(0, 64) t(i)),
+         |dp AS (SELECT doc_id, dim, CAST(SUM(v) AS BIGINT) AS s
+         |       FROM dd GROUP BY 1, 2),
+         |dt AS (
+         |  SELECT q.query_id, d.doc_id, CAST(SUM(q.s * d.s) AS BIGINT) AS dot
+         |  FROM qp q JOIN dp d ON q.dim = d.dim GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY dot DESC, doc_id) AS r
+         |    FROM dt) t
+         |  WHERE r <= 10),
+         |tokmax AS (
+         |  SELECT q.query_id, d.doc_id, q.tok,
+         |    MAX(${cos("q.embedding", "d.embedding")}) AS mx
+         |  FROM qv q
+         |  JOIN cand c ON c.query_id = q.query_id
+         |  JOIN dv d ON d.doc_id = c.doc_id
          |  GROUP BY 1, 2, 3),
          |scores AS (
          |  SELECT query_id, doc_id,

@@ -46,6 +46,64 @@ object LateInteraction {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Quantized SUM-pool of a token bag: per (id, dim), Σ round(x·1e6)
+    * over the bag's tokens — the pooled single vector a coarse stage
+    * ranks on, with BIGINT components so the pooled dot is exact (a
+    * float mean would make pooled scores accumulation-order-dependent;
+    * sum-pooling differs from mean-pooling by the per-doc token count,
+    * which cancels NOWHERE here because only ranking under a fixed
+    * query matters — callers needing means divide by `n_tokens`).
+    * Output `(id, n_tokens, pool ARRAY<BIGINT>)`; `dims` fixes the
+    * array width (rows with other widths would corrupt the sum — the
+    * [[graft.functions.SignedProjectExpr]] malformed-input contract
+    * applies upstream). Gate-scale shape: one (id, dim) exchange then
+    * one id-grained collect; the 100 TB upgrade is a slotwise-sum
+    * TypedImperativeAggregate (the bottomk_by_hash extension point). */
+  def poolSum(vecs: DataFrame, idCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"poolSum: dims=$dims must be >= 1")
+    // the width check lives INSIDE the value expression — a separate
+    // assert_true column would be dead-column-pruned by the optimizer
+    // and never fire (observed); raise_error's NullType coerces to the
+    // array branch type
+    val q = when(size(col("embedding")) === dims,
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+      .otherwise(raise_error(lit(s"poolSum: embedding width <> $dims"))
+        .cast("array<long>"))
+    vecs.select(col(idCol).as("id"), posexplode(q).as(Seq("dim", "v")))
+      .groupBy(col("id"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(max(col("n")).as("n_tokens"),
+        array_sort(collect_list(struct(col("dim"), col("s")))).as("_ps"))
+      .select(col("id"), col("n_tokens"),
+        transform(col("_ps"), p => p.getField("s")).as("pool"))
+  }
+
+  /** The full late-interaction serving funnel: pooled integer-dot
+    * coarse ranking shortlists `shortlist` docs per query, MaxSim
+    * reranks the shortlist to top-k — pooled vectors read 1/|tokens| of
+    * the bytes, token bags are fetched for shortlisted docs only, and
+    * every stage is exact integer arithmetic so the whole funnel
+    * SQL-replays. Coarse ties break on doc_id (the repo convention). */
+  def maxSimFunnel(queryVecs: DataFrame, docVecs: DataFrame, k: Int,
+                   dims: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"maxSimFunnel: shortlist=$shortlist must be >= k=$k")
+    val pq = broadcast(poolSum(queryVecs, "query_id", dims)
+      .select(col("id").as("query_id"), col("pool").as("q_pool")))
+    val pc = poolSum(docVecs, "doc_id", dims)
+      .select(col("id").as("doc_id"), col("pool").as("c_pool"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_dot").desc, col("doc_id"))
+    val cand = pc.crossJoin(pq)
+      .withColumn("_dot",
+        graft.functions.DotCodes.dot_codes(col("q_pool"), col("c_pool")))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= shortlist)
+      .select(col("query_id"), col("doc_id"))
+    maxSimRerank(cand, queryVecs, docVecs, k)
+  }
+
   /** Score EVERY document against every query — the exact form (and the
     * oracle's). `queryVecs`: (query_id, token_idx, embedding) — a bounded
     * batch; `docVecs`: (doc_id, token_idx, embedding) — the corpus. */

@@ -43,6 +43,33 @@ class LateInteractionSpec extends SparkTestBase {
     assert(full.size == 15) // 5 queries x top-3
   }
 
+  test("poolSum: exact quantized sums on a hand bag; width mismatch is loud") {
+    import spark.implicits._
+    val vecs = Seq((1L, 0L, Seq(0.5f, -0.25f)), (1L, 1L, Seq(1.0f, 0.125f)))
+      .toDF("doc_id", "token_idx", "embedding").repartition(2)
+    val got = LateInteraction.poolSum(vecs, "doc_id", dims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(got.toSeq == Seq((1L, 2L, Seq(1500000L, -125000L))))
+    val bad = Seq((2L, 0L, Seq(0.5f))).toDF("doc_id", "token_idx", "embedding")
+      .repartition(2)
+    intercept[Exception] {
+      LateInteraction.poolSum(bad, "doc_id", dims = 2).collect()
+    }
+  }
+
+  test("maxSimFunnel with a full-width shortlist equals maxSimTopK") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val qv = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") % 5).as("query_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+    val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+      col("vec_id").as("token_idx"), col("embedding"))
+    val full = LateInteraction.maxSimTopK(qv, dv, k = 3).collect().toSet
+    val funnel = LateInteraction.maxSimFunnel(qv, dv, k = 3, dims = 64,
+      shortlist = 50).collect().toSet
+    assert(funnel == full)
+  }
+
   test("maxSimRerank scores only shortlisted docs") {
     import spark.implicits._
     val x = Seq(1f, 0f); val y = Seq(0f, 1f)
