@@ -141,6 +141,30 @@ object StreamingAnn {
       .start()
   }
 
+  /** [[serveMaxSim]] with the pooled-coarse funnel
+    * ([[graft.similarity.LateInteraction.maxSimFunnel]]) instead of
+    * full-corpus scoring — the shape that survives a corpus where
+    * scoring every document's tokens per trigger is off the table. At
+    * scale, pre-pool the static corpus once (poolSum output persisted)
+    * rather than re-pooling per trigger; this one-liner form re-runs
+    * the batch operator verbatim so the funnel's oracle contract
+    * carries to the stream. */
+  def serveMaxSimFunnel(queries: DataFrame, docVecs: DataFrame, k: Int,
+                        dims: Int, shortlist: Int,
+                        availableNow: Boolean = false)
+                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val qv = batch.toDF().select(col("query_id"),
+          posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
+        sink(graft.similarity.LateInteraction.maxSimFunnel(qv, docVecs,
+          k, dims, shortlist), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Streaming kNN CLASSIFICATION: per micro-batch of query vectors,
     * find `k` approximate neighbors in a LABELED codes index
     * ([[Similarity.ivfTopKFromIndex]]) and emit the majority label
