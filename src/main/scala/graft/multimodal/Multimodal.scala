@@ -387,36 +387,45 @@ object Multimodal {
 
   /** Persist a pHash signature index (`(id, simhash)` — the
     * [[pHashSigs]] output and [[graft.streaming.StreamingMedia]]'s
-    * evolving state) with its `blocks` parameter alongside, so a
-    * probe can never band signatures built under a different block
-    * count (the [[graft.text.Fingerprint.saveIndex]] convention).
-    * Signature shards are 16 bytes/image — the index is a vanishing
-    * fraction of the media bytes and needs no single-file coalesce. */
+    * evolving state). The `blocks` parameter is stored AS A COLUMN of
+    * the same shards — ONE parquet write, so signatures and their
+    * banding parameter can never go stale against each other the way a
+    * separate sidecar file could (a crash between two writes leaves new
+    * shards with an old sidecar). Signature shards are 20 bytes/image —
+    * a vanishing fraction of the media bytes, no single-file coalesce.
+    * Re-saves should still go to a NEW path with a swap when a live
+    * loop reads the old one (the [[graft.text.Fingerprint]] doc). */
   def saveSigIndex(sigs: DataFrame, path: String, blocks: Int): Unit = {
+    require(blocks >= 1 && blocks <= 60, s"saveSigIndex: blocks=$blocks")
     sigs.select(col("id").cast("long").as("id"),
-        col("simhash").cast("long").as("simhash"))
+        col("simhash").cast("long").as("simhash"),
+        lit(blocks).as("blocks"))
       .write.mode("overwrite").parquet(path)
-    val spark = sigs.sparkSession
-    import spark.implicits._
-    Seq(blocks).toDF("blocks").coalesce(1)
-      .write.mode("overwrite").parquet(path + ".params")
   }
 
-  /** The `blocks` a signature index at `path` was built with. */
-  def loadSigIndexParams(spark: SparkSession, path: String): Int =
-    spark.read.parquet(path + ".params")
-      .select(col("blocks").cast("int")).head().getInt(0)
+  /** The `blocks` a signature index at `path` was built with; fails
+    * fast if shards disagree (a partial overwrite or mixed-save dir). */
+  def loadSigIndexParams(spark: SparkSession, path: String): Int = {
+    val r = spark.read.parquet(path)
+      .agg(min(col("blocks")).cast("int"), max(col("blocks")).cast("int"))
+      .head()
+    require(r.getInt(0) == r.getInt(1),
+      s"loadSigIndexParams($path): shards disagree on blocks " +
+        s"(${r.getInt(0)} vs ${r.getInt(1)}) — mixed or partial save")
+    r.getInt(0)
+  }
 
   /** Load a signature index, failing fast at the driver on schema
     * drift (the [[graft.similarity.IncrementalDedup]] convention). */
   def loadSigIndex(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
-    Seq("id" -> "bigint", "simhash" -> "bigint").foreach { case (n, t) =>
-      require(got.get(n).contains(t),
-        s"loadSigIndex($path): expected column $n: $t, found " +
-          s"${got.getOrElse(n, "ABSENT")} — not a pHash signature index")
-    }
+    Seq("id" -> "bigint", "simhash" -> "bigint", "blocks" -> "int")
+      .foreach { case (n, t) =>
+        require(got.get(n).contains(t),
+          s"loadSigIndex($path): expected column $n: $t, found " +
+            s"${got.getOrElse(n, "ABSENT")} — not a pHash signature index")
+      }
     df.select(col("id"), col("simhash"))
   }
 

@@ -285,15 +285,18 @@ object Round17Queries {
          |  FROM dv, range(0, 64) t(i)),
          |dp AS (SELECT doc_id, dim, CAST(SUM(v) AS BIGINT) AS s
          |       FROM dd GROUP BY 1, 2),
+         |dn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM dv GROUP BY 1),
          |dt AS (
          |  SELECT q.query_id, d.doc_id, CAST(SUM(q.s * d.s) AS BIGINT) AS dot
          |  FROM qp q JOIN dp d ON q.dim = d.dim GROUP BY 1, 2),
          |cand AS (
          |  SELECT query_id, doc_id FROM (
-         |    SELECT query_id, doc_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY dot DESC, doc_id) AS r
-         |    FROM dt) t
+         |    SELECT dt.query_id, dt.doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY dt.query_id
+         |        ORDER BY CAST(dt.dot AS DOUBLE) / CAST(dn.n AS DOUBLE) DESC,
+         |          dt.doc_id) AS r
+         |    FROM dt JOIN dn ON dn.doc_id = dt.doc_id) t
          |  WHERE r <= 10),
          |tokmax AS (
          |  SELECT q.query_id, d.doc_id, q.tok,

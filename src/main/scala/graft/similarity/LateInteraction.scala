@@ -61,14 +61,19 @@ object LateInteraction {
     * TypedImperativeAggregate (the bottomk_by_hash extension point). */
   def poolSum(vecs: DataFrame, idCol: String, dims: Int): DataFrame = {
     require(dims >= 1, s"poolSum: dims=$dims must be >= 1")
-    // the width check lives INSIDE the value expression — a separate
-    // assert_true column would be dead-column-pruned by the optimizer
-    // and never fire (observed); raise_error's NullType coerces to the
-    // array branch type
-    val q = when(size(col("embedding")) === dims,
+    // the width/null checks live INSIDE the value expression — a
+    // separate assert_true column would be dead-column-pruned by the
+    // optimizer and never fire (observed); raise_error's NullType
+    // coerces to the array branch type. Null ELEMENTS must raise too:
+    // size() counts them, round(null) stays null, and sum() would skip
+    // them — a silently short pooled component instead of a loud error
+    // (the SignedProjectExpr malformed-input discipline).
+    val q = when(size(col("embedding")) === dims &&
+          !exists(col("embedding"), x => x.isNull),
         transform(col("embedding"),
           x => round(x.cast("double") * lit(1000000.0)).cast("long")))
-      .otherwise(raise_error(lit(s"poolSum: embedding width <> $dims"))
+      .otherwise(raise_error(
+        lit(s"poolSum: embedding width <> $dims or null element"))
         .cast("array<long>"))
     vecs.select(col(idCol).as("id"), posexplode(q).as(Seq("dim", "v")))
       .groupBy(col("id"), col("dim"))
@@ -80,24 +85,43 @@ object LateInteraction {
         transform(col("_ps"), p => p.getField("s")).as("pool"))
   }
 
-  /** The full late-interaction serving funnel: pooled integer-dot
-    * coarse ranking shortlists `shortlist` docs per query, MaxSim
-    * reranks the shortlist to top-k — pooled vectors read 1/|tokens| of
-    * the bytes, token bags are fetched for shortlisted docs only, and
-    * every stage is exact integer arithmetic so the whole funnel
-    * SQL-replays. Coarse ties break on doc_id (the repo convention). */
+  /** The full late-interaction serving funnel: pooled coarse ranking
+    * shortlists `shortlist` docs per query, MaxSim reranks the
+    * shortlist to top-k — pooled vectors read 1/|tokens| of the bytes,
+    * token bags are fetched for shortlisted docs only, and every stage
+    * is engine-exact so the whole funnel SQL-replays. The coarse key is
+    * the MEAN-normalized pooled dot, `dot / n_tokens` as one exact
+    * double (sum-pooled dots scale with the DOC's token count, so an
+    * unnormalized shortlist systematically favors long documents over
+    * the short doc MaxSim would rank first; the query-side count is a
+    * per-query constant and cancels in ranking, the doc-side count does
+    * not). Both operands are exact BIGINTs below 2^53, so the single
+    * division is the identical correctly-rounded double in any engine —
+    * the cos_sim ranking precedent. Ties break on doc_id. */
   def maxSimFunnel(queryVecs: DataFrame, docVecs: DataFrame, k: Int,
-                   dims: Int, shortlist: Int): DataFrame = {
+                   dims: Int, shortlist: Int): DataFrame =
+    maxSimFunnelWith(queryVecs, docVecs,
+      poolSum(docVecs, "doc_id", dims), k, dims, shortlist)
+
+  /** [[maxSimFunnel]] against a PRE-POOLED corpus ([[poolSum]] output,
+    * e.g. persisted and reloaded) — pooling the static side is
+    * corpus-sized work that a per-trigger serving loop must not repeat
+    * ([[graft.streaming.StreamingAnn.serveMaxSimFunnel]]'s contract). */
+  def maxSimFunnelWith(queryVecs: DataFrame, docVecs: DataFrame,
+                       pooledDocs: DataFrame, k: Int, dims: Int,
+                       shortlist: Int): DataFrame = {
     require(shortlist >= k, s"maxSimFunnel: shortlist=$shortlist must be >= k=$k")
     val pq = broadcast(poolSum(queryVecs, "query_id", dims)
       .select(col("id").as("query_id"), col("pool").as("q_pool")))
-    val pc = poolSum(docVecs, "doc_id", dims)
-      .select(col("id").as("doc_id"), col("pool").as("c_pool"))
+    val pc = pooledDocs.select(col("id").as("doc_id"),
+      col("pool").as("c_pool"), col("n_tokens"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_dot").desc, col("doc_id"))
+      .orderBy(col("_mean").desc, col("doc_id"))
     val cand = pc.crossJoin(pq)
       .withColumn("_dot",
         graft.functions.DotCodes.dot_codes(col("q_pool"), col("c_pool")))
+      .withColumn("_mean",
+        col("_dot").cast("double") / col("n_tokens").cast("double"))
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= shortlist)
       .select(col("query_id"), col("doc_id"))

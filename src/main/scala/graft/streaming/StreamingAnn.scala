@@ -153,13 +153,18 @@ object StreamingAnn {
                         dims: Int, shortlist: Int,
                         availableNow: Boolean = false)
                        (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // pool the static corpus ONCE at serve start (corpus-sized work a
+    // per-trigger loop must not repeat); each batch funnels against the
+    // staged pooled table via maxSimFunnelWith
+    val pooled = graft.similarity.LateInteraction
+      .poolSum(docVecs, "doc_id", dims).localCheckpoint(true)
     val writer = queries.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val qv = batch.toDF().select(col("query_id"),
           posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
-        sink(graft.similarity.LateInteraction.maxSimFunnel(qv, docVecs,
-          k, dims, shortlist), batchId)
+        sink(graft.similarity.LateInteraction.maxSimFunnelWith(qv, docVecs,
+          pooled, k, dims, shortlist), batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -31,10 +31,29 @@ import graft.similarity.Similarity
   */
 object StreamingMedia {
 
+  /** Resume the admission loop from a SAVED signature index with its
+    * own recorded `blocks` parameter — the misuse-proof restart path
+    * (the [[graft.text.Fingerprint.pairsAgainstSavedIndex]]
+    * convention): the caller cannot supply a block count that disagrees
+    * with what built the index, which would make every batch-vs-index
+    * hamming distance meaningless and silently admit near-dups of
+    * indexed images. */
+  def admitImagesFromSaved(media: Dataset[Multimodal.MediaRow],
+                           spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, maxHamming: Int = 3,
+                           numProbes: Int = 4, availableNow: Boolean = false)
+                          (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    admitImages(media, Multimodal.loadSigIndex(spark, indexPath),
+      Multimodal.loadSigIndexParams(spark, indexPath), maxHamming,
+      numProbes, availableNow)(sink)
+
   /** Per batch the sink receives one decision row per image:
     * `(id, admitted, n_pairs)`. Non-image media rows pass through the
     * pHash stage's kind filter and never reach decisions — route them
-    * to their own admission loops. */
+    * to their own admission loops. `blocks` MUST match what built
+    * `initialSigs` (use [[admitImagesFromSaved]] for persisted indexes
+    * — it reads the recorded parameter instead of trusting the call
+    * site). */
   def admitImages(media: Dataset[Multimodal.MediaRow], initialSigs: DataFrame,
                   blocks: Int = 60, maxHamming: Int = 3, numProbes: Int = 4,
                   availableNow: Boolean = false)

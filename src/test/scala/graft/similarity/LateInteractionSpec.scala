@@ -55,6 +55,32 @@ class LateInteractionSpec extends SparkTestBase {
     intercept[Exception] {
       LateInteraction.poolSum(bad, "doc_id", dims = 2).collect()
     }
+    // null ELEMENTS raise too — size() counts them and sum() would skip
+    // them, silently shorting the pooled component
+    val withNull = Seq((3L, 0L, Seq[java.lang.Float](0.5f, null)))
+      .toDF("doc_id", "token_idx", "embedding").repartition(2)
+    intercept[Exception] {
+      LateInteraction.poolSum(withNull, "doc_id", dims = 2).collect()
+    }
+  }
+
+  test("funnel coarse stage is length-normalized: a short perfect doc " +
+      "beats a long mediocre one into the shortlist") {
+    import spark.implicits._
+    val x = Seq(1f, 0f)
+    val near = Seq(0.95f, 0.3122499f) // ~unit, cos~0.95 vs x
+    // doc 1: ONE token, perfectly aligned. doc 2: ten mediocre tokens —
+    // its SUM-pooled dot is ~9.5e11 vs doc 1's 1e12... times n: under
+    // raw sum-dot doc2 wins 9.5x; under mean normalization doc 1 wins.
+    val dv = (Seq((1L, 0L, x)) ++
+      (0 until 10).map(i => (2L, i.toLong, near)))
+      .toDF("doc_id", "token_idx", "embedding").repartition(2)
+    val qv = Seq((7L, 0L, x)).toDF("query_id", "token_idx", "embedding")
+      .repartition(2)
+    val got = LateInteraction.maxSimFunnel(qv, dv, k = 1, dims = 2,
+      shortlist = 1).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L),
+      "sum-pooled length bias leaked into the shortlist")
   }
 
   test("maxSimFunnel with a full-width shortlist equals maxSimTopK") {

@@ -42,15 +42,16 @@ class StreamingMediaSpec extends SparkTestBase {
       Seq(mk(20L, bodies(1)), mk(21L, bodies(2))),
       Seq(mk(0L, bodies(0)), mk(30L, bodies(3))))
 
-    // seed through the PERSISTED artifact — the lifecycle a production
-    // loop restarts from
+    // seed through the PERSISTED artifact via the misuse-proof entry
+    // point — the restart path reads the recorded blocks parameter
+    // instead of trusting the call site
     val root = java.nio.file.Files.createTempDirectory("media_idx").toString
     Multimodal.saveSigIndex(idx0.toDF(), s"$root/idx", blocks = 60)
-    val seeded = Multimodal.loadSigIndex(spark, s"$root/idx")
 
     val mem = MemoryStream[Multimodal.MediaRow]
     val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val q = StreamingMedia.admitImages(mem.toDS(), seeded) {
+    val q = StreamingMedia.admitImagesFromSaved(mem.toDS(), spark,
+      s"$root/idx") {
       (df, _) => collected ++= df.collect()
     }
     try {
