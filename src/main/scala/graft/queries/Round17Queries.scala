@@ -108,6 +108,20 @@ object Round17Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Quantized token-bag pooling as gate data: per (doc, dim) exact
+    // BIGINT sums over round(x*1e6) components — the pooled-vector
+    // builder the funnel's coarse stage ranks on, oracled directly.
+    "e_pool" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+      LateInteraction.poolSum(dv, "doc_id", dims = 64)
+        .select(col("id"), col("n_tokens"),
+          posexplode(col("pool")).as(Seq("dim", "pool_sum")))
+        .select(col("id"), col("n_tokens"), col("dim"), col("pool_sum"))
+        .orderBy(col("id"), col("dim"))
+    }),
+
     // The FULL late-interaction serving funnel: quantized sum-pooled
     // token bags -> integer-dot coarse shortlist (10 per query) ->
     // MaxSim rerank to top-3. Every stage integer-exact, so the whole
@@ -265,6 +279,21 @@ object Round17Queries {
          |      ORDER BY score DESC, doc_id) AS rank
          |  FROM scores) t
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "e_pool" ->
+      """WITH dv AS (
+        |  SELECT vec_id % 50 AS doc_id, embedding FROM embeddings),
+        |dd AS (
+        |  SELECT doc_id, t.i AS dim,
+        |    CAST(round(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS v
+        |  FROM dv, range(0, 64) t(i)),
+        |dn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |       FROM dv GROUP BY 1)
+        |SELECT dd.doc_id AS id, dn.n_tokens, CAST(dd.dim AS INTEGER) AS dim,
+        |  CAST(SUM(dd.v) AS BIGINT) AS pool_sum
+        |FROM dd JOIN dn ON dn.doc_id = dd.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY id, dim""".stripMargin,
 
     "e_maxsim_funnel" ->
       s"""WITH qv AS (

@@ -650,4 +650,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("e_maxsim_funnel: the shortlist BROADCASTS into the token scan " +
+      "(corpus tokens never shuffle for the rerank), rank filters push " +
+      "as WindowGroupLimit, aggs are two-phase") {
+    val p = plan("e_maxsim_funnel")
+    assert(!p.contains("SortMergeJoin"),
+      s"token corpus re-shuffled for the rerank:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), s"full sort-then-filter:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
 }
