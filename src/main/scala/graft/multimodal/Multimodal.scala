@@ -455,6 +455,23 @@ object Multimodal {
       .filter(col("media_a") =!= col("media_b"))
   }
 
+  /** Keyframe extraction: frame 0 of every video plus the first frame
+    * of each new scene (every cut frame from [[sceneCuts]]) — the
+    * standard one-representative-per-scene sampling that turns a video
+    * into a bounded image set for captioning/embedding. Pure
+    * composition: the cut table IS the oracled sceneCuts output, so
+    * keyframes inherit its exactness; one media_id shuffle (the lag
+    * window), map-only after. */
+  def keyframes(media: Dataset[MediaRow], tau: Int): DataFrame = {
+    val cuts = sceneCuts(media, tau)
+      .filter(col("is_cut"))
+      .select(col("media_id"), col("frame_idx"))
+    media.filter(col("kind") === "video").toDF()
+      .select(col("media_id"), lit(0).as("frame_idx"))
+      .unionByName(cuts)
+      .distinct()
+  }
+
   /** Scene-cut detection: a cut lands at frame f > 0 iff the absolute
     * frame-sum delta exceeds `tau` intensity units *per byte* of frame —
     * i.e. |Σf − Σf₋₁| > tau·sliceLen, all-integer. The decode stage emits

@@ -105,6 +105,15 @@ object MultimodalQueries {
           col("frame_b"))
     }),
 
+    // Keyframes: frame 0 + the first frame of each new scene — the
+    // one-representative-per-scene sampling; pure composition over the
+    // oracled scene-cut chain.
+    "m_keyframes" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(load(s, dir, "documents"))
+      Multimodal.keyframes(media, tau = 40)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Scene cuts: per-frame intensity sums -> lag delta vs tau*sliceLen.
     // One hash shuffle on media_id (the lag window); frame extraction
     // stays inside the codec partition pass.
@@ -252,6 +261,29 @@ object MultimodalQueries {
         |  AND a.doc_id <> b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY media_a, frame_a, media_b, frame_b""".stripMargin,
+    "m_keyframes" ->
+      """WITH vid AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |                    CAST(n_chars % 30 + 1 AS BIGINT) AS nf
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |v2 AS (SELECT doc_id, text, n, nf, n // nf AS sl FROM vid),
+        |chars AS (SELECT doc_id, (i - 1) // sl AS f,
+        |                 CAST(unicode(text[i]) AS BIGINT) AS v
+        |          FROM v2, unnest(range(1, n + 1)) AS t(i)
+        |          WHERE sl > 0 AND (i - 1) // sl < nf),
+        |frames AS (SELECT doc_id, f, sl FROM v2, unnest(range(0, nf)) AS t(f)),
+        |sums AS (SELECT fr.doc_id, fr.f, fr.sl, COALESCE(SUM(c.v), 0) AS fsum
+        |         FROM frames fr LEFT JOIN chars c
+        |           ON c.doc_id = fr.doc_id AND c.f = fr.f
+        |         GROUP BY 1, 2, 3),
+        |lagd AS (SELECT doc_id, f, sl, fsum,
+        |                ABS(fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+        |         FROM sums)
+        |SELECT media_id, frame_idx FROM (
+        |  SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
+        |  FROM lagd WHERE f > 0 AND delta > sl * 40
+        |  UNION
+        |  SELECT doc_id AS media_id, 0 AS frame_idx FROM vid) u
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "m_scene_cuts" ->
       """WITH vid AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
         |                    CAST(n_chars % 30 + 1 AS BIGINT) AS nf

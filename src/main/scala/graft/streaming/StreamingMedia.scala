@@ -31,6 +31,38 @@ import graft.similarity.Similarity
   */
 object StreamingMedia {
 
+  /** Streaming audio admission: per micro-batch, keep clips carrying at
+    * least `minActiveWindows` voice-active windows
+    * ([[Multimodal.vadSegments]] — the [[graft.multimodal.MediaPipeline]]
+    * speech gate, stage-for-stage) and emit one decision row per clip:
+    * `(id, admitted, n_active)`. STATELESS — each clip's decision
+    * depends only on its own windows, so there is no index to evolve
+    * and redelivery is idempotent by construction; the batch operator
+    * runs verbatim per trigger. */
+  def admitAudio(media: Dataset[Multimodal.MediaRow], window: Int,
+                 tau: Int, minActiveWindows: Int = 1,
+                 availableNow: Boolean = false)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = media.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Multimodal.MediaRow], batchId: Long) =>
+        val active = Multimodal.vadSegments(batch, window, tau)
+          .groupBy(col("media_id").as("id"))
+          .agg(sum(col("n_windows")).as("n_active"))
+        val decisions = batch.toDF()
+          .filter(col("kind") === "audio")
+          .select(col("media_id").as("id"))
+          .join(active, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("n_active"), lit(0L)).as("n_active"))
+          .withColumn("admitted", col("n_active") >= minActiveWindows)
+          .select(col("id"), col("admitted"), col("n_active"))
+        sink(decisions, batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Resume the admission loop from a SAVED signature index with its
     * own recorded `blocks` parameter — the misuse-proof restart path
     * (the [[graft.text.Fingerprint.pairsAgainstSavedIndex]]

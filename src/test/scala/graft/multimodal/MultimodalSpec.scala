@@ -229,6 +229,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.framePHashSigs(ds).count() == 0)
   }
 
+  test("keyframes = frame 0 plus each planted cut frame") {
+    import spark.implicits._
+    // the sceneCuts planted clip: sums 0, 0, 1000 with tau=5 -> cut at
+    // frame 2 only; keyframes = {0, 2}
+    val body = Array.fill[Byte](10)(0) ++ Array.fill[Byte](10)(0) ++
+      Array.fill[Byte](10)(100)
+    val row = Multimodal.MediaRow(7L, "video",
+      Multimodal.FakeCodec.encode(4, 4, 0, body), 4, 4, 0, 3)
+    val ds = spark.createDataset(Seq(row)).repartition(2)
+    val got = Multimodal.keyframes(ds, tau = 5).orderBy("frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((7L, 0), (7L, 2)))
+  }
+
   test("signature index round-trips with params; schema drift fails fast") {
     val root = java.nio.file.Files.createTempDirectory("sig_idx").toString
     val sigs = Multimodal.pHashSigs(media)

@@ -19,6 +19,33 @@ class StreamingMediaSpec extends SparkTestBase {
       Multimodal.FakeCodec.encode(8, 8, 0, body.getBytes("UTF-8")),
       8, 8, 0, 1)
 
+  test("admitAudio: VAD floor per micro-batch == batch vadSegments") {
+    implicit val sqlCtx = spark.sqlContext
+    def aud(id: Long, b: Array[Byte]) = Multimodal.MediaRow(id, "audio",
+      Multimodal.FakeCodec.encode(0, 0, 16000, b), 0, 0, 16000, 1)
+    val loud = Array.fill[Byte](800)(120.toByte)
+    val silent = Array.fill[Byte](800)(10.toByte)
+    val half = Array.fill[Byte](400)(120.toByte) ++
+      Array.fill[Byte](400)(10.toByte)
+    val batches = Seq(Seq(aud(1L, loud), aud(2L, silent)),
+      Seq(aud(3L, half)))
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingMedia.admitAudio(mem.toDS(), window = 400, tau = 60,
+      minActiveWindows = 2) {
+      (df, _) => collected ++= df.collect()
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = collected.map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getLong(2))).toMap
+    // loud: 2 active windows (>= 2, admit); silent: 0 (drop);
+    // half: 1 active window (< 2, drop)
+    assert(got == Map(1L -> (true, 2L), 2L -> (false, 0L),
+      3L -> (false, 1L)))
+  }
+
   test("admitImages: dup of an indexed image AND of an earlier batch's " +
       "admit both reject; unrelated images admit; loop == sequential " +
       "reference") {
