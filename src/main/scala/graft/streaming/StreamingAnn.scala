@@ -141,6 +141,26 @@ object StreamingAnn {
       .start()
   }
 
+  /** Streaming Matryoshka funnel serving: per micro-batch of query
+    * vectors, the two-stage [[graft.similarity.Similarity.mrlTopK]]
+    * (prefix-dims coarse shortlist, full-dim rerank) against the static
+    * corpus — one code path with the batch operator, so the funnel's
+    * oracle contract carries to the stream. At scale the corpus's
+    * prefix column is its own persisted parquet column; the serve reads
+    * dims/64 of the vector bytes in the coarse stage per trigger. */
+  def serveMrl(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+               shortlist: Int, availableNow: Boolean = false)
+              (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(Similarity.mrlTopK(batch.toDF(), corpus, k, dims, shortlist),
+          batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** [[serveMaxSim]] with the pooled-coarse funnel
     * ([[graft.similarity.LateInteraction.maxSimFunnel]]) instead of
     * full-corpus scoring — the shape that survives a corpus where

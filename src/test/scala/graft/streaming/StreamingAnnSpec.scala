@@ -51,6 +51,34 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(collected.nonEmpty)
   }
 
+  test("serveMrl: streamed two-stage funnel == batch mrlTopK across " +
+      "micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L, 7L))
+    val qVecs = emb.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveMrl(
+      mem.toDF().toDF("vec_id", "embedding"), emb, k = 3, dims = 16,
+      shortlist = 10) { (df, _) => collected ++= df.collect() }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = graft.similarity.Similarity.mrlTopK(
+        emb.filter(col("vec_id").isin(queryIds.flatten: _*)), emb,
+        k = 3, dims = 16, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val got = collected.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 12) // 4 queries x top-3
+  }
+
   test("serveQuant: per-batch results == batch topKQuantWith against the " +
       "same pre-built index, across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
