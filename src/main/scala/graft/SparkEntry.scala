@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Round14Queries.queries ++
       graft.queries.Round15Queries.queries ++
       graft.queries.Round16Queries.queries ++
-      graft.queries.Round17Queries.queries
+      graft.queries.Round17Queries.queries ++
+      graft.queries.Round18Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.Round14Queries.oracleSql ++
       graft.queries.Round15Queries.oracleSql ++
       graft.queries.Round16Queries.oracleSql ++
-      graft.queries.Round17Queries.oracleSql
+      graft.queries.Round17Queries.oracleSql ++
+      graft.queries.Round18Queries.oracleSql
 }

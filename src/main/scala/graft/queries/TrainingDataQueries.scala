@@ -92,39 +92,13 @@ object TrainingDataQueries {
         .orderBy(col("keep_doc_id"))
     }),
 
-    // MinHash+LSH: per-doc candidate summary (always non-empty) — candidate
-    // count and best verified Jaccard via the LSH pair table.
-    "d_dedup_minhash" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      val pairs = Similarity.minhashPairs(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 32, numBands = 8, minJaccard = 0.0)
-      val perDoc = pairs.select(col("id_a").as("doc_id"), col("jaccard"))
-        .unionByName(pairs.select(col("id_b").as("doc_id"), col("jaccard")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_candidates"),
-          round(max(col("jaccard")), 6).as("best_jaccard"))
-      docs.select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
-          (coalesce(col("best_jaccard"), lit(0.0)) >= 0.8).as("is_near_dup"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "d_dedup_simhash" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      val sigs = docs.select(col("doc_id"),
-        TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
-      val pairs = Similarity.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
-      val perDoc = pairs.select(col("id_a").as("doc_id"), col("hamming"))
-        .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
-        .groupBy("doc_id").agg(min(col("hamming")).as("min_hamming"))
-      sigs.join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("simhash"),
-          coalesce(col("min_hamming"), lit(64L)).as("min_hamming"))
-        .orderBy(col("doc_id"))
-    }),
+    // d_dedup_minhash / d_dedup_simhash (xxhash64-seeded full outputs)
+    // RETIRED in round 10: xxhash64 has no DuckDB twin, so they could
+    // only ever be rows-only checks. Their output contracts live on,
+    // fully oracled, as d_dedup_minhash_md5 / d_dedup_simhash_md5
+    // (Round18Queries + PortableSim); the xxhash64 production operators
+    // stay covered by the planted recall oracles (Round7Queries) and
+    // SimilaritySpec.
 
     // n-gram Jaccard between consecutive doc ids — linear pair set, exact
     // set arithmetic, portable to DuckDB.
@@ -301,37 +275,18 @@ object TrainingDataQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "e_ann_lsh" -> ((s, dir) => {
-      val emb = load(s, dir, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb,
-        dim = 64, numPlanes = 8, k = 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("cos_sim"), 6).as("cos_sim"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+    // e_ann_lsh (xxhash64-seeded hyperplanes) RETIRED in round 10 —
+    // replaced by the fully-oracled e_ann_lsh_md5 (Round18Queries);
+    // production lshTopK stays covered by e_ann_lsh_planted + specs.
 
-    // Product quantization ANN: 8-byte codes replace 64-float vectors;
-    // candidates scored by a broadcast ADC lookup table (corpus floats
-    // untouched), then the short list re-scored exactly — the memory-
-    // compression path for ANN past what IVF/LSH address. xxhash-free but
-    // rank-from-stride-codebooks has no SQL twin → rows-only check;
-    // SimilaritySpec bounds recall and asserts exact re-scores.
-    "e_ann_pq" -> ((s, dir) => {
-      val emb = load(s, dir, "embeddings")
-      // codebook size must NOT scale with the corpus: real PQ fixes ~256
-      // codes per subspace (8-bit codes) and encode cost is corpus ×
-      // codes, so a corpus-proportional stride (constant stride) turns
-      // encode into O(n²). Derive the stride from the corpus count to pin
-      // ~256 codes at any SF — count cached per dir so repeated bench
-      // invocations don't pay an extra scan job per run.
-      val stride = math.max(1L, QueryShared.cachedCount(s, dir, "embeddings") / 256L)
-      graft.similarity.ProductQuantizer.topK(
-        emb.filter(col("vec_id") < 50), emb, dim = 64, numSub = 8, k = 3,
-        stride = stride.toInt, rerank = 8)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("cos_sim"), 6).as("cos_sim"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+    // e_ann_pq RETIRED in round 10 — the ADC sum is now an ordered
+    // per-subspace fold, which made the whole PQ pipeline (stride
+    // codebooks, encode argmin, ADC cutoff, exact re-rank)
+    // SQL-replayable; the identical query lives on as e_ann_pq_full
+    // (Round18Queries) WITH a full DuckDB oracle. Codebook-size note
+    // preserved there: stride derives from the corpus count to pin ~256
+    // codes per subspace at any SF (corpus-proportional codebooks turn
+    // encode into O(n²)).
 
     // Per-label centroid statistics: position-wise mean of embeddings —
     // the array-aggregation shape behind k-means/IVF training (posexplode →

@@ -141,12 +141,20 @@ object ProductQuantizer {
             col("subvec"), col("centroid")).as("part")))
 
     // candidate scores: sum of table lookups over the code columns — the
-    // corpus float vectors are never read in this stage
+    // corpus float vectors are never read in this stage. The sum is an
+    // ORDERED fold over the ≤ numSub parts sorted by subspace (not a
+    // groupBy sum, whose partial-agg order is nondeterministic in
+    // doubles): the ADC cutoff rank is then bit-identical run-to-run AND
+    // replayable by a SQL oracle's `list(part ORDER BY sub)` fold —
+    // collect_list still partial-aggregates map-side, and the fold is
+    // ≤ numSub adds per candidate.
     val approx = codes.join(adc, Seq("sub", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("part")).as("adc_score"), count(lit(1)).as("_n"))
-      .filter(col("_n") === numSub) // every subspace contributed
+      .agg(sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
+      .filter(size(col("_ps")) === numSub) // every subspace contributed
+      .withColumn("adc_score",
+        aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("vec_id"))
     val candidates = approx

@@ -39,7 +39,8 @@ class SparkEntrySpec extends SparkTestBase {
       "Round14" -> queries.Round14Queries.queries,
       "Round15" -> queries.Round15Queries.queries,
       "Round16" -> queries.Round16Queries.queries,
-      "Round17" -> queries.Round17Queries.queries)
+      "Round17" -> queries.Round17Queries.queries,
+      "Round18" -> queries.Round18Queries.queries)
     val dupes = providers
       .flatMap { case (p, m) => m.keys.map(_ -> p) }
       .groupBy(_._1).filter(_._2.size > 1)
