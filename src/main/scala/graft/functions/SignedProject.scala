@@ -38,9 +38,15 @@ case class SignedProjectExpr(child: Expression, dimIn: Int, dimOut: Int)
   // silently return empty projections)
   require(dimIn >= 1 && dimOut >= 1,
     s"signed_project: dimIn=$dimIn and dimOut=$dimOut must be >= 1")
-  require(dimIn.toLong * dimOut <= (1 << 24),
+  // budget sized to RandomProjection's contract (a per-plan constant of
+  // at most a few MB, built once per executor): 2^20 entries = a 4 MB
+  // int array and ≤ ~1M sign() derivations at construction. The old
+  // 2^24 budget permitted a 64 MB reference object and ~16.7M
+  // MessageDigest instantiations — far past anything the JL lemma asks
+  // for (dimOut grows like log n, not past ~1024).
+  require(dimIn.toLong * dimOut <= (1 << 20),
     s"signed_project: dimIn*dimOut = ${dimIn.toLong * dimOut} exceeds " +
-      s"${1 << 24} (the sign-matrix reference-object budget)")
+      s"${1 << 20} (the sign-matrix reference-object budget)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "signed_project"

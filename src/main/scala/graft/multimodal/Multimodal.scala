@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * batch processing — one partition = one batch, payloads never touch the
   * driver).
   *
-  * The container environment has no codec libraries, so the *decode* step is
-  * a clearly-marked deterministic stub (`FakeCodec`) that parses a
-  * self-describing header we synthesize; everything around it — schema,
+  * Decoding goes through the [[Multimodal.PixelDecoder]] seam with two
+  * implementations: [[Multimodal.ImageIoDecoder]], a REAL image decode via
+  * the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF → integer Rec.601 luma
+  * plane), and [[Multimodal.FakeCodec]]/[[Multimodal.StubDecoder]], the
+  * deterministic synthetic stub the oracled gate data is built from (the
+  * testdata ships no binary images). [[Multimodal.AutoDecoder]] (the
+  * default) sniffs the stub magic and routes per payload, so both kinds
+  * flow through identical operators. Audio/video remain stub-only (no
+  * ffmpeg in a pure JVM); everything around the decode — schema,
   * partitioning, batch iteration, per-frame explode — is the real
-  * distributed plumbing a production codec would drop into.
+  * distributed plumbing any production codec drops into.
   */
 object Multimodal {
 
@@ -67,6 +73,76 @@ object Multimodal {
     }
   }
 
+  /** The single pixel contract every image consumer reads through: an
+    * opaque payload in, a row-major 8-bit intensity plane out. The
+    * Spark plumbing (mapPartitions batching, signature shuffles, banded
+    * pairing) is codec-oblivious — swapping decoders changes NOTHING
+    * downstream of this call. */
+  trait PixelDecoder extends Serializable {
+    /** (width, height, row-major 8-bit intensity bytes). MUST fail
+      * loudly on an unreadable payload — a silent empty plane would
+      * pHash to 0 and bucket all broken images together. */
+    def decodeIntensity(payload: Array[Byte]): (Int, Int, Array[Byte])
+  }
+
+  /** Synthetic stub: GRFT header + raw body bytes AS the intensity
+    * plane (the gate-data decoder — testdata ships no real images). */
+  object StubDecoder extends PixelDecoder {
+    def decodeIntensity(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, _, body) = FakeCodec.decode(payload)
+      (w, h, body)
+    }
+  }
+
+  /** REAL image decode via `javax.imageio` (pure JVM — PNG, JPEG, BMP,
+    * GIF; no native libs): decoded ARGB reduces to integer Rec.601 luma
+    * `(299·R + 587·G + 114·B) / 1000`, all-integer so the plane — and
+    * every signature derived from it — is bit-reproducible across JVMs
+    * and color models. Per-pixel `getRGB` favors correctness over
+    * throughput (it normalizes any `ColorModel`); a production hot path
+    * would read the raster buffer directly per known model. */
+  object ImageIoDecoder extends PixelDecoder {
+    def decodeIntensity(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "imageio: unrecognized or corrupt image payload " +
+          s"(${payload.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(y * w + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  /** Default decoder: sniffs the 4-byte little-endian GRFT magic and
+    * routes synthetic payloads to [[StubDecoder]], anything else to
+    * [[ImageIoDecoder]] — so the oracled gate queries stay bit-identical
+    * on synthetic data while real PNGs/JPEGs flow through the SAME
+    * operators unchanged. */
+  object AutoDecoder extends PixelDecoder {
+    private def isStub(p: Array[Byte]): Boolean =
+      p.length >= 4 &&
+        (ByteBuffer.wrap(p, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+          == FakeCodec.Magic)
+    def decodeIntensity(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+      if (isStub(payload)) StubDecoder.decodeIntensity(payload)
+      else ImageIoDecoder.decodeIntensity(payload)
+  }
+
   /** Synthesize a deterministic media table from the documents table (the
     * driver ships no binary fixtures): payload body = UTF-8 text bytes,
     * dimensions derived from n_chars. Closed-form derivations make the
@@ -91,21 +167,20 @@ object Multimodal {
   /** Decode + feature-extract, batched per partition. The iterator shape
     * (one pass, no materialization of the whole partition) is what a real
     * codec needs for memory-bounded batches. */
-  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+  def imageFeatures(media: Dataset[MediaRow],
+                    decoder: PixelDecoder = AutoDecoder): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val (w, h, _, body) = FakeCodec.decode(m.payload)
-        // STUB: a real decoder would produce pixels here; we treat the raw
-        // body bytes as the intensity plane.
+        val (w, h, plane) = decoder.decodeIntensity(m.payload)
         val mean =
-          if (body.isEmpty) 0.0
+          if (plane.isEmpty) 0.0
           else {
             var s = 0L; var i = 0
-            while (i < body.length) { s += body(i) & 0xff; i += 1 }
-            s.toDouble / body.length
+            while (i < plane.length) { s += plane(i) & 0xff; i += 1 }
+            s.toDouble / plane.length
           }
-        ImageFeatures(m.media_id, w, h, body.length, mean)
+        ImageFeatures(m.media_id, w, h, plane.length, mean)
       }
     }
   }
@@ -247,13 +322,14 @@ object Multimodal {
   /** Per-image perceptual hash, batched per partition (the codec
     * boundary, same shape as [[imageFeatures]]). Map-only: signatures
     * shuffle, payloads never do. */
-  def imagePHash(media: Dataset[MediaRow], blocks: Int = 60): Dataset[PHashRow] = {
+  def imagePHash(media: Dataset[MediaRow], blocks: Int = 60,
+                 decoder: PixelDecoder = AutoDecoder): Dataset[PHashRow] = {
     require(blocks >= 1 && blocks <= 60, s"blocks=$blocks must be in [1, 60]")
     import media.sparkSession.implicits._
     media.filter(col("kind") === "image").as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
-        val (_, _, _, body) = FakeCodec.decode(m.payload)
-        PHashRow(m.media_id, body.length, pHash(body, blocks))
+        val (_, _, plane) = decoder.decodeIntensity(m.payload)
+        PHashRow(m.media_id, plane.length, pHash(plane, blocks))
       }
     }
   }
@@ -280,9 +356,10 @@ object Multimodal {
   /** `(id, simhash)` signatures ready for the banded LSH: raw block-hash
     * bits spread via [[spreadTo64]], columns named for
     * [[graft.similarity.Similarity.simhashPairsFromSigs]]'s contract. */
-  def pHashSigs(media: Dataset[MediaRow], blocks: Int = 60): DataFrame = {
+  def pHashSigs(media: Dataset[MediaRow], blocks: Int = 60,
+                decoder: PixelDecoder = AutoDecoder): DataFrame = {
     import media.sparkSession.implicits._
-    imagePHash(media, blocks)
+    imagePHash(media, blocks, decoder)
       .map(r => (r.media_id, spreadTo64(r.phash, blocks)))
       .toDF("id", "simhash")
   }
@@ -296,9 +373,10 @@ object Multimodal {
     * block hashes because [[spreadTo64]] is an injective bit placement. */
   def pHashPairs(media: Dataset[MediaRow], blocks: Int = 60,
                  maxHamming: Int = 3, numProbes: Int = 4,
-                 maxBucket: Int = 0): DataFrame =
+                 maxBucket: Int = 0,
+                 decoder: PixelDecoder = AutoDecoder): DataFrame =
     graft.similarity.Similarity.simhashPairsFromSigs(
-      pHashSigs(media, blocks), maxHamming, numProbes, maxBucket)
+      pHashSigs(media, blocks, decoder), maxHamming, numProbes, maxBucket)
 
   case class FrameStat(media_id: Long, frame_idx: Int, slice_len: Int, fsum: Long)
 

@@ -97,7 +97,9 @@ object LateInteraction {
     * per-query constant and cancels in ranking, the doc-side count does
     * not). Both operands are exact BIGINTs below 2^53, so the single
     * division is the identical correctly-rounded double in any engine —
-    * the cos_sim ranking precedent. Ties break on doc_id. */
+    * the cos_sim ranking precedent — and that precondition is CHECKED
+    * per pair (dims·max|q_i|·max|c_i| ≤ 2^53, raise_error past it; see
+    * maxSimFunnelWith). Ties break on doc_id. */
   def maxSimFunnel(queryVecs: DataFrame, docVecs: DataFrame, k: Int,
                    dims: Int, shortlist: Int): DataFrame =
     maxSimFunnelWith(queryVecs, docVecs,
@@ -112,16 +114,39 @@ object LateInteraction {
                        shortlist: Int): DataFrame = {
     require(shortlist >= k, s"maxSimFunnel: shortlist=$shortlist must be >= k=$k")
     val pq = broadcast(poolSum(queryVecs, "query_id", dims)
-      .select(col("id").as("query_id"), col("pool").as("q_pool")))
+      .select(col("id").as("query_id"), col("pool").as("q_pool"),
+        array_max(transform(col("pool"), x => abs(x))).as("_q_amax")))
     val pc = pooledDocs.select(col("id").as("doc_id"),
-      col("pool").as("c_pool"), col("n_tokens"))
+      col("pool").as("c_pool"), col("n_tokens"),
+      array_max(transform(col("pool"), x => abs(x))).as("_c_amax"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_mean").desc, col("doc_id"))
+    // CHECKED 2^53 exactness bound (the pHash MaxPHashBytes precedent —
+    // an a-priori input bound that fails LOUD instead of diverging
+    // silently): the coarse key is the single division _dot/n_tokens,
+    // exact only while _dot is an exact-in-double BIGINT, and the
+    // integer dot itself wraps past 2^63. dims·max|q_i|·max|c_i| bounds
+    // |Σ q_i·c_i| (triangle inequality), so requiring it ≤ 2^53 rules
+    // out BOTH failure modes before they happen. The bound product is
+    // compared in double — conservative by at most 1 ulp. Remediation
+    // when it trips: chunk the doc token bags upstream (CdcChunk) or
+    // pool at a smaller quantization scale.
+    val exactBound = lit((1L << 53).toDouble)
+    val boundOk = col("_q_amax").cast("double") *
+      col("_c_amax").cast("double") * lit(dims.toDouble) <= exactBound
     val cand = pc.crossJoin(pq)
       .withColumn("_dot",
         graft.functions.DotCodes.dot_codes(col("q_pool"), col("c_pool")))
       .withColumn("_mean",
-        col("_dot").cast("double") / col("n_tokens").cast("double"))
+        when(boundOk,
+          col("_dot").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(raise_error(concat(
+            lit("maxSimFunnel: dims*max|q_pool|*max|c_pool| for (query "),
+            col("query_id"), lit(", doc "), col("doc_id"),
+            lit(") exceeds 2^53 — the pooled coarse key is no longer an "
+              + "exact double (and the integer dot may wrap); chunk the "
+              + "token bags or lower the poolSum quantization scale")))
+            .cast("double")))
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= shortlist)
       .select(col("query_id"), col("doc_id"))

@@ -171,12 +171,18 @@ object Similarity {
     // (and the cap adds a third consumer) — unstaged, the whole sigs
     // subtree re-executes per consumer, which for pHash callers means
     // re-decoding every media payload (the Fingerprint.overlapPairs
-    // staging lesson). O(rows·numProbes) of 24-byte tuples.
+    // staging lesson). O(rows·numProbes) of 24-byte tuples. persist()
+    // rather than eager localCheckpoint: this runs at DataFrame
+    // CONSTRUCTION in a library function, and the eager form scheduled
+    // a Spark job for every caller — including ones that never execute
+    // the result — and truncated lineage; the lazy cache serves all
+    // consumers identically once the first action runs
+    // (PortableSimSpec pins the no-job-at-construction contract).
     var banded = sigs.select(col("id"), col("simhash"),
       explode(array(probes: _*)).as("p"))
       .select(col("id"), col("simhash"), col("p.t").as("t"),
         col("p.bucket").as("bucket"))
-      .localCheckpoint(true)
+      .persist()
     // skew guard, [[minhashPairs]]' maxBucketSize contract: with
     // CORRELATED signatures (short video frames, templated images) a
     // probe block can go hot and one bucket's quadratic pair work

@@ -124,13 +124,20 @@ object StreamingMedia {
           .withColumn("admitted", col("n_pairs") === 0L)
           .select(col("id"), col("admitted"), col("n_pairs"))
           .localCheckpoint(true)
-        // fold survivors in; a redelivered already-indexed id (no pair
-        // with itself — ids are equal, so id_a < id_b never fires)
-        // must not duplicate its index row
-        index = index.unionByName(
-            sigs.join(decisions.filter(col("admitted")).select(col("id")),
-              Seq("id"), "leftsemi")
-              .join(idxIds, Seq("id"), "left_anti"))
+        // fold survivors in by REPLACEMENT: an admitted id's old index
+        // row (if any) is dropped before its fresh signature is added,
+        // so a redelivered id with a CHANGED payload updates the index
+        // — under the old add-if-absent fold the stale signature kept
+        // serving and future near-dups of the NEW content were silently
+        // admitted. Identical redelivery stays idempotent (drop + re-add
+        // of the same row); a REJECTED redelivery leaves the old row in
+        // place (rejected content never enters the index).
+        val admittedSigs = sigs.join(
+          decisions.filter(col("admitted")).select(col("id")),
+          Seq("id"), "leftsemi")
+        index = index
+          .join(admittedSigs.select(col("id")), Seq("id"), "left_anti")
+          .unionByName(admittedSigs)
           .localCheckpoint(true)
         sink(decisions, batchId)
       }

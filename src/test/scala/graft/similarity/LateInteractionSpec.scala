@@ -83,6 +83,40 @@ class LateInteractionSpec extends SparkTestBase {
       "sum-pooled length bias leaked into the shortlist")
   }
 
+  test("funnel coarse key raises LOUDLY past the 2^53 exactness bound " +
+      "instead of silently losing integer exactness") {
+    import spark.implicits._
+    val x = Seq(1f, 0f)
+    val qv = Seq((1L, 0L, x)).toDF("query_id", "token_idx", "embedding")
+    val dv = Seq((10L, 0L, x)).toDF("doc_id", "token_idx", "embedding")
+    // a pre-pooled corpus row whose component magnitude pushes
+    // dims*max|q|*max|c| past 2^53: q_pool = [1e6, 0], dims = 2, so any
+    // |c| > 2^53/(2e6) ≈ 4.5e9 trips the bound — 2^52 does comfortably
+    val huge = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(10L, 1L, Array(1L << 52, 0L))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, n_tokens BIGINT, pool ARRAY<BIGINT>"))
+    val e = intercept[Exception] {
+      LateInteraction.maxSimFunnelWith(qv, dv, huge, k = 1, dims = 2,
+        shortlist = 1).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("exceeds 2^53")),
+      s"expected the 2^53 bound error, got: $e")
+    // and a same-shape pooled corpus INSIDE the bound flows through
+    val ok = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(10L, 1L, Array(1000000L, 0L))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, n_tokens BIGINT, pool ARRAY<BIGINT>"))
+    val got = LateInteraction.maxSimFunnelWith(qv, dv, ok, k = 1, dims = 2,
+      shortlist = 1).collect()
+    assert(got.length == 1 && got.head.getLong(2) == 10L)
+  }
+
   test("maxSimFunnel with a full-width shortlist equals maxSimTopK") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val qv = emb.filter(col("vec_id") < 10)

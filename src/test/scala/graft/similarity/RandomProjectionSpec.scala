@@ -81,6 +81,19 @@ class RandomProjectionSpec extends SparkTestBase {
     }
   }
 
+  test("sign-matrix budget: dimIn*dimOut past 2^20 is rejected at " +
+      "construction (no 64 MB reference object, no 16M-digest build)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.SignedProjectExpr.signed_project(
+        col("embedding"), 2048, 1024) // 2^21 entries
+    }
+    assert(e.getMessage.contains("reference-object budget"),
+      s"wrong error: ${e.getMessage}")
+    // the largest sensible shape stays comfortably inside: 1024 -> 1024
+    graft.functions.SignedProjectExpr.signed_project(
+      col("embedding"), 1024, 1024) // 2^20 exactly — allowed
+  }
+
   test("projectedTopK ranks by the exact projected integer dot") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val got = RandomProjection.projectedTopK(

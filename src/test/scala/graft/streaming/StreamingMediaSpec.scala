@@ -125,4 +125,40 @@ class StreamingMediaSpec extends SparkTestBase {
     }
     assert(got == refGot.toMap)
   }
+
+  test("admitImages: redelivered id with CHANGED payload REPLACES its " +
+      "index signature — near-dups of the new content reject, copies of " +
+      "the superseded content admit") {
+    implicit val sqlCtx = spark.sqlContext
+    val bodyA = "original pixel payload aaaa bbbb cccc dddd eeee ffff gggg"
+    val bodyB = "totally rewritten content 1111 2222 3333 4444 5555 6666!!"
+    // index holds id 1 with content A
+    val idx0 = Multimodal.pHashSigs(spark.createDataset(Seq(mk(1L, bodyA))))
+    // batch 1: id 1 REDELIVERED with content B (no near-dup of B anywhere
+    //          → admitted; ids equal → no self-pair blocks it)
+    // batch 2: 99 = copy of B → must REJECT (the stale-signature bug
+    //          admitted it: the index still served A for id 1);
+    //          98 = copy of the SUPERSEDED A → must ADMIT (id 1's content
+    //          is now B; A left the corpus with the replacement)
+    val batches = Seq(
+      Seq(mk(1L, bodyB)),
+      Seq(mk(99L, bodyB), mk(98L, bodyA)))
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingMedia.admitImages(mem.toDS(), idx0.toDF()) {
+      (df, _) => collected ++= df.collect()
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = collected.map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == true, "changed redelivery of id 1 rejected")
+    assert(got(99L)._1 == false,
+      "copy of the redelivered NEW content admitted — stale signature " +
+        "still serving (replace-on-fold-in broken)")
+    assert(got(98L)._1 == true,
+      "copy of the SUPERSEDED content rejected — old signature not " +
+        "replaced")
+  }
 }
