@@ -73,6 +73,77 @@ object Round18Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ, end to end THROUGH PERSISTENCE (the e_ann_ivf_incremental
+    // lifecycle): encode cells+codes -> saveIvfPqIndex (parquet,
+    // partitioned by centroid) -> reload -> probe. Planted contract:
+    // an identical embedding assigns to the query's own argmin cell
+    // (probe #1 contains it) and encodes to identical codes, so its ADC
+    // score equals the query's own quantization score — rerank=32 keeps
+    // it through the cutoff and the exact re-score pins cosine 1.
+    "e_ann_ivfpq_planted" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = Round7Queries.plantedEmb(s, dir, 30)
+      val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val bookStride = math.max(1L,
+        QueryShared.cachedCount(s, dir, "embeddings") / 20L).toInt
+      val books = graft.similarity.ProductQuantizer.codebooks(
+        emb, dim = 64, numSub = 8, stride = bookStride)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ivfpq_idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.similarity.TrainedState.saveIvfPqIndex(
+        graft.similarity.IvfPq.encode(corpus, centroids, books,
+          dim = 64, numSub = 8), idxPath)
+      val index = graft.similarity.TrainedState.loadIvfPqIndex(s, idxPath)
+      val queries = emb.filter(col("vec_id") < 30)
+      graft.similarity.IvfPq.topKFromIndex(queries, index, corpus, k = 1,
+        centroids, books, dim = 64, numSub = 8, nprobe = 2, rerank = 32)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
+    // IVF-PQ recall-vs-nprobe — the dial a 100 TB deployment tunes: for
+    // nprobe in {1, 2, 4}, the fraction of exact brute-force top-3
+    // neighbors the funnel recovers. FULLY oracled: cells, codes, ADC
+    // ordered folds, cutoffs and the brute reference all replay in SQL,
+    // so the recall numbers themselves are engine-exact.
+    "e_ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 30)
+      val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val bookStride = math.max(1L,
+        QueryShared.cachedCount(s, dir, "embeddings") / 20L).toInt
+      val books = graft.similarity.ProductQuantizer.codebooks(
+        emb, dim = 64, numSub = 8, stride = bookStride)
+      // one encode feeds all three probes (lazy persist — the
+      // PortableSim staging convention)
+      val index = graft.similarity.IvfPq.encode(emb, centroids, books,
+        dim = 64, numSub = 8).persist()
+      val brute = graft.similarity.Similarity.bruteTopK(queries, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = Seq(1, 2, 4).map { nprobe =>
+        graft.similarity.IvfPq.topKFromIndex(queries, index, emb, k = 3,
+          centroids, books, dim = 64, numSub = 8, nprobe, rerank = 8)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("nprobe", lit(nprobe))
+      }.reduce(_ unionByName _)
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      val total = brute.count()
+      hits.select(col("nprobe").cast("int").as("nprobe"), col("n_hits"),
+          lit(total).as("n_total"),
+          round(lit(1000000.0) * col("n_hits") / lit(total.toDouble))
+            .cast("long").as("recall_e6"))
+        .orderBy(col("nprobe"))
+    }),
+
     // PQ ANN top-3 — the retired e_ann_pq VERBATIM (stride codebooks,
     // ADC candidates, exact re-rank): PQ never hashed, and with the ADC
     // sum now an ordered per-subspace fold the whole pipeline — encode
@@ -97,7 +168,106 @@ object Round18Queries {
 
   private val toksSql = QueryShared.tokensSql
 
+  /** Shared CTE block for the IVF-PQ replay: stride cells and books,
+    * corpus cell assignment, per-subspace PQ encode. Same argmin /
+    * tie-break / kernel-dot conventions as the e_ann_ivf and
+    * e_ann_pq_full oracles. */
+  private def ivfpqCoreSql: String =
+    s"""WITH params AS (
+       |  SELECT greatest(1, (SELECT count(*) FROM embeddings) // 20) AS bstride),
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS centroid
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |books AS (SELECT gs.s AS sub,
+       |    CAST(e.vec_id // p.bstride AS INT) AS code,
+       |    list_slice(e.embedding, gs.s*8 + 1, gs.s*8 + 8) AS centroid
+       |  FROM embeddings e CROSS JOIN params p
+       |    CROSS JOIN generate_series(0, 7) gs(s)
+       |  WHERE e.vec_id % p.bstride = 0),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -(${cosSql("e.embedding", "c.centroid")}) ASC,
+       |          c.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE rn = 1),
+       |subs AS (SELECT e.vec_id, gs.s AS sub,
+       |    list_slice(e.embedding, gs.s*8 + 1, gs.s*8 + 8) AS subvec
+       |  FROM embeddings e CROSS JOIN generate_series(0, 7) gs(s)),
+       |enc AS (SELECT vec_id, sub, code FROM (
+       |    SELECT sv.vec_id, sv.sub, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+       |        ORDER BY (${dotSql("b.centroid", "b.centroid")}
+       |          - 2 * ${dotSql("sv.subvec", "b.centroid")}) ASC,
+       |          b.code ASC) AS rn
+       |    FROM subs sv JOIN books b ON b.sub = sv.sub) t
+       |  WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    "e_ann_ivfpq_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+
+    "e_ann_ivfpq_recall" -> (ivfpqCoreSql +
+      s""",
+       |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |probedranks AS (
+       |  SELECT q.vec_id AS query_id, c.centroid_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY -(${cosSql("q.embedding", "c.centroid")}) ASC,
+       |        c.centroid_id ASC) AS crank
+       |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 30),
+       |probed AS (SELECT n.nprobe, pr.query_id, pr.centroid_id
+       |  FROM probedranks pr CROSS JOIN np n WHERE pr.crank <= n.nprobe),
+       |adc AS (SELECT sv.vec_id AS query_id, sv.sub, b.code,
+       |    ${dotSql("sv.subvec", "b.centroid")} AS part
+       |  FROM subs sv JOIN books b ON b.sub = sv.sub WHERE sv.vec_id < 30),
+       |approx AS (SELECT p.nprobe, p.query_id, a.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(d.part ORDER BY d.sub)), (x, y) -> x + y) AS adc_score,
+       |    count(*) AS n
+       |  FROM probed p
+       |  JOIN assigned a
+       |    ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |  JOIN adc d
+       |    ON d.query_id = p.query_id AND d.sub = e.sub AND d.code = e.code
+       |  GROUP BY p.nprobe, p.query_id, a.vec_id),
+       |short AS (SELECT nprobe, query_id, vec_id AS neighbor_id FROM (
+       |    SELECT nprobe, query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |        ORDER BY adc_score DESC, vec_id) AS r
+       |    FROM approx WHERE n = 8) t
+       |  WHERE r <= 24),
+       |rer AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT s.nprobe, s.query_id, s.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.nprobe, s.query_id
+       |        ORDER BY ${cosSql("qe.embedding", "ce.embedding")} DESC,
+       |          s.neighbor_id) AS rk
+       |    FROM short s
+       |    JOIN embeddings qe ON qe.vec_id = s.query_id
+       |    JOIN embeddings ce ON ce.vec_id = s.neighbor_id) t
+       |  WHERE rk <= 3),
+       |brute AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS rk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 30) t
+       |  WHERE rk <= 3),
+       |tot AS (SELECT count(*) AS n_total FROM brute)
+       |SELECT r.nprobe, count(*) AS n_hits, t.n_total,
+       |  CAST(ROUND(1000000.0 * count(*) / t.n_total) AS BIGINT) AS recall_e6
+       |FROM rer r
+       |JOIN brute b
+       |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+       |CROSS JOIN tot t
+       |GROUP BY r.nprobe, t.n_total
+       |ORDER BY r.nprobe""".stripMargin),
 
     "d_dedup_minhash_md5" ->
       s"""WITH t AS (

@@ -1,0 +1,150 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composition both halves already support separately and
+  * the shape a 100 TB ANN deployment actually runs (the FAISS IVFPQ
+  * layout, Jégou/Douze/Schmid, "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): an inverted file over coarse cells
+  * bounds WHICH vectors are scored (nprobe cells per query, partition-
+  * pruned when the index is persisted), and per-vector PQ codes bound
+  * WHAT is read per scored vector (numSub bytes instead of dim floats,
+  * via a broadcast ADC table). Exact re-ranking of the short ADC list
+  * restores true-cosine ordering at the top.
+  *
+  * Codes here quantize the RAW vectors against GLOBAL codebooks (the
+  * FAISS `by_residual=false` variant) rather than per-cell residuals:
+  * residual encoding buys accuracy at the cost of coupling the
+  * codebooks to the coarse quantizer (every rebalance/retrain of cells
+  * invalidates all codes); with global books, [[Similarity.ivfRebalance]]
+  * and cell retraining never touch the code columns. Both engines'
+  * arithmetic is the repo standard — kernel dots (f32→f64 sequential
+  * left fold), ordered per-subspace ADC folds, (score desc, id) ties —
+  * so the whole pipeline replays in SQL (e_ann_ivfpq_recall's oracle).
+  *
+  * Scale ledger: build = two broadcast passes over the corpus (cell
+  * argmin + code argmin, both map-side partial aggregations; one
+  * shuffle row per vector each). Serve = broadcast probes × broadcast
+  * ADC against the CODES index (centroid_id-pruned, numSub ints per
+  * row); only the ≤ k·rerank ADC survivors per query touch the float
+  * corpus, via one id-keyed join.
+  */
+object IvfPq {
+
+  /** The IVF-PQ CODES INDEX: `(vec_id, centroid_id, codes ARRAY<INT>)`
+    * — cell assignment from `centroidsDf` ([[Similarity.ivfAssign]]'s
+    * argmin, bit-identical tie-break) plus the per-subspace PQ code
+    * array ordered by subspace ([[ProductQuantizer.encode]]'s argmin).
+    * This is the persistable artifact ([[TrainedState.saveIvfPqIndex]]);
+    * float embeddings do NOT ride in it — re-ranking joins the corpus. */
+  def encode(corpus: DataFrame, centroidsDf: DataFrame, booksDf: DataFrame,
+             dim: Int, numSub: Int): DataFrame = {
+    val cells = Similarity.ivfAssign(corpus, centroidsDf)
+      .select(col("vec_id"), col("centroid_id"))
+    val codes = ProductQuantizer.encode(corpus, broadcast(booksDf), dim, numSub)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("_sc"))
+      .select(col("vec_id"),
+        transform(col("_sc"), p => p.getField("code")).as("codes"))
+    cells.join(codes, Seq("vec_id"))
+  }
+
+  /** ANN top-k over a prebuilt IVF-PQ codes index. Stages: (1) each
+    * query picks its `nprobe` nearest cells (broadcast, query-batch
+    * sized); (2) ADC — probed cells' code rows join the broadcast
+    * per-(query, sub, code) dot table, candidate score = ordered fold
+    * over the numSub parts; (3) the top `k·rerank` ADC survivors per
+    * query re-score exactly against `corpus` floats. `corpus` must
+    * carry (vec_id, embedding) for every indexed id — the id-keyed
+    * re-rank join is the ONLY stage that reads floats. */
+  def topKFromIndex(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+                    k: Int, centroidsDf: DataFrame, booksDf: DataFrame,
+                    dim: Int, numSub: Int, nprobe: Int,
+                    rerank: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && rerank >= 1,
+      s"IvfPq.topKFromIndex: k=$k, nprobe=$nprobe, rerank=$rerank must be >= 1")
+    val subDim = dim / numSub
+    val dot = graft.functions.DotProduct.dot_product _
+
+    // (1) probe cells — identical plan to ivfTopKFromIndex's probe side
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_cdist").asc, col("centroid_id"))
+    val probed = broadcast(queries.crossJoin(broadcast(centroidsDf))
+      .withColumn("_cdist",
+        Similarity.negCosGuarded(col("embedding"), col("centroid")))
+      .withColumn("_crank", row_number().over(w0))
+      .filter(col("_crank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("embedding").as("q_emb")))
+
+    // (2) broadcast ADC table: dot(q_sub, code centroid) per
+    // (query, sub, code) — |queries| × numSub × |codes| rows
+    val adc = broadcast(probed.select(col("query_id"), col("q_emb"))
+      .dropDuplicates("query_id")
+      .select(col("query_id"),
+        explode(transform(sequence(lit(0), lit(numSub - 1)),
+          s => struct(s.as("sub"),
+            slice(col("q_emb"), s * subDim + 1, lit(subDim)).as("subvec"))))
+          .as("_e"))
+      .select(col("query_id"), col("_e.sub").as("sub"),
+        col("_e.subvec").as("subvec"))
+      .join(broadcast(booksDf), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("subvec"), col("centroid")).as("part")))
+
+    // candidate ADC scores over the PROBED cells only: explode the code
+    // array (numSub short rows per candidate), join the table, ordered
+    // fold — the same bit-deterministic sum as ProductQuantizer.topKWith
+    val cand = index.join(probed.select("query_id", "centroid_id"),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(adc, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
+      .filter(size(col("_ps")) === numSub)
+      .withColumn("adc_score",
+        aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val shortlist = cand.withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= k * rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    // (3) exact re-rank of the shortlist — floats read here only
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos_sim",
+        Similarity.cosineGuarded(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** One-shot composition: build the codes index from stride-sampled
+    * cells/books and search it. Production persists the index instead
+    * ([[TrainedState.saveIvfPqIndex]]) — the one-shot plan re-derives
+    * the encode subtree per consumer, the persisted index reads it. */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           centroidStride: Int, bookStride: Int, dim: Int, numSub: Int,
+           nprobe: Int, rerank: Int): DataFrame = {
+    require(centroidStride > 0 && bookStride > 0,
+      s"IvfPq.topK: strides must be positive " +
+        s"(got $centroidStride, $bookStride)")
+    val centroids = corpus
+      .filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val books = ProductQuantizer.codebooks(corpus, dim, numSub, bookStride)
+    topKFromIndex(queries, encode(corpus, centroids, books, dim, numSub),
+      corpus, k, centroids, books, dim, numSub, nprobe, rerank)
+  }
+}

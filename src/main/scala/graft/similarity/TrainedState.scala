@@ -120,6 +120,38 @@ object TrainedState {
         .as(f.name)).toIndexedSeq: _*)
   }
 
+  val ivfPqIndexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("codes", ArrayType(IntegerType), nullable = true)))
+
+  /** Persist an IVF-PQ codes index ([[IvfPq.encode]] output) — corpus-
+    * sized like the plain IVF index, so `partitionBy(centroid_id)` for
+    * partition-pruned probes; rows are numSub ints each (the whole
+    * point of PQ: the float corpus stays wherever it lives and only the
+    * re-rank join reads it). */
+  def saveIvfPqIndex(index: DataFrame, path: String,
+                     append: Boolean = false): Unit = {
+    val cols = ivfPqIndexSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    index.select(cols.toIndexedSeq: _*)
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Load an IVF-PQ codes index for [[IvfPq.topKFromIndex]]. */
+  def loadIvfPqIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val got = df.schema.fieldNames.toSet
+    ivfPqIndexSchema.fields.foreach { f =>
+      require(got.contains(f.name),
+        s"trained-state schema mismatch at $path: missing ${f.name}")
+    }
+    df.select(ivfPqIndexSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        .as(f.name)).toIndexedSeq: _*)
+  }
+
   val dsirModelSchema: StructType = StructType(Seq(
     StructField("w", StringType, nullable = false),
     StructField("dsir_e6", LongType, nullable = false)))

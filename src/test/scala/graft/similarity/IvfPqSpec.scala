@@ -1,0 +1,104 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+class IvfPqSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def emb = Tables.load(spark, dir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private def centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+  private def books =
+    ProductQuantizer.codebooks(emb, dim = 64, numSub = 8, stride = 25)
+
+  test("full probe + full rerank degenerates to exact brute force") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val nCells = centroids.count().toInt
+    val nCorpus = emb.count().toInt
+    val got = IvfPq.topK(queries, emb, k = 3, centroidStride = 50,
+      bookStride = 25, dim = 64, numSub = 8, nprobe = nCells,
+      rerank = nCorpus) // every cell probed, every candidate re-scored
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("c"))
+      .collect().toSet
+    val want = Similarity.bruteTopK(queries, emb, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("c"))
+      .collect().toSet
+    assert(got == want)
+  }
+
+  test("persistence round-trip: probe(loadIvfPqIndex(save(encode))) == " +
+      "probe(in-memory index), and the artifact schema fails fast") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val index = IvfPq.encode(emb, centroids, books, dim = 64, numSub = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq_idx").toString + "/idx"
+    TrainedState.saveIvfPqIndex(index, path)
+    val loaded = TrainedState.loadIvfPqIndex(spark, path)
+    def probe(idx: org.apache.spark.sql.DataFrame) =
+      IvfPq.topKFromIndex(queries, idx, emb, k = 3, centroids, books,
+        dim = 64, numSub = 8, nprobe = 2, rerank = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(probe(loaded) == probe(index))
+    // mis-pointed artifact fails fast at the driver
+    val wrong = java.nio.file.Files
+      .createTempDirectory("ivfpq_bad").toString + "/bad"
+    emb.limit(1).write.parquet(wrong)
+    val e = intercept[IllegalArgumentException] {
+      TrainedState.loadIvfPqIndex(spark, wrong)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("planted identical vector co-locates: same cell, same codes, " +
+      "rank-1 at cosine 1 through the index") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 10)
+    val corpus = emb.unionByName(queries
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")))
+    val index = IvfPq.encode(corpus, centroids, books, dim = 64, numSub = 8)
+      .persist()
+    // co-location is structural: identical embedding -> identical cell
+    // and identical code array
+    val byId = index.filter(col("vec_id") < 10 || col("vec_id") >= 5000L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    (0L until 10L).foreach { q =>
+      assert(byId(q) == byId(q + 5000L), s"vector $q and its copy diverge")
+    }
+    val top = IvfPq.topKFromIndex(queries, index, corpus, k = 1, centroids,
+      books, dim = 64, numSub = 8, nprobe = 2, rerank = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(top.length == 10)
+    top.foreach { case (q, n, cos) =>
+      assert(n == q + 5000L && math.abs(cos - 1.0) < 1e-9,
+        s"query $q: expected planted dup, got ($n, $cos)")
+    }
+  }
+
+  test("recall rises monotonically with nprobe and hits 1.0 at a full " +
+      "cell walk with deep rerank") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(queries, emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = IvfPq.encode(emb, centroids, books, dim = 64, numSub = 8)
+      .persist()
+    val nCells = centroids.count().toInt
+    val recalls = Seq(1, 2, nCells).map { nprobe =>
+      val got = IvfPq.topKFromIndex(queries, index, emb, k = 3, centroids,
+        books, dim = 64, numSub = 8, nprobe,
+        rerank = if (nprobe == nCells) emb.count().toInt else 8)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0, s"full walk below 1.0: $recalls")
+  }
+}
