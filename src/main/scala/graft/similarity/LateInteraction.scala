@@ -106,9 +106,12 @@ object LateInteraction {
       poolSum(docVecs, "doc_id", dims), k, dims, shortlist)
 
   /** [[maxSimFunnel]] against a PRE-POOLED corpus ([[poolSum]] output,
-    * e.g. persisted and reloaded) — pooling the static side is
-    * corpus-sized work that a per-trigger serving loop must not repeat
-    * ([[graft.streaming.StreamingAnn.serveMaxSimFunnel]]'s contract). */
+    * persisted via [[TrainedState.savePooled]] and reloaded with
+    * [[TrainedState.loadPooled]] — dims recorded in the artifact, width
+    * checked at write, schema fail-fast at load) — pooling the static
+    * side is corpus-sized work that a per-trigger serving loop must not
+    * repeat ([[graft.streaming.StreamingAnn.serveMaxSimFunnelFromSaved]]
+    * is that serving path). */
   def maxSimFunnelWith(queryVecs: DataFrame, docVecs: DataFrame,
                        pooledDocs: DataFrame, k: Int, dims: Int,
                        shortlist: Int): DataFrame = {

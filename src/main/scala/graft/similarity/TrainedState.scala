@@ -152,6 +152,67 @@ object TrainedState {
         .as(f.name)).toIndexedSeq: _*)
   }
 
+  val pooledSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("pool", ArrayType(LongType), nullable = true),
+    StructField("dims", IntegerType, nullable = false)))
+
+  /** Persist a [[LateInteraction.poolSum]] output — the pooled-corpus
+    * artifact the MaxSim serving funnel's coarse stage reads
+    * ([[LateInteraction.maxSimFunnelWith]]'s contract: pooling the
+    * static side is corpus-sized work a per-trigger loop must not
+    * repeat). Corpus-sized, so partitioning is kept (no single-file
+    * coalesce); `dims` is RECORDED in the rows (the
+    * [[graft.multimodal.Multimodal.saveSigIndex]] convention) so the
+    * serving side reads the parameter instead of trusting its call
+    * site, and every row's pool width is CHECKED against it at write —
+    * a width-drifted row would make the serving dot_codes silently
+    * null, so the save fails loudly instead. */
+  def savePooled(pooled: DataFrame, path: String, dims: Int): Unit = {
+    require(dims >= 1, s"savePooled: dims=$dims must be >= 1")
+    val f = org.apache.spark.sql.functions
+    val checkedPool = f.when(f.size(f.col("pool")) === dims, f.col("pool"))
+      .otherwise(f.raise_error(f.concat(
+        f.lit(s"savePooled: pool width <> dims=$dims for id "),
+        f.col("id").cast("string"))).cast("array<long>"))
+    pooled.select(f.col("id").cast("long").as("id"),
+        f.col("n_tokens").cast("long").as("n_tokens"),
+        checkedPool.cast("array<long>").as("pool"),
+        f.lit(dims).as("dims"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The recorded `dims` of a pooled artifact; fails fast if shards
+    * disagree (partial overwrite / mixed-save dir). */
+  def loadPooledParams(spark: SparkSession, path: String): Int = {
+    val f = org.apache.spark.sql.functions
+    val r = spark.read.parquet(path)
+      .agg(f.min(f.col("dims")).cast("int"), f.max(f.col("dims")).cast("int"))
+      .head()
+    require(!r.isNullAt(0) && r.getInt(0) == r.getInt(1),
+      s"loadPooledParams($path): shards disagree on dims — mixed or " +
+        "partial save")
+    r.getInt(0)
+  }
+
+  /** Load a pooled corpus for [[LateInteraction.maxSimFunnelWith]] /
+    * [[graft.streaming.StreamingAnn.serveMaxSimFunnelFromSaved]]; fails
+    * fast at the driver on schema drift. */
+  def loadPooled(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    Seq("id" -> "bigint", "n_tokens" -> "bigint", "pool" -> "array<bigint>",
+      "dims" -> "int").foreach { case (n, t) =>
+      require(got.get(n).contains(t),
+        s"loadPooled($path): expected column $n: $t, found " +
+          s"${got.getOrElse(n, "ABSENT")} — not a pooled-corpus artifact")
+    }
+    df.select(org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("n_tokens"),
+      org.apache.spark.sql.functions.col("pool"))
+  }
+
   val dsirModelSchema: StructType = StructType(Seq(
     StructField("w", StringType, nullable = false),
     StructField("dsir_e6", LongType, nullable = false)))

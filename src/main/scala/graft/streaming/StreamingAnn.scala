@@ -190,6 +190,35 @@ object StreamingAnn {
       .start()
   }
 
+  /** [[serveMaxSimFunnel]] against a PERSISTED pooled corpus
+    * ([[graft.similarity.TrainedState.savePooled]] output) — the
+    * production serving shape: pool once offline, restart serving loops
+    * freely without re-paying the corpus-sized pooling pass. `dims` is
+    * read from the artifact's recorded parameter (the
+    * admitImagesFromSaved misuse-proof convention), so the query-side
+    * pooling can never disagree with how the corpus was pooled — a
+    * width mismatch would make every coarse dot silently null.
+    * `docVecs` still supplies the token bags the exact rerank stage
+    * reads (floats never live in the pooled artifact). */
+  def serveMaxSimFunnelFromSaved(queries: DataFrame, docVecs: DataFrame,
+                                 spark: org.apache.spark.sql.SparkSession,
+                                 pooledPath: String, k: Int, shortlist: Int,
+                                 availableNow: Boolean = false)
+                                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val dims = graft.similarity.TrainedState.loadPooledParams(spark, pooledPath)
+    val pooled = graft.similarity.TrainedState.loadPooled(spark, pooledPath)
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val qv = batch.toDF().select(col("query_id"),
+          posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
+        sink(graft.similarity.LateInteraction.maxSimFunnelWith(qv, docVecs,
+          pooled, k, dims, shortlist), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Streaming kNN CLASSIFICATION: per micro-batch of query vectors,
     * find `k` approximate neighbors in a LABELED codes index
     * ([[Similarity.ivfTopKFromIndex]]) and emit the majority label

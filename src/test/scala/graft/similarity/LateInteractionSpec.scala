@@ -83,6 +83,47 @@ class LateInteractionSpec extends SparkTestBase {
       "sum-pooled length bias leaked into the shortlist")
   }
 
+  test("pooled-corpus persistence: round-trip parity through savePooled/" +
+      "loadPooled; width and schema drift reject loudly") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+      col("vec_id").as("token_idx"), col("embedding"))
+    val qv = emb.filter(col("vec_id") < 6)
+      .select((col("vec_id") % 3).as("query_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+    val pooled = LateInteraction.poolSum(dv, "doc_id", dims = 64)
+    val root = java.nio.file.Files.createTempDirectory("pooled_rt").toString
+    TrainedState.savePooled(pooled, s"$root/ok", dims = 64)
+    assert(TrainedState.loadPooledParams(spark, s"$root/ok") == 64)
+    val viaDisk = LateInteraction.maxSimFunnelWith(qv, dv,
+      TrainedState.loadPooled(spark, s"$root/ok"), k = 3, dims = 64,
+      shortlist = 10).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = LateInteraction.maxSimFunnel(qv, dv, k = 3, dims = 64,
+      shortlist = 10).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaDisk == direct)
+
+    // WIDTH DRIFT rejects at WRITE: rows pooled at 64 dims saved under a
+    // recorded dims=32 would serve silently-null coarse dots — the save
+    // itself must fail
+    val we = intercept[Exception] {
+      TrainedState.savePooled(pooled, s"$root/drift", dims = 32)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(we).exists(c => c.getMessage != null &&
+      c.getMessage.contains("savePooled")), s"wrong error: $we")
+
+    // SCHEMA DRIFT rejects at LOAD: a mis-pointed path fails at the
+    // driver, not mid-job
+    emb.limit(1).write.parquet(s"$root/notpooled")
+    val le = intercept[IllegalArgumentException] {
+      TrainedState.loadPooled(spark, s"$root/notpooled")
+    }
+    assert(le.getMessage.contains("not a pooled-corpus artifact"))
+  }
+
   test("funnel coarse key raises LOUDLY past the 2^53 exactness bound " +
       "instead of silently losing integer exactness") {
     import spark.implicits._

@@ -92,4 +92,51 @@ class StreamingMaxSimSpec extends SparkTestBase {
       r.getLong(3))).toSet
     assert(got == want)
   }
+
+  test("funnel serve through the PERSISTED pooled artifact == batch " +
+      "funnel (savePooled -> serveMaxSimFunnelFromSaved, dims read from " +
+      "the artifact)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val docVecs = emb.select((col("vec_id") % 50).as("doc_id"),
+      col("vec_id").as("token_idx"), col("embedding"))
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("pooled_state").toString + "/pooled"
+    graft.similarity.TrainedState.savePooled(
+      LateInteraction.poolSum(docVecs, "doc_id", dims = 64), path, dims = 64)
+    val qtoks = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") % 4).as("query_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        (qid, rows.sortBy(_.getLong(1))
+          .map(_.getSeq[Float](2).toArray).toSeq) }
+      .toSeq.sortBy(_._1)
+
+    val mem = MemoryStream[(Long, Seq[Array[Float]])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveMaxSimFunnelFromSaved(
+      mem.toDF().toDF("query_id", "tokens"), docVecs, spark, path,
+      k = 3, shortlist = 10) {
+      (df, _) => collected ++= df.collect()
+    }
+    try {
+      qtoks.grouped(2).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val qv = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") % 4).as("query_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+    val want = LateInteraction.maxSimFunnel(qv, docVecs, k = 3, dims = 64,
+        shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = collected.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3))).toSet
+    assert(got == want)
+  }
 }
