@@ -63,6 +63,117 @@ object StreamingMedia {
       .start()
   }
 
+  /** Streaming VIDEO content-ID admission — completes the media trio
+    * (images: whole-image pHash; audio: VAD gate; video: per-frame
+    * signatures): each micro-batch's videos decode to per-frame spread
+    * blockhash signatures inside the codec pass
+    * ([[Multimodal.framePHashSigs]] — frame ids packed
+    * `media·2²⁰+frame`, payloads never shuffle), and a video is
+    * REJECTED when at least `minSharedFrames` of its DISTINCT frames
+    * near-match (hamming ≤ maxHamming, banded multi-probe LSH — the
+    * m_frame_dedup cross-video contract) frames of an INDEXED video
+    * (either pair orientation) or of a LOWER-media batch-mate
+    * (per-edge keep-one). Admitted videos' frame signatures fold into
+    * the index by REPLACEMENT (the [[admitImages]] redelivery rule: a
+    * redelivered media id with changed content updates its frames);
+    * same-media pairs never count (a redelivery is not its own dup),
+    * and index-internal pairs never re-reject.
+    *
+    * Decision rows per batch video: `(id, admitted, n_matched_frames)`
+    * — matched frames counted DISTINCT on the batch video's side (one
+    * batch frame matching five foreign frames is ONE shared frame:
+    * the content-ID overlap metric, not a pair count). */
+  def admitVideos(media: Dataset[Multimodal.MediaRow],
+                  initialFrameSigs: DataFrame, blocks: Int = 60,
+                  maxHamming: Int = 3, numProbes: Int = 4,
+                  minSharedFrames: Int = 1, availableNow: Boolean = false)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(minSharedFrames >= 1,
+      s"admitVideos: minSharedFrames=$minSharedFrames must be >= 1")
+    val pack = Multimodal.FramePack // 2^20 — the shift below IS div(pack)
+    def mediaOf(c: org.apache.spark.sql.Column) =
+      shiftright(c, 20)
+    var index = initialFrameSigs.select(col("id"), col("simhash"))
+      .localCheckpoint(true)
+    val writer = media.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Multimodal.MediaRow], batchId: Long) =>
+        val sigs = Multimodal.framePHashSigs(batch, blocks)
+          .select((col("media_id") * pack + col("frame_idx")).as("id"),
+            col("simhash"))
+          .localCheckpoint(true)
+        val pairs = Similarity.simhashPairsFromSigs(
+            index.unionByName(sigs), maxHamming, numProbes)
+          .select(col("id_a"), mediaOf(col("id_a")).as("media_a"),
+            col("id_b"), mediaOf(col("id_b")).as("media_b"))
+          .filter(col("media_a") =!= col("media_b"))
+          .localCheckpoint(true)
+        val batchMedia = batch.toDF().filter(col("kind") === "video")
+          .select(col("media_id")).distinct().localCheckpoint(true)
+        val idxMedia = index.select(mediaOf(col("id")).as("media_id"))
+          .distinct()
+        // a batch frame counts toward ITS video's rejection when the
+        // other side's video is indexed (either orientation) or a
+        // lower batch-mate — the admitImages decision rule, lifted
+        // from whole images to frames
+        val vsIdxA = pairs
+          .join(batchMedia.select(col("media_id").as("media_a")),
+            Seq("media_a"), "leftsemi")
+          .join(idxMedia.select(col("media_id").as("media_b")),
+            Seq("media_b"), "leftsemi")
+          .select(col("media_a").as("id"), col("id_a").as("frame"))
+        val vsIdxB = pairs
+          .join(batchMedia.select(col("media_id").as("media_b")),
+            Seq("media_b"), "leftsemi")
+          .join(idxMedia.select(col("media_id").as("media_a")),
+            Seq("media_a"), "leftsemi")
+          .select(col("media_b").as("id"), col("id_b").as("frame"))
+        val vsMate = pairs // id_a < id_b implies media_a < media_b here
+          .join(batchMedia.select(col("media_id").as("media_a")),
+            Seq("media_a"), "leftsemi")
+          .join(batchMedia.select(col("media_id").as("media_b")),
+            Seq("media_b"), "leftsemi")
+          .select(col("media_b").as("id"), col("id_b").as("frame"))
+        val counts = vsIdxA.unionByName(vsIdxB).unionByName(vsMate)
+          .groupBy(col("id"))
+          .agg(countDistinct(col("frame")).as("n_matched_frames"))
+        val decisions = batchMedia.select(col("media_id").as("id"))
+          .join(counts, Seq("id"), "left")
+          .select(col("id"), coalesce(col("n_matched_frames"), lit(0L))
+            .as("n_matched_frames"))
+          .withColumn("admitted", col("n_matched_frames") < minSharedFrames)
+          .select(col("id"), col("admitted"), col("n_matched_frames"))
+          .localCheckpoint(true)
+        // fold admitted videos' frames in by REPLACEMENT
+        val admitted = decisions.filter(col("admitted")).select(col("id"))
+        val admittedSigs = sigs
+          .join(admitted.select(col("id").as("_m")),
+            mediaOf(col("id")) === col("_m"), "leftsemi")
+        index = index
+          .join(admitted.select(col("id").as("_m")),
+            mediaOf(col("id")) === col("_m"), "left_anti")
+          .unionByName(admittedSigs)
+          .localCheckpoint(true)
+        sink(decisions, batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** [[admitVideos]] resumed from a SAVED frame-signature index
+    * ([[Multimodal.saveSigIndex]] over framePHashSigs' packed ids) with
+    * its recorded `blocks` parameter — the misuse-proof restart path,
+    * same contract as [[admitImagesFromSaved]]. */
+  def admitVideosFromSaved(media: Dataset[Multimodal.MediaRow],
+                           spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, maxHamming: Int = 3,
+                           numProbes: Int = 4, minSharedFrames: Int = 1,
+                           availableNow: Boolean = false)
+                          (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    admitVideos(media, Multimodal.loadSigIndex(spark, indexPath),
+      Multimodal.loadSigIndexParams(spark, indexPath), maxHamming,
+      numProbes, minSharedFrames, availableNow)(sink)
+
   /** Resume the admission loop from a SAVED signature index with its
     * own recorded `blocks` parameter — the misuse-proof restart path
     * (the [[graft.text.Fingerprint.pairsAgainstSavedIndex]]

@@ -161,4 +161,99 @@ class StreamingMediaSpec extends SparkTestBase {
       "copy of the SUPERSEDED content rejected — old signature not " +
         "replaced")
   }
+
+  // four distinct 64-byte frame bodies (cross hamming large by
+  // construction: different byte rhythms)
+  private val frameBodies = Seq(
+    "A" * 16 + "zq9" * 16, "b7#" * 16 + "M" * 16,
+    "0" * 8 + "Xy!" * 16 + "k" * 8, "wW2%" * 16).map(_.take(64))
+
+  private def vid(id: Long, frames: Seq[String]): Multimodal.MediaRow = {
+    val body = frames.mkString.getBytes("UTF-8")
+    Multimodal.MediaRow(id, "video",
+      Multimodal.FakeCodec.encode(8, 8, 0, body), 8, 8, 0, frames.length)
+  }
+
+  test("admitVideos: planted copied video rejected across batches; " +
+      "one-shared-frame video under the threshold admits; streaming == " +
+      "batch-sequential content-ID reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val f = frameBodies
+    // index holds video 1 = frames (0,1,2)
+    val v1 = vid(1L, Seq(f(0), f(1), f(2)))
+    val idx0 = Multimodal.framePHashSigs(spark.createDataset(Seq(v1)))
+      .select((col("media_id") * Multimodal.FramePack + col("frame_idx"))
+        .as("id"), col("simhash"))
+    // batch 1: 10 = full copy of video 1 (3 shared frames >= 2: REJECT
+    //          — the planted copied video, vs the PRE-SEEDED index);
+    //          11 = fresh content (frame 3 repeated differently: ADMIT)
+    // batch 2: 20 = copy of 11 — an earlier batch's admit (REJECT
+    //          ACROSS BATCHES, proves fold-in is live);
+    //          21 = shares exactly ONE frame with indexed video 1
+    //          (1 < minSharedFrames=2: ADMIT — threshold semantics)
+    val v11 = vid(11L, Seq(f(3), f(3)))
+    val batches = Seq(
+      Seq(vid(10L, Seq(f(0), f(1), f(2))), v11),
+      Seq(vid(20L, Seq(f(3), f(3))),
+        vid(21L, Seq(f(0), f(3).reverse, f(1).reverse))))
+
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingMedia.admitVideos(mem.toDS(), idx0,
+      minSharedFrames = 2) {
+      (df, _) => collected ++= df.collect()
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = collected.map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got(10L) == (false, 3L), s"planted copy not rejected: $got")
+    assert(got(11L)._1 == true, s"fresh video rejected: $got")
+    assert(got(20L)._1 == false,
+      s"copy of an earlier batch's admit admitted (fold-in not live): $got")
+    assert(got(21L) == (true, 1L),
+      s"one shared frame must stay under minSharedFrames=2: $got")
+
+    // batch-sequential reference: per batch, count a batch video's
+    // DISTINCT frames pairing cross-video with an indexed video (either
+    // orientation) or a lower batch-mate; fold admitted videos in
+    var refIndex = idx0
+    val refGot = scala.collection.mutable.Map.empty[Long, (Boolean, Long)]
+    batches.foreach { b =>
+      val sigs = Multimodal.framePHashSigs(spark.createDataset(b))
+        .select((col("media_id") * Multimodal.FramePack + col("frame_idx"))
+          .as("id"), col("simhash"))
+      val batchIds = b.map(_.media_id).toSet
+      val idxMedia = refIndex.collect()
+        .map(r => r.getLong(0) / Multimodal.FramePack).toSet
+      val ps = Similarity.simhashPairsFromSigs(
+          refIndex.unionByName(sigs), maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, bb) =>
+          a / Multimodal.FramePack != bb / Multimodal.FramePack }
+      val matched = ps.flatMap { case (fa, fb) =>
+        val (ma, mb) = (fa / Multimodal.FramePack, fb / Multimodal.FramePack)
+        (if (batchIds.contains(ma) && idxMedia.contains(mb))
+          Seq((ma, fa)) else Nil) ++
+          (if (batchIds.contains(mb) && idxMedia.contains(ma))
+            Seq((mb, fb)) else Nil) ++
+          (if (batchIds.contains(ma) && batchIds.contains(mb))
+            Seq((mb, fb)) else Nil)
+      }.distinct.groupBy(_._1).map { case (m, fs) => m -> fs.size.toLong }
+      b.foreach { m =>
+        val n = matched.getOrElse(m.media_id, 0L)
+        refGot(m.media_id) = (n < 2, n)
+      }
+      val adm = b.filter(m => refGot(m.media_id)._1).map(_.media_id).toSet
+      refIndex = refIndex
+        .filter(!(col("id") / lit(Multimodal.FramePack)).cast("long")
+          .isin(adm.toSeq: _*))
+        .unionByName(sigs.filter(
+          (col("id") / lit(Multimodal.FramePack)).cast("long")
+            .isin(adm.toSeq: _*)))
+        .localCheckpoint(true)
+    }
+    assert(got == refGot.toMap, s"streaming $got != reference $refGot")
+  }
 }
