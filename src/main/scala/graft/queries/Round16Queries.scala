@@ -67,6 +67,24 @@ object Round16Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Winnow-index FORGET receipt: delete every doc_id % 37 == 0 plus
+    // one never-ingested id from the fingerprint index; the receipt
+    // reports per requested id how many fingerprint rows were retained
+    // and removed (0/false for the absent id — compliance wants the
+    // negative confirmation too). forget == rebuild parity is
+    // spec-pinned (FingerprintSpec); this oracles the receipt numbers.
+    "d_winnow_forget" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val fps = Fingerprint.winnow(docs, "doc_id", "text",
+          k = WinK, w = WinW)
+        .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash"))
+      val dels = docs.filter(col("doc_id") % 37 === 0).select(col("doc_id"))
+        .unionByName(s.range(999999L, 1000000L)
+          .select(col("id").as("doc_id")))
+      val (_, receipt) = Fingerprint.forgetFromIndex(fps, dels)
+      receipt.orderBy(col("id"))
+    }),
+
     // Loss-mask spans over the rendered chat sequence. masked_text is
     // extracted from the ACTUAL rendered string at the emitted span —
     // so the span arithmetic and the rendering are cross-checked
@@ -244,6 +262,17 @@ object Round16Queries {
 
     "d_winnow" -> (winnowFpsSql +
       "\nSELECT doc_id, fp_pos, fp_hash FROM fp ORDER BY doc_id, fp_pos"),
+
+    "d_winnow_forget" -> (winnowFpsSql +
+      s""",
+       |dels AS (
+       |  SELECT doc_id AS id FROM documents WHERE doc_id % 37 = 0
+       |  UNION ALL SELECT 999999),
+       |cnt AS (SELECT doc_id AS id, count(*) AS n FROM fp GROUP BY doc_id)
+       |SELECT d.id, COALESCE(c.n, 0) AS n_fp_removed,
+       |  c.n IS NOT NULL AS was_indexed
+       |FROM dels d LEFT JOIN cnt c USING (id)
+       |ORDER BY d.id""".stripMargin),
 
     "d_winnow_overlap" -> (winnowFpsSql +
       s"""

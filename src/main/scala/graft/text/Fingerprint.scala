@@ -333,6 +333,44 @@ object Fingerprint {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** FORGET documents from a fingerprint index — the deletion half of
+    * the winnow lifecycle (build → persist → probe → fold-in →
+    * FORGET), [[graft.similarity.Similarity.ivfForget]]'s convention
+    * for the MOSS family: remove every fingerprint row of the listed
+    * ids and emit a receipt per REQUESTED id, `(id, n_fp_removed,
+    * was_indexed)` — compliance wants confirmation for ids that were
+    * NOT present too (0, false), not just the touched ones (the
+    * [[graft.operators.Forget]] manifest discipline; an id can be
+    * absent because it was never ingested OR because its text was too
+    * short to fingerprint — both mean "nothing retained").
+    *
+    * The deletion list broadcasts (deletions are small by nature); the
+    * cleaned index is ONE anti join, and with an fp_hash-bucketed
+    * persisted layout only buckets holding deleted rows rewrite.
+    * Forgetting is exact by construction — fingerprints are
+    * per-document rows, so forget(index, ids) ==
+    * rebuild-without-those-docs bit-for-bit (spec-pinned), unlike
+    * sketch-family state where deletion needs receipts of
+    * approximation.
+    *
+    * @param index [[winnow]] rows with the id column named `id`
+    *   ([[loadIndex]] output / [[foldIntoIndex]] result)
+    * @return (cleaned index, receipt — one row per requested id)
+    */
+  def forgetFromIndex(index: DataFrame, deleteIds: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val dels = broadcast(deleteIds
+      .select(col(deleteIds.columns.head).cast(LongType).as("id"))
+      .distinct())
+    val removed = index.join(dels, Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("_n"))
+    val receipt = dels.join(removed, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_n"), lit(0L)).as("n_fp_removed"),
+        col("_n").isNotNull.as("was_indexed"))
+    (index.join(dels, Seq("id"), "left_anti"), receipt)
+  }
+
   /** Dedupe + stage an index projection for REPEATED probing (the
     * streaming steady state): pass the result to [[pairsAgainstIndex]]
     * with `indexDeduped = true` so each trigger dedups only its batch

@@ -264,4 +264,54 @@ class FingerprintSpec extends SparkTestBase {
       "3-doc buckets must be dropped at maxBucket=2")
     assert(capped.subsetOf(pairs))
   }
+
+  test("forgetFromIndex == rebuild-without-the-docs bit-for-bit; the " +
+      "receipt covers absent ids; a probe of deleted content finds " +
+      "nothing afterward") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(40)
+      .select(col("doc_id"), col("text"))
+    val index = Fingerprint.winnow(docs, "doc_id", "text", K, W)
+      .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash"))
+    val delIds = Seq(0L, 7L, 14L, 777777L) // 777777 never ingested
+    val dels = delIds.toDF("doc_id")
+    val (cleaned, receipt) = Fingerprint.forgetFromIndex(index, dels)
+
+    // exact parity: forget == winnow of the surviving docs
+    val rebuilt = Fingerprint.winnow(
+        docs.filter(!col("doc_id").isin(delIds: _*)), "doc_id", "text", K, W)
+      .select(col("doc_id").as("id"), col("fp_pos"), col("fp_hash"))
+    val cs = cleaned.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rs = rebuilt.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cs == rs, "forget != rebuild")
+
+    // receipt: one row per REQUESTED id; removed counts match the
+    // docs' own fingerprint counts; the never-ingested id reports
+    // (0, false)
+    val fpCounts = index.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rec = receipt.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rec.keySet == delIds.toSet)
+    Seq(0L, 7L, 14L).foreach { id =>
+      assert(rec(id) == (fpCounts.getOrElse(id, 0L),
+        fpCounts.contains(id)), s"receipt wrong for $id: ${rec(id)}")
+    }
+    assert(rec(777777L) == (0L, false))
+
+    // a redelivered copy of forgotten content hits its source BEFORE
+    // the forget and never matches any forgotten id AFTER (the point
+    // of forgetting; hits against RETAINED docs remain legitimate)
+    val copyOf7 = docs.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    def hitsVsDeleted(idx: org.apache.spark.sql.DataFrame) =
+      Fingerprint.pairsAgainstIndex(copyOf7, idx,
+          "doc_id", "text", K, W, minShared = 1)
+        .filter(col("id_a").isin(delIds: _*) ||
+          col("id_b").isin(delIds: _*)).count()
+    assert(hitsVsDeleted(index) > 0, "probe not sensitive pre-forget")
+    assert(hitsVsDeleted(cleaned) == 0,
+      "deleted content still probed as retained")
+  }
 }
