@@ -130,6 +130,32 @@ object IvfPq {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Fold a batch of new vectors into an existing IVF-PQ codes index
+    * WITHOUT retraining or re-scanning the indexed corpus — the
+    * [[Similarity.ivfFoldIn]] contract lifted to the composed index:
+    * under FIXED centroids and FIXED global codebooks both the cell
+    * argmin and every per-subspace code argmin are per-vector, so
+    * existing rows are bit-unchanged and
+    * probe(foldIn(index, batch)) == probe(rebuild(corpus ∪ batch))
+    * exactly, at any nprobe (spec-pinned). This is where
+    * `by_residual=false` pays: residual codes would couple code values
+    * to the coarse quantizer and a rebalanced cell would need its
+    * vectors re-encoded; global books never do. Ingest cost scales
+    * with the BATCH. */
+  def foldIn(index: DataFrame, newVectors: DataFrame,
+             centroidsDf: DataFrame, booksDf: DataFrame,
+             dim: Int, numSub: Int): DataFrame =
+    index.unionByName(encode(newVectors, centroidsDf, booksDf, dim, numSub))
+
+  /** FORGET on an IVF-PQ index is [[Similarity.ivfForget]] VERBATIM —
+    * the codes index carries the same (vec_id, centroid_id) key columns
+    * and the deletion anti-join / per-cell receipt never touch the
+    * payload column, so the existing operator applies unchanged (and
+    * with the [[TrainedState.saveIvfPqIndex]] centroid-partitioned
+    * layout, deletion cost is the deletion's cell footprint). */
+  def forget(index: DataFrame, deleteIds: DataFrame)
+      : (DataFrame, DataFrame) = Similarity.ivfForget(index, deleteIds)
+
   /** One-shot composition: build the codes index from stride-sampled
     * cells/books and search it. Production persists the index instead
     * ([[TrainedState.saveIvfPqIndex]]) — the one-shot plan re-derives

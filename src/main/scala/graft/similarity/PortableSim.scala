@@ -160,6 +160,21 @@ object PortableSim {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The ±1 sign of plane (t, p) component j: parity of the first 4
+    * md5 hex digits of "{t*1000+p}_{j}" — computed DRIVER-SIDE (the
+    * sign matrix is a plan constant; SignedProjectExpr's
+    * reference-object precedent) and embedded as literal arrays, so the
+    * per-row work is only the fold multiply. A column-expression md5
+    * per (row, t, p, j) computed the identical values 2M times per 2k
+    * vectors — measured 3.3s of pure rehashing at bench scale. The SQL
+    * twin still derives the same signs from md5 independently. */
+  private[similarity] def planeSign(t: Int, p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${t * 1000 + p}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.take(4), 16) % 2 == 1) 1.0 else -1.0
+  }
+
   /** md5-seeded ±1 hyperplane bucket ids, `numTables` tables ×
     * `numPlanes` planes: sign of plane (t,p) component j is the parity
     * of a 16-bit md5 slice of "{t*1000+p}_{j}"; bucket(t) = t·2^32 |
@@ -170,12 +185,9 @@ object PortableSim {
                            numTables: Int): Column =
     array((0 until numTables).map { t =>
       val bits = (0 until numPlanes).map { p =>
+        val plane = typedLit((0 until dim).map(j => planeSign(t, p, j)))
         val dot = aggregate(
-          zip_with(emb, sequence(lit(0), lit(dim - 1)),
-            (x, j) => x.cast("double") *
-              when(md5Slice(concat(lit(s"${t * 1000 + p}_"),
-                j.cast("string")), 1, 4) % 2 === 1, lit(1.0))
-                .otherwise(lit(-1.0))),
+          zip_with(emb, plane, (x, s) => x.cast("double") * s),
           lit(0.0), (acc, v) => acc + v)
         when(dot > 0, lit(1L << p)).otherwise(lit(0L))
       }

@@ -100,7 +100,15 @@ object TrainedState {
                    append: Boolean = false): Unit = {
     val cols = ivfIndexSchema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    // co-locate each cell in one task before the partitioned write:
+    // without it every one of the P writer tasks opens a file in every
+    // cell directory (P × cells tiny files — measured most of the
+    // lifecycle queries' save+reload cost); with it a cell is exactly
+    // one file per save. At petabyte cell sizes raise
+    // spark.sql.shuffle.partitions so hot cells split across tasks —
+    // the knob, not the layout, changes.
     index.select(cols.toIndexedSeq: _*)
+      .repartition(org.apache.spark.sql.functions.col("centroid_id"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("centroid_id").parquet(path)
   }
@@ -134,7 +142,9 @@ object TrainedState {
                      append: Boolean = false): Unit = {
     val cols = ivfPqIndexSchema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    // one file per cell — the saveIvfIndex small-files rationale
     index.select(cols.toIndexedSeq: _*)
+      .repartition(org.apache.spark.sql.functions.col("centroid_id"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("centroid_id").parquet(path)
   }

@@ -81,6 +81,38 @@ class IvfPqSpec extends SparkTestBase {
     }
   }
 
+  test("foldIn == rebuild at any nprobe; forget removes exactly the " +
+      "listed ids with a per-cell receipt") {
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val queries = emb.filter(col("vec_id") < 8)
+    val folded = IvfPq.foldIn(
+      IvfPq.encode(base, centroids, books, dim = 64, numSub = 8),
+      batch, centroids, books, dim = 64, numSub = 8)
+    val rebuilt = IvfPq.encode(emb, centroids, books, dim = 64, numSub = 8)
+    def probe(idx: org.apache.spark.sql.DataFrame, nprobe: Int) =
+      IvfPq.topKFromIndex(queries, idx, emb, k = 3, centroids, books,
+        dim = 64, numSub = 8, nprobe, rerank = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    Seq(1, 3).foreach { np =>
+      assert(probe(folded, np) == probe(rebuilt, np), s"nprobe=$np")
+    }
+
+    val dels = emb.filter(col("vec_id") % 100 === 0).select(col("vec_id"))
+    val (cleaned, receipt) = IvfPq.forget(rebuilt, dels)
+    val delSet = dels.collect().map(_.getLong(0)).toSet
+    val keptIds = cleaned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(delSet).isEmpty)
+    assert(keptIds.size + delSet.size == emb.count())
+    val rec = receipt.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rec.map(_._3).sum == delSet.size, "receipt n_removed mismatch")
+    rec.foreach { case (_, before, removed, after) =>
+      assert(after == before - removed)
+    }
+  }
+
   test("recall rises monotonically with nprobe and hits 1.0 at a full " +
       "cell walk with deep rerank") {
     val queries = emb.filter(col("vec_id") < 10)
