@@ -49,6 +49,47 @@ object StreamingAnn {
       .start()
   }
 
+  /** Serve `k` neighbors per streamed query through an IVF-PQ codes
+    * index ([[graft.similarity.IvfPq.topKFromIndex]] per micro-batch —
+    * one code path with the batch prober, so the planted-oracle and
+    * full-probe==brute contracts carry verbatim). `index` is the
+    * numSub-ints-per-row codes table; `corpus` supplies floats to the
+    * exact re-rank join only. */
+  def serveIvfPq(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+                 centroids: DataFrame, books: DataFrame, dim: Int,
+                 numSub: Int, k: Int, nprobe: Int, rerank: Int,
+                 availableNow: Boolean = false)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.similarity.IvfPq.topKFromIndex(batch.toDF(), index,
+          corpus, k, centroids, books, dim, numSub, nprobe, rerank), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** [[serveIvfPq]] with every trained artifact loaded from its
+    * persisted form — codes index ([[graft.similarity.TrainedState
+    * .loadIvfPqIndex]], centroid-partitioned so probes prune), cells
+    * and codebooks ([[graft.similarity.TrainedState.loadCentroids]] /
+    * `loadCodebooks`) — the restart path of the train-offline /
+    * serve-online split. */
+  def serveIvfPqFromSaved(queries: DataFrame, corpus: DataFrame,
+                          spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, centroidsPath: String,
+                          booksPath: String, dim: Int, numSub: Int,
+                          k: Int, nprobe: Int, rerank: Int,
+                          availableNow: Boolean = false)
+                         (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    serveIvfPq(queries,
+      graft.similarity.TrainedState.loadIvfPqIndex(spark, indexPath),
+      corpus,
+      graft.similarity.TrainedState.loadCentroids(spark, centroidsPath),
+      graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
+      dim, numSub, k, nprobe, rerank, availableNow)(sink)
+
   /** Fold a STREAM of new corpus vectors into a persisted IVF codes
     * index — the online half of the index's ingest side
     * ([[graft.similarity.Similarity.ivfFoldIn]] per micro-batch): each

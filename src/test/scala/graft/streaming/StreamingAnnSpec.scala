@@ -279,4 +279,49 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(keyed(collected.toSeq) == keyed(batchRef.toSeq))
     assert(collected.nonEmpty)
   }
+
+  test("serveIvfPqFromSaved: streamed IVF-PQ through ALL persisted " +
+      "artifacts == batch topKFromIndex across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stride = graft.similarity.ProductQuantizer.codebooks(
+      emb, dim = 64, numSub = 8, stride = 25)
+    val cells = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_serve").toString
+    graft.similarity.TrainedState.saveCentroids(cells, s"$root/cells")
+    graft.similarity.TrainedState.saveCodebooks(stride, s"$root/books")
+    graft.similarity.TrainedState.saveIvfPqIndex(
+      graft.similarity.IvfPq.encode(emb, cells, stride, dim = 64,
+        numSub = 8), s"$root/idx")
+
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L, 7L))
+    val qVecs = emb.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveIvfPqFromSaved(
+      mem.toDF().toDF("vec_id", "embedding"), emb, spark,
+      s"$root/idx", s"$root/cells", s"$root/books",
+      dim = 64, numSub = 8, k = 3, nprobe = 2, rerank = 8) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchRef = graft.similarity.IvfPq.topKFromIndex(
+      emb.filter(col("vec_id") < 8).filter(col("vec_id") % 2 === 1),
+      graft.similarity.TrainedState.loadIvfPqIndex(spark, s"$root/idx"),
+      emb, k = 3, cells, stride, dim = 64, numSub = 8, nprobe = 2,
+      rerank = 8).collect()
+    def keyed2(rows: Seq[Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyed2(collected.toSeq) == keyed2(batchRef.toSeq))
+    assert(collected.nonEmpty)
+  }
 }
