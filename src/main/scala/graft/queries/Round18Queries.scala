@@ -106,6 +106,35 @@ object Round18Queries {
         .orderBy(col("query_id"))
     }),
 
+    // RESIDUAL IVF-PQ (FAISS by_residual=true): codes quantize
+    // x − c_cell, the accuracy default at scale. Planted contract is
+    // arithmetic-invariant: an identical embedding lands in the same
+    // cell, yields the bit-identical f32 residual, hence identical
+    // codes; its ADC score equals the query's own quantization score
+    // plus the same coarse dot, so rerank=32 keeps it to the exact
+    // re-score — cosine 1, rank 1, for every query.
+    "e_ann_ivfpq_res_planted" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = Round7Queries.plantedEmb(s, dir, 30)
+      val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val bookStride = math.max(1L,
+        QueryShared.cachedCount(s, dir, "embeddings") / 20L).toInt
+      val books = graft.similarity.IvfPq.residualBooks(emb, centroids,
+        dim = 64, numSub = 8, stride = bookStride)
+      val index = graft.similarity.IvfPq.encodeResidual(corpus, centroids,
+        books, dim = 64, numSub = 8)
+      val queries = emb.filter(col("vec_id") < 30)
+      graft.similarity.IvfPq.topKFromIndexResidual(queries, index, corpus,
+        k = 1, centroids, books, dim = 64, numSub = 8, nprobe = 2,
+        rerank = 32)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
     // IVF-PQ recall-vs-nprobe — the dial a 100 TB deployment tunes: for
     // nprobe in {1, 2, 4}, the fraction of exact brute-force top-3
     // neighbors the funnel recovers. FULLY oracled: cells, codes, ADC
@@ -207,6 +236,11 @@ object Round18Queries {
   val oracleSql: Map[String, String] = Map(
 
     "e_ann_ivfpq_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+
+    "e_ann_ivfpq_res_planted" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,

@@ -156,6 +156,123 @@ object IvfPq {
   def forget(index: DataFrame, deleteIds: DataFrame)
       : (DataFrame, DataFrame) = Similarity.ivfForget(index, deleteIds)
 
+  /** Per-vector RESIDUAL against its cell centroid, in pure f32
+    * (IEEE float subtract per component — deterministic, and the
+    * result feeds the same f32→f64 kernel dots as every other vector):
+    * `(vec_id, centroid_id, embedding = x − c_cell)`. */
+  private def residuals(corpus: DataFrame, centroidsDf: DataFrame): DataFrame =
+    Similarity.ivfAssign(corpus, centroidsDf)
+      .join(broadcast(centroidsDf), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding"), col("centroid"), (a, b) => a - b)
+          .as("embedding"))
+
+  /** Stride-sampled RESIDUAL codebooks — the books
+    * [[encodeResidual]] quantizes against (swap in a residual-trained
+    * [[ProductQuantizer.codebooksKMeans]] for production, same shape). */
+  def residualBooks(corpus: DataFrame, centroidsDf: DataFrame, dim: Int,
+                    numSub: Int, stride: Int): DataFrame =
+    ProductQuantizer.codebooks(residuals(corpus, centroidsDf), dim, numSub,
+      stride)
+
+  /** RESIDUAL IVF-PQ encode — the FAISS `by_residual=true` variant:
+    * codes quantize `x − c_cell` instead of `x`, so each cell's codes
+    * only span that cell's local spread (tighter quantization, the
+    * accuracy default at scale). The trade documented on [[encode]] is
+    * real here: codes are COUPLED to the coarse quantizer — a cell
+    * rebalance/retrain invalidates the affected vectors' codes (they
+    * must re-encode against their new centroid), which global-books
+    * [[encode]] never pays. Same index shape, same persistence
+    * ([[TrainedState.saveIvfPqIndex]]). */
+  def encodeResidual(corpus: DataFrame, centroidsDf: DataFrame,
+                     resBooks: DataFrame, dim: Int, numSub: Int): DataFrame = {
+    val res = residuals(corpus, centroidsDf)
+    val codes = ProductQuantizer.encode(
+        res.select(col("vec_id"), col("embedding")),
+        broadcast(resBooks), dim, numSub)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("_sc"))
+      .select(col("vec_id"),
+        transform(col("_sc"), p => p.getField("code")).as("codes"))
+    res.select(col("vec_id"), col("centroid_id")).join(codes, Seq("vec_id"))
+  }
+
+  /** ANN top-k over a RESIDUAL codes index. The ADC decomposition:
+    * dot(q, x) = dot(q, c_cell) + dot(q, r) ≈ dot(q, c_cell) +
+    * Σ_sub dot(q_sub, code_centroid) — the per-(query, probed-cell)
+    * coarse dot is ONE extra kernel dot riding the (tiny, broadcast)
+    * probe table, and the residual parts reuse the identical broadcast
+    * ADC table shape. Exact cosine re-rank of the shortlist restores
+    * true ordering, as in [[topKFromIndex]]. */
+  def topKFromIndexResidual(queries: DataFrame, index: DataFrame,
+                            corpus: DataFrame, k: Int,
+                            centroidsDf: DataFrame, resBooks: DataFrame,
+                            dim: Int, numSub: Int, nprobe: Int,
+                            rerank: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && rerank >= 1,
+      s"IvfPq.topKFromIndexResidual: k=$k, nprobe=$nprobe, rerank=$rerank " +
+        "must be >= 1")
+    val subDim = dim / numSub
+    val dot = graft.functions.DotProduct.dot_product _
+
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_cdist").asc, col("centroid_id"))
+    val probed = broadcast(queries.crossJoin(broadcast(centroidsDf))
+      .withColumn("_cdist",
+        Similarity.negCosGuarded(col("embedding"), col("centroid")))
+      .withColumn("_crank", row_number().over(w0))
+      .filter(col("_crank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("embedding").as("q_emb"),
+        dot(col("embedding"), col("centroid")).as("cdot")))
+
+    val adc = broadcast(probed.select(col("query_id"), col("q_emb"))
+      .dropDuplicates("query_id")
+      .select(col("query_id"),
+        explode(transform(sequence(lit(0), lit(numSub - 1)),
+          s => struct(s.as("sub"),
+            slice(col("q_emb"), s * subDim + 1, lit(subDim)).as("subvec"))))
+          .as("_e"))
+      .select(col("query_id"), col("_e.sub").as("sub"),
+        col("_e.subvec").as("subvec"))
+      .join(broadcast(resBooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("subvec"), col("centroid")).as("part")))
+
+    val cand = index.join(
+        probed.select("query_id", "centroid_id", "cdot"),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cdot"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(adc, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("cdot")).as("cdot"),
+        sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
+      .filter(size(col("_ps")) === numSub)
+      .withColumn("adc_score", col("cdot") +
+        aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val shortlist = cand.withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= k * rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos_sim",
+        Similarity.cosineGuarded(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** One-shot composition: build the codes index from stride-sampled
     * cells/books and search it. Production persists the index instead
     * ([[TrainedState.saveIvfPqIndex]]) — the one-shot plan re-derives

@@ -113,6 +113,46 @@ class IvfPqSpec extends SparkTestBase {
     }
   }
 
+  test("RESIDUAL variant: full probe + full rerank == brute force; " +
+      "planted identical vector co-locates with identical residual codes " +
+      "and ranks first at cosine 1") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 8)
+    val resBooks = IvfPq.residualBooks(emb, centroids, dim = 64,
+      numSub = 8, stride = 25).localCheckpoint(true)
+    val nCells = centroids.count().toInt
+    val nCorpus = emb.count().toInt
+    val got = IvfPq.topKFromIndexResidual(queries,
+      IvfPq.encodeResidual(emb, centroids, resBooks, dim = 64, numSub = 8),
+      emb, k = 3, centroids, resBooks, dim = 64, numSub = 8,
+      nprobe = nCells, rerank = nCorpus)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("c")).collect().toSet
+    val want = Similarity.bruteTopK(queries, emb, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("c")).collect().toSet
+    assert(got == want)
+
+    val corpus = emb.unionByName(queries
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")))
+    val index = IvfPq.encodeResidual(corpus, centroids, resBooks,
+      dim = 64, numSub = 8).persist()
+    val byId = index.filter(col("vec_id") < 8 || col("vec_id") >= 5000L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    (0L until 8L).foreach { q =>
+      assert(byId(q) == byId(q + 5000L),
+        s"residual codes diverge for planted copy of $q")
+    }
+    val top = IvfPq.topKFromIndexResidual(queries, index, corpus, k = 1,
+      centroids, resBooks, dim = 64, numSub = 8, nprobe = 2, rerank = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    top.foreach { case (q, n, cos) =>
+      assert(n == q + 5000L && math.abs(cos - 1.0) < 1e-9,
+        s"query $q: expected planted dup, got ($n, $cos)")
+    }
+  }
+
   test("recall rises monotonically with nprobe and hits 1.0 at a full " +
       "cell walk with deep rerank") {
     val queries = emb.filter(col("vec_id") < 10)
