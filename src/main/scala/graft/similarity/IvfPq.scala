@@ -114,10 +114,13 @@ object IvfPq {
       .filter(col("_r") <= k * rerank)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
-    // (3) exact re-rank of the shortlist — floats read here only
+    // (3) exact re-rank of the shortlist — floats read here only. The
+    // shortlist broadcasts (≤ k·rerank rows per query by contract), so
+    // the CORPUS never shuffles for the fetch — at 100 TB the float
+    // table is the side that must stay put.
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = shortlist
+    val scored = broadcast(shortlist)
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb")), Seq("neighbor_id"))
       .join(q, Seq("query_id"))
@@ -260,7 +263,8 @@ object IvfPq {
 
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = shortlist
+    // broadcast shortlist: the corpus-side float fetch never shuffles
+    val scored = broadcast(shortlist)
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb")), Seq("neighbor_id"))
       .join(q, Seq("query_id"))

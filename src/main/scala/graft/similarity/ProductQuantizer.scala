@@ -166,7 +166,10 @@ object ProductQuantizer {
     // probe set — a third broadcast build would re-scan the source)
     val q = broadcast(qLocal.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = candidates
+    // candidates broadcast (≤ k·rerank per query by contract): the
+    // corpus-side float fetch is a map-side probe, never a shuffle of
+    // the big table
+    val scored = broadcast(candidates)
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb")), Seq("neighbor_id"))
       .join(q, Seq("query_id"))
