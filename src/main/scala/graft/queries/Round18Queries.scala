@@ -173,6 +173,19 @@ object Round18Queries {
         .orderBy(col("nprobe"))
     }),
 
+    // Binary (1-bit) quantization ANN: coarse Hamming over packed sign
+    // bits (32× compression, integer-only), exact cosine re-rank of
+    // the 24-deep shortlist. FULLY oracled — every coarse value is
+    // integer arithmetic, so the whole pipeline replays in SQL.
+    "e_ann_bq" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      graft.similarity.BinaryQuantize.topKBinary(
+        emb.filter(col("vec_id") < 50), emb, dim = 64, k = 3, rerank = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PQ ANN top-3 — the retired e_ann_pq VERBATIM (stride codebooks,
     // ADC candidates, exact re-rank): PQ never hashed, and with the ADC
     // sum now an ordered per-subspace fold the whole pipeline — encode
@@ -302,6 +315,40 @@ object Round18Queries {
        |CROSS JOIN tot t
        |GROUP BY r.nprobe, t.n_total
        |ORDER BY r.nprobe""".stripMargin),
+
+    "e_ann_bq" ->
+      s"""WITH bits AS (
+         |  SELECT vec_id, list(word ORDER BY w) AS bits FROM (
+         |    SELECT vec_id, (j-1) // 32 AS w,
+         |      SUM(CASE WHEN x > 0
+         |        THEN CAST(1 AS BIGINT) << ((j-1) % 32) ELSE 0 END) AS word
+         |    FROM (SELECT vec_id, unnest(embedding) AS x,
+         |            generate_subscripts(embedding, 1) AS j
+         |          FROM embeddings) t
+         |    GROUP BY vec_id, (j-1) // 32) g
+         |  GROUP BY vec_id),
+         |ham AS (SELECT q.vec_id AS query_id, c.vec_id,
+         |    bit_count(xor(q.bits[1], c.bits[1]))
+         |      + bit_count(xor(q.bits[2], c.bits[2])) AS hamming
+         |  FROM bits q JOIN bits c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50),
+         |short AS (SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY hamming ASC, vec_id) AS r
+         |    FROM ham) t
+         |  WHERE r <= 24),
+         |scored AS (SELECT sh.query_id, sh.neighbor_id,
+         |    ${cosSql("qe.embedding", "ce.embedding")} AS cos_sim
+         |  FROM short sh
+         |  JOIN embeddings qe ON qe.vec_id = sh.query_id
+         |  JOIN embeddings ce ON ce.vec_id = sh.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos_sim, 6) AS cos_sim
+         |FROM (SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "d_dedup_minhash_md5" ->
       s"""WITH t AS (
