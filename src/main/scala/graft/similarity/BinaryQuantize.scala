@@ -37,8 +37,14 @@ object BinaryQuantize {
   /** Packed sign bits: word w bit j set iff component `32w + j` > 0
     * (strictly — zeros and negatives clear, the same boundary both
     * engines evaluate identically on exact f32 input). Returns
-    * ARRAY<BIGINT> of ⌈dim/32⌉ positive words. */
-  def signBits(emb: Column, dim: Int): Column = {
+    * ARRAY<BIGINT> of ⌈dim/32⌉ positive words. Delegates to the native
+    * codegen'd kernel ([[graft.functions.SignBitsExpr]] — one loop per
+    * row); [[signBitsFold]] is the declarative reference semantics
+    * (bit-identical, asserted in BinaryQuantizeSpec). */
+  def signBits(emb: Column, dim: Int): Column =
+    graft.functions.SignBitsExpr.sign_bits(emb, dim)
+
+  private[graft] def signBitsFold(emb: Column, dim: Int): Column = {
     require(dim >= 1, s"signBits: dim=$dim must be >= 1")
     val nWords = (dim + BitsPerWord - 1) / BitsPerWord
     def shl(c: Column, i: Column) = call_function("shiftleft", c, i)
@@ -51,8 +57,14 @@ object BinaryQuantize {
         lit(0L), (acc, v) => acc.bitwiseOR(v)))
   }
 
-  /** Hamming distance between two packed-word arrays (equal length). */
+  /** Hamming distance between two packed-word arrays — native kernel
+    * ([[graft.functions.HammingWordsExpr]]): this is the term the
+    * coarse stage evaluates |queries| × |corpus| times, the one loop
+    * that must not pay boxed-lambda dispatch. */
   def hammingWords(a: Column, b: Column): Column =
+    graft.functions.HammingWordsExpr.hamming_words(a, b)
+
+  private[graft] def hammingWordsFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, v) => acc + v)

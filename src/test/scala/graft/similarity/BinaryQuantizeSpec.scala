@@ -19,6 +19,35 @@ class BinaryQuantizeSpec extends SparkTestBase {
       s"got $got") // word 1: bits for components 33 (j=1) and 39 (j=7)
   }
 
+  test("native kernels == declarative fold forms on real data, edge " +
+      "widths, and degenerate inputs") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    for (dim <- Seq(64, 40, 3)) {
+      val rows = emb.filter(col("vec_id") < 30)
+        .select(BinaryQuantize.signBits(col("embedding"), dim).as("k"),
+          BinaryQuantize.signBitsFold(col("embedding"), dim).as("f"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel != fold at dim=$dim"))
+    }
+    val pairs = emb.filter(col("vec_id") < 20).select(col("vec_id"),
+        BinaryQuantize.signBits(col("embedding"), 64).as("b"))
+      .crossJoin(emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select(BinaryQuantize.signBits(col("embedding"), 64).as("b2")))
+      .select(BinaryQuantize.hammingWords(col("b"), col("b2")).as("k"),
+        BinaryQuantize.hammingWordsFold(col("b"), col("b2")).as("f"))
+      .collect()
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // degenerate: length mismatch -> NULL from both forms
+    val mm = spark.sql(
+      "SELECT 1").select(
+      BinaryQuantize.hammingWords(
+        typedLit(Seq(1L, 2L)), typedLit(Seq(1L))).as("k"),
+      BinaryQuantize.hammingWordsFold(
+        typedLit(Seq(1L, 2L)), typedLit(Seq(1L))).as("f")).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("hamming over packed words == direct sign-disagreement count") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val rows = emb.filter(col("vec_id") < 20)
