@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cdcBoundariesDescriptor)
     ext.injectFunction(GraftExtensions.dotCodesDescriptor)
     ext.injectFunction(GraftExtensions.signedProjectDescriptor)
+    ext.injectFunction(GraftExtensions.signBitsDescriptor)
+    ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -117,6 +119,29 @@ object GraftExtensions {
       graft.functions.SignedProjectExpr(children(0),
         litInt(children(1), "signed_project"),
         litInt(children(2), "signed_project"))
+    })
+
+  val signBitsDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("sign_bits"),
+    new ExpressionInfo(classOf[graft.functions.SignBitsExpr].getName,
+      "sign_bits"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"sign_bits(emb, dim) takes 2 arguments, got ${children.length}")
+      graft.functions.SignBitsExpr(children(0),
+        litInt(children(1), "sign_bits"))
+    })
+
+  val hammingWordsDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("hamming_words"),
+    new ExpressionInfo(classOf[graft.functions.HammingWordsExpr].getName,
+      "hamming_words"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"hamming_words(a, b) takes 2 arguments, got ${children.length}")
+      graft.functions.HammingWordsExpr(children(0), children(1))
     })
 
   val simhash64Descriptor: (FunctionIdentifier, ExpressionInfo,

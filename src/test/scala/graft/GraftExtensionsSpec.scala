@@ -37,7 +37,9 @@ class GraftExtensionsSpec extends SparkTestBase {
       GraftExtensions.winnowKeysDescriptor,
       GraftExtensions.cdcBoundariesDescriptor,
       GraftExtensions.dotCodesDescriptor,
-      GraftExtensions.signedProjectDescriptor).foreach { case (ident, _, b) =>
+      GraftExtensions.signedProjectDescriptor,
+      GraftExtensions.signBitsDescriptor,
+      GraftExtensions.hammingWordsDescriptor).foreach { case (ident, _, b) =>
       ColumnBridge.registerFunction(spark, ident.funcName, b)
     }
 
@@ -122,5 +124,18 @@ class GraftExtensionsSpec extends SparkTestBase {
         expr(pEmb), 4, 2).as("p"))
       .head.getSeq[Long](0)
     assert(pSql == pApi && pSql.length == 2)
+
+    // sign_bits / hamming_words: SQL == Column API on a hand vector
+    val bEmb = "CAST(array(0.5, -0.25, 0.0, 1.0) AS ARRAY<FLOAT>)"
+    val bSql = spark.sql(
+      s"SELECT sign_bits($bEmb, 4) AS b").head.getSeq[Long](0)
+    val bApi = spark.range(1)
+      .select(graft.functions.SignBitsExpr.sign_bits(expr(bEmb), 4).as("b"))
+      .head.getSeq[Long](0)
+    assert(bSql == bApi && bSql == Seq((1L << 0) | (1L << 3)))
+    val hSql = spark.sql(
+      "SELECT hamming_words(CAST(array(9) AS ARRAY<BIGINT>), " +
+        "CAST(array(5) AS ARRAY<BIGINT>)) AS h").head.getLong(0)
+    assert(hSql == 2L) // 9 ^ 5 = 12 -> two bits
   }
 }
