@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * deterministic synthetic stub the oracled gate data is built from (the
   * testdata ships no binary images). [[Multimodal.AutoDecoder]] (the
   * default) sniffs the stub magic and routes per payload, so both kinds
-  * flow through identical operators. Audio/video remain stub-only (no
-  * ffmpeg in a pure JVM); everything around the decode — schema,
-  * partitioning, batch iteration, per-frame explode — is the real
-  * distributed plumbing any production codec drops into.
+  * flow through identical operators. Audio mirrors it:
+  * [[Multimodal.WavDecoder]] (JDK `javax.sound.sampled`, WAV/PCM →
+  * mono unsigned-8-bit sample stream) behind
+  * [[Multimodal.SampleDecoder]] with [[Multimodal.AutoSampleDecoder]]
+  * routing. Video container parsing stays stub-only (no ffmpeg in a
+  * pure JVM); everything around every decode — schema, partitioning,
+  * batch iteration, per-frame explode — is the real distributed
+  * plumbing any production codec drops into.
   */
 object Multimodal {
 
@@ -143,6 +147,97 @@ object Multimodal {
       else ImageIoDecoder.decodeIntensity(payload)
   }
 
+  /** The audio sample contract: opaque payload in, `(sampleRate,
+    * unsigned 8-bit mono amplitude stream)` out — the unit every audio
+    * consumer folds over ([[audioWindows]] energy sums, VAD). Same
+    * seam discipline as [[PixelDecoder]]. */
+  trait SampleDecoder extends Serializable {
+    def decodeSamples(payload: Array[Byte]): (Int, Array[Byte])
+  }
+
+  /** Synthetic stub: GRFT header + raw body bytes AS the sample
+    * stream. */
+  object StubSampleDecoder extends SampleDecoder {
+    def decodeSamples(payload: Array[Byte]): (Int, Array[Byte]) = {
+      val (_, _, sr, body) = FakeCodec.decode(payload)
+      (sr, body)
+    }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM payloads — no native libs): frames reduce to a
+    * mono unsigned-8-bit AMPLITUDE-ENVELOPE stream with integer
+    * arithmetic only — 16-bit signed → `min(255, |s| >> 7)`, 8-bit
+    * unsigned → distance from the 128 midpoint ×2, channels →
+    * floor-mean — so silence sits at 0 and loudness scales the value,
+    * which is what the mean-amplitude energy/VAD consumers threshold
+    * on (an offset `s/256 + 128` mapping would put silence at
+    * half-scale and swamp the mean — a symmetric waveform's offset
+    * mean is ~128 no matter how loud it is). Every value is
+    * bit-reproducible. Supported: PCM_SIGNED 16-bit and PCM_UNSIGNED
+    * 8-bit, any channel count; anything else fails LOUDLY (a silently
+    * mis-scaled stream would pass VAD thresholds wrongly everywhere). */
+  object WavDecoder extends SampleDecoder {
+    def decodeSamples(payload: Array[Byte]): (Int, Array[Byte]) = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val bits = f.getSampleSizeInBits
+        val ch = f.getChannels
+        require((enc == AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+            (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8),
+          s"wav: unsupported format $enc/$bits-bit " +
+            "(PCM_SIGNED 16 or PCM_UNSIGNED 8 only)")
+        val bytes = in.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * ch
+        val nFrames = bytes.length / frameBytes
+        val out = new Array[Byte](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) {
+            val off = i * frameBytes + c * bytesPerSample
+            val v =
+              if (bits == 8) {
+                // unsigned 8-bit: distance from the 128 midpoint, ×2
+                math.min(255, math.abs((bytes(off) & 0xff) - 128) * 2)
+              } else {
+                // signed 16-bit sample, either endianness
+                val s =
+                  if (f.isBigEndian)
+                    (bytes(off).toInt << 8) | (bytes(off + 1) & 0xff)
+                  else
+                    (bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)
+                math.min(255, math.abs(s) >> 7)
+              }
+            acc += v
+            c += 1
+          }
+          out(i) = (acc / ch).toByte
+          i += 1
+        }
+        (math.round(f.getSampleRate), out)
+      } finally in.close()
+    }
+  }
+
+  /** Default audio decoder: GRFT magic → stub; RIFF/WAVE (and anything
+    * else `javax.sound.sampled` recognizes) → [[WavDecoder]]. */
+  object AutoSampleDecoder extends SampleDecoder {
+    private def isStub(p: Array[Byte]): Boolean =
+      p.length >= 4 &&
+        (ByteBuffer.wrap(p, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+          == FakeCodec.Magic)
+    def decodeSamples(payload: Array[Byte]): (Int, Array[Byte]) =
+      if (isStub(payload)) StubSampleDecoder.decodeSamples(payload)
+      else WavDecoder.decodeSamples(payload)
+  }
+
   /** Synthesize a deterministic media table from the documents table (the
     * driver ships no binary fixtures): payload body = UTF-8 text bytes,
     * dimensions derived from n_chars. Closed-form derivations make the
@@ -194,12 +289,14 @@ object Multimodal {
     * RMS would put a sqrt between the engines); a real front-end swaps the
     * per-window fold, the plumbing stays.
     */
-  def audioWindows(media: Dataset[MediaRow], window: Int): Dataset[AudioWindow] = {
+  def audioWindows(media: Dataset[MediaRow], window: Int,
+                   decoder: SampleDecoder = AutoSampleDecoder)
+      : Dataset[AudioWindow] = {
     require(window > 0)
     import media.sparkSession.implicits._
     media.filter(col("kind") === "audio").as[MediaRow].mapPartitions { rows =>
       rows.flatMap { m =>
-        val (_, _, _, body) = FakeCodec.decode(m.payload)
+        val (_, body) = decoder.decodeSamples(m.payload)
         body.grouped(window).zipWithIndex.map { case (chunk, i) =>
           var s = 0L
           var j = 0
@@ -414,11 +511,12 @@ object Multimodal {
     * shuffle end-to-end: the row_number window, the island aggregation,
     * and the segment re-index all share that partitioning. A real VAD
     * model swaps the energy test; the segmentation plumbing stays. */
-  def vadSegments(media: Dataset[MediaRow], window: Int, tau: Int): DataFrame = {
+  def vadSegments(media: Dataset[MediaRow], window: Int, tau: Int,
+                  decoder: SampleDecoder = AutoSampleDecoder): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tau >= 0, s"vadSegments: tau=$tau must be >= 0")
     val byMedia = Window.partitionBy(col("media_id")).orderBy(col("window_idx"))
-    audioWindows(media, window).toDF()
+    audioWindows(media, window, decoder).toDF()
       .filter(col("energy") > col("n_samples").cast("long") * tau)
       .withColumn("grp", col("window_idx") - row_number().over(byMedia))
       .groupBy(col("media_id"), col("grp"))
