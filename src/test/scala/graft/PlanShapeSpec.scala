@@ -651,6 +651,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("e_ann_ivfpq_planted: probes, ADC table and rerank shortlist all " +
+      "broadcast — the codes index and the float corpus never shuffle " +
+      "to be probed") {
+    val p = plan("e_ann_ivfpq_planted")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized side re-shuffled:\n${p.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      s"ADC/rerank cutoffs full-sort-then-filter:\n${p.take(2000)}")
+  }
+
+  test("e_ann_bq: the coarse Hamming scan keeps the corpus side " +
+      "shuffle-free (broadcast queries), the rerank shortlist " +
+      "broadcasts, and the kernels stay codegen'd") {
+    val p = plan("e_ann_bq")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CodegenFallback"),
+      s"bit kernels fell out of codegen:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("e_maxsim_funnel: the shortlist BROADCASTS into the token scan " +
       "(corpus tokens never shuffle for the rerank), rank filters push " +
       "as WindowGroupLimit, aggs are two-phase") {
