@@ -173,6 +173,26 @@ object Round18Queries {
         .orderBy(col("nprobe"))
     }),
 
+    // OPQ-lite rotated PQ: the structured orthogonal H·D/√d rotation
+    // before quantization (energy-spread preprocessing, codebooks
+    // trained on the rotated corpus). Planted contract is
+    // rotation-invariant: identical vectors rotate identically, encode
+    // identically, and cosine of identical rotated vectors is exactly
+    // 1 through the rerank.
+    "e_ann_pq_rotated" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val corpus = Round7Queries.plantedEmb(s, dir, 30)
+      val queries = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding"))
+      val stride = math.max(1L,
+        QueryShared.cachedCount(s, dir, "embeddings") / 256L)
+      graft.similarity.ProductQuantizer.topKRotated(queries, corpus,
+        dim = 64, numSub = 8, k = 1, stride = stride.toInt, rerank = 32)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
     // Binary (1-bit) quantization ANN: coarse Hamming over packed sign
     // bits (32× compression, integer-only), exact cosine re-rank of
     // the 24-deep shortlist. FULLY oracled — every coarse value is
@@ -254,6 +274,11 @@ object Round18Queries {
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
 
     "e_ann_ivfpq_res_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+
+    "e_ann_pq_rotated" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,

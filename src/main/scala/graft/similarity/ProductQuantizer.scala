@@ -94,6 +94,28 @@ object ProductQuantizer {
     topKWith(queries, corpus, dim, numSub, k,
       codebooks(corpus, dim, numSub, stride), rerank)
 
+  /** OPQ-lite: [[topK]] with the structured orthogonal rotation
+    * `x → H·D·x/√d` ([[graft.functions.FwhtRotateExpr]]) applied to
+    * BOTH sides first, codebooks trained on the rotated corpus. The
+    * rotation spreads energy evenly across components, so per-subspace
+    * codebooks stop seeing wildly uneven variance — the cheap
+    * deterministic stand-in for OPQ's trained rotation (Ge et al.,
+    * CVPR 2013), with no state to ship. Scores and the exact re-rank
+    * run in rotated coordinates; the rotation is orthogonal, so cosine
+    * there equals original cosine up to one f32 rounding per component
+    * (identical vectors still score exactly 1 — the planted
+    * contract). */
+  def topKRotated(queries: DataFrame, corpus: DataFrame, dim: Int,
+                  numSub: Int, k: Int, stride: Int = 50,
+                  rerank: Int = 4): DataFrame = {
+    def rot(df: DataFrame) = df.select(col("vec_id"),
+      graft.functions.FwhtRotateExpr.fwht_rotate(col("embedding"), dim)
+        .as("embedding"))
+    val rc = rot(corpus)
+    topKWith(rot(queries), rc, dim, numSub, k,
+      codebooks(rc, dim, numSub, stride), rerank)
+  }
+
   /** [[topK]] with caller-provided codebooks (e.g. [[codebooksKMeans]]).
     *
     * Job-count note: the codebooks (numSub × ≤65536 rows by the 16-bit
