@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.signedProjectDescriptor)
     ext.injectFunction(GraftExtensions.signBitsDescriptor)
     ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
+    ext.injectFunction(GraftExtensions.fwhtRotateDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -142,6 +143,18 @@ object GraftExtensions {
       require(children.length == 2,
         s"hamming_words(a, b) takes 2 arguments, got ${children.length}")
       graft.functions.HammingWordsExpr(children(0), children(1))
+    })
+
+  val fwhtRotateDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("fwht_rotate"),
+    new ExpressionInfo(classOf[graft.functions.FwhtRotateExpr].getName,
+      "fwht_rotate"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"fwht_rotate(emb, dim) takes 2 arguments, got ${children.length}")
+      graft.functions.FwhtRotateExpr(children(0),
+        litInt(children(1), "fwht_rotate"))
     })
 
   val simhash64Descriptor: (FunctionIdentifier, ExpressionInfo,

@@ -49,6 +49,26 @@ object StreamingAnn {
       .start()
   }
 
+  /** Serve `k` neighbors per streamed query through the binary-
+    * quantized coarse scan ([[graft.similarity.BinaryQuantize
+    * .topKBinary]] per micro-batch — the one-code-path convention, so
+    * the full-rerank==brute and planted contracts carry verbatim).
+    * The corpus side re-packs per trigger here; a production loop
+    * stages `signBits` output once (dim/8 bytes per row) the way the
+    * IVF loops persist their codes index. */
+  def serveBq(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+              rerank: Int, availableNow: Boolean = false)
+             (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.similarity.BinaryQuantize.topKBinary(batch.toDF(),
+          corpus, dim, k, rerank), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Serve `k` neighbors per streamed query through an IVF-PQ codes
     * index ([[graft.similarity.IvfPq.topKFromIndex]] per micro-batch —
     * one code path with the batch prober, so the planted-oracle and

@@ -39,7 +39,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       GraftExtensions.dotCodesDescriptor,
       GraftExtensions.signedProjectDescriptor,
       GraftExtensions.signBitsDescriptor,
-      GraftExtensions.hammingWordsDescriptor).foreach { case (ident, _, b) =>
+      GraftExtensions.hammingWordsDescriptor,
+      GraftExtensions.fwhtRotateDescriptor).foreach { case (ident, _, b) =>
       ColumnBridge.registerFunction(spark, ident.funcName, b)
     }
 
@@ -137,5 +138,13 @@ class GraftExtensionsSpec extends SparkTestBase {
       "SELECT hamming_words(CAST(array(9) AS ARRAY<BIGINT>), " +
         "CAST(array(5) AS ARRAY<BIGINT>)) AS h").head.getLong(0)
     assert(hSql == 2L) // 9 ^ 5 = 12 -> two bits
+
+    // fwht_rotate: SQL == Column API == reference on a hand vector
+    val rEmb = "CAST(array(1.0, 0.0, -2.0, 0.5) AS ARRAY<FLOAT>)"
+    val rSql = spark.sql(
+      s"SELECT fwht_rotate($rEmb, 4) AS r").head.getSeq[Float](0)
+    val rRef = graft.functions.FwhtRotateExpr
+      .rotateRef(Array(1.0f, 0.0f, -2.0f, 0.5f), 4).toSeq
+    assert(rSql == rRef)
   }
 }

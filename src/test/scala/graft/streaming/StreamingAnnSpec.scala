@@ -280,6 +280,36 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(collected.nonEmpty)
   }
 
+  test("serveBq: streamed binary-quantized top-k == batch topKBinary " +
+      "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L, 7L))
+    val qVecs = emb.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveBq(
+      mem.toDF().toDF("vec_id", "embedding"), emb, dim = 64, k = 3,
+      rerank = 8) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRef = graft.similarity.BinaryQuantize.topKBinary(
+      emb.filter(col("vec_id") < 8).filter(col("vec_id") % 2 === 1),
+      emb, dim = 64, k = 3, rerank = 8).collect()
+    def keyedB(rows: Seq[Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyedB(collected.toSeq) == keyedB(batchRef.toSeq))
+    assert(collected.nonEmpty)
+  }
+
   test("serveIvfPqFromSaved: streamed IVF-PQ through ALL persisted " +
       "artifacts == batch topKFromIndex across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
