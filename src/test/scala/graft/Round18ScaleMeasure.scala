@@ -31,7 +31,10 @@ object Round18ScaleMeasure {
     "e_ann_ivf_incremental", "e_ann_ivf_rebalanced", "d_cluster_density",
     "d_winnow_spans", "e_dedup_semantic_planted", "e_ann_pq_trained",
     "e_dedup_semantic_incremental", "e_knn_degree", "d_mix_reweight",
-    "d_lm_backoff")
+    "d_lm_backoff",
+    // round-10 additions — the new ANN operators' scaling behavior
+    "e_ann_ivfpq_planted", "e_ann_ivfpq_recall", "e_ann_pq_rotated",
+    "e_ann_bq", "d_dedup_minhash_md5")
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
