@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   * [[Multimodal.WavDecoder]] (JDK `javax.sound.sampled`, WAV/PCM →
   * mono unsigned-8-bit sample stream) behind
   * [[Multimodal.SampleDecoder]] with [[Multimodal.AutoSampleDecoder]]
-  * routing. Video container parsing stays stub-only (no ffmpeg in a
-  * pure JVM); everything around every decode — schema, partitioning,
-  * batch iteration, per-frame explode — is the real distributed
-  * plumbing any production codec drops into.
+  * routing. Video frames mirror it too: [[Multimodal.GifFrameDecoder]]
+  * (animated GIF — the one multi-frame container a pure JVM decodes
+  * natively) behind [[Multimodal.FrameDecoder]] with
+  * [[Multimodal.AutoFrameDecoder]] routing; general video codecs
+  * (H.264 etc.) remain out of reach without ffmpeg, which is the one
+  * seam a production deployment swaps. Everything around every
+  * decode — schema, partitioning, batch iteration, per-frame
+  * explode — is the real distributed plumbing any codec drops into.
   */
 object Multimodal {
 
@@ -224,6 +228,87 @@ object Multimodal {
         (math.round(f.getSampleRate), out)
       } finally in.close()
     }
+  }
+
+  /** The video frame contract: opaque payload in, per-frame 8-bit
+    * intensity planes out — the unit every frame consumer folds over
+    * (frame sums → scene cuts/keyframes; frame pHash → content-ID).
+    * Same seam discipline as [[PixelDecoder]]/[[SampleDecoder]]. */
+  trait FrameDecoder extends Serializable {
+    /** (frame_idx, row-major intensity plane) per frame, in order. */
+    def decodeFrames(m: MediaRow): Iterator[(Int, Array[Byte])]
+  }
+
+  /** Synthetic stub: the GRFT body striped into `n_frames` equal
+    * slices (sliceLen = ⌊bytes/nFrames⌋; a clip shorter than its frame
+    * count yields empty planes — [[frameStats]] reports them,
+    * signature consumers skip them). */
+  object StubFrameDecoder extends FrameDecoder {
+    def decodeFrames(m: MediaRow): Iterator[(Int, Array[Byte])] = {
+      val (_, _, _, body) = FakeCodec.decode(m.payload)
+      val sliceLen = if (m.n_frames == 0) 0 else body.length / m.n_frames
+      (0 until m.n_frames).iterator.map { f =>
+        (f, java.util.Arrays.copyOfRange(body, f * sliceLen,
+          math.min((f + 1) * sliceLen, body.length)))
+      }
+    }
+  }
+
+  /** REAL multi-frame container decode via the JDK's `javax.imageio`
+    * GIF reader — animated GIF is the one video-like container a pure
+    * JVM decodes natively, which makes the whole frame pipeline
+    * (per-frame signatures, scene cuts, keyframes, cross-video
+    * content-ID) runnable on real animation bytes with no codec libs.
+    * Frames reduce to the same integer Rec.601 luma planes as
+    * [[ImageIoDecoder]]. Frames are decoded AS STORED — GIFs using
+    * partial-frame/disposal optimization should be normalized to
+    * full frames upstream (the fixture contract); `n_frames` metadata
+    * is ignored in favor of the container's own frame count. */
+  object GifFrameDecoder extends FrameDecoder {
+    def decodeFrames(m: MediaRow): Iterator[(Int, Array[Byte])] = {
+      import javax.imageio.ImageIO
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"gif: unrecognized container for media ${m.media_id} " +
+          s"(${m.payload.length} bytes)")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).iterator.map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(y * w + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (f, out)
+      }
+    }
+  }
+
+  /** Default frame decoder: GRFT magic → stub; anything else →
+    * [[GifFrameDecoder]] (loud on unrecognized bytes). */
+  object AutoFrameDecoder extends FrameDecoder {
+    private def isStub(p: Array[Byte]): Boolean =
+      p.length >= 4 &&
+        (ByteBuffer.wrap(p, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+          == FakeCodec.Magic)
+    def decodeFrames(m: MediaRow): Iterator[(Int, Array[Byte])] =
+      if (isStub(m.payload)) StubFrameDecoder.decodeFrames(m)
+      else GifFrameDecoder.decodeFrames(m)
   }
 
   /** Default audio decoder: GRFT magic → stub; RIFF/WAVE (and anything
@@ -482,18 +567,16 @@ object Multimodal {
     * body[f·sliceLen, (f+1)·sliceLen)). Integer sums keep the feature
     * cross-engine exact; one output row per frame, payloads stay inside
     * the partition. */
-  def frameStats(media: Dataset[MediaRow]): Dataset[FrameStat] = {
+  def frameStats(media: Dataset[MediaRow],
+                 decoder: FrameDecoder = AutoFrameDecoder): Dataset[FrameStat] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
       rows.flatMap { m =>
-        val (_, _, _, body) = FakeCodec.decode(m.payload)
-        val sliceLen = if (m.n_frames == 0) 0 else body.length / m.n_frames
-        (0 until m.n_frames).iterator.map { f =>
+        decoder.decodeFrames(m).map { case (f, plane) =>
           var s = 0L
-          var j = f * sliceLen
-          val end = math.min(j + sliceLen, body.length)
-          while (j < end) { s += body(j) & 0xff; j += 1 }
-          FrameStat(m.media_id, f, sliceLen, s)
+          var j = 0
+          while (j < plane.length) { s += plane(j) & 0xff; j += 1 }
+          FrameStat(m.media_id, f, plane.length, s)
         }
       }
     }
@@ -536,27 +619,28 @@ object Multimodal {
     * (clip shorter than its frame count) are SKIPPED — their empty
     * slices all hash to 0 and would cross-match as phantom dups.
     * Map-only; one 8-byte signature per frame leaves the codec pass. */
-  def framePHashSigs(media: Dataset[MediaRow], blocks: Int = 60): DataFrame = {
+  def framePHashSigs(media: Dataset[MediaRow], blocks: Int = 60,
+                     decoder: FrameDecoder = AutoFrameDecoder): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
       rows.flatMap { m =>
-        // the downstream pair stage packs media_id*2^20 + frame_idx into
-        // one BIGINT; out-of-range rows would silently alias ANOTHER
-        // video's frames — fail loudly instead
-        require(m.n_frames < FramePack,
-          s"framePHashSigs: media ${m.media_id} has ${m.n_frames} frames " +
-            s">= $FramePack (frame index would overflow the packed pair id)")
         require(m.media_id >= 0 && m.media_id < Long.MaxValue / FramePack,
           s"framePHashSigs: media_id ${m.media_id} outside the packable " +
             s"[0, ${Long.MaxValue / FramePack}) range")
-        val (_, _, _, body) = FakeCodec.decode(m.payload)
-        val sliceLen = if (m.n_frames == 0) 0 else body.length / m.n_frames
-        if (sliceLen == 0) Iterator.empty
-        else (0 until m.n_frames).iterator.map { f =>
-          val slice = java.util.Arrays.copyOfRange(body, f * sliceLen,
-            math.min((f + 1) * sliceLen, body.length))
-          (m.media_id, f, spreadTo64(pHash(slice, blocks), blocks))
-        }
+        decoder.decodeFrames(m)
+          // empty planes (clip shorter than its frame count) are SKIPPED
+          // — they all hash to 0 and would cross-match as phantom dups
+          .filter(_._2.nonEmpty)
+          .map { case (f, plane) =>
+            // the downstream pair stage packs media_id*2^20 + frame_idx
+            // into one BIGINT; an out-of-range frame would silently
+            // alias ANOTHER video's frames — fail loudly instead
+            require(f < FramePack,
+              s"framePHashSigs: media ${m.media_id} frame $f >= " +
+                s"$FramePack (frame index would overflow the packed " +
+                "pair id)")
+            (m.media_id, f, spreadTo64(pHash(plane, blocks), blocks))
+          }
       }
     }.toDF("media_id", "frame_idx", "simhash")
   }
@@ -617,8 +701,9 @@ object Multimodal {
     * matches are reuse/contamination evidence. */
   def frameDupPairs(media: Dataset[MediaRow], blocks: Int = 60,
                     maxHamming: Int = 3, numProbes: Int = 4,
-                    maxBucket: Int = 0): DataFrame = {
-    val sigs = framePHashSigs(media, blocks)
+                    maxBucket: Int = 0,
+                    decoder: FrameDecoder = AutoFrameDecoder): DataFrame = {
+    val sigs = framePHashSigs(media, blocks, decoder)
       .select((col("media_id") * FramePack + col("frame_idx")).as("id"),
         col("simhash"))
     graft.similarity.Similarity
@@ -638,8 +723,9 @@ object Multimodal {
     * composition: the cut table IS the oracled sceneCuts output, so
     * keyframes inherit its exactness; one media_id shuffle (the lag
     * window), map-only after. */
-  def keyframes(media: Dataset[MediaRow], tau: Int): DataFrame = {
-    val cuts = sceneCuts(media, tau)
+  def keyframes(media: Dataset[MediaRow], tau: Int,
+                decoder: FrameDecoder = AutoFrameDecoder): DataFrame = {
+    val cuts = sceneCuts(media, tau, decoder)
       .filter(col("is_cut"))
       .select(col("media_id"), col("frame_idx"))
     media.filter(col("kind") === "video").toDF()
@@ -656,10 +742,11 @@ object Multimodal {
     * counts are codec-bounded so no skew concern). A real pipeline swaps
     * the stub frame sum for a perceptual frame descriptor; the
     * lag-compare plumbing is unchanged. */
-  def sceneCuts(media: Dataset[MediaRow], tau: Int): DataFrame = {
+  def sceneCuts(media: Dataset[MediaRow], tau: Int,
+                decoder: FrameDecoder = AutoFrameDecoder): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("media_id").orderBy("frame_idx")
-    frameStats(media).toDF()
+    frameStats(media, decoder).toDF()
       .withColumn("delta", abs(col("fsum") - lag(col("fsum"), 1).over(w)))
       .filter(col("frame_idx") > 0)
       .select(col("media_id"), col("frame_idx"), col("fsum"), col("delta"),
