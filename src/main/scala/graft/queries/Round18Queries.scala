@@ -173,6 +173,31 @@ object Round18Queries {
         .orderBy(col("nprobe"))
     }),
 
+    // REAL-DECODE content-ID under the gate: two checked-in animated
+    // GIFs (library resources — real javax.imageio frame decode, no
+    // synthetic stub anywhere in the path) share exactly one rendered
+    // frame; frameDupPairs must surface exactly that cross-video frame
+    // pair. The oracle is the constant expected pair — the planted-
+    // oracle convention, here with REAL bytes instead of planted rows.
+    // Ignores the table dir by design: the input is the binary fixture.
+    "m_gif_content_id" -> ((s, dir) => {
+      def bytes(name: String): Array[Byte] = {
+        val in = getClass.getResourceAsStream(s"/multimodal/$name")
+        require(in != null, s"resource $name missing")
+        try in.readAllBytes() finally in.close()
+      }
+      import s.implicits._
+      val media = s.createDataset(Seq(
+        graft.multimodal.Multimodal.MediaRow(1L, "video",
+          bytes("anim_a.gif"), 32, 24, 0, 0),
+        graft.multimodal.Multimodal.MediaRow(2L, "video",
+          bytes("anim_b.gif"), 32, 24, 0, 0)))
+      graft.multimodal.Multimodal.frameDupPairs(media, maxHamming = 3)
+        .select(col("media_a"), col("frame_a"), col("media_b"),
+          col("frame_b"))
+        .orderBy(col("media_a"), col("frame_a"))
+    }),
+
     // OPQ-lite rotated PQ: the structured orthogonal H·D/√d rotation
     // before quantization (energy-spread preprocessing, codebooks
     // trained on the rotated corpus). Planted contract is
@@ -282,6 +307,10 @@ object Round18Queries {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+
+    "m_gif_content_id" ->
+      """SELECT CAST(1 AS BIGINT) AS media_a, 1 AS frame_a,
+        |  CAST(2 AS BIGINT) AS media_b, 1 AS frame_b""".stripMargin,
 
     "e_ann_ivfpq_recall" -> (ivfpqCoreSql +
       s""",
