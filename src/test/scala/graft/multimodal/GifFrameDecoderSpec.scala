@@ -56,6 +56,35 @@ class GifFrameDecoderSpec extends SparkTestBase {
       s"identical-frame transition flagged: $cuts")
   }
 
+  test("streaming content-ID admission works on REAL GIF payloads: a " +
+      "re-ingested animation sharing a frame with an indexed one is " +
+      "rejected at the shared-frame threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    // index holds anim_a's frames
+    val idx0 = Multimodal.framePHashSigs(
+        spark.createDataset(Seq(vid(1L, gif("anim_a.gif")))))
+      .select((col("media_id") * Multimodal.FramePack + col("frame_idx"))
+        .as("id"), col("simhash"))
+    // batch: 10 = anim_a redelivered under a new id (3 shared frames ->
+    // reject at minSharedFrames=2); 11 = anim_b (1 shared frame -> admit)
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val q = graft.streaming.StreamingMedia.admitVideos(mem.toDS(), idx0,
+      minSharedFrames = 2) { (df, _) => collected ++= df.collect() }
+    try {
+      mem.addData(vid(10L, gif("anim_a.gif")), vid(11L, gif("anim_b.gif")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = collected.map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got(10L) == (false, 3L), s"GIF copy not rejected: $got")
+    assert(got(11L) == (true, 1L),
+      s"one shared frame must stay under the threshold: $got")
+  }
+
   test("AutoFrameDecoder: GRFT payloads route to the stub " +
       "bit-identically (oracled m_* video queries unchanged); GIFs to " +
       "the real decoder") {
