@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Round15Queries.queries ++
       graft.queries.Round16Queries.queries ++
       graft.queries.Round17Queries.queries ++
-      graft.queries.Round18Queries.queries
+      graft.queries.Round18Queries.queries ++
+      graft.queries.Round19Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.Round15Queries.oracleSql ++
       graft.queries.Round16Queries.oracleSql ++
       graft.queries.Round17Queries.oracleSql ++
-      graft.queries.Round18Queries.oracleSql
+      graft.queries.Round18Queries.oracleSql ++
+      graft.queries.Round19Queries.oracleSql
 }

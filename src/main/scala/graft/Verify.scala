@@ -39,6 +39,8 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            if (sys.env.contains("SPARK_GRAFT_VERIFY_TRACE"))
+              e.printStackTrace()
           }
       })
     }

@@ -223,6 +223,45 @@ object TrainedState {
       org.apache.spark.sql.functions.col("pool"))
   }
 
+  val rotationSchema: StructType = StructType(Seq(
+    StructField("row_idx", IntegerType, nullable = false),
+    StructField("row", ArrayType(FloatType), nullable = true)))
+
+  /** Persist a trained OPQ rotation ([[Opq.trainRotation]]) — d rows of
+    * d floats, row-major. A k-row artifact (d ≤ 4096 by [[Opq]]'s
+    * contract): single-file parquet like the codebooks. */
+  def saveRotation(spark: SparkSession, rot: Array[Array[Float]],
+                   path: String): Unit = {
+    val dim = rot.length
+    require(dim >= 1 && rot.forall(_.length == dim),
+      s"saveRotation: rotation must be square, got $dim rows of widths " +
+        rot.map(_.length).distinct.mkString(","))
+    import spark.implicits._
+    save(rot.toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r.toSeq) }.toDF("row_idx", "row"),
+      rotationSchema, path)
+  }
+
+  /** Load a persisted rotation; fails fast on schema drift, a non-square
+    * shape, or missing/duplicate row indices. */
+  def loadRotation(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val rows = load(spark, rotationSchema, path).collect()
+    val dim = rows.length
+    require(dim >= 1, s"loadRotation($path): empty rotation artifact")
+    val out = Array.ofDim[Array[Float]](dim)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      require(i >= 0 && i < dim && out(i) == null,
+        s"loadRotation($path): row_idx $i out of range or duplicated " +
+          s"for a $dim-row artifact")
+      val v = r.getSeq[Float](1)
+      require(v.length == dim,
+        s"loadRotation($path): row $i has width ${v.length}, expected $dim")
+      out(i) = v.toArray
+    }
+    out
+  }
+
   val dsirModelSchema: StructType = StructType(Seq(
     StructField("w", StringType, nullable = false),
     StructField("dsir_e6", LongType, nullable = false)))
