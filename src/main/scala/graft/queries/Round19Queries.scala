@@ -34,6 +34,81 @@ object Round19Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // INCREMENTAL graph-index growth: planted copies attach by
+    // insert-by-search (the NSW insert — no rebuild), then a saturating
+    // search over the UPDATED graph must reach each copy and pin it at
+    // cosine 1. The contract is prune-proof: a duplicate scores 1
+    // against its original, so the mutual edge survives any degree cut,
+    // and saturating beam search on a connected graph visits everything
+    // reachable — so a miss can only mean insert broke reachability.
+    "e_ann_graph_incremental" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      // degree 6, not 4: the degree-4 kNN graph over this corpus slice
+      // has 3 nodes unreachable from entry 0 (measured at sf0.01) —
+      // degree 6 is entry-connected at every gate SF, including after
+      // the insert re-prune (simulated exactly)
+      val edges = Similarity.bruteTopK(base, base, 6)
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val updated = graft.similarity.GraphAnn.insertBySearch(
+        edges, base, planted, entryId = 0L, beam = 64, hops = 64,
+        degree = 6)
+      val full = base.unionByName(planted)
+      graft.similarity.GraphAnn.searchGraph(
+          base.filter(col("vec_id") < 20), updated, full,
+          entryId = 0L, beam = 84, hops = 64, k = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
+    // Graph-index FORGET with per-id deletion receipts — FULLY oracled:
+    // on a brute degree-3 graph the receipts are pure rank arithmetic
+    // (out_removed = out-degree 3 for indexed ids, in_removed = how
+    // often the id ranks top-3 for someone else), so DuckDB replays
+    // every count, including the negative confirmation for an id that
+    // was never indexed.
+    "e_ann_graph_forget" -> ((s, dir) => {
+      import s.implicits._
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val edges = Similarity.bruteTopK(base, base, 3)
+      val (kept, receipts) = graft.similarity.GraphAnn.graphForget(
+        edges, Seq(0L, 25L, 50L, 75L, 999999L).toDF("vec_id"))
+      // surviving-edge count rides along as a cross-check that the kept
+      // side dropped exactly what the receipts account for
+      receipts
+        .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept_edges"))))
+        .select(col("vec_id"), col("n_out_removed"), col("n_in_removed"),
+          col("was_indexed"), col("n_kept_edges"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // REAL VIDEO-CONTAINER parse under the gate: two checked-in
+    // uncompressed AVIs (RIFF chunk walk, 24-bit BI_RGB bottom-up DIB
+    // frames — a true video container, not an animation format) share
+    // exactly one rendered frame; frameDupPairs must surface exactly
+    // that cross-video pair. Constant-oracled like m_gif_content_id.
+    "m_avi_content_id" -> ((s, dir) => {
+      def bytes(name: String): Array[Byte] = {
+        val in = getClass.getResourceAsStream(s"/multimodal/$name")
+        require(in != null, s"resource $name missing")
+        try in.readAllBytes() finally in.close()
+      }
+      val media = s.createDataset(Seq(
+        graft.multimodal.Multimodal.MediaRow(1L, "video",
+          bytes("clip_a.avi"), 16, 8, 0, 0),
+        graft.multimodal.Multimodal.MediaRow(2L, "video",
+          bytes("clip_b.avi"), 16, 8, 0, 0)))(
+        org.apache.spark.sql.Encoders.product[
+          graft.multimodal.Multimodal.MediaRow])
+      graft.multimodal.Multimodal.frameDupPairs(media, maxHamming = 3)
+        .select(col("media_a"), col("frame_a"), col("media_b"),
+          col("frame_b"))
+        .orderBy(col("media_a"), col("frame_a"))
+    }),
+
     // TRAINED OPQ, end to end: learn the Procrustes rotation (1
     // alternation at bench strength), persist + reload it through
     // TrainedState (the train-once artifact split), retrain codebooks on
@@ -92,6 +167,58 @@ object Round19Queries {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+    "e_ann_graph_incremental" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    "m_avi_content_id" ->
+      """SELECT CAST(1 AS BIGINT) AS media_a, 1 AS frame_a,
+        |  CAST(2 AS BIGINT) AS media_b, 1 AS frame_b""".stripMargin,
+    "e_ann_graph_forget" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |ap AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(a.embedding, b.embedding),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |      (x, y) -> x + y) /
+        |    (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (x, y) -> x + y)) *
+        |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (x, y) -> x + y))) AS s
+        |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+        |    FROM ap) t
+        |  WHERE r <= 3),
+        |del AS (SELECT CAST(v AS BIGINT) AS vec_id
+        |        FROM (VALUES (0), (25), (50), (75), (999999)) AS t(v)),
+        |kept AS (
+        |  SELECT COUNT(*) AS n_kept_edges FROM edges
+        |  WHERE src NOT IN (SELECT vec_id FROM del)
+        |    AND dst NOT IN (SELECT vec_id FROM del)),
+        |outr AS (
+        |  SELECT src AS vec_id, COUNT(*) AS n_out FROM edges
+        |  WHERE src IN (SELECT vec_id FROM del) GROUP BY 1),
+        |inr AS (
+        |  SELECT dst AS vec_id, COUNT(*) AS n_in FROM edges
+        |  WHERE dst IN (SELECT vec_id FROM del) GROUP BY 1)
+        |SELECT d.vec_id,
+        |  COALESCE(outr.n_out, 0) AS n_out_removed,
+        |  COALESCE(inr.n_in, 0) AS n_in_removed,
+        |  (COALESCE(outr.n_out, 0) + COALESCE(inr.n_in, 0)) > 0
+        |    AS was_indexed,
+        |  kept.n_kept_edges
+        |FROM del d
+        |LEFT JOIN outr ON outr.vec_id = d.vec_id
+        |LEFT JOIN inr ON inr.vec_id = d.vec_id
+        |CROSS JOIN kept
+        |ORDER BY d.vec_id""".stripMargin,
     "e_ann_graph" -> (apSql +
       """edges AS (
         |  SELECT src, dst FROM (

@@ -73,15 +73,7 @@ object GraphAnn {
     val nodes = corpus.select(col("vec_id").as("node"),
       col("embedding").as("n_emb"))
 
-    // Score a small (query_id, node) candidate set: fetch each node's
-    // embedding by streaming the corpus past the broadcast candidate
-    // list, then attach the broadcast query embedding. Both joins keep
-    // the big side shuffle-free.
-    def score(cand: DataFrame): DataFrame =
-      nodes.join(broadcast(cand), Seq("node"))
-        .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("node"),
-          Similarity.cosineGuarded(col("q_emb"), col("n_emb")).as("score"))
+    val score = scorer(q, nodes) _
 
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
@@ -96,21 +88,11 @@ object GraphAnn {
     var hop = 0
     var converged = false
     while (hop < hops && !converged) {
-      val frontier = visited
-        .withColumn("_r", row_number().over(wBeam))
-        .filter(col("_r") <= beam)
-        .select(col("query_id"), col("node"))
-      // corpus-sized edge table joins the broadcast frontier — the only
-      // big-table touch this hop, and it never shuffles
-      val reached = adj.join(broadcast(frontier),
-          adj("_src") === frontier("node"))
-        .select(col("query_id"), col("_dst").as("node"))
-        .distinct()
-      val fresh = reached.join(visited.select(col("query_id"), col("node")),
-        Seq("query_id", "node"), "left_anti")
       // eager per-hop materialization: visited is tiny (≤ |q|·beam·deg·hop)
       // and re-read 3× next round — the iterative-lineage convention
-      visited = visited.unionByName(score(fresh)).localCheckpoint(true)
+      visited = visited
+        .unionByName(hopOnce(visited, adj, score, beam))
+        .localCheckpoint(true)
       // `hops` is a BUDGET: once a round adds no nodes, every further
       // round is a fixpoint, so stopping early returns the identical
       // answer (the count is free — visited is already materialized)
@@ -125,5 +107,144 @@ object GraphAnn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
         col("score").as("cos_sim"))
+  }
+
+  /** One expansion round, exposed for plan-shape pinning: cut the
+    * frontier (top-`beam` of `visited` per query), expand it through the
+    * corpus-sized edge table, drop already-visited nodes, score the
+    * fresh ones. The edge join MUST plan the frontier as the broadcast
+    * side — a shuffled edge table here is the 100 TB regression
+    * PlanShapeSpec guards against. */
+  private[graft] def hopOnce(visited: DataFrame, adj: DataFrame,
+                             score: DataFrame => DataFrame,
+                             beam: Int): DataFrame = {
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    val frontier = visited
+      .withColumn("_r", row_number().over(wBeam))
+      .filter(col("_r") <= beam)
+      .select(col("query_id"), col("node"))
+    // corpus-sized edge table joins the broadcast frontier — the only
+    // big-table touch this hop, and it never shuffles
+    val reached = adj.join(broadcast(frontier),
+        adj("_src") === frontier("node"))
+      .select(col("query_id"), col("_dst").as("node"))
+      .distinct()
+    // visited is bounded (≤ |q|·beam·deg·hops) — broadcast the anti
+    // side so the dedup never sorts or shuffles either small set
+    val fresh = reached.join(
+      broadcast(visited.select(col("query_id"), col("node"))),
+      Seq("query_id", "node"), "left_anti")
+    score(fresh)
+  }
+
+  /** The scoring closure [[searchGraph]] uses, exposed with it for
+    * plan pinning: fetch candidate embeddings by broadcast probe into
+    * the corpus, attach the broadcast query embedding — the big side
+    * stays shuffle-free in both joins. */
+  private[graft] def scorer(q: DataFrame, nodes: DataFrame)
+                           (cand: DataFrame): DataFrame =
+    nodes.join(broadcast(cand), Seq("node"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("node"),
+        Similarity.cosineGuarded(col("q_emb"), col("n_emb")).as("score"))
+
+  /** NSW-style INCREMENTAL INSERT: attach a batch of new vectors to an
+    * existing graph by SEARCHING it — each new vector's `degree` nearest
+    * search results become its out-edges, reverse edges point back, and
+    * every touched node's out-list re-prunes to the best `degree` (the
+    * bounded-degree invariant every navigable-graph index maintains).
+    * This is how graph indexes actually grow at serving time — no
+    * corpus-wide rebuild, no all-pairs work: cost per batch is one
+    * [[searchGraph]] over the batch plus a window re-prune of the
+    * touched-source rows only.
+    *
+    * Batch semantics: all new vectors search the PRE-BATCH graph (the
+    * standard bulk-parallel approximation of sequential NSW insertion —
+    * batch-mates don't link to each other within one call; insert in
+    * smaller batches when intra-batch linkage matters). An exact
+    * duplicate of an indexed vector scores cosine 1 against it, so the
+    * mutual edge survives ANY degree prune — the planted-contract
+    * backbone of `e_ann_graph_incremental`.
+    *
+    * Scale: `edges` stays distributed throughout; only sources touched
+    * by reverse edges re-sort (one window over a broadcast-semi-joined
+    * slice), the untouched remainder passes through unchanged.
+    *
+    * @param batch new vectors `(vec_id, embedding)` — bounded per call
+    *              (the searchGraph query-batch contract)
+    * @return the updated edge table, same schema as [[searchGraph]]'s
+    *         input: `(query_id, rank, neighbor_id, cos_sim)`
+    */
+  def insertBySearch(edges: DataFrame, corpus: DataFrame, batch: DataFrame,
+                     entryId: Long, beam: Int, hops: Int,
+                     degree: Int): DataFrame = {
+    require(degree >= 1, s"insertBySearch: degree=$degree must be >= 1")
+    val found = searchGraph(batch, edges, corpus, entryId, beam, hops,
+      degree)
+    // new nodes' out-edges: the search results verbatim (already ranked
+    // 1..degree by the searchGraph contract)
+    val forward = found.select(col("query_id"), col("rank"),
+      col("neighbor_id"), col("cos_sim"))
+    // reverse edges: candidate rows for the touched sources, then ONE
+    // re-prune window over (existing ∪ reverse) rows of those sources
+    val reverse = found.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), col("cos_sim"))
+    val touched = reverse.select(col("query_id")).distinct()
+    val old = edges.select(col("query_id"), col("rank"),
+      col("neighbor_id"), col("cos_sim"))
+    // original ranks ride through — no corpus-wide window; only the
+    // touched slice re-sorts
+    val untouched = old.join(broadcast(touched), Seq("query_id"),
+      "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val repruned = old.drop("rank")
+      .join(broadcast(touched), Seq("query_id"))
+      .unionByName(reverse)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= degree)
+    untouched
+      .unionByName(repruned)
+      .unionByName(forward)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  /** FORGET a set of node ids: drop their out-edges and every edge
+    * pointing at them, with a per-requested-id receipt (the
+    * [[Similarity.ivfForget]] deletion-receipt convention — an absent id
+    * confirms NEGATIVELY rather than vanishing). Remaining out-lists are
+    * NOT topped back up (a forget leaves degree holes by design — edge
+    * repair is a rebuild-or-reinsert decision the caller owns; search
+    * correctness degrades only in recall, never in soundness, because
+    * scoring always reads the live corpus).
+    *
+    * @return (updated edges, receipts `(vec_id, n_out_removed,
+    *         n_in_removed, was_indexed)`)
+    */
+  def graphForget(edges: DataFrame,
+                  deleteIds: DataFrame): (DataFrame, DataFrame) = {
+    val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
+    val kept = edges
+      .join(ids.withColumnRenamed("vec_id", "query_id"), Seq("query_id"),
+        "left_anti")
+      .join(ids.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+    val outRemoved = edges.join(ids, edges("query_id") === ids("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_out_removed"))
+    val inRemoved = edges.join(ids, edges("neighbor_id") === ids("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_in_removed"))
+    val receipts = ids
+      .join(outRemoved, Seq("vec_id"), "left")
+      .join(inRemoved, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_out_removed"), lit(0L)).as("n_out_removed"),
+        coalesce(col("n_in_removed"), lit(0L)).as("n_in_removed"),
+        (coalesce(col("n_out_removed"), lit(0L)) +
+          coalesce(col("n_in_removed"), lit(0L)) > 0).as("was_indexed"))
+    (kept, receipts)
   }
 }

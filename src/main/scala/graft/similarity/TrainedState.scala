@@ -223,6 +223,35 @@ object TrainedState {
       org.apache.spark.sql.functions.col("pool"))
   }
 
+  val graphIndexSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = true)))
+
+  /** Persist a kNN-graph edge table ([[Similarity.knnGraph]]-family /
+    * [[GraphAnn.insertBySearch]] output). CORPUS-sized, so no
+    * single-file coalesce; instead range-partition + sort by the source
+    * id so every file carries tight `query_id` min/max stats — a beam
+    * hop that pre-filters on the frontier's ids ([[GraphAnn]]'s
+    * broadcast-frontier join) then reads only the row groups its
+    * frontier can touch, the IVF partition-pruning story with file
+    * statistics instead of directories (source ids are corpus-cardinal —
+    * `partitionBy` would mean one directory per vector). */
+  def saveGraphIndex(edges: DataFrame, path: String): Unit = {
+    val cols = graphIndexSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    edges.select(cols.toIndexedSeq: _*)
+      .repartitionByRange(org.apache.spark.sql.functions.col("query_id"))
+      .sortWithinPartitions("query_id", "rank")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted graph index for [[GraphAnn.searchGraph]]; fails
+    * fast at the driver on schema drift. */
+  def loadGraphIndex(spark: SparkSession, path: String): DataFrame =
+    load(spark, graphIndexSchema, path)
+
   val rotationSchema: StructType = StructType(Seq(
     StructField("row_idx", IntegerType, nullable = false),
     StructField("row", ArrayType(FloatType), nullable = true)))

@@ -49,6 +49,41 @@ object StreamingAnn {
       .start()
   }
 
+  /** Serve `k` neighbors per streamed query by GRAPH beam search
+    * ([[graft.similarity.GraphAnn.searchGraph]] per micro-batch — the
+    * one-code-path convention, so the saturating==brute and planted
+    * contracts carry verbatim). The edge table is the static trained
+    * side (built offline by the [[graft.similarity.Similarity.knnGraph]]
+    * family or grown by [[graft.similarity.GraphAnn.insertBySearch]],
+    * persisted via [[graft.similarity.TrainedState.saveGraphIndex]]);
+    * per trigger the corpus-sized graph never shuffles — each hop joins
+    * it against the micro-batch's broadcast frontier. */
+  def serveGraph(queries: DataFrame, edges: DataFrame, corpus: DataFrame,
+                 entryId: Long, beam: Int, hops: Int, k: Int,
+                 availableNow: Boolean = false)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.similarity.GraphAnn.searchGraph(batch.toDF(), edges,
+          corpus, entryId, beam, hops, k), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** [[serveGraph]] against a PERSISTED graph artifact — the restart
+    * path: load once at stream start (schema fail-fast), serve every
+    * trigger from the same edge table. */
+  def serveGraphFromSaved(queries: DataFrame, corpus: DataFrame,
+                          indexPath: String, entryId: Long, beam: Int,
+                          hops: Int, k: Int, availableNow: Boolean = false)
+                         (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    serveGraph(queries,
+      graft.similarity.TrainedState.loadGraphIndex(corpus.sparkSession,
+        indexPath),
+      corpus, entryId, beam, hops, k, availableNow)(sink)
+
   /** Serve `k` neighbors per streamed query through the binary-
     * quantized coarse scan ([[graft.similarity.BinaryQuantize
     * .topKBinary]] per micro-batch — the one-code-path convention, so

@@ -684,4 +684,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"full sort-then-filter:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
   }
+
+  test("graph ANN hop: the corpus-sized edge table joins the broadcast " +
+      "frontier and the scorer probes the corpus by broadcast — the big " +
+      "sides never sort-merge or re-shuffle") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 40)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val nodes = emb.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"))
+    val adj = graft.similarity.Similarity.bruteTopK(emb, emb, 4)
+      .select(col("query_id").as("_src"), col("neighbor_id").as("_dst"))
+    val score = graft.similarity.GraphAnn.scorer(q, nodes) _
+    val visited = score(
+      q.select(col("query_id")).withColumn("node", lit(0L)))
+    val p = graft.similarity.GraphAnn.hopOnce(visited, adj, score, beam = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"a big side got sort-merge-joined in the hop:\n${p.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("OPQ rotation application is map-only: plan-constant matrix, no " +
+      "exchange, kernels stay codegen'd") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = graft.similarity.Opq
+      .applyRotation(emb, graft.similarity.Opq.identity(64))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"rotation projection introduced a shuffle:\n${p.take(2000)}")
+    assert(!p.contains("CodegenFallback") && !p.contains("UDF"),
+      s"rotation fell out of codegen:\n${p.take(2000)}")
+  }
 }

@@ -92,6 +92,92 @@ class GraphAnnSpec extends SparkTestBase {
     assert(collectTopK(got) === collectTopK(Similarity.bruteTopK(probes, e, 3)))
   }
 
+  test("insertBySearch: planted duplicates become reachable and the degree bound holds") {
+    val base = emb.filter(col("vec_id") < 40)
+    val n = base.count().toInt
+    val edges = Similarity.bruteTopK(base, base, 4)
+    val planted = base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val updated = GraphAnn.insertBySearch(edges, base, planted,
+      entryId = 0L, beam = n, hops = n, degree = 4).localCheckpoint(true)
+    // the bounded-degree invariant survives the reverse-edge re-prune
+    val maxDeg = updated.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("d")).agg(max(col("d"))).head.getLong(0)
+    assert(maxDeg <= 4)
+    // a saturating search over the UPDATED graph must reach each planted
+    // copy and pin it at cosine 1 — reachability through the inserted
+    // mutual edges (a dup scores 1 against its original, so it survives
+    // any degree prune in both directions)
+    val full = base.unionByName(planted)
+    val probes = base.filter(col("vec_id") < 3)
+    val got = GraphAnn.searchGraph(probes, updated, full,
+        entryId = 0L, beam = n + 3, hops = n, k = 1)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === (0L until 3L).map(i => (i, i + 1000L, 1.0)).toSet)
+  }
+
+  test("insertBySearch leaves untouched sources' edges bit-unchanged") {
+    val base = emb.filter(col("vec_id") < 40)
+    val n = base.count().toInt
+    val edges = Similarity.bruteTopK(base, base, 4).localCheckpoint(true)
+    val planted = base.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val updated = GraphAnn.insertBySearch(edges, base, planted,
+      entryId = 0L, beam = n, hops = n, degree = 4)
+    val touched = updated.filter(col("neighbor_id") === 1000L)
+      .select(col("query_id")).distinct()
+      .collect().map(_.getLong(0)).toSet + 1000L
+    def rows(df: DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(updated.filter(!col("query_id").isin(touched.toSeq: _*)))
+      === rows(edges.filter(!col("query_id").isin(touched.toSeq: _*))))
+  }
+
+  test("graphForget: receipts account for every dropped edge; forgotten ids vanish") {
+    val base = emb.filter(col("vec_id") < 30)
+    val edges = Similarity.bruteTopK(base, base, 3).localCheckpoint(true)
+    val (kept, receipts) = GraphAnn.graphForget(edges,
+      Seq(5L, 7L, 99999L).toDF("vec_id"))
+    val rec = receipts.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(rec(5L)._1 === 3L) // out-degree 3 by construction
+    assert(rec(5L)._3 && rec(7L)._3)
+    assert(rec(99999L) === ((0L, 0L, false))) // negative confirmation
+    val keptIds = kept.select(col("query_id").as("id"))
+      .unionByName(kept.select(col("neighbor_id").as("id"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(5L) && !keptIds.contains(7L))
+    // accounting: dropped rows == Σ out_removed + in_removed MINUS the
+    // edges counted twice (both endpoints deleted)
+    val both = edges.filter(col("query_id").isin(5L, 7L) &&
+      col("neighbor_id").isin(5L, 7L)).count()
+    val dropped = edges.count() - kept.count()
+    val recSum = rec(5L)._1 + rec(5L)._2 + rec(7L)._1 + rec(7L)._2
+    assert(dropped === recSum - both)
+  }
+
+  test("graph index persistence round-trips; drift rejects") {
+    val base = emb.filter(col("vec_id") < 30)
+    val edges = Similarity.bruteTopK(base, base, 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_gidx").toString + "/graph"
+    TrainedState.saveGraphIndex(edges, path)
+    val back = TrainedState.loadGraphIndex(spark, path)
+    def rows(df: DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(back) === rows(edges))
+    val rotPath = path + "_rot"
+    TrainedState.saveRotation(spark, Opq.identity(4), rotPath)
+    intercept[IllegalArgumentException] {
+      TrainedState.loadGraphIndex(spark, rotPath)
+    }
+  }
+
   test("argument guards") {
     val e = emb.limit(5)
     val edges = Similarity.bruteTopK(e, e, 2)

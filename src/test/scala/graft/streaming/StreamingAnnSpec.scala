@@ -51,6 +51,43 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(collected.nonEmpty)
   }
 
+  test("serveGraph: streamed beam search == batch searchGraph across " +
+      "micro-batches, through the persisted graph artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") < 60).localCheckpoint(true)
+    val edges = graft.similarity.Similarity.bruteTopK(corpus, corpus, 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_gserve").toString + "/graph"
+    graft.similarity.TrainedState.saveGraphIndex(edges, path)
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L, 9L))
+    val qVecs = emb.filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveGraphFromSaved(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, path,
+      entryId = 0L, beam = 3, hops = 2, k = 3) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRef = graft.similarity.GraphAnn.searchGraph(
+      emb.filter(col("vec_id").isin(1L, 3L, 5L, 9L)),
+      graft.similarity.TrainedState.loadGraphIndex(spark, path), corpus,
+      entryId = 0L, beam = 3, hops = 2, k = 3).collect()
+    def keyed(rows: Seq[Row]): Map[(Long, Int), (Long, Double)] =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef.toSeq),
+      "streamed graph top-k diverged from the batch plan")
+    assert(collected.nonEmpty)
+  }
+
   test("serveMrl: streamed two-stage funnel == batch mrlTopK across " +
       "micro-batches") {
     implicit val sqlCtx = spark.sqlContext
