@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.signBitsDescriptor)
     ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
     ext.injectFunction(GraftExtensions.fwhtRotateDescriptor)
+    ext.injectFunction(GraftExtensions.arraySumAggDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -95,6 +96,17 @@ object GraftExtensions {
       graft.functions.BottomKByHash(children(0),
         litInt(children(1), "bottomk_by_hash"), salt)
         .toAggregateExpression()
+    })
+
+  val arraySumAggDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_sum_agg"),
+    new ExpressionInfo(classOf[graft.functions.ArraySumAgg].getName,
+      "array_sum_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"array_sum_agg(arr) takes 1 argument, got ${children.length}")
+      graft.functions.ArraySumAgg(children.head).toAggregateExpression()
     })
 
   val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo,

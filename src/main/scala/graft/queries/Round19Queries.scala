@@ -48,16 +48,48 @@ object Round19Queries {
       // has 3 nodes unreachable from entry 0 (measured at sf0.01) —
       // degree 6 is entry-connected at every gate SF, including after
       // the insert re-prune (simulated exactly)
-      val edges = Similarity.bruteTopK(base, base, 6)
+      // the beam loop re-reads its edge table EVERY hop — a persisted
+      // index serves that read at scale (isin row-group pruning); these
+      // DERIVED edge tables are materialized once instead of replaying
+      // the graph-build plan per hop (caller-owned persistence, the
+      // searchGraph contract)
+      val edges = Similarity.bruteTopK(base, base, 6).localCheckpoint(true)
       val planted = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val updated = graft.similarity.GraphAnn.insertBySearch(
         edges, base, planted, entryId = 0L, beam = 64, hops = 64,
-        degree = 6)
+        degree = 6).localCheckpoint(true)
       val full = base.unionByName(planted)
       graft.similarity.GraphAnn.searchGraph(
           base.filter(col("vec_id") < 20), updated, full,
           entryId = 0L, beam = 84, hops = 64, k = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
+    // DiskANN-shaped serving: graph beam search scored by PQ codes (the
+    // hop loop reads adjacency + numSub-int code rows only; the float
+    // corpus is touched once, by the exact re-rank). Planted contract:
+    // an exact duplicate shares the query's codes, rides the beam at the
+    // query's own ADC self-score through the (simulated-connected)
+    // degree-6 graph, and the exact re-rank pins cosine 1.
+    "e_ann_graph_pq" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(planted)
+      val edges = Similarity.bruteTopK(corpus, corpus, 6)
+        .localCheckpoint(true)
+      val books = graft.similarity.ProductQuantizer.codebooks(
+        corpus, dim = 64, numSub = 4, stride = 10)
+      val codes = graft.similarity.ProductQuantizer.encode(
+        corpus, books, dim = 64, numSub = 4).localCheckpoint(true)
+      graft.similarity.GraphAnn.searchGraphPq(
+          base.filter(col("vec_id") < 20), edges, codes, books,
+          dim = 64, numSub = 4, corpus, entryId = 0L, beam = 84,
+          hops = 16, k = 1, rerank = 32)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"))
@@ -174,6 +206,10 @@ object Round19Queries {
     "m_avi_content_id" ->
       """SELECT CAST(1 AS BIGINT) AS media_a, 1 AS frame_a,
         |  CAST(2 AS BIGINT) AS media_b, 1 AS frame_b""".stripMargin,
+    "e_ann_graph_pq" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
     "e_ann_graph_forget" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),

@@ -109,27 +109,55 @@ object GraphAnn {
         col("score").as("cos_sim"))
   }
 
+  /** Frontiers up to this many rows are COLLECTED and inlined: the
+    * frontier's node ids become an `isin` literal ON the edge scan —
+    * with a [[TrainedState.saveGraphIndex]] artifact (range-partitioned,
+    * source-sorted, tight min/max stats) that predicate prunes at the
+    * row-group level, so a hop against a 100 TB edge table reads only
+    * the files its frontier can touch. Above the cap the hop falls back
+    * to the broadcast-frontier join (same result — the inline form is a
+    * scan-pruning strategy, not a semantics change). The cap bounds the
+    * literal list the [[Similarity]] eval-inlining convention's way. */
+  private[graft] val MaxInlineFrontier = 4096
+
   /** One expansion round, exposed for plan-shape pinning: cut the
     * frontier (top-`beam` of `visited` per query), expand it through the
     * corpus-sized edge table, drop already-visited nodes, score the
-    * fresh ones. The edge join MUST plan the frontier as the broadcast
-    * side — a shuffled edge table here is the 100 TB regression
-    * PlanShapeSpec guards against. */
+    * fresh ones. The frontier is bounded (≤ |queries|·beam) by the
+    * bounded-query-batch contract, so the hop collects it and probes the
+    * edge table with a pushdown-able `isin` — the edge side NEVER
+    * shuffles, and per-hop driver work is one small collect (the loop
+    * already runs a count per hop). A shuffled edge table here is the
+    * 100 TB regression PlanShapeSpec guards against. */
   private[graft] def hopOnce(visited: DataFrame, adj: DataFrame,
                              score: DataFrame => DataFrame,
                              beam: Int): DataFrame = {
+    val spark = visited.sparkSession
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
     val frontier = visited
       .withColumn("_r", row_number().over(wBeam))
       .filter(col("_r") <= beam)
       .select(col("query_id"), col("node"))
-    // corpus-sized edge table joins the broadcast frontier — the only
-    // big-table touch this hop, and it never shuffles
-    val reached = adj.join(broadcast(frontier),
-        adj("_src") === frontier("node"))
-      .select(col("query_id"), col("_dst").as("node"))
-      .distinct()
+    val rows = frontier.collect()
+    val reached =
+      if (rows.length <= MaxInlineFrontier) {
+        // LocalRelation frontier + isin literal on the scan: no upstream
+        // stages behind the broadcast build, and the predicate reaches
+        // the parquet row groups of a persisted index
+        import scala.jdk.CollectionConverters._
+        val local = spark.createDataFrame(rows.toSeq.asJava,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "query_id BIGINT, node BIGINT"))
+        val nodeIds = rows.map(_.getLong(1)).distinct.sorted
+        adj.filter(col("_src").isin(nodeIds.toIndexedSeq: _*))
+          .join(broadcast(local), adj("_src") === local("node"))
+          .select(col("query_id"), col("_dst").as("node"))
+          .distinct()
+      } else
+        adj.join(broadcast(frontier), adj("_src") === frontier("node"))
+          .select(col("query_id"), col("_dst").as("node"))
+          .distinct()
     // visited is bounded (≤ |q|·beam·deg·hops) — broadcast the anti
     // side so the dedup never sorts or shuffles either small set
     val fresh = reached.join(
@@ -148,6 +176,115 @@ object GraphAnn {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("node"),
         Similarity.cosineGuarded(col("q_emb"), col("n_emb")).as("score"))
+
+  /** DiskANN-shaped serving: graph beam search scored by PQ CODES — the
+    * hop loop reads only the graph adjacency and the numSub-int code
+    * rows (ADC table lookups, ordered-fold summed like
+    * [[ProductQuantizer.topKWith]]), and the float corpus is touched
+    * exactly once, by the final exact re-rank of the `k·rerank` ADC
+    * survivors. This is the architecture that serves billion-vector
+    * indexes from media where float vectors don't fit: adjacency + codes
+    * stay hot, full vectors stay cold (Subramanya et al., DiskANN,
+    * NeurIPS 2019 — re-expressed as the same broadcast-frontier hop as
+    * [[searchGraph]], so every scale property carries over: the big
+    * sides never shuffle, per-hop cost is frontier × degree, `hops` is a
+    * budget with the fixpoint early-exit).
+    *
+    * Determinism: ADC parts fold in subspace order (the e_ann_pq_full
+    * convention), beam and rank ties break on node id — a planted exact
+    * duplicate shares the query's codes, rides the beam at the query's
+    * own ADC self-score, and the exact re-rank pins it at cosine 1.
+    *
+    * @param codes  PQ codes `(vec_id, sub, code)` ([[ProductQuantizer.encode]])
+    * @param books  codebooks `(sub, code, centroid)` — broadcast-sized
+    * @param corpus float vectors, read ONLY by the final re-rank
+    * @param rerank exact-re-scored candidate depth multiplier (× k)
+    */
+  def searchGraphPq(queries: DataFrame, edges: DataFrame, codes: DataFrame,
+                    books: DataFrame, dim: Int, numSub: Int,
+                    corpus: DataFrame, entryId: Long, beam: Int, hops: Int,
+                    k: Int, rerank: Int = 4): DataFrame = {
+    require(beam >= 1 && hops >= 0 && k >= 1 && rerank >= 1,
+      s"searchGraphPq: beam=$beam hops=$hops k=$k rerank=$rerank must " +
+        "all be >= 1 (hops >= 0)")
+    val subDim = dim / numSub
+    val spark = queries.sparkSession
+    import scala.jdk.CollectionConverters._
+    // bounded probe batch → local relation (the topKWith convention: all
+    // downstream broadcasts derive from memory, not repeated scans)
+    val qLocal = spark.createDataFrame(
+      queries.select(col("vec_id").cast("long"), col("embedding"))
+        .collect().toSeq.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>"))
+    val booksB = broadcast(books.select(col("sub").cast("int"),
+      col("code").cast("int"), col("centroid")))
+    // per-query ADC lookup table: dot(q_sub, centroid) per (sub, code)
+    val adcTable = broadcast(qLocal
+      .select(col("vec_id").as("query_id"),
+        explode(transform(sequence(lit(0), lit(numSub - 1)),
+          s => struct(s.as("sub"),
+            slice(col("embedding"), s * subDim + 1, lit(subDim))
+              .as("subvec")))).as("_e"))
+      .select(col("query_id"), col("_e.sub").as("sub"),
+        col("_e.subvec").as("subvec"))
+      .join(booksB, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        graft.functions.DotProduct.dot_product(
+          col("subvec"), col("centroid")).as("part")))
+    val codeRows = codes.select(col("vec_id").as("node"), col("sub"),
+      col("code"))
+    // ADC scorer: candidates probe the CODES table (broadcast cand —
+    // codes never shuffle), parts fold in subspace order
+    def scoreAdc(cand: DataFrame): DataFrame =
+      codeRows.join(broadcast(cand), Seq("node"))
+        .join(adcTable, Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("node"))
+        .agg(sort_array(collect_list(struct(col("sub"), col("part"))))
+          .as("_ps"))
+        .filter(size(col("_ps")) === numSub)
+        .select(col("query_id"), col("node"),
+          aggregate(col("_ps"), lit(0.0),
+            (a, x) => a + x.getField("part")).as("score"))
+    val adj = edges.select(col("query_id").as("_src"),
+      col("neighbor_id").as("_dst"))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    var visited = scoreAdc(qLocal.select(col("vec_id").as("query_id"))
+      .withColumn("node", lit(entryId)))
+    if (hops > 0) visited = visited.localCheckpoint(true)
+    var visitedCount = if (hops > 0) visited.count() else 0L
+    var hop = 0
+    var converged = false
+    while (hop < hops && !converged) {
+      visited = visited
+        .unionByName(hopOnce(visited, adj, scoreAdc, beam))
+        .localCheckpoint(true)
+      val n = visited.count()
+      converged = n == visitedCount
+      visitedCount = n
+      hop += 1
+    }
+    // the ONLY float-vector touch: exact re-rank of the ADC shortlist
+    val shortlist = visited
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("_r", row_number().over(wBeam))
+      .filter(col("_r") <= k * rerank)
+      .select(col("query_id"), col("node").as("neighbor_id"))
+    val q = broadcast(qLocal.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = broadcast(shortlist)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("q_emb"), col("c_emb")))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
 
   /** NSW-style INCREMENTAL INSERT: attach a batch of new vectors to an
     * existing graph by SEARCHING it — each new vector's `degree` nearest

@@ -48,15 +48,21 @@ object Opq {
   def procrustesStep(pairs: DataFrame, dim: Int): Array[Array[Float]] = {
     require(dim >= 1 && dim <= MaxDim,
       s"procrustesStep: dim=$dim out of range [1, $MaxDim]")
-    // flattened outer product x·ŷᵀ per row (d² doubles), then ONE
-    // element-wise distributed sum: posexplode → partial agg by position
-    val outer = pairs.select(
-      posexplode(flatten(transform(col("embedding"), xi =>
-        transform(col("recon"), yj =>
-          xi.cast("double") * yj.cast("double"))))).as(Seq("pos", "v")))
-    val m = new Array[Double](dim * dim)
-    outer.groupBy(col("pos")).agg(sum(col("v")).as("s"))
-      .collect().foreach(r => m(r.getInt(0)) = r.getDouble(1))
+    // flattened outer product x·ŷᵀ per row (d² doubles), reduced by the
+    // native element-wise vector aggregate: each map task folds its rows
+    // into ONE d² buffer, so the shuffle carries one 32 KB-scale buffer
+    // per task — not the n·d² rows a posexplode → groupBy(pos) replay
+    // ships (measured: the explode dominated this step's wall-clock)
+    val mSeq = pairs.select(
+      graft.functions.VectorSumAgg.array_sum_agg(
+        flatten(transform(col("embedding"), xi =>
+          transform(col("recon"), yj =>
+            xi.cast("double") * yj.cast("double"))))).as("m"))
+      .head.getSeq[Double](0)
+    require(mSeq.length == dim * dim,
+      s"procrustesStep: accumulated ${mSeq.length} cells, expected " +
+        s"${dim * dim} — empty pair table or width drift")
+    val m = mSeq.toArray
     // M = U·S·Vᵀ ⇒ argmax_R tr(R·M) = V·Uᵀ (maximize the trace form of
     // the Procrustes objective; breeze svd returns (U, S, Vt))
     val bm = new breeze.linalg.DenseMatrix(dim, dim, m, 0, dim,

@@ -40,9 +40,22 @@ class GraftExtensionsSpec extends SparkTestBase {
       GraftExtensions.signedProjectDescriptor,
       GraftExtensions.signBitsDescriptor,
       GraftExtensions.hammingWordsDescriptor,
-      GraftExtensions.fwhtRotateDescriptor).foreach { case (ident, _, b) =>
+      GraftExtensions.fwhtRotateDescriptor,
+      GraftExtensions.arraySumAggDescriptor).foreach { case (ident, _, b) =>
       ColumnBridge.registerFunction(spark, ident.funcName, b)
     }
+
+    // array_sum_agg: element-wise vector accumulator, SQL == Column API,
+    // and the analyzer rejects a non-double array
+    val asSql = spark.sql(
+      "SELECT array_sum_agg(CAST(v AS ARRAY<DOUBLE>)) AS s FROM VALUES " +
+        "(array(1.0, 2.0)), (array(10.0, 20.0)), (array(100.0, 200.0)) " +
+        "AS t(v)").head.getSeq[Double](0)
+    assert(asSql == Seq(111.0, 222.0))
+    val asErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_sum_agg(array('x', 'y')) AS s").collect()
+    }
+    assert(asErr.getMessage.toLowerCase.contains("array_sum_agg"))
 
     // simhash64 over string tokens == the Column-API kernel; a mistyped
     // argument fails in the ANALYZER (SQL users get a type error, not an

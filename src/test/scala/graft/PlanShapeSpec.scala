@@ -685,9 +685,10 @@ class PlanShapeSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
   }
 
-  test("graph ANN hop: the corpus-sized edge table joins the broadcast " +
-      "frontier and the scorer probes the corpus by broadcast — the big " +
-      "sides never sort-merge or re-shuffle") {
+  test("graph ANN hop: the frontier inlines as an isin that PUSHES INTO " +
+      "the persisted edge scan (row-group pruned hop reads); every join " +
+      "broadcasts the small side — the big sides never sort-merge or " +
+      "re-shuffle") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") < 40)
@@ -695,16 +696,23 @@ class PlanShapeSpec extends SparkTestBase {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val nodes = emb.select(col("vec_id").as("node"),
       col("embedding").as("n_emb"))
-    val adj = graft.similarity.Similarity.bruteTopK(emb, emb, 4)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_gplan").toString + "/graph"
+    graft.similarity.TrainedState.saveGraphIndex(
+      graft.similarity.Similarity.bruteTopK(emb, emb, 4), idxPath)
+    val adj = graft.similarity.TrainedState.loadGraphIndex(spark, idxPath)
       .select(col("query_id").as("_src"), col("neighbor_id").as("_dst"))
     val score = graft.similarity.GraphAnn.scorer(q, nodes) _
     val visited = score(
-      q.select(col("query_id")).withColumn("node", lit(0L)))
+      q.select(col("query_id")).withColumn("node", lit(0L))
+        .unionByName(q.select(col("query_id")).withColumn("node", lit(5L))))
     val p = graft.similarity.GraphAnn.hopOnce(visited, adj, score, beam = 3)
       .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"),
       s"a big side got sort-merge-joined in the hop:\n${p.take(2000)}")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(p.contains("In(query_id, [0,5])"),
+      s"frontier isin did not reach the edge parquet scan:\n${p.take(3000)}")
   }
 
   test("OPQ rotation application is map-only: plan-constant matrix, no " +

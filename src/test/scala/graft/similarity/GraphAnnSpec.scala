@@ -92,6 +92,38 @@ class GraphAnnSpec extends SparkTestBase {
     assert(collectTopK(got) === collectTopK(Similarity.bruteTopK(probes, e, 3)))
   }
 
+  test("searchGraphPq: saturating beam + full rerank == exact brute force") {
+    val e = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val n = e.count().toInt
+    val edges = Similarity.bruteTopK(e, e, 4).localCheckpoint(true)
+    val books = ProductQuantizer.codebooks(e, dim = 64, numSub = 4,
+      stride = 10)
+    val codes = ProductQuantizer.encode(e, books, dim = 64, numSub = 4)
+      .localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 10 === 0)
+    // beam = n visits everything reachable; rerank·k covers the whole
+    // visited set, so the exact re-rank IS brute force over a connected
+    // graph — the ADC approximation cancels out entirely
+    val got = GraphAnn.searchGraphPq(probes, edges, codes, books,
+      dim = 64, numSub = 4, e, entryId = 0L, beam = n, hops = n,
+      k = 3, rerank = n)
+    val want = Similarity.bruteTopK(probes, e, 3)
+    assert(collectTopK(got) === collectTopK(want))
+  }
+
+  test("searchGraphPq is deterministic run-to-run") {
+    val e = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val edges = Similarity.bruteTopK(e, e, 4).localCheckpoint(true)
+    val books = ProductQuantizer.codebooks(e, 64, 4, 10)
+    val codes = ProductQuantizer.encode(e, books, 64, 4)
+      .localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 20 === 0)
+    def run() = collectTopK(GraphAnn.searchGraphPq(probes, edges, codes,
+      books, 64, 4, e, entryId = 0L, beam = 6, hops = 3, k = 2,
+      rerank = 4))
+    assert(run() === run())
+  }
+
   test("insertBySearch: planted duplicates become reachable and the degree bound holds") {
     val base = emb.filter(col("vec_id") < 40)
     val n = base.count().toInt
