@@ -82,7 +82,8 @@ object GraphAnn {
     // simhashPairsFromSigs lesson); any hop > 0 is inherently an
     // iterative driver loop and materializes per round like [[KMeans]]
     var visited = score(
-      q.select(col("query_id")).withColumn("node", lit(entryId)))
+      q.select(col("query_id")).withColumn("node", lit(entryId)),
+      Seq(entryId))
     if (hops > 0) visited = visited.localCheckpoint(true)
     var visitedCount = if (hops > 0) visited.count() else 0L
     var hop = 0
@@ -125,13 +126,28 @@ object GraphAnn {
     * corpus-sized edge table, drop already-visited nodes, score the
     * fresh ones. The frontier is bounded (≤ |queries|·beam) by the
     * bounded-query-batch contract, so the hop collects it and probes the
-    * edge table with a pushdown-able `isin` — the edge side NEVER
-    * shuffles, and per-hop driver work is one small collect (the loop
-    * already runs a count per hop). A shuffled edge table here is the
-    * 100 TB regression PlanShapeSpec guards against. */
-  private[graft] def hopOnce(visited: DataFrame, adj: DataFrame,
-                             score: DataFrame => DataFrame,
-                             beam: Int): DataFrame = {
+    * edge table with a pushdown-able `isin`; the FRESH set (bounded by
+    * frontier × out-degree) is collected the same way so the scorer's
+    * corpus fetch is an id-pruned read, not a full corpus pass — the
+    * measured difference between ~flat and linear search scaling
+    * (Round19ScaleMeasure). Neither big side ever shuffles; a shuffled
+    * edge table here is the 100 TB regression PlanShapeSpec guards
+    * against. `score`'s second argument is the candidate id list for
+    * scan pruning (empty = unknown, score everything it's handed). */
+  private def localPairs(spark: org.apache.spark.sql.SparkSession,
+                         rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, node BIGINT"))
+  }
+
+  /** The LAZY expansion plan of one hop (exposed for plan pinning): cut
+    * the frontier, probe the edge table with the frontier's node ids as
+    * a pushdown-able `isin`, drop already-visited nodes. The edge side
+    * NEVER shuffles. */
+  private[graft] def expandFrontier(visited: DataFrame, adj: DataFrame,
+                                    beam: Int): DataFrame = {
     val spark = visited.sparkSession
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
@@ -145,13 +161,11 @@ object GraphAnn {
         // LocalRelation frontier + isin literal on the scan: no upstream
         // stages behind the broadcast build, and the predicate reaches
         // the parquet row groups of a persisted index
-        import scala.jdk.CollectionConverters._
-        val local = spark.createDataFrame(rows.toSeq.asJava,
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "query_id BIGINT, node BIGINT"))
+        val frontierLocal = localPairs(spark, rows)
         val nodeIds = rows.map(_.getLong(1)).distinct.sorted
         adj.filter(col("_src").isin(nodeIds.toIndexedSeq: _*))
-          .join(broadcast(local), adj("_src") === local("node"))
+          .join(broadcast(frontierLocal),
+            adj("_src") === frontierLocal("node"))
           .select(col("query_id"), col("_dst").as("node"))
           .distinct()
       } else
@@ -160,22 +174,38 @@ object GraphAnn {
           .distinct()
     // visited is bounded (≤ |q|·beam·deg·hops) — broadcast the anti
     // side so the dedup never sorts or shuffles either small set
-    val fresh = reached.join(
+    reached.join(
       broadcast(visited.select(col("query_id"), col("node"))),
       Seq("query_id", "node"), "left_anti")
-    score(fresh)
+  }
+
+  private[graft] def hopOnce(visited: DataFrame, adj: DataFrame,
+                             score: (DataFrame, Seq[Long]) => DataFrame,
+                             beam: Int): DataFrame = {
+    val fresh = expandFrontier(visited, adj, beam)
+    val freshRows = fresh.collect()
+    if (freshRows.length <= MaxInlineFrontier)
+      score(localPairs(visited.sparkSession, freshRows),
+        freshRows.map(_.getLong(1)).distinct.sorted.toIndexedSeq)
+    else score(fresh, Nil)
   }
 
   /** The scoring closure [[searchGraph]] uses, exposed with it for
     * plan pinning: fetch candidate embeddings by broadcast probe into
-    * the corpus, attach the broadcast query embedding — the big side
-    * stays shuffle-free in both joins. */
+    * the corpus — id-pruned via `candIds` when the hop knows them (the
+    * isin reaches the corpus parquet scan) — then attach the broadcast
+    * query embedding. The big side stays shuffle-free in both joins. */
   private[graft] def scorer(q: DataFrame, nodes: DataFrame)
-                           (cand: DataFrame): DataFrame =
-    nodes.join(broadcast(cand), Seq("node"))
+                           (cand: DataFrame, candIds: Seq[Long]): DataFrame = {
+    val fetched =
+      if (candIds.nonEmpty && candIds.length <= MaxInlineFrontier)
+        nodes.filter(col("node").isin(candIds: _*))
+      else nodes
+    fetched.join(broadcast(cand), Seq("node"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("node"),
         Similarity.cosineGuarded(col("q_emb"), col("n_emb")).as("score"))
+  }
 
   /** DiskANN-shaped serving: graph beam search scored by PQ CODES — the
     * hop loop reads only the graph adjacency and the numSub-int code
@@ -234,10 +264,15 @@ object GraphAnn {
           col("subvec"), col("centroid")).as("part")))
     val codeRows = codes.select(col("vec_id").as("node"), col("sub"),
       col("code"))
-    // ADC scorer: candidates probe the CODES table (broadcast cand —
-    // codes never shuffle), parts fold in subspace order
-    def scoreAdc(cand: DataFrame): DataFrame =
-      codeRows.join(broadcast(cand), Seq("node"))
+    // ADC scorer: candidates probe the CODES table (broadcast cand,
+    // id-pruned scan when the hop knows the candidate ids — codes never
+    // shuffle), parts fold in subspace order
+    def scoreAdc(cand: DataFrame, candIds: Seq[Long]): DataFrame = {
+      val probed =
+        if (candIds.nonEmpty && candIds.length <= MaxInlineFrontier)
+          codeRows.filter(col("node").isin(candIds: _*))
+        else codeRows
+      probed.join(broadcast(cand), Seq("node"))
         .join(adcTable, Seq("query_id", "sub", "code"))
         .groupBy(col("query_id"), col("node"))
         .agg(sort_array(collect_list(struct(col("sub"), col("part"))))
@@ -246,12 +281,13 @@ object GraphAnn {
         .select(col("query_id"), col("node"),
           aggregate(col("_ps"), lit(0.0),
             (a, x) => a + x.getField("part")).as("score"))
+    }
     val adj = edges.select(col("query_id").as("_src"),
       col("neighbor_id").as("_dst"))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
     var visited = scoreAdc(qLocal.select(col("vec_id").as("query_id"))
-      .withColumn("node", lit(entryId)))
+      .withColumn("node", lit(entryId)), Seq(entryId))
     if (hops > 0) visited = visited.localCheckpoint(true)
     var visitedCount = if (hops > 0) visited.count() else 0L
     var hop = 0

@@ -84,6 +84,72 @@ object StreamingAnn {
         indexPath),
       corpus, entryId, beam, hops, k, availableNow)(sink)
 
+  /** STREAMING graph-index CONSTRUCTION — the NSW build as a stream:
+    * each micro-batch of new vectors attaches to the evolving graph by
+    * [[graft.similarity.GraphAnn.insertBySearch]] (forward edges from
+    * the search, reverse edges re-prune only the touched sources), then
+    * joins the corpus for later triggers. Within one trigger batch-mates
+    * use the bulk-parallel approximation (they don't link to each
+    * other); across triggers every arrival links against everything
+    * already indexed — so the stream equals batch-sequential insertion
+    * at the same batch boundaries (spec-pinned).
+    *
+    * Redelivery is REPLACEMENT (the [[StreamingMedia]] fold-in rule —
+    * dropping a changed payload would leave stale edges routing to dead
+    * content): ids already indexed are [[graft.similarity.GraphAnn
+    * .graphForget]]-gotten first, then the whole batch inserts fresh.
+    * An identical redelivery therefore converges to the same edge state;
+    * a changed one re-routes to the new content.
+    *
+    * State is the (edges, corpus) pair, re-materialized per trigger
+    * (localCheckpoint — the iterative-lineage convention; the sink
+    * receives each trigger's edge snapshot and owns durable persistence
+    * via [[graft.similarity.TrainedState.saveGraphIndex]]).
+    *
+    * @param seedCorpus non-empty indexed base (must contain `entryId`)
+    * @param seedEdges  its graph ([[graft.similarity.Similarity
+    *                   .knnGraph]]-family output)
+    * @param sink       receives (edge-table snapshot, batchId) per trigger
+    */
+  def buildGraph(newVectors: DataFrame, seedCorpus: DataFrame,
+                 seedEdges: DataFrame, entryId: Long, beam: Int,
+                 hops: Int, degree: Int, availableNow: Boolean = false)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    var corpus = seedCorpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    var edges = seedEdges.select(col("query_id"), col("rank"),
+      col("neighbor_id"), col("cos_sim")).localCheckpoint(true)
+    val writer = newVectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (rawBatch: Dataset[Row], batchId: Long) =>
+        val batch = rawBatch.toDF()
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        // replacement: ids already indexed forget first (broadcast the
+        // bounded batch — the corpus/edge sides never shuffle for it)
+        val redelivered = corpus.join(
+          broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
+          "left_semi").localCheckpoint(true)
+        // forgetting the entry would orphan every later insert's search
+        require(redelivered.filter(col("vec_id") === entryId).isEmpty,
+          s"buildGraph: entry node $entryId cannot be redelivered — " +
+            "rebuild the seed graph instead")
+        val (kept, _) = graft.similarity.GraphAnn.graphForget(
+          edges, redelivered)
+        val baseEdges = kept.localCheckpoint(true)
+        val baseCorpus = corpus.join(
+          broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti").localCheckpoint(true)
+        edges = graft.similarity.GraphAnn.insertBySearch(
+          baseEdges, baseCorpus, batch, entryId, beam, hops, degree)
+          .localCheckpoint(true)
+        corpus = baseCorpus.unionByName(batch).localCheckpoint(true)
+        sink(edges, batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Serve `k` neighbors per streamed query through the binary-
     * quantized coarse scan ([[graft.similarity.BinaryQuantize
     * .topKBinary]] per micro-batch — the one-code-path convention, so

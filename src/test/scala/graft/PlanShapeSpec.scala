@@ -705,14 +705,24 @@ class PlanShapeSpec extends SparkTestBase {
     val score = graft.similarity.GraphAnn.scorer(q, nodes) _
     val visited = score(
       q.select(col("query_id")).withColumn("node", lit(0L))
-        .unionByName(q.select(col("query_id")).withColumn("node", lit(5L))))
+        .unionByName(q.select(col("query_id")).withColumn("node", lit(5L))),
+      Seq(0L, 5L))
+    // expansion leg: the frontier isin reaches the persisted edge scan
+    val pe = graft.similarity.GraphAnn
+      .expandFrontier(visited, adj, beam = 3)
+      .queryExecution.executedPlan.toString
+    assert(!pe.contains("SortMergeJoin"),
+      s"a big side got sort-merge-joined in the expansion:\n${pe.take(2000)}")
+    assert(pe.contains("In(query_id, [0,5])"),
+      s"frontier isin did not reach the edge parquet scan:\n${pe.take(3000)}")
+    // scoring leg: the fresh-candidate isin reaches the corpus scan
     val p = graft.similarity.GraphAnn.hopOnce(visited, adj, score, beam = 3)
       .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"),
       s"a big side got sort-merge-joined in the hop:\n${p.take(2000)}")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
-    assert(p.contains("In(query_id, [0,5])"),
-      s"frontier isin did not reach the edge parquet scan:\n${p.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("In(vec_id"),
+      s"fresh-candidate isin did not reach the corpus scan:\n${p.take(3000)}")
   }
 
   test("OPQ rotation application is map-only: plan-constant matrix, no " +

@@ -88,6 +88,70 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(collected.nonEmpty)
   }
 
+  test("buildGraph: streamed index construction == batch-sequential " +
+      "insertBySearch at the same batch boundaries; redelivery replaces") {
+    implicit val sqlCtx = spark.sqlContext
+    val seed = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val n = seed.count().toInt
+    val seedEdges = graft.similarity.Similarity.bruteTopK(seed, seed, 4)
+      .localCheckpoint(true)
+    val arrivals = emb.filter(col("vec_id") >= 30 && col("vec_id") < 38)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batches = Seq(Seq(30L, 31L, 32L), Seq(33L, 34L), Seq(35L, 36L, 37L))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+
+    // streamed build
+    val mem = MemoryStream[(Long, Seq[Float])]
+    var streamed: Set[(Long, Int, Long, Double)] = Set.empty
+    val q = StreamingAnn.buildGraph(
+      mem.toDF().toDF("vec_id", "embedding"), seed, seedEdges,
+      entryId = 0L, beam = n + 8, hops = n, degree = 4) { (df, _) =>
+      streamed = rows(df)
+    }
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map(id => id -> arrivals(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // batch-sequential reference at the same boundaries
+    var corpus = seed
+    var edges = seedEdges
+    batches.foreach { b =>
+      val batch = spark.createDataset(b.map(id => id -> arrivals(id)))
+        .toDF("vec_id", "embedding").localCheckpoint(true)
+      edges = graft.similarity.GraphAnn.insertBySearch(edges, corpus,
+        batch, entryId = 0L, beam = n + 8, hops = n, degree = 4)
+        .localCheckpoint(true)
+      corpus = corpus.unionByName(batch).localCheckpoint(true)
+    }
+    assert(streamed === rows(edges),
+      "streamed graph diverged from batch-sequential insertion")
+
+    // identical redelivery converges to the same edge state
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    var after: Set[(Long, Int, Long, Double)] = Set.empty
+    val q2 = StreamingAnn.buildGraph(
+      mem2.toDF().toDF("vec_id", "embedding"), seed, seedEdges,
+      entryId = 0L, beam = n + 8, hops = n, degree = 4) { (df, _) =>
+      after = rows(df)
+    }
+    try {
+      mem2.addData(Seq(30L, 31L).map(id => id -> arrivals(id)): _*)
+      q2.processAllAvailable()
+      val once = after
+      mem2.addData(Seq(30L, 31L).map(id => id -> arrivals(id)): _*)
+      q2.processAllAvailable()
+      assert(after === once,
+        "identical redelivery changed the edge state")
+    } finally q2.stop()
+  }
+
   test("serveMrl: streamed two-stage funnel == batch mrlTopK across " +
       "micro-batches") {
     implicit val sqlCtx = spark.sqlContext
