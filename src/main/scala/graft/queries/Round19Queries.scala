@@ -68,6 +68,38 @@ object Round19Queries {
         .orderBy(col("query_id"))
     }),
 
+    // The efSearch DIAL as oracled data: recall@3 of the beam search vs
+    // exact brute force at beams 1/2/4 (hops 2) — every probe emits a
+    // row per beam (a recall-zero probe must show n_hit = 0, the
+    // e_ann_quant_recall convention), and the WHOLE dial replays in
+    // DuckDB: per-beam unrolled hop CTEs over the shared all-pairs
+    // scores, so wider-beam ≥ narrower-beam recall is verified VALUE by
+    // VALUE, not asserted.
+    "e_ann_graph_recall" -> ((s, dir) => {
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding"))
+      val probes = corpus.filter(col("vec_id") % 20 === 0)
+        .localCheckpoint(true)
+      val edges = Similarity.bruteTopK(corpus, corpus, 4)
+        .localCheckpoint(true)
+      val exact = Similarity.bruteTopK(probes, corpus, 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val perBeam = GraphRecallBeams.map { b =>
+        val got = graft.similarity.GraphAnn.searchGraph(probes, edges,
+            corpus, entryId = 0L, beam = b, hops = 2, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(got, Seq("query_id", "neighbor_id"),
+            "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(lit(b).as("beam"), col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("n_hit"))
+      }
+      perBeam.reduce(_.unionByName(_)).orderBy(col("beam"), col("query_id"))
+    }),
+
     // DiskANN-shaped serving: graph beam search scored by PQ codes (the
     // hop loop reads adjacency + numSub-int code rows only; the float
     // corpus is touched once, by the exact re-rank). Planted contract:
@@ -172,6 +204,64 @@ object Round19Queries {
         .orderBy(col("query_id"))
     }))
 
+  private val GraphRecallBeams = Seq(1, 2, 4)
+
+  /** One beam's unrolled 2-hop search as SQL CTEs (suffix `_b<beam>`),
+    * over the shared `ap`/`edges` CTEs — the e_ann_graph oracle's blocks
+    * parameterized by the beam width. */
+  private def beamSearchSql(b: Int): String = {
+    val s = s"_b$b"
+    s"""v0$s AS (
+       |  SELECT p.query_id, 0 AS node, ap.s AS score
+       |  FROM p JOIN ap ON ap.src = p.query_id AND ap.dst = 0),
+       |f1$s AS (
+       |  SELECT query_id, node FROM (
+       |    SELECT query_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, node) AS r
+       |    FROM v0$s) t
+       |  WHERE r <= $b),
+       |n1$s AS (
+       |  SELECT DISTINCT f.query_id, e.dst AS node
+       |  FROM f1$s f JOIN edges e ON e.src = f.node
+       |  WHERE NOT EXISTS (SELECT 1 FROM v0$s v
+       |    WHERE v.query_id = f.query_id AND v.node = e.dst)),
+       |v1$s AS (
+       |  SELECT * FROM v0$s
+       |  UNION ALL
+       |  SELECT n.query_id, n.node, ap.s AS score
+       |  FROM n1$s n JOIN ap ON ap.src = n.query_id AND ap.dst = n.node),
+       |f2$s AS (
+       |  SELECT query_id, node FROM (
+       |    SELECT query_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, node) AS r
+       |    FROM v1$s) t
+       |  WHERE r <= $b),
+       |n2$s AS (
+       |  SELECT DISTINCT f.query_id, e.dst AS node
+       |  FROM f2$s f JOIN edges e ON e.src = f.node
+       |  WHERE NOT EXISTS (SELECT 1 FROM v1$s v
+       |    WHERE v.query_id = f.query_id AND v.node = e.dst)),
+       |v2$s AS (
+       |  SELECT * FROM v1$s
+       |  UNION ALL
+       |  SELECT n.query_id, n.node, ap.s AS score
+       |  FROM n2$s n JOIN ap ON ap.src = n.query_id AND ap.dst = n.node),
+       |res$s AS (
+       |  SELECT query_id, node AS neighbor_id FROM (
+       |    SELECT query_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, node) AS rank
+       |    FROM v2$s WHERE node <> query_id) t
+       |  WHERE rank <= 3),
+       |hits$s AS (
+       |  SELECT e.query_id, COUNT(*) AS n
+       |  FROM exact e JOIN res$s r
+       |    ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+       |  GROUP BY 1)""".stripMargin
+  }
+
   /** Shared all-pairs cosine CTE over the bounded corpus (self-pairs
     * included — the search scores a query against its own node when the
     * walk reaches it). The f32→f64 widened left-to-right fold of
@@ -210,6 +300,28 @@ object Round19Queries {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    "e_ann_graph_recall" -> (apSql +
+      """edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+        |    FROM ap WHERE src <> dst) t
+        |  WHERE r <= 4),
+        |p AS (SELECT vec_id AS query_id FROM emb WHERE vec_id % 20 = 0),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.query_id, ap.dst AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |        ORDER BY ap.s DESC, ap.dst) AS r
+        |    FROM p JOIN ap ON ap.src = p.query_id AND ap.dst <> p.query_id) t
+        |  WHERE r <= 3),
+        |""".stripMargin +
+      GraphRecallBeams.map(beamSearchSql).mkString(",\n") + "\n" +
+      GraphRecallBeams.map(b =>
+        s"""SELECT $b AS beam, p.query_id, COALESCE(h.n, 0) AS n_hit
+           |FROM p LEFT JOIN hits_b$b h ON h.query_id = p.query_id""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY beam, query_id"),
     "e_ann_graph_forget" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),

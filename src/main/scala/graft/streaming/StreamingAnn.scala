@@ -84,6 +84,34 @@ object StreamingAnn {
         indexPath),
       corpus, entryId, beam, hops, k, availableNow)(sink)
 
+  /** Serve `k` neighbors per streamed query through the TRAINED-OPQ
+    * rotated-PQ path, loading BOTH persisted artifacts once at stream
+    * start ([[graft.similarity.TrainedState.loadRotation]] +
+    * `loadCodebooks`) — the train-once / serve-many split for the
+    * Procrustes rotation: training ran offline ([[graft.similarity.Opq
+    * .trainRotation]]), serving applies R as a plan-constant projection
+    * and runs the batch [[graft.similarity.Opq.topKOpq]] verbatim per
+    * micro-batch, so the planted rotation-proof contract carries over. */
+  def serveOpq(queries: DataFrame, corpus: DataFrame, rotPath: String,
+               booksPath: String, dim: Int, numSub: Int, k: Int,
+               rerank: Int = 4, availableNow: Boolean = false)
+              (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = corpus.sparkSession
+    val rot = graft.similarity.TrainedState.loadRotation(spark, rotPath)
+    require(rot.length == dim,
+      s"serveOpq: persisted rotation is ${rot.length}-dim, expected $dim")
+    val books = graft.similarity.TrainedState
+      .loadCodebooks(spark, booksPath).localCheckpoint(true)
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.similarity.Opq.topKOpq(batch.toDF(), corpus, dim,
+          numSub, k, rot, books, rerank), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** STREAMING graph-index CONSTRUCTION — the NSW build as a stream:
     * each micro-batch of new vectors attaches to the evolving graph by
     * [[graft.similarity.GraphAnn.insertBySearch]] (forward edges from

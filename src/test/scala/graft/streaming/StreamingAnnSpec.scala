@@ -88,6 +88,50 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(collected.nonEmpty)
   }
 
+  test("serveOpq: streamed trained-OPQ serving through BOTH persisted " +
+      "artifacts == batch topKOpq across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") < 60).localCheckpoint(true)
+    val rot = graft.similarity.Opq.trainRotation(corpus, dim = 64,
+      numSub = 4, k = 8, kmeansIters = 1, opqIters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_opq_serve").toString
+    graft.similarity.TrainedState.saveRotation(spark, rot, s"$dir/rot")
+    graft.similarity.TrainedState.saveCodebooks(
+      graft.similarity.ProductQuantizer.codebooksKMeans(
+        graft.similarity.Opq.applyRotation(corpus, rot), 64, 4, 8, 1),
+      s"$dir/books")
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L, 9L))
+    val qVecs = emb.filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveOpq(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, s"$dir/rot",
+      s"$dir/books", dim = 64, numSub = 4, k = 2, rerank = 8) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRef = graft.similarity.Opq.topKOpq(
+      emb.filter(col("vec_id").isin(1L, 3L, 5L, 9L)), corpus, 64, 4,
+      k = 2,
+      rot = graft.similarity.TrainedState.loadRotation(spark, s"$dir/rot"),
+      booksDf = graft.similarity.TrainedState.loadCodebooks(spark,
+        s"$dir/books"), rerank = 8).collect()
+    def keyed(rows: Seq[Row]): Map[(Long, Int), (Long, Double)] =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef.toSeq),
+      "streamed OPQ top-k diverged from the batch plan")
+    assert(collected.nonEmpty)
+  }
+
   test("buildGraph: streamed index construction == batch-sequential " +
       "insertBySearch at the same batch boundaries; redelivery replaces") {
     implicit val sqlCtx = spark.sqlContext
