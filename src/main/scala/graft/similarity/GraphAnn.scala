@@ -147,7 +147,9 @@ object GraphAnn {
     * a pushdown-able `isin`, drop already-visited nodes. The edge side
     * NEVER shuffles. */
   private[graft] def expandFrontier(visited: DataFrame, adj: DataFrame,
-                                    beam: Int): DataFrame = {
+                                    beam: Int,
+                                    maxInline: Int = MaxInlineFrontier)
+      : DataFrame = {
     val spark = visited.sparkSession
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
@@ -155,9 +157,12 @@ object GraphAnn {
       .withColumn("_r", row_number().over(wBeam))
       .filter(col("_r") <= beam)
       .select(col("query_id"), col("node"))
-    val rows = frontier.collect()
+    // capped collect: limit+1 bounds driver memory BEFORE looking — an
+    // over-cap frontier falls back to the broadcast join without ever
+    // materializing on the driver
+    val rows = frontier.limit(maxInline + 1).collect()
     val reached =
-      if (rows.length <= MaxInlineFrontier) {
+      if (rows.length <= maxInline) {
         // LocalRelation frontier + isin literal on the scan: no upstream
         // stages behind the broadcast build, and the predicate reaches
         // the parquet row groups of a persisted index
@@ -181,10 +186,13 @@ object GraphAnn {
 
   private[graft] def hopOnce(visited: DataFrame, adj: DataFrame,
                              score: (DataFrame, Seq[Long]) => DataFrame,
-                             beam: Int): DataFrame = {
-    val fresh = expandFrontier(visited, adj, beam)
-    val freshRows = fresh.collect()
-    if (freshRows.length <= MaxInlineFrontier)
+                             beam: Int,
+                             maxInline: Int = MaxInlineFrontier): DataFrame = {
+    val fresh = expandFrontier(visited, adj, beam, maxInline)
+    // capped collect (limit+1): an over-cap fresh set is never pulled to
+    // the driver — the scorer streams it without the isin pruning
+    val freshRows = fresh.limit(maxInline + 1).collect()
+    if (freshRows.length <= maxInline)
       score(localPairs(visited.sparkSession, freshRows),
         freshRows.map(_.getLong(1)).distinct.sorted.toIndexedSeq)
     else score(fresh, Nil)

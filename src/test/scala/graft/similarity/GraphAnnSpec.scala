@@ -210,6 +210,36 @@ class GraphAnnSpec extends SparkTestBase {
     }
   }
 
+  test("over-cap frontier falls back to the broadcast join with identical results") {
+    val e = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val edges = Similarity.bruteTopK(e, e, 4).localCheckpoint(true)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"))
+    val adj = edges.select(col("query_id").as("_src"),
+      col("neighbor_id").as("_dst"))
+    val score = GraphAnn.scorer(q, nodes) _
+    val visited = score(
+      q.select(col("query_id")).withColumn("node", lit(0L))
+        .unionByName(
+          q.select(col("query_id")).withColumn("node", lit(5L))),
+      Seq(0L, 5L)).localCheckpoint(true)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    // maxInline = 1 forces BOTH capped collects over the cap — the
+    // broadcast-join/unpruned-scorer path must produce the same rows the
+    // inline path does (the cap is a scan strategy, never semantics)
+    val inline = rows(GraphAnn.hopOnce(visited, adj, score, beam = 3))
+    val fallback = rows(GraphAnn.hopOnce(visited, adj, score, beam = 3,
+      maxInline = 1))
+    assert(inline === fallback)
+    assert(inline.nonEmpty)
+  }
+
   test("argument guards") {
     val e = emb.limit(5)
     val edges = Similarity.bruteTopK(e, e, 2)
