@@ -84,6 +84,28 @@ object StreamingAnn {
         indexPath),
       corpus, entryId, beam, hops, k, availableNow)(sink)
 
+  /** Serve `k` neighbors per streamed query DiskANN-style
+    * ([[graft.similarity.GraphAnn.searchGraphPq]] per micro-batch — the
+    * one-code-path convention, so the saturating==brute contract carries
+    * verbatim): the per-trigger hop loop reads only the persisted graph
+    * adjacency and the PQ codes; the float corpus is touched once per
+    * trigger, by the exact re-rank of the ADC shortlist. */
+  def serveGraphPq(queries: DataFrame, edges: DataFrame, codes: DataFrame,
+                   books: DataFrame, dim: Int, numSub: Int,
+                   corpus: DataFrame, entryId: Long, beam: Int, hops: Int,
+                   k: Int, rerank: Int = 4, availableNow: Boolean = false)
+                  (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.similarity.GraphAnn.searchGraphPq(batch.toDF(), edges,
+          codes, books, dim, numSub, corpus, entryId, beam, hops, k,
+          rerank), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Serve `k` neighbors per streamed query through the TRAINED-OPQ
     * rotated-PQ path, loading BOTH persisted artifacts once at stream
     * start ([[graft.similarity.TrainedState.loadRotation]] +

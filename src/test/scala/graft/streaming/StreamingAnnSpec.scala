@@ -88,6 +88,44 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(collected.nonEmpty)
   }
 
+  test("serveGraphPq: streamed DiskANN-style serving == batch " +
+      "searchGraphPq across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") < 60).localCheckpoint(true)
+    val edges = graft.similarity.Similarity.bruteTopK(corpus, corpus, 4)
+      .localCheckpoint(true)
+    val books = graft.similarity.ProductQuantizer.codebooks(
+      corpus, 64, 4, 10)
+    val codes = graft.similarity.ProductQuantizer.encode(
+      corpus, books, 64, 4).localCheckpoint(true)
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L, 9L))
+    val qVecs = emb.filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveGraphPq(
+      mem.toDF().toDF("vec_id", "embedding"), edges, codes, books,
+      dim = 64, numSub = 4, corpus, entryId = 0L, beam = 6, hops = 3,
+      k = 2, rerank = 4) { (df, _) => collected ++= df.collect() }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRef = graft.similarity.GraphAnn.searchGraphPq(
+      emb.filter(col("vec_id").isin(1L, 3L, 5L, 9L)), edges, codes,
+      books, 64, 4, corpus, entryId = 0L, beam = 6, hops = 3, k = 2,
+      rerank = 4).collect()
+    def keyed(rows: Seq[Row]): Map[(Long, Int), (Long, Double)] =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyed(collected.toSeq) == keyed(batchRef.toSeq),
+      "streamed graph-PQ top-k diverged from the batch plan")
+    assert(collected.nonEmpty)
+  }
+
   test("serveOpq: streamed trained-OPQ serving through BOTH persisted " +
       "artifacts == batch topKOpq across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
