@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * ([[graft.similarity.Opq.procrustesStep]]'s M = Σ x·ŷᵀ is the
   * in-repo consumer).
   *
-  * Width is learned from the first non-null row; a width-mismatched row
-  * FAILS LOUD (a silent truncating zip would corrupt every statistic
-  * downstream). Null rows are skipped; a group with no non-null rows
+  * Width is learned from the first non-null non-empty row; a
+  * width-mismatched row FAILS LOUD (a silent truncating zip would
+  * corrupt every statistic downstream). Null rows AND width-0 rows are
+  * skipped — treating empties as mismatches would make acceptance
+  * depend on partition row order; a group with no contributing rows
   * evaluates to an empty array. Addition order follows Spark's
   * partition/merge order — like every distributed double `sum`, the
   * result is deterministic only up to FP reassociation; exactness-
@@ -62,7 +64,11 @@ case class ArraySumAgg(
     else {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      if (buf.isEmpty) {
+      // width-0 rows skip like nulls IN EITHER POSITION — without this,
+      // [[], [1,2]] would be absorbed while [[1,2], []] threw a width
+      // mismatch, making acceptance depend on partition row order
+      if (n == 0) buf
+      else if (buf.isEmpty) {
         val out = new Array[Double](n)
         var i = 0
         while (i < n) {

@@ -102,13 +102,45 @@ object Multimodal {
     }
   }
 
+  /** ONE Rec.601 integer-luma reduction `(299·R + 587·G + 114·B) / 1000`
+    * for every BufferedImage-backed real decoder (still images AND GIF
+    * frames share it — a formula tweak must not be able to drift the
+    * decoders apart, or identical pixels stop producing identical
+    * signatures). All-integer, so the plane — and every signature
+    * derived from it — is bit-reproducible across JVMs and color
+    * models. Per-pixel `getRGB` favors correctness over throughput (it
+    * normalizes any `ColorModel`); a production hot path would read the
+    * raster buffer directly per known model. */
+  private[multimodal] def lumaPlane(
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        out(y * w + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The 4-byte little-endian GRFT-magic sniff every Auto* router uses. */
+  private[multimodal] def isGrftStub(p: Array[Byte]): Boolean =
+    p.length >= 4 &&
+      (ByteBuffer.wrap(p, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+        == FakeCodec.Magic)
+
   /** REAL image decode via `javax.imageio` (pure JVM — PNG, JPEG, BMP,
-    * GIF; no native libs): decoded ARGB reduces to integer Rec.601 luma
-    * `(299·R + 587·G + 114·B) / 1000`, all-integer so the plane — and
-    * every signature derived from it — is bit-reproducible across JVMs
-    * and color models. Per-pixel `getRGB` favors correctness over
-    * throughput (it normalizes any `ColorModel`); a production hot path
-    * would read the raster buffer directly per known model. */
+    * GIF; no native libs): decoded ARGB reduces to the shared
+    * [[lumaPlane]] integer Rec.601 plane. */
   object ImageIoDecoder extends PixelDecoder {
     def decodeIntensity(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
       val img = javax.imageio.ImageIO.read(
@@ -116,23 +148,7 @@ object Multimodal {
       require(img != null,
         "imageio: unrecognized or corrupt image payload " +
           s"(${payload.length} bytes)")
-      val w = img.getWidth
-      val h = img.getHeight
-      val out = new Array[Byte](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xff
-          val g = (rgb >> 8) & 0xff
-          val b = rgb & 0xff
-          out(y * w + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
-          x += 1
-        }
-        y += 1
-      }
-      (w, h, out)
+      (img.getWidth, img.getHeight, lumaPlane(img))
     }
   }
 
@@ -142,12 +158,8 @@ object Multimodal {
     * on synthetic data while real PNGs/JPEGs flow through the SAME
     * operators unchanged. */
   object AutoDecoder extends PixelDecoder {
-    private def isStub(p: Array[Byte]): Boolean =
-      p.length >= 4 &&
-        (ByteBuffer.wrap(p, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-          == FakeCodec.Magic)
     def decodeIntensity(payload: Array[Byte]): (Int, Int, Array[Byte]) =
-      if (isStub(payload)) StubDecoder.decodeIntensity(payload)
+      if (isGrftStub(payload)) StubDecoder.decodeIntensity(payload)
       else ImageIoDecoder.decodeIntensity(payload)
   }
 
@@ -267,35 +279,24 @@ object Multimodal {
   object GifFrameDecoder extends FrameDecoder {
     def decodeFrames(m: MediaRow): Iterator[(Int, Array[Byte])] = {
       import javax.imageio.ImageIO
+      // decode EAGERLY and close/dispose in finally: under ImageIO's
+      // default file cache the input stream owns an on-disk temp file
+      // that a never-closed lazy iterator would leak once per payload —
+      // an executor decoding millions of clips fills /tmp
       val iis = ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(m.payload))
-      val readers = ImageIO.getImageReaders(iis)
-      require(readers.hasNext,
-        s"gif: unrecognized container for media ${m.media_id} " +
-          s"(${m.payload.length} bytes)")
-      val reader = readers.next()
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      (0 until n).iterator.map { f =>
-        val img = reader.read(f)
-        val w = img.getWidth
-        val h = img.getHeight
-        val out = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            out(y * w + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
-            x += 1
-          }
-          y += 1
-        }
-        (f, out)
-      }
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          s"gif: unrecognized container for media ${m.media_id} " +
+            s"(${m.payload.length} bytes)")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n).map(f => (f, lumaPlane(reader.read(f)))).iterator
+        } finally reader.dispose()
+      } finally iis.close()
     }
   }
 
@@ -388,16 +389,12 @@ object Multimodal {
     * [[AviFrameDecoder]]; anything else → [[GifFrameDecoder]] (loud on
     * unrecognized bytes). */
   object AutoFrameDecoder extends FrameDecoder {
-    private def isStub(p: Array[Byte]): Boolean =
-      p.length >= 4 &&
-        (ByteBuffer.wrap(p, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-          == FakeCodec.Magic)
     private def isAvi(p: Array[Byte]): Boolean =
       p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' &&
         p(11) == ' '
     def decodeFrames(m: MediaRow): Iterator[(Int, Array[Byte])] =
-      if (isStub(m.payload)) StubFrameDecoder.decodeFrames(m)
+      if (isGrftStub(m.payload)) StubFrameDecoder.decodeFrames(m)
       else if (isAvi(m.payload)) AviFrameDecoder.decodeFrames(m)
       else GifFrameDecoder.decodeFrames(m)
   }
@@ -405,12 +402,8 @@ object Multimodal {
   /** Default audio decoder: GRFT magic → stub; RIFF/WAVE (and anything
     * else `javax.sound.sampled` recognizes) → [[WavDecoder]]. */
   object AutoSampleDecoder extends SampleDecoder {
-    private def isStub(p: Array[Byte]): Boolean =
-      p.length >= 4 &&
-        (ByteBuffer.wrap(p, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-          == FakeCodec.Magic)
     def decodeSamples(payload: Array[Byte]): (Int, Array[Byte]) =
-      if (isStub(payload)) StubSampleDecoder.decodeSamples(payload)
+      if (isGrftStub(payload)) StubSampleDecoder.decodeSamples(payload)
       else WavDecoder.decodeSamples(payload)
   }
 

@@ -189,9 +189,12 @@ object Round19Queries {
         .select(col("vec_id"), col("embedding"))
       val rotTrained = graft.similarity.Opq.trainRotation(trainHalf,
         dim = 64, numSub = 4, k = 16, kmeansIters = 1, opqIters = 1)
+      // keyed by dir AND the Spark application id: two concurrent
+      // processes on the same dataset must not interleave one artifact
       val rotPath = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        "graft_opq_rot_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_opq_rot_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
       graft.similarity.TrainedState.saveRotation(s, rotTrained, rotPath)
       val rot = graft.similarity.TrainedState.loadRotation(s, rotPath)
       val books = graft.similarity.ProductQuantizer.codebooksKMeans(

@@ -86,6 +86,13 @@ object GraphAnn {
       Seq(entryId))
     if (hops > 0) visited = visited.localCheckpoint(true)
     var visitedCount = if (hops > 0) visited.count() else 0L
+    // the count is already paid: an EMPTY initial visited set with a
+    // non-empty query batch can only mean the entry node is absent from
+    // the corpus — fail loud instead of returning silent recall-zero
+    // for every query (the documented 'must exist in corpus' contract);
+    // the probe-batch count only runs on the failure path
+    require(hops == 0 || visitedCount > 0 || queries.limit(1).isEmpty,
+      s"searchGraph: entry node $entryId is not in the corpus")
     var hop = 0
     var converged = false
     while (hop < hops && !converged) {
@@ -245,14 +252,17 @@ object GraphAnn {
     require(beam >= 1 && hops >= 0 && k >= 1 && rerank >= 1,
       s"searchGraphPq: beam=$beam hops=$hops k=$k rerank=$rerank must " +
         "all be >= 1 (hops >= 0)")
+    require(numSub >= 1 && dim % numSub == 0,
+      s"searchGraphPq: numSub=$numSub must divide dim=$dim — a silent " +
+        "floor would drop the tail dimensions from every ADC score")
     val subDim = dim / numSub
     val spark = queries.sparkSession
     import scala.jdk.CollectionConverters._
     // bounded probe batch → local relation (the topKWith convention: all
     // downstream broadcasts derive from memory, not repeated scans)
-    val qLocal = spark.createDataFrame(
-      queries.select(col("vec_id").cast("long"), col("embedding"))
-        .collect().toSeq.asJava,
+    val qRows = queries
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+    val qLocal = spark.createDataFrame(qRows.toSeq.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "vec_id BIGINT, embedding ARRAY<FLOAT>"))
     val booksB = broadcast(books.select(col("sub").cast("int"),
@@ -298,6 +308,12 @@ object GraphAnn {
       .withColumn("node", lit(entryId)), Seq(entryId))
     if (hops > 0) visited = visited.localCheckpoint(true)
     var visitedCount = if (hops > 0) visited.count() else 0L
+    // empty initial scored set with a non-empty probe batch = the entry
+    // is absent from the codes index (or its code rows are incomplete —
+    // scoreAdc's completeness filter drops short rows): fail loud, not
+    // silent recall-zero (qLocal is already collected, so this is free)
+    require(hops == 0 || visitedCount > 0 || qRows.isEmpty,
+      s"searchGraphPq: entry node $entryId has no complete code rows")
     var hop = 0
     var converged = false
     while (hop < hops && !converged) {
@@ -321,7 +337,11 @@ object GraphAnn {
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb")), Seq("neighbor_id"))
       .join(q, Seq("query_id"))
-      .withColumn("cos_sim", Similarity.cosine(col("q_emb"), col("c_emb")))
+      // cosineGuarded, not cosine: a zero-norm corpus vector in the ADC
+      // shortlist would otherwise score NaN, and NaN sorts ABOVE every
+      // double in a desc rank — the guarded form pins degenerates last
+      .withColumn("cos_sim",
+        Similarity.cosineGuarded(col("q_emb"), col("c_emb")))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(wExact))

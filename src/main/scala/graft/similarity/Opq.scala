@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** TRAINED OPQ: Optimized Product Quantization's non-parametric
@@ -166,4 +167,55 @@ object Opq {
     ProductQuantizer.topKWith(
       applyRotation(queries, rot), applyRotation(corpus, rot),
       dim, numSub, k, booksDf, rerank)
+
+  /** [[topKOpq]] with PRE-STAGED codes — the per-trigger serving form:
+    * [[topKOpq]] re-rotates and re-encodes the whole corpus on every
+    * call (fine for one-shot queries, corpus-sized work per trigger on a
+    * stream), whereas here the caller encodes the rotated corpus ONCE
+    * and every call touches only (a) the bounded rotated query batch,
+    * (b) the staged codes through the shared
+    * [[ProductQuantizer.adcShortlist]] (bit-identical shortlist to the
+    * batch path), and (c) the ORIGINAL corpus floats for the exact
+    * re-rank — fetched by broadcast shortlist probe first, rotated
+    * AFTER the fetch, so the per-call rotation work is shortlist-sized,
+    * not corpus-sized. Rotating fetched rows applies the identical
+    * plan-constant expression per row, so scores match [[topKOpq]]
+    * bit-for-bit (spec-pinned by the streaming parity test).
+    *
+    * @param codesDf [[ProductQuantizer.encode]] output over the ROTATED
+    *                corpus with `booksDf` (rotated-space codebooks)
+    */
+  def topKOpqWithCodes(queries: DataFrame, corpus: DataFrame, dim: Int,
+                       numSub: Int, k: Int, rot: Array[Array[Float]],
+                       booksDf: DataFrame, codesDf: DataFrame,
+                       rerank: Int = 4): DataFrame = {
+    val booksLocal = ProductQuantizer.localRelation(
+      booksDf.select(col("sub").cast("int"), col("code").cast("int"),
+        col("centroid")),
+      "sub INT, code INT, centroid ARRAY<FLOAT>")
+    val qLocal = ProductQuantizer.localRelation(
+      applyRotation(queries, rot)
+        .select(col("vec_id").cast("long"), col("embedding")),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val candidates = ProductQuantizer.adcShortlist(qLocal, booksLocal,
+      codesDf, dim, numSub, k, rerank)
+    val q = broadcast(qLocal.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    // fetch ORIGINAL floats by broadcast probe, rotate only the fetched
+    // shortlist rows (identical expression per row ⇒ identical values
+    // to rotating the whole corpus first)
+    val fetched = broadcast(candidates)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding")), Seq("neighbor_id"))
+    val scored = applyRotation(fetched, rot)
+      .withColumnRenamed("embedding", "c_emb")
+      .join(q, Seq("query_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
 }

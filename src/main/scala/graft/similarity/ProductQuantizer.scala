@@ -152,37 +152,8 @@ object ProductQuantizer {
 
     val books = broadcast(booksLocal)
     val codes = encode(corpus, books, dim, numSub)
-
-    // per-query ADC table: dot(q_sub, centroid) for every (sub, code) —
-    // |queries| × numSub × |codes| rows, broadcast to the codes table
-    val adc = broadcast(
-      explodeSubs(qLocal, "embedding", numSub, subDim)
-        .join(books, Seq("sub"))
-        .select(col("vec_id").as("query_id"), col("sub"), col("code"),
-          graft.functions.DotProduct.dot_product(
-            col("subvec"), col("centroid")).as("part")))
-
-    // candidate scores: sum of table lookups over the code columns — the
-    // corpus float vectors are never read in this stage. The sum is an
-    // ORDERED fold over the ≤ numSub parts sorted by subspace (not a
-    // groupBy sum, whose partial-agg order is nondeterministic in
-    // doubles): the ADC cutoff rank is then bit-identical run-to-run AND
-    // replayable by a SQL oracle's `list(part ORDER BY sub)` fold —
-    // collect_list still partial-aggregates map-side, and the fold is
-    // ≤ numSub adds per candidate.
-    val approx = codes.join(adc, Seq("sub", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
-      .filter(size(col("_ps")) === numSub) // every subspace contributed
-      .withColumn("adc_score",
-        aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_score").desc, col("vec_id"))
-    val candidates = approx
-      .withColumn("_r", row_number().over(wApprox))
-      .filter(col("_r") <= k * rerank)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val candidates = adcShortlist(qLocal, booksLocal, codes, dim, numSub,
+      k, rerank)
 
     // exact re-score of the short list (query side from the same collected
     // probe set — a third broadcast build would re-scan the source)
@@ -202,4 +173,52 @@ object ProductQuantizer {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** The ADC coarse stage, shared verbatim by [[topKWith]] and the
+    * codes-staged serving paths ([[Opq.topKOpqWithCodes]]) so their
+    * shortlists are bit-identical: per-query ADC lookup table over the
+    * broadcast codebooks, candidate scores as the ORDERED per-subspace
+    * fold (the run-to-run- and oracle-deterministic form — a groupBy sum
+    * would partial-aggregate in nondeterministic double order), top
+    * `k·rerank` per query. The corpus float vectors are never read. */
+  private[similarity] def adcShortlist(qLocal: DataFrame,
+                                       booksLocal: DataFrame,
+                                       codes: DataFrame, dim: Int,
+                                       numSub: Int, k: Int,
+                                       rerank: Int): DataFrame = {
+    val subDim = dim / numSub
+    val books = broadcast(booksLocal)
+    // per-query ADC table: dot(q_sub, centroid) for every (sub, code) —
+    // |queries| × numSub × |codes| rows, broadcast to the codes table
+    val adc = broadcast(
+      explodeSubs(qLocal, "embedding", numSub, subDim)
+        .join(books, Seq("sub"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+          graft.functions.DotProduct.dot_product(
+            col("subvec"), col("centroid")).as("part")))
+    val approx = codes.join(adc, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
+      .filter(size(col("_ps")) === numSub) // every subspace contributed
+      .withColumn("adc_score",
+        aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    approx
+      .withColumn("_r", row_number().over(wApprox))
+      .filter(col("_r") <= k * rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Collect a bounded table into a LocalRelation (the [[topKWith]]
+    * job-count trick, shared with the codes-staged serving paths). */
+  private[similarity] def localRelation(df: DataFrame,
+                                        ddl: String): DataFrame =
+    df.sparkSession.createDataFrame(
+      {
+        import scala.jdk.CollectionConverters._
+        df.collect().toSeq.asJava
+      },
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
 }

@@ -27,6 +27,21 @@ import graft.similarity.Similarity
   */
 object StreamingAnn {
 
+  /** The one writeStream scaffold every serve/fold/build method runs
+    * through — append mode, foreachBatch, optional AvailableNow — so a
+    * future writer-level change (queryName, checkpointLocation) lands in
+    * ONE place instead of fourteen. */
+  private def run(stream: DataFrame, availableNow: Boolean)
+                 (f: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        f(batch.toDF(), batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** Serve `k` approximate neighbors per streamed query vector.
     *
     * @param queries streaming DataFrame with (`vec_id` LONG,
@@ -39,14 +54,10 @@ object StreamingAnn {
   def serveIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                k: Int, nprobe: Int, availableNow: Boolean = false)
               (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(Similarity.ivfTopKWith(batch.toDF(), corpus, k,
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(Similarity.ivfTopKWith(batch, corpus, k,
           centroids, nprobe), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** Serve `k` neighbors per streamed query by GRAPH beam search
@@ -62,14 +73,10 @@ object StreamingAnn {
                  entryId: Long, beam: Int, hops: Int, k: Int,
                  availableNow: Boolean = false)
                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.similarity.GraphAnn.searchGraph(batch.toDF(), edges,
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.GraphAnn.searchGraph(batch, edges,
           corpus, entryId, beam, hops, k), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** [[serveGraph]] against a PERSISTED graph artifact — the restart
@@ -95,15 +102,11 @@ object StreamingAnn {
                    corpus: DataFrame, entryId: Long, beam: Int, hops: Int,
                    k: Int, rerank: Int = 4, availableNow: Boolean = false)
                   (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.similarity.GraphAnn.searchGraphPq(batch.toDF(), edges,
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.GraphAnn.searchGraphPq(batch, edges,
           codes, books, dim, numSub, corpus, entryId, beam, hops, k,
           rerank), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** Serve `k` neighbors per streamed query through the TRAINED-OPQ
@@ -124,14 +127,18 @@ object StreamingAnn {
       s"serveOpq: persisted rotation is ${rot.length}-dim, expected $dim")
     val books = graft.similarity.TrainedState
       .loadCodebooks(spark, booksPath).localCheckpoint(true)
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.similarity.Opq.topKOpq(batch.toDF(), corpus, dim,
-          numSub, k, rot, books, rerank), batchId)
+    // corpus-sized work happens ONCE, at stream start (the file-header
+    // rule): rotate + encode to the staged codes; each trigger then runs
+    // the codes-staged serve — ADC over the staged codes, floats fetched
+    // by broadcast shortlist and rotated AFTER the fetch, so per-trigger
+    // work is batch- and shortlist-sized, never corpus-sized
+    val codes = graft.similarity.ProductQuantizer.encode(
+        graft.similarity.Opq.applyRotation(corpus, rot), books, dim, numSub)
+      .localCheckpoint(true)
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.Opq.topKOpqWithCodes(batch, corpus,
+          dim, numSub, k, rot, books, codes, rerank), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** STREAMING graph-index CONSTRUCTION — the NSW build as a stream:
@@ -165,16 +172,25 @@ object StreamingAnn {
                  seedEdges: DataFrame, entryId: Long, beam: Int,
                  hops: Int, degree: Int, availableNow: Boolean = false)
                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     var corpus = seedCorpus.select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
     var edges = seedEdges.select(col("query_id"), col("rank"),
       col("neighbor_id"), col("cos_sim")).localCheckpoint(true)
-    val writer = newVectors.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (rawBatch: Dataset[Row], batchId: Long) =>
-        val batch = rawBatch.toDF()
+    run(newVectors, availableNow) { (rawBatch, batchId) =>
+        val batch = rawBatch
           .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        // an intra-batch duplicate id would put TWO query rows through
+        // one insert search (interleaved out-lists) and TWO corpus rows
+        // forever after — fail loud; at-least-once sources must dedupe
+        // within the trigger upstream, where a deterministic winner
+        // (latest offset) is known
+        val dup = batch.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .limit(5).collect()
+        require(dup.isEmpty,
+          "buildGraph: duplicate vec_id(s) within one micro-batch: " +
+            dup.map(_.getLong(0)).mkString(", "))
         // replacement: ids already indexed forget first (broadcast the
         // bounded batch — the corpus/edge sides never shuffle for it)
         val redelivered = corpus.join(
@@ -196,8 +212,6 @@ object StreamingAnn {
         corpus = baseCorpus.unionByName(batch).localCheckpoint(true)
         sink(edges, batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** Serve `k` neighbors per streamed query through the binary-
@@ -210,14 +224,10 @@ object StreamingAnn {
   def serveBq(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
               rerank: Int, availableNow: Boolean = false)
              (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.similarity.BinaryQuantize.topKBinary(batch.toDF(),
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.BinaryQuantize.topKBinary(batch,
           corpus, dim, k, rerank), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** Serve `k` neighbors per streamed query through an IVF-PQ codes
@@ -231,14 +241,10 @@ object StreamingAnn {
                  numSub: Int, k: Int, nprobe: Int, rerank: Int,
                  availableNow: Boolean = false)
                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.similarity.IvfPq.topKFromIndex(batch.toDF(), index,
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.IvfPq.topKFromIndex(batch, index,
           corpus, k, centroids, books, dim, numSub, nprobe, rerank), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** [[serveIvfPq]] with every trained artifact loaded from its
@@ -280,13 +286,9 @@ object StreamingAnn {
     */
   def foldInIvf(newVectors: DataFrame, centroids: DataFrame,
                 indexPath: String, availableNow: Boolean = false): StreamingQuery = {
-    val writer = newVectors.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        foldBatch(centroids, indexPath)(batch.toDF(), batchId)
+    run(newVectors, availableNow) { (batch, batchId) =>
+        foldBatch(centroids, indexPath)(batch, batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** The per-batch fold-in unit — public so the replay-idempotence spec
@@ -314,14 +316,10 @@ object StreamingAnn {
                  k: Int, coarseFactor: Int = 4,
                  availableNow: Boolean = false)
                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.similarity.Quantize.topKQuantWith(batch.toDF(), index,
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.Quantize.topKQuantWith(batch, index,
           corpus, k, coarseFactor), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** Streaming MaxSim late-interaction serving: per micro-batch of
@@ -341,16 +339,12 @@ object StreamingAnn {
   def serveMaxSim(queries: DataFrame, docVecs: DataFrame, k: Int,
                   availableNow: Boolean = false)
                  (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val qv = batch.toDF().select(col("query_id"),
+    run(queries, availableNow) { (batch, batchId) =>
+        val qv = batch.select(col("query_id"),
           posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
         sink(graft.similarity.LateInteraction.maxSimTopK(qv, docVecs, k),
           batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** Streaming Matryoshka funnel serving: per micro-batch of query
@@ -363,14 +357,10 @@ object StreamingAnn {
   def serveMrl(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
                shortlist: Int, availableNow: Boolean = false)
               (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(Similarity.mrlTopK(batch.toDF(), corpus, k, dims, shortlist),
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(Similarity.mrlTopK(batch, corpus, k, dims, shortlist),
           batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** [[serveMaxSim]] with the pooled-coarse funnel
@@ -390,16 +380,12 @@ object StreamingAnn {
     // staged pooled table via maxSimFunnelWith
     val pooled = graft.similarity.LateInteraction
       .poolSum(docVecs, "doc_id", dims).localCheckpoint(true)
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val qv = batch.toDF().select(col("query_id"),
+    run(queries, availableNow) { (batch, batchId) =>
+        val qv = batch.select(col("query_id"),
           posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
         sink(graft.similarity.LateInteraction.maxSimFunnelWith(qv, docVecs,
           pooled, k, dims, shortlist), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** [[serveMaxSimFunnel]] against a PERSISTED pooled corpus
@@ -419,16 +405,12 @@ object StreamingAnn {
                                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val dims = graft.similarity.TrainedState.loadPooledParams(spark, pooledPath)
     val pooled = graft.similarity.TrainedState.loadPooled(spark, pooledPath)
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val qv = batch.toDF().select(col("query_id"),
+    run(queries, availableNow) { (batch, batchId) =>
+        val qv = batch.select(col("query_id"),
           posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
         sink(graft.similarity.LateInteraction.maxSimFunnelWith(qv, docVecs,
           pooled, k, dims, shortlist), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** Streaming kNN CLASSIFICATION: per micro-batch of query vectors,
@@ -449,14 +431,10 @@ object StreamingAnn {
                        centroids: DataFrame, k: Int, nprobe: Int,
                        availableNow: Boolean = false)
                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(classifyBatch(index, centroids, k, nprobe)(batch.toDF()),
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(classifyBatch(index, centroids, k, nprobe)(batch),
           batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** The per-batch classify unit — public so the stream==batch parity
@@ -481,14 +459,10 @@ object StreamingAnn {
                     cellCounts: Option[DataFrame] = None,
                     availableNow: Boolean = false)
                    (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = queries.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(Similarity.ivfTopKFiltered(batch.toDF(), index, pred, k,
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(Similarity.ivfTopKFiltered(batch, index, pred, k,
           centroids, minCandidates, cellCounts), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 
   /** Streaming SEMANTIC-DEDUP admission: per micro-batch of new vectors,
@@ -503,13 +477,9 @@ object StreamingAnn {
                          centroids: DataFrame, threshold: Double,
                          maxCellSize: Int = 0, availableNow: Boolean = false)
                         (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val writer = newVectors.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(Similarity.semanticDedupAgainstIndex(batch.toDF(), index,
+    run(newVectors, availableNow) { (batch, batchId) =>
+        sink(Similarity.semanticDedupAgainstIndex(batch, index,
           centroids, threshold, maxCellSize), batchId)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
   }
 }

@@ -59,6 +59,16 @@ class VectorSumAggSpec extends SparkTestBase {
     assert(got.isEmpty)
   }
 
+  test("width-0 rows skip like nulls in either order — acceptance never depends on row order") {
+    val a = Seq(Seq.empty[Double], Seq(1.0, 2.0)).toDF("v").coalesce(1)
+    val b = Seq(Seq(1.0, 2.0), Seq.empty[Double]).toDF("v").coalesce(1)
+    for (df <- Seq(a, b)) {
+      val got = df.select(VectorSumAgg.array_sum_agg(col("v")).as("s"))
+        .head.getSeq[Double](0)
+      assert(got == Seq(1.0, 2.0))
+    }
+  }
+
   test("width mismatch fails loud — never a silent truncating zip") {
     val df = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).toDF("v")
       .coalesce(1) // same task, so update (not merge) sees the mismatch
