@@ -68,6 +68,23 @@ object Round19Queries {
         .orderBy(col("query_id"))
     }),
 
+    // Metadata-FILTERED graph search: the walk is unfiltered (a filtered
+    // expansion would disconnect the graph), the predicate binds at the
+    // final rank — top-3 of (visited ∩ vec_id%3==0). FULLY oracled: the
+    // e_ann_graph unrolled-hop CTEs plus one WHERE clause.
+    "e_ann_graph_filtered" -> ((s, dir) => {
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding"))
+      val probes = corpus.filter(col("vec_id") % 20 === 0)
+      val edges = Similarity.bruteTopK(corpus, corpus, 4)
+      graft.similarity.GraphAnn.searchGraphFiltered(probes, edges, corpus,
+          entryId = 0L, beam = 3, hops = 2, k = 3,
+          pred = col("vec_id") % 3 === 0)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The efSearch DIAL as oracled data: recall@3 of the beam search vs
     // exact brute force at beams 1/2/4 (hops 2) — every probe emits a
     // row per beam (a recall-zero probe must show n_hit = 0, the
@@ -370,7 +387,13 @@ object Round19Queries {
         |LEFT JOIN inr ON inr.vec_id = d.vec_id
         |CROSS JOIN kept
         |ORDER BY d.vec_id""".stripMargin,
-    "e_ann_graph" -> (apSql +
+    "e_ann_graph_filtered" -> graphSearchOracle(
+      "node <> query_id AND node % 3 = 0"),
+    "e_ann_graph" -> graphSearchOracle("node <> query_id"))
+
+  /** The e_ann_graph unrolled 2-hop oracle, parameterized by the final
+    * rank's WHERE clause so the filtered twin shares every CTE. */
+  private def graphSearchOracle(finalWhere: String): String = (apSql +
       """edges AS (
         |  SELECT src, dst FROM (
         |    SELECT src, dst,
@@ -420,6 +443,6 @@ object Round19Queries {
         |  SELECT query_id, node AS neighbor_id, score,
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, node) AS rank
-        |  FROM v2 WHERE node <> query_id) t
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+        |  FROM v2 WHERE """.stripMargin + finalWhere + """) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 }

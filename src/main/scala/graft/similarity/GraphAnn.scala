@@ -62,7 +62,35 @@ object GraphAnn {
     *         themselves emit no rows (the recall-zero convention)
     */
   def searchGraph(queries: DataFrame, edges: DataFrame, corpus: DataFrame,
-                  entryId: Long, beam: Int, hops: Int, k: Int): DataFrame = {
+                  entryId: Long, beam: Int, hops: Int, k: Int): DataFrame =
+    searchCore(queries, edges, corpus, entryId, beam, hops, k, None)
+
+  /** METADATA-FILTERED beam search — the graph analog of the filtered
+    * IVF surface: the WALK is unfiltered (restricting expansion to the
+    * predicate's nodes would disconnect the graph and silently strand
+    * whole regions — the standard filtered-graph-ANN design), and the
+    * predicate binds at the FINAL rank, so the answer is exactly the
+    * top-k of (visited ∩ matching). Recall under selective predicates
+    * is therefore a beam/hops budget question: the walk must visit
+    * enough matching nodes, same dial as unfiltered recall. The
+    * contract `filtered == post-filter of the saturated unfiltered
+    * search` is spec-pinned.
+    *
+    * @param pred row predicate over the corpus columns
+    *             (e.g. `col("vec_id") % 3 === 0`)
+    */
+  def searchGraphFiltered(queries: DataFrame, edges: DataFrame,
+                          corpus: DataFrame, entryId: Long, beam: Int,
+                          hops: Int, k: Int,
+                          pred: org.apache.spark.sql.Column): DataFrame =
+    searchCore(queries, edges, corpus, entryId, beam, hops, k,
+      Some(corpus.filter(pred)
+        .select(col("vec_id").as("node"))))
+
+  private def searchCore(queries: DataFrame, edges: DataFrame,
+                         corpus: DataFrame, entryId: Long, beam: Int,
+                         hops: Int, k: Int,
+                         allowed: Option[DataFrame]): DataFrame = {
     require(beam >= 1, s"searchGraph: beam=$beam must be >= 1")
     require(hops >= 0, s"searchGraph: hops=$hops must be >= 0")
     require(k >= 1, s"searchGraph: k=$k must be >= 1")
@@ -109,7 +137,14 @@ object GraphAnn {
       visitedCount = n
       hop += 1
     }
-    visited
+    val eligible = allowed match {
+      // the allowed set streams past the broadcast visited rows — the
+      // corpus-derived side never shuffles for the filter
+      case Some(a) => a.join(broadcast(visited), Seq("node"))
+        .select(visited.columns.map(col).toIndexedSeq: _*)
+      case None => visited
+    }
+    eligible
       .filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)

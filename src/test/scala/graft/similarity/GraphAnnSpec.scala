@@ -210,6 +210,39 @@ class GraphAnnSpec extends SparkTestBase {
     }
   }
 
+  test("searchGraphFiltered == post-filter + re-rank of the unfiltered walk; " +
+      "saturating filtered == brute over the allowed subset") {
+    val e = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val n = e.count().toInt
+    val edges = Similarity.bruteTopK(e, e, 4).localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 10 === 0)
+    val pred = col("vec_id") % 3 === 0
+    // exact contract at ANY budget: the filtered answer is the rank over
+    // (visited ∩ allowed) — reproduce it by post-filtering the same
+    // walk's full visited ranking
+    val filtered = GraphAnn.searchGraphFiltered(probes, edges, e,
+      entryId = 0L, beam = 3, hops = 2, k = 3, pred = pred)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val reference = GraphAnn.searchGraph(probes, edges, e,
+        entryId = 0L, beam = 3, hops = 2, k = n + 1)
+      .filter(col("neighbor_id") % 3 === 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+    assert(collectTopK(filtered) === collectTopK(reference))
+    assert(collectTopK(filtered).nonEmpty)
+    // saturating budget: filtered search == exact brute force over the
+    // matching subset (the graph is entry-connected at degree 4 here —
+    // pinned by the saturating spec above)
+    val sat = GraphAnn.searchGraphFiltered(probes, edges, e,
+      entryId = 0L, beam = n, hops = n, k = 3, pred = pred)
+    val brute = Similarity.bruteTopK(probes, e.filter(pred), 3)
+    assert(collectTopK(sat) === collectTopK(brute))
+  }
+
   test("over-cap frontier falls back to the broadcast join with identical results") {
     val e = emb.filter(col("vec_id") < 40).localCheckpoint(true)
     val edges = Similarity.bruteTopK(e, e, 4).localCheckpoint(true)
