@@ -43,12 +43,23 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
 
+  /** The eval side's distinct gram-id table `(g)` — corpus-invariant, so
+    * a serving loop stages it ONCE ([[graft.streaming
+    * .StreamingDecontaminate]]) instead of re-scanning the eval corpus
+    * per trigger. */
+  def evalGramTable(eval: DataFrame, textCol: String, n: Int): DataFrame =
+    eval.select(explode(gramSet(col(textCol), n)).as("g")).distinct()
+
   /** Exact: `(doc_id, n_hits, contaminated)`, one row per corpus doc;
     * `n_hits` = distinct corpus-doc grams shared with the eval set. */
   def flag(corpus: DataFrame, eval: DataFrame, idCol: String,
-           textCol: String, n: Int = 8): DataFrame = {
-    val evalGrams = eval
-      .select(explode(gramSet(col(textCol), n)).as("g")).distinct()
+           textCol: String, n: Int = 8): DataFrame =
+    flagWith(corpus, evalGramTable(eval, textCol, n), idCol, textCol, n)
+
+  /** [[flag]] against a PRE-STAGED eval gram table (the train-once /
+    * serve-many split for the eval side). */
+  def flagWith(corpus: DataFrame, evalGrams: DataFrame, idCol: String,
+               textCol: String, n: Int = 8): DataFrame = {
     val hits = corpus
       .select(col(idCol).cast("long").as("doc_id"),
         explode(gramSet(col(textCol), n)).as("g"))
