@@ -252,6 +252,31 @@ object TrainedState {
   def loadGraphIndex(spark: SparkSession, path: String): DataFrame =
     load(spark, graphIndexSchema, path)
 
+  val pqCodesSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("sub", IntegerType, nullable = false),
+    StructField("code", IntegerType, nullable = false)))
+
+  /** Persist a FLAT PQ codes table ([[ProductQuantizer.encode]] output —
+    * no coarse cell, unlike [[saveIvfPqIndex]]): the cold-storage half
+    * of the DiskANN deployment shape ([[GraphAnn.searchGraphPq]] — graph
+    * adjacency + codes stay hot, float vectors stay cold). CORPUS-sized:
+    * range-partition + sort by `vec_id` so every file carries tight
+    * min/max stats and the hop scorer's candidate-id `isin` prunes at
+    * the row-group level, the [[saveGraphIndex]] layout. */
+  def savePqCodes(codes: DataFrame, path: String): Unit = {
+    val cols = pqCodesSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    codes.select(cols.toIndexedSeq: _*)
+      .repartitionByRange(org.apache.spark.sql.functions.col("vec_id"))
+      .sortWithinPartitions("vec_id", "sub")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted flat PQ codes table; fails fast on schema drift. */
+  def loadPqCodes(spark: SparkSession, path: String): DataFrame =
+    load(spark, pqCodesSchema, path)
+
   val rotationSchema: StructType = StructType(Seq(
     StructField("row_idx", IntegerType, nullable = false),
     StructField("row", ArrayType(FloatType), nullable = true)))

@@ -109,6 +109,28 @@ object StreamingAnn {
       }
   }
 
+  /** [[serveGraphPq]] against ALL THREE persisted artifacts — graph
+    * index ([[graft.similarity.TrainedState.loadGraphIndex]]), flat PQ
+    * codes (`loadPqCodes`), and codebooks (`loadCodebooks`) — the full
+    * DiskANN restart path: adjacency + codes (the hot set) come off
+    * disk with schema fail-fast, the float corpus is only touched by
+    * each trigger's exact re-rank. */
+  def serveGraphPqFromSaved(queries: DataFrame, corpus: DataFrame,
+                            graphPath: String, codesPath: String,
+                            booksPath: String, dim: Int, numSub: Int,
+                            entryId: Long, beam: Int, hops: Int, k: Int,
+                            rerank: Int = 4, availableNow: Boolean = false)
+                           (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    val spark = corpus.sparkSession
+    serveGraphPq(queries,
+      graft.similarity.TrainedState.loadGraphIndex(spark, graphPath),
+      graft.similarity.TrainedState.loadPqCodes(spark, codesPath),
+      graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
+      dim, numSub, corpus, entryId, beam, hops, k, rerank,
+      availableNow)(sink)
+  }
+
   /** Serve `k` neighbors per streamed query through the TRAINED-OPQ
     * rotated-PQ path, loading BOTH persisted artifacts once at stream
     * start ([[graft.similarity.TrainedState.loadRotation]] +

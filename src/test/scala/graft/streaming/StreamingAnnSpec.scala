@@ -88,8 +88,8 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(collected.nonEmpty)
   }
 
-  test("serveGraphPq: streamed DiskANN-style serving == batch " +
-      "searchGraphPq across micro-batches") {
+  test("serveGraphPq: streamed DiskANN-style serving through ALL THREE " +
+      "persisted artifacts == batch searchGraphPq across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = emb.filter(col("vec_id") < 60).localCheckpoint(true)
     val edges = graft.similarity.Similarity.bruteTopK(corpus, corpus, 4)
@@ -98,15 +98,22 @@ class StreamingAnnSpec extends SparkTestBase {
       corpus, 64, 4, 10)
     val codes = graft.similarity.ProductQuantizer.encode(
       corpus, books, 64, 4).localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gpq_serve").toString
+    graft.similarity.TrainedState.saveGraphIndex(edges, s"$dir/graph")
+    graft.similarity.TrainedState.savePqCodes(codes, s"$dir/codes")
+    graft.similarity.TrainedState.saveCodebooks(books, s"$dir/books")
     val queryIds = Seq(Seq(1L, 3L), Seq(5L, 9L))
     val qVecs = emb.filter(col("vec_id") < 10).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val mem = MemoryStream[(Long, Seq[Float])]
     val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val q = StreamingAnn.serveGraphPq(
-      mem.toDF().toDF("vec_id", "embedding"), edges, codes, books,
-      dim = 64, numSub = 4, corpus, entryId = 0L, beam = 6, hops = 3,
-      k = 2, rerank = 4) { (df, _) => collected ++= df.collect() }
+    val q = StreamingAnn.serveGraphPqFromSaved(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, s"$dir/graph",
+      s"$dir/codes", s"$dir/books", dim = 64, numSub = 4, entryId = 0L,
+      beam = 6, hops = 3, k = 2, rerank = 4) { (df, _) =>
+      collected ++= df.collect()
+    }
     try {
       queryIds.foreach { batch =>
         mem.addData(batch.map(id => id -> qVecs(id)): _*)
