@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.Round16Queries.queries ++
       graft.queries.Round17Queries.queries ++
       graft.queries.Round18Queries.queries ++
-      graft.queries.Round19Queries.queries
+      graft.queries.Round19Queries.queries ++
+      graft.queries.Round20Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.Round16Queries.oracleSql ++
       graft.queries.Round17Queries.oracleSql ++
       graft.queries.Round18Queries.oracleSql ++
-      graft.queries.Round19Queries.oracleSql
+      graft.queries.Round19Queries.oracleSql ++
+      graft.queries.Round20Queries.oracleSql
 }

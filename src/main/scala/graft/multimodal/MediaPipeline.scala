@@ -103,6 +103,10 @@ object MediaPipeline {
       n_video_kept = videoKept.count(),
       n_features = featsW.count())
     cached.unpersist(); kept.unpersist()
+    // the pHashPairs / frameDupPairs banded tables staged above are
+    // fully consumed once the sinks are written — drain them so a
+    // session looping this pipeline doesn't accumulate cache entries
+    graft.similarity.StagedCache.release()
     stats
   }
 }

@@ -91,9 +91,13 @@ object Round18Queries {
         QueryShared.cachedCount(s, dir, "embeddings") / 20L).toInt
       val books = graft.similarity.ProductQuantizer.codebooks(
         emb, dim = 64, numSub = 8, stride = bookStride)
+      // keyed by dir AND the Spark application id (the e_ann_opq_trained
+      // convention): two concurrent processes benching the same dataset
+      // must not interleave one artifact's save/load
       val idxPath = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        "graft_ivfpq_idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_ivfpq_idx_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
       graft.similarity.TrainedState.saveIvfPqIndex(
         graft.similarity.IvfPq.encode(corpus, centroids, books,
           dim = 64, numSub = 8), idxPath)

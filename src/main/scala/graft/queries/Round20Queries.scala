@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.similarity.{GraphAnn, Hnsw, Similarity}
+
+/** Round-11 additions: the HNSW hierarchy over the navigable-graph base
+  * layer, and the FULL-SQL oracle for the DiskANN-shaped
+  * graph-over-codes serving path (composing the e_ann_graph hop CTEs
+  * with the e_ann_pq_full ADC fold — both halves already replayed in
+  * DuckDB separately; this replays their composition).
+  */
+object Round20Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HNSW: md5-hash geometric layer assignment (m=4, maxLevel=2 →
+    // ~n/4 nodes at layer ≥1, ~n/16 at layer 2 — nested by
+    // divisibility), degree-4 graphs per layer, greedy descent
+    // (beam 1, 2 hops per upper layer), then the e_ann_graph beam
+    // search (beam 3, 2 hops, top-3) from each query's REFINED entry.
+    // The entire hierarchy — levels, entry election, per-layer
+    // descent, base search — replays in DuckDB as per-layer CTE
+    // chains; the oracle is also robust to the corpus having fewer
+    // levels than maxLevel (an empty upper layer descends as the
+    // identity, exactly like the engine starting at a lower
+    // entryLevel).
+    "e_ann_hnsw" -> ((s, dir) => {
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      // the layered index is re-read per descent hop — materialize once
+      // (caller-owned persistence, the searchGraph contract)
+      val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4,
+        maxLevel = 2).localCheckpoint(true)
+      val (entryId, entryLevel) =
+        Hnsw.entryOf(Hnsw.levels(corpus, m = 4, maxLevel = 2))
+      val probes = corpus.filter(col("vec_id") % 20 === 0)
+      Hnsw.search(probes, layered, corpus, entryId, entryLevel,
+          beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // DiskANN-shaped serving with a FULL-output SQL oracle: beam search
+    // over the degree-4 graph scored by stride-codebook ADC (8
+    // subspaces), exact top-3 re-rank of the 12 ADC survivors. Every
+    // stage — encode argmin, per-hop ADC beam cuts, expansion sets,
+    // shortlist cutoff, exact re-score — replays in DuckDB value by
+    // value (the e_ann_graph_pq planted twin proves the duplicate
+    // contract; THIS query proves the whole trajectory).
+    "e_ann_graph_pq_full" -> ((s, dir) => {
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val probes = corpus.filter(col("vec_id") % 20 === 0)
+      val edges = Similarity.bruteTopK(corpus, corpus, 4)
+        .localCheckpoint(true)
+      val books = graft.similarity.ProductQuantizer.codebooks(
+        corpus, dim = 64, numSub = 8, stride = 10)
+      val codes = graft.similarity.ProductQuantizer.encode(
+        corpus, books, dim = 64, numSub = 8).localCheckpoint(true)
+      GraphAnn.searchGraphPq(probes, edges, codes, books,
+          dim = 64, numSub = 8, corpus, entryId = 0L, beam = 3,
+          hops = 2, k = 3, rerank = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
+  import Round13Queries.{cosSql, dotSql}
+
+  /** One beam-search hop as CTEs over a per-(query, node) score table
+    * `qs` — frontier cut at `beam`, expansion through `edges`, fresh
+    * nodes folded in with their scores. `pfx` namespaces the chain. */
+  private def hopSql(pfx: String, i: Int, beam: Int, edges: String): String =
+    s"""f$i$pfx AS (
+       |  SELECT query_id, node FROM (
+       |    SELECT query_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, node) AS r
+       |    FROM v${i - 1}$pfx) t
+       |  WHERE r <= $beam),
+       |n$i$pfx AS (
+       |  SELECT DISTINCT f.query_id, e.dst AS node
+       |  FROM f$i$pfx f JOIN $edges e ON e.src = f.node
+       |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1}$pfx v
+       |    WHERE v.query_id = f.query_id AND v.node = e.dst)),
+       |v$i$pfx AS (
+       |  SELECT * FROM v${i - 1}$pfx
+       |  UNION ALL
+       |  SELECT n.query_id, n.node, qs.score
+       |  FROM n$i$pfx n JOIN qs
+       |    ON qs.query_id = n.query_id AND qs.node = n.node)""".stripMargin
+
+  /** One DESCENT layer (HNSW upper-layer step): seed from `seed`
+    * (query_id, node), run `hops` hops at `beam` over `edges`, emit
+    * `ent$pfx` = the closest visited node per query, SELF INCLUDED. */
+  private def descentSql(pfx: String, seed: String, edges: String,
+                         beam: Int, hops: Int): String = {
+    val seedCte =
+      s"""v0$pfx AS (
+         |  SELECT s.query_id, s.node, qs.score
+         |  FROM $seed s JOIN qs
+         |    ON qs.query_id = s.query_id AND qs.node = s.node)""".stripMargin
+    val hopsCtes = (1 to hops).map(i => hopSql(pfx, i, beam, edges))
+    val entCte =
+      s"""ent$pfx AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT query_id, node,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, node) AS r
+         |    FROM v$hops$pfx) t
+         |  WHERE r = 1)""".stripMargin
+    (seedCte +: hopsCtes :+ entCte).mkString(",\n")
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "e_ann_hnsw" ->
+      (s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+         |ap AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM emb a JOIN emb b ON true),
+         |lv AS (
+         |  SELECT vec_id,
+         |    (CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END +
+         |     CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS level
+         |  FROM (SELECT vec_id,
+         |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+         |        AS BIGINT) AS h
+         |    FROM emb) t),
+         |entry AS (
+         |  SELECT min(vec_id) AS e FROM lv
+         |  WHERE level = (SELECT max(level) FROM lv)),
+         |p AS (SELECT vec_id AS query_id FROM emb WHERE vec_id % 20 = 0),
+         |qs AS (
+         |  SELECT p.query_id, ap.dst AS node, ap.s AS score
+         |  FROM p JOIN ap ON ap.src = p.query_id),
+         |e2 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap WHERE src <> dst
+         |      AND src IN (SELECT vec_id FROM lv WHERE level >= 2)
+         |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 2)) t
+         |  WHERE r <= 4),
+         |e1 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap WHERE src <> dst
+         |      AND src IN (SELECT vec_id FROM lv WHERE level >= 1)
+         |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 1)) t
+         |  WHERE r <= 4),
+         |e0 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap WHERE src <> dst) t
+         |  WHERE r <= 4),
+         |seed2 AS (SELECT query_id, (SELECT e FROM entry) AS node FROM p),
+         |""".stripMargin +
+        descentSql("_l2", "seed2", "e2", beam = 1, hops = 2) + ",\n" +
+        descentSql("_l1", "ent_l2", "e1", beam = 1, hops = 2) + ",\n" +
+        s"""v0_l0 AS (
+         |  SELECT s.query_id, s.node, qs.score
+         |  FROM ent_l1 s JOIN qs
+         |    ON qs.query_id = s.query_id AND qs.node = s.node),
+         |""".stripMargin +
+        (1 to 2).map(i => hopSql("_l0", i, beam = 3, edges = "e0"))
+          .mkString(",\n") + "\n" +
+        s"""SELECT query_id, rank, neighbor_id, ROUND(score, 6) AS cos_sim
+         |FROM (
+         |  SELECT query_id, node AS neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, node) AS rank
+         |  FROM v2_l0 WHERE node <> query_id) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    "e_ann_graph_pq_full" ->
+      (s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+         |ap AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |e0 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap) t
+         |  WHERE r <= 4),
+         |books AS (SELECT gs.s AS sub,
+         |    CAST(e.vec_id // 10 AS INT) AS code,
+         |    list_slice(e.embedding, gs.s*8 + 1, gs.s*8 + 8) AS centroid
+         |  FROM emb e CROSS JOIN generate_series(0, 7) gs(s)
+         |  WHERE e.vec_id % 10 = 0),
+         |subs AS (SELECT e.vec_id, gs.s AS sub,
+         |    list_slice(e.embedding, gs.s*8 + 1, gs.s*8 + 8) AS subvec
+         |  FROM emb e CROSS JOIN generate_series(0, 7) gs(s)),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |    SELECT sv.vec_id, sv.sub, b.code,
+         |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+         |        ORDER BY (${dotSql("b.centroid", "b.centroid")}
+         |          - 2 * ${dotSql("sv.subvec", "b.centroid")}) ASC,
+         |          b.code ASC) AS rn
+         |    FROM subs sv JOIN books b ON b.sub = sv.sub) t
+         |  WHERE rn = 1),
+         |p AS (SELECT vec_id AS query_id FROM emb WHERE vec_id % 20 = 0),
+         |adc AS (SELECT q.vec_id AS query_id, q.sub, b.code,
+         |    ${dotSql("q.subvec", "b.centroid")} AS part
+         |  FROM subs q JOIN books b ON b.sub = q.sub
+         |  WHERE q.vec_id % 20 = 0),
+         |qs AS (
+         |  -- ADC score per (query, node), SELF INCLUDED (the walk
+         |  -- scores a query's own node when it reaches it; exclusion
+         |  -- happens at the shortlist, not here), complete-code rows
+         |  -- only (n = 8), parts folded in subspace order — the
+         |  -- e_ann_pq_full fold
+         |  SELECT query_id, node, score FROM (
+         |    SELECT a.query_id, e.vec_id AS node,
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(a.part ORDER BY a.sub)), (x, y) -> x + y) AS score,
+         |      count(*) AS n
+         |    FROM enc e JOIN adc a ON a.sub = e.sub AND a.code = e.code
+         |    GROUP BY a.query_id, e.vec_id) t
+         |  WHERE n = 8),
+         |v0_g AS (
+         |  SELECT p.query_id, 0 AS node, qs.score
+         |  FROM p JOIN qs ON qs.query_id = p.query_id AND qs.node = 0),
+         |""".stripMargin +
+        (1 to 2).map(i => hopSql("_g", i, beam = 3, edges = "e0"))
+          .mkString(",\n") + ",\n" +
+        s"""short AS (
+         |  SELECT query_id, node AS neighbor_id FROM (
+         |    SELECT query_id, node,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, node) AS r
+         |    FROM v2_g WHERE node <> query_id) t
+         |  WHERE r <= 12),
+         |scored AS (SELECT sh.query_id, sh.neighbor_id,
+         |    ${cosSql("qe.embedding", "ce.embedding")} AS cos_sim
+         |  FROM short sh
+         |  JOIN emb qe ON qe.vec_id = sh.query_id
+         |  JOIN emb ce ON ce.vec_id = sh.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos_sim, 6) AS cos_sim
+         |FROM (SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+}

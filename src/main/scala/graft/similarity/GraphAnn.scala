@@ -90,7 +90,29 @@ object GraphAnn {
   private def searchCore(queries: DataFrame, edges: DataFrame,
                          corpus: DataFrame, entryId: Long, beam: Int,
                          hops: Int, k: Int,
-                         allowed: Option[DataFrame]): DataFrame = {
+                         allowed: Option[DataFrame]): DataFrame =
+    searchFrom(queries, edges, corpus,
+      queries.select(col("vec_id").as("query_id"))
+        .withColumn("node", lit(entryId)),
+      Seq(entryId), beam, hops, k, allowed, includeSelf = false)
+
+  /** [[searchGraph]] generalized to PER-QUERY entry points — the seam
+    * [[Hnsw]]'s top-down descent needs: each layer's search starts from
+    * the entry the layer above refined for THAT query, not one shared
+    * node. `entries` is `(query_id, node)` (bounded — ≤ a few rows per
+    * query by the bounded-query-batch contract); `entryIds` is the
+    * distinct node list when the caller knows it (isin scan pruning,
+    * [[scorer]]'s contract — pass Nil when unknown). `includeSelf`
+    * keeps a query's own node rankable: the final cut of a DESCENT step
+    * wants the closest visited node period (self included — it exists
+    * in every lower layer too), while an ANSWER wants neighbors only.
+    */
+  private[similarity] def searchFrom(queries: DataFrame, edges: DataFrame,
+                                     corpus: DataFrame, entries: DataFrame,
+                                     entryIds: Seq[Long], beam: Int,
+                                     hops: Int, k: Int,
+                                     allowed: Option[DataFrame],
+                                     includeSelf: Boolean): DataFrame = {
     require(beam >= 1, s"searchGraph: beam=$beam must be >= 1")
     require(hops >= 0, s"searchGraph: hops=$hops must be >= 0")
     require(k >= 1, s"searchGraph: k=$k must be >= 1")
@@ -110,8 +132,7 @@ object GraphAnn {
     // simhashPairsFromSigs lesson); any hop > 0 is inherently an
     // iterative driver loop and materializes per round like [[KMeans]]
     var visited = score(
-      q.select(col("query_id")).withColumn("node", lit(entryId)),
-      Seq(entryId))
+      entries.select(col("query_id"), col("node")), entryIds)
     if (hops > 0) visited = visited.localCheckpoint(true)
     var visitedCount = if (hops > 0) visited.count() else 0L
     // the count is already paid: an EMPTY initial visited set with a
@@ -120,7 +141,8 @@ object GraphAnn {
     // for every query (the documented 'must exist in corpus' contract);
     // the probe-batch count only runs on the failure path
     require(hops == 0 || visitedCount > 0 || queries.limit(1).isEmpty,
-      s"searchGraph: entry node $entryId is not in the corpus")
+      s"searchGraph: no entry node (of ${entryIds.take(4).mkString(",")}" +
+        s"${if (entryIds.length > 4) ",…" else ""}) is in the corpus")
     var hop = 0
     var converged = false
     while (hop < hops && !converged) {
@@ -144,8 +166,8 @@ object GraphAnn {
         .select(visited.columns.map(col).toIndexedSeq: _*)
       case None => visited
     }
-    eligible
-      .filter(col("node") =!= col("query_id"))
+    (if (includeSelf) eligible
+     else eligible.filter(col("node") =!= col("query_id")))
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),

@@ -1,0 +1,163 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HNSW — the multi-layer hierarchy over [[GraphAnn]]'s navigable-graph
+  * base layer (Malkov & Yashunin, "Efficient and robust approximate
+  * nearest neighbor search using Hierarchical Navigable Small World
+  * graphs", TPAMI 2018). The base layer alone searches flat per hop but
+  * from a SINGLE shared entry node, so hop count grows with graph
+  * diameter ~ log-ish in luck, linear in the worst case; the hierarchy
+  * restores log(n): geometrically sparser upper layers let a query
+  * greedily descend to a near-correct layer-0 entry in O(log n) cheap
+  * steps, and the expensive beam search then starts next door.
+  *
+  * Everything here is deterministic and SQL-replayable (the e_ann_graph
+  * conventions): layer assignment is a pure hash of the node id (no
+  * RNG), per-layer graphs use the caller's edge builder with the
+  * (score desc, id) tie-break, the descent is the SAME hop recurrence
+  * as [[GraphAnn.searchGraph]] at beam/hops budgets fixed by the
+  * caller, and the layer-0 answer IS [[GraphAnn.searchGraph]] from the
+  * refined entries. So the full hierarchy unrolls to per-layer CTE
+  * chains in DuckDB (`e_ann_hnsw`).
+  *
+  * Scale design (100 TB): layer ℓ holds ~n/m^ℓ nodes, so every upper
+  * layer's edge table is a vanishing fraction of layer 0's; the descent
+  * reuses [[GraphAnn]]'s broadcast-frontier hop (big sides never
+  * shuffle, isin row-group pruning against a persisted layered index),
+  * and per-descent-step work is |queries| × degree — corpus-independent.
+  * The layered index persists via [[TrainedState.saveHnswIndex]]
+  * (layer-partitioned: a search reads only the layer directories it
+  * descends through, and layer 0's files prune by `query_id` range
+  * stats like the flat graph index).
+  */
+object Hnsw {
+
+  /** Deterministic geometric layer assignment: node v's top layer is
+    * the largest ℓ ≤ maxLevel with md5₄₈(v) ≡ 0 (mod m^ℓ) — a pure
+    * function of the id with P(level ≥ ℓ) = m^-ℓ, the HNSW geometric
+    * distribution without RNG state (md5 over the decimal string, the
+    * [[PortableSim]] md5-slice convention, so DuckDB replays it
+    * verbatim). Divisibility by m^ℓ implies divisibility by m^(ℓ-1),
+    * so layer membership is NESTED by construction — every layer-ℓ
+    * node lives in all layers below, the HNSW invariant.
+    *
+    * @return `(vec_id, level)` — level in [0, maxLevel]
+    */
+  def levels(corpus: DataFrame, m: Int, maxLevel: Int): DataFrame = {
+    require(m >= 2, s"Hnsw.levels: m=$m must be >= 2")
+    require(maxLevel >= 0 && math.pow(m, maxLevel) <= (1L << 40),
+      s"Hnsw.levels: maxLevel=$maxLevel out of range for m=$m")
+    val h = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+      1, 12), 16, 10).cast("long")
+    val lvl = (1 to maxLevel)
+      .map(l => when(h % lit(math.pow(m, l).toLong) === 0, 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    corpus.select(col("vec_id"), lvl.cast("int").as("level"))
+  }
+
+  /** The LAYERED index: `(layer, query_id, rank, neighbor_id, cos_sim)`
+    * for layers 0..maxLevel — layer ℓ is `edgeBuilder` run over the
+    * nodes with level ≥ ℓ (so each layer is a navigable graph over its
+    * own nested node set). Default builder: exact kNN
+    * ([[Similarity.bruteTopK]]) at `degree` — swap in
+    * [[Similarity.knnGraphAdjacent]] for corpus-scale builds; the
+    * layered shape and search are builder-oblivious. */
+  def buildIndex(corpus: DataFrame, degree: Int, m: Int, maxLevel: Int,
+                 edgeBuilder: Option[(DataFrame, Int) => DataFrame] = None)
+      : DataFrame = {
+    require(degree >= 1, s"Hnsw.buildIndex: degree=$degree must be >= 1")
+    val build = edgeBuilder.getOrElse(
+      (nodes: DataFrame, d: Int) => Similarity.bruteTopK(nodes, nodes, d))
+    val lv = levels(corpus, m, maxLevel)
+    (0 to maxLevel).map { l =>
+      val nodes = corpus.join(
+        lv.filter(col("level") >= l).select(col("vec_id")), Seq("vec_id"))
+      build(nodes, degree)
+        .select(lit(l).as("layer"), col("query_id"), col("rank"),
+          col("neighbor_id"), col("cos_sim"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The deterministic global entry point: the LOWEST id among the
+    * nodes of the highest non-empty layer (ids break every tie in this
+    * codebase). Driver-side one-row action — the index build already
+    * materialized the layers. Returns (entryId, entryLevel). */
+  def entryOf(levelsDf: DataFrame): (Long, Int) = {
+    val top = levelsDf.orderBy(col("level").desc, col("vec_id").asc)
+      .select(col("vec_id"), col("level")).limit(1).collect()
+    require(top.nonEmpty, "Hnsw.entryOf: empty level table")
+    (top(0).getLong(0), top(0).getInt(1))
+  }
+
+  /** HNSW search: greedy-ish descent through the upper layers (each
+    * layer runs the [[GraphAnn]] hop recurrence at the small
+    * `beamUpper`/`hopsUpper` budget and keeps the single closest
+    * visited node — self included, it exists in every lower layer — as
+    * the next layer's entry), then the full [[GraphAnn.searchGraph]]
+    * beam search on layer 0 from the per-query refined entries.
+    *
+    * With `entryLevel = 0` this IS `searchGraph` from `entryId` (the
+    * hierarchy degenerates to its base layer — spec-pinned), and with
+    * saturating budgets it degenerates to exact brute force over the
+    * connected component, exactly like the flat search.
+    *
+    * @param layered    [[buildIndex]] output (or
+    *                   [[TrainedState.loadHnswIndex]])
+    * @param entryId    global entry node (see [[entryOf]])
+    * @param entryLevel the entry's layer — descent starts here
+    * @param beamUpper  beam width per upper layer (HNSW uses 1; >1
+    *                   trades descent cost for entry quality)
+    * @param hopsUpper  hop budget per upper layer (fixpoint early-exit
+    *                   applies, so a generous budget only costs real
+    *                   improvement rounds)
+    */
+  def search(queries: DataFrame, layered: DataFrame, corpus: DataFrame,
+             entryId: Long, entryLevel: Int, beamUpper: Int, hopsUpper: Int,
+             beam: Int, hops: Int, k: Int): DataFrame = {
+    require(entryLevel >= 0, s"Hnsw.search: entryLevel=$entryLevel < 0")
+    require(beamUpper >= 1 && hopsUpper >= 0,
+      s"Hnsw.search: beamUpper=$beamUpper (>=1), hopsUpper=$hopsUpper (>=0)")
+    def layerEdges(l: Int) = layered.filter(col("layer") === l)
+      .select(col("query_id"), col("neighbor_id"))
+    var entries = queries.select(col("vec_id").as("query_id"))
+      .withColumn("node", lit(entryId))
+    var entryIds: Seq[Long] = Seq(entryId)
+    var l = entryLevel
+    while (l >= 1) {
+      // one descent step: closest visited node at layer l (incl. self)
+      val found = GraphAnn.searchFrom(queries, layerEdges(l), corpus,
+        entries, entryIds, beamUpper, hopsUpper, k = 1, allowed = None,
+        includeSelf = true)
+      entries = found.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+        .localCheckpoint(true) // iterative-lineage convention
+      // bounded: one row per query — collect for isin scan pruning on
+      // the next layer (the GraphAnn.MaxInlineFrontier contract)
+      val ids = entries.select(col("node")).distinct()
+        .limit(GraphAnn.MaxInlineFrontier + 1).collect()
+      entryIds =
+        if (ids.length <= GraphAnn.MaxInlineFrontier)
+          ids.map(_.getLong(0)).sorted.toIndexedSeq
+        else Nil
+      l -= 1
+    }
+    GraphAnn.searchFrom(queries, layerEdges(0), corpus, entries, entryIds,
+      beam, hops, k, allowed = None, includeSelf = false)
+  }
+
+  /** [[search]] with the entry derived from the index itself — the
+    * serving-time convenience (build → save → load → search without
+    * re-deriving levels): entry = lowest id at the highest layer
+    * PRESENT in the edge table. */
+  def searchAuto(queries: DataFrame, layered: DataFrame, corpus: DataFrame,
+                 beamUpper: Int, hopsUpper: Int, beam: Int, hops: Int,
+                 k: Int): DataFrame = {
+    val top = layered.orderBy(col("layer").desc, col("query_id").asc)
+      .select(col("query_id"), col("layer")).limit(1).collect()
+    require(top.nonEmpty, "Hnsw.searchAuto: empty layered index")
+    search(queries, layered, corpus, top(0).getLong(0), top(0).getInt(1),
+      beamUpper, hopsUpper, beam, hops, k)
+  }
+}

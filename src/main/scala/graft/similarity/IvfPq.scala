@@ -41,6 +41,7 @@ object IvfPq {
     * float embeddings do NOT ride in it — re-ranking joins the corpus. */
   def encode(corpus: DataFrame, centroidsDf: DataFrame, booksDf: DataFrame,
              dim: Int, numSub: Int): DataFrame = {
+    ProductQuantizer.requireSubDiv("IvfPq.encode", dim, numSub)
     val cells = Similarity.ivfAssign(corpus, centroidsDf)
       .select(col("vec_id"), col("centroid_id"))
     val codes = ProductQuantizer.encode(corpus, broadcast(booksDf), dim, numSub)
@@ -65,6 +66,7 @@ object IvfPq {
                     rerank: Int): DataFrame = {
     require(k >= 1 && nprobe >= 1 && rerank >= 1,
       s"IvfPq.topKFromIndex: k=$k, nprobe=$nprobe, rerank=$rerank must be >= 1")
+    ProductQuantizer.requireSubDiv("IvfPq.topKFromIndex", dim, numSub)
     val subDim = dim / numSub
     val dot = graft.functions.DotProduct.dot_product _
 
@@ -174,9 +176,11 @@ object IvfPq {
     * [[encodeResidual]] quantizes against (swap in a residual-trained
     * [[ProductQuantizer.codebooksKMeans]] for production, same shape). */
   def residualBooks(corpus: DataFrame, centroidsDf: DataFrame, dim: Int,
-                    numSub: Int, stride: Int): DataFrame =
+                    numSub: Int, stride: Int): DataFrame = {
+    ProductQuantizer.requireSubDiv("IvfPq.residualBooks", dim, numSub)
     ProductQuantizer.codebooks(residuals(corpus, centroidsDf), dim, numSub,
       stride)
+  }
 
   /** RESIDUAL IVF-PQ encode — the FAISS `by_residual=true` variant:
     * codes quantize `x − c_cell` instead of `x`, so each cell's codes
@@ -189,6 +193,7 @@ object IvfPq {
     * ([[TrainedState.saveIvfPqIndex]]). */
   def encodeResidual(corpus: DataFrame, centroidsDf: DataFrame,
                      resBooks: DataFrame, dim: Int, numSub: Int): DataFrame = {
+    ProductQuantizer.requireSubDiv("IvfPq.encodeResidual", dim, numSub)
     val res = residuals(corpus, centroidsDf)
     val codes = ProductQuantizer.encode(
         res.select(col("vec_id"), col("embedding")),
@@ -215,6 +220,7 @@ object IvfPq {
     require(k >= 1 && nprobe >= 1 && rerank >= 1,
       s"IvfPq.topKFromIndexResidual: k=$k, nprobe=$nprobe, rerank=$rerank " +
         "must be >= 1")
+    ProductQuantizer.requireSubDiv("IvfPq.topKFromIndexResidual", dim, numSub)
     val subDim = dim / numSub
     val dot = graft.functions.DotProduct.dot_product _
 

@@ -93,8 +93,10 @@ object PortableSim {
         col("_b.bucket").as("bucket"))
       // feeds both self-join sides; persist() (NOT eager localCheckpoint)
       // so construction schedules no job and lineage survives — the
-      // simhashPairsFromSigs lesson
+      // simhashPairsFromSigs lesson. Registered so loop-shaped callers
+      // can StagedCache.release() the entry post-materialization.
       .persist()
+    graft.similarity.StagedCache.register(banded)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
       col("gs").as("gs_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
@@ -147,6 +149,7 @@ object PortableSim {
       .select(col("id"), col("simhash"), col("p.t").as("t"),
         col("p.bucket").as("bucket"))
       .persist() // both self-join sides read it; lazy — no job at construction
+    graft.similarity.StagedCache.register(banded)
     val l = banded.select(col("t"), col("bucket"), col("id").as("id_a"),
       col("simhash").as("sim_a"))
     val r = banded.select(col("t"), col("bucket"), col("id").as("id_b"),

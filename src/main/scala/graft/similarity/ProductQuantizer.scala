@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantizer {
 
+  /** Every PQ entry point computes subDim = dim / numSub; a
+    * non-dividing numSub would silently drop the tail dimensions from
+    * every code and ADC score (degraded recall, no error) — fail loudly
+    * instead, the [[GraphAnn.searchGraphPq]] contract applied uniformly
+    * at every public entry here and in [[IvfPq]]. */
+  private[similarity] def requireSubDiv(op: String, dim: Int,
+                                        numSub: Int): Unit =
+    require(numSub >= 1 && dim % numSub == 0,
+      s"$op: numSub=$numSub must divide dim=$dim — a silent floor would " +
+        "drop the tail dimensions from every PQ code and ADC score")
+
   /** (vec_id, sub, subvec) — one row per subvector. */
   private def explodeSubs(df: DataFrame, vecCol: String, numSub: Int,
                           subDim: Int): DataFrame =
@@ -37,6 +48,7 @@ object ProductQuantizer {
   /** Stride-sampled codebooks: (sub, code, centroid ARRAY<FLOAT>). */
   def codebooks(corpus: DataFrame, dim: Int, numSub: Int,
                 stride: Int): DataFrame = {
+    requireSubDiv("ProductQuantizer.codebooks", dim, numSub)
     val subDim = dim / numSub
     explodeSubs(
       corpus.filter(pmod(col("vec_id"), lit(stride)) === 0), "embedding",
@@ -55,6 +67,7 @@ object ProductQuantizer {
     * is oblivious to how books were built. */
   def codebooksKMeans(corpus: DataFrame, dim: Int, numSub: Int, k: Int,
                       iters: Int): DataFrame = {
+    requireSubDiv("ProductQuantizer.codebooksKMeans", dim, numSub)
     val subDim = dim / numSub
     val subs = explodeSubs(corpus, "embedding", numSub, subDim)
       .select(col("sub").as("grp"), col("vec_id"),
@@ -76,6 +89,7 @@ object ProductQuantizer {
     * parallelize and the tiny extra shuffle is noise. */
   def encode(corpus: DataFrame, books: DataFrame, dim: Int,
              numSub: Int): DataFrame = {
+    requireSubDiv("ProductQuantizer.encode", dim, numSub)
     val subDim = dim / numSub
     val dot = graft.functions.DotProduct.dot_product _
     val key = dot(col("centroid"), col("centroid")) -
@@ -134,6 +148,7 @@ object ProductQuantizer {
     */
   def topKWith(queries: DataFrame, corpus: DataFrame, dim: Int, numSub: Int,
                k: Int, booksDf: DataFrame, rerank: Int): DataFrame = {
+    requireSubDiv("ProductQuantizer.topKWith", dim, numSub)
     import scala.jdk.CollectionConverters._
     val spark = corpus.sparkSession
     val subDim = dim / numSub

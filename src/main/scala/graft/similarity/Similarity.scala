@@ -178,11 +178,14 @@ object Similarity {
     // the result — and truncated lineage; the lazy cache serves all
     // consumers identically once the first action runs
     // (PortableSimSpec pins the no-job-at-construction contract).
-    var banded = sigs.select(col("id"), col("simhash"),
+    // Lazy ALSO means this function can't unpersist — loop-shaped
+    // callers (per-trigger streaming re-pairing) drain the entry via
+    // [[StagedCache.release]] once their outputs are materialized.
+    var banded = StagedCache.register(sigs.select(col("id"), col("simhash"),
       explode(array(probes: _*)).as("p"))
       .select(col("id"), col("simhash"), col("p.t").as("t"),
         col("p.bucket").as("bucket"))
-      .persist()
+      .persist())
     // skew guard, [[minhashPairs]]' maxBucketSize contract: with
     // CORRELATED signatures (short video frames, templated images) a
     // probe block can go hot and one bucket's quadratic pair work

@@ -252,6 +252,49 @@ object TrainedState {
   def loadGraphIndex(spark: SparkSession, path: String): DataFrame =
     load(spark, graphIndexSchema, path)
 
+  val hnswIndexSchema: StructType = StructType(Seq(
+    StructField("layer", IntegerType, nullable = false),
+    StructField("query_id", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = true)))
+
+  /** Persist an [[Hnsw.buildIndex]] LAYERED graph index. Layout: one
+    * DIRECTORY per layer (`partitionBy("layer")` — layer cardinality is
+    * maxLevel+1, a handful, so directory partitioning is right here
+    * where it would be wrong for corpus-cardinal ids), each layer's
+    * files range-partitioned + sorted by source id exactly like
+    * [[saveGraphIndex]]. A search descends reading ONLY the layer
+    * directories on its path, with the same `query_id` row-group
+    * pruning per layer; layer 0 — the corpus-sized one — behaves
+    * byte-for-byte like the flat graph index. */
+  def saveHnswIndex(layered: DataFrame, path: String): Unit = {
+    val cols = hnswIndexSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+    layered.select(cols.toIndexedSeq: _*)
+      .repartitionByRange(org.apache.spark.sql.functions.col("layer"),
+        org.apache.spark.sql.functions.col("query_id"))
+      .sortWithinPartitions("layer", "query_id", "rank")
+      .write.mode("overwrite").partitionBy("layer").parquet(path)
+  }
+
+  /** Load a persisted layered HNSW index for [[Hnsw.search]]; fails
+    * fast on schema drift ([[loadGraphIndex]]'s contract). */
+  def loadHnswIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    hnswIndexSchema.fields.foreach { f =>
+      // partitionBy writes `layer` back as a partition column — parquet
+      // infers INT for it, matching the declared schema
+      require(got.get(f.name).contains(f.dataType),
+        s"trained-state schema mismatch at $path: expected ${f.name}: " +
+          s"${f.dataType.sql}, found " +
+          got.get(f.name).map(_.sql).getOrElse("<missing>"))
+    }
+    df.select(hnswIndexSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)).toIndexedSeq: _*)
+  }
+
   val pqCodesSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
     StructField("sub", IntegerType, nullable = false),

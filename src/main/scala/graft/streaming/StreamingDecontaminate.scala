@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 import graft.text.Decontaminate
@@ -46,9 +46,29 @@ object StreamingDecontaminate {
         val batch = rawBatch.toDF()
         val flags = Decontaminate.flagWith(batch, evalGrams, idCol,
           textCol, n)
-        sink(batch.select(col(idCol).cast("long").as("doc_id"),
-            col(textCol).as(textCol))
-          .join(flags, Seq("doc_id")), batchId)
+        // the decision join is keyed on cast(id AS long); an id that
+        // casts to null would vanish from BOTH sides — neither admitted
+        // nor quarantined, breaking the every-row-yields-a-decision
+        // contract. Fail loudly instead (raise_error IN the value
+        // expression — a standalone assert_true column is dead-column-
+        // pruned and never fires, the poolSum lesson).
+        val docId = when(col(idCol).cast("long").isNotNull,
+            col(idCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"StreamingDecontaminate.admit: $idCol value '"),
+            coalesce(col(idCol).cast("string"), lit("NULL")),
+            lit("' does not cast to BIGINT — every batch row must " +
+              "yield exactly one decision row"))).cast("long"))
+        // MATERIALIZED before the join (eager localCheckpoint): the
+        // inner join infers IsNotNull(doc_id) and would push that
+        // filter below this projection — dropping the null-key row
+        // BEFORE the raise_error branch ever evaluates (observed: the
+        // guard never fired and the row silently vanished anyway).
+        // Forcing the guarded projection standalone leaves the
+        // optimizer nothing to bypass; the batch side is trigger-sized.
+        val keyed = batch.select(docId.as("doc_id"),
+          col(textCol).as(textCol)).localCheckpoint(true)
+        sink(keyed.join(flags, Seq("doc_id")), batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

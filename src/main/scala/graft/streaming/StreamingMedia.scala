@@ -155,6 +155,11 @@ object StreamingMedia {
           .unionByName(admittedSigs)
           .localCheckpoint(true)
         sink(decisions, batchId)
+        // outputs are all eagerly checkpointed — drain the banded cache
+        // entry this trigger's simhashPairsFromSigs staged (else one
+        // entry leaks per trigger; see [[StagedCache]])
+        graft.similarity.StagedCache.release()
+        ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -251,6 +256,12 @@ object StreamingMedia {
           .unionByName(admittedSigs)
           .localCheckpoint(true)
         sink(decisions, batchId)
+        // every output above is eagerly checkpointed, so the banded
+        // table simhashPairsFromSigs persisted for THIS trigger is
+        // done serving — drain it, or the per-trigger rebuild leaks
+        // one cache entry per batch for the life of the session
+        graft.similarity.StagedCache.release()
+        ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -1,0 +1,126 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[Hnsw]] — layer assignment (nested, deterministic, geometric-ish),
+  * degeneration to the flat [[GraphAnn.searchGraph]] at maxLevel 0,
+  * saturating-budget == exact brute force, and the layered-index
+  * persistence round-trip. */
+class HnswSpec extends SparkTestBase {
+
+  private def emb = graft.Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private def collectTopK(df: DataFrame) =
+    df.select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("levels: deterministic, nested by construction, geometrically " +
+      "sparser, and within [0, maxLevel]") {
+    val e = emb.filter(col("vec_id") < 500)
+    val lv = Hnsw.levels(e, m = 4, maxLevel = 3)
+    val again = Hnsw.levels(e, m = 4, maxLevel = 3)
+    assert(lv.collect().toSet == again.collect().toSet, "not deterministic")
+    val byLevel = lv.groupBy(col("level")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byLevel.keys.forall(l => l >= 0 && l <= 3))
+    val n = e.count()
+    val atLeast = (l: Int) => byLevel.filter(_._1 >= l).values.sum
+    // P(level >= l) = 4^-l: expect ~n/4 at >=1, ~n/16 at >=2 — assert
+    // the loose brackets (hash noise at 500 rows stays well inside)
+    assert(atLeast(1) > n / 8 && atLeast(1) < n / 2,
+      s"level>=1 count ${atLeast(1)} of $n not ~n/4")
+    assert(atLeast(2) < n / 8, s"level>=2 count ${atLeast(2)} not ~n/16")
+    // m=2 levels refine m=4 levels consistently: 4^l | h implies 2^l | h,
+    // so every m=4 level-l node has m=2 level >= l
+    val lv2 = Hnsw.levels(e, m = 2, maxLevel = 3)
+    val joined = lv.withColumnRenamed("level", "l4")
+      .join(lv2.withColumnRenamed("level", "l2"), Seq("vec_id"))
+    assert(joined.filter(col("l2") < col("l4")).isEmpty)
+  }
+
+  test("maxLevel = 0 degenerates to the flat searchGraph, bit for bit") {
+    val e = emb.filter(col("vec_id") < 60)
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 0)
+      .localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 15 === 0)
+    val got = Hnsw.search(probes, layered, e, entryId = 0L, entryLevel = 0,
+      beamUpper = 1, hopsUpper = 1, beam = 3, hops = 2, k = 3)
+    val flat = GraphAnn.searchGraph(probes,
+      layered.filter(col("layer") === 0), e,
+      entryId = 0L, beam = 3, hops = 2, k = 3)
+    assert(collectTopK(got) == collectTopK(flat))
+  }
+
+  test("saturating budgets degenerate to exact brute force through the " +
+      "full hierarchy") {
+    val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val n = e.count().toInt
+    // degree n-1: every layer's graph is complete over its nodes, so
+    // reachability can never be the miss reason — only the hierarchy
+    // logic itself
+    val layered = Hnsw.buildIndex(e, degree = n - 1, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val lv = Hnsw.levels(e, m = 4, maxLevel = 2)
+    val (entryId, entryLevel) = Hnsw.entryOf(lv)
+    val probes = e.filter(col("vec_id") % 16 === 0)
+    val got = Hnsw.search(probes, layered, e, entryId, entryLevel,
+      beamUpper = n, hopsUpper = 4, beam = n, hops = 4, k = 3)
+    val want = Similarity.bruteTopK(probes, e, 3)
+    assert(collectTopK(got) == collectTopK(want))
+  }
+
+  test("small-budget hierarchical search: well-formed ranks, every " +
+      "refined entry at least as close as the global entry implies no " +
+      "query vanishes, and searchAuto matches explicit entry") {
+    val e = emb.filter(col("vec_id") < 120).localCheckpoint(true)
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val lv = Hnsw.levels(e, m = 4, maxLevel = 2)
+    val (entryId, entryLevel) = Hnsw.entryOf(lv)
+    val probes = e.filter(col("vec_id") % 20 === 0)
+    val got = Hnsw.search(probes, layered, e, entryId, entryLevel,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3)
+      .localCheckpoint(true)
+    val perQuery = got.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("maxr"))
+      .collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { r =>
+      assert(r.getLong(1) == r.getInt(2).toLong, s"rank gap: $r")
+      assert(r.getLong(1) <= 3)
+    }
+    val auto = Hnsw.searchAuto(probes, layered, e,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3)
+    assert(collectTopK(auto) == collectTopK(got),
+      "searchAuto must derive the same entry the level table yields")
+  }
+
+  test("persistence round-trip: search(loadHnswIndex(save(build))) == " +
+      "search(in-memory); wrong artifact fails fast") {
+    val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("hnsw_idx").toString + "/idx"
+    TrainedState.saveHnswIndex(layered, path)
+    val loaded = TrainedState.loadHnswIndex(spark, path)
+    val probes = e.filter(col("vec_id") % 16 === 0)
+    def run(idx: DataFrame) = collectTopK(Hnsw.searchAuto(probes, idx, e,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3))
+    assert(run(loaded) == run(layered))
+    val wrong = java.nio.file.Files
+      .createTempDirectory("hnsw_bad").toString + "/bad"
+    e.limit(1).write.parquet(wrong)
+    val ex = intercept[IllegalArgumentException] {
+      TrainedState.loadHnswIndex(spark, wrong)
+    }
+    assert(ex.getMessage.contains("schema mismatch"))
+  }
+}

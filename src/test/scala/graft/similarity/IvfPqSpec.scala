@@ -173,4 +173,38 @@ class IvfPqSpec extends SparkTestBase {
     assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
     assert(recalls.last == 1.0, s"full walk below 1.0: $recalls")
   }
+
+  test("non-dividing numSub fails loudly at every PQ entry point — a " +
+      "silent subDim floor would drop tail dims from every ADC score") {
+    val queries = emb.filter(col("vec_id") < 2)
+    val idx = IvfPq.encode(emb, centroids, books, dim = 64, numSub = 8)
+    def expectDivFail(op: String)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("must divide"), s"$op: ${e.getMessage}")
+      assert(e.getMessage.contains(op), s"$op not named: ${e.getMessage}")
+    }
+    // dim=64, numSub=5: 64 % 5 != 0 — every entry must throw, not floor
+    expectDivFail("IvfPq.encode")(
+      IvfPq.encode(emb, centroids, books, dim = 64, numSub = 5))
+    expectDivFail("IvfPq.topKFromIndex")(
+      IvfPq.topKFromIndex(queries, idx, emb, k = 1, centroids, books,
+        dim = 64, numSub = 5, nprobe = 1, rerank = 1))
+    expectDivFail("IvfPq.topKFromIndexResidual")(
+      IvfPq.topKFromIndexResidual(queries, idx, emb, k = 1, centroids,
+        books, dim = 64, numSub = 5, nprobe = 1, rerank = 1))
+    expectDivFail("IvfPq.residualBooks")(
+      IvfPq.residualBooks(emb, centroids, dim = 64, numSub = 5, stride = 25))
+    expectDivFail("IvfPq.encodeResidual")(
+      IvfPq.encodeResidual(emb, centroids, books, dim = 64, numSub = 5))
+    expectDivFail("ProductQuantizer.codebooks")(
+      ProductQuantizer.codebooks(emb, dim = 64, numSub = 5, stride = 25))
+    expectDivFail("ProductQuantizer.codebooksKMeans")(
+      ProductQuantizer.codebooksKMeans(emb, dim = 64, numSub = 5, k = 4,
+        iters = 1))
+    expectDivFail("ProductQuantizer.encode")(
+      ProductQuantizer.encode(emb, books, dim = 64, numSub = 5))
+    expectDivFail("ProductQuantizer.topKWith")(
+      ProductQuantizer.topKWith(queries, emb, dim = 64, numSub = 5, k = 1,
+        books, rerank = 1))
+  }
 }

@@ -67,4 +67,37 @@ class StreamingDecontaminateSpec extends SparkTestBase {
         firstPass.filter(t => batches.head.contains(t._1)))
     } finally q.stop()
   }
+
+  test("an id that does not cast to BIGINT fails the trigger loudly — " +
+      "it must not silently vanish from the decision stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = docs.filter(col("doc_id") === 3L)
+      .select(col("doc_id").as("eval_id"), col("text"))
+      .localCheckpoint(true)
+    // a NULL id is the silent-vanish case: even under ANSI it casts to
+    // null without error, and the old inner join then dropped the row
+    // from the decision stream — neither admitted nor quarantined
+    val mem = MemoryStream[(Option[Long], String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingDecontaminate.admit(
+      mem.toDF().toDF("doc_id", "text"), eval,
+      textCol = "text", n = 8) { (df, _) =>
+      collected ++= df.select(col("doc_id")).collect()
+    }
+    try {
+      mem.addData((Some(17L), "perfectly clean text with nothing shared"))
+      q.processAllAvailable()
+      assert(collected.map(_.getLong(0)).toSet == Set(17L))
+      mem.addData((None, "some other clean text entirely"))
+      val e = intercept[Exception] {
+        q.processAllAvailable()
+        q.awaitTermination()
+      }
+      val msg = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(_.toString).mkString("\n")
+      assert(msg.contains("does not cast to BIGINT") ||
+        msg.contains("USER_RAISED_EXCEPTION"),
+        s"expected the loud cast failure, got: $msg")
+    } finally q.stop()
+  }
 }
