@@ -67,6 +67,45 @@ object Round20Queries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // GRAPH REPAIR after forget: affected sources re-derive their
+    // out-lists by saturating search over the post-forget graph. FULLY
+    // oracled WITHOUT betting on connectivity: the saturated visited
+    // set is exactly {entry} ∪ reachable(entry), which DuckDB computes
+    // with a recursive CTE over the kept edges — so the oracle replays
+    // the top-6 of (surviving out-edges ∪ reachable live nodes) per
+    // affected source whether or not the deletion fragmented the graph.
+    "e_ann_graph_repair" -> ((s, dir) => {
+      import s.implicits._
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val n = base.count().toInt
+      val edges = Similarity.bruteTopK(base, base, 6).localCheckpoint(true)
+      val del = Seq(5L, 23L, 41L, 999999L).toDF("vec_id")
+      val (repaired, _) = GraphAnn.graphForgetRepaired(edges, base, del,
+        entryId = 0L, beam = n, hops = n, degree = 6)
+      val affected = edges.filter(col("neighbor_id").isin(5L, 23L, 41L))
+        .filter(!col("query_id").isin(5L, 23L, 41L))
+        .select(col("query_id")).distinct()
+      repaired.join(affected, Seq("query_id"), "left_semi")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The repair receipts: graphForget's per-id accounting extended
+    // with n_repaired (distinct SURVIVING sources that pointed at the
+    // deleted id and had their out-lists re-derived) — pure rank
+    // arithmetic on the brute degree-6 graph, replayed in DuckDB
+    // including the never-indexed id's all-zero negative row.
+    "e_ann_graph_repair_receipts" -> ((s, dir) => {
+      import s.implicits._
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      val edges = Similarity.bruteTopK(base, base, 6)
+      val del = Seq(5L, 23L, 41L, 999999L).toDF("vec_id")
+      GraphAnn.forgetRepairReceipts(edges, del).orderBy(col("vec_id"))
     }))
 
   import Round13Queries.{cosSql, dotSql}
@@ -117,6 +156,93 @@ object Round20Queries {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    // Reachability-aware repair replay: the saturated repair search's
+    // visited set is exactly {entry} ∪ reachable(entry) over the kept
+    // edges — a recursive CTE — so the oracle holds whether or not the
+    // deletion fragmented the graph. NOTE the explicit DISTINCT in
+    // `cand`: inside a WITH RECURSIVE block DuckDB treats UNION in
+    // NON-recursive CTEs as UNION ALL (observed), so the engine's
+    // pair-dedup must be spelled out.
+    "e_ann_graph_repair" ->
+      (s"""WITH RECURSIVE emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
+         |ap AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |edges AS (
+         |  SELECT src, dst, s FROM (
+         |    SELECT src, dst, s,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap) t
+         |  WHERE r <= 6),
+         |del AS (SELECT CAST(v AS BIGINT) AS vec_id
+         |        FROM (VALUES (5), (23), (41), (999999)) AS t(v)),
+         |kept AS (
+         |  SELECT src, dst, s FROM edges
+         |  WHERE src NOT IN (SELECT vec_id FROM del)
+         |    AND dst NOT IN (SELECT vec_id FROM del)),
+         |reach AS (
+         |  SELECT CAST(0 AS BIGINT) AS node
+         |  UNION
+         |  SELECT k.dst FROM kept k JOIN reach r ON k.src = r.node),
+         |affected AS (
+         |  SELECT DISTINCT src AS query_id FROM edges
+         |  WHERE dst IN (SELECT vec_id FROM del)
+         |    AND src NOT IN (SELECT vec_id FROM del)),
+         |cand AS (
+         |  SELECT DISTINCT query_id, neighbor_id FROM (
+         |    SELECT a.query_id, r.node AS neighbor_id
+         |    FROM affected a JOIN reach r ON r.node <> a.query_id
+         |    UNION ALL
+         |    SELECT k.src AS query_id, k.dst AS neighbor_id FROM kept k
+         |      JOIN affected a ON k.src = a.query_id) u)
+         |SELECT query_id, rank, neighbor_id, ROUND(s, 6) AS cos_sim
+         |FROM (
+         |  SELECT c.query_id, c.neighbor_id, ap.s,
+         |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |      ORDER BY ap.s DESC, c.neighbor_id) AS rank
+         |  FROM cand c JOIN ap ON ap.src = c.query_id AND ap.dst = c.neighbor_id) t
+         |WHERE rank <= 6 ORDER BY query_id, rank""".stripMargin),
+
+    "e_ann_graph_repair_receipts" ->
+      (s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
+         |ap AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |edges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap) t
+         |  WHERE r <= 6),
+         |del AS (SELECT CAST(v AS BIGINT) AS vec_id
+         |        FROM (VALUES (5), (23), (41), (999999)) AS t(v)),
+         |outr AS (
+         |  SELECT src AS vec_id, COUNT(*) AS n_out FROM edges
+         |  WHERE src IN (SELECT vec_id FROM del) GROUP BY 1),
+         |inr AS (
+         |  SELECT dst AS vec_id, COUNT(*) AS n_in FROM edges
+         |  WHERE dst IN (SELECT vec_id FROM del) GROUP BY 1),
+         |rep AS (
+         |  SELECT dst AS vec_id, COUNT(DISTINCT src) AS n_rep FROM edges
+         |  WHERE dst IN (SELECT vec_id FROM del)
+         |    AND src NOT IN (SELECT vec_id FROM del)
+         |  GROUP BY 1)
+         |SELECT d.vec_id,
+         |  COALESCE(outr.n_out, 0) AS n_out_removed,
+         |  COALESCE(inr.n_in, 0) AS n_in_removed,
+         |  (COALESCE(outr.n_out, 0) + COALESCE(inr.n_in, 0)) > 0
+         |    AS was_indexed,
+         |  COALESCE(rep.n_rep, 0) AS n_repaired
+         |FROM del d
+         |LEFT JOIN outr ON outr.vec_id = d.vec_id
+         |LEFT JOIN inr ON inr.vec_id = d.vec_id
+         |LEFT JOIN rep ON rep.vec_id = d.vec_id
+         |ORDER BY d.vec_id""".stripMargin),
 
     "e_ann_hnsw" ->
       (s"""WITH emb AS (

@@ -473,14 +473,123 @@ object GraphAnn {
     * pointing at them, with a per-requested-id receipt (the
     * [[Similarity.ivfForget]] deletion-receipt convention — an absent id
     * confirms NEGATIVELY rather than vanishing). Remaining out-lists are
-    * NOT topped back up (a forget leaves degree holes by design — edge
-    * repair is a rebuild-or-reinsert decision the caller owns; search
-    * correctness degrades only in recall, never in soundness, because
-    * scoring always reads the live corpus).
+    * NOT topped back up here (a forget leaves degree holes by design —
+    * search correctness degrades only in recall, never in soundness,
+    * because scoring always reads the live corpus); [[graphRepair]] /
+    * [[graphForgetRepaired]] are the reinsert-by-search complement that
+    * heals the holes without a rebuild.
     *
     * @return (updated edges, receipts `(vec_id, n_out_removed,
     *         n_in_removed, was_indexed)`)
     */
+  /** REPAIR the degree holes a [[graphForget]] leaves: every AFFECTED
+    * source (one that lost an out-edge because its target was deleted)
+    * re-derives its out-list by SEARCHING the post-forget graph — the
+    * [[insertBySearch]] machinery pointed at healing instead of growth.
+    * The repaired out-list is the top-`degree` of (surviving out-edges ∪
+    * saturated-enough search results), so repair can only ADD recall
+    * over the hole-y graph, and with saturating `beam`/`hops` on a graph
+    * whose live nodes stay reachable from `entryId` it equals the
+    * out-lists a full rebuild would produce for those sources
+    * (spec-pinned; unreachable live nodes degrade it gracefully to
+    * "best reachable", never to unsoundness).
+    *
+    * Scale: the untouched remainder of the edge table passes through
+    * without a shuffle (broadcast anti-join on the bounded affected
+    * set); repair cost is one [[searchGraph]] over the affected batch
+    * (bounded by |deleteIds| × max in-degree — the deletion-batch
+    * contract) plus one window over the affected slice.
+    *
+    * @param affected `(vec_id)` sources to re-derive — callers usually
+    *                 get this from [[graphForgetRepaired]]
+    */
+  def graphRepair(keptEdges: DataFrame, liveCorpus: DataFrame,
+                  affected: DataFrame, entryId: Long, beam: Int,
+                  hops: Int, degree: Int): DataFrame = {
+    require(degree >= 1, s"graphRepair: degree=$degree must be >= 1")
+    val aff = broadcast(affected.select(col("vec_id")).distinct())
+    val queries = liveCorpus.join(aff, Seq("vec_id"))
+    val found = searchGraph(queries, keptEdges, liveCorpus, entryId, beam,
+      hops, degree)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val affectedOld = keptEdges
+      .join(aff.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    // the search re-finds surviving targets with the identical
+    // deterministic score, so the pair-dedup drops exact duplicates
+    val repairedSlice = affectedOld
+      .unionByName(found.select(col("query_id"), col("neighbor_id"),
+        col("cos_sim")))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= degree)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+    keptEdges
+      .join(aff.withColumnRenamed("vec_id", "query_id"), Seq("query_id"),
+        "left_anti")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+      .unionByName(repairedSlice)
+  }
+
+  /** [[graphForget]] + [[graphRepair]] in one lifecycle step, with the
+    * receipts extended by `n_repaired` — how many surviving sources
+    * lost an edge to each deleted id and had their out-list re-derived
+    * (0 for never-indexed ids, the negative-confirmation convention).
+    * The entry node must survive the deletion ([[searchGraph]]'s
+    * entry-in-corpus contract fails loudly otherwise — a repair routed
+    * through a deleted entry would silently heal nothing).
+    *
+    * @return (repaired edges, receipts `(vec_id, n_out_removed,
+    *         n_in_removed, was_indexed, n_repaired)`)
+    */
+  def graphForgetRepaired(edges: DataFrame, corpus: DataFrame,
+                          deleteIds: DataFrame, entryId: Long, beam: Int,
+                          hops: Int, degree: Int)
+      : (DataFrame, DataFrame) = {
+    val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
+    val (kept, _) = graphForget(edges, deleteIds)
+    val affected = affectedSources(edges, ids)
+    val live = corpus.join(ids, Seq("vec_id"), "left_anti")
+    val repaired = graphRepair(kept, live, affected, entryId, beam, hops,
+      degree)
+    (repaired, forgetRepairReceipts(edges, deleteIds))
+  }
+
+  /** Live sources that pointed at a deleted node — the set
+    * [[graphRepair]] re-derives. */
+  private def affectedSources(edges: DataFrame, ids: DataFrame): DataFrame =
+    edges
+      .join(ids.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .select(col("query_id").as("vec_id")).distinct()
+      .join(ids, Seq("vec_id"), "left_anti")
+
+  /** The [[graphForgetRepaired]] receipts WITHOUT running the repair
+    * search — pure edge-table accounting ([[graphForget]]'s receipts +
+    * `n_repaired`), for audit-first callers. The repair's hop loop is
+    * driver-eager at construction, so a receipts-only consumer must not
+    * pay for it. */
+  def forgetRepairReceipts(edges: DataFrame,
+                           deleteIds: DataFrame): DataFrame = {
+    val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
+    val (_, receipts) = graphForget(edges, deleteIds)
+    val nRepaired = edges
+      .join(ids.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      // deleted sources are gone, not repaired — they don't count
+      .join(ids.withColumnRenamed("vec_id", "query_id"), Seq("query_id"),
+        "left_anti")
+      .groupBy(col("neighbor_id").as("vec_id"))
+      .agg(countDistinct(col("query_id")).as("n_repaired"))
+    receipts.join(nRepaired, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_out_removed"), col("n_in_removed"),
+        col("was_indexed"),
+        coalesce(col("n_repaired"), lit(0L)).as("n_repaired"))
+  }
+
   def graphForget(edges: DataFrame,
                   deleteIds: DataFrame): (DataFrame, DataFrame) = {
     val ids = broadcast(deleteIds.select(col("vec_id")).distinct())

@@ -286,4 +286,65 @@ class GraphAnnSpec extends SparkTestBase {
       GraphAnn.searchGraph(e, edges, e, 0L, beam = 1, hops = 1, k = 0)
     }
   }
+
+  test("graphForgetRepaired: saturating repair == full rebuild over the " +
+      "remaining corpus; untouched sources bit-unchanged; receipts " +
+      "carry n_repaired") {
+    import spark.implicits._
+    val e = emb.filter(col("vec_id") < 60).localCheckpoint(true)
+    val n = e.count().toInt
+    val edges = Similarity.bruteTopK(e, e, 6).localCheckpoint(true)
+    val del = Seq(5L, 23L, 41L, 999999L).toDF("vec_id")
+    val (repaired0, receipts) = GraphAnn.graphForgetRepaired(
+      edges, e, del, entryId = 0L, beam = n, hops = n, degree = 6)
+    val repaired = repaired0.localCheckpoint(true)
+    val live = e.filter(!col("vec_id").isin(5L, 23L, 41L))
+    // rebuild reference: brute degree-6 graph over the remaining corpus
+    val rebuild = Similarity.bruteTopK(live, live, 6)
+    // sources whose rebuild out-list changed are exactly the affected
+    // set; saturating repair must match the rebuild for EVERY source —
+    // affected (healed to the true top-6, reachability permitting) and
+    // untouched (passed through verbatim) alike. A mismatch here means
+    // either repair missed a hole or connectivity broke (in which case
+    // degree 6 was mis-measured, which this test would surface).
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 9).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(norm(repaired) == norm(rebuild))
+    // receipts: n_repaired = distinct surviving sources that pointed at
+    // the deleted id; the never-indexed id confirms negatively
+    val recMap = receipts.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toMap
+    assert(recMap(999999L) == ((0L, 0L, false, 0L)))
+    val pointing = edges.filter(col("neighbor_id").isin(5L, 23L, 41L))
+      .filter(!col("query_id").isin(5L, 23L, 41L))
+    Seq(5L, 23L, 41L).foreach { id =>
+      val want = pointing.filter(col("neighbor_id") === id)
+        .select(col("query_id")).distinct().count()
+      assert(recMap(id)._4 == want, s"n_repaired for $id")
+      assert(recMap(id)._3, s"$id must read was_indexed")
+    }
+    // every repaired source is back at the full degree bound
+    val degCounts = repaired.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 6).count()
+    assert(degCounts == 0, "every surviving source must hold degree 6")
+  }
+
+  test("graphForgetRepaired fails loudly when the entry node itself was " +
+      "deleted — a repair routed through a dead entry heals nothing") {
+    import spark.implicits._
+    val e = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val edges = Similarity.bruteTopK(e, e, 4)
+    val ex = intercept[IllegalArgumentException] {
+      val (rep, _) = GraphAnn.graphForgetRepaired(edges, e,
+        Seq(0L).toDF("vec_id"), entryId = 0L, beam = 8, hops = 8,
+        degree = 4)
+      rep.collect()
+    }
+    assert(ex.getMessage.contains("is in the corpus"))
+  }
 }
