@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
     ext.injectFunction(GraftExtensions.fwhtRotateDescriptor)
     ext.injectFunction(GraftExtensions.arraySumAggDescriptor)
+    ext.injectFunction(GraftExtensions.poolSumDescriptor)
     // declarative dot-product folds → native codegen'd kernel
     ext.injectOptimizerRule(_ => graft.rules.RewriteDotProduct)
     // whole-operator extension: native as-of join (plans.AsOfJoinPlan →
@@ -107,6 +108,18 @@ object GraftExtensions {
       require(children.length == 1,
         s"array_sum_agg(arr) takes 1 argument, got ${children.length}")
       graft.functions.ArraySumAgg(children.head).toAggregateExpression()
+    })
+
+  val poolSumDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("pool_sum"),
+    new ExpressionInfo(classOf[graft.functions.PoolSumAgg].getName,
+      "pool_sum"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"pool_sum(embedding, dims) takes 2 arguments, got ${children.length}")
+      graft.functions.PoolSumAgg(children.head,
+        litInt(children(1), "pool_sum")).toAggregateExpression()
     })
 
   val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo,

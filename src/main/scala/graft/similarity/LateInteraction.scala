@@ -54,12 +54,32 @@ object LateInteraction {
     * which cancels NOWHERE here because only ranking under a fixed
     * query matters — callers needing means divide by `n_tokens`).
     * Output `(id, n_tokens, pool ARRAY<BIGINT>)`; `dims` fixes the
-    * array width (rows with other widths would corrupt the sum — the
-    * [[graft.functions.SignedProjectExpr]] malformed-input contract
-    * applies upstream). Gate-scale shape: one (id, dim) exchange then
-    * one id-grained collect; the 100 TB upgrade is a slotwise-sum
-    * TypedImperativeAggregate (the bottomk_by_hash extension point). */
+    * array width (rows with other widths fail LOUD — the
+    * [[graft.functions.SignedProjectExpr]] malformed-input contract).
+    *
+    * Exchange shape: ONE native [[graft.functions.PoolSumAgg]]
+    * aggregate — each map task folds its tokens into a (dims+1)-slot
+    * Long buffer and the shuffle carries one buffer per (id × task),
+    * vs the old (id, dim) explode's |tokens|·dims shuffle rows (the
+    * SCALE.md-named 100 TB wall; the explode twin survives as
+    * [[poolSumExplode]] and the bit-parity is spec-pinned — Long sums
+    * are associative-exact, so the two shapes can never diverge). */
   def poolSum(vecs: DataFrame, idCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"poolSum: dims=$dims must be >= 1")
+    vecs.groupBy(col(idCol).as("id"))
+      .agg(graft.functions.PoolSum.pool_sum(col("embedding"), dims).as("_p"))
+      .select(col("id"), col("_p.n_tokens").as("n_tokens"),
+        col("_p.pool").as("pool"))
+  }
+
+  /** The declarative (id, dim) explode twin of [[poolSum]] — kept as
+    * the parity reference (LateInteractionSpec pins bit-equality): the
+    * same quantize-round-sum pipeline expressed with posexplode +
+    * two exchanges. NOT the serving path — it ships |tokens|·dims
+    * shuffle rows where the native aggregate ships one buffer per
+    * (id × map task). */
+  private[graft] def poolSumExplode(vecs: DataFrame, idCol: String,
+                                    dims: Int): DataFrame = {
     require(dims >= 1, s"poolSum: dims=$dims must be >= 1")
     // the width/null checks live INSIDE the value expression — a
     // separate assert_true column would be dead-column-pruned by the

@@ -274,4 +274,30 @@ class MultimodalSpec extends SparkTestBase {
       .toSeq
     assert(got.toSeq == want)
   }
+
+  test("vadSegments decodes each audio payload EXACTLY once — the " +
+      "sample plane is shared across the threshold, island, and " +
+      "re-index stages (a re-executing decode subtree would double " +
+      "the dominant cost of every real-codec audio query)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 300)
+    val media = Multimodal.mediaFromDocuments(docs).localCheckpoint(true)
+    val nAudio = media.filter(col("kind") === "audio").count()
+    val acc = spark.sparkContext.longAccumulator("decodes")
+    val counting = new Multimodal.SampleDecoder {
+      def decodeSamples(payload: Array[Byte]): (Int, Array[Byte]) = {
+        acc.add(1)
+        Multimodal.AutoSampleDecoder.decodeSamples(payload)
+      }
+    }
+    val out = Multimodal.vadSegments(media, window = 400, tau = 94,
+      decoder = counting)
+    out.write.format("noop").mode("overwrite").save()
+    assert(acc.value == nAudio,
+      s"expected exactly $nAudio decodes, saw ${acc.value}")
+    // and the result itself matches the default-decoder path
+    assert(out.collect().map(_.toSeq).toSet ==
+      Multimodal.vadSegments(media, window = 400, tau = 94)
+        .collect().map(_.toSeq).toSet)
+  }
 }

@@ -64,6 +64,51 @@ class LateInteractionSpec extends SparkTestBase {
     }
   }
 
+  test("poolSum native aggregate == the explode twin bit-for-bit on gate " +
+      "token bags, and its plan carries NO posexplode below the " +
+      "aggregate (one buffer per (id, task) through the shuffle — the " +
+      "SCALE.md-named exchange upgrade)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val bags = emb.select((col("vec_id") % 100).as("doc_id"),
+      col("vec_id").as("token_idx"), col("embedding"))
+      .repartition(7) // odd partitioning: parity must hold regardless
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+        .toSet
+    val native = LateInteraction.poolSum(bags, "doc_id", dims = 64)
+    assert(norm(native) ==
+      norm(LateInteraction.poolSumExplode(bags, "doc_id", dims = 64)))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"poolSum plan must not explode token rows:\n$plan")
+    assert(plan.contains("pool_sum"),
+      s"poolSum plan must run the native aggregate:\n$plan")
+    // partial + final: the map side folds BEFORE the exchange
+    assert(plan.contains("partial_pool_sum") ||
+      plan.contains("partial pool_sum") ||
+      "ObjectHashAggregate.*pool_sum".r.findFirstIn(plan).isDefined,
+      s"pool_sum must partial-aggregate map-side:\n$plan")
+  }
+
+  test("pool_sum is SQL-registered with the same semantics") {
+    import spark.implicits._
+    // getOrCreate may reuse a session built without spark.sql.extensions —
+    // install the descriptor explicitly (the GraftExtensionsSpec pattern)
+    val (ident, _, builder) = graft.GraftExtensions.poolSumDescriptor
+    org.apache.spark.sql.graftshim.ColumnBridge.registerFunction(
+      spark, ident.funcName, builder)
+    val vecs = Seq((1L, Seq(0.5f, -0.25f)), (1L, Seq(1.0f, 0.125f)))
+      .toDF("doc_id", "embedding")
+    vecs.createOrReplaceTempView("pool_sum_in")
+    val got = spark.sql(
+      """SELECT doc_id, p.n_tokens, p.pool FROM (
+        |  SELECT doc_id, pool_sum(embedding, 2) AS p
+        |  FROM pool_sum_in GROUP BY doc_id)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(got.toSeq == Seq((1L, 2L, Seq(1500000L, -125000L))))
+  }
+
   test("funnel coarse stage is length-normalized: a short perfect doc " +
       "beats a long mediocre one into the shortlist") {
     import spark.implicits._
