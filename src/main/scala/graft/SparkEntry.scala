@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.Round17Queries.queries ++
       graft.queries.Round18Queries.queries ++
       graft.queries.Round19Queries.queries ++
-      graft.queries.Round20Queries.queries
+      graft.queries.Round20Queries.queries ++
+      graft.queries.Round21Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.Round17Queries.oracleSql ++
       graft.queries.Round18Queries.oracleSql ++
       graft.queries.Round19Queries.oracleSql ++
-      graft.queries.Round20Queries.oracleSql
+      graft.queries.Round20Queries.oracleSql ++
+      graft.queries.Round21Queries.oracleSql
 }

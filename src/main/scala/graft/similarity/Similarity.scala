@@ -422,6 +422,96 @@ object Similarity {
         .map(col): _*)
   }
 
+  /** Stride-sampled SUPER-CENTROIDS over a centroid table — the level-1
+    * quantizer for [[ivfAssignTwoLevel]]: every `stride`-th centroid
+    * becomes a super-centroid `(super_id, super_c)`, keeping its
+    * centroid_id as super_id. Sampling FROM the centroid table (rather
+    * than training supers independently) buys the non-emptiness
+    * invariant two-level assignment needs: each super-cell contains at
+    * least its own seed centroid, because the seed's nearest super is
+    * itself (cos(c,c) is maximal; the guarded tie-break is the same
+    * everywhere), so no probed super-cell can yield zero candidates. */
+  def superCentroids(centroidsDf: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"superCentroids: stride=$stride must be > 0")
+    centroidsDf.filter(pmod(col("centroid_id"), lit(stride)) === 0)
+      .select(col("centroid_id").as("super_id"),
+        col("centroid").as("super_c"))
+  }
+
+  /** TWO-LEVEL coarse assignment — the fix for [[ivfAssign]]'s n×C wall
+    * (SCALE.md: the flat argmin scores every vector against every
+    * centroid, which past ~10⁵ cells dominates the build). Structure
+    * (the FAISS IVF-on-IVF / two-level coarse quantizer shape): the C
+    * centroids are themselves quantized into S super-cells (each
+    * centroid belongs to its nearest super — [[ivfAssign]] applied to
+    * the CENTROID TABLE as corpus, so the tie-break is the repo argmin
+    * verbatim); each vector ranks only the S supers (map-only in-row
+    * walk over a collected super literal — the [[knnGraph]] trick; S is
+    * super-sized BY CONTRACT so the collect is bounded), probes its
+    * `fanout` nearest, and argmins over just those supers' member
+    * centroids. Per-vector cost: S + fanout·(C/S) average, vs C flat —
+    * with S ≈ √C that is O(√C) per vector, and the measured per-vector
+    * cost stays near-flat as C grows (SCALE.md round-11).
+    *
+    * EXACTNESS DIAL (spec-pinned): at `fanout >= S` every super is
+    * probed, every centroid is a candidate, and the final argmin — the
+    * same min_by((dist, centroid_id)) on the same guarded distances —
+    * is [[ivfAssign]] bit-for-bit. Below full fan-out the documented
+    * recall trade is a boundary vector whose true cell lives in an
+    * unprobed super (the [[knnGraphAdjacent]] trade one level up);
+    * every vector still gets an assignment (non-empty super-cells, see
+    * [[superCentroids]]) and output schema/row-count match
+    * [[ivfAssign]] exactly, so the result feeds every downstream IVF
+    * surface (probe, fold-in, rebalance, forget, PQ encode) unchanged.
+    *
+    * Scale ledger: one bounded collect (S supers); the centroid→super
+    * map is C-sized and broadcast; the corpus never crossJoins
+    * centroids — its only shuffle is the final per-vector argmin
+    * groupBy, map-side partial like [[ivfAssignWith]]. */
+  def ivfAssignTwoLevel(corpus: DataFrame, centroidsDf: DataFrame,
+                        superDf: DataFrame, fanout: Int): DataFrame = {
+    require(fanout >= 1, s"ivfAssignTwoLevel: fanout=$fanout must be >= 1")
+    // level-1: centroid → nearest super (the repo argmin, reused verbatim
+    // on the centroid table; carries the centroid payload for the
+    // candidate scoring below). C-sized by contract → broadcast.
+    val c2s = broadcast(
+      ivfAssign(
+        centroidsDf.select(col("centroid_id").as("vec_id"),
+          col("centroid").as("embedding")),
+        superDf.select(col("super_id").as("centroid_id"),
+          col("super_c").as("centroid")))
+        .select(col("vec_id").as("centroid_id"),
+          col("centroid_id").as("super_id"),
+          col("embedding").as("centroid")))
+    // level-0 probe: in-row walk over the collected super literal — the
+    // [[knnGraph]] shape (no corpus×supers shuffle, no corpus window);
+    // struct sort order (distance, super_id) is the argmin tie-break.
+    val sups = superDf
+      .select(col("super_id").cast("long"), col("super_c")).collect()
+    require(sups.nonEmpty, "ivfAssignTwoLevel: empty super-centroid table")
+    val supLit = array(sups.map { r =>
+      struct(lit(r.getLong(0)).as("sid"),
+        array(r.getSeq[Float](1).map(lit(_)): _*)
+          .cast("array<float>").as("c"))
+    }: _*)
+    val probes = corpus
+      .withColumn("_ps", explode(slice(array_sort(transform(supLit,
+        s => struct(
+          negCosGuarded(col("embedding"), s.getField("c")).as("d"),
+          s.getField("sid").as("sid")))), 1, fanout)))
+      .select(col("vec_id"), col("embedding"),
+        col("_ps").getField("sid").as("super_id"))
+    // final argmin over the probed supers' member centroids only —
+    // identical aggregation shape (and tie-break) to [[ivfAssignWith]]
+    probes.join(c2s, Seq("super_id"))
+      .withColumn("_cdist", negCosGuarded(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("centroid_id"),
+        struct(col("_cdist"), col("centroid_id"))).as("centroid_id"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+  }
+
   /** Fold a batch of new vectors into an existing codes index WITHOUT
     * retraining or re-scanning the indexed corpus: the batch alone is
     * assigned against the SAME centroids and appended. Because cell

@@ -34,7 +34,13 @@ object Round18ScaleMeasure {
     "d_lm_backoff",
     // round-10 additions — the new ANN operators' scaling behavior
     "e_ann_ivfpq_planted", "e_ann_ivfpq_recall", "e_ann_pq_rotated",
-    "e_ann_bq", "d_dedup_minhash_md5")
+    "e_ann_bq", "d_dedup_minhash_md5",
+    // round-11 refresh (VERDICT r10 item 7): the three heaviest
+    // round-10 queries — full train→persist→serve lifecycles, so their
+    // cost should scale with the SAMPLE-BOUNDED training side, not the
+    // corpus — plus the new two-level assignment
+    "e_ann_opq_trained", "e_ann_graph_pq", "e_ann_graph_incremental",
+    "e_ann_ivf_twolevel")
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
