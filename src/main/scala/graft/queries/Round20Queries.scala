@@ -113,7 +113,8 @@ object Round20Queries {
   /** One beam-search hop as CTEs over a per-(query, node) score table
     * `qs` — frontier cut at `beam`, expansion through `edges`, fresh
     * nodes folded in with their scores. `pfx` namespaces the chain. */
-  private def hopSql(pfx: String, i: Int, beam: Int, edges: String): String =
+  private[queries] def hopSql(pfx: String, i: Int, beam: Int,
+                              edges: String): String =
     s"""f$i$pfx AS (
        |  SELECT query_id, node FROM (
        |    SELECT query_id, node,

@@ -4,17 +4,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
-import graft.similarity.Similarity
+import graft.similarity.{Hnsw, Similarity}
 
 /** Round-11 additions (continued): the two-level coarse quantizer for
   * IVF assignment — the fix for the flat argmin's n×C wall SCALE.md
-  * documents past ~10⁵ cells. The whole hierarchy (centroid→super
-  * argmin, per-vector super probing, member-bounded final argmin)
-  * replays in DuckDB as CTE chains over the same kernel-exact cosine.
+  * documents past ~10⁵ cells — and the HNSW incremental-insert
+  * lifecycle (layer assignment by the same deterministic hash, per-layer
+  * insert-by-search). Both replay in DuckDB as CTE chains over the same
+  * kernel-exact cosine.
   */
 object Round21Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HNSW INCREMENTAL INSERT, full-output oracle: 6 held-out vectors
+    // (ids ≡ 7 mod 20) insert into the layered index built over the
+    // other 114 — batch levels from the SAME md5 hash, per-layer beam-3
+    // 2-hop search over the pre-batch layer graph, forward edges =
+    // top-4 results, reverse edges re-prune only the touched sources.
+    // The ENTIRE updated layered edge table is the output; DuckDB
+    // replays every layer's search trajectory, the forward ranks, and
+    // the touched-source re-prune windows (untouched rows keep their
+    // build ranks — passthrough is part of the contract).
+    "e_ann_hnsw_insert" -> ((s, dir) => {
+      val all = load(s, dir, "embeddings").filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding"))
+      val batch = all.filter(col("vec_id") % 20 === 7).localCheckpoint(true)
+      val pre = all.filter(col("vec_id") % 20 =!= 7).localCheckpoint(true)
+      val layered = Hnsw.buildIndex(pre, degree = 4, m = 4, maxLevel = 2)
+        .localCheckpoint(true)
+      val (entryId, _) = Hnsw.entryOf(Hnsw.levels(pre, m = 4, maxLevel = 2))
+      Hnsw.insert(layered, batch, pre, m = 4, maxLevel = 2, entryId,
+          beam = 3, hops = 2, degree = 4)
+        .select(col("layer"), col("query_id"), col("rank"),
+          col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("layer"), col("query_id"), col("rank"))
+    }),
+
+    // HNSW FORGET receipts: per-layer graphForget accounting merged to
+    // one row per requested id (totals across the 3 layers — a node's
+    // edges vanish from every layer it inhabits; nested membership
+    // means an upper-layer node loses edges at each layer below too),
+    // including the never-indexed id's all-zero negative row. Pure rank
+    // arithmetic over the per-layer degree-4 brute graphs, fully
+    // replayed in DuckDB.
+    "e_ann_hnsw_forget" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4, maxLevel = 2)
+      val del = Seq(7L, 44L, 999999L).toDF("vec_id")
+      val (_, receipts) = Hnsw.forget(layered, del, maxLevel = 2)
+      receipts.orderBy(col("vec_id"))
+    }),
 
     // Two-level assignment at REDUCED fan-out (fanout=2 of the S
     // supers) — the approximate production shape, fully replayed: the
@@ -38,7 +80,172 @@ object Round21Queries {
     })
   )
 
+  import Round13Queries.cosSql
+
+  /** One layer's insert replay: seed the layer's sub-batch at the
+    * global entry, run the hop recurrence ([[Round20Queries.hopSql]] at
+    * beam 3 × 2 hops over the PRE-insert layer edges `pe$l`), then
+    * forward top-`degree`, reverse swap, and the touched-source
+    * re-prune window; untouched sources keep their build ranks. */
+  private def insertLayerSql(l: Int, beam: Int, degree: Int): String = {
+    val p = s"_i$l"
+    Seq(
+      s"""v0$p AS (
+         |  SELECT b.vec_id AS query_id, (SELECT e FROM entry) AS node,
+         |    qs.score
+         |  FROM b$l b JOIN qs ON qs.query_id = b.vec_id
+         |    AND qs.node = (SELECT e FROM entry))""".stripMargin,
+      Round20Queries.hopSql(p, 1, beam, s"pe$l"),
+      Round20Queries.hopSql(p, 2, beam, s"pe$l"),
+      s"""fwd$p AS (
+         |  SELECT query_id, rank, neighbor_id, score FROM (
+         |    SELECT query_id, node AS neighbor_id, score,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, node) AS rank
+         |    FROM v2$p) t
+         |  WHERE rank <= $degree)""".stripMargin,
+      s"""rev$p AS (
+         |  SELECT neighbor_id AS query_id, query_id AS neighbor_id, score
+         |  FROM fwd$p)""".stripMargin,
+      s"""tch$p AS (SELECT DISTINCT query_id FROM rev$p)""",
+      s"""rep$p AS (
+         |  SELECT query_id, rank, neighbor_id, score FROM (
+         |    SELECT query_id, neighbor_id, score,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rank
+         |    FROM (
+         |      SELECT e.src AS query_id, e.dst AS neighbor_id, e.s AS score
+         |      FROM pe$l e JOIN tch$p t ON t.query_id = e.src
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, score FROM rev$p) u) t
+         |  WHERE rank <= $degree)""".stripMargin,
+      s"""upd$p AS (
+         |  SELECT e.src AS query_id, e.r AS rank, e.dst AS neighbor_id,
+         |    e.s AS score
+         |  FROM pe$l e
+         |  WHERE e.src NOT IN (SELECT query_id FROM tch$p)
+         |  UNION ALL
+         |  SELECT query_id, rank, neighbor_id, score FROM rep$p
+         |  UNION ALL
+         |  SELECT query_id, rank, neighbor_id, score FROM fwd$p)""".stripMargin
+    ).mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "e_ann_hnsw_insert" ->
+      (s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+         |ap AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |lv AS (
+         |  SELECT vec_id,
+         |    (CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END +
+         |     CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS level
+         |  FROM (SELECT vec_id,
+         |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+         |        AS BIGINT) AS h
+         |    FROM emb) t),
+         |entry AS (
+         |  SELECT min(vec_id) AS e FROM lv
+         |  WHERE vec_id % 20 <> 7
+         |    AND level = (SELECT max(level) FROM lv WHERE vec_id % 20 <> 7)),
+         |pe0 AS (
+         |  SELECT src, dst, s, r FROM (
+         |    SELECT src, dst, s,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap WHERE src % 20 <> 7 AND dst % 20 <> 7) t
+         |  WHERE r <= 4),
+         |pe1 AS (
+         |  SELECT src, dst, s, r FROM (
+         |    SELECT src, dst, s,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap WHERE src % 20 <> 7 AND dst % 20 <> 7
+         |      AND src IN (SELECT vec_id FROM lv WHERE level >= 1)
+         |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 1)) t
+         |  WHERE r <= 4),
+         |pe2 AS (
+         |  SELECT src, dst, s, r FROM (
+         |    SELECT src, dst, s,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap WHERE src % 20 <> 7 AND dst % 20 <> 7
+         |      AND src IN (SELECT vec_id FROM lv WHERE level >= 2)
+         |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 2)) t
+         |  WHERE r <= 4),
+         |qs AS (
+         |  SELECT src AS query_id, dst AS node, s AS score
+         |  FROM ap WHERE src % 20 = 7 AND dst % 20 <> 7),
+         |b0 AS (SELECT vec_id FROM emb WHERE vec_id % 20 = 7),
+         |b1 AS (SELECT b.vec_id FROM b0 b
+         |       JOIN lv ON lv.vec_id = b.vec_id AND lv.level >= 1),
+         |b2 AS (SELECT b.vec_id FROM b0 b
+         |       JOIN lv ON lv.vec_id = b.vec_id AND lv.level >= 2),
+         |""".stripMargin +
+        (0 to 2).map(l => insertLayerSql(l, beam = 3, degree = 4))
+          .mkString(",\n") + "\n" +
+        s"""SELECT layer, query_id, rank, neighbor_id,
+         |  ROUND(score, 6) AS cos_sim
+         |FROM (
+         |  SELECT 0 AS layer, * FROM upd_i0
+         |  UNION ALL SELECT 1 AS layer, * FROM upd_i1
+         |  UNION ALL SELECT 2 AS layer, * FROM upd_i2)
+         |ORDER BY layer, query_id, rank""".stripMargin),
+
+    "e_ann_hnsw_forget" ->
+      (s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+         |ap AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |lv AS (
+         |  SELECT vec_id,
+         |    (CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END +
+         |     CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS level
+         |  FROM (SELECT vec_id,
+         |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+         |        AS BIGINT) AS h
+         |    FROM emb) t),
+         |alledges AS (
+         |  SELECT 0 AS layer, src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap) t WHERE r <= 4
+         |  UNION ALL
+         |  SELECT 1 AS layer, src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap
+         |    WHERE src IN (SELECT vec_id FROM lv WHERE level >= 1)
+         |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 1)) t
+         |  WHERE r <= 4
+         |  UNION ALL
+         |  SELECT 2 AS layer, src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap
+         |    WHERE src IN (SELECT vec_id FROM lv WHERE level >= 2)
+         |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 2)) t
+         |  WHERE r <= 4),
+         |del AS (SELECT CAST(v AS BIGINT) AS vec_id
+         |        FROM (VALUES (7), (44), (999999)) AS t(v)),
+         |outr AS (
+         |  SELECT src AS vec_id, COUNT(*) AS n_out FROM alledges
+         |  WHERE src IN (SELECT vec_id FROM del) GROUP BY 1),
+         |inr AS (
+         |  SELECT dst AS vec_id, COUNT(*) AS n_in FROM alledges
+         |  WHERE dst IN (SELECT vec_id FROM del) GROUP BY 1)
+         |SELECT d.vec_id,
+         |  COALESCE(outr.n_out, 0) AS n_out_removed,
+         |  COALESCE(inr.n_in, 0) AS n_in_removed,
+         |  (COALESCE(outr.n_out, 0) + COALESCE(inr.n_in, 0)) > 0
+         |    AS was_indexed
+         |FROM del d
+         |LEFT JOIN outr ON outr.vec_id = d.vec_id
+         |LEFT JOIN inr ON inr.vec_id = d.vec_id
+         |ORDER BY d.vec_id""".stripMargin),
 
     "e_ann_ivf_twolevel" ->
       s"""WITH cents AS (

@@ -147,6 +147,91 @@ object Hnsw {
       beam, hops, k, allowed = None, includeSelf = false)
   }
 
+  /** INCREMENTAL INSERT into a layered index — the HNSW growth path,
+    * completing the hierarchy's lifecycle parity with the flat graph
+    * ([[GraphAnn.insertBySearch]]), IVF ([[Similarity.ivfFoldIn]]) and
+    * PQ ([[IvfPq.foldIn]]) families: each new vector draws its top
+    * layer from the SAME deterministic hash as [[levels]] (so an
+    * incrementally-grown index and a rebuilt one agree on every node's
+    * layer membership — no RNG state to persist), and then runs the
+    * flat insert-by-search INDEPENDENTLY at every layer it joins:
+    * forward edges = its `degree` nearest search results over that
+    * layer's pre-batch graph, reverse edges re-prune only the touched
+    * sources' out-lists. Nested membership is preserved by
+    * construction (level ≥ ℓ inserts into every layer ≤ ℓ).
+    *
+    * Batch semantics are [[GraphAnn.insertBySearch]]'s bulk-parallel
+    * approximation per layer (batch-mates don't link within one call —
+    * single-vector sequential insertion equals a rebuild under
+    * saturating budgets, spec-pinned). The ENTRY is the caller's: insert
+    * never re-elects it, even when a batch node's level exceeds the
+    * current top — [[searchAuto]] re-derives the entry from the edge
+    * table per serve, so a higher-layer arrival starts steering entry
+    * election on the next serve without any state handoff.
+    *
+    * Scale: per layer, cost is one bounded-batch search plus the
+    * touched-slice re-prune; upper layers see geometrically fewer batch
+    * members (P(level ≥ ℓ) = m^-ℓ), so the whole insert costs ~the
+    * layer-0 insert — and the corpus-sized edge remainder passes
+    * through unshuffled at every layer.
+    *
+    * @param corpus the PRE-BATCH indexed corpus (embeddings the graph's
+    *               node ids resolve against — the searchGraph contract)
+    * @return the updated layered edge table, [[buildIndex]] schema
+    */
+  def insert(layered: DataFrame, batch: DataFrame, corpus: DataFrame,
+             m: Int, maxLevel: Int, entryId: Long, beam: Int, hops: Int,
+             degree: Int): DataFrame = {
+    require(degree >= 1, s"Hnsw.insert: degree=$degree must be >= 1")
+    val lv = levels(batch, m, maxLevel)
+    (0 to maxLevel).map { l =>
+      val sub = batch.join(
+        lv.filter(col("level") >= l).select(col("vec_id")), Seq("vec_id"))
+      GraphAnn.insertBySearch(
+          layered.filter(col("layer") === l)
+            .select(col("query_id"), col("rank"), col("neighbor_id"),
+              col("cos_sim")),
+          corpus, sub, entryId, beam, hops, degree)
+        .select(lit(l).as("layer"), col("query_id"), col("rank"),
+          col("neighbor_id"), col("cos_sim"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** FORGET a set of node ids from every layer — [[GraphAnn.graphForget]]
+    * applied per layer (a node's edges vanish from each layer it
+    * inhabits; nested membership means a deleted upper-layer node also
+    * leaves every layer below), with the per-layer receipts MERGED into
+    * one row per requested id (totals across layers; the negative
+    * confirmation for never-indexed ids survives the merge). Degree
+    * holes are left by design, exactly like the flat forget —
+    * [[GraphAnn.graphRepair]] heals any single layer's holes if needed.
+    * Deleting the current entry is SAFE at the index level:
+    * [[searchAuto]] re-elects the entry from the surviving edge table
+    * (lowest id at the highest remaining layer) on the next serve.
+    *
+    * @return (updated layered edges, receipts `(vec_id, n_out_removed,
+    *         n_in_removed, was_indexed)` — totals across layers)
+    */
+  def forget(layered: DataFrame, deleteIds: DataFrame, maxLevel: Int)
+      : (DataFrame, DataFrame) = {
+    val perLayer = (0 to maxLevel).map { l =>
+      val (e, r) = GraphAnn.graphForget(
+        layered.filter(col("layer") === l)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("cos_sim")),
+        deleteIds)
+      (e.select(lit(l).as("layer"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_sim")), r)
+    }
+    val edges = perLayer.map(_._1).reduce(_.unionByName(_))
+    val receipts = perLayer.map(_._2).reduce(_.unionByName(_))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("n_out_removed")).as("n_out_removed"),
+        sum(col("n_in_removed")).as("n_in_removed"),
+        max(col("was_indexed")).as("was_indexed"))
+    (edges, receipts)
+  }
+
   /** [[search]] with the entry derived from the index itself — the
     * serving-time convenience (build → save → load → search without
     * re-deriving levels): entry = lowest id at the highest layer

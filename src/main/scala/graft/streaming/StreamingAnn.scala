@@ -91,6 +91,44 @@ object StreamingAnn {
         indexPath),
       corpus, entryId, beam, hops, k, availableNow)(sink)
 
+  /** Serve `k` neighbors per streamed query through the HNSW hierarchy
+    * ([[graft.similarity.Hnsw.search]] per micro-batch — the
+    * one-code-path convention, so every batch contract incl.
+    * saturating==brute carries verbatim): the ENTRY is elected ONCE at
+    * stream start from the layered edge table (the lowest id at the
+    * highest present layer — [[graft.similarity.Hnsw.searchAuto]]'s
+    * rule; a per-trigger election would re-scan the index every batch
+    * for a value that only changes when the index does), then every
+    * trigger descends the upper layers and beam-searches layer 0. */
+  def serveHnsw(queries: DataFrame, layered: DataFrame, corpus: DataFrame,
+                beamUpper: Int, hopsUpper: Int, beam: Int, hops: Int,
+                k: Int, availableNow: Boolean = false)
+               (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val top = layered.orderBy(col("layer").desc, col("query_id").asc)
+      .select(col("query_id"), col("layer")).limit(1).collect()
+    require(top.nonEmpty, "serveHnsw: empty layered index")
+    val (entryId, entryLevel) = (top(0).getLong(0), top(0).getInt(1))
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.Hnsw.search(batch, layered, corpus,
+          entryId, entryLevel, beamUpper, hopsUpper, beam, hops, k),
+          batchId)
+      }
+  }
+
+  /** [[serveHnsw]] against the PERSISTED layered artifact
+    * ([[graft.similarity.TrainedState.loadHnswIndex]], schema
+    * fail-fast) — the restart path: load + entry election once, serve
+    * every trigger from the same layer tables. */
+  def serveHnswFromSaved(queries: DataFrame, corpus: DataFrame,
+                         indexPath: String, beamUpper: Int, hopsUpper: Int,
+                         beam: Int, hops: Int, k: Int,
+                         availableNow: Boolean = false)
+                        (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    serveHnsw(queries,
+      graft.similarity.TrainedState.loadHnswIndex(corpus.sparkSession,
+        indexPath),
+      corpus, beamUpper, hopsUpper, beam, hops, k, availableNow)(sink)
+
   /** Serve `k` neighbors per streamed query DiskANN-style
     * ([[graft.similarity.GraphAnn.searchGraphPq]] per micro-batch — the
     * one-code-path convention, so the saturating==brute contract carries

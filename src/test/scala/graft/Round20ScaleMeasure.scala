@@ -48,10 +48,16 @@ object Round20ScaleMeasure {
 
     // (centroid stride, super stride): supers ≈ √C, fanout constant —
     // super strides are multiples of the centroid stride so the stride
-    // filter composes (centroid ids are multiples of the cell stride)
-    val configs = Seq((50, 1000), (10, 500), (2, 200))
+    // filter composes (centroid ids are multiples of the cell stride).
+    // SPARK_GRAFT_R20_CONFIGS=cs:ss,cs:ss overrides (isolation tool).
+    val configs = sys.env.get("SPARK_GRAFT_R20_CONFIGS")
+      .map(_.split(",").toSeq.map { s =>
+        val Array(a, b) = s.split(":"); (a.toInt, b.toInt)
+      })
+      .getOrElse(Seq((50, 1000), (10, 500), (2, 200)))
     println("[r20scale] C,S,flat_s,twolevel_s,agree_pct")
     configs.foreach { case (cs, ss) =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val cents = emb.filter(pmod(col("vec_id"), lit(cs)) === 0)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("centroid")).localCheckpoint(true)
@@ -76,6 +82,14 @@ object Round20ScaleMeasure {
         .agg(avg(when(col("a") === col("b"), 1.0).otherwise(0.0)))
         .head.getDouble(0)
       println(f"[r20scale] $cN,$sN,$flatS%.2f,$twoS%.2f,${agree * 100}%.1f")
+      // per-config hygiene: drop the config's checkpointed cents/supers
+      // and any staged blocks — three configs' leftovers in one JVM
+      // OOM'd the C=10⁴ flat crossJoin before this (each config is
+      // self-contained; only `emb` persists across them — the
+      // Round18ScaleMeasure snapshot-diff convention)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
     }
     println(s"[r20scale] corpus n=$n")
     spark.stop()

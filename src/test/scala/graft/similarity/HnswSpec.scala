@@ -102,6 +102,108 @@ class HnswSpec extends SparkTestBase {
       "searchAuto must derive the same entry the level table yields")
   }
 
+  private def normLayered(df: DataFrame) =
+    df.select(col("layer"), col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cos_sim"), 9).as("cos"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+
+  test("insert: a batch node's out-edges land in exactly layers " +
+      "0..level(v) (nested membership from the shared hash), the degree " +
+      "bound holds everywhere, and untouched sources pass through " +
+      "bit-unchanged") {
+    val all = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    val batch = all.filter(col("vec_id") % 20 === 7).localCheckpoint(true)
+    val pre = all.filter(col("vec_id") % 20 =!= 7).localCheckpoint(true)
+    val layered = Hnsw.buildIndex(pre, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val (entryId, _) = Hnsw.entryOf(Hnsw.levels(pre, m = 4, maxLevel = 2))
+    val upd = Hnsw.insert(layered, batch, pre, m = 4, maxLevel = 2,
+      entryId, beam = 3, hops = 2, degree = 4).localCheckpoint(true)
+    val lv = Hnsw.levels(batch, m = 4, maxLevel = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val outLayers = upd
+      .join(batch.select(col("vec_id").as("query_id")), Seq("query_id"))
+      .select(col("query_id"), col("layer")).distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    assert(lv.nonEmpty)
+    lv.foreach { case (id, l) =>
+      assert(outLayers(id) == (0 to l).toSet,
+        s"node $id (level $l) has out-edges in layers ${outLayers(id)}")
+    }
+    assert(upd.groupBy(col("layer"), col("query_id")).count()
+      .filter(col("count") > 4).isEmpty, "degree bound violated")
+    // untouched = sources no batch forward edge points at (per layer)
+    val touched = upd
+      .join(batch.select(col("vec_id").as("query_id")), Seq("query_id"))
+      .select(col("layer"), col("neighbor_id").as("query_id")).distinct()
+    val batchSrc = batch.select(col("vec_id").as("query_id"))
+    def untouchedOf(df: DataFrame) = normLayered(
+      df.join(touched, Seq("layer", "query_id"), "left_anti")
+        .join(batchSrc, Seq("query_id"), "left_anti"))
+    assert(untouchedOf(upd) == untouchedOf(layered),
+      "untouched sources must pass through bit-unchanged")
+  }
+
+  test("sequential single-vector insert with saturating budgets == a " +
+      "full rebuild over the final corpus, per layer, ranks and all") {
+    val all = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val n = all.count().toInt
+    val a = all.filter(col("vec_id") === 7).localCheckpoint(true)
+    val b = all.filter(col("vec_id") === 23).localCheckpoint(true)
+    val pre = all.filter(!col("vec_id").isin(7L, 23L)).localCheckpoint(true)
+    val built = Hnsw.buildIndex(pre, degree = n, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val (entryId, _) = Hnsw.entryOf(Hnsw.levels(pre, m = 4, maxLevel = 2))
+    val afterA = Hnsw.insert(built, a, pre, m = 4, maxLevel = 2, entryId,
+      beam = n, hops = n, degree = n).localCheckpoint(true)
+    val corpusA = pre.unionByName(a).localCheckpoint(true)
+    val afterB = Hnsw.insert(afterA, b, corpusA, m = 4, maxLevel = 2,
+      entryId, beam = n, hops = n, degree = n).localCheckpoint(true)
+    val rebuilt = Hnsw.buildIndex(all, degree = n, m = 4, maxLevel = 2)
+    assert(normLayered(afterB) == normLayered(rebuilt),
+      "saturating sequential insert must equal the rebuilt index")
+  }
+
+  test("forget: deleted ids (including the ENTRY) vanish from both " +
+      "columns of every layer, merged receipts match per-layer edge " +
+      "arithmetic with the negative confirmation, and searchAuto " +
+      "re-elects an entry from the survivors and still serves") {
+    import spark.implicits._
+    val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val (entryId, _) = Hnsw.entryOf(Hnsw.levels(e, m = 4, maxLevel = 2))
+    val other = if (entryId == 13L) 14L else 13L
+    val del = Seq(entryId, other, 999999L).toDF("vec_id")
+    val (kept, receipts) = Hnsw.forget(layered, del, maxLevel = 2)
+    val keptM = kept.localCheckpoint(true)
+    assert(keptM.filter(col("query_id").isin(entryId, other) ||
+      col("neighbor_id").isin(entryId, other)).isEmpty)
+    // receipts == direct edge arithmetic over the pre-forget table
+    val got = receipts.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    Seq(entryId, other).foreach { id =>
+      val nOut = layered.filter(col("query_id") === id).count()
+      val nIn = layered.filter(col("neighbor_id") === id).count()
+      assert(got(id) == ((nOut, nIn, true)), s"receipt mismatch for $id")
+    }
+    assert(got(999999L) == ((0L, 0L, false)), "negative confirmation")
+    // serving survives entry deletion: searchAuto re-elects from the
+    // surviving edge table
+    val live = e.filter(!col("vec_id").isin(entryId, other))
+    val probes = live.filter(col("vec_id") % 16 === 3)
+    val served = Hnsw.searchAuto(probes, keptM, live,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3)
+      .localCheckpoint(true)
+    assert(served.count() > 0)
+    assert(served.filter(col("neighbor_id").isin(entryId, other)).isEmpty,
+      "forgotten ids must never be served")
+  }
+
   test("persistence round-trip: search(loadHnswIndex(save(build))) == " +
       "search(in-memory); wrong artifact fails fast") {
     val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)

@@ -544,4 +544,42 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(keyed2(collected.toSeq) == keyed2(batchRef.toSeq))
     assert(collected.nonEmpty)
   }
+
+  test("serveHnsw: streamed hierarchical search through the persisted " +
+      "layered artifact == batch Hnsw.searchAuto across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    val layered = graft.similarity.Hnsw.buildIndex(corpus, degree = 4,
+      m = 4, maxLevel = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hserve").toString + "/hnsw"
+    graft.similarity.TrainedState.saveHnswIndex(layered, path)
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L, 9L))
+    val qVecs = emb.filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveHnswFromSaved(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, path,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRef = graft.similarity.Hnsw.searchAuto(
+      emb.filter(col("vec_id").isin(1L, 3L, 5L, 9L)),
+      graft.similarity.TrainedState.loadHnswIndex(spark, path), corpus,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3).collect()
+    def keyedH(rows: Seq[Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyedH(collected.toSeq) == keyedH(batchRef.toSeq),
+      "streamed HNSW top-k diverged from the batch plan")
+    assert(collected.nonEmpty)
+  }
 }
