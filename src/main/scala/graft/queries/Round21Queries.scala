@@ -58,6 +58,69 @@ object Round21Queries {
       receipts.orderBy(col("vec_id"))
     }),
 
+    // HNSW FORGET+REPAIR: each layer drops the deleted ids' rows, then
+    // the layer's affected surviving sources re-derive their out-lists
+    // by saturating search over the layer's post-forget graph (repair
+    // entry elected per layer — lowest surviving source — because one
+    // deleted id IS an upper-layer node). Deletion set is itself
+    // oracle-derived (the two lowest upper-layer ids, the lowest
+    // layer-0-only id, and a never-indexed id), so both sides agree on
+    // it without hardcoding hash outcomes. Output = the repaired
+    // affected slices per layer; DuckDB replays the saturated walk
+    // reachability-aware (per-layer recursive CTE over kept edges).
+    "e_ann_hnsw_repair" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val n = corpus.count().toInt
+      val lv = Hnsw.levels(corpus, m = 4, maxLevel = 2).localCheckpoint(true)
+      val upper2 = lv.filter(col("level") >= 1).orderBy(col("vec_id"))
+        .limit(2).collect().map(_.getLong(0)).toSeq
+      val low1 = lv.filter(col("level") === 0).agg(min(col("vec_id")))
+        .collect()(0).getLong(0)
+      val del = (upper2 :+ low1 :+ 999999L).toDF("vec_id")
+        .localCheckpoint(true)
+      val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4, maxLevel = 2)
+        .localCheckpoint(true)
+      val (repaired, _) = Hnsw.forgetRepaired(layered, corpus, del,
+        maxLevel = 2, beam = n, hops = n, degree = 4)
+      val affectedPairs = (0 to 2).map { l =>
+        layered.filter(col("layer") === l)
+          .join(del.withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("neighbor_id"))
+          .join(del.withColumnRenamed("vec_id", "query_id"),
+            Seq("query_id"), "left_anti")
+          .select(lit(l).as("layer"), col("query_id")).distinct()
+      }.reduce(_.unionByName(_))
+      repaired.join(affectedPairs, Seq("layer", "query_id"), "left_semi")
+        .select(col("layer"), col("query_id"), col("rank"),
+          col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("layer"), col("query_id"), col("rank"))
+    }),
+
+    // The layered repair receipts: per-layer forget accounting plus
+    // n_repaired (distinct surviving sources per layer that pointed at
+    // the deleted id), totals across layers — a source affected at two
+    // layers counts twice, one re-derivation per layer. Pure rank
+    // arithmetic over the per-layer brute graphs, fully replayed.
+    "e_ann_hnsw_repair_receipts" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val n = corpus.count().toInt
+      val lv = Hnsw.levels(corpus, m = 4, maxLevel = 2).localCheckpoint(true)
+      val upper2 = lv.filter(col("level") >= 1).orderBy(col("vec_id"))
+        .limit(2).collect().map(_.getLong(0)).toSeq
+      val low1 = lv.filter(col("level") === 0).agg(min(col("vec_id")))
+        .collect()(0).getLong(0)
+      val del = (upper2 :+ low1 :+ 999999L).toDF("vec_id")
+        .localCheckpoint(true)
+      val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4, maxLevel = 2)
+      val (_, receipts) = Hnsw.forgetRepaired(layered, corpus, del,
+        maxLevel = 2, beam = n, hops = n, degree = 4)
+      receipts.orderBy(col("vec_id"))
+    }),
+
     // Two-level assignment at REDUCED fan-out (fanout=2 of the S
     // supers) — the approximate production shape, fully replayed: the
     // centroid table (stride 50) is itself quantized into supers
@@ -131,7 +194,136 @@ object Round21Queries {
     ).mkString(",\n")
   }
 
+  /** Shared preamble for the repair twins: the < 100 corpus, all-pairs
+    * cosine, md5 levels, the oracle-derived deletion set, and the
+    * per-layer degree-4 brute graphs `e0..e2` (with scores and ranks). */
+  private def repairPreambleSql: String =
+    s"""emb AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+       |ap AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${cosSql("a.embedding", "b.embedding")} AS s
+       |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |lv AS (
+       |  SELECT vec_id,
+       |    (CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END +
+       |     CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS level
+       |  FROM (SELECT vec_id,
+       |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+       |        AS BIGINT) AS h
+       |    FROM emb) t),
+       |del AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id FROM lv WHERE level >= 1
+       |    ORDER BY vec_id LIMIT 2) t
+       |  UNION ALL
+       |  SELECT min(vec_id) FROM lv WHERE level = 0
+       |  UNION ALL
+       |  SELECT CAST(999999 AS BIGINT)),
+       |e0 AS (
+       |  SELECT src, dst, s, r FROM (
+       |    SELECT src, dst, s,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+       |    FROM ap) t WHERE r <= 4),
+       |e1 AS (
+       |  SELECT src, dst, s, r FROM (
+       |    SELECT src, dst, s,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+       |    FROM ap WHERE src IN (SELECT vec_id FROM lv WHERE level >= 1)
+       |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 1)) t
+       |  WHERE r <= 4),
+       |e2 AS (
+       |  SELECT src, dst, s, r FROM (
+       |    SELECT src, dst, s,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+       |    FROM ap WHERE src IN (SELECT vec_id FROM lv WHERE level >= 2)
+       |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 2)) t
+       |  WHERE r <= 4)""".stripMargin
+
+  /** One layer's repair replay: kept edges, affected sources, per-layer
+    * entry (lowest surviving source), the reachable set over kept edges
+    * (recursive CTE — the saturated walk's visited set, so the replay
+    * holds even if the deletion fragments the layer), candidates =
+    * reachable ∪ surviving out-edges, top-`degree` re-rank. NOTE the
+    * explicit DISTINCT in `cand`: inside a WITH RECURSIVE block DuckDB
+    * treats UNION in non-recursive CTEs as UNION ALL (observed at
+    * e_ann_graph_repair), so the engine's pair-dedup must be spelled
+    * out. */
+  private def repairLayerSql(l: Int, degree: Int): String =
+    s"""kept$l AS (
+       |  SELECT src, dst, s FROM e$l
+       |  WHERE src NOT IN (SELECT vec_id FROM del)
+       |    AND dst NOT IN (SELECT vec_id FROM del)),
+       |aff$l AS (
+       |  SELECT DISTINCT src AS query_id FROM e$l
+       |  WHERE dst IN (SELECT vec_id FROM del)
+       |    AND src NOT IN (SELECT vec_id FROM del)),
+       |ent$l AS (
+       |  SELECT min(src) AS e FROM e$l
+       |  WHERE src NOT IN (SELECT vec_id FROM del)),
+       |reach$l AS (
+       |  SELECT (SELECT e FROM ent$l) AS node
+       |  UNION
+       |  SELECT k.dst FROM kept$l k JOIN reach$l r ON k.src = r.node),
+       |cand$l AS (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT a.query_id, r.node AS neighbor_id
+       |    FROM aff$l a JOIN reach$l r ON r.node <> a.query_id
+       |    UNION ALL
+       |    SELECT k.src AS query_id, k.dst AS neighbor_id
+       |    FROM kept$l k JOIN aff$l a ON k.src = a.query_id) u),
+       |rep$l AS (
+       |  SELECT query_id, rank, neighbor_id, s FROM (
+       |    SELECT c.query_id, c.neighbor_id, ap.s,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |        ORDER BY ap.s DESC, c.neighbor_id) AS rank
+       |    FROM cand$l c JOIN ap ON ap.src = c.query_id
+       |      AND ap.dst = c.neighbor_id) t
+       |  WHERE rank <= $degree)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "e_ann_hnsw_repair" ->
+      ("WITH RECURSIVE " + repairPreambleSql + ",\n" +
+        (0 to 2).map(l => repairLayerSql(l, degree = 4)).mkString(",\n") +
+        "\n" +
+        s"""SELECT layer, query_id, rank, neighbor_id,
+         |  ROUND(s, 6) AS cos_sim
+         |FROM (
+         |  SELECT 0 AS layer, * FROM rep0
+         |  UNION ALL SELECT 1 AS layer, * FROM rep1
+         |  UNION ALL SELECT 2 AS layer, * FROM rep2)
+         |ORDER BY layer, query_id, rank""".stripMargin),
+
+    "e_ann_hnsw_repair_receipts" ->
+      ("WITH " + repairPreambleSql + ",\n" +
+        s"""alledges AS (
+         |  SELECT 0 AS layer, src, dst FROM e0
+         |  UNION ALL SELECT 1 AS layer, src, dst FROM e1
+         |  UNION ALL SELECT 2 AS layer, src, dst FROM e2),
+         |outr AS (
+         |  SELECT src AS vec_id, COUNT(*) AS n_out FROM alledges
+         |  WHERE src IN (SELECT vec_id FROM del) GROUP BY 1),
+         |inr AS (
+         |  SELECT dst AS vec_id, COUNT(*) AS n_in FROM alledges
+         |  WHERE dst IN (SELECT vec_id FROM del) GROUP BY 1),
+         |repc AS (
+         |  SELECT vec_id, COUNT(*) AS n_rep FROM (
+         |    SELECT DISTINCT layer, src, dst AS vec_id FROM alledges
+         |    WHERE dst IN (SELECT vec_id FROM del)
+         |      AND src NOT IN (SELECT vec_id FROM del)) t
+         |  GROUP BY 1)
+         |SELECT d.vec_id,
+         |  COALESCE(outr.n_out, 0) AS n_out_removed,
+         |  COALESCE(inr.n_in, 0) AS n_in_removed,
+         |  (COALESCE(outr.n_out, 0) + COALESCE(inr.n_in, 0)) > 0
+         |    AS was_indexed,
+         |  COALESCE(repc.n_rep, 0) AS n_repaired
+         |FROM del d
+         |LEFT JOIN outr ON outr.vec_id = d.vec_id
+         |LEFT JOIN inr ON inr.vec_id = d.vec_id
+         |LEFT JOIN repc ON repc.vec_id = d.vec_id
+         |ORDER BY d.vec_id""".stripMargin),
 
     "e_ann_hnsw_insert" ->
       (s"""WITH emb AS (

@@ -559,8 +559,11 @@ object GraphAnn {
   }
 
   /** Live sources that pointed at a deleted node — the set
-    * [[graphRepair]] re-derives. */
-  private def affectedSources(edges: DataFrame, ids: DataFrame): DataFrame =
+    * [[graphRepair]] re-derives. Package-visible so the layered
+    * composition ([[Hnsw.forgetRepaired]]) derives the same set per
+    * layer instead of re-spelling the join. */
+  private[similarity] def affectedSources(edges: DataFrame,
+                                          ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("vec_id", "neighbor_id"),
         Seq("neighbor_id"))

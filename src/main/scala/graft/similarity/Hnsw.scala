@@ -232,6 +232,82 @@ object Hnsw {
     (edges, receipts)
   }
 
+  /** [[forget]] + per-layer [[GraphAnn.graphRepair]] in one lifecycle
+    * step — the layered analog of [[GraphAnn.graphForgetRepaired]]:
+    * each layer drops the deleted ids' rows, then the layer's AFFECTED
+    * surviving sources (those that pointed at a deleted id AT THAT
+    * layer) re-derive their out-lists by a saturating-enough search
+    * over the layer's post-forget graph. With saturating budgets the
+    * result equals [[buildIndex]] over the live corpus, layer tags and
+    * all (spec-pinned): untouched sources keep their build out-lists
+    * verbatim (none of their top-`degree` targets were deleted, so the
+    * rebuild agrees), and repaired sources get their true live
+    * top-`degree`, reachability permitting.
+    *
+    * The repair entry is elected PER LAYER — the lowest surviving
+    * source of that layer's edge table (the [[searchAuto]] convention
+    * applied within a layer) — because the global entry may itself be
+    * among the deleted, and a repair routed through a dead entry heals
+    * nothing (the flat form's loud-failure contract; here the layer
+    * just elects a live entry instead). A layer whose affected set is
+    * empty skips election and repair entirely, so deleting an ENTIRE
+    * upper layer degrades the index to fewer layers instead of
+    * failing.
+    *
+    * Scale: per layer, the untouched edge remainder passes through
+    * without a shuffle (broadcast anti-join on the bounded affected
+    * set) and repair cost is one bounded search over |affected| ≤
+    * |deleteIds| × max-in-degree sources; upper layers hold
+    * geometrically fewer nodes, so the whole composition costs ~the
+    * layer-0 repair.
+    *
+    * @return (repaired layered edges, receipts `(vec_id,
+    *         n_out_removed, n_in_removed, was_indexed, n_repaired)` —
+    *         totals across layers; a source affected at two layers
+    *         counts twice in `n_repaired`, one re-derivation per
+    *         layer)
+    */
+  def forgetRepaired(layered: DataFrame, corpus: DataFrame,
+                     deleteIds: DataFrame, maxLevel: Int, beam: Int,
+                     hops: Int, degree: Int): (DataFrame, DataFrame) = {
+    require(degree >= 1, s"Hnsw.forgetRepaired: degree=$degree must be >= 1")
+    val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
+    val live = corpus.join(ids, Seq("vec_id"), "left_anti")
+    val perLayer = (0 to maxLevel).map { l =>
+      val layerEdges = layered.filter(col("layer") === l)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cos_sim"))
+      val (kept, _) = GraphAnn.graphForget(layerEdges, deleteIds)
+      val affected = GraphAnn.affectedSources(layerEdges, ids)
+      val receipts = GraphAnn.forgetRepairReceipts(layerEdges, deleteIds)
+      // the repair search loop is driver-eager at construction, so the
+      // empty-affected check costs one bounded action, not a wasted walk
+      val repaired =
+        if (affected.isEmpty) kept
+        else {
+          val surv = layerEdges
+            .join(ids.withColumnRenamed("vec_id", "query_id"),
+              Seq("query_id"), "left_anti")
+            .agg(min(col("query_id"))).collect()
+          require(surv.nonEmpty && !surv(0).isNullAt(0),
+            s"Hnsw.forgetRepaired: layer $l has affected sources but no " +
+              "surviving node to elect a repair entry from")
+          GraphAnn.graphRepair(kept, live, affected, surv(0).getLong(0),
+            beam, hops, degree)
+        }
+      (repaired.select(lit(l).as("layer"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_sim")), receipts)
+    }
+    val edges = perLayer.map(_._1).reduce(_.unionByName(_))
+    val receipts = perLayer.map(_._2).reduce(_.unionByName(_))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("n_out_removed")).as("n_out_removed"),
+        sum(col("n_in_removed")).as("n_in_removed"),
+        max(col("was_indexed")).as("was_indexed"),
+        sum(col("n_repaired")).as("n_repaired"))
+    (edges, receipts)
+  }
+
   /** [[search]] with the entry derived from the index itself — the
     * serving-time convenience (build → save → load → search without
     * re-deriving levels): entry = lowest id at the highest layer

@@ -204,6 +204,77 @@ class HnswSpec extends SparkTestBase {
       "forgotten ids must never be served")
   }
 
+  test("forgetRepaired: saturating per-layer repair == full rebuild " +
+      "over the live corpus, layer tags and all; receipts carry the " +
+      "cross-layer n_repaired totals; every surviving source is back " +
+      "at the degree bound") {
+    import spark.implicits._
+    val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val n = e.count().toInt
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    // delete one upper-layer node (exercises repair at layers >= 1) and
+    // one layer-0 node, plus the negative-confirmation id
+    val lv = Hnsw.levels(e, m = 4, maxLevel = 2).localCheckpoint(true)
+    val up = lv.filter(col("level") >= 1).agg(min(col("vec_id")))
+      .collect()(0).getLong(0)
+    val lo = lv.filter(col("level") === 0).agg(min(col("vec_id")))
+      .collect()(0).getLong(0)
+    val del = Seq(up, lo, 999999L).toDF("vec_id")
+    val (repaired0, receipts) = Hnsw.forgetRepaired(layered, e, del,
+      maxLevel = 2, beam = n, hops = n, degree = 4)
+    val repaired = repaired0.localCheckpoint(true)
+    val live = e.filter(!col("vec_id").isin(up, lo))
+    val rebuilt = Hnsw.buildIndex(live, degree = 4, m = 4, maxLevel = 2)
+    assert(normLayered(repaired) == normLayered(rebuilt),
+      "saturating layered repair must equal the rebuilt layered index")
+    // receipts: totals across layers == direct per-layer edge arithmetic
+    val got = receipts.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toMap
+    Seq(up, lo).foreach { id =>
+      val nOut = layered.filter(col("query_id") === id).count()
+      val nIn = layered.filter(col("neighbor_id") === id).count()
+      val nRep = layered.filter(col("neighbor_id") === id)
+        .filter(!col("query_id").isin(up, lo))
+        .select(col("layer"), col("query_id")).distinct().count()
+      assert(got(id) == ((nOut, nIn, true, nRep)), s"receipts for $id")
+    }
+    assert(got(999999L) == ((0L, 0L, false, 0L)), "negative confirmation")
+    // degree restored everywhere (the live slice is dense enough that
+    // every source has 4 live candidates)
+    assert(repaired.groupBy(col("layer"), col("query_id")).count()
+      .filter(col("count") =!= 4).isEmpty,
+      "every surviving source must hold the degree bound per layer")
+  }
+
+  test("forgetRepaired: deleting an ENTIRE upper layer degrades the " +
+      "index to fewer layers instead of failing — no repair entry is " +
+      "elected for the emptied layer, and searchAuto serves from the " +
+      "highest surviving layer") {
+    import spark.implicits._
+    val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val n = e.count().toInt
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val lv = Hnsw.levels(e, m = 4, maxLevel = 2).localCheckpoint(true)
+    val top = lv.filter(col("level") >= 2).collect().map(_.getLong(0))
+    assert(top.nonEmpty, "slice must have at least one level-2 node")
+    val del = top.toSeq.toDF("vec_id")
+    val (kept0, _) = Hnsw.forgetRepaired(layered, e, del, maxLevel = 2,
+      beam = n, hops = n, degree = 4)
+    val kept = kept0.localCheckpoint(true)
+    assert(kept.filter(col("layer") === 2).isEmpty,
+      "layer 2 must be empty after deleting all its nodes")
+    val live = e.filter(!col("vec_id").isin(top: _*))
+    val served = Hnsw.searchAuto(live.filter(col("vec_id") % 16 === 3),
+      kept, live, beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3)
+      .localCheckpoint(true)
+    assert(served.count() > 0, "index must still serve at fewer layers")
+    assert(served.filter(col("neighbor_id").isin(top: _*)).isEmpty,
+      "forgotten ids must never be served")
+  }
+
   test("persistence round-trip: search(loadHnswIndex(save(build))) == " +
       "search(in-memory); wrong artifact fails fast") {
     val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
