@@ -274,6 +274,63 @@ object StreamingAnn {
       }
   }
 
+  /** The HNSW layered build as a stream — [[buildGraph]] lifted to the
+    * hierarchy: per micro-batch, [[graft.similarity.Hnsw.insert]]
+    * attaches the batch at every layer its deterministic hash assigns
+    * (so the streamed and batch-grown indexes agree on layer
+    * membership by construction), with REPLACEMENT on redelivery —
+    * already-indexed arrivals [[graft.similarity.Hnsw.forget]] first
+    * (their edges vanish from every layer they inhabit), then the
+    * whole batch inserts fresh. Identical redelivery converges to the
+    * same layered state; a changed payload re-routes to the new
+    * content. Entry-node redelivery fails LOUD (forgetting the entry
+    * would orphan every later insert's per-layer search). Within a
+    * trigger batch-mates use the bulk-parallel approximation; across
+    * triggers arrivals link against everything indexed — so the stream
+    * equals batch-sequential [[graft.similarity.Hnsw.insert]] at the
+    * same batch boundaries (spec-pinned). The sink owns durable
+    * persistence via [[graft.similarity.TrainedState.saveHnswIndex]]. */
+  def buildHnsw(newVectors: DataFrame, seedCorpus: DataFrame,
+                seedLayered: DataFrame, m: Int, maxLevel: Int,
+                entryId: Long, beam: Int, hops: Int, degree: Int,
+                availableNow: Boolean = false)
+               (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    var corpus = seedCorpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    var layered = seedLayered.select(col("layer"), col("query_id"),
+      col("rank"), col("neighbor_id"), col("cos_sim")).localCheckpoint(true)
+    run(newVectors, availableNow) { (rawBatch, batchId) =>
+        val batch = rawBatch
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        // the buildGraph intra-batch contract, verbatim: a duplicate id
+        // would interleave two inserts at every layer it inhabits
+        val dup = batch.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .limit(5).collect()
+        require(dup.isEmpty,
+          "buildHnsw: duplicate vec_id(s) within one micro-batch: " +
+            dup.map(_.getLong(0)).mkString(", "))
+        val redelivered = corpus.join(
+          broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
+          "left_semi").localCheckpoint(true)
+        require(redelivered.filter(col("vec_id") === entryId).isEmpty,
+          s"buildHnsw: entry node $entryId cannot be redelivered — " +
+            "rebuild the seed index instead")
+        val (kept, _) = graft.similarity.Hnsw.forget(
+          layered, redelivered, maxLevel)
+        val baseLayered = kept.localCheckpoint(true)
+        val baseCorpus = corpus.join(
+          broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti").localCheckpoint(true)
+        layered = graft.similarity.Hnsw.insert(baseLayered, batch,
+          baseCorpus, m, maxLevel, entryId, beam, hops, degree)
+          .localCheckpoint(true)
+        corpus = baseCorpus.unionByName(batch).localCheckpoint(true)
+        sink(layered, batchId)
+      }
+  }
+
   /** Serve `k` neighbors per streamed query through the binary-
     * quantized coarse scan ([[graft.similarity.BinaryQuantize
     * .topKBinary]] per micro-batch — the one-code-path convention, so

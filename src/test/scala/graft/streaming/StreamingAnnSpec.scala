@@ -241,6 +241,71 @@ class StreamingAnnSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("buildHnsw: streamed layered construction == batch-sequential " +
+      "Hnsw.insert at the same batch boundaries; redelivery replaces " +
+      "at every layer") {
+    implicit val sqlCtx = spark.sqlContext
+    val seed = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val n = seed.count().toInt
+    val seedLayered = graft.similarity.Hnsw.buildIndex(seed, degree = 4,
+      m = 4, maxLevel = 2).localCheckpoint(true)
+    val (entryId, _) = graft.similarity.Hnsw.entryOf(
+      graft.similarity.Hnsw.levels(seed, m = 4, maxLevel = 2))
+    val arrivals = emb.filter(col("vec_id") >= 30 && col("vec_id") < 38)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batches = Seq(Seq(30L, 31L, 32L), Seq(33L, 34L), Seq(35L, 36L, 37L))
+
+    def rowsL(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), BigDecimal(r.getDouble(4)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    var streamed: Set[(Int, Long, Int, Long, Double)] = Set.empty
+    val q = StreamingAnn.buildHnsw(
+      mem.toDF().toDF("vec_id", "embedding"), seed, seedLayered,
+      m = 4, maxLevel = 2, entryId, beam = n + 8, hops = n, degree = 4) {
+      (df, _) => streamed = rowsL(df)
+    }
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map(id => id -> arrivals(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    var corpus = seed
+    var layered = seedLayered
+    batches.foreach { b =>
+      val batch = spark.createDataset(b.map(id => id -> arrivals(id)))
+        .toDF("vec_id", "embedding").localCheckpoint(true)
+      layered = graft.similarity.Hnsw.insert(layered, batch, corpus,
+        m = 4, maxLevel = 2, entryId, beam = n + 8, hops = n, degree = 4)
+        .localCheckpoint(true)
+      corpus = corpus.unionByName(batch).localCheckpoint(true)
+    }
+    assert(streamed === rowsL(layered),
+      "streamed layered index diverged from batch-sequential insertion")
+
+    // identical redelivery converges to the same layered state
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    var after: Set[(Int, Long, Int, Long, Double)] = Set.empty
+    val q2 = StreamingAnn.buildHnsw(
+      mem2.toDF().toDF("vec_id", "embedding"), seed, seedLayered,
+      m = 4, maxLevel = 2, entryId, beam = n + 8, hops = n, degree = 4) {
+      (df, _) => after = rowsL(df)
+    }
+    try {
+      mem2.addData(Seq(30L, 31L).map(id => id -> arrivals(id)): _*)
+      q2.processAllAvailable()
+      val once = after
+      mem2.addData(Seq(30L, 31L).map(id => id -> arrivals(id)): _*)
+      q2.processAllAvailable()
+      assert(after === once,
+        "identical redelivery changed the layered state")
+    } finally q2.stop()
+  }
+
   test("serveMrl: streamed two-stage funnel == batch mrlTopK across " +
       "micro-batches") {
     implicit val sqlCtx = spark.sqlContext
