@@ -70,7 +70,7 @@ object Round21Queries {
     // reachability-aware (per-layer recursive CTE over kept edges).
     "e_ann_hnsw_repair" -> ((s, dir) => {
       import s.implicits._
-      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 60)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
       val n = corpus.count().toInt
       val lv = Hnsw.levels(corpus, m = 4, maxLevel = 2).localCheckpoint(true)
@@ -102,12 +102,15 @@ object Round21Queries {
     // n_repaired (distinct surviving sources per layer that pointed at
     // the deleted id), totals across layers — a source affected at two
     // layers counts twice, one re-derivation per layer. Pure rank
-    // arithmetic over the per-layer brute graphs, fully replayed.
+    // arithmetic over the per-layer brute graphs, fully replayed —
+    // through the receipts-ONLY path (the flat forgetRepairReceipts
+    // convention): the repair's per-layer hop loops are driver-eager,
+    // so the audit query must not pay for searches it discards
+    // (measured 16.6 s → arithmetic-only when it did).
     "e_ann_hnsw_repair_receipts" -> ((s, dir) => {
       import s.implicits._
-      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 60)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
-      val n = corpus.count().toInt
       val lv = Hnsw.levels(corpus, m = 4, maxLevel = 2).localCheckpoint(true)
       val upper2 = lv.filter(col("level") >= 1).orderBy(col("vec_id"))
         .limit(2).collect().map(_.getLong(0)).toSeq
@@ -116,9 +119,8 @@ object Round21Queries {
       val del = (upper2 :+ low1 :+ 999999L).toDF("vec_id")
         .localCheckpoint(true)
       val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4, maxLevel = 2)
-      val (_, receipts) = Hnsw.forgetRepaired(layered, corpus, del,
-        maxLevel = 2, beam = n, hops = n, degree = 4)
-      receipts.orderBy(col("vec_id"))
+      Hnsw.forgetRepairReceipts(layered, del, maxLevel = 2)
+        .orderBy(col("vec_id"))
     }),
 
     // Two-level assignment at REDUCED fan-out (fanout=2 of the S
@@ -199,7 +201,7 @@ object Round21Queries {
     * per-layer degree-4 brute graphs `e0..e2` (with scores and ranks). */
   private def repairPreambleSql: String =
     s"""emb AS (
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
        |ap AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |    ${cosSql("a.embedding", "b.embedding")} AS s

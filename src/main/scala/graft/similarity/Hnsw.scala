@@ -34,6 +34,27 @@ import org.apache.spark.sql.functions._
   */
 object Hnsw {
 
+  /** Evaluate independent per-layer constructions CONCURRENTLY — the
+    * lifecycle operators' layer computations (insert-by-search, repair)
+    * each run a driver-eager hop loop whose cost is dominated by
+    * driver-job round-trips, not data; the layers share no state, so
+    * submitting their jobs from separate threads overlaps the loops and
+    * the wall-clock collapses to ~the slowest layer (layer 0). Spark
+    * supports concurrent job submission from one session; nothing in
+    * these operators mutates session state. Results come back in layer
+    * order, so output content and ordering are exactly the sequential
+    * plan's. */
+  private def parLayers[T](ls: Range)(f: Int => T): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ls.size)
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = ls.map(l => scala.concurrent.Future(f(l)))
+      futs.map(fu => scala.concurrent.Await.result(fu,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Deterministic geometric layer assignment: node v's top layer is
     * the largest ℓ ≤ maxLevel with md5₄₈(v) ≡ 0 (mod m^ℓ) — a pure
     * function of the id with P(level ≥ ℓ) = m^-ℓ, the HNSW geometric
@@ -184,7 +205,7 @@ object Hnsw {
              degree: Int): DataFrame = {
     require(degree >= 1, s"Hnsw.insert: degree=$degree must be >= 1")
     val lv = levels(batch, m, maxLevel)
-    (0 to maxLevel).map { l =>
+    parLayers(0 to maxLevel) { l =>
       val sub = batch.join(
         lv.filter(col("level") >= l).select(col("vec_id")), Seq("vec_id"))
       GraphAnn.insertBySearch(
@@ -273,7 +294,7 @@ object Hnsw {
     require(degree >= 1, s"Hnsw.forgetRepaired: degree=$degree must be >= 1")
     val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
     val live = corpus.join(ids, Seq("vec_id"), "left_anti")
-    val perLayer = (0 to maxLevel).map { l =>
+    val perLayer = parLayers(0 to maxLevel) { l =>
       val layerEdges = layered.filter(col("layer") === l)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("cos_sim"))
@@ -299,14 +320,34 @@ object Hnsw {
         col("neighbor_id"), col("cos_sim")), receipts)
     }
     val edges = perLayer.map(_._1).reduce(_.unionByName(_))
-    val receipts = perLayer.map(_._2).reduce(_.unionByName(_))
+    (edges, mergeRepairReceipts(perLayer.map(_._2)))
+  }
+
+  /** The [[forgetRepaired]] receipts WITHOUT running the repair
+    * searches — the flat [[GraphAnn.forgetRepairReceipts]] convention
+    * lifted to the hierarchy: per-layer edge arithmetic merged to one
+    * row per requested id. The repair's per-layer hop loops are
+    * driver-eager at construction, so an audit-first consumer must not
+    * pay for them (measured: the full lifecycle costs ~3× the flat
+    * repair on a 3-layer index; the arithmetic costs ~the flat
+    * receipts). */
+  def forgetRepairReceipts(layered: DataFrame, deleteIds: DataFrame,
+                           maxLevel: Int): DataFrame =
+    mergeRepairReceipts((0 to maxLevel).map { l =>
+      GraphAnn.forgetRepairReceipts(
+        layered.filter(col("layer") === l)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("cos_sim")),
+        deleteIds)
+    })
+
+  private def mergeRepairReceipts(perLayer: Seq[DataFrame]): DataFrame =
+    perLayer.reduce(_.unionByName(_))
       .groupBy(col("vec_id"))
       .agg(sum(col("n_out_removed")).as("n_out_removed"),
         sum(col("n_in_removed")).as("n_in_removed"),
         max(col("was_indexed")).as("was_indexed"),
         sum(col("n_repaired")).as("n_repaired"))
-    (edges, receipts)
-  }
 
   /** [[search]] with the entry derived from the index itself — the
     * serving-time convenience (build → save → load → search without

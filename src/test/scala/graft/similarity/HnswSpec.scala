@@ -241,6 +241,11 @@ class HnswSpec extends SparkTestBase {
       assert(got(id) == ((nOut, nIn, true, nRep)), s"receipts for $id")
     }
     assert(got(999999L) == ((0L, 0L, false, 0L)), "negative confirmation")
+    // the receipts-ONLY path (no repair searches) produces the same rows
+    val cheap = Hnsw.forgetRepairReceipts(layered, del, maxLevel = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toMap
+    assert(cheap == got, "receipts-only path diverged from the lifecycle")
     // degree restored everywhere (the live slice is dense enough that
     // every source has 4 live candidates)
     assert(repaired.groupBy(col("layer"), col("query_id")).count()
