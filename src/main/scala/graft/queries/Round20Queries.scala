@@ -245,7 +245,17 @@ object Round20Queries {
          |LEFT JOIN rep ON rep.vec_id = d.vec_id
          |ORDER BY d.vec_id""".stripMargin),
 
-    "e_ann_hnsw" ->
+    "e_ann_hnsw" -> hnswSql(finalFilter = ""),
+
+    "e_ann_graph_pq_full" -> graphPqFullSql)
+
+  /** The full-hierarchy search replay, parameterized by an extra
+    * predicate on the FINAL rank's candidate nodes — "" for the plain
+    * search, an `AND node ...` clause for the filtered variant
+    * (`e_ann_hnsw_filtered`): the descent and walk CTEs are IDENTICAL
+    * (both unfiltered — the searchGraphFiltered design one layer up),
+    * only the last cut differs, exactly like the engine. */
+  private[queries] def hnswSql(finalFilter: String): String =
       (s"""WITH emb AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
          |ap AS (
@@ -305,10 +315,10 @@ object Round20Queries {
          |  SELECT query_id, node AS neighbor_id, score,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, node) AS rank
-         |  FROM v2_l0 WHERE node <> query_id) t
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+         |  FROM v2_l0 WHERE node <> query_id $finalFilter) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
-    "e_ann_graph_pq_full" ->
+  private def graphPqFullSql: String =
       (s"""WITH emb AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
          |ap AS (
@@ -379,5 +389,5 @@ object Round20Queries {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cos_sim DESC, neighbor_id) AS rank
          |  FROM scored) t
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 }

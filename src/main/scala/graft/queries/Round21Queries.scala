@@ -58,6 +58,29 @@ object Round21Queries {
       receipts.orderBy(col("vec_id"))
     }),
 
+    // METADATA-FILTERED hierarchical search: descent and layer-0 walk
+    // both unfiltered (a filtered descent could strand a query in a
+    // region with no matching nodes — the searchGraphFiltered
+    // disconnection hazard, one layer up), predicate bound at the
+    // FINAL rank only. The oracle is the e_ann_hnsw replay with one
+    // added clause on the last cut — the same parameterized-builder
+    // convention as e_ann_graph_filtered.
+    "e_ann_hnsw_filtered" -> ((s, dir) => {
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4,
+        maxLevel = 2).localCheckpoint(true)
+      val (entryId, entryLevel) =
+        Hnsw.entryOf(Hnsw.levels(corpus, m = 4, maxLevel = 2))
+      val probes = corpus.filter(col("vec_id") % 20 === 0)
+      Hnsw.searchFiltered(probes, layered, corpus, entryId, entryLevel,
+          beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3,
+          pred = col("vec_id") % 3 === 0)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // HNSW FORGET+REPAIR: each layer drops the deleted ids' rows, then
     // the layer's affected surviving sources re-derive their out-lists
     // by saturating search over the layer's post-forget graph (repair
@@ -284,6 +307,9 @@ object Round21Queries {
        |  WHERE rank <= $degree)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "e_ann_hnsw_filtered" ->
+      Round20Queries.hnswSql(finalFilter = "AND node % 3 = 0"),
 
     "e_ann_hnsw_repair" ->
       ("WITH RECURSIVE " + repairPreambleSql + ",\n" +

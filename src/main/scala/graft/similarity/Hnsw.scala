@@ -136,7 +136,36 @@ object Hnsw {
     */
   def search(queries: DataFrame, layered: DataFrame, corpus: DataFrame,
              entryId: Long, entryLevel: Int, beamUpper: Int, hopsUpper: Int,
-             beam: Int, hops: Int, k: Int): DataFrame = {
+             beam: Int, hops: Int, k: Int): DataFrame =
+    searchImpl(queries, layered, corpus, entryId, entryLevel, beamUpper,
+      hopsUpper, beam, hops, k, allowed = None)
+
+  /** METADATA-FILTERED hierarchical search — the
+    * [[GraphAnn.searchGraphFiltered]] design lifted to the hierarchy:
+    * the DESCENT and the layer-0 WALK are both unfiltered (a filtered
+    * descent could strand a query in a region with no matching nodes
+    * at all — the disconnection hazard, one layer up), and the
+    * predicate binds at the FINAL rank, so the answer is exactly the
+    * top-k of (layer-0 visited ∩ matching). Recall under selective
+    * predicates is the same beam/hops budget dial as the flat filtered
+    * search; `filtered == post-filter + re-rank of the unfiltered
+    * hierarchy at ANY budget` is spec-pinned.
+    *
+    * @param pred row predicate over the corpus columns */
+  def searchFiltered(queries: DataFrame, layered: DataFrame,
+                     corpus: DataFrame, entryId: Long, entryLevel: Int,
+                     beamUpper: Int, hopsUpper: Int, beam: Int, hops: Int,
+                     k: Int, pred: org.apache.spark.sql.Column): DataFrame =
+    searchImpl(queries, layered, corpus, entryId, entryLevel, beamUpper,
+      hopsUpper, beam, hops, k,
+      allowed = Some(corpus.filter(pred)
+        .select(col("vec_id").as("node"))))
+
+  private def searchImpl(queries: DataFrame, layered: DataFrame,
+                         corpus: DataFrame, entryId: Long, entryLevel: Int,
+                         beamUpper: Int, hopsUpper: Int, beam: Int,
+                         hops: Int, k: Int,
+                         allowed: Option[DataFrame]): DataFrame = {
     require(entryLevel >= 0, s"Hnsw.search: entryLevel=$entryLevel < 0")
     require(beamUpper >= 1 && hopsUpper >= 0,
       s"Hnsw.search: beamUpper=$beamUpper (>=1), hopsUpper=$hopsUpper (>=0)")
@@ -165,7 +194,7 @@ object Hnsw {
       l -= 1
     }
     GraphAnn.searchFrom(queries, layerEdges(0), corpus, entries, entryIds,
-      beam, hops, k, allowed = None, includeSelf = false)
+      beam, hops, k, allowed, includeSelf = false)
   }
 
   /** INCREMENTAL INSERT into a layered index — the HNSW growth path,

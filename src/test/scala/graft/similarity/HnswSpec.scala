@@ -204,6 +204,47 @@ class HnswSpec extends SparkTestBase {
       "forgotten ids must never be served")
   }
 
+  test("searchFiltered: filtered == post-filter + re-rank of the " +
+      "unfiltered hierarchy at ANY budget; with a complete graph and " +
+      "saturating budgets it equals brute force over the allowed subset") {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    val n = e.count().toInt
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val (entryId, entryLevel) = Hnsw.entryOf(Hnsw.levels(e, m = 4,
+      maxLevel = 2))
+    val probes = e.filter(col("vec_id") % 20 === 0)
+    val pred = col("vec_id") % 3 === 0
+    // modest budgets: the filtered answer must be exactly the top-3 of
+    // (this walk's visited ∩ matching) — post-filter + re-rank of the
+    // SAME unfiltered walk returned whole (k = n)
+    val filt = Hnsw.searchFiltered(probes, layered, e, entryId,
+      entryLevel, beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2,
+      k = 3, pred)
+    val unf = Hnsw.search(probes, layered, e, entryId, entryLevel,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = n)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val ref = unf.filter(col("neighbor_id") % 3 === 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+    assert(collectTopK(filt) == collectTopK(ref),
+      "filtered must equal post-filter + re-rank of the same walk")
+    // complete per-layer graphs + saturating budgets: reachability can
+    // never be the miss reason, so filtered == brute over the subset
+    val complete = Hnsw.buildIndex(e, degree = n - 1, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val sat = Hnsw.searchFiltered(probes, complete, e, entryId,
+      entryLevel, beamUpper = 1, hopsUpper = 2, beam = n, hops = n,
+      k = 3, pred)
+    val brute = Similarity.bruteTopK(probes, e.filter(pred), 3)
+    assert(collectTopK(sat) == collectTopK(brute),
+      "saturating filtered hierarchy must equal brute over the subset")
+  }
+
   test("forgetRepaired: saturating per-layer repair == full rebuild " +
       "over the live corpus, layer tags and all; receipts carry the " +
       "cross-layer n_repaired totals; every surviving source is back " +
