@@ -137,16 +137,22 @@ object Round20Queries {
   /** One DESCENT layer (HNSW upper-layer step): seed from `seed`
     * (query_id, node), run `hops` hops at `beam` over `edges`, emit
     * `ent$pfx` = the closest visited node per query, SELF INCLUDED. */
-  private def descentSql(pfx: String, seed: String, edges: String,
-                         beam: Int, hops: Int): String = {
+  private[queries] def descentSql(pfx: String, seed: String, edges: String,
+                                  beam: Int, hops: Int): String = {
     val seedCte =
       s"""v0$pfx AS (
          |  SELECT s.query_id, s.node, qs.score
          |  FROM $seed s JOIN qs
          |    ON qs.query_id = s.query_id AND qs.node = s.node)""".stripMargin
     val hopsCtes = (1 to hops).map(i => hopSql(pfx, i, beam, edges))
+    // MATERIALIZED: the descent cut is the re-reference point of the
+    // whole chain below it — without it DuckDB inlines the CTE at every
+    // reference and the nested per-layer recomputation grows ~3^hops
+    // per layer (observed: the ADC-scored composition e_ann_hnsw_pq
+    // OOM'd the oracle before this; with the cut materialized it runs
+    // in under a second)
     val entCte =
-      s"""ent$pfx AS (
+      s"""ent$pfx AS MATERIALIZED (
          |  SELECT query_id, node FROM (
          |    SELECT query_id, node,
          |      ROW_NUMBER() OVER (PARTITION BY query_id

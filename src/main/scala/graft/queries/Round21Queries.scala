@@ -58,6 +58,36 @@ object Round21Queries {
       receipts.orderBy(col("vec_id"))
     }),
 
+    // DiskANN-LAYERED serving, FULL-trajectory oracle: the hierarchy
+    // searched entirely over PQ codes — stride-codebook ADC (8
+    // subspaces) scores the descent through both upper layers AND the
+    // layer-0 beam walk, floats touched once by the exact top-3 re-rank
+    // of the 12 ADC survivors. The oracle composes the e_ann_hnsw
+    // descent CTEs with the e_ann_pq_full ADC fold — every stage
+    // (encode argmin, per-layer ADC descent cuts, hop expansions,
+    // shortlist cutoff, exact re-score) replays in DuckDB value by
+    // value. The graphs are built at full precision (offline index /
+    // codes-only serving — the e_ann_graph_pq_full convention).
+    "e_ann_hnsw_pq" -> ((s, dir) => {
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4,
+        maxLevel = 2).localCheckpoint(true)
+      val (entryId, entryLevel) =
+        Hnsw.entryOf(Hnsw.levels(corpus, m = 4, maxLevel = 2))
+      val books = graft.similarity.ProductQuantizer.codebooks(
+        corpus, dim = 64, numSub = 8, stride = 10)
+      val codes = graft.similarity.ProductQuantizer.encode(
+        corpus, books, dim = 64, numSub = 8).localCheckpoint(true)
+      val probes = corpus.filter(col("vec_id") % 20 === 0)
+      Hnsw.searchPq(probes, layered, codes, books, dim = 64, numSub = 8,
+          corpus, entryId, entryLevel, beamUpper = 1, hopsUpper = 2,
+          beam = 3, hops = 2, k = 3, rerank = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // METADATA-FILTERED hierarchical search: descent and layer-0 walk
     // both unfiltered (a filtered descent could strand a query in a
     // region with no matching nodes — the searchGraphFiltered
@@ -168,7 +198,119 @@ object Round21Queries {
     })
   )
 
-  import Round13Queries.cosSql
+  import Round13Queries.{cosSql, dotSql}
+
+  /** The DiskANN-layered replay: the e_ann_hnsw hierarchy CTEs
+    * (levels, entry, per-layer cosine graphs, descent chains, base
+    * hops) with `qs` swapped from exact cosine to the e_ann_pq_full
+    * ADC fold — the same structural composition the engine performs
+    * ([[graft.similarity.Hnsw.searchPq]] runs [[graft.similarity
+    * .GraphAnn.walkPq]] per layer instead of the float scorer). The
+    * extra layer-2 descent is a no-op identity when the corpus has no
+    * level-2 node, exactly like the engine starting at a lower
+    * entryLevel. */
+  private def hnswPqSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+       |ap AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${cosSql("a.embedding", "b.embedding")} AS s
+       |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |lv AS (
+       |  SELECT vec_id,
+       |    (CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END +
+       |     CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS level
+       |  FROM (SELECT vec_id,
+       |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+       |        AS BIGINT) AS h
+       |    FROM emb) t),
+       |entry AS (
+       |  SELECT min(vec_id) AS e FROM lv
+       |  WHERE level = (SELECT max(level) FROM lv)),
+       |e0 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+       |    FROM ap) t WHERE r <= 4),
+       |e1 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+       |    FROM ap WHERE src IN (SELECT vec_id FROM lv WHERE level >= 1)
+       |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 1)) t
+       |  WHERE r <= 4),
+       |e2 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+       |    FROM ap WHERE src IN (SELECT vec_id FROM lv WHERE level >= 2)
+       |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 2)) t
+       |  WHERE r <= 4),
+       |books AS (SELECT gs.s AS sub,
+       |    CAST(e.vec_id // 10 AS INT) AS code,
+       |    list_slice(e.embedding, gs.s*8 + 1, gs.s*8 + 8) AS centroid
+       |  FROM emb e CROSS JOIN generate_series(0, 7) gs(s)
+       |  WHERE e.vec_id % 10 = 0),
+       |subs AS (SELECT e.vec_id, gs.s AS sub,
+       |    list_slice(e.embedding, gs.s*8 + 1, gs.s*8 + 8) AS subvec
+       |  FROM emb e CROSS JOIN generate_series(0, 7) gs(s)),
+       |enc AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+       |    SELECT sv.vec_id, sv.sub, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+       |        ORDER BY (${dotSql("b.centroid", "b.centroid")}
+       |          - 2 * ${dotSql("sv.subvec", "b.centroid")}) ASC,
+       |          b.code ASC) AS rn
+       |    FROM subs sv JOIN books b ON b.sub = sv.sub) t
+       |  WHERE rn = 1),
+       |p AS (SELECT vec_id AS query_id FROM emb WHERE vec_id % 20 = 0),
+       |adc AS (SELECT q.vec_id AS query_id, q.sub, b.code,
+       |    ${dotSql("q.subvec", "b.centroid")} AS part
+       |  FROM subs q JOIN books b ON b.sub = q.sub
+       |  WHERE q.vec_id % 20 = 0),
+       |qs AS MATERIALIZED (
+       |  -- ADC score per (query, node), SELF INCLUDED, complete-code
+       |  -- rows only (n = 8), parts folded in subspace order — the
+       |  -- e_ann_pq_full fold, scoring descent AND base walk alike
+       |  SELECT query_id, node, score FROM (
+       |    SELECT a.query_id, e.vec_id AS node,
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list(a.part ORDER BY a.sub)), (x, y) -> x + y) AS score,
+       |      count(*) AS n
+       |    FROM enc e JOIN adc a ON a.sub = e.sub AND a.code = e.code
+       |    GROUP BY a.query_id, e.vec_id) t
+       |  WHERE n = 8),
+       |seed2 AS (SELECT query_id, (SELECT e FROM entry) AS node FROM p),
+       |""".stripMargin +
+      Round20Queries.descentSql("_l2", "seed2", "e2", beam = 1, hops = 2) +
+      ",\n" +
+      Round20Queries.descentSql("_l1", "ent_l2", "e1", beam = 1, hops = 2) +
+      ",\n" +
+      s"""v0_l0 AS (
+       |  SELECT s.query_id, s.node, qs.score
+       |  FROM ent_l1 s JOIN qs
+       |    ON qs.query_id = s.query_id AND qs.node = s.node),
+       |""".stripMargin +
+      (1 to 2).map(i =>
+          Round20Queries.hopSql("_l0", i, beam = 3, edges = "e0"))
+        .mkString(",\n") + ",\n" +
+      s"""short AS (
+       |  SELECT query_id, node AS neighbor_id FROM (
+       |    SELECT query_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, node) AS r
+       |    FROM v2_l0 WHERE node <> query_id) t
+       |  WHERE r <= 12),
+       |scored AS (SELECT sh.query_id, sh.neighbor_id,
+       |    ${cosSql("qe.embedding", "ce.embedding")} AS cos_sim
+       |  FROM short sh
+       |  JOIN emb qe ON qe.vec_id = sh.query_id
+       |  JOIN emb ce ON ce.vec_id = sh.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos_sim, 6) AS cos_sim
+       |FROM (SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** One layer's insert replay: seed the layer's sub-batch at the
     * global entry, run the hop recurrence ([[Round20Queries.hopSql]] at
@@ -307,6 +449,8 @@ object Round21Queries {
        |  WHERE rank <= $degree)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "e_ann_hnsw_pq" -> hnswPqSql,
 
     "e_ann_hnsw_filtered" ->
       Round20Queries.hnswSql(finalFilter = "AND node % 3 = 0"),

@@ -309,6 +309,28 @@ object GraphAnn {
     require(beam >= 1 && hops >= 0 && k >= 1 && rerank >= 1,
       s"searchGraphPq: beam=$beam hops=$hops k=$k rerank=$rerank must " +
         "all be >= 1 (hops >= 0)")
+    val ctx = pqSearcher(queries, codes, books, dim, numSub)
+    val entries = ctx.qLocal.select(col("vec_id").as("query_id"))
+      .withColumn("node", lit(entryId))
+    val visited = walkPq(ctx, edges, entries, Seq(entryId), beam, hops)
+    rerankPqTail(ctx, corpus, visited, k, rerank)
+  }
+
+  /** Prepared per-query ADC context — the codes-only scoring half of
+    * [[searchGraphPq]], factored out so the HNSW hierarchy composes the
+    * SAME walk per layer ([[Hnsw.searchPq]]) instead of duplicating it:
+    * the bounded probe batch collected once to a local relation, the
+    * broadcast per-(query, sub, code) ADC lookup table, and the scorer
+    * closure (candidates probe the codes table — broadcast cand,
+    * id-pruned scan when the hop knows the candidate ids; parts fold in
+    * subspace order, incomplete code rows dropped). */
+  private[similarity] final case class PqCtx(
+      qLocal: DataFrame, qCount: Long,
+      scoreAdc: (DataFrame, Seq[Long]) => DataFrame)
+
+  private[similarity] def pqSearcher(queries: DataFrame, codes: DataFrame,
+                                     books: DataFrame, dim: Int,
+                                     numSub: Int): PqCtx = {
     require(numSub >= 1 && dim % numSub == 0,
       s"searchGraphPq: numSub=$numSub must divide dim=$dim — a silent " +
         "floor would drop the tail dimensions from every ADC score")
@@ -339,9 +361,6 @@ object GraphAnn {
           col("subvec"), col("centroid")).as("part")))
     val codeRows = codes.select(col("vec_id").as("node"), col("sub"),
       col("code"))
-    // ADC scorer: candidates probe the CODES table (broadcast cand,
-    // id-pruned scan when the hop knows the candidate ids — codes never
-    // shuffle), parts fold in subspace order
     def scoreAdc(cand: DataFrame, candIds: Seq[Long]): DataFrame = {
       val probed =
         if (candIds.nonEmpty && candIds.length <= MaxInlineFrontier)
@@ -357,38 +376,60 @@ object GraphAnn {
           aggregate(col("_ps"), lit(0.0),
             (a, x) => a + x.getField("part")).as("score"))
     }
+    PqCtx(qLocal, qRows.length.toLong, scoreAdc _)
+  }
+
+  /** The codes-only beam walk from PER-ENTRY seeds: seed `entries`
+    * `(query_id, node)` scored by ADC, then the [[hopOnce]] recurrence
+    * at `beam` with the fixpoint early-exit. Returns the visited
+    * `(query_id, node, score)` table — callers cut it (top-1 for a
+    * descent step, `k·rerank` shortlist for an answer). Fails loud when
+    * no seed has complete code rows (a silent recall-zero otherwise). */
+  private[similarity] def walkPq(ctx: PqCtx, edges: DataFrame,
+                                 entries: DataFrame, entryIds: Seq[Long],
+                                 beam: Int, hops: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0,
+      s"walkPq: beam=$beam (>=1), hops=$hops (>=0)")
     val adj = edges.select(col("query_id").as("_src"),
       col("neighbor_id").as("_dst"))
-    val wBeam = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("node"))
-    var visited = scoreAdc(qLocal.select(col("vec_id").as("query_id"))
-      .withColumn("node", lit(entryId)), Seq(entryId))
+    var visited = ctx.scoreAdc(entries, entryIds)
     if (hops > 0) visited = visited.localCheckpoint(true)
     var visitedCount = if (hops > 0) visited.count() else 0L
     // empty initial scored set with a non-empty probe batch = the entry
     // is absent from the codes index (or its code rows are incomplete —
     // scoreAdc's completeness filter drops short rows): fail loud, not
     // silent recall-zero (qLocal is already collected, so this is free)
-    require(hops == 0 || visitedCount > 0 || qRows.isEmpty,
-      s"searchGraphPq: entry node $entryId has no complete code rows")
+    require(hops == 0 || visitedCount > 0 || ctx.qCount == 0,
+      "searchGraphPq: no entry node has complete code rows")
     var hop = 0
     var converged = false
     while (hop < hops && !converged) {
       visited = visited
-        .unionByName(hopOnce(visited, adj, scoreAdc, beam))
+        .unionByName(hopOnce(visited, adj, ctx.scoreAdc, beam))
         .localCheckpoint(true)
       val n = visited.count()
       converged = n == visitedCount
       visitedCount = n
       hop += 1
     }
-    // the ONLY float-vector touch: exact re-rank of the ADC shortlist
+    visited
+  }
+
+  /** The ONLY float-vector touch: exact re-rank of the `k·rerank` ADC
+    * shortlist cut from a [[walkPq]] visited table. */
+  private[similarity] def rerankPqTail(ctx: PqCtx, corpus: DataFrame,
+                                       visited: DataFrame, k: Int,
+                                       rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= 1,
+      s"rerankPqTail: k=$k rerank=$rerank must be >= 1")
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
     val shortlist = visited
       .filter(col("node") =!= col("query_id"))
       .withColumn("_r", row_number().over(wBeam))
       .filter(col("_r") <= k * rerank)
       .select(col("query_id"), col("node").as("neighbor_id"))
-    val q = broadcast(qLocal.select(col("vec_id").as("query_id"),
+    val q = broadcast(ctx.qLocal.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
     val scored = broadcast(shortlist)
       .join(corpus.select(col("vec_id").as("neighbor_id"),

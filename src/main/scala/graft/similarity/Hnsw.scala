@@ -161,6 +161,74 @@ object Hnsw {
       allowed = Some(corpus.filter(pred)
         .select(col("vec_id").as("node"))))
 
+  /** DiskANN-LAYERED serving: the hierarchy searched entirely over PQ
+    * CODES — descent AND layer-0 walk both run [[GraphAnn.walkPq]]'s
+    * ADC-scored hop recurrence (the [[GraphAnn.searchGraphPq]] scoring
+    * context, built ONCE and shared across layers), and the float
+    * corpus is touched exactly once, by the final exact re-rank of the
+    * `k·rerank` ADC survivors. This is the serving shape for
+    * billion-vector layered indexes from media where floats don't fit:
+    * layered adjacency + codes stay hot, full vectors stay cold — and
+    * the upper layers are geometrically small, so the descent adds a
+    * corpus-independent constant exactly like the float hierarchy.
+    *
+    * The index (graphs per layer) is built OFFLINE at full precision —
+    * only SERVING reads codes, the e_ann_graph_pq_full convention.
+    * With `entryLevel = 0` this IS [[GraphAnn.searchGraphPq]]
+    * (spec-pinned), and at saturating beam + full rerank on a connected
+    * layer-0 graph the ADC approximation cancels out entirely and the
+    * answer equals exact brute force, exactly like the flat form.
+    *
+    * Each descent step keeps the single ADC-CLOSEST visited node (self
+    * included — it exists in every lower layer) as the next layer's
+    * entry; ADC ties break on node id, so the whole trajectory is
+    * deterministic and unrolls to per-layer CTE chains over the
+    * e_ann_pq_full ADC fold (`e_ann_hnsw_pq`). */
+  def searchPq(queries: DataFrame, layered: DataFrame, codes: DataFrame,
+               books: DataFrame, dim: Int, numSub: Int, corpus: DataFrame,
+               entryId: Long, entryLevel: Int, beamUpper: Int,
+               hopsUpper: Int, beam: Int, hops: Int, k: Int,
+               rerank: Int = 4): DataFrame = {
+    require(entryLevel >= 0, s"Hnsw.searchPq: entryLevel=$entryLevel < 0")
+    require(beamUpper >= 1 && hopsUpper >= 0,
+      s"Hnsw.searchPq: beamUpper=$beamUpper (>=1), hopsUpper=$hopsUpper " +
+        "(>=0)")
+    require(beam >= 1 && hops >= 0 && k >= 1 && rerank >= 1,
+      s"Hnsw.searchPq: beam=$beam hops=$hops k=$k rerank=$rerank must " +
+        "all be >= 1 (hops >= 0)")
+    val ctx = GraphAnn.pqSearcher(queries, codes, books, dim, numSub)
+    def layerEdges(l: Int) = layered.filter(col("layer") === l)
+      .select(col("query_id"), col("neighbor_id"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    var entries = ctx.qLocal.select(col("vec_id").as("query_id"))
+      .withColumn("node", lit(entryId))
+    var entryIds: Seq[Long] = Seq(entryId)
+    var l = entryLevel
+    while (l >= 1) {
+      // one descent step: ADC-closest visited node at layer l (incl.
+      // self — the float descent's rule with the ADC score in place of
+      // cosine)
+      val visited = GraphAnn.walkPq(ctx, layerEdges(l), entries, entryIds,
+        beamUpper, hopsUpper)
+      entries = visited.withColumn("_r", row_number().over(wTop))
+        .filter(col("_r") === 1)
+        .select(col("query_id"), col("node"))
+        .localCheckpoint(true) // iterative-lineage convention
+      val ids = entries.select(col("node")).distinct()
+        .limit(GraphAnn.MaxInlineFrontier + 1).collect()
+      entryIds =
+        if (ids.length <= GraphAnn.MaxInlineFrontier)
+          ids.map(_.getLong(0)).sorted.toIndexedSeq
+        else Nil
+      l -= 1
+    }
+    val visited0 = GraphAnn.walkPq(ctx, layerEdges(0), entries, entryIds,
+      beam, hops)
+    GraphAnn.rerankPqTail(ctx, corpus, visited0, k, rerank)
+  }
+
   private def searchImpl(queries: DataFrame, layered: DataFrame,
                          corpus: DataFrame, entryId: Long, entryLevel: Int,
                          beamUpper: Int, hopsUpper: Int, beam: Int,

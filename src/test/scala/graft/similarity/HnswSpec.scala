@@ -245,6 +245,45 @@ class HnswSpec extends SparkTestBase {
       "saturating filtered hierarchy must equal brute over the subset")
   }
 
+  test("searchPq: entryLevel 0 degenerates bit-for-bit to the flat " +
+      "searchGraphPq, and with a complete graph, saturating beam and " +
+      "full rerank the ADC approximation cancels out — equal to brute") {
+    val e = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    val n = e.count().toInt
+    val books = ProductQuantizer.codebooks(e, dim = 64, numSub = 8,
+      stride = 10)
+    val codes = ProductQuantizer.encode(e, books, dim = 64, numSub = 8)
+      .localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 20 === 0)
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    // entryLevel 0: the hierarchy degenerates to its base layer
+    val flat = GraphAnn.searchGraphPq(probes,
+      layered.filter(col("layer") === 0)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cos_sim")),
+      codes, books, dim = 64, numSub = 8, e, entryId = 0L, beam = 3,
+      hops = 2, k = 3, rerank = 4)
+    val viaHier = Hnsw.searchPq(probes, layered, codes, books, dim = 64,
+      numSub = 8, e, entryId = 0L, entryLevel = 0, beamUpper = 1,
+      hopsUpper = 2, beam = 3, hops = 2, k = 3, rerank = 4)
+    assert(collectTopK(viaHier) == collectTopK(flat),
+      "entryLevel 0 must be the flat codes search bit-for-bit")
+    // complete per-layer graphs + saturating budgets + full rerank:
+    // every node enters the shortlist and the exact re-rank decides —
+    // the ADC approximation cannot change the answer
+    val complete = Hnsw.buildIndex(e, degree = n - 1, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val (entryId, entryLevel) = Hnsw.entryOf(Hnsw.levels(e, m = 4,
+      maxLevel = 2))
+    val sat = Hnsw.searchPq(probes, complete, codes, books, dim = 64,
+      numSub = 8, e, entryId, entryLevel, beamUpper = 1, hopsUpper = 2,
+      beam = n, hops = n, k = 3, rerank = n)
+    val brute = Similarity.bruteTopK(probes, e, 3)
+    assert(collectTopK(sat) == collectTopK(brute),
+      "saturating codes hierarchy must equal exact brute force")
+  }
+
   test("forgetRepaired: saturating per-layer repair == full rebuild " +
       "over the live corpus, layer tags and all; receipts carry the " +
       "cross-layer n_repaired totals; every surviving source is back " +
