@@ -169,6 +169,54 @@ object StreamingAnn {
       availableNow)(sink)
   }
 
+  /** Serve `k` neighbors per streamed query through the DiskANN-LAYERED
+    * path ([[graft.similarity.Hnsw.searchPq]] per micro-batch — the
+    * one-code-path convention: flat and layered codes serving share the
+    * pqSearcher/walkPq/rerankPqTail pieces, so the entryLevel-0 and
+    * ADC-cancels contracts carry verbatim): the entry is elected ONCE
+    * at stream start from the layered edge table, then every trigger
+    * descends and beam-walks entirely over codes, floats touched once
+    * per trigger by the exact re-rank. */
+  def serveHnswPq(queries: DataFrame, layered: DataFrame, codes: DataFrame,
+                  books: DataFrame, dim: Int, numSub: Int,
+                  corpus: DataFrame, beamUpper: Int, hopsUpper: Int,
+                  beam: Int, hops: Int, k: Int, rerank: Int = 4,
+                  availableNow: Boolean = false)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val top = layered.orderBy(col("layer").desc, col("query_id").asc)
+      .select(col("query_id"), col("layer")).limit(1).collect()
+    require(top.nonEmpty, "serveHnswPq: empty layered index")
+    val (entryId, entryLevel) = (top(0).getLong(0), top(0).getInt(1))
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.Hnsw.searchPq(batch, layered, codes, books,
+          dim, numSub, corpus, entryId, entryLevel, beamUpper, hopsUpper,
+          beam, hops, k, rerank), batchId)
+      }
+  }
+
+  /** [[serveHnswPq]] against ALL THREE persisted artifacts — layered
+    * index ([[graft.similarity.TrainedState.loadHnswIndex]]), flat PQ
+    * codes (`loadPqCodes`), and codebooks (`loadCodebooks`) — the
+    * layered DiskANN restart path: layered adjacency + codes (the hot
+    * set) come off disk with schema fail-fast, entry election once,
+    * floats only touched by each trigger's exact re-rank. */
+  def serveHnswPqFromSaved(queries: DataFrame, corpus: DataFrame,
+                           indexPath: String, codesPath: String,
+                           booksPath: String, dim: Int, numSub: Int,
+                           beamUpper: Int, hopsUpper: Int, beam: Int,
+                           hops: Int, k: Int, rerank: Int = 4,
+                           availableNow: Boolean = false)
+                          (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    val spark = corpus.sparkSession
+    serveHnswPq(queries,
+      graft.similarity.TrainedState.loadHnswIndex(spark, indexPath),
+      graft.similarity.TrainedState.loadPqCodes(spark, codesPath),
+      graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
+      dim, numSub, corpus, beamUpper, hopsUpper, beam, hops, k, rerank,
+      availableNow)(sink)
+  }
+
   /** Serve `k` neighbors per streamed query through the TRAINED-OPQ
     * rotated-PQ path, loading BOTH persisted artifacts once at stream
     * start ([[graft.similarity.TrainedState.loadRotation]] +

@@ -133,6 +133,56 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(collected.nonEmpty)
   }
 
+  test("serveHnswPq: streamed DiskANN-LAYERED serving through ALL " +
+      "THREE persisted artifacts == batch Hnsw.searchPq across " +
+      "micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val layered = graft.similarity.Hnsw.buildIndex(corpus, degree = 4,
+      m = 4, maxLevel = 2).localCheckpoint(true)
+    val books = graft.similarity.ProductQuantizer.codebooks(
+      corpus, 64, 4, 10)
+    val codes = graft.similarity.ProductQuantizer.encode(
+      corpus, books, 64, 4).localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hpq_serve").toString
+    graft.similarity.TrainedState.saveHnswIndex(layered, s"$dir/hnsw")
+    graft.similarity.TrainedState.savePqCodes(codes, s"$dir/codes")
+    graft.similarity.TrainedState.saveCodebooks(books, s"$dir/books")
+    val queryIds = Seq(Seq(1L, 3L), Seq(5L, 9L))
+    val qVecs = emb.filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveHnswPqFromSaved(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, s"$dir/hnsw",
+      s"$dir/codes", s"$dir/books", dim = 64, numSub = 4,
+      beamUpper = 1, hopsUpper = 2, beam = 4, hops = 3, k = 2,
+      rerank = 4) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { batch =>
+        mem.addData(batch.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (entryId, entryLevel) = graft.similarity.Hnsw.entryOf(
+      graft.similarity.Hnsw.levels(corpus, m = 4, maxLevel = 2))
+    val batchRef = graft.similarity.Hnsw.searchPq(
+      emb.filter(col("vec_id").isin(1L, 3L, 5L, 9L)),
+      graft.similarity.TrainedState.loadHnswIndex(spark, s"$dir/hnsw"),
+      codes, books, 64, 4, corpus, entryId, entryLevel, beamUpper = 1,
+      hopsUpper = 2, beam = 4, hops = 3, k = 2, rerank = 4).collect()
+    def keyedP(rows: Seq[Row]): Map[(Long, Int), (Long, Double)] =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyedP(collected.toSeq) == keyedP(batchRef.toSeq),
+      "streamed layered-PQ top-k diverged from the batch plan")
+    assert(collected.nonEmpty)
+  }
+
   test("serveOpq: streamed trained-OPQ serving through BOTH persisted " +
       "artifacts == batch topKOpq across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
