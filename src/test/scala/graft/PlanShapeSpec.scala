@@ -725,6 +725,54 @@ class PlanShapeSpec extends SparkTestBase {
       s"fresh-candidate isin did not reach the corpus scan:\n${p.take(3000)}")
   }
 
+  test("HNSW layered index: a layer filter PARTITION-PRUNES the " +
+      "persisted layer directories (a descent reads only the layers on " +
+      "its path), and the hop's frontier isin still pushes into the " +
+      "pruned layer scan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 40)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_hplan").toString + "/hnsw"
+    graft.similarity.TrainedState.saveHnswIndex(
+      graft.similarity.Hnsw.buildIndex(emb, degree = 4, m = 4,
+        maxLevel = 2), idxPath)
+    val loaded = graft.similarity.TrainedState.loadHnswIndex(spark, idxPath)
+    val e1 = loaded.filter(col("layer") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val pScan = e1.queryExecution.executedPlan.toString
+    // the layer predicate must be a PARTITION filter (directory prune),
+    // not a post-scan row filter — layer 0 holds the whole corpus and a
+    // descent step must never read it
+    assert(raw"PartitionFilters: \[[^\]]*\(layer#\d+ = 1\)".r
+        .findFirstIn(pScan).isDefined,
+      s"layer filter did not partition-prune the layered scan:\n" +
+        pScan.take(3000))
+    // the descent hop over the pruned layer keeps the flat hop's
+    // frontier pushdown: isin on query_id reaches the SAME pruned scan
+    val adj = e1.select(col("query_id").as("_src"),
+      col("neighbor_id").as("_dst"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val nodes = emb.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"))
+    val visited = graft.similarity.GraphAnn.scorer(q, nodes)(
+      q.select(col("query_id")).withColumn("node", lit(0L))
+        .unionByName(q.select(col("query_id")).withColumn("node", lit(5L))),
+      Seq(0L, 5L))
+    val pe = graft.similarity.GraphAnn
+      .expandFrontier(visited, adj, beam = 3)
+      .queryExecution.executedPlan.toString
+    assert(pe.contains("In(query_id, [0,5])"),
+      s"frontier isin did not reach the layered edge scan:\n${pe.take(3000)}")
+    assert(raw"PartitionFilters: \[[^\]]*\(layer#\d+ = 1\)".r
+        .findFirstIn(pe).isDefined,
+      s"hop scan lost the layer partition prune:\n${pe.take(3000)}")
+    assert(!pe.contains("SortMergeJoin"),
+      s"a big side got sort-merge-joined in the layered hop:\n" +
+        pe.take(2000))
+  }
+
   test("OPQ rotation application is map-only: plan-constant matrix, no " +
       "exchange, kernels stay codegen'd") {
     val emb = Tables.load(spark, sfDir, "embeddings")

@@ -92,6 +92,30 @@ object Round20ScaleMeasure {
         .values.foreach(_.unpersist(blocking = true))
     }
     println(s"[r20scale] corpus n=$n")
+
+    // the FANOUT DIAL at the small-C regime (where reduced fan-out
+    // costs agreement): fanout >= S is flat bit-for-bit (spec-pinned);
+    // this makes the dial visible as data, not just a contract
+    val cents4 = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid")).localCheckpoint(true)
+    val supers4 = graft.similarity.Similarity.superCentroids(cents4, 1000)
+      .localCheckpoint(true)
+    val sN4 = supers4.count()
+    val flat4 = graft.similarity.Similarity.ivfAssign(emb, cents4)
+      .select(col("vec_id"), col("centroid_id").as("a"))
+      .localCheckpoint(true)
+    println("[r20scale] fanout_sweep S=" + sN4 + ": fanout,agree_pct")
+    Seq(2, 4, 8, sN4.toInt).foreach { f =>
+      val agree = flat4
+        .join(graft.similarity.Similarity.ivfAssignTwoLevel(
+            emb, cents4, supers4, fanout = f)
+          .select(col("vec_id"), col("centroid_id").as("b")),
+          Seq("vec_id"))
+        .agg(avg(when(col("a") === col("b"), 1.0).otherwise(0.0)))
+        .head.getDouble(0)
+      println(f"[r20scale] fanout=$f,${agree * 100}%.1f")
+    }
     spark.stop()
   }
 }

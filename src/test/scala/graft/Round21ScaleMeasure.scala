@@ -55,7 +55,8 @@ object Round21ScaleMeasure {
         k = d, nprobe = 3)
     }
 
-    def measure(tag: String, dir: String): (Double, Double, Double) = {
+    def measure(tag: String, dir: String)
+        : (Double, Double, Double, Double) = {
       val emb = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val idxPath = s"/tmp/graft_r21_hnsw_$tag"
@@ -94,15 +95,31 @@ object Round21ScaleMeasure {
       val t2 = System.nanoTime()
       flatOnce()
       val flatS = (System.nanoTime() - t2) / 1e9
+      // ---- incremental insert (claim: ~corpus-independent — one
+      // bounded-batch search per layer + the touched-slice re-prune;
+      // batch = 50 existing embeddings re-id'd past the corpus) ----
+      val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val batch = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+          col("embedding")).localCheckpoint(true)
+      def insertOnce(): Unit = graft.similarity.Hnsw.insert(
+          layered, batch, emb, m = 8, maxLevel = 2, entryId,
+          beam = 8, hops = 6, degree = 6)
+        .write.format("noop").mode("overwrite").save()
+      insertOnce()
+      val t3 = System.nanoTime()
+      insertOnce()
+      val insS = (System.nanoTime() - t3) / 1e9
       println(f"[r21scale] $tag build=$buildS%.2fs hier_search=$hierS%.2fs " +
-        f"flat_search=$flatS%.2fs")
-      (buildS, hierS, flatS)
+        f"flat_search=$flatS%.2fs insert50=$insS%.2fs")
+      (buildS, hierS, flatS, insS)
     }
 
-    val (b1, h1, f1) = measure("sf01", sfDir)
-    val (b10, h10, f10) = measure(s"sf1_${mult}x", outDir)
+    val (b1, h1, f1, i1) = measure("sf01", sfDir)
+    val (b10, h10, f10, i10) = measure(s"sf1_${mult}x", outDir)
     println(f"[r21scale] build ratio=${b10 / b1}%.2f (corpus-scaled), " +
       f"hier search ratio=${h10 / h1}%.2f (expected ~flat), " +
+      f"insert ratio=${i10 / i1}%.2f (expected ~flat), " +
       f"descent overhead sf01=${h1 / f1}%.2fx 10x=${h10 / f10}%.2fx")
     spark.stop()
   }
