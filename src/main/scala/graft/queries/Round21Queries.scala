@@ -58,6 +58,18 @@ object Round21Queries {
       receipts.orderBy(col("vec_id"))
     }),
 
+    // HNSW index AUDIT: per-layer node/edge counts and degree extent —
+    // the health check a serving fleet runs before trusting a layered
+    // artifact (geometric layer sizes, degree bound, layer-0
+    // completeness). Pure counting over the per-layer brute graphs,
+    // fully replayed in DuckDB.
+    "e_ann_hnsw_stats" -> ((s, dir) => {
+      val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      Hnsw.indexStats(
+        Hnsw.buildIndex(corpus, degree = 4, m = 4, maxLevel = 2))
+    }),
+
     // DiskANN-LAYERED serving, FULL-trajectory oracle: the hierarchy
     // searched entirely over PQ codes — stride-codebook ADC (8
     // subspaces) scores the descent through both upper layers AND the
@@ -451,6 +463,46 @@ object Round21Queries {
   def oracleSql: Map[String, String] = Map(
 
     "e_ann_hnsw_pq" -> hnswPqSql,
+
+    "e_ann_hnsw_stats" ->
+      (s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |ap AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS s
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |lv AS (
+         |  SELECT vec_id,
+         |    (CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END +
+         |     CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS level
+         |  FROM (SELECT vec_id,
+         |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+         |        AS BIGINT) AS h
+         |    FROM emb) t),
+         |alledges AS (
+         |  SELECT 0 AS layer, src, r FROM (
+         |    SELECT src, dst, s,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap) t WHERE r <= 4
+         |  UNION ALL
+         |  SELECT 1 AS layer, src, r FROM (
+         |    SELECT src, dst, s,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap
+         |    WHERE src IN (SELECT vec_id FROM lv WHERE level >= 1)
+         |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 1)) t
+         |  WHERE r <= 4
+         |  UNION ALL
+         |  SELECT 2 AS layer, src, r FROM (
+         |    SELECT src, dst, s,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+         |    FROM ap
+         |    WHERE src IN (SELECT vec_id FROM lv WHERE level >= 2)
+         |      AND dst IN (SELECT vec_id FROM lv WHERE level >= 2)) t
+         |  WHERE r <= 4)
+         |SELECT layer, COUNT(DISTINCT src) AS n_nodes,
+         |  COUNT(*) AS n_edges, MAX(r) AS max_degree
+         |FROM alledges GROUP BY layer ORDER BY layer""".stripMargin),
 
     "e_ann_hnsw_filtered" ->
       Round20Queries.hnswSql(finalFilter = "AND node % 3 = 0"),

@@ -446,6 +446,22 @@ object Hnsw {
         max(col("was_indexed")).as("was_indexed"),
         sum(col("n_repaired")).as("n_repaired"))
 
+  /** Per-layer index AUDIT: node/edge counts and the degree extent of
+    * a layered index — the operational health check a serving fleet
+    * runs before trusting an artifact (a layer whose node count is far
+    * off the m^-ℓ geometric expectation means the id hash is being fed
+    * non-uniform ids; max_degree > the build degree means a buggy
+    * writer; layer 0 node count != corpus size means a partial write).
+    * Pure counting over the edge table — no embeddings touched, safe
+    * to run against a cold persisted index at any scale. */
+  def indexStats(layered: DataFrame): DataFrame =
+    layered.groupBy(col("layer"))
+      .agg(
+        countDistinct(col("query_id")).as("n_nodes"),
+        count(lit(1)).as("n_edges"),
+        max(col("rank")).cast("long").as("max_degree"))
+      .orderBy(col("layer"))
+
   /** [[search]] with the entry derived from the index itself — the
     * serving-time convenience (build → save → load → search without
     * re-deriving levels): entry = lowest id at the highest layer
