@@ -332,6 +332,7 @@ object Hnsw {
     */
   def forget(layered: DataFrame, deleteIds: DataFrame, maxLevel: Int)
       : (DataFrame, DataFrame) = {
+    require(maxLevel >= 0, s"Hnsw.forget: maxLevel=$maxLevel must be >= 0")
     val perLayer = (0 to maxLevel).map { l =>
       val (e, r) = GraphAnn.graphForget(
         layered.filter(col("layer") === l)
@@ -389,6 +390,8 @@ object Hnsw {
                      deleteIds: DataFrame, maxLevel: Int, beam: Int,
                      hops: Int, degree: Int): (DataFrame, DataFrame) = {
     require(degree >= 1, s"Hnsw.forgetRepaired: degree=$degree must be >= 1")
+    require(maxLevel >= 0,
+      s"Hnsw.forgetRepaired: maxLevel=$maxLevel must be >= 0")
     val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
     val live = corpus.join(ids, Seq("vec_id"), "left_anti")
     val perLayer = parLayers(0 to maxLevel) { l =>
@@ -429,7 +432,9 @@ object Hnsw {
     * repair on a 3-layer index; the arithmetic costs ~the flat
     * receipts). */
   def forgetRepairReceipts(layered: DataFrame, deleteIds: DataFrame,
-                           maxLevel: Int): DataFrame =
+                           maxLevel: Int): DataFrame = {
+    require(maxLevel >= 0,
+      s"Hnsw.forgetRepairReceipts: maxLevel=$maxLevel must be >= 0")
     mergeRepairReceipts((0 to maxLevel).map { l =>
       GraphAnn.forgetRepairReceipts(
         layered.filter(col("layer") === l)
@@ -437,6 +442,7 @@ object Hnsw {
             col("cos_sim")),
         deleteIds)
     })
+  }
 
   private def mergeRepairReceipts(perLayer: Seq[DataFrame]): DataFrame =
     perLayer.reduce(_.unionByName(_))
