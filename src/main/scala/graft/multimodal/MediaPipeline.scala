@@ -39,7 +39,11 @@ object MediaPipeline {
           outDir: String, maxHamming: Int = 3,
           vadWindow: Int = 400, vadTau: Int = 94,
           minActiveWindows: Int = 1, minSharedFrames: Int = 3,
-          featureDim: Int = 16, maxBucket: Int = 0): Stats = {
+          featureDim: Int = 16, maxBucket: Int = 0): Stats =
+   // per-run owner scope: the drain at the end releases only THIS run's
+   // staged banded tables, never a concurrent pipeline's
+   graft.similarity.StagedCache.scoped(
+       s"mediaPipeline-${java.util.UUID.randomUUID()}") {
     import spark.implicits._
     val cached = media.cache()
 

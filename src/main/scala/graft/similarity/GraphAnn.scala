@@ -510,19 +510,6 @@ object GraphAnn {
         col("cos_sim"))
   }
 
-  /** FORGET a set of node ids: drop their out-edges and every edge
-    * pointing at them, with a per-requested-id receipt (the
-    * [[Similarity.ivfForget]] deletion-receipt convention — an absent id
-    * confirms NEGATIVELY rather than vanishing). Remaining out-lists are
-    * NOT topped back up here (a forget leaves degree holes by design —
-    * search correctness degrades only in recall, never in soundness,
-    * because scoring always reads the live corpus); [[graphRepair]] /
-    * [[graphForgetRepaired]] are the reinsert-by-search complement that
-    * heals the holes without a rebuild.
-    *
-    * @return (updated edges, receipts `(vec_id, n_out_removed,
-    *         n_in_removed, was_indexed)`)
-    */
   /** REPAIR the degree holes a [[graphForget]] leaves: every AFFECTED
     * source (one that lost an out-edge because its target was deleted)
     * re-derives its out-list by SEARCHING the post-forget graph — the
@@ -634,6 +621,19 @@ object GraphAnn {
         coalesce(col("n_repaired"), lit(0L)).as("n_repaired"))
   }
 
+  /** FORGET a set of node ids: drop their out-edges and every edge
+    * pointing at them, with a per-requested-id receipt (the
+    * [[Similarity.ivfForget]] deletion-receipt convention — an absent id
+    * confirms NEGATIVELY rather than vanishing). Remaining out-lists are
+    * NOT topped back up here (a forget leaves degree holes by design —
+    * search correctness degrades only in recall, never in soundness,
+    * because scoring always reads the live corpus); [[graphRepair]] /
+    * [[graphForgetRepaired]] are the reinsert-by-search complement that
+    * heals the holes without a rebuild.
+    *
+    * @return (updated edges, receipts `(vec_id, n_out_removed,
+    *         n_in_removed, was_indexed)`)
+    */
   def graphForget(edges: DataFrame,
                   deleteIds: DataFrame): (DataFrame, DataFrame) = {
     val ids = broadcast(deleteIds.select(col("vec_id")).distinct())

@@ -45,14 +45,67 @@ object Hnsw {
     * order, so output content and ordering are exactly the sequential
     * plan's. */
   private def parLayers[T](ls: Range)(f: Int => T): Seq[T] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(ls.size)
+    require(ls.nonEmpty, "Hnsw.parLayers: empty layer range")
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    // one job group per call: a failed layer CANCELS its siblings' Spark
+    // jobs instead of letting them run to completion behind the thrown
+    // exception (wasted cluster work + delayed failure surfacing)
+    val gid = s"hnsw-layers-${java.util.UUID.randomUUID()}"
+    // bounded pool: a pathological caller-supplied maxLevel queues
+    // layers instead of minting a thread per layer (layers beyond the
+    // cap wait — correctness is unaffected, only overlap narrows)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(ls.size, MaxLayerThreads))
     implicit val ec =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      val futs = ls.map(l => scala.concurrent.Future(f(l)))
-      futs.map(fu => scala.concurrent.Await.result(fu,
-        scala.concurrent.duration.Duration.Inf))
+      val futs = ls.map(l => scala.concurrent.Future {
+        sc.setJobGroup(gid, s"hnsw layer $l", interruptOnCancel = true)
+        try f(l) finally sc.clearJobGroup()
+      })
+      // Future.sequence fails FAST — completes with the first layer's
+      // failure without waiting for the rest; order is preserved
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+      catch {
+        case t: Throwable =>
+          try sc.cancelJobGroup(gid) catch { case _: Throwable => () }
+          pool.shutdownNow()
+          throw t
+      }
     } finally pool.shutdown()
+  }
+
+  /** Concurrency cap for [[parLayers]]; real indexes have ≤ ~5 layers,
+    * so the cap only binds on hostile maxLevel inputs. */
+  private val MaxLayerThreads = 8
+
+  /** Sanity ceiling for caller-supplied maxLevel on the lifecycle
+    * entry points that take no `m` (so [[levels]]' m^maxLevel ≤ 2^40
+    * bound cannot check it): m ≥ 2 means no real index exceeds 40
+    * layers, and the per-layer loops must not spin on a typo'd bound. */
+  private val MaxLevelBound = 64
+
+  /** Fail-loud guard for the lifecycle operators that rebuild the edge
+    * table as a union of layers 0..maxLevel: a maxLevel BELOW the
+    * index's actual top layer would silently drop every higher layer's
+    * rows from the returned index — truncation, not an error the caller
+    * asked for. One bounded agg action (the lifecycle ops already run
+    * many driver jobs); an empty edge table passes (top = -1). */
+  private def requireCoversTop(layered: DataFrame, maxLevel: Int,
+                               op: String): Unit = {
+    require(maxLevel >= 0 && maxLevel <= MaxLevelBound,
+      s"Hnsw.$op: maxLevel=$maxLevel out of [0, $MaxLevelBound]")
+    val r = layered.agg(max(col("layer"))).collect()
+    val top = if (r.isEmpty || r(0).isNullAt(0)) -1
+      else r(0).get(0) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+      }
+    require(maxLevel >= top,
+      s"Hnsw.$op: maxLevel=$maxLevel is below the index's top layer " +
+        s"$top — layers ${maxLevel + 1}..$top would be silently dropped")
   }
 
   /** Deterministic geometric layer assignment: node v's top layer is
@@ -301,6 +354,7 @@ object Hnsw {
              m: Int, maxLevel: Int, entryId: Long, beam: Int, hops: Int,
              degree: Int): DataFrame = {
     require(degree >= 1, s"Hnsw.insert: degree=$degree must be >= 1")
+    requireCoversTop(layered, maxLevel, "insert")
     val lv = levels(batch, m, maxLevel)
     parLayers(0 to maxLevel) { l =>
       val sub = batch.join(
@@ -332,7 +386,7 @@ object Hnsw {
     */
   def forget(layered: DataFrame, deleteIds: DataFrame, maxLevel: Int)
       : (DataFrame, DataFrame) = {
-    require(maxLevel >= 0, s"Hnsw.forget: maxLevel=$maxLevel must be >= 0")
+    requireCoversTop(layered, maxLevel, "forget")
     val perLayer = (0 to maxLevel).map { l =>
       val (e, r) = GraphAnn.graphForget(
         layered.filter(col("layer") === l)
@@ -390,8 +444,7 @@ object Hnsw {
                      deleteIds: DataFrame, maxLevel: Int, beam: Int,
                      hops: Int, degree: Int): (DataFrame, DataFrame) = {
     require(degree >= 1, s"Hnsw.forgetRepaired: degree=$degree must be >= 1")
-    require(maxLevel >= 0,
-      s"Hnsw.forgetRepaired: maxLevel=$maxLevel must be >= 0")
+    requireCoversTop(layered, maxLevel, "forgetRepaired")
     val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
     val live = corpus.join(ids, Seq("vec_id"), "left_anti")
     val perLayer = parLayers(0 to maxLevel) { l =>
@@ -433,8 +486,7 @@ object Hnsw {
     * receipts). */
   def forgetRepairReceipts(layered: DataFrame, deleteIds: DataFrame,
                            maxLevel: Int): DataFrame = {
-    require(maxLevel >= 0,
-      s"Hnsw.forgetRepairReceipts: maxLevel=$maxLevel must be >= 0")
+    requireCoversTop(layered, maxLevel, "forgetRepairReceipts")
     mergeRepairReceipts((0 to maxLevel).map { l =>
       GraphAnn.forgetRepairReceipts(
         layered.filter(col("layer") === l)

@@ -18,27 +18,80 @@ import org.apache.spark.sql.Dataset
   * loop-shaped callers call [[release]] once the trigger's outputs are
   * materialized (foreachBatch bodies here materialize via eager
   * `localCheckpoint(true)` before sinking, so release is safe at the
-  * end of the body). `release` drains EVERYTHING registered so far —
-  * unpersisting a not-yet-materialized lazy cache is semantically a
-  * no-op (the plan recomputes), so a concurrent query's entry caught in
-  * the drain costs at most a recompute, never a wrong answer.
+  * end of the body).
+  *
+  * Registrations are SCOPED by an owner token ([[scoped]]): with two
+  * concurrent pipelines in one session (a stream alongside a batch
+  * [[graft.multimodal.MediaPipeline]] run, or two streams), an unscoped
+  * session-global drain would unpersist a banded table another pipeline
+  * registered but has not yet materialized — silently turning its
+  * persist into a recompute per consumer, the exact cost the persist
+  * exists to avoid (correct results, degraded perf). A loop-shaped
+  * caller wraps its trigger body in `scoped(token) { … }`; register
+  * tags entries with the AMBIENT scope, and `release()` drains only the
+  * current scope's entries. Code outside any scope shares the default
+  * scope — the pre-scoping behavior, unchanged for one-shot callers.
+  * Draining a not-yet-materialized lazy cache remains semantically a
+  * no-op (the plan recomputes), so even a mis-scoped drain can cost at
+  * most a recompute, never a wrong answer.
   */
 object StagedCache {
-  private val staged =
-    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
-  /** Record `df` (already `.persist()`-ed) for a later [[release]]. */
-  def register[T](df: Dataset[T]): Dataset[T] = { staged.add(df); df }
+  private val DefaultScope = "global"
 
-  /** Unpersist (non-blocking) every registered entry; returns how many
-    * were drained. Idempotent — entries drain exactly once. */
-  def release(): Int = {
+  private val staged = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
+
+  // DynamicVariable: thread-bound with inheritance into worker threads
+  // spawned inside the scope, so a scoped body that parallelizes its
+  // construction (the parLayers shape) still tags its own entries
+  private val scope = new scala.util.DynamicVariable[String](DefaultScope)
+
+  private def queueOf(key: String) =
+    staged.computeIfAbsent(key,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+
+  /** Run `body` with registrations (and bare [[release]] calls) bound
+    * to `key` — one token per pipeline instance; a fresh UUID-suffixed
+    * token per operator call is the convention. */
+  def scoped[T](key: String)(body: => T): T = scope.withValue(key)(body)
+
+  /** The ambient scope key (spec hook). */
+  def currentScope: String = scope.value
+
+  /** Record `df` (already `.persist()`-ed) under the ambient scope for
+    * a later [[release]]. */
+  def register[T](df: Dataset[T]): Dataset[T] = {
+    queueOf(scope.value).add(df); df
+  }
+
+  /** Unpersist (non-blocking) every entry registered under the ambient
+    * scope; returns how many were drained. Idempotent — entries drain
+    * exactly once; other scopes' entries are never touched. */
+  def release(): Int = release(scope.value)
+
+  /** [[release]] for an explicit owner token. */
+  def release(key: String): Int = {
+    val q = staged.get(key)
+    if (q == null) 0
+    else {
+      var n = 0
+      var d = q.poll()
+      while (d != null) { d.unpersist(false); n += 1; d = q.poll() }
+      n
+    }
+  }
+
+  /** Registered-entry count across ALL scopes (spec hook — the leak
+    * audit asserts this reaches 0 after a loop drains). */
+  def pending: Int = {
     var n = 0
-    var d = staged.poll()
-    while (d != null) { d.unpersist(false); n += 1; d = staged.poll() }
+    staged.forEach((_, q) => n += q.size())
     n
   }
 
-  /** Currently-registered entry count (spec hook). */
-  def pending: Int = staged.size()
+  /** Registered-entry count for one scope (spec hook). */
+  def pendingIn(key: String): Int = {
+    val q = staged.get(key); if (q == null) 0 else q.size()
+  }
 }

@@ -95,9 +95,14 @@ object StreamingMedia {
       shiftright(c, 20)
     var index = initialFrameSigs.select(col("id"), col("simhash"))
       .localCheckpoint(true)
+    // one owner token per operator instance: this loop's release drains
+    // ONLY its own staged entries — a concurrent pipeline's
+    // not-yet-materialized persist is never caught in the drain
+    val stageTok = s"admitVideos-${java.util.UUID.randomUUID()}"
     val writer = media.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Multimodal.MediaRow], batchId: Long) =>
+       graft.similarity.StagedCache.scoped(stageTok) {
         val sigs = Multimodal.framePHashSigs(batch, blocks)
           .select((col("media_id") * pack + col("frame_idx")).as("id"),
             col("simhash"))
@@ -160,6 +165,7 @@ object StreamingMedia {
         // entry leaks per trigger; see [[StagedCache]])
         graft.similarity.StagedCache.release()
         ()
+       }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -209,9 +215,12 @@ object StreamingMedia {
     // mutable across triggers; foreachBatch runs serially per query
     var index = initialSigs.select(col("id"), col("simhash"))
       .localCheckpoint(true)
+    // per-instance owner token — the admitVideos scoping rationale
+    val stageTok = s"admitImages-${java.util.UUID.randomUUID()}"
     val writer = media.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Multimodal.MediaRow], batchId: Long) =>
+       graft.similarity.StagedCache.scoped(stageTok) {
         val sigs = Multimodal.pHashSigs(batch, blocks).localCheckpoint(true)
         val pairs = Similarity.simhashPairsFromSigs(
             index.unionByName(sigs), maxHamming, numProbes)
@@ -262,6 +271,7 @@ object StreamingMedia {
         // one cache entry per batch for the life of the session
         graft.similarity.StagedCache.release()
         ()
+       }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

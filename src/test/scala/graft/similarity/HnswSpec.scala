@@ -381,4 +381,39 @@ class HnswSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("schema mismatch"))
   }
+
+  test("lifecycle maxLevel below the index's top layer fails loudly " +
+      "instead of silently truncating the upper layers out of the " +
+      "returned index") {
+    import spark.implicits._
+    val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val layered = Hnsw.buildIndex(e, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val top = layered.agg(max(col("layer"))).collect()(0).getInt(0)
+    assert(top >= 1, s"test needs an upper layer to truncate, got $top")
+    val del = Seq(0L).toDF("vec_id")
+    val exF = intercept[IllegalArgumentException] {
+      Hnsw.forget(layered, del, maxLevel = top - 1)
+    }
+    assert(exF.getMessage.contains("top layer"))
+    val exI = intercept[IllegalArgumentException] {
+      Hnsw.insert(layered, e.limit(1), e, m = 4, maxLevel = top - 1,
+        entryId = 0L, beam = 2, hops = 1, degree = 4)
+    }
+    assert(exI.getMessage.contains("top layer"))
+    val exR = intercept[IllegalArgumentException] {
+      Hnsw.forgetRepairReceipts(layered, del, maxLevel = top - 1)
+    }
+    assert(exR.getMessage.contains("top layer"))
+    val exFR = intercept[IllegalArgumentException] {
+      Hnsw.forgetRepaired(layered, e, del, maxLevel = top - 1, beam = 2,
+        hops = 1, degree = 4)
+    }
+    assert(exFR.getMessage.contains("top layer"))
+    // negative maxLevel still fails with the range contract
+    val exNeg = intercept[IllegalArgumentException] {
+      Hnsw.forget(layered, del, maxLevel = -1)
+    }
+    assert(exNeg.getMessage.contains("out of [0"))
+  }
 }

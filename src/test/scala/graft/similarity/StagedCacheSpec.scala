@@ -46,4 +46,79 @@ class StagedCacheSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.size == base,
       "released loop must not grow the persistent-RDD registry")
   }
+
+  test("owner scoping: one pipeline's release drains ONLY its own " +
+      "entries — a concurrent pipeline's staged table survives") {
+    StagedCache.release()
+    val sigs = Seq((1L, 7L), (2L, 7L)).toDF("id", "simhash")
+    // pipeline A stages, pipeline B stages; A releases — B's entry must
+    // survive (the round-11 advice: an unscoped drain would unpersist
+    // B's not-yet-materialized cache and silently double its recompute)
+    StagedCache.scoped("pipeA") {
+      Similarity.simhashPairsFromSigs(sigs, maxHamming = 0)
+      assert(StagedCache.pendingIn("pipeA") == 1)
+    }
+    StagedCache.scoped("pipeB") {
+      Similarity.simhashPairsFromSigs(sigs, maxHamming = 0)
+    }
+    val drainedA = StagedCache.scoped("pipeA") { StagedCache.release() }
+    assert(drainedA == 1, "A must drain exactly its own entry")
+    assert(StagedCache.pendingIn("pipeB") == 1,
+      "B's staged entry must survive A's release")
+    assert(StagedCache.release("pipeB") == 1)
+    assert(StagedCache.pending == 0)
+  }
+
+  test("leak audit: every staging streaming loop (admitImages, " +
+      "admitVideos — the foreachBatch bodies that transitively call a " +
+      "staging function) leaves pending == 0 after a 3-trigger run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    StagedCache.release()
+    assert(StagedCache.pending == 0, "audit needs a clean registry")
+
+    def img(id: Long, body: String) = Multimodal.MediaRow(id, "image",
+      Multimodal.FakeCodec.encode(8, 8, 0, body.getBytes("UTF-8")),
+      8, 8, 0, 1)
+    val imgBatches = Seq(
+      Seq(img(1L, "first image body, nothing shared with the others")),
+      Seq(img(2L, "second image body with very different bytes here")),
+      Seq(img(3L, "third image body distinct from both of the above")))
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val idx0 = Multimodal.pHashSigs(
+      spark.createDataset(Seq(img(0L, "seed image for the index....."))))
+    val q = graft.streaming.StreamingMedia.admitImages(mem.toDS(),
+      idx0.toDF()) { (df, _) => df.collect(); () }
+    try {
+      imgBatches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(StagedCache.pending == 0,
+      s"admitImages leaked ${StagedCache.pending} staged entries " +
+        "after 3 triggers")
+
+    def vid(id: Long, frames: Seq[String]) = Multimodal.MediaRow(id,
+      "video", Multimodal.FakeCodec.encode(8, 8, 0,
+        frames.mkString.getBytes("UTF-8")), 8, 8, 0, frames.size)
+    val vidBatches = Seq(
+      Seq(vid(1L, Seq("frame one body..............",
+        "frame two body.............."))),
+      Seq(vid(2L, Seq("frame three body............",
+        "frame four body............."))),
+      Seq(vid(3L, Seq("frame five body.............",
+        "frame six body.............."))))
+    val memV = MemoryStream[Multimodal.MediaRow]
+    val vIdx0 = Multimodal.framePHashSigs(
+        spark.createDataset(Seq(vid(0L, Seq("seed frame body.............")))))
+      .select((col("media_id") * Multimodal.FramePack + col("frame_idx"))
+        .as("id"), col("simhash"))
+    val qv = graft.streaming.StreamingMedia.admitVideos(memV.toDS(),
+      vIdx0) { (df, _) => df.collect(); () }
+    try {
+      vidBatches.foreach { b => memV.addData(b: _*); qv.processAllAvailable() }
+    } finally qv.stop()
+    assert(StagedCache.pending == 0,
+      s"admitVideos leaked ${StagedCache.pending} staged entries " +
+        "after 3 triggers")
+  }
 }
