@@ -52,7 +52,10 @@ object Round21Queries {
       import s.implicits._
       val corpus = load(s, dir, "embeddings").filter(col("vec_id") < 120)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      // checkpointed: the lifecycle coverage guard runs one agg over the
+      // index at construction, and the final write reads it again
       val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4, maxLevel = 2)
+        .localCheckpoint(true)
       val del = Seq(7L, 44L, 999999L).toDF("vec_id")
       val (_, receipts) = Hnsw.forget(layered, del, maxLevel = 2)
       receipts.orderBy(col("vec_id"))
@@ -184,6 +187,7 @@ object Round21Queries {
       val del = (upper2 :+ low1 :+ 999999L).toDF("vec_id")
         .localCheckpoint(true)
       val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4, maxLevel = 2)
+        .localCheckpoint(true) // coverage guard + final write both read it
       Hnsw.forgetRepairReceipts(layered, del, maxLevel = 2)
         .orderBy(col("vec_id"))
     }),

@@ -112,7 +112,8 @@ object GraphAnn {
                                      entryIds: Seq[Long], beam: Int,
                                      hops: Int, k: Int,
                                      allowed: Option[DataFrame],
-                                     includeSelf: Boolean): DataFrame = {
+                                     includeSelf: Boolean,
+                                     mirrorCap: Int = MirrorCap): DataFrame = {
     require(beam >= 1, s"searchGraph: beam=$beam must be >= 1")
     require(hops >= 0, s"searchGraph: hops=$hops must be >= 0")
     require(k >= 1, s"searchGraph: k=$k must be >= 1")
@@ -128,37 +129,24 @@ object GraphAnn {
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
 
-    // hops = 0 stays a LAZY plan (no job at construction — the
-    // simhashPairsFromSigs lesson); any hop > 0 is inherently an
-    // iterative driver loop and materializes per round like [[KMeans]]
-    var visited = score(
-      entries.select(col("query_id"), col("node")), entryIds)
-    if (hops > 0) visited = visited.localCheckpoint(true)
-    var visitedCount = if (hops > 0) visited.count() else 0L
-    // the count is already paid: an EMPTY initial visited set with a
-    // non-empty query batch can only mean the entry node is absent from
-    // the corpus — fail loud instead of returning silent recall-zero
-    // for every query (the documented 'must exist in corpus' contract);
-    // the probe-batch count only runs on the failure path
-    require(hops == 0 || visitedCount > 0 || queries.limit(1).isEmpty,
-      s"searchGraph: no entry node (of ${entryIds.take(4).mkString(",")}" +
-        s"${if (entryIds.length > 4) ",…" else ""}) is in the corpus")
-    var hop = 0
-    var converged = false
-    while (hop < hops && !converged) {
-      // eager per-hop materialization: visited is tiny (≤ |q|·beam·deg·hop)
-      // and re-read 3× next round — the iterative-lineage convention
-      visited = visited
-        .unionByName(hopOnce(visited, adj, score, beam))
-        .localCheckpoint(true)
-      // `hops` is a BUDGET: once a round adds no nodes, every further
-      // round is a fixpoint, so stopping early returns the identical
-      // answer (the count is free — visited is already materialized)
-      val n = visited.count()
-      converged = n == visitedCount
-      visitedCount = n
-      hop += 1
-    }
+    val visited = walkLoop(
+      score(entries.select(col("query_id"), col("node")), entryIds),
+      adj, score,
+      // mirror-path scorer: the bounded probe batch collected once to a
+      // local relation, so per-hop scoring fetches broadcast it without
+      // a Spark job (the pqSearcher qLocal convention)
+      localScore = Some(() => {
+        import scala.jdk.CollectionConverters._
+        val qLocal = queries.sparkSession.createDataFrame(
+          q.collect().toSeq.asJava, q.schema)
+        scorer(qLocal, nodes) _
+      }),
+      beam, hops,
+      emptyOk = queries.limit(1).isEmpty,
+      failMsg = "searchGraph: no entry node (of " +
+        s"${entryIds.take(4).mkString(",")}" +
+        s"${if (entryIds.length > 4) ",…" else ""}) is in the corpus",
+      mirrorCap = mirrorCap)
     val eligible = allowed match {
       // the allowed set streams past the broadcast visited rows — the
       // corpus-derived side never shuffles for the filter
@@ -184,6 +172,218 @@ object GraphAnn {
     * scan-pruning strategy, not a semantics change). The cap bounds the
     * literal list the [[Similarity]] eval-inlining convention's way. */
   private[graft] val MaxInlineFrontier = 4096
+
+  /** Visited sets up to this many rows are MIRRORED on the driver
+    * during a walk ([[walkLoop]]): the per-hop beam cut, fresh-node
+    * dedup and fixpoint check all run in driver memory, so a hop costs
+    * exactly TWO Spark jobs (expand-collect, score-collect) instead of
+    * the distributed loop's four (frontier collect, fresh collect,
+    * localCheckpoint, count) — measured as the saturated lifecycle
+    * oracles' cost ceiling, where hop cost is driver-job round-trips,
+    * not data. ~24 bytes/row: the cap bounds the mirror at a few MB.
+    * Above it the walk SPILLS to the distributed loop mid-flight with
+    * identical content — the mirror is an execution strategy, never a
+    * semantics change (parity is spec-pinned bit-for-bit). */
+  private[similarity] val MirrorCap = 1 << 18
+
+  /** The wBeam window's exact comparator — (score desc, node asc) with
+    * Spark's double total order (NaN largest, -0.0 < 0.0), which
+    * java.lang.Double.compare reproduces verbatim. */
+  private val mirrorOrd: Ordering[(Long, Long, Double)] =
+    new Ordering[(Long, Long, Double)] {
+      def compare(x: (Long, Long, Double), y: (Long, Long, Double)): Int = {
+        val c = java.lang.Double.compare(y._3, x._3)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      }
+    }
+
+  /** The shared hop recurrence of [[searchFrom]] and [[walkPq]]:
+    * `hops` rounds of (beam-cut the visited set per query, expand the
+    * frontier through `adj`, score the unvisited reached nodes, fold
+    * them in), with the fixpoint early-exit. Returns the visited
+    * `(query_id, node, score)` table.
+    *
+    * Strategy, not semantics: while the visited set fits [[MirrorCap]]
+    * it lives in a DRIVER MIRROR — the frontier cut (the window's
+    * (score desc, node asc) order, reproduced by [[mirrorOrd]] over the
+    * same doubles), the already-visited anti-join and the convergence
+    * test are plain Scala, and each hop runs exactly two bounded
+    * cluster jobs: the frontier-pruned edge expansion (isin on the edge
+    * scan when the frontier id list fits [[MaxInlineFrontier]] — the
+    * row-group-pruning contract) and the fresh-node scoring (id-pruned
+    * corpus/codes fetch, same cap). No per-hop checkpoint, no count.
+    * The moment any collect would exceed the cap, the walk REBUILDS the
+    * distributed visited set from the mirror and finishes in the
+    * [[walkDistributed]] loop — the pre-mirror code path, byte-for-byte
+    * the same recurrence. `hops = 0` stays a LAZY plan (no job at
+    * construction — the simhashPairsFromSigs lesson).
+    *
+    * `emptyOk`/`failMsg`: an empty initial scored set with a non-empty
+    * probe batch means the entry is absent (or its code rows are
+    * incomplete) — fail loud instead of silent recall-zero; the
+    * emptiness probe only runs on the failure path. */
+  /** Driver-side adjacency cache cap for the mirror walk (rows). A
+    * saturating walk re-expands the same out-lists every hop; caching
+    * them makes most hops a SINGLE Spark job (the scoring fetch). */
+  private val AdjCacheCap = 1 << 21
+
+  private[similarity] def walkLoop(visited0: DataFrame, adj: DataFrame,
+                                   score: (DataFrame, Seq[Long]) => DataFrame,
+                                   localScore: Option[() => (DataFrame, Seq[Long]) => DataFrame],
+                                   beam: Int, hops: Int,
+                                   emptyOk: => Boolean, failMsg: => String,
+                                   maxInline: Int = MaxInlineFrontier,
+                                   mirrorCap: Int = MirrorCap): DataFrame = {
+    if (hops == 0) return visited0
+    val spark = visited0.sparkSession
+    val v0 = visited0.limit(math.max(mirrorCap, 0) + 1).collect()
+    require(v0.nonEmpty || emptyOk, failMsg)
+    if (v0.length > mirrorCap)
+      return walkDistributed(visited0, adj, score, beam, hops, maxInline)
+    // hot-loop scorer: callers localize their bounded query side once
+    // (a local relation broadcasts WITHOUT a Spark job), so a scoring
+    // fetch is one single-stage job instead of main + broadcast jobs
+    val hotScore = localScore.map(_.apply()).getOrElse(score)
+    // the mirror holds visited ROWS verbatim (a degenerate duplicate
+    // (query, node) entry pair occupies two beam slots in the window
+    // cut exactly like the distributed form); `seen` is the anti-join
+    val mirror = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    v0.foreach { r =>
+      val t = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      mirror += t; seen += ((t._1, t._2))
+    }
+    // node → out-neighbors, fetched once per node in isin-chunked scans
+    // (row-group pruned against a persisted index) and reused across
+    // hops — re-expanded frontiers cost zero cluster work
+    val adjCache = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+    var adjRows = 0
+    var hop = 0
+    var converged = false
+    var spill = false
+    while (hop < hops && !converged && !spill) {
+      val frontier = mirror.groupBy(_._1).iterator.flatMap {
+        case (_, rows) => rows.sorted(mirrorOrd).take(beam)
+      }.toArray
+      val missing = frontier.map(_._2).distinct.sorted
+        .filterNot(adjCache.contains)
+      missing.grouped(maxInline).foreach { chunk =>
+        if (!spill) {
+          val rows = adj.filter(col("_src").isin(chunk.toIndexedSeq: _*))
+            .select(col("_src"), col("_dst")).collect()
+          adjRows += rows.length
+          rows.groupBy(_.getLong(0)).foreach { case (src, rs) =>
+            adjCache(src) = rs.map(_.getLong(1)).distinct
+          }
+          chunk.foreach(id =>
+            if (!adjCache.contains(id)) adjCache(id) = Array.emptyLongArray)
+          if (adjRows > AdjCacheCap) spill = true
+        }
+      }
+      if (!spill) {
+        // driver-side expansion + already-visited anti-join — the
+        // distributed form's join/distinct/anti-join, in memory
+        val freshSet = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+        frontier.foreach { case (qid, node, _) =>
+          adjCache(node).foreach { dst =>
+            val key = (qid, dst)
+            if (!seen(key)) freshSet += key
+          }
+        }
+        if (freshSet.size > mirrorCap) spill = true
+        else if (freshSet.isEmpty) converged = true
+        else {
+          val fresh = freshSet.toArray
+          val freshIds = fresh.map(_._2).distinct.sorted
+          val scored = hotScore(
+            localPairs(spark,
+              fresh.map(t => org.apache.spark.sql.Row(t._1, t._2))),
+            if (freshIds.length <= maxInline) freshIds.toIndexedSeq
+            else Nil).collect()
+          var added = 0
+          scored.foreach { r =>
+            val t = (r.getLong(0), r.getLong(1), r.getDouble(2))
+            if (seen.add((t._1, t._2))) { mirror += t; added += 1 }
+          }
+          // a fresh set whose every row drops in scoring (absent from
+          // the corpus / incomplete codes) is the distributed loop's
+          // unchanged-count fixpoint
+          if (added == 0) converged = true
+          else {
+            hop += 1 // this hop COMPLETED — the spill handoff below
+                     // must not re-run it
+            if (mirror.length > mirrorCap) spill = true
+          }
+        }
+      }
+    }
+    if (sys.env.contains("GRAFT_WALK_TRACE"))
+      println(s"[walkLoop] hops=$hop/$hops converged=$converged " +
+        s"spill=$spill visited=${mirror.length} adjRows=$adjRows")
+    val mirrorDf = localScored(spark, mirror)
+    if (!spill) mirrorDf
+    // spill: the walk continues distributed over the same visited
+    // content with the CLUSTER-shaped scorer — the recurrence is
+    // content-deterministic, so the handoff cannot change the answer
+    else walkDistributed(mirrorDf, adj, score, beam, hops - hop, maxInline)
+  }
+
+  /** The pre-mirror distributed walk: per hop, eager checkpoint +
+    * count (the iterative-lineage convention) with the unchanged-count
+    * fixpoint exit. [[walkLoop]]'s over-cap entry and spill target. */
+  private def walkDistributed(visitedIn: DataFrame, adj: DataFrame,
+                              score: (DataFrame, Seq[Long]) => DataFrame,
+                              beam: Int, hops: Int,
+                              maxInline: Int): DataFrame = {
+    var visited = visitedIn.localCheckpoint(true)
+    var visitedCount = visited.count()
+    var hop = 0
+    var converged = false
+    while (hop < hops && !converged) {
+      // eager per-hop materialization: visited is small relative to the
+      // corpus and re-read 3× next round
+      visited = visited
+        .unionByName(hopOnce(visited, adj, score, beam, maxInline))
+        .localCheckpoint(true)
+      // `hops` is a BUDGET: once a round adds no nodes, every further
+      // round is a fixpoint, so stopping early returns the identical
+      // answer (the count is free — visited is already materialized)
+      val n = visited.count()
+      converged = n == visitedCount
+      visitedCount = n
+      hop += 1
+    }
+    visited
+  }
+
+  /** Collect a BOUNDED id column (deletion-batch / affected-set
+    * contracts) to a deduped, sorted LOCAL relation. Anti-joins and
+    * semi-joins against the result broadcast WITHOUT scheduling a
+    * Spark job (Project/Filter/Limit over a LocalRelation stay local
+    * at plan time), where broadcasting the original plan re-executed
+    * it once per action — measured as most of the lifecycle walks'
+    * job count (each hop's edge fetch re-broadcast the deletion set).
+    * Dedup runs driver-side so the result plan carries no Aggregate
+    * (an Aggregate over a LocalRelation still schedules a tiny job). */
+  private[similarity] def localIds(df: DataFrame,
+                                   colName: String = "vec_id"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ids = df.select(col(colName).cast("long")).collect()
+      .map(_.getLong(0)).distinct.sorted
+    df.sparkSession.createDataFrame(
+      ids.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(s"$colName BIGINT"))
+  }
+
+  private def localScored(spark: org.apache.spark.sql.SparkSession,
+                          rows: Iterable[(Long, Long, Double)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
+        .toSeq.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, node BIGINT, score DOUBLE"))
+  }
 
   /** One expansion round, exposed for plan-shape pinning: cut the
     * frontier (top-`beam` of `visited` per query), expand it through the
@@ -344,8 +544,16 @@ object GraphAnn {
     val qLocal = spark.createDataFrame(qRows.toSeq.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "vec_id BIGINT, embedding ARRAY<FLOAT>"))
-    val booksB = broadcast(books.select(col("sub").cast("int"),
-      col("code").cast("int"), col("centroid")))
+    // codebooks are broadcast-sized BY CONTRACT — collect them once to
+    // a local relation, so the per-(query, sub, code) ADC table below
+    // derives entirely from memory and its per-action broadcast never
+    // re-executes the caller's codebook-training plan (measured: the
+    // stride/k-means books plan re-ran on every hop's scoring job)
+    val booksB = broadcast(spark.createDataFrame(
+      books.select(col("sub").cast("int"), col("code").cast("int"),
+        col("centroid")).collect().toSeq.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "sub INT, code INT, centroid ARRAY<FLOAT>")))
     // per-query ADC lookup table: dot(q_sub, centroid) per (sub, code)
     val adcTable = broadcast(qLocal
       .select(col("vec_id").as("query_id"),
@@ -387,32 +595,23 @@ object GraphAnn {
     * no seed has complete code rows (a silent recall-zero otherwise). */
   private[similarity] def walkPq(ctx: PqCtx, edges: DataFrame,
                                  entries: DataFrame, entryIds: Seq[Long],
-                                 beam: Int, hops: Int): DataFrame = {
+                                 beam: Int, hops: Int,
+                                 mirrorCap: Int = MirrorCap): DataFrame = {
     require(beam >= 1 && hops >= 0,
       s"walkPq: beam=$beam (>=1), hops=$hops (>=0)")
     val adj = edges.select(col("query_id").as("_src"),
       col("neighbor_id").as("_dst"))
-    var visited = ctx.scoreAdc(entries, entryIds)
-    if (hops > 0) visited = visited.localCheckpoint(true)
-    var visitedCount = if (hops > 0) visited.count() else 0L
     // empty initial scored set with a non-empty probe batch = the entry
     // is absent from the codes index (or its code rows are incomplete —
-    // scoreAdc's completeness filter drops short rows): fail loud, not
-    // silent recall-zero (qLocal is already collected, so this is free)
-    require(hops == 0 || visitedCount > 0 || ctx.qCount == 0,
-      "searchGraphPq: no entry node has complete code rows")
-    var hop = 0
-    var converged = false
-    while (hop < hops && !converged) {
-      visited = visited
-        .unionByName(hopOnce(visited, adj, ctx.scoreAdc, beam))
-        .localCheckpoint(true)
-      val n = visited.count()
-      converged = n == visitedCount
-      visitedCount = n
-      hop += 1
-    }
-    visited
+    // scoreAdc's completeness filter drops short rows): walkLoop fails
+    // loud, not silent recall-zero (qLocal is already collected, so the
+    // emptiness probe is free)
+    // scoreAdc is already mirror-shaped: qLocal and the codebooks are
+    // local relations, so its per-hop broadcasts schedule no real work
+    walkLoop(ctx.scoreAdc(entries, entryIds), adj, ctx.scoreAdc,
+      localScore = None, beam, hops, emptyOk = ctx.qCount == 0,
+      failMsg = "searchGraphPq: no entry node has complete code rows",
+      mirrorCap = mirrorCap)
   }
 
   /** The ONLY float-vector touch: exact re-rank of the `k·rerank` ADC
@@ -535,7 +734,11 @@ object GraphAnn {
                   affected: DataFrame, entryId: Long, beam: Int,
                   hops: Int, degree: Int): DataFrame = {
     require(degree >= 1, s"graphRepair: degree=$degree must be >= 1")
-    val aff = broadcast(affected.select(col("vec_id")).distinct())
+    // repair is construction-eager anyway (the walk below) — localize
+    // the bounded affected set so every downstream broadcast of it
+    // (walk hops, slice joins, the final passthrough anti-join) is
+    // job-free instead of re-executing the affected-set derivation
+    val aff = broadcast(localIds(affected))
     val queries = liveCorpus.join(aff, Seq("vec_id"))
     val found = searchGraph(queries, keptEdges, liveCorpus, entryId, beam,
       hops, degree)
@@ -577,13 +780,14 @@ object GraphAnn {
                           deleteIds: DataFrame, entryId: Long, beam: Int,
                           hops: Int, degree: Int)
       : (DataFrame, DataFrame) = {
-    val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
-    val (kept, _) = graphForget(edges, deleteIds)
+    // one bounded collect; every anti-join below broadcasts job-free
+    val ids = broadcast(localIds(deleteIds))
+    val (kept, _) = graphForgetWith(edges, ids)
     val affected = affectedSources(edges, ids)
     val live = corpus.join(ids, Seq("vec_id"), "left_anti")
     val repaired = graphRepair(kept, live, affected, entryId, beam, hops,
       degree)
-    (repaired, forgetRepairReceipts(edges, deleteIds))
+    (repaired, forgetRepairReceiptsWith(edges, ids))
   }
 
   /** Live sources that pointed at a deleted node — the set
@@ -604,9 +808,16 @@ object GraphAnn {
     * driver-eager at construction, so a receipts-only consumer must not
     * pay for it. */
   def forgetRepairReceipts(edges: DataFrame,
-                           deleteIds: DataFrame): DataFrame = {
-    val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
-    val (_, receipts) = graphForget(edges, deleteIds)
+                           deleteIds: DataFrame): DataFrame =
+    forgetRepairReceiptsWith(edges,
+      broadcast(deleteIds.select(col("vec_id")).distinct()))
+
+  /** [[forgetRepairReceipts]] against a caller-prepared DISTINCT id
+    * relation (the [[graphForgetWith]] convention). */
+  private[similarity] def forgetRepairReceiptsWith(edges: DataFrame,
+                                                   ids: DataFrame)
+      : DataFrame = {
+    val (_, receipts) = graphForgetWith(edges, ids)
     val nRepaired = edges
       .join(ids.withColumnRenamed("vec_id", "neighbor_id"),
         Seq("neighbor_id"))
@@ -635,8 +846,18 @@ object GraphAnn {
     *         n_in_removed, was_indexed)`)
     */
   def graphForget(edges: DataFrame,
-                  deleteIds: DataFrame): (DataFrame, DataFrame) = {
-    val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
+                  deleteIds: DataFrame): (DataFrame, DataFrame) =
+    // the public form stays LAZY (no job at construction); the eager
+    // lifecycle compositions pass a pre-localized id set instead
+    graphForgetWith(edges,
+      broadcast(deleteIds.select(col("vec_id")).distinct()))
+
+  /** [[graphForget]] against a caller-prepared DISTINCT id relation
+    * (usually [[localIds]] output, so the anti-join broadcasts are
+    * job-free). */
+  private[similarity] def graphForgetWith(edges: DataFrame,
+                                          ids: DataFrame)
+      : (DataFrame, DataFrame) = {
     val kept = edges
       .join(ids.withColumnRenamed("vec_id", "query_id"), Seq("query_id"),
         "left_anti")

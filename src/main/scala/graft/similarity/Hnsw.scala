@@ -387,12 +387,16 @@ object Hnsw {
   def forget(layered: DataFrame, deleteIds: DataFrame, maxLevel: Int)
       : (DataFrame, DataFrame) = {
     requireCoversTop(layered, maxLevel, "forget")
+    // bounded deletion batch → local relation once: every layer's
+    // anti-join broadcasts are job-free (the lifecycle ops are already
+    // construction-eager via the coverage guard above)
+    val ids = broadcast(GraphAnn.localIds(deleteIds))
     val perLayer = (0 to maxLevel).map { l =>
-      val (e, r) = GraphAnn.graphForget(
+      val (e, r) = GraphAnn.graphForgetWith(
         layered.filter(col("layer") === l)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             col("cos_sim")),
-        deleteIds)
+        ids)
       (e.select(lit(l).as("layer"), col("query_id"), col("rank"),
         col("neighbor_id"), col("cos_sim")), r)
     }
@@ -445,15 +449,22 @@ object Hnsw {
                      hops: Int, degree: Int): (DataFrame, DataFrame) = {
     require(degree >= 1, s"Hnsw.forgetRepaired: degree=$degree must be >= 1")
     requireCoversTop(layered, maxLevel, "forgetRepaired")
-    val ids = broadcast(deleteIds.select(col("vec_id")).distinct())
+    // bounded deletion batch → local relation once, shared by every
+    // layer: the per-layer forget/receipts/affected anti-joins (and
+    // the walks' edge fetches over the kept slices) broadcast job-free
+    val ids = broadcast(GraphAnn.localIds(deleteIds))
     val live = corpus.join(ids, Seq("vec_id"), "left_anti")
     val perLayer = parLayers(0 to maxLevel) { l =>
       val layerEdges = layered.filter(col("layer") === l)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("cos_sim"))
-      val (kept, _) = GraphAnn.graphForget(layerEdges, deleteIds)
-      val affected = GraphAnn.affectedSources(layerEdges, ids)
-      val receipts = GraphAnn.forgetRepairReceipts(layerEdges, deleteIds)
+      val (kept, _) = GraphAnn.graphForgetWith(layerEdges, ids)
+      // the affected set is bounded (|deleteIds| × max in-degree) —
+      // localize it here so the emptiness check is free and graphRepair
+      // doesn't re-derive it per downstream action
+      val affected = GraphAnn.localIds(
+        GraphAnn.affectedSources(layerEdges, ids))
+      val receipts = GraphAnn.forgetRepairReceiptsWith(layerEdges, ids)
       // the repair search loop is driver-eager at construction, so the
       // empty-affected check costs one bounded action, not a wasted walk
       val repaired =
@@ -487,12 +498,13 @@ object Hnsw {
   def forgetRepairReceipts(layered: DataFrame, deleteIds: DataFrame,
                            maxLevel: Int): DataFrame = {
     requireCoversTop(layered, maxLevel, "forgetRepairReceipts")
+    val ids = broadcast(GraphAnn.localIds(deleteIds))
     mergeRepairReceipts((0 to maxLevel).map { l =>
-      GraphAnn.forgetRepairReceipts(
+      GraphAnn.forgetRepairReceiptsWith(
         layered.filter(col("layer") === l)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             col("cos_sim")),
-        deleteIds)
+        ids)
     })
   }
 

@@ -273,6 +273,46 @@ class GraphAnnSpec extends SparkTestBase {
     assert(inline.nonEmpty)
   }
 
+  test("driver-mirrored walk == distributed walk, bit for bit — at a " +
+      "non-saturating budget, a saturating budget, and across a " +
+      "mid-walk spill (the mirror is a strategy, never semantics)") {
+    val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val n = e.count().toInt
+    val edges = Similarity.bruteTopK(e, e, 4).localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 10 === 0).localCheckpoint(true)
+    val nProbes = probes.count().toInt
+    val entries = probes.select(col("vec_id").as("query_id"))
+      .withColumn("node", lit(0L))
+    def run(beam: Int, hops: Int, cap: Int) = collectTopK(
+      GraphAnn.searchFrom(probes, edges, e, entries, Seq(0L), beam, hops,
+        k = 5, allowed = None, includeSelf = false, mirrorCap = cap))
+    // non-saturating: beam cuts BIND — the mirror's comparator must
+    // reproduce the window's (score desc, node asc) order exactly
+    assert(run(3, 3, GraphAnn.MirrorCap) === run(3, 3, 0))
+    // saturating: whole-component walks, the lifecycle-oracle regime
+    assert(run(n, n, GraphAnn.MirrorCap) === run(n, n, 0))
+    // spill mid-walk: a cap just above the seed row count starts
+    // mirrored, hands off to the distributed loop, and must agree
+    assert(run(n, n, nProbes + 2) === run(n, n, 0))
+    // codes-only twin: the ADC-scored walk through the same machinery
+    val books = ProductQuantizer.codebooks(e, dim = 64, numSub = 8,
+      stride = 10)
+    val codes = ProductQuantizer.encode(e, books, dim = 64, numSub = 8)
+      .localCheckpoint(true)
+    val ctx = GraphAnn.pqSearcher(probes, codes, books, dim = 64,
+      numSub = 8)
+    def runPq(cap: Int) = GraphAnn
+      .walkPq(ctx, edges, entries, Seq(0L), beam = 3, hops = 3,
+        mirrorCap = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val pqMirror = runPq(GraphAnn.MirrorCap)
+    assert(pqMirror === runPq(0))
+    assert(pqMirror.nonEmpty)
+  }
+
   test("argument guards") {
     val e = emb.limit(5)
     val edges = Similarity.bruteTopK(e, e, 2)
