@@ -20,12 +20,15 @@ object Round21Queries {
     // HNSW INCREMENTAL INSERT, full-output oracle: 6 held-out vectors
     // (ids ≡ 7 mod 20) insert into the layered index built over the
     // other 114 — batch levels from the SAME md5 hash, per-layer beam-3
-    // 2-hop search over the pre-batch layer graph, forward edges =
-    // top-4 results, reverse edges re-prune only the touched sources.
-    // The ENTIRE updated layered edge table is the output; DuckDB
-    // replays every layer's search trajectory, the forward ranks, and
-    // the touched-source re-prune windows (untouched rows keep their
-    // build ranks — passthrough is part of the contract).
+    // 2-hop search over the pre-batch layer graph seeded at that
+    // LAYER'S OWN elected entry (lowest pre-batch id with level ≥ ℓ —
+    // a member of the layer, preserving nested membership), forward
+    // edges = top-4 results, reverse edges re-prune only the touched
+    // sources. The ENTIRE updated layered edge table is the output;
+    // DuckDB replays every layer's entry election, search trajectory,
+    // forward ranks, and the touched-source re-prune windows
+    // (untouched rows keep their build ranks — passthrough is part of
+    // the contract).
     "e_ann_hnsw_insert" -> ((s, dir) => {
       val all = load(s, dir, "embeddings").filter(col("vec_id") < 120)
         .select(col("vec_id"), col("embedding"))
@@ -33,8 +36,7 @@ object Round21Queries {
       val pre = all.filter(col("vec_id") % 20 =!= 7).localCheckpoint(true)
       val layered = Hnsw.buildIndex(pre, degree = 4, m = 4, maxLevel = 2)
         .localCheckpoint(true)
-      val (entryId, _) = Hnsw.entryOf(Hnsw.levels(pre, m = 4, maxLevel = 2))
-      Hnsw.insert(layered, batch, pre, m = 4, maxLevel = 2, entryId,
+      Hnsw.insert(layered, batch, pre, m = 4, maxLevel = 2,
           beam = 3, hops = 2, degree = 4)
         .select(col("layer"), col("query_id"), col("rank"),
           col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
@@ -329,18 +331,20 @@ object Round21Queries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** One layer's insert replay: seed the layer's sub-batch at the
-    * global entry, run the hop recurrence ([[Round20Queries.hopSql]] at
-    * beam 3 × 2 hops over the PRE-insert layer edges `pe$l`), then
-    * forward top-`degree`, reverse swap, and the touched-source
-    * re-prune window; untouched sources keep their build ranks. */
+    * layer's OWN elected entry (`entry$l` — lowest pre-batch id with
+    * level ≥ l, the engine's per-layer election), run the hop
+    * recurrence ([[Round20Queries.hopSql]] at beam 3 × 2 hops over the
+    * PRE-insert layer edges `pe$l`), then forward top-`degree`,
+    * reverse swap, and the touched-source re-prune window; untouched
+    * sources keep their build ranks. */
   private def insertLayerSql(l: Int, beam: Int, degree: Int): String = {
     val p = s"_i$l"
     Seq(
       s"""v0$p AS (
-         |  SELECT b.vec_id AS query_id, (SELECT e FROM entry) AS node,
+         |  SELECT b.vec_id AS query_id, (SELECT e FROM entry$l) AS node,
          |    qs.score
          |  FROM b$l b JOIN qs ON qs.query_id = b.vec_id
-         |    AND qs.node = (SELECT e FROM entry))""".stripMargin,
+         |    AND qs.node = (SELECT e FROM entry$l))""".stripMargin,
       Round20Queries.hopSql(p, 1, beam, s"pe$l"),
       Round20Queries.hopSql(p, 2, beam, s"pe$l"),
       s"""fwd$p AS (
@@ -568,10 +572,14 @@ object Round21Queries {
          |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
          |        AS BIGINT) AS h
          |    FROM emb) t),
-         |entry AS (
+         |entry0 AS (
+         |  SELECT min(vec_id) AS e FROM lv WHERE vec_id % 20 <> 7),
+         |entry1 AS (
          |  SELECT min(vec_id) AS e FROM lv
-         |  WHERE vec_id % 20 <> 7
-         |    AND level = (SELECT max(level) FROM lv WHERE vec_id % 20 <> 7)),
+         |  WHERE vec_id % 20 <> 7 AND level >= 1),
+         |entry2 AS (
+         |  SELECT min(vec_id) AS e FROM lv
+         |  WHERE vec_id % 20 <> 7 AND level >= 2),
          |pe0 AS (
          |  SELECT src, dst, s, r FROM (
          |    SELECT src, dst, s,

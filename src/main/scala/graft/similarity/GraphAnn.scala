@@ -227,6 +227,19 @@ object GraphAnn {
     * them makes most hops a SINGLE Spark job (the scoring fetch). */
   private val AdjCacheCap = 1 << 21
 
+  /** The mirror walk's per-hop adjacency fetch, exposed for plan-shape
+    * pinning (the spec pins the EXACT plan the hot loop runs): the
+    * frontier chunk becomes an `isin` ON the edge scan — against a
+    * persisted index ([[TrainedState.saveGraphIndex]] /
+    * [[TrainedState.saveHnswIndex]]) the predicate prunes at the
+    * row-group level, and a layer filter upstream partition-prunes to
+    * the layer directory, so a descent hop against a 100 TB layered
+    * index reads only the files its frontier can touch. */
+  private[graft] def adjFetchPlan(adj: DataFrame,
+                                  chunk: Seq[Long]): DataFrame =
+    adj.filter(col("_src").isin(chunk: _*))
+      .select(col("_src"), col("_dst"))
+
   private[similarity] def walkLoop(visited0: DataFrame, adj: DataFrame,
                                    score: (DataFrame, Seq[Long]) => DataFrame,
                                    localScore: Option[() => (DataFrame, Seq[Long]) => DataFrame],
@@ -269,8 +282,7 @@ object GraphAnn {
         .filterNot(adjCache.contains)
       missing.grouped(maxInline).foreach { chunk =>
         if (!spill) {
-          val rows = adj.filter(col("_src").isin(chunk.toIndexedSeq: _*))
-            .select(col("_src"), col("_dst")).collect()
+          val rows = adjFetchPlan(adj, chunk.toIndexedSeq).collect()
           adjRows += rows.length
           rows.groupBy(_.getLong(0)).foreach { case (src, rs) =>
             adjCache(src) = rs.map(_.getLong(1)).distinct
@@ -524,13 +536,13 @@ object GraphAnn {
     * closure (candidates probe the codes table — broadcast cand,
     * id-pruned scan when the hop knows the candidate ids; parts fold in
     * subspace order, incomplete code rows dropped). */
-  private[similarity] final case class PqCtx(
+  private[graft] final case class PqCtx(
       qLocal: DataFrame, qCount: Long,
       scoreAdc: (DataFrame, Seq[Long]) => DataFrame)
 
-  private[similarity] def pqSearcher(queries: DataFrame, codes: DataFrame,
-                                     books: DataFrame, dim: Int,
-                                     numSub: Int): PqCtx = {
+  private[graft] def pqSearcher(queries: DataFrame, codes: DataFrame,
+                                books: DataFrame, dim: Int,
+                                numSub: Int): PqCtx = {
     require(numSub >= 1 && dim % numSub == 0,
       s"searchGraphPq: numSub=$numSub must divide dim=$dim — a silent " +
         "floor would drop the tail dimensions from every ADC score")

@@ -334,38 +334,63 @@ object Hnsw {
     * Batch semantics are [[GraphAnn.insertBySearch]]'s bulk-parallel
     * approximation per layer (batch-mates don't link within one call —
     * single-vector sequential insertion equals a rebuild under
-    * saturating budgets, spec-pinned). The ENTRY is the caller's: insert
-    * never re-elects it, even when a batch node's level exceeds the
-    * current top — [[searchAuto]] re-derives the entry from the edge
-    * table per serve, so a higher-layer arrival starts steering entry
-    * election on the next serve without any state handoff.
+    * saturating budgets, spec-pinned). The ENTRY is elected PER LAYER
+    * from the pre-batch corpus's own deterministic level assignment —
+    * the lowest id with level ≥ ℓ — so every layer's search seeds at a
+    * MEMBER of that layer. (Seeding every layer at one global entry
+    * would create edges to — and re-prune out-lists of — a node at
+    * layers its hash does not assign it to, breaking the nested-
+    * membership invariant and skewing the [[indexStats]] geometric
+    * audit.) A layer with no pre-batch member passes through untouched:
+    * there is nothing to link to, exactly like a rebuild's singleton
+    * layer, and later batches link against the node once it is corpus;
+    * [[searchAuto]] keeps re-deriving the serving entry from the edge
+    * table, so no state hands off.
     *
     * Scale: per layer, cost is one bounded-batch search plus the
     * touched-slice re-prune; upper layers see geometrically fewer batch
     * members (P(level ≥ ℓ) = m^-ℓ), so the whole insert costs ~the
     * layer-0 insert — and the corpus-sized edge remainder passes
-    * through unshuffled at every layer.
+    * through unshuffled at every layer. Entry election is ONE bounded
+    * agg job (per-level minima), shared by all layers.
     *
     * @param corpus the PRE-BATCH indexed corpus (embeddings the graph's
-    *               node ids resolve against — the searchGraph contract)
+    *               node ids resolve against — the searchGraph contract);
+    *               must be non-empty (build a seed index instead)
     * @return the updated layered edge table, [[buildIndex]] schema
     */
   def insert(layered: DataFrame, batch: DataFrame, corpus: DataFrame,
-             m: Int, maxLevel: Int, entryId: Long, beam: Int, hops: Int,
+             m: Int, maxLevel: Int, beam: Int, hops: Int,
              degree: Int): DataFrame = {
     require(degree >= 1, s"Hnsw.insert: degree=$degree must be >= 1")
     requireCoversTop(layered, maxLevel, "insert")
     val lv = levels(batch, m, maxLevel)
+    // per-level minima of the pre-batch corpus, one job; the layer-ℓ
+    // entry is the min over levels ≥ ℓ (a member of layer ℓ by the
+    // nested-membership construction)
+    val minByLevel = levels(corpus, m, maxLevel)
+      .groupBy(col("level")).agg(min(col("vec_id")).as("mn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def entryAt(l: Int): Option[Long] = {
+      val c = (l to maxLevel).flatMap(minByLevel.get)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    require(entryAt(0).isDefined,
+      "Hnsw.insert: empty pre-batch corpus — build a seed index instead")
     parLayers(0 to maxLevel) { l =>
-      val sub = batch.join(
-        lv.filter(col("level") >= l).select(col("vec_id")), Seq("vec_id"))
-      GraphAnn.insertBySearch(
-          layered.filter(col("layer") === l)
-            .select(col("query_id"), col("rank"), col("neighbor_id"),
-              col("cos_sim")),
-          corpus, sub, entryId, beam, hops, degree)
-        .select(lit(l).as("layer"), col("query_id"), col("rank"),
-          col("neighbor_id"), col("cos_sim"))
+      val layerEdges = layered.filter(col("layer") === l)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cos_sim"))
+      (entryAt(l) match {
+        case Some(e) =>
+          val sub = batch.join(
+            lv.filter(col("level") >= l).select(col("vec_id")),
+            Seq("vec_id"))
+          GraphAnn.insertBySearch(layerEdges, corpus, sub, e, beam, hops,
+            degree)
+        case None => layerEdges // no pre-batch member at this layer
+      }).select(lit(l).as("layer"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_sim"))
     }.reduce(_.unionByName(_))
   }
 

@@ -512,6 +512,46 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("embedding"))
   }
 
+  /** AUTO-DISPATCHED coarse assignment — the [[ivfAssignTwoLevel]]
+    * fanout guidance as code, so a naive caller cannot land in the
+    * documented small-C low-agreement regime (SCALE.md: at C ≈ 400 a
+    * fanout-2 two-level probe agreed with flat on only ~55% of
+    * assignments, while at production cell counts agreement is ~100%
+    * and the two-level form is 13× cheaper at C = 10⁴): below
+    * `minCellsForTwoLevel` cells the flat exact [[ivfAssign]] runs —
+    * it is also the CHEAPER form there (no super indirection pays off
+    * until C is large) — and above it the centroid table is
+    * stride-sampled to S ≈ √C supers (every √C-th centroid in id
+    * order, preserving [[superCentroids]]' non-empty-cell invariant)
+    * and [[ivfAssignTwoLevel]] probes `fanout` of them. Output schema
+    * and row count match [[ivfAssign]] exactly on both branches;
+    * equality with flat at small C is spec-pinned.
+    *
+    * One bounded action: `count()` over the centroid table (C-sized by
+    * contract). The rank window below runs over the same bounded table
+    * (single-partition window — deliberate, the table is small). */
+  def ivfAssignAuto(corpus: DataFrame, centroidsDf: DataFrame,
+                    fanout: Int = 8,
+                    minCellsForTwoLevel: Int = 4096): DataFrame = {
+    require(fanout >= 1, s"ivfAssignAuto: fanout=$fanout must be >= 1")
+    require(minCellsForTwoLevel >= 1,
+      s"ivfAssignAuto: minCellsForTwoLevel=$minCellsForTwoLevel must " +
+        "be >= 1")
+    val c = centroidsDf.count()
+    if (c < minCellsForTwoLevel) ivfAssign(corpus, centroidsDf)
+    else {
+      val stride = math.max(1, math.round(math.sqrt(c.toDouble)).toInt)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("centroid_id"))
+      val supers = centroidsDf
+        .withColumn("_r", row_number().over(w))
+        .filter(pmod(col("_r") - 1, lit(stride)) === 0)
+        .select(col("centroid_id").as("super_id"),
+          col("centroid").as("super_c"))
+      ivfAssignTwoLevel(corpus, centroidsDf, supers, fanout)
+    }
+  }
+
   /** Fold a batch of new vectors into an existing codes index WITHOUT
     * retraining or re-scanning the indexed corpus: the batch alone is
     * assigned against the SAME centroids and appended. Because cell

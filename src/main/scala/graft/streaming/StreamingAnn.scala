@@ -331,8 +331,10 @@ object StreamingAnn {
     * (their edges vanish from every layer they inhabit), then the
     * whole batch inserts fresh. Identical redelivery converges to the
     * same layered state; a changed payload re-routes to the new
-    * content. Entry-node redelivery fails LOUD (forgetting the entry
-    * would orphan every later insert's per-layer search). Within a
+    * content. Redelivering a former serving entry is SAFE here, unlike
+    * [[buildGraph]]: insert elects its entry PER LAYER from the
+    * surviving corpus's level assignment, so no single node is
+    * load-bearing. Within a
     * trigger batch-mates use the bulk-parallel approximation; across
     * triggers arrivals link against everything indexed — so the stream
     * equals batch-sequential [[graft.similarity.Hnsw.insert]] at the
@@ -340,7 +342,7 @@ object StreamingAnn {
     * persistence via [[graft.similarity.TrainedState.saveHnswIndex]]. */
   def buildHnsw(newVectors: DataFrame, seedCorpus: DataFrame,
                 seedLayered: DataFrame, m: Int, maxLevel: Int,
-                entryId: Long, beam: Int, hops: Int, degree: Int,
+                beam: Int, hops: Int, degree: Int,
                 availableNow: Boolean = false)
                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
@@ -362,9 +364,6 @@ object StreamingAnn {
         val redelivered = corpus.join(
           broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
           "left_semi").localCheckpoint(true)
-        require(redelivered.filter(col("vec_id") === entryId).isEmpty,
-          s"buildHnsw: entry node $entryId cannot be redelivered — " +
-            "rebuild the seed index instead")
         val (kept, _) = graft.similarity.Hnsw.forget(
           layered, redelivered, maxLevel)
         val baseLayered = kept.localCheckpoint(true)
@@ -372,7 +371,7 @@ object StreamingAnn {
           broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
           "left_anti").localCheckpoint(true)
         layered = graft.similarity.Hnsw.insert(baseLayered, batch,
-          baseCorpus, m, maxLevel, entryId, beam, hops, degree)
+          baseCorpus, m, maxLevel, beam, hops, degree)
           .localCheckpoint(true)
         corpus = baseCorpus.unionByName(batch).localCheckpoint(true)
         sink(layered, batchId)

@@ -773,6 +773,90 @@ class PlanShapeSpec extends SparkTestBase {
         pe.take(2000))
   }
 
+  test("HNSW descent hot path: the mirror walk's adjacency fetch " +
+      "partition-prunes the layer directory AND pushes the frontier " +
+      "isin to the row groups; its scoring fetch pushes In(vec_id) " +
+      "into the corpus scan with broadcast-only joins — the flat-" +
+      "scaling pushdowns, pinned on the layered descent path") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 40)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_hdesc").toString + "/hnsw"
+    graft.similarity.TrainedState.saveHnswIndex(
+      graft.similarity.Hnsw.buildIndex(emb, degree = 4, m = 4,
+        maxLevel = 2), idxPath)
+    val loaded = graft.similarity.TrainedState.loadHnswIndex(spark, idxPath)
+    // the adjacency-fetch plan walkLoop runs per descent hop, over the
+    // layer the descent is standing on
+    val adj = loaded.filter(col("layer") === 1)
+      .select(col("query_id").as("_src"), col("neighbor_id").as("_dst"))
+    val pf = graft.similarity.GraphAnn.adjFetchPlan(adj, Seq(0L, 5L))
+      .queryExecution.executedPlan.toString
+    assert(pf.contains("In(query_id, [0,5])"),
+      s"descent frontier isin did not reach the layered edge scan:\n" +
+        pf.take(3000))
+    assert(raw"PartitionFilters: \[[^\]]*\(layer#\d+ = 1\)".r
+        .findFirstIn(pf).isDefined,
+      s"descent fetch lost the layer partition prune:\n${pf.take(3000)}")
+    assert(!pf.contains("Exchange"),
+      s"descent adjacency fetch must be a pure pruned scan:\n" +
+        pf.take(2000))
+    // the scoring-fetch plan walkLoop runs per hop: local-relation
+    // probe batch + local candidate pairs, In(vec_id) on the corpus
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val qLocal = spark.createDataFrame(q.collect().toSeq.asJava, q.schema)
+    val nodes = emb.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"))
+    val cand = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(0L, 7L),
+        org.apache.spark.sql.Row(1L, 9L)).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, node BIGINT"))
+    val ps = graft.similarity.GraphAnn.scorer(qLocal, nodes)(
+      cand, Seq(7L, 9L)).queryExecution.executedPlan.toString
+    assert(ps.contains("In(vec_id"),
+      s"scoring isin did not reach the corpus scan:\n${ps.take(3000)}")
+    assert(!ps.contains("SortMergeJoin") &&
+      "BroadcastHashJoin".r.findAllIn(ps).size >= 2,
+      s"scoring fetch must be broadcast-only:\n${ps.take(2000)}")
+  }
+
+  test("HNSW PQ descent (searchPq): the ADC scoring fetch pushes the " +
+      "candidate In(vec_id) into the PERSISTED codes scan and never " +
+      "sort-merges — codes stay hot and pruned, floats untouched") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 40).localCheckpoint(true)
+    val books = graft.similarity.ProductQuantizer.codebooks(
+      emb, dim = 64, numSub = 8, stride = 10)
+    val codesPath = java.nio.file.Files
+      .createTempDirectory("graft_pqdesc").toString + "/codes"
+    graft.similarity.TrainedState.savePqCodes(
+      graft.similarity.ProductQuantizer.encode(emb, books, dim = 64,
+        numSub = 8), codesPath)
+    val codes = graft.similarity.TrainedState.loadPqCodes(spark, codesPath)
+    val probes = emb.filter(col("vec_id") < 3)
+    val ctx = graft.similarity.GraphAnn.pqSearcher(probes, codes, books,
+      dim = 64, numSub = 8)
+    val cand = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(0L, 7L),
+        org.apache.spark.sql.Row(1L, 9L)).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, node BIGINT"))
+    val p = ctx.scoreAdc(cand, Seq(7L, 9L))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("In(vec_id, [7,9])"),
+      s"candidate isin did not reach the codes parquet scan:\n" +
+        p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized side re-shuffled in the ADC fetch:\n" +
+        p.take(2000))
+  }
+
   test("OPQ rotation application is map-only: plan-constant matrix, no " +
       "exchange, kernels stay codegen'd") {
     val emb = Tables.load(spark, sfDir, "embeddings")

@@ -103,7 +103,7 @@ object Round21ScaleMeasure {
         .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
           col("embedding")).localCheckpoint(true)
       def insertOnce(): Unit = graft.similarity.Hnsw.insert(
-          layered, batch, emb, m = 8, maxLevel = 2, entryId,
+          layered, batch, emb, m = 8, maxLevel = 2,
           beam = 8, hops = 6, degree = 6)
         .write.format("noop").mode("overwrite").save()
       insertOnce()

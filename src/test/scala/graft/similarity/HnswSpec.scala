@@ -119,9 +119,8 @@ class HnswSpec extends SparkTestBase {
     val pre = all.filter(col("vec_id") % 20 =!= 7).localCheckpoint(true)
     val layered = Hnsw.buildIndex(pre, degree = 4, m = 4, maxLevel = 2)
       .localCheckpoint(true)
-    val (entryId, _) = Hnsw.entryOf(Hnsw.levels(pre, m = 4, maxLevel = 2))
     val upd = Hnsw.insert(layered, batch, pre, m = 4, maxLevel = 2,
-      entryId, beam = 3, hops = 2, degree = 4).localCheckpoint(true)
+      beam = 3, hops = 2, degree = 4).localCheckpoint(true)
     val lv = Hnsw.levels(batch, m = 4, maxLevel = 2).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val outLayers = upd
@@ -156,12 +155,11 @@ class HnswSpec extends SparkTestBase {
     val pre = all.filter(!col("vec_id").isin(7L, 23L)).localCheckpoint(true)
     val built = Hnsw.buildIndex(pre, degree = n, m = 4, maxLevel = 2)
       .localCheckpoint(true)
-    val (entryId, _) = Hnsw.entryOf(Hnsw.levels(pre, m = 4, maxLevel = 2))
-    val afterA = Hnsw.insert(built, a, pre, m = 4, maxLevel = 2, entryId,
+    val afterA = Hnsw.insert(built, a, pre, m = 4, maxLevel = 2,
       beam = n, hops = n, degree = n).localCheckpoint(true)
     val corpusA = pre.unionByName(a).localCheckpoint(true)
     val afterB = Hnsw.insert(afterA, b, corpusA, m = 4, maxLevel = 2,
-      entryId, beam = n, hops = n, degree = n).localCheckpoint(true)
+      beam = n, hops = n, degree = n).localCheckpoint(true)
     val rebuilt = Hnsw.buildIndex(all, degree = n, m = 4, maxLevel = 2)
     assert(normLayered(afterB) == normLayered(rebuilt),
       "saturating sequential insert must equal the rebuilt index")
@@ -398,7 +396,7 @@ class HnswSpec extends SparkTestBase {
     assert(exF.getMessage.contains("top layer"))
     val exI = intercept[IllegalArgumentException] {
       Hnsw.insert(layered, e.limit(1), e, m = 4, maxLevel = top - 1,
-        entryId = 0L, beam = 2, hops = 1, degree = 4)
+        beam = 2, hops = 1, degree = 4)
     }
     assert(exI.getMessage.contains("top layer"))
     val exR = intercept[IllegalArgumentException] {

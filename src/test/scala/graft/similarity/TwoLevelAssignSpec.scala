@@ -95,4 +95,34 @@ class TwoLevelAssignSpec extends SparkTestBase {
         supers.filter(lit(false)), fanout = 1)
     }
   }
+
+  test("ivfAssignAuto: below the cell threshold it IS flat ivfAssign " +
+      "bit-for-bit (the small-C low-agreement regime is unreachable); " +
+      "above it the √C-stride two-level path keeps schema and row " +
+      "count; saturating fanout restores flat equality") {
+    val flat = collectAssign(Similarity.ivfAssign(emb, centroids))
+    // small C (default threshold far above this table) → flat branch
+    assert(collectAssign(Similarity.ivfAssignAuto(emb, centroids)) == flat)
+    // forced two-level branch (threshold 1): schema + one row per
+    // vector survive, and every vector keeps exactly one assignment
+    val auto2 = Similarity.ivfAssignAuto(emb, centroids, fanout = 2,
+      minCellsForTwoLevel = 1)
+    assert(auto2.schema.map(f => (f.name, f.dataType)) ==
+      Similarity.ivfAssign(emb, centroids).schema
+        .map(f => (f.name, f.dataType)))
+    assert(auto2.count() == emb.count())
+    assert(auto2.select(col("vec_id")).distinct().count() == emb.count())
+    // the exactness dial carries through the auto path: fanout ≥ S
+    // (over-asking is safe) → flat bit-for-bit
+    val c = centroids.count().toInt
+    val autoFull = Similarity.ivfAssignAuto(emb, centroids, fanout = c,
+      minCellsForTwoLevel = 1)
+    assert(collectAssign(autoFull) == flat)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssignAuto(emb, centroids, fanout = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssignAuto(emb, centroids, minCellsForTwoLevel = 0)
+    }
+  }
 }

@@ -299,8 +299,6 @@ class StreamingAnnSpec extends SparkTestBase {
     val n = seed.count().toInt
     val seedLayered = graft.similarity.Hnsw.buildIndex(seed, degree = 4,
       m = 4, maxLevel = 2).localCheckpoint(true)
-    val (entryId, _) = graft.similarity.Hnsw.entryOf(
-      graft.similarity.Hnsw.levels(seed, m = 4, maxLevel = 2))
     val arrivals = emb.filter(col("vec_id") >= 30 && col("vec_id") < 38)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val batches = Seq(Seq(30L, 31L, 32L), Seq(33L, 34L), Seq(35L, 36L, 37L))
@@ -314,7 +312,7 @@ class StreamingAnnSpec extends SparkTestBase {
     var streamed: Set[(Int, Long, Int, Long, Double)] = Set.empty
     val q = StreamingAnn.buildHnsw(
       mem.toDF().toDF("vec_id", "embedding"), seed, seedLayered,
-      m = 4, maxLevel = 2, entryId, beam = n + 8, hops = n, degree = 4) {
+      m = 4, maxLevel = 2, beam = n + 8, hops = n, degree = 4) {
       (df, _) => streamed = rowsL(df)
     }
     try {
@@ -330,7 +328,7 @@ class StreamingAnnSpec extends SparkTestBase {
       val batch = spark.createDataset(b.map(id => id -> arrivals(id)))
         .toDF("vec_id", "embedding").localCheckpoint(true)
       layered = graft.similarity.Hnsw.insert(layered, batch, corpus,
-        m = 4, maxLevel = 2, entryId, beam = n + 8, hops = n, degree = 4)
+        m = 4, maxLevel = 2, beam = n + 8, hops = n, degree = 4)
         .localCheckpoint(true)
       corpus = corpus.unionByName(batch).localCheckpoint(true)
     }
@@ -342,7 +340,7 @@ class StreamingAnnSpec extends SparkTestBase {
     var after: Set[(Int, Long, Int, Long, Double)] = Set.empty
     val q2 = StreamingAnn.buildHnsw(
       mem2.toDF().toDF("vec_id", "embedding"), seed, seedLayered,
-      m = 4, maxLevel = 2, entryId, beam = n + 8, hops = n, degree = 4) {
+      m = 4, maxLevel = 2, beam = n + 8, hops = n, degree = 4) {
       (df, _) => after = rowsL(df)
     }
     try {
