@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.Round18Queries.queries ++
       graft.queries.Round19Queries.queries ++
       graft.queries.Round20Queries.queries ++
-      graft.queries.Round21Queries.queries
+      graft.queries.Round21Queries.queries ++
+      graft.queries.Round22Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -66,5 +67,6 @@ object SparkEntry {
       graft.queries.Round18Queries.oracleSql ++
       graft.queries.Round19Queries.oracleSql ++
       graft.queries.Round20Queries.oracleSql ++
-      graft.queries.Round21Queries.oracleSql
+      graft.queries.Round21Queries.oracleSql ++
+      graft.queries.Round22Queries.oracleSql
 }

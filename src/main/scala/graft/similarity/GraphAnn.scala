@@ -689,6 +689,25 @@ object GraphAnn {
   def insertBySearch(edges: DataFrame, corpus: DataFrame, batch: DataFrame,
                      entryId: Long, beam: Int, hops: Int,
                      degree: Int): DataFrame = {
+    val (untouched, changed) = insertBySearchParts(edges, corpus, batch,
+      entryId, beam, hops, degree)
+    untouched.unionByName(changed)
+  }
+
+  /** [[insertBySearch]] split into (untouched passthrough, CHANGED
+    * slice) — the changed slice is the touched sources' re-pruned
+    * out-lists plus the new nodes' forward edges, i.e. exactly the
+    * rows a DELTA WRITE must persist ([[TrainedState.appendHnswDelta]]):
+    * production fold-in appends the changed slice and leaves the
+    * untouched corpus-sized remainder's files in place, so insert
+    * write cost scales with the BATCH, not the index. Both halves
+    * carry the [[searchGraph]] edge schema. */
+  private[similarity] def insertBySearchParts(edges: DataFrame,
+                                              corpus: DataFrame,
+                                              batch: DataFrame,
+                                              entryId: Long, beam: Int,
+                                              hops: Int, degree: Int)
+      : (DataFrame, DataFrame) = {
     require(degree >= 1, s"insertBySearch: degree=$degree must be >= 1")
     val found = searchGraph(batch, edges, corpus, entryId, beam, hops,
       degree)
@@ -714,11 +733,10 @@ object GraphAnn {
       .unionByName(reverse)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= degree)
-    untouched
-      .unionByName(repruned)
-      .unionByName(forward)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos_sim"))
+    val cols = Seq(col("query_id"), col("rank"), col("neighbor_id"),
+      col("cos_sim"))
+    (untouched.select(cols: _*),
+      repruned.unionByName(forward).select(cols: _*))
   }
 
   /** REPAIR the degree holes a [[graphForget]] leaves: every AFFECTED

@@ -154,6 +154,125 @@ object Hnsw {
     }.reduce(_.unionByName(_))
   }
 
+  /** DIVERSIFIED neighbor selection — the published HNSW
+    * neighbor-selection heuristic (Malkov & Yashunin TPAMI 2018,
+    * Algorithm 4) as an [[buildIndex]] `edgeBuilder`: per node, walk
+    * the `degree × candFactor` nearest candidates in rank order and
+    * KEEP a candidate only if it is strictly closer to the node than
+    * to every already-kept neighbor (here: `cos(e, q) > cos(e, w)` for
+    * all kept `w`). Plain top-`degree` kNN edges cluster: on grouped
+    * data every out-edge lands inside the node's own cluster and the
+    * graph fragments into islands the beam walk cannot leave — the
+    * heuristic spends part of the degree budget on spread, which is
+    * what keeps recall high at fixed small degree (the paper's central
+    * construction result; recall-vs-plain is spec-pinned on a planted
+    * clustered geometry).
+    *
+    * `fill` (Algorithm 4's `keepPrunedConnections`): after the greedy
+    * pass, top the list back up to `degree` with the REJECTED
+    * candidates in rank order, so out-degree stays exactly
+    * `min(degree, candidates)`; `fill = false` returns the pure
+    * diversified set (possibly shorter — the oracled form).
+    *
+    * Determinism & oracle: candidates rank by the standard
+    * (cos desc, id) order; the greedy fold is a per-node
+    * `aggregate(...)` over the rank-sorted candidate array with a
+    * broadcast-free pairwise-sim map, ties rejected (strict `>`), so
+    * the whole selection is pure rank/score arithmetic and replays in
+    * DuckDB as a recursive CTE over rank positions (`e_ann_hnsw_diverse`).
+    *
+    * Scale: pairwise candidate sims are |nodes| × C² rows for C =
+    * degree × candFactor — bounded per node, never all-pairs; the
+    * fold runs inside one hash aggregation per node. The candidate
+    * generator is [[Similarity.bruteTopK]] here (the build-time
+    * default); swap the first stage for an ANN candidate source at
+    * corpus scale exactly like [[buildIndex]]'s builder swap.
+    *
+    * @return `(query_id, rank, neighbor_id, cos_sim)` — rank 1.. by
+    *         (cos_sim desc, neighbor_id) over the selected set
+    */
+  def diversifiedEdges(nodes: DataFrame, degree: Int, candFactor: Int = 3,
+                       fill: Boolean = true): DataFrame = {
+    require(degree >= 1,
+      s"Hnsw.diversifiedEdges: degree=$degree must be >= 1")
+    require(candFactor >= 1,
+      s"Hnsw.diversifiedEdges: candFactor=$candFactor must be >= 1")
+    val cands = Similarity.bruteTopK(nodes, nodes, degree * candFactor)
+    val embOf = nodes.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("_ne"))
+    val candE = cands.join(embOf, Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), col("_ne"))
+    val a = candE.select(col("query_id"), col("rank"),
+      col("neighbor_id").as("cand"), col("cos_sim"), col("_ne").as("_ea"))
+    val b = candE.select(col("query_id"),
+      col("neighbor_id").as("other"), col("_ne").as("_eb"))
+    // pairwise sims among one node's candidates (C² per node, bounded)
+    val pair = a.join(b, Seq("query_id"))
+      .filter(col("cand") =!= col("other"))
+      .select(col("query_id"), col("cand"), col("other"),
+        Similarity.cosineGuarded(col("_ea"), col("_eb")).as("sim"))
+    val simAgg = pair.groupBy(col("query_id"), col("cand"))
+      .agg(sort_array(collect_list(struct(col("other"), col("sim"))))
+        .as("simlist"))
+    val withSims = candE
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("cand"), col("cos_sim"))
+      .join(simAgg, Seq("query_id", "cand"), "left")
+      .withColumn("simlist", coalesce(col("simlist"),
+        array().cast("array<struct<other:bigint,sim:double>>")))
+    val arr = withSims.groupBy(col("query_id"))
+      // struct leads with rank → sort_array walks candidates in rank
+      // order, Algorithm 4's iteration order
+      .agg(sort_array(collect_list(struct(col("rank"), col("cand"),
+        col("cos_sim"), col("simlist")))).as("_cs"))
+    val keptType = "array<struct<cand:bigint,cos:double>>"
+    def keepStruct(cd: org.apache.spark.sql.Column) =
+      struct(cd.getField("cand").as("cand"),
+        cd.getField("cos_sim").as("cos"))
+    // keep iff closer to the node than to EVERY kept neighbor: max sim
+    // to the kept set via filter+max over the pairwise list — the
+    // exact shape the DuckDB replay uses (list_filter + list_max)
+    val kept = aggregate(col("_cs"), array().cast(keptType),
+      (acc, cd) => when(size(acc) < degree &&
+          cd.getField("cos_sim") > coalesce(
+            array_max(transform(
+              filter(cd.getField("simlist"), x => array_contains(
+                transform(acc, w => w.getField("cand")),
+                x.getField("other"))),
+              x => x.getField("sim"))),
+            lit(-2.0)),
+        array_append(acc, keepStruct(cd))).otherwise(acc))
+    val selected = arr.withColumn("_kept", kept)
+    val chosen =
+      if (!fill) selected.select(col("query_id"), col("_kept"))
+      else selected.withColumn("_kept",
+        aggregate(col("_cs"), col("_kept"),
+          (acc, cd) => when(size(acc) < degree &&
+              !array_contains(
+                transform(acc, w => w.getField("cand")),
+                cd.getField("cand")),
+            array_append(acc, keepStruct(cd))).otherwise(acc)))
+        .select(col("query_id"), col("_kept"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    chosen.select(col("query_id"), explode(col("_kept")).as("_c"))
+      .select(col("query_id"), col("_c.cand").as("neighbor_id"),
+        col("_c.cos").as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  /** [[diversifiedEdges]] curried to [[buildIndex]]'s `edgeBuilder`
+    * shape — `buildIndex(corpus, degree, m, maxLevel,
+    * Some(Hnsw.diversifiedBuilder()))` builds the full published HNSW
+    * construction: geometric layers + per-layer diversified edges. */
+  def diversifiedBuilder(candFactor: Int = 3, fill: Boolean = true)
+      : (DataFrame, Int) => DataFrame =
+    (nodes, d) => diversifiedEdges(nodes, d, candFactor, fill)
+
   /** The deterministic global entry point: the LOWEST id among the
     * nodes of the highest non-empty layer (ids break every tie in this
     * codebase). Driver-side one-row action — the index build already
@@ -361,7 +480,25 @@ object Hnsw {
     */
   def insert(layered: DataFrame, batch: DataFrame, corpus: DataFrame,
              m: Int, maxLevel: Int, beam: Int, hops: Int,
-             degree: Int): DataFrame = {
+             degree: Int): DataFrame =
+    insertWithDelta(layered, batch, corpus, m, maxLevel, beam, hops,
+      degree)._1
+
+  /** [[insert]] returning BOTH the full updated edge table and the
+    * CHANGED slice (touched sources' re-pruned out-lists + the new
+    * nodes' forward edges, layer-tagged) — the rows a production
+    * fold-in persists via [[TrainedState.appendHnswDelta]] while the
+    * untouched corpus-sized remainder's files stay in place. Write
+    * cost then scales with the BATCH, not the index: the r11 scale
+    * run attributed the insert leg's growth entirely to materializing
+    * the full copy-on-write edge table, which the delta path never
+    * does. `full == unchanged-base ∪ delta` by construction
+    * (spec-pinned: loading a delta-appended index equals loading a
+    * full rewrite, bit for bit). */
+  def insertWithDelta(layered: DataFrame, batch: DataFrame,
+                      corpus: DataFrame, m: Int, maxLevel: Int,
+                      beam: Int, hops: Int, degree: Int)
+      : (DataFrame, DataFrame) = {
     require(degree >= 1, s"Hnsw.insert: degree=$degree must be >= 1")
     requireCoversTop(layered, maxLevel, "insert")
     val lv = levels(batch, m, maxLevel)
@@ -377,21 +514,29 @@ object Hnsw {
     }
     require(entryAt(0).isDefined,
       "Hnsw.insert: empty pre-batch corpus — build a seed index instead")
-    parLayers(0 to maxLevel) { l =>
+    val outCols = (d: DataFrame, l: Int) =>
+      d.select(lit(l).as("layer"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_sim"))
+    val perLayer = parLayers(0 to maxLevel) { l =>
       val layerEdges = layered.filter(col("layer") === l)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("cos_sim"))
-      (entryAt(l) match {
+      entryAt(l) match {
         case Some(e) =>
           val sub = batch.join(
             lv.filter(col("level") >= l).select(col("vec_id")),
             Seq("vec_id"))
-          GraphAnn.insertBySearch(layerEdges, corpus, sub, e, beam, hops,
-            degree)
-        case None => layerEdges // no pre-batch member at this layer
-      }).select(lit(l).as("layer"), col("query_id"), col("rank"),
-        col("neighbor_id"), col("cos_sim"))
-    }.reduce(_.unionByName(_))
+          val (untouched, changed) = GraphAnn.insertBySearchParts(
+            layerEdges, corpus, sub, e, beam, hops, degree)
+          (outCols(untouched, l), outCols(changed, l))
+        case None => // no pre-batch member at this layer: passthrough
+          (outCols(layerEdges, l), outCols(layerEdges.limit(0), l))
+      }
+    }
+    val delta = perLayer.map(_._2).reduce(_.unionByName(_))
+    val full = perLayer.map(_._1).reduce(_.unionByName(_))
+      .unionByName(delta)
+    (full, delta)
   }
 
   /** FORGET a set of node ids from every layer — [[GraphAnn.graphForget]]

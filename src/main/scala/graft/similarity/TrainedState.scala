@@ -279,8 +279,43 @@ object TrainedState {
   }
 
   /** Load a persisted layered HNSW index for [[Hnsw.search]]; fails
-    * fast on schema drift ([[loadGraphIndex]]'s contract). */
+    * fast on schema drift ([[loadGraphIndex]]'s contract). When the
+    * artifact carries DELTA generations ([[appendHnswDelta]]), the
+    * load RECONCILES: for every (layer, source) present in a delta,
+    * the HIGHEST-generation delta rows win and the base rows are
+    * superseded; untouched base rows read through verbatim. The delta
+    * key set is batch-bounded, so the base side passes the anti-join
+    * broadcast-style without a shuffle — reconciliation cost scales
+    * with the deltas, not the index. */
   def loadHnswIndex(spark: SparkSession, path: String): DataFrame = {
+    val f = org.apache.spark.sql.functions
+    val base = loadHnswBase(spark, path)
+    val deltaPath = s"$path/$HnswDeltaDir"
+    if (!pathExists(spark, deltaPath)) base
+    else {
+      val delta = spark.read.parquet(deltaPath)
+      require(delta.schema.fieldNames.contains(DeltaSeqCol),
+        s"trained-state at $deltaPath is not a delta artifact: missing " +
+          DeltaSeqCol)
+      val latestSeq = delta.groupBy(f.col("layer"), f.col("query_id"))
+        .agg(f.max(f.col(DeltaSeqCol)).as(DeltaSeqCol))
+      val latest = delta
+        .join(latestSeq, Seq("layer", "query_id", DeltaSeqCol))
+        .select(hnswIndexSchema.fields.map(x => f.col(x.name))
+          .toIndexedSeq: _*)
+      val keys = latestSeq.select(f.col("layer"), f.col("query_id"))
+      base.join(f.broadcast(keys), Seq("layer", "query_id"), "left_anti")
+        .select(hnswIndexSchema.fields.map(x => f.col(x.name))
+          .toIndexedSeq: _*)
+        .unionByName(latest)
+    }
+  }
+
+  private val HnswDeltaDir = "_delta" // "_"-prefix: hidden from the
+                                      // base parquet listing
+  private val DeltaSeqCol = "_seq"
+
+  private def loadHnswBase(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
     hnswIndexSchema.fields.foreach { f =>
@@ -293,6 +328,55 @@ object TrainedState {
     }
     df.select(hnswIndexSchema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name)).toIndexedSeq: _*)
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** APPEND an insert's changed slice ([[Hnsw.insertWithDelta]]'s
+    * second output — touched sources' re-pruned out-lists + the new
+    * nodes' forward edges) as a DELTA GENERATION under the saved
+    * layered index, leaving every untouched base file in place: the
+    * production fold-in write path, whose cost scales with the BATCH
+    * while a full [[saveHnswIndex]] rewrite scales with the index.
+    * Generations are monotonically numbered; [[loadHnswIndex]] serves
+    * the highest generation per (layer, source), so repeated fold-ins
+    * that re-touch a source converge to the newest out-list —
+    * loading a delta-appended index equals loading a full rewrite,
+    * bit for bit (spec-pinned). Layer-partitioned like the base, so
+    * descent partition-pruning covers the delta files too. Compact
+    * with [[compactHnswIndex]] when generations accumulate. */
+  def appendHnswDelta(delta: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val deltaPath = s"$path/$HnswDeltaDir"
+    val next =
+      if (!pathExists(spark = delta.sparkSession, p = deltaPath)) 1L
+      else {
+        val r = delta.sparkSession.read.parquet(deltaPath)
+          .agg(f.max(f.col(DeltaSeqCol))).collect()
+        if (r.isEmpty || r(0).isNullAt(0)) 1L else r(0).getLong(0) + 1L
+      }
+    val cols = hnswIndexSchema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name))
+    delta.select(cols.toIndexedSeq: _*)
+      .withColumn(DeltaSeqCol, f.lit(next))
+      .repartition(f.col("layer"))
+      .write.mode("append").partitionBy("layer").parquet(deltaPath)
+  }
+
+  /** Fold accumulated delta generations back into the base: rewrite
+    * the reconciled index in the [[saveHnswIndex]] layout and drop the
+    * delta directory. Maintenance op — materializes the reconciled
+    * table once (corpus-sized, like the original save). */
+  def compactHnswIndex(spark: SparkSession, path: String): Unit = {
+    val reconciled = loadHnswIndex(spark, path).localCheckpoint(true)
+    saveHnswIndex(reconciled, path)
+    val hp = new org.apache.hadoop.fs.Path(s"$path/$HnswDeltaDir")
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hp, true)
+    ()
   }
 
   val pqCodesSchema: StructType = StructType(Seq(

@@ -56,7 +56,7 @@ object Round21ScaleMeasure {
     }
 
     def measure(tag: String, dir: String)
-        : (Double, Double, Double, Double) = {
+        : (Double, Double, Double, Double, Double) = {
       val emb = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val idxPath = s"/tmp/graft_r21_hnsw_$tag"
@@ -110,16 +110,31 @@ object Round21ScaleMeasure {
       val t3 = System.nanoTime()
       insertOnce()
       val insS = (System.nanoTime() - t3) / 1e9
+      // ---- DELTA fold-in write (claim: write cost scales with the
+      // BATCH — the changed slice appends under the saved index and
+      // the untouched base files never rewrite; contrast with the
+      // full copy-on-write materialization insertOnce times) ----
+      val (_, delta) = graft.similarity.Hnsw.insertWithDelta(
+        layered, batch, emb, m = 8, maxLevel = 2, beam = 8, hops = 6,
+        degree = 6)
+      val deltaC = delta.localCheckpoint(true) // isolate the WRITE cost
+      graft.similarity.TrainedState.appendHnswDelta(deltaC, idxPath)
+      val t4 = System.nanoTime()
+      graft.similarity.TrainedState.appendHnswDelta(deltaC, idxPath)
+      val deltaS = (System.nanoTime() - t4) / 1e9
       println(f"[r21scale] $tag build=$buildS%.2fs hier_search=$hierS%.2fs " +
-        f"flat_search=$flatS%.2fs insert50=$insS%.2fs")
-      (buildS, hierS, flatS, insS)
+        f"flat_search=$flatS%.2fs insert50=$insS%.2fs " +
+        f"delta_write=$deltaS%.2fs")
+      (buildS, hierS, flatS, insS, deltaS)
     }
 
-    val (b1, h1, f1, i1) = measure("sf01", sfDir)
-    val (b10, h10, f10, i10) = measure(s"sf1_${mult}x", outDir)
+    val (b1, h1, f1, i1, d1) = measure("sf01", sfDir)
+    val (b10, h10, f10, i10, d10) = measure(s"sf1_${mult}x", outDir)
     println(f"[r21scale] build ratio=${b10 / b1}%.2f (corpus-scaled), " +
       f"hier search ratio=${h10 / h1}%.2f (expected ~flat), " +
       f"insert ratio=${i10 / i1}%.2f (expected ~flat), " +
+      f"delta write ratio=${d10 / d1}%.2f (expected ~flat — " +
+      "batch-bounded), " +
       f"descent overhead sf01=${h1 / f1}%.2fx 10x=${h10 / f10}%.2fx")
     spark.stop()
   }

@@ -380,6 +380,155 @@ class HnswSpec extends SparkTestBase {
     assert(ex.getMessage.contains("schema mismatch"))
   }
 
+  test("insert delta persistence: appending the changed slice to a " +
+      "saved index == a full rewrite, across two generations with a " +
+      "re-touched source (newest wins), and compaction folds the " +
+      "deltas back losslessly") {
+    val all = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    val b1 = all.filter(col("vec_id") % 20 === 7).localCheckpoint(true)
+    val b2 = all.filter(col("vec_id") % 20 === 13).localCheckpoint(true)
+    val pre = all.filter(col("vec_id") % 20 =!= 7 &&
+      col("vec_id") % 20 =!= 13).localCheckpoint(true)
+    val layered = Hnsw.buildIndex(pre, degree = 4, m = 4, maxLevel = 2)
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("hnsw_delta").toString + "/idx"
+    TrainedState.saveHnswIndex(layered, path)
+    // generation 1
+    val (full1Raw, delta1) = Hnsw.insertWithDelta(layered, b1, pre,
+      m = 4, maxLevel = 2, beam = 3, hops = 2, degree = 4)
+    val full1 = full1Raw.localCheckpoint(true)
+    // the delta IS the change: full == untouched base ∪ delta, and the
+    // plain insert is the same table
+    assert(normLayered(full1) == normLayered(
+      Hnsw.insert(layered, b1, pre, m = 4, maxLevel = 2, beam = 3,
+        hops = 2, degree = 4)))
+    TrainedState.appendHnswDelta(delta1, path)
+    assert(normLayered(TrainedState.loadHnswIndex(spark, path)) ==
+      normLayered(full1),
+      "delta-appended load must equal the in-memory updated index")
+    // generation 2 over the grown corpus — sources touched by BOTH
+    // batches must serve generation 2's out-lists
+    val corpus1 = pre.unionByName(b1).localCheckpoint(true)
+    val (full2Raw, delta2) = Hnsw.insertWithDelta(full1, b2, corpus1,
+      m = 4, maxLevel = 2, beam = 3, hops = 2, degree = 4)
+    val full2 = full2Raw.localCheckpoint(true)
+    TrainedState.appendHnswDelta(delta2, path)
+    val loaded2 = TrainedState.loadHnswIndex(spark, path)
+    assert(normLayered(loaded2) == normLayered(full2),
+      "second-generation reconcile must serve the newest out-lists")
+    // a full rewrite of the final state agrees byte-for-byte
+    val rewrite = java.nio.file.Files
+      .createTempDirectory("hnsw_rewrite").toString + "/idx"
+    TrainedState.saveHnswIndex(full2, rewrite)
+    assert(normLayered(TrainedState.loadHnswIndex(spark, rewrite)) ==
+      normLayered(loaded2))
+    // compaction folds deltas into the base losslessly
+    TrainedState.compactHnswIndex(spark, path)
+    assert(normLayered(TrainedState.loadHnswIndex(spark, path)) ==
+      normLayered(full2), "compaction changed the served index")
+    assert(!new java.io.File(s"$path/_delta").exists(),
+      "compaction must drop the delta directory")
+  }
+
+  test("diversifiedEdges (Malkov Alg 4): on a planted clustered " +
+      "geometry the heuristic spends degree budget on spread — the " +
+      "beam walk escapes the entry's cluster where the plain kNN " +
+      "graph strands it; invariants: Alg-4 predicate holds for every " +
+      "kept edge, fill tops up to exactly min(degree, C) from the " +
+      "rejected ranks") {
+    import spark.implicits._
+    // two tight 2-D clusters; cluster A fans AWAY from B (negative y),
+    // so for each A-node some B-node is closer to it than to its kept
+    // A-mate — the keep condition fires and buys a cross-cluster edge.
+    // Plain degree-2 kNN keeps both edges in-cluster: islands.
+    val corpus = Seq(
+      (0L, Array(1.000f, 0.000f)),   // cluster A
+      (1L, Array(0.999f, -0.045f)),
+      (2L, Array(0.998f, -0.063f)),
+      (3L, Array(0.997f, -0.077f)),
+      (10L, Array(0.000f, 1.000f)),  // cluster B
+      (11L, Array(-0.045f, 0.999f)),
+      (12L, Array(-0.063f, 0.998f)),
+      (13L, Array(-0.077f, 0.997f))
+    ).toDF("vec_id", "embedding").localCheckpoint(true)
+    val plain = Similarity.bruteTopK(corpus, corpus, 2)
+      .localCheckpoint(true)
+    val diverse = Hnsw.diversifiedEdges(corpus, degree = 2,
+      candFactor = 4, fill = false).localCheckpoint(true)
+    // Alg-4 predicate: every kept edge's target is strictly closer to
+    // the node than to any BETTER-RANKED kept neighbor — recompute
+    // driver-side from the raw embeddings
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      (x.indices).foreach { i =>
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+      }
+      if (nx == 0 || ny == 0) -1.0 else d / math.sqrt(nx * ny)
+    }
+    val keptBy = diverse.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    keptBy.foreach { case (q, rows) =>
+      val inOrder = rows.sortBy(t => (-t._3, t._2)).map(_._2)
+      inOrder.zipWithIndex.foreach { case (e, i) =>
+        inOrder.take(i).foreach { w =>
+          assert(cos(vecs(e), vecs(q)) > cos(vecs(e), vecs(w)),
+            s"kept edge $q->$e is closer to kept $w than to $q")
+        }
+      }
+    }
+    // the planted cross-cluster reach: node 0's diversified out-list
+    // crosses clusters; its plain out-list does not
+    val d0 = keptBy(0L).map(_._2).toSet
+    assert(d0.exists(_ >= 10L),
+      s"diversified out-list of node 0 stayed in-cluster: $d0")
+    val p0 = plain.filter(col("query_id") === 0L)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(p0.forall(_ < 10L),
+      s"plain kNN unexpectedly crossed clusters: $p0 — geometry broken")
+    // recall through the walk: query = B's centroid-ish vector, entry
+    // in cluster A; the diversified graph must reach a B node, the
+    // plain graph must not (its component is all of cluster A)
+    val probe = Seq((100L, Array(0.01f, 0.9999f)))
+      .toDF("vec_id", "embedding")
+    val corpusWithProbe = corpus.unionByName(probe)
+    def hits(edges: org.apache.spark.sql.DataFrame) =
+      GraphAnn.searchGraph(probe, edges, corpusWithProbe, entryId = 0L,
+          beam = 3, hops = 4, k = 2)
+        .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    val dHits = hits(diverse)
+    val pHits = hits(plain)
+    assert(dHits.exists(_ >= 10L),
+      s"diversified graph failed to route to cluster B: $dHits")
+    assert(pHits.forall(_ < 10L),
+      s"plain graph escaped its island: $pHits — geometry broken")
+    // fill: exactly min(degree, C) edges per node, a superset of the
+    // diversified set, topped up in rank order from the rejected
+    val filled = Hnsw.diversifiedEdges(corpus, degree = 2,
+      candFactor = 4, fill = true).localCheckpoint(true)
+    val fCounts = filled.groupBy(col("query_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fCounts.values.forall(_ == 2L),
+      s"fill must restore exact degree: $fCounts")
+    val fBy = filled.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    keptBy.foreach { case (q, rows) =>
+      assert(rows.map(_._2).toSet.subsetOf(fBy(q)),
+        s"fill dropped a diversified edge for $q")
+    }
+    // layered composition: the builder drops into buildIndex
+    val layered = Hnsw.buildIndex(corpus, degree = 2, m = 4,
+      maxLevel = 1, Some(Hnsw.diversifiedBuilder(candFactor = 4)))
+    assert(layered.filter(col("layer") === 0).count() > 0)
+    assert(layered.groupBy(col("layer"), col("query_id")).count()
+      .filter(col("count") > 2).isEmpty, "degree bound violated")
+  }
+
   test("lifecycle maxLevel below the index's top layer fails loudly " +
       "instead of silently truncating the upper layers out of the " +
       "returned index") {
