@@ -227,6 +227,10 @@ object GraphAnn {
     * them makes most hops a SINGLE Spark job (the scoring fetch). */
   private val AdjCacheCap = 1 << 21
 
+  /** Row cap for collecting the per-query ADC table to a local
+    * relation in [[pqSearcher]] (~24 B/row → a few MB). */
+  private val MaxLocalAdcRows = 1 << 18
+
   /** The mirror walk's per-hop adjacency fetch, exposed for plan-shape
     * pinning (the spec pins the EXACT plan the hot loop runs): the
     * frontier chunk becomes an `isin` ON the edge scan — against a
@@ -561,13 +565,14 @@ object GraphAnn {
     // derives entirely from memory and its per-action broadcast never
     // re-executes the caller's codebook-training plan (measured: the
     // stride/k-means books plan re-ran on every hop's scoring job)
+    val booksLocalRows = books.select(col("sub").cast("int"),
+      col("code").cast("int"), col("centroid")).collect()
     val booksB = broadcast(spark.createDataFrame(
-      books.select(col("sub").cast("int"), col("code").cast("int"),
-        col("centroid")).collect().toSeq.asJava,
+      booksLocalRows.toSeq.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "sub INT, code INT, centroid ARRAY<FLOAT>")))
     // per-query ADC lookup table: dot(q_sub, centroid) per (sub, code)
-    val adcTable = broadcast(qLocal
+    val adcPlan = qLocal
       .select(col("vec_id").as("query_id"),
         explode(transform(sequence(lit(0), lit(numSub - 1)),
           s => struct(s.as("sub"),
@@ -578,7 +583,23 @@ object GraphAnn {
       .join(booksB, Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         graft.functions.DotProduct.dot_product(
-          col("subvec"), col("centroid")).as("part")))
+          col("subvec"), col("centroid")).as("part"))
+    // when bounded (|q| × |book rows| — both already counted), collect
+    // the ADC table ONCE into a local relation: each hop's scoring job
+    // re-broadcasts the table, and a broadcast of a real plan re-runs
+    // the dot-product join per job where a LocalRelation broadcast
+    // schedules nothing. Values are bit-identical — the same kernel
+    // computes them, one time instead of per hop. Over the cap the
+    // lazy plan stands (the broadcast is then genuinely big).
+    val qRowCount = qRows.length.toLong
+    val bookRowCount = booksLocalRows.length.toLong
+    val adcTable =
+      if (qRowCount * bookRowCount <= MaxLocalAdcRows) {
+        val rows = adcPlan.collect()
+        broadcast(spark.createDataFrame(rows.toSeq.asJava,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "query_id BIGINT, sub INT, code INT, part DOUBLE")))
+      } else broadcast(adcPlan)
     val codeRows = codes.select(col("vec_id").as("node"), col("sub"),
       col("code"))
     def scoreAdc(cand: DataFrame, candIds: Seq[Long]): DataFrame = {
