@@ -191,13 +191,24 @@ object Hnsw {
     * @return `(query_id, rank, neighbor_id, cos_sim)` — rank 1.. by
     *         (cos_sim desc, neighbor_id) over the selected set
     */
+  /** @param candidateSource candidate generator `(nodes, C) =>
+    *   (query_id, rank, neighbor_id, cos_sim)` with rank 1..C per
+    *   query by (cos desc, id) — defaults to the exact
+    *   [[Similarity.bruteTopK]]; corpus-scale builds pass an ANN
+    *   source (e.g. an IVF-bucketed kNN) and the selection then runs
+    *   over ITS candidate set, with the pairwise diversity sims still
+    *   computed exactly from the embeddings */
   def diversifiedEdges(nodes: DataFrame, degree: Int, candFactor: Int = 3,
-                       fill: Boolean = true): DataFrame = {
+                       fill: Boolean = true,
+                       candidateSource: Option[(DataFrame, Int) => DataFrame]
+                         = None): DataFrame = {
     require(degree >= 1,
       s"Hnsw.diversifiedEdges: degree=$degree must be >= 1")
     require(candFactor >= 1,
       s"Hnsw.diversifiedEdges: candFactor=$candFactor must be >= 1")
-    val cands = Similarity.bruteTopK(nodes, nodes, degree * candFactor)
+    val source = candidateSource.getOrElse(
+      (n: DataFrame, c: Int) => Similarity.bruteTopK(n, n, c))
+    val cands = source(nodes, degree * candFactor)
     val embOf = nodes.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("_ne"))
     val candE = cands.join(embOf, Seq("neighbor_id"))
@@ -269,9 +280,12 @@ object Hnsw {
     * shape — `buildIndex(corpus, degree, m, maxLevel,
     * Some(Hnsw.diversifiedBuilder()))` builds the full published HNSW
     * construction: geometric layers + per-layer diversified edges. */
-  def diversifiedBuilder(candFactor: Int = 3, fill: Boolean = true)
+  def diversifiedBuilder(candFactor: Int = 3, fill: Boolean = true,
+                         candidateSource: Option[(DataFrame, Int) => DataFrame]
+                           = None)
       : (DataFrame, Int) => DataFrame =
-    (nodes, d) => diversifiedEdges(nodes, d, candFactor, fill)
+    (nodes, d) => diversifiedEdges(nodes, d, candFactor, fill,
+      candidateSource)
 
   /** The deterministic global entry point: the LOWEST id among the
     * nodes of the highest non-empty layer (ids break every tie in this

@@ -529,6 +529,49 @@ class HnswSpec extends SparkTestBase {
       .filter(col("count") > 2).isEmpty, "degree bound violated")
   }
 
+  test("diversified-built hierarchy serves end-to-end: buildIndex with " +
+      "diversifiedBuilder + saturating searchAuto == exact brute " +
+      "force, and a pluggable candidate source drives the selection " +
+      "over ITS candidate set") {
+    val e = emb.filter(col("vec_id") < 60).localCheckpoint(true)
+    val n = e.count().toInt
+    // saturating candFactor: the candidate set covers the corpus, so
+    // fill restores full reachability whatever the diversity pass cuts
+    val layered = Hnsw.buildIndex(e, degree = n - 1, m = 4, maxLevel = 2,
+      Some(Hnsw.diversifiedBuilder(candFactor = 1)))
+      .localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 16 === 0)
+    val got = Hnsw.searchAuto(probes, layered, e, beamUpper = n,
+      hopsUpper = 4, beam = n, hops = 4, k = 3)
+    assert(collectTopK(got) == collectTopK(Similarity.bruteTopK(probes,
+      e, 3)), "diversified-built hierarchy must saturate to brute")
+    // candidate-source seam: handing bruteTopK explicitly == default,
+    // and a TRUNCATED source (half the candidates) still satisfies
+    // the Alg-4 predicate over its own candidate set
+    val viaSeam = Hnsw.diversifiedEdges(e, degree = 3, candFactor = 3,
+      fill = false,
+      candidateSource = Some((nodes, c) =>
+        Similarity.bruteTopK(nodes, nodes, c)))
+    val viaDefault = Hnsw.diversifiedEdges(e, degree = 3, candFactor = 3,
+      fill = false)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(rows(viaSeam) == rows(viaDefault))
+    val truncated = Hnsw.diversifiedEdges(e, degree = 3, candFactor = 3,
+      fill = false,
+      candidateSource = Some((nodes, c) =>
+        Similarity.bruteTopK(nodes, nodes, c)
+          .filter(col("rank") <= c / 2)))
+    val truncCands = Similarity.bruteTopK(e, e, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    truncated.collect().foreach { r =>
+      assert(truncCands((r.getLong(0), r.getLong(2))),
+        "selection must draw only from the provided candidate set")
+    }
+  }
+
   test("lifecycle maxLevel below the index's top layer fails loudly " +
       "instead of silently truncating the upper layers out of the " +
       "returned index") {
