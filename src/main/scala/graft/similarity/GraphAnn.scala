@@ -253,7 +253,12 @@ object GraphAnn {
                                    mirrorCap: Int = MirrorCap): DataFrame = {
     if (hops == 0) return visited0
     val spark = visited0.sparkSession
-    val v0 = visited0.limit(math.max(mirrorCap, 0) + 1).collect()
+    // plain collect, not limit+collect: the seed set is bounded by the
+    // bounded-query-batch contract (≤ a few rows per probe — the same
+    // contract that lets pqSearcher collect the probe batch), and
+    // CollectLimitExec pays ~4 incremental partition-round jobs per
+    // collect even when the limit exceeds the row count
+    val v0 = visited0.collect()
     require(v0.nonEmpty || emptyOk, failMsg)
     if (v0.length > mirrorCap)
       return walkDistributed(visited0, adj, score, beam, hops, maxInline)
@@ -414,8 +419,9 @@ object GraphAnn {
     * edge table here is the 100 TB regression PlanShapeSpec guards
     * against. `score`'s second argument is the candidate id list for
     * scan pruning (empty = unknown, score everything it's handed). */
-  private def localPairs(spark: org.apache.spark.sql.SparkSession,
-                         rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+  private[similarity] def localPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.toSeq.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(

@@ -395,18 +395,18 @@ object Hnsw {
     while (l >= 1) {
       // one descent step: ADC-closest visited node at layer l (incl.
       // self — the float descent's rule with the ADC score in place of
-      // cosine)
+      // cosine); refined entries collected to a local relation (one
+      // bounded row per query — the float descent's convention)
       val visited = GraphAnn.walkPq(ctx, layerEdges(l), entries, entryIds,
         beamUpper, hopsUpper)
-      entries = visited.withColumn("_r", row_number().over(wTop))
+      val rows = visited.withColumn("_r", row_number().over(wTop))
         .filter(col("_r") === 1)
         .select(col("query_id"), col("node"))
-        .localCheckpoint(true) // iterative-lineage convention
-      val ids = entries.select(col("node")).distinct()
-        .limit(GraphAnn.MaxInlineFrontier + 1).collect()
+        .collect()
+      entries = GraphAnn.localPairs(queries.sparkSession, rows)
+      val ids = rows.map(_.getLong(1)).distinct.sorted
       entryIds =
-        if (ids.length <= GraphAnn.MaxInlineFrontier)
-          ids.map(_.getLong(0)).sorted.toIndexedSeq
+        if (ids.length <= GraphAnn.MaxInlineFrontier) ids.toIndexedSeq
         else Nil
       l -= 1
     }
@@ -434,16 +434,17 @@ object Hnsw {
       val found = GraphAnn.searchFrom(queries, layerEdges(l), corpus,
         entries, entryIds, beamUpper, hopsUpper, k = 1, allowed = None,
         includeSelf = true)
-      entries = found.filter(col("rank") === 1)
+      // bounded: ONE row per query — collect the refined entries to a
+      // local relation (one job; the old checkpoint + distinct-limit
+      // pair cost ~5) and derive the isin-pruning id list driver-side
+      // (the GraphAnn.MaxInlineFrontier contract)
+      val rows = found.filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id").as("node"))
-        .localCheckpoint(true) // iterative-lineage convention
-      // bounded: one row per query — collect for isin scan pruning on
-      // the next layer (the GraphAnn.MaxInlineFrontier contract)
-      val ids = entries.select(col("node")).distinct()
-        .limit(GraphAnn.MaxInlineFrontier + 1).collect()
+        .collect()
+      entries = GraphAnn.localPairs(queries.sparkSession, rows)
+      val ids = rows.map(_.getLong(1)).distinct.sorted
       entryIds =
-        if (ids.length <= GraphAnn.MaxInlineFrontier)
-          ids.map(_.getLong(0)).sorted.toIndexedSeq
+        if (ids.length <= GraphAnn.MaxInlineFrontier) ids.toIndexedSeq
         else Nil
       l -= 1
     }
