@@ -56,7 +56,7 @@ object Round21ScaleMeasure {
     }
 
     def measure(tag: String, dir: String)
-        : (Double, Double, Double, Double, Double) = {
+        : (Double, Double, Double, Double, Double, Double) = {
       val emb = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val idxPath = s"/tmp/graft_r21_hnsw_$tag"
@@ -122,19 +122,42 @@ object Round21ScaleMeasure {
       val t4 = System.nanoTime()
       graft.similarity.TrainedState.appendHnswDelta(deltaC, idxPath)
       val deltaS = (System.nanoTime() - t4) / 1e9
+      // ---- diversified (Alg 4) edge build via the BUCKETED candidate
+      // source (claim: construction stays ~corpus-scaled — candidates
+      // come from fixed-size IVF cells, pairwise diversity sims are
+      // |nodes| × C² with C = degree × candFactor — where the default
+      // bruteTopK source is quadratic and only viable per-layer on the
+      // geometrically small upper layers) ----
+      val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid")).localCheckpoint(true)
+      val bucketed = (nodes: org.apache.spark.sql.DataFrame, c: Int) =>
+        graft.similarity.Similarity.knnGraphAdjacent(
+          graft.similarity.Similarity.ivfAssignAuto(nodes, cents),
+          cents, c, nprobe = 2)
+      def divOnce(): Unit = graft.similarity.Hnsw.diversifiedEdges(
+          emb, degree = 6, candFactor = 2, fill = true,
+          candidateSource = Some(bucketed))
+        .write.format("noop").mode("overwrite").save()
+      divOnce()
+      val t5 = System.nanoTime()
+      divOnce()
+      val divS = (System.nanoTime() - t5) / 1e9
       println(f"[r21scale] $tag build=$buildS%.2fs hier_search=$hierS%.2fs " +
         f"flat_search=$flatS%.2fs insert50=$insS%.2fs " +
-        f"delta_write=$deltaS%.2fs")
-      (buildS, hierS, flatS, insS, deltaS)
+        f"delta_write=$deltaS%.2fs div_build=$divS%.2fs")
+      (buildS, hierS, flatS, insS, deltaS, divS)
     }
 
-    val (b1, h1, f1, i1, d1) = measure("sf01", sfDir)
-    val (b10, h10, f10, i10, d10) = measure(s"sf1_${mult}x", outDir)
+    val (b1, h1, f1, i1, d1, v1) = measure("sf01", sfDir)
+    val (b10, h10, f10, i10, d10, v10) = measure(s"sf1_${mult}x", outDir)
     println(f"[r21scale] build ratio=${b10 / b1}%.2f (corpus-scaled), " +
       f"hier search ratio=${h10 / h1}%.2f (expected ~flat), " +
       f"insert ratio=${i10 / i1}%.2f (expected ~flat), " +
       f"delta write ratio=${d10 / d1}%.2f (expected ~flat — " +
       "batch-bounded), " +
+      f"diversified build ratio=${v10 / v1}%.2f (expected ~corpus-" +
+      "scaled, NOT quadratic), " +
       f"descent overhead sf01=${h1 / f1}%.2fx 10x=${h10 / f10}%.2fx")
     spark.stop()
   }

@@ -695,4 +695,52 @@ class StreamingAnnSpec extends SparkTestBase {
       "streamed HNSW top-k diverged from the batch plan")
     assert(collected.nonEmpty)
   }
+
+  test("serveHnswFromSaved over a DELTA-APPENDED artifact: the load " +
+      "reconciles generations, so streamed serving == batch searchAuto " +
+      "over the in-memory updated index — the restart path of the " +
+      "fold-in write") {
+    implicit val sqlCtx = spark.sqlContext
+    val pre = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val batch = emb.filter(col("vec_id") >= 80 && col("vec_id") < 90)
+      .localCheckpoint(true)
+    val layered = graft.similarity.Hnsw.buildIndex(pre, degree = 4,
+      m = 4, maxLevel = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hdserve").toString + "/hnsw"
+    graft.similarity.TrainedState.saveHnswIndex(layered, path)
+    val (fullRaw, delta) = graft.similarity.Hnsw.insertWithDelta(
+      layered, batch, pre, m = 4, maxLevel = 2, beam = 3, hops = 2,
+      degree = 4)
+    val full = fullRaw.localCheckpoint(true)
+    graft.similarity.TrainedState.appendHnswDelta(delta, path)
+    val corpus = pre.unionByName(batch).localCheckpoint(true)
+    val queryIds = Seq(Seq(1L, 83L), Seq(5L, 87L)) // incl. NEW vectors
+    val qVecs = corpus.filter(col("vec_id") < 10 ||
+        col("vec_id") >= 80).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveHnswFromSaved(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, path,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { b =>
+        mem.addData(b.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRef = graft.similarity.Hnsw.searchAuto(
+      corpus.filter(col("vec_id").isin(1L, 83L, 5L, 87L)), full, corpus,
+      beamUpper = 1, hopsUpper = 2, beam = 3, hops = 2, k = 3).collect()
+    def keyedD(rows: Seq[Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyedD(collected.toSeq) == keyedD(batchRef.toSeq),
+      "delta-served HNSW diverged from the in-memory updated index")
+    assert(collected.nonEmpty)
+  }
 }
