@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.Round19Queries.queries ++
       graft.queries.Round20Queries.queries ++
       graft.queries.Round21Queries.queries ++
-      graft.queries.Round22Queries.queries
+      graft.queries.Round22Queries.queries ++
+      graft.queries.Round23Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -68,5 +69,6 @@ object SparkEntry {
       graft.queries.Round19Queries.oracleSql ++
       graft.queries.Round20Queries.oracleSql ++
       graft.queries.Round21Queries.oracleSql ++
-      graft.queries.Round22Queries.oracleSql
+      graft.queries.Round22Queries.oracleSql ++
+      graft.queries.Round23Queries.oracleSql
 }

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.similarity.Hnsw
+
+/** Round-13 additions: SERVING through a diversified-built hierarchy —
+  * the end-to-end tie-in for the Algorithm-4 construction
+  * ([[Round22Queries]] oracles the edge SELECTION; this oracles a
+  * query ANSWERED over those edges). At saturating budgets the beam
+  * walk visits the entry's whole connected component, so the served
+  * top-k equals exact brute force and the oracle is the plain
+  * all-pairs cosine rank — the `e_ann_brute` convention routed
+  * through the full build → hierarchy → descent → walk stack.
+  */
+object Round23Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Serve through Algorithm-4 edges: the planted-duplicate corpus of
+    // e_ann_hnsw_diverse (90 base vectors + the first 30 re-id'd +1000
+    // as exact twins), indexed as a 3-layer HNSW whose every layer uses
+    // the diversified (fill) edge builder at degree 4, then searched
+    // via searchAuto (entry re-derived from the index itself) at
+    // saturating beam/hops. The diversified prune is visible in the
+    // STRUCTURE (a twin's pure out-list collapses to its pair; fill
+    // tops it back up), and the oracle pins that serving over that
+    // structure still returns the exact top-5 — including each query's
+    // own twin at cosine 1, rank 1.
+    "e_ann_hnsw_diverse_serve" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 90)
+        .select(col("vec_id"), col("embedding"))
+      val dups = load(s, dir, "embeddings").filter(col("vec_id") < 30)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(dups).localCheckpoint(true)
+      val layered = Hnsw.buildIndex(corpus, degree = 4, m = 4,
+          maxLevel = 2,
+          Some(Hnsw.diversifiedBuilder(candFactor = 3, fill = true)))
+        .localCheckpoint(true)
+      val probes = corpus.filter(col("vec_id") < 4)
+      Hnsw.searchAuto(probes, layered, corpus, beamUpper = 4,
+          hopsUpper = 4, beam = 200, hops = 40, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  import Round13Queries.cosSql
+
+  def oracleSql: Map[String, String] = Map(
+    // Saturating serve == brute: all-pairs cosine over the planted
+    // corpus, top-5 per probe by (cos desc, id), self excluded (the
+    // twin at +1000 is NOT self and ranks first at cosine 1).
+    "e_ann_hnsw_diverse_serve" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 90
+         |  UNION ALL
+         |  SELECT vec_id + 1000 AS vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 30),
+         |q AS (SELECT vec_id, embedding FROM emb WHERE vec_id < 4),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_sim
+         |  FROM q JOIN emb c ON c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id,
+         |  ROUND(cos_sim, 6) AS cos_sim
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -113,7 +113,11 @@ object GraphAnn {
                                      hops: Int, k: Int,
                                      allowed: Option[DataFrame],
                                      includeSelf: Boolean,
-                                     mirrorCap: Int = MirrorCap): DataFrame = {
+                                     mirrorCap: Int = MirrorCap,
+                                     maxLocalQueryRows: Long =
+                                       MaxLocalQueryRows,
+                                     maxLocalScoreCells: Long =
+                                       MaxLocalScoreCells): DataFrame = {
     require(beam >= 1, s"searchGraph: beam=$beam must be >= 1")
     require(hops >= 0, s"searchGraph: hops=$hops must be >= 0")
     require(k >= 1, s"searchGraph: k=$k must be >= 1")
@@ -134,12 +138,28 @@ object GraphAnn {
       adj, score,
       // mirror-path scorer: the bounded probe batch collected once to a
       // local relation, so per-hop scoring fetches broadcast it without
-      // a Spark job (the pqSearcher qLocal convention)
-      localScore = Some(() => {
-        import scala.jdk.CollectionConverters._
-        val qLocal = queries.sparkSession.createDataFrame(
-          q.collect().toSeq.asJava, q.schema)
-        scorer(qLocal, nodes) _
+      // a Spark job (the pqSearcher qLocal convention). BYTE-BUDGETED:
+      // the walk passes the seed row count (== |queries| here — every
+      // caller seeds each query at entries that resolve in the corpus),
+      // the width probe fetches one embedding, and a batch whose
+      // count × dim exceeds the cell budget keeps the cluster-shaped
+      // scorer instead of pulling hundreds of MB of embeddings to the
+      // driver — the mirror itself only ever holds 24 B/row tuples.
+      localScore = Some((seedRows: Long) => {
+        if (seedRows > maxLocalQueryRows) score
+        else {
+          val head = q.limit(1).collect()
+          val dim =
+            if (head.isEmpty || head(0).isNullAt(1)) 1
+            else math.max(1, head(0).getSeq[Float](1).length)
+          if (seedRows * dim > maxLocalScoreCells) score
+          else {
+            import scala.jdk.CollectionConverters._
+            val qLocal = queries.sparkSession.createDataFrame(
+              q.collect().toSeq.asJava, q.schema)
+            scorer(qLocal, nodes) _
+          }
+        }
       }),
       beam, hops,
       emptyOk = queries.limit(1).isEmpty,
@@ -185,6 +205,17 @@ object GraphAnn {
     * identical content — the mirror is an execution strategy, never a
     * semantics change (parity is spec-pinned bit-for-bit). */
   private[similarity] val MirrorCap = 1 << 18
+
+  /** Row cap for localizing a probe batch's EMBEDDINGS on the driver
+    * (the [[searchFrom]] localScore path) — rows alone, before the
+    * width-aware cell budget below binds. */
+  private[similarity] val MaxLocalQueryRows = 1 << 16
+
+  /** Cell budget (rows × embedding width) for driver-localized
+    * embedding batches: 2²² floats ≈ 16 MB of payload — a batch wider
+    * or larger than this keeps the distributed scorer. The mirror walk
+    * stays available either way (it holds only id/score tuples). */
+  private[similarity] val MaxLocalScoreCells = 1L << 22
 
   /** The wBeam window's exact comparator — (score desc, node asc) with
     * Spark's double total order (NaN largest, -0.0 < 0.0), which
@@ -246,26 +277,30 @@ object GraphAnn {
 
   private[similarity] def walkLoop(visited0: DataFrame, adj: DataFrame,
                                    score: (DataFrame, Seq[Long]) => DataFrame,
-                                   localScore: Option[() => (DataFrame, Seq[Long]) => DataFrame],
+                                   localScore: Option[Long => (DataFrame, Seq[Long]) => DataFrame],
                                    beam: Int, hops: Int,
                                    emptyOk: => Boolean, failMsg: => String,
                                    maxInline: Int = MaxInlineFrontier,
                                    mirrorCap: Int = MirrorCap): DataFrame = {
     if (hops == 0) return visited0
     val spark = visited0.sparkSession
-    // plain collect, not limit+collect: the seed set is bounded by the
-    // bounded-query-batch contract (≤ a few rows per probe — the same
-    // contract that lets pqSearcher collect the probe batch), and
-    // CollectLimitExec pays ~4 incremental partition-round jobs per
-    // collect even when the limit exceeds the row count
-    val v0 = visited0.collect()
-    require(v0.nonEmpty || emptyOk, failMsg)
-    if (v0.length > mirrorCap)
+    // COUNT before collecting: an over-cap seed (a caller ignoring the
+    // bounded-query-batch contract with a huge fold-in batch) must
+    // route to the distributed walk without ever materializing on the
+    // driver — the cap has to bind BEFORE the pull, not after. One
+    // bounded extra job per walk (not per hop); plain count + collect,
+    // not limit+collect — CollectLimitExec pays ~4 incremental
+    // partition-round jobs per call even under the row count.
+    val seedCount = visited0.count()
+    require(seedCount > 0 || emptyOk, failMsg)
+    if (seedCount > mirrorCap)
       return walkDistributed(visited0, adj, score, beam, hops, maxInline)
+    val v0 = visited0.collect()
     // hot-loop scorer: callers localize their bounded query side once
     // (a local relation broadcasts WITHOUT a Spark job), so a scoring
-    // fetch is one single-stage job instead of main + broadcast jobs
-    val hotScore = localScore.map(_.apply()).getOrElse(score)
+    // fetch is one single-stage job instead of main + broadcast jobs;
+    // the seed count lets them budget that pull by batch size × width
+    val hotScore = localScore.map(_.apply(seedCount)).getOrElse(score)
     // the mirror holds visited ROWS verbatim (a degenerate duplicate
     // (query, node) entry pair occupies two beam slots in the window
     // cut exactly like the distributed form); `seen` is the anti-join

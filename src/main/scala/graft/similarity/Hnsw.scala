@@ -193,21 +193,28 @@ object Hnsw {
     */
   /** @param candidateSource candidate generator `(nodes, C) =>
     *   (query_id, rank, neighbor_id, cos_sim)` with rank 1..C per
-    *   query by (cos desc, id) — defaults to the exact
-    *   [[Similarity.bruteTopK]]; corpus-scale builds pass an ANN
-    *   source (e.g. an IVF-bucketed kNN) and the selection then runs
-    *   over ITS candidate set, with the pairwise diversity sims still
-    *   computed exactly from the embeddings */
+    *   query by (cos desc, id) — defaults to [[autoCandidateSource]]
+    *   (exact [[Similarity.bruteTopK]] below
+    *   [[MinNodesForBucketedCandidates]] nodes, the IVF-bucketed
+    *   source above it, so a naive corpus-scale caller never lands on
+    *   the n² build); pass an explicit source to override the
+    *   dispatch — the selection then runs over ITS candidate set,
+    *   with the pairwise diversity sims still computed exactly from
+    *   the embeddings
+    * @param minNodesForBucketed the auto-dispatch threshold (spec
+    *   hook; callers keep the default) */
   def diversifiedEdges(nodes: DataFrame, degree: Int, candFactor: Int = 3,
                        fill: Boolean = true,
                        candidateSource: Option[(DataFrame, Int) => DataFrame]
-                         = None): DataFrame = {
+                         = None,
+                       minNodesForBucketed: Long =
+                         MinNodesForBucketedCandidates): DataFrame = {
     require(degree >= 1,
       s"Hnsw.diversifiedEdges: degree=$degree must be >= 1")
     require(candFactor >= 1,
       s"Hnsw.diversifiedEdges: candFactor=$candFactor must be >= 1")
     val source = candidateSource.getOrElse(
-      (n: DataFrame, c: Int) => Similarity.bruteTopK(n, n, c))
+      autoCandidateSource(minNodesForBucketed))
     val cands = source(nodes, degree * candFactor)
     val embOf = nodes.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("_ne"))
@@ -279,13 +286,77 @@ object Hnsw {
   /** [[diversifiedEdges]] curried to [[buildIndex]]'s `edgeBuilder`
     * shape — `buildIndex(corpus, degree, m, maxLevel,
     * Some(Hnsw.diversifiedBuilder()))` builds the full published HNSW
-    * construction: geometric layers + per-layer diversified edges. */
+    * construction: geometric layers + per-layer diversified edges
+    * (each layer dispatches its own candidate source by ITS node
+    * count, so the geometrically small upper layers stay exact while
+    * a corpus-sized layer 0 goes bucketed). */
   def diversifiedBuilder(candFactor: Int = 3, fill: Boolean = true,
                          candidateSource: Option[(DataFrame, Int) => DataFrame]
-                           = None)
+                           = None,
+                         minNodesForBucketed: Long =
+                           MinNodesForBucketedCandidates)
       : (DataFrame, Int) => DataFrame =
     (nodes, d) => diversifiedEdges(nodes, d, candFactor, fill,
-      candidateSource)
+      candidateSource, minNodesForBucketed)
+
+  /** Node-count threshold above which [[diversifiedEdges]]' default
+    * candidate stage switches from the exact quadratic
+    * [[Similarity.bruteTopK]] to the IVF-bucketed source: below it the
+    * n² scoring is cheaper than training cells (and bit-exact); above
+    * it the quadratic build is the 100 TB failure mode the dispatch
+    * exists to make unreachable — the [[Similarity.ivfAssignAuto]]
+    * pattern applied to graph construction. 2¹⁵ nodes ≈ 10⁹ brute
+    * pairs, the knee where the bucketed source's measured ~corpus
+    * scaling (SCALE.md round-12: 2.13× at 10× corpus vs ~100× for
+    * brute) starts winning outright. */
+  val MinNodesForBucketedCandidates: Long = 1L << 15
+
+  /** The default candidate stage of [[diversifiedEdges]]: ONE bounded
+    * count of the node set, then exact [[Similarity.bruteTopK]] below
+    * `minNodes` and [[bucketedCandidateSource]] above. Small inputs
+    * (every gate corpus, every upper HNSW layer) keep the bit-exact
+    * oracled path; corpus-sized inputs get candidates from fixed-size
+    * IVF cells without the caller having to know the seam exists. */
+  def autoCandidateSource(minNodes: Long = MinNodesForBucketedCandidates)
+      : (DataFrame, Int) => DataFrame = (nodes, c) => {
+    require(minNodes >= 1,
+      s"Hnsw.autoCandidateSource: minNodes=$minNodes must be >= 1")
+    if (nodes.count() < minNodes) Similarity.bruteTopK(nodes, nodes, c)
+    else bucketedCandidateSource()(nodes, c)
+  }
+
+  /** The IVF-bucketed candidate generator for corpus-scale
+    * [[diversifiedEdges]] builds: ~√n cells whose centroids are a
+    * DETERMINISTIC hash-stride sample of the nodes themselves (the
+    * [[levels]] md5 convention — no RNG state, no window over the
+    * corpus), assignment via [[Similarity.ivfAssignAuto]] (which
+    * two-levels itself above 4096 cells), candidates via
+    * [[Similarity.knnGraphAdjacent]] at `nprobe` cells. Candidate
+    * quality is approximate by design — the diversity sims downstream
+    * are still exact — and total candidate work is Σ(cell²) ≈ n·√n,
+    * never all-pairs. */
+  def bucketedCandidateSource(nprobe: Int = 2)
+      : (DataFrame, Int) => DataFrame = (nodes, c) => {
+    require(nprobe >= 1,
+      s"Hnsw.bucketedCandidateSource: nprobe=$nprobe must be >= 1")
+    val n = nodes.count()
+    val targetCells = math.max(1L, math.round(math.sqrt(n.toDouble)))
+    val stride = math.max(1L, n / targetCells)
+    val h = conv(substring(md5(col("vec_id").cast("string")
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+    val cents = nodes.filter(pmod(h, lit(stride)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+      .localCheckpoint(true)
+    // P(no node hashes to 0 mod stride) ≈ e^-√n — negligible, but a
+    // silent empty centroid table would make every assignment (and
+    // the whole edge table) silently empty, so fail loud instead
+    require(!cents.isEmpty,
+      "Hnsw.bucketedCandidateSource: hash-stride sampling selected no " +
+        "centroids — pass an explicit candidateSource")
+    Similarity.knnGraphAdjacent(
+      Similarity.ivfAssignAuto(nodes, cents), cents, c, nprobe)
+  }
 
   /** The deterministic global entry point: the LOWEST id among the
     * nodes of the highest non-empty layer (ids break every tie in this

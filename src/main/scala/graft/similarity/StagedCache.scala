@@ -53,16 +53,41 @@ object StagedCache {
 
   /** Run `body` with registrations (and bare [[release]] calls) bound
     * to `key` — one token per pipeline instance; a fresh UUID-suffixed
-    * token per operator call is the convention. */
+    * token per operator call is the convention.
+    *
+    * THREAD CONTRACT: the binding is a DynamicVariable
+    * (InheritableThreadLocal) — it reaches only the scoping thread and
+    * threads CREATED inside the body (the parLayers shape). Work
+    * dispatched to a PRE-EXISTING shared pool (a reused
+    * ExecutionContext, Spark listener/callback threads) does NOT
+    * inherit it and would register into the default scope, which this
+    * pipeline's drain never touches — a slow persisted-cache leak.
+    * Such code must capture [[currentScope]] on the scoping thread and
+    * register with the explicit-owner overload
+    * ([[register[T](df:org\.apache\.spark\.sql\.Dataset[T],owner:String)* register(df, owner)]])
+    * instead of relying on ambient state. */
   def scoped[T](key: String)(body: => T): T = scope.withValue(key)(body)
 
-  /** The ambient scope key (spec hook). */
+  /** The ambient scope key (spec hook; also what shared-pool work
+    * should capture BEFORE dispatching — see [[scoped]]'s thread
+    * contract). */
   def currentScope: String = scope.value
 
   /** Record `df` (already `.persist()`-ed) under the ambient scope for
-    * a later [[release]]. */
+    * a later [[release]]. Must run on the scoping thread or a thread
+    * spawned within the scope — from a pre-existing shared pool, use
+    * the explicit-owner overload with a captured [[currentScope]]. */
   def register[T](df: Dataset[T]): Dataset[T] = {
     queueOf(scope.value).add(df); df
+  }
+
+  /** [[register]] with an EXPLICIT owner token — the shared-pool-safe
+    * form: ambient thread-local state never reaches threads created
+    * outside the scope, so code that stages from one captures the
+    * token on the scoping thread and passes it through the call chain
+    * instead. Drained by `release(owner)`. */
+  def register[T](df: Dataset[T], owner: String): Dataset[T] = {
+    queueOf(owner).add(df); df
   }
 
   /** Unpersist (non-blocking) every entry registered under the ambient

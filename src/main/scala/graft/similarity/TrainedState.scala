@@ -248,9 +248,33 @@ object TrainedState {
   }
 
   /** Load a persisted graph index for [[GraphAnn.searchGraph]]; fails
-    * fast at the driver on schema drift. */
+    * fast at the driver on schema drift. Delta-aware like
+    * [[loadHnswIndex]]: when [[appendGraphDelta]] generations exist
+    * under the artifact, the highest generation wins per source and the
+    * superseded base rows drop via a broadcast anti-join — untouched
+    * base rows read through verbatim. */
   def loadGraphIndex(spark: SparkSession, path: String): DataFrame =
-    load(spark, graphIndexSchema, path)
+    reconcileDeltas(load(spark, graphIndexSchema, path), spark, path,
+      graphIndexSchema, Seq("query_id"))
+
+  /** APPEND an insert's changed slice ([[GraphAnn.insertBySearchParts]]'
+    * second output — touched sources' re-pruned out-lists + the new
+    * nodes' forward edges) as a DELTA GENERATION under a saved flat
+    * graph index — the [[appendHnswDelta]] machinery for the single-
+    * layer artifact: fold-in write cost scales with the BATCH while a
+    * full [[saveGraphIndex]] rewrite scales with the index. Newest
+    * generation wins per source on load; an EMPTY changed slice writes
+    * nothing (a `_SUCCESS`-only delta directory would otherwise brick
+    * the load with an unreadable parquet dir). */
+  def appendGraphDelta(delta: DataFrame, path: String): Unit =
+    appendDeltaGeneration(delta, path, graphIndexSchema,
+      layerPartitioned = false)
+
+  /** Fold accumulated [[appendGraphDelta]] generations back into the
+    * base — crash-safe ([[compactHnswIndex]]'s write-aside-then-swap
+    * contract). */
+  def compactGraphIndex(spark: SparkSession, path: String): Unit =
+    compactSwap(spark, path, loadGraphIndex(spark, path), saveGraphIndex)
 
   val hnswIndexSchema: StructType = StructType(Seq(
     StructField("layer", IntegerType, nullable = false),
@@ -287,33 +311,15 @@ object TrainedState {
     * key set is batch-bounded, so the base side passes the anti-join
     * broadcast-style without a shuffle — reconciliation cost scales
     * with the deltas, not the index. */
-  def loadHnswIndex(spark: SparkSession, path: String): DataFrame = {
-    val f = org.apache.spark.sql.functions
-    val base = loadHnswBase(spark, path)
-    val deltaPath = s"$path/$HnswDeltaDir"
-    if (!pathExists(spark, deltaPath)) base
-    else {
-      val delta = spark.read.parquet(deltaPath)
-      require(delta.schema.fieldNames.contains(DeltaSeqCol),
-        s"trained-state at $deltaPath is not a delta artifact: missing " +
-          DeltaSeqCol)
-      val latestSeq = delta.groupBy(f.col("layer"), f.col("query_id"))
-        .agg(f.max(f.col(DeltaSeqCol)).as(DeltaSeqCol))
-      val latest = delta
-        .join(latestSeq, Seq("layer", "query_id", DeltaSeqCol))
-        .select(hnswIndexSchema.fields.map(x => f.col(x.name))
-          .toIndexedSeq: _*)
-      val keys = latestSeq.select(f.col("layer"), f.col("query_id"))
-      base.join(f.broadcast(keys), Seq("layer", "query_id"), "left_anti")
-        .select(hnswIndexSchema.fields.map(x => f.col(x.name))
-          .toIndexedSeq: _*)
-        .unionByName(latest)
-    }
-  }
+  def loadHnswIndex(spark: SparkSession, path: String): DataFrame =
+    reconcileDeltas(loadHnswBase(spark, path), spark, path,
+      hnswIndexSchema, Seq("layer", "query_id"))
 
-  private val HnswDeltaDir = "_delta" // "_"-prefix: hidden from the
-                                      // base parquet listing
+  private val DeltaDir = "_delta" // "_"-prefix: hidden from the
+                                  // base parquet listing
   private val DeltaSeqCol = "_seq"
+  private val DeltaLockDir = "_locks" // one atomically-created marker
+                                      // file per claimed generation
 
   private def loadHnswBase(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
@@ -335,6 +341,187 @@ object TrainedState {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  private def fsOf(spark: SparkSession, p: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Whether `dir` holds at least one DATA file (recursively, skipping
+    * "_"/"."-prefixed names — committer markers and lock files): a
+    * delta directory that exists but carries only `_SUCCESS`/`_locks`
+    * (an aborted or skipped-empty write) must read as "no deltas", not
+    * crash `spark.read.parquet` with an unreadable-dir error. */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) false
+    else {
+      // the listing returns FULLY-QUALIFIED paths (file:/…); qualify
+      // the root the same way or every ancestor check walks past it
+      val root = fs.makeQualified(p)
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        // a file inside a hidden subtree (e.g. _locks/gen-3) must not
+        // count either — check every ancestor up to `dir`
+        def hiddenAnywhere(q: org.apache.hadoop.fs.Path): Boolean =
+          if (q == null || q == root) false
+          else if (q.getName.startsWith("_") || q.getName.startsWith("."))
+            true
+          else hiddenAnywhere(q.getParent)
+        found = s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          !hiddenAnywhere(s.getPath.getParent)
+      }
+      found
+    }
+  }
+
+  /** Newest-generation-wins reconcile shared by every delta-capable
+    * artifact: for each `keyCols` tuple present in a delta, the
+    * highest-generation delta rows replace the base rows; untouched
+    * base rows read through verbatim. The delta key set is
+    * batch-bounded by contract, so the corpus-sized base passes the
+    * anti-join broadcast-style without a shuffle — reconciliation cost
+    * scales with the deltas, not the index. */
+  private def reconcileDeltas(base: DataFrame, spark: SparkSession,
+                              path: String, schema: StructType,
+                              keyCols: Seq[String]): DataFrame = {
+    val f = org.apache.spark.sql.functions
+    val deltaPath = s"$path/$DeltaDir"
+    if (!hasDataFiles(spark, deltaPath)) base
+    else {
+      val delta = spark.read.parquet(deltaPath)
+      require(delta.schema.fieldNames.contains(DeltaSeqCol),
+        s"trained-state at $deltaPath is not a delta artifact: missing " +
+          DeltaSeqCol)
+      val latestSeq = delta.groupBy(keyCols.map(f.col).toIndexedSeq: _*)
+        .agg(f.max(f.col(DeltaSeqCol)).as(DeltaSeqCol))
+      val latest = delta
+        .join(latestSeq, keyCols :+ DeltaSeqCol)
+        .select(schema.fields.map(x => f.col(x.name)).toIndexedSeq: _*)
+      val keys = latestSeq.select(keyCols.map(f.col).toIndexedSeq: _*)
+      base.join(f.broadcast(keys), keyCols, "left_anti")
+        .select(schema.fields.map(x => f.col(x.name)).toIndexedSeq: _*)
+        .unionByName(latest)
+    }
+  }
+
+  /** Atomically claim the next delta generation number: generation N is
+    * owned by whoever CREATES `_delta/_locks/gen-N` first
+    * (`FileSystem.createNewFile` — atomic create-if-absent on HDFS and
+    * local filesystems), so two concurrent fold-ins can never write the
+    * same `_seq` and the max-generation reconcile never serves two
+    * writers' rows for one key. Pre-lock-era artifacts (deltas written
+    * before `_locks` existed) seed the counter from the recorded
+    * `_seq` maximum once, then claim forward. On stores without atomic
+    * create (some object stores) this degrades to the documented
+    * single-writer contract. */
+  private def claimGeneration(spark: SparkSession,
+                              deltaPath: String): Long = {
+    val fs = fsOf(spark, deltaPath)
+    val lockDir = new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
+    fs.mkdirs(lockDir)
+    val claimed = fs.listStatus(lockDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen-") =>
+        s.stripPrefix("gen-").toLong }
+    val floor =
+      if (claimed.nonEmpty) claimed.max
+      else if (hasDataFiles(spark, deltaPath)) {
+        // legacy artifact: generations exist but predate the lock dir
+        val f = org.apache.spark.sql.functions
+        val r = spark.read.parquet(deltaPath)
+          .agg(f.max(f.col(DeltaSeqCol))).collect()
+        if (r.isEmpty || r(0).isNullAt(0)) 0L else r(0).getLong(0)
+      } else 0L
+    // createNewFile is atomic create-if-absent; some implementations
+    // lose the race by THROWING (create(overwrite=false) on an
+    // already-created file) rather than returning false — either way
+    // the claim failed and the next number is tried
+    def tryClaim(n: Long): Boolean =
+      try fs.createNewFile(
+        new org.apache.hadoop.fs.Path(lockDir, s"gen-$n"))
+      catch { case _: java.io.IOException => false }
+    var next = floor + 1
+    while (!tryClaim(next)) next += 1
+    next
+  }
+
+  /** The shared delta-generation writer: skip EMPTY slices entirely
+    * (an empty write would leave a `_SUCCESS`-only directory that
+    * bricks naive readers), claim a generation atomically, stamp rows
+    * with it, append. HNSW deltas keep the base's `layer` directory
+    * partitioning so descent partition-pruning covers delta files too;
+    * flat artifacts write one sorted file per generation (batch-
+    * bounded by contract) so candidate-id `isin` probes keep their
+    * row-group pruning. */
+  private def appendDeltaGeneration(delta: DataFrame, path: String,
+                                    schema: StructType,
+                                    layerPartitioned: Boolean): Unit = {
+    val f = org.apache.spark.sql.functions
+    val spark = delta.sparkSession
+    val deltaPath = s"$path/$DeltaDir"
+    val cols = schema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name))
+    val projected = delta.select(cols.toIndexedSeq: _*)
+    if (projected.isEmpty) () // nothing changed — no generation
+    else {
+      val next = claimGeneration(spark, deltaPath)
+      val stamped = projected.withColumn(DeltaSeqCol, f.lit(next))
+      if (layerPartitioned)
+        stamped.repartition(f.col("layer"))
+          .write.mode("append").partitionBy("layer").parquet(deltaPath)
+      else {
+        val sortCols = schema.fields.map(_.name).toIndexedSeq
+        stamped.repartition(1)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+          .write.mode("append").parquet(deltaPath)
+      }
+    }
+  }
+
+  /** Crash-safe compaction shared by every delta-capable artifact:
+    * write the reconciled index ASIDE to a sibling temp path first
+    * (the read of base + deltas completes before any byte of the
+    * original moves), verify the committer's `_SUCCESS`, then swap via
+    * two directory renames with the old tree parked at a trash path
+    * until the new one is live. At no point is the only copy of the
+    * index in executor memory or a half-deleted directory: a crash
+    * before the swap leaves base + deltas untouched (plus a stale temp
+    * this routine clears on the next run); a crash mid-swap leaves the
+    * COMPLETE new tree at the temp or live path and the complete old
+    * tree at the trash path. */
+  private def compactSwap(spark: SparkSession, path: String,
+                          reconciled: => DataFrame,
+                          write: (DataFrame, String) => Unit): Unit = {
+    val fs = fsOf(spark, path)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp")
+    val trash = new org.apache.hadoop.fs.Path(s"$path.compact-trash")
+    require(fs.exists(live),
+      s"compact: no artifact at $path" + (if (fs.exists(trash))
+        s" — a prior compaction crashed mid-swap; the pre-compaction " +
+          s"tree is intact at $trash (rename it back to recover)" else ""))
+    // stale leftovers from a prior crash: the temp is pre-swap work
+    // (base still live — safe to discard), a trash alongside a live
+    // path is a superseded old tree (swap completed — safe to discard)
+    fs.delete(tmp, true)
+    fs.delete(trash, true)
+    write(reconciled, tmp.toString)
+    require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
+      s"compact: rewrite at $tmp did not commit (_SUCCESS missing) — " +
+        s"original index at $path is untouched")
+    require(fs.rename(live, trash),
+      s"compact: could not park $path at $trash — original untouched")
+    require(fs.rename(tmp, live),
+      s"compact: could not activate $tmp at $path — the complete new " +
+        s"tree is at $tmp and the complete old tree at $trash")
+    fs.delete(trash, true)
+    ()
+  }
+
   /** APPEND an insert's changed slice ([[Hnsw.insertWithDelta]]'s
     * second output — touched sources' re-pruned out-lists + the new
     * nodes' forward edges) as a DELTA GENERATION under the saved
@@ -346,38 +533,24 @@ object TrainedState {
     * that re-touch a source converge to the newest out-list —
     * loading a delta-appended index equals loading a full rewrite,
     * bit for bit (spec-pinned). Layer-partitioned like the base, so
-    * descent partition-pruning covers the delta files too. Compact
-    * with [[compactHnswIndex]] when generations accumulate. */
-  def appendHnswDelta(delta: DataFrame, path: String): Unit = {
-    val f = org.apache.spark.sql.functions
-    val deltaPath = s"$path/$HnswDeltaDir"
-    val next =
-      if (!pathExists(spark = delta.sparkSession, p = deltaPath)) 1L
-      else {
-        val r = delta.sparkSession.read.parquet(deltaPath)
-          .agg(f.max(f.col(DeltaSeqCol))).collect()
-        if (r.isEmpty || r(0).isNullAt(0)) 1L else r(0).getLong(0) + 1L
-      }
-    val cols = hnswIndexSchema.fields.map(x =>
-      f.col(x.name).cast(x.dataType).as(x.name))
-    delta.select(cols.toIndexedSeq: _*)
-      .withColumn(DeltaSeqCol, f.lit(next))
-      .repartition(f.col("layer"))
-      .write.mode("append").partitionBy("layer").parquet(deltaPath)
-  }
+    * descent partition-pruning covers the delta files too. An EMPTY
+    * changed slice (a fully-passthrough fold-in batch) writes nothing.
+    * Generation numbers are claimed atomically (lock-marker files), so
+    * concurrent fold-ins cannot collide on `_seq`. Compact with
+    * [[compactHnswIndex]] when generations accumulate. */
+  def appendHnswDelta(delta: DataFrame, path: String): Unit =
+    appendDeltaGeneration(delta, path, hnswIndexSchema,
+      layerPartitioned = true)
 
   /** Fold accumulated delta generations back into the base: rewrite
     * the reconciled index in the [[saveHnswIndex]] layout and drop the
     * delta directory. Maintenance op — materializes the reconciled
-    * table once (corpus-sized, like the original save). */
-  def compactHnswIndex(spark: SparkSession, path: String): Unit = {
-    val reconciled = loadHnswIndex(spark, path).localCheckpoint(true)
-    saveHnswIndex(reconciled, path)
-    val hp = new org.apache.hadoop.fs.Path(s"$path/$HnswDeltaDir")
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(hp, true)
-    ()
-  }
+    * table once (corpus-sized, like the original save), CRASH-SAFELY:
+    * the rewrite lands at a sibling temp path and swaps in only after
+    * its commit marker verifies, so no failure mode loses both the
+    * base and the deltas ([[compactSwap]]'s contract). */
+  def compactHnswIndex(spark: SparkSession, path: String): Unit =
+    compactSwap(spark, path, loadHnswIndex(spark, path), saveHnswIndex)
 
   val pqCodesSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
@@ -400,9 +573,29 @@ object TrainedState {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Load a persisted flat PQ codes table; fails fast on schema drift. */
+  /** Load a persisted flat PQ codes table; fails fast on schema drift.
+    * Delta-aware like [[loadHnswIndex]]: [[appendPqCodesDelta]]
+    * generations reconcile newest-wins per `vec_id` (a re-encoded
+    * vector's full `numSub`-row code set replaces its base rows). */
   def loadPqCodes(spark: SparkSession, path: String): DataFrame =
-    load(spark, pqCodesSchema, path)
+    reconcileDeltas(load(spark, pqCodesSchema, path), spark, path,
+      pqCodesSchema, Seq("vec_id"))
+
+  /** APPEND a fold-in batch's code rows (new vectors' codes, or
+    * re-encoded vectors' full replacement code sets) as a DELTA
+    * GENERATION under a saved flat codes table — write cost scales
+    * with the BATCH while a full [[savePqCodes]] rewrite scales with
+    * the corpus, completing the DiskANN serving artifact's lifecycle
+    * parity with the layered index ([[appendHnswDelta]]). Empty
+    * batches write nothing; generations are claimed atomically. */
+  def appendPqCodesDelta(delta: DataFrame, path: String): Unit =
+    appendDeltaGeneration(delta, path, pqCodesSchema,
+      layerPartitioned = false)
+
+  /** Fold accumulated [[appendPqCodesDelta]] generations back into the
+    * base — crash-safe ([[compactSwap]]'s contract). */
+  def compactPqCodes(spark: SparkSession, path: String): Unit =
+    compactSwap(spark, path, loadPqCodes(spark, path), savePqCodes)
 
   val rotationSchema: StructType = StructType(Seq(
     StructField("row_idx", IntegerType, nullable = false),

@@ -387,4 +387,28 @@ class GraphAnnSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("is in the corpus"))
   }
+
+  test("driver-pull budgets are strategy, never semantics: a zero " +
+      "localScore cell budget (embeddings stay distributed), a zero " +
+      "local query-row cap, and a zero mirror cap (the seed count-gate " +
+      "routes to the distributed walk before any collect) all " +
+      "reproduce the default search bit for bit") {
+    val e = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val edges = Similarity.bruteTopK(e, e, 4).localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 16 === 3)
+    val entries = probes.select(col("vec_id").as("query_id"))
+      .withColumn("node", lit(0L))
+    def run(mirrorCap: Int, maxRows: Long, maxCells: Long) =
+      collectTopK(GraphAnn.searchFrom(probes, edges, e, entries,
+        Seq(0L), beam = 6, hops = 8, k = 5, allowed = None,
+        includeSelf = false, mirrorCap = mirrorCap,
+        maxLocalQueryRows = maxRows, maxLocalScoreCells = maxCells))
+    val want = run(GraphAnn.MirrorCap, Long.MaxValue, Long.MaxValue)
+    assert(run(GraphAnn.MirrorCap, Long.MaxValue, 0L) == want,
+      "cell-budget fallback to the distributed scorer changed results")
+    assert(run(GraphAnn.MirrorCap, 0L, Long.MaxValue) == want,
+      "query-row-cap fallback to the distributed scorer changed results")
+    assert(run(0, Long.MaxValue, Long.MaxValue) == want,
+      "seed count-gate routing to the distributed walk changed results")
+  }
 }

@@ -606,4 +606,58 @@ class HnswSpec extends SparkTestBase {
     }
     assert(exNeg.getMessage.contains("out of [0"))
   }
+
+  test("diversifiedEdges candidate auto-dispatch: below the threshold " +
+      "the default IS brute bit-for-bit; forced above it the default " +
+      "IS the bucketed source; the bucketed build keeps every planted " +
+      "twin edge and serves it at rank 1") {
+    val base = emb.filter(col("vec_id") < 90)
+    val dups = emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(dups).localCheckpoint(true)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    // small-n dispatch: the default (120 nodes << 2^15) is brute
+    assert(rows(Hnsw.diversifiedEdges(corpus, degree = 4)) ==
+      rows(Hnsw.diversifiedEdges(corpus, degree = 4,
+        candidateSource = Some((n, c) => Similarity.bruteTopK(n, n, c)))),
+      "below the threshold the auto source must be exact brute")
+    // large-n dispatch, threshold forced to 1: the default is the
+    // bucketed source, same knobs
+    assert(rows(Hnsw.diversifiedEdges(corpus, degree = 4,
+        minNodesForBucketed = 1)) ==
+      rows(Hnsw.diversifiedEdges(corpus, degree = 4,
+        candidateSource = Some(Hnsw.bucketedCandidateSource()))),
+      "above the threshold the auto source must be the bucketed one")
+    // construction guarantee on the bucketed path: an exact twin
+    // shares its node's cell (identical embedding → identical
+    // assignment), ranks first among its candidates at cosine 1, and
+    // the Alg-4 fold ALWAYS keeps candidate rank 1 — so every planted
+    // twin edge survives, in both directions, no matter how the cells
+    // fall (an ANN candidate source trades RECALL of far candidates,
+    // never the nearest one)
+    val bucketedEdges = Hnsw.diversifiedEdges(corpus, degree = 4,
+      candFactor = 3, fill = true, minNodesForBucketed = 1)
+      .localCheckpoint(true)
+    val twinEdges = bucketedEdges
+      .filter(col("neighbor_id") === col("query_id") + 1000 ||
+        col("query_id") === col("neighbor_id") + 1000)
+      .filter(col("cos_sim") > 0.999999)
+      .count()
+    assert(twinEdges == 60L,
+      s"expected all 30 twin pairs kept in both directions, got $twinEdges")
+    // serving through those edges: a walk seeded at a twin-edge owner
+    // reaches the twin in its first expansion and pins it at rank 1 —
+    // global reachability is a recall dial on an ANN-built graph, but
+    // the kept edge itself always serves
+    val served = GraphAnn.searchGraph(corpus.filter(col("vec_id") === 0),
+        bucketedEdges, corpus, entryId = 0L, beam = 200, hops = 40, k = 1)
+      .collect()
+    assert(served.length == 1 && served(0).getLong(2) == 1000L &&
+      served(0).getDouble(3) > 0.999999,
+      "probe 0 must serve its twin at rank 1 through the bucketed-" +
+        s"diversified graph, got ${served.mkString(",")}")
+  }
 }

@@ -121,4 +121,39 @@ class StagedCacheSpec extends SparkTestBase {
       s"admitVideos leaked ${StagedCache.pending} staged entries " +
         "after 3 triggers")
   }
+
+  test("scope does NOT reach pre-existing shared-pool threads (the " +
+      "documented DynamicVariable limit) — the explicit-owner register " +
+      "is the shared-pool-safe form and drains with the scope's token") {
+    StagedCache.release()
+    // a pool whose worker thread exists BEFORE the scope opens
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      pool.submit(new Runnable { def run(): Unit = () }).get() // spin up
+      val df = Seq((1L, 7L)).toDF("id", "simhash").persist()
+      val df2 = Seq((2L, 9L)).toDF("id", "simhash").persist()
+      StagedCache.scoped("owner-tok") {
+        val tok = StagedCache.currentScope
+        assert(tok == "owner-tok")
+        // ambient register from the pre-existing pool thread lands in
+        // the DEFAULT scope, not ours — the leak shape the contract
+        // documents
+        pool.submit(new Runnable {
+          def run(): Unit = { StagedCache.register(df); () }
+        }).get()
+        assert(StagedCache.pendingIn("owner-tok") == 0 &&
+          StagedCache.pendingIn("global") == 1,
+          "ambient state must not reach a pre-existing pool thread")
+        // the explicit-owner form is immune: same thread, right scope
+        pool.submit(new Runnable {
+          def run(): Unit = { StagedCache.register(df2, tok); () }
+        }).get()
+        assert(StagedCache.pendingIn("owner-tok") == 1)
+        assert(StagedCache.release() == 1,
+          "the scope's drain must see the explicitly-owned entry")
+      }
+      assert(StagedCache.release("global") == 1) // tidy the leaked one
+      assert(StagedCache.pending == 0)
+    } finally pool.shutdownNow()
+  }
 }

@@ -1,0 +1,243 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The generalized delta-generation machinery of [[TrainedState]] —
+  * flat-graph and PQ-codes generations (the [[Hnsw]] delta contract
+  * extended to the other corpus-sized artifacts), the empty-slice
+  * skip, atomic generation claiming, the `_SUCCESS`-only-directory
+  * load fallback, and crash-safe compaction. The layered-index delta
+  * parity itself is pinned in HnswSpec. */
+class TrainedStateDeltaSpec extends SparkTestBase {
+
+  private def emb = graft.Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  private def normEdges(df: DataFrame) =
+    df.select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  private def normCodes(df: DataFrame) =
+    df.select(col("vec_id"), col("sub"), col("code"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  private def noCompactLeftovers(path: String): Unit = {
+    assert(!new java.io.File(s"$path.compact-tmp").exists(),
+      "compaction left its temp tree behind")
+    assert(!new java.io.File(s"$path.compact-trash").exists(),
+      "compaction left its trash tree behind")
+  }
+
+  test("flat graph delta generations: delta-appended load == full " +
+      "rewrite across two generations with a re-touched source " +
+      "(newest wins), and compaction folds back losslessly with no " +
+      "sibling leftovers") {
+    val all = emb.filter(col("vec_id") < 100).localCheckpoint(true)
+    val b1 = all.filter(col("vec_id") % 20 === 7).localCheckpoint(true)
+    val b2 = all.filter(col("vec_id") % 20 === 13).localCheckpoint(true)
+    val pre = all.filter(col("vec_id") % 20 =!= 7 &&
+      col("vec_id") % 20 =!= 13).localCheckpoint(true)
+    val edges = Similarity.bruteTopK(pre, pre, 4).localCheckpoint(true)
+    val path = tmp("graph_delta")
+    TrainedState.saveGraphIndex(edges, path)
+    // generation 1
+    val (un1, ch1) = GraphAnn.insertBySearchParts(edges, pre, b1,
+      entryId = 0L, beam = 6, hops = 4, degree = 4)
+    val full1 = un1.unionByName(ch1).localCheckpoint(true)
+    TrainedState.appendGraphDelta(ch1, path)
+    assert(normEdges(TrainedState.loadGraphIndex(spark, path)) ==
+      normEdges(full1),
+      "delta-appended load must equal the in-memory updated index")
+    // generation 2 over the grown corpus — sources touched by BOTH
+    // batches must serve generation 2's out-lists
+    val corpus1 = pre.unionByName(b1).localCheckpoint(true)
+    val (un2, ch2) = GraphAnn.insertBySearchParts(full1, corpus1, b2,
+      entryId = 0L, beam = 6, hops = 4, degree = 4)
+    val full2 = un2.unionByName(ch2).localCheckpoint(true)
+    TrainedState.appendGraphDelta(ch2, path)
+    assert(normEdges(TrainedState.loadGraphIndex(spark, path)) ==
+      normEdges(full2),
+      "second-generation reconcile must serve the newest out-lists")
+    // full rewrite of the final state agrees
+    val rewrite = tmp("graph_rewrite")
+    TrainedState.saveGraphIndex(full2, rewrite)
+    assert(normEdges(TrainedState.loadGraphIndex(spark, rewrite)) ==
+      normEdges(full2))
+    // crash-safe compaction: lossless, drops _delta, no siblings
+    TrainedState.compactGraphIndex(spark, path)
+    assert(normEdges(TrainedState.loadGraphIndex(spark, path)) ==
+      normEdges(full2), "compaction changed the served index")
+    assert(!new java.io.File(s"$path/_delta").exists(),
+      "compaction must drop the delta directory")
+    noCompactLeftovers(path)
+  }
+
+  test("pq codes delta generations: new vectors append, a re-encoded " +
+      "vector's replacement code set wins newest, compaction lossless") {
+    import spark.implicits._
+    def codesOf(rows: Seq[(Long, Int, Int)]) =
+      rows.toDF("vec_id", "sub", "code")
+    val base = codesOf(for (v <- 0L until 10L; s <- 0 to 1)
+      yield (v, s, (v + s).toInt))
+    val path = tmp("pq_delta")
+    TrainedState.savePqCodes(base, path)
+    // gen 1: three new vectors + vector 3 re-encoded (both subs replace)
+    val d1 = codesOf(Seq((10L, 0, 7), (10L, 1, 8), (11L, 0, 1),
+      (11L, 1, 2), (12L, 0, 9), (12L, 1, 9), (3L, 0, 100), (3L, 1, 101)))
+    TrainedState.appendPqCodesDelta(d1, path)
+    val want1 = normCodes(base.filter(col("vec_id") =!= 3))
+      .union(normCodes(d1))
+    assert(normCodes(TrainedState.loadPqCodes(spark, path)) == want1,
+      "gen-1 reconcile: base minus re-encoded vec 3, plus the delta")
+    // gen 2 re-touches vec 3 AND vec 10 — newest wins over BOTH the
+    // base and generation 1
+    val d2 = codesOf(Seq((3L, 0, 200), (3L, 1, 201), (10L, 0, 42),
+      (10L, 1, 43)))
+    TrainedState.appendPqCodesDelta(d2, path)
+    val want2 = want1.filterNot(t => t._1 == 3L || t._1 == 10L)
+      .union(normCodes(d2))
+    assert(normCodes(TrainedState.loadPqCodes(spark, path)) == want2,
+      "gen-2 reconcile must serve the newest code sets")
+    TrainedState.compactPqCodes(spark, path)
+    assert(normCodes(TrainedState.loadPqCodes(spark, path)) == want2,
+      "compaction changed the served codes")
+    assert(!new java.io.File(s"$path/_delta").exists())
+    noCompactLeftovers(path)
+  }
+
+  test("empty delta slices write NOTHING (no _delta directory), and a " +
+      "_SUCCESS-only delta directory left by older writers reads as " +
+      "no-deltas instead of bricking the load") {
+    val e = emb.filter(col("vec_id") < 60).localCheckpoint(true)
+    val layered = Hnsw.buildIndex(e, degree = 3, m = 4, maxLevel = 1)
+      .localCheckpoint(true)
+    val path = tmp("hnsw_empty_delta")
+    TrainedState.saveHnswIndex(layered, path)
+    val baseNorm = normEdges(
+      TrainedState.loadHnswIndex(spark, path).drop("layer"))
+    // empty slice: the skip must fire BEFORE any directory is created
+    TrainedState.appendHnswDelta(layered.limit(0), path)
+    assert(!new java.io.File(s"$path/_delta").exists(),
+      "an empty delta must not mint a generation or a directory")
+    assert(normEdges(TrainedState.loadHnswIndex(spark, path)
+      .drop("layer")) == baseNorm)
+    // simulate the pre-fix failure shape: a delta dir holding only
+    // _SUCCESS (an aborted/empty write by an older writer)
+    val deltaDir = new java.io.File(s"$path/_delta")
+    assert(deltaDir.mkdirs())
+    assert(new java.io.File(deltaDir, "_SUCCESS").createNewFile())
+    assert(normEdges(TrainedState.loadHnswIndex(spark, path)
+      .drop("layer")) == baseNorm,
+      "a data-less delta directory must fall back to the base")
+    // the same empty-dir hardening covers the flat artifacts
+    val gpath = tmp("graph_empty_delta")
+    val edges = Similarity.bruteTopK(e, e, 3)
+    TrainedState.saveGraphIndex(edges, gpath)
+    TrainedState.appendGraphDelta(edges.limit(0), gpath)
+    assert(!new java.io.File(s"$gpath/_delta").exists())
+    assert(normEdges(TrainedState.loadGraphIndex(spark, gpath)) ==
+      normEdges(edges))
+  }
+
+  test("generation claims are atomic: pre-claimed lock numbers are " +
+      "skipped, concurrent appends get distinct generations, and a " +
+      "legacy artifact without _locks seeds from the recorded _seq") {
+    import spark.implicits._
+    val path = tmp("gen_claim")
+    val edges = Seq((0L, 1, 1L, 0.5), (1L, 1, 0L, 0.5))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    // another writer already claimed generations 1 and 2 (locks exist,
+    // rows not yet committed): this append must claim 3, not collide
+    val lockDir = new java.io.File(s"$path/_delta/_locks")
+    assert(lockDir.mkdirs())
+    assert(new java.io.File(lockDir, "gen-1").createNewFile())
+    assert(new java.io.File(lockDir, "gen-2").createNewFile())
+    val d1 = Seq((0L, 1, 2L, 0.9)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim")
+    TrainedState.appendGraphDelta(d1, path)
+    val seqs = spark.read.parquet(s"$path/_delta")
+      .select(col("_seq")).distinct().as[Long].collect().toSet
+    assert(seqs == Set(3L),
+      s"append must skip pre-claimed generations 1/2, got $seqs")
+    // concurrent appends: distinct generations, both slices served
+    // per their own keys (disjoint here, so both read back)
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dA = Seq((1L, 1, 3L, 0.8)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim").localCheckpoint(true)
+    val dB = Seq((2L, 1, 4L, 0.7)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim").localCheckpoint(true)
+    val futs = Seq(dA, dB).map(d => scala.concurrent.Future {
+      TrainedState.appendGraphDelta(d, path)
+    })
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration.Inf)
+    val seqs2 = spark.read.parquet(s"$path/_delta")
+      .select(col("_seq")).distinct().as[Long].collect().toSet
+    assert(seqs2.size == 3 && seqs2.contains(3L),
+      s"concurrent appends must claim distinct generations, got $seqs2")
+    val served = normEdges(TrainedState.loadGraphIndex(spark, path))
+    assert(served.contains((1L, 1, 3L, 0.8)) &&
+      served.contains((2L, 1, 4L, 0.7)))
+    // legacy artifact: deltas exist but no _locks dir (pre-lock-era
+    // writer) — the next claim seeds from max(_seq), never reuses one
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(lockDir)
+    val d3 = Seq((3L, 1, 5L, 0.6)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim")
+    TrainedState.appendGraphDelta(d3, path)
+    val seqs3 = spark.read.parquet(s"$path/_delta")
+      .select(col("_seq")).distinct().as[Long].collect().toSet
+    assert(seqs3.size == 4 && seqs3.max > seqs2.max,
+      s"legacy seed must continue past the recorded max, got $seqs3")
+  }
+
+  test("compaction is crash-safe: stale tmp/trash leftovers from a " +
+      "prior crash are cleared, the rewrite lands aside before any " +
+      "original byte moves, and a missing artifact with a parked " +
+      "trash tree fails with the recovery pointer") {
+    import spark.implicits._
+    val path = tmp("compact_crash")
+    val edges = Seq((0L, 1, 1L, 0.5), (1L, 1, 0L, 0.4))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    val d = Seq((0L, 1, 2L, 0.9)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim")
+    TrainedState.appendGraphDelta(d, path)
+    val want = normEdges(TrainedState.loadGraphIndex(spark, path))
+    // stale leftovers from a hypothetical prior crash
+    assert(new java.io.File(s"$path.compact-tmp/junk").mkdirs())
+    assert(new java.io.File(s"$path.compact-trash/junk").mkdirs())
+    TrainedState.compactGraphIndex(spark, path)
+    assert(normEdges(TrainedState.loadGraphIndex(spark, path)) == want)
+    noCompactLeftovers(path)
+    // mid-swap crash state: live path gone, old tree parked at trash —
+    // compact must fail loudly and point at the recovery path rather
+    // than fabricating or destroying anything
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path.compact-trash")))
+    val ex = intercept[IllegalArgumentException] {
+      TrainedState.compactGraphIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("compact-trash") &&
+      ex.getMessage.contains("recover"))
+    assert(new java.io.File(s"$path.compact-trash").exists(),
+      "the recovery tree must survive the failed compact")
+  }
+}
