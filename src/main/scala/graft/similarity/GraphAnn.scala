@@ -90,11 +90,13 @@ object GraphAnn {
   private def searchCore(queries: DataFrame, edges: DataFrame,
                          corpus: DataFrame, entryId: Long, beam: Int,
                          hops: Int, k: Int,
-                         allowed: Option[DataFrame]): DataFrame =
+                         allowed: Option[DataFrame],
+                         seedBound: Long = -1L): DataFrame =
     searchFrom(queries, edges, corpus,
       queries.select(col("vec_id").as("query_id"))
         .withColumn("node", lit(entryId)),
-      Seq(entryId), beam, hops, k, allowed, includeSelf = false)
+      Seq(entryId), beam, hops, k, allowed, includeSelf = false,
+      seedBound = seedBound)
 
   /** [[searchGraph]] generalized to PER-QUERY entry points — the seam
     * [[Hnsw]]'s top-down descent needs: each layer's search starts from
@@ -106,6 +108,10 @@ object GraphAnn {
     * keeps a query's own node rankable: the final cut of a DESCENT step
     * wants the closest visited node period (self included — it exists
     * in every lower layer too), while an ANSWER wants neighbors only.
+    * `seedBound` is a caller-known upper bound on the seed row count
+    * (≥ 0 — e.g. the length of an already-collected probe batch or
+    * affected set): when it fits the mirror cap the walk skips its
+    * guard count job; -1 means unknown.
     */
   private[similarity] def searchFrom(queries: DataFrame, edges: DataFrame,
                                      corpus: DataFrame, entries: DataFrame,
@@ -117,7 +123,8 @@ object GraphAnn {
                                      maxLocalQueryRows: Long =
                                        MaxLocalQueryRows,
                                      maxLocalScoreCells: Long =
-                                       MaxLocalScoreCells): DataFrame = {
+                                       MaxLocalScoreCells,
+                                     seedBound: Long = -1L): DataFrame = {
     require(beam >= 1, s"searchGraph: beam=$beam must be >= 1")
     require(hops >= 0, s"searchGraph: hops=$hops must be >= 0")
     require(k >= 1, s"searchGraph: k=$k must be >= 1")
@@ -148,15 +155,20 @@ object GraphAnn {
       localScore = Some((seedRows: Long) => {
         if (seedRows > maxLocalQueryRows) score
         else {
-          val head = q.limit(1).collect()
-          val dim =
-            if (head.isEmpty || head(0).isNullAt(1)) 1
-            else math.max(1, head(0).getSeq[Float](1).length)
-          if (seedRows * dim > maxLocalScoreCells) score
+          // rows are pre-gated, so this pull is bounded (~64 MB worst
+          // case at the 4096-dim contract ceiling); the cell budget
+          // then checks the ACTUAL width and discards the pull if the
+          // batch is too wide to keep resident — no probe job needed
+          val qRows = q.collect()
+          val cells = qRows.iterator.map(r =>
+            if (r.isNullAt(1)) 1L else r.getSeq[Float](1).length.toLong)
+            .foldLeft(0L)(_ + _)
+          if (qRows.length > maxLocalQueryRows ||
+              cells > maxLocalScoreCells) score
           else {
             import scala.jdk.CollectionConverters._
             val qLocal = queries.sparkSession.createDataFrame(
-              q.collect().toSeq.asJava, q.schema)
+              qRows.toSeq.asJava, q.schema)
             scorer(qLocal, nodes) _
           }
         }
@@ -166,7 +178,7 @@ object GraphAnn {
       failMsg = "searchGraph: no entry node (of " +
         s"${entryIds.take(4).mkString(",")}" +
         s"${if (entryIds.length > 4) ",…" else ""}) is in the corpus",
-      mirrorCap = mirrorCap)
+      mirrorCap = mirrorCap, seedBound = seedBound)
     val eligible = allowed match {
       // the allowed set streams past the broadcast visited rows — the
       // corpus-derived side never shuffles for the filter
@@ -207,14 +219,17 @@ object GraphAnn {
   private[similarity] val MirrorCap = 1 << 18
 
   /** Row cap for localizing a probe batch's EMBEDDINGS on the driver
-    * (the [[searchFrom]] localScore path) — rows alone, before the
-    * width-aware cell budget below binds. */
-  private[similarity] val MaxLocalQueryRows = 1 << 16
+    * (the [[searchFrom]] localScore path) — the pre-pull gate. 2¹²
+    * rows × the 4096-dim contract ceiling bounds the worst transient
+    * pull at ~64 MB even before the cell budget below rejects it. */
+  private[similarity] val MaxLocalQueryRows = 1 << 12
 
   /** Cell budget (rows × embedding width) for driver-localized
     * embedding batches: 2²² floats ≈ 16 MB of payload — a batch wider
-    * or larger than this keeps the distributed scorer. The mirror walk
-    * stays available either way (it holds only id/score tuples). */
+    * or larger than this keeps the distributed scorer (checked on the
+    * ACTUAL width after the row-capped collect, so no extra job probes
+    * the width). The mirror walk stays available either way (it holds
+    * only id/score tuples). */
   private[similarity] val MaxLocalScoreCells = 1L << 22
 
   /** The wBeam window's exact comparator — (score desc, node asc) with
@@ -281,26 +296,32 @@ object GraphAnn {
                                    beam: Int, hops: Int,
                                    emptyOk: => Boolean, failMsg: => String,
                                    maxInline: Int = MaxInlineFrontier,
-                                   mirrorCap: Int = MirrorCap): DataFrame = {
+                                   mirrorCap: Int = MirrorCap,
+                                   seedBound: Long = -1L): DataFrame = {
     if (hops == 0) return visited0
     val spark = visited0.sparkSession
-    // COUNT before collecting: an over-cap seed (a caller ignoring the
-    // bounded-query-batch contract with a huge fold-in batch) must
-    // route to the distributed walk without ever materializing on the
-    // driver — the cap has to bind BEFORE the pull, not after. One
-    // bounded extra job per walk (not per hop); plain count + collect,
-    // not limit+collect — CollectLimitExec pays ~4 incremental
-    // partition-round jobs per call even under the row count.
-    val seedCount = visited0.count()
-    require(seedCount > 0 || emptyOk, failMsg)
-    if (seedCount > mirrorCap)
-      return walkDistributed(visited0, adj, score, beam, hops, maxInline)
+    // the cap must bind BEFORE the driver pull, not after: an over-cap
+    // seed (a caller ignoring the bounded-query-batch contract with a
+    // huge fold-in batch) routes to the distributed walk without ever
+    // materializing on the driver. When the caller KNOWS an upper
+    // bound (a probe batch it already collected, a localized affected
+    // set), the bound decides for free; otherwise ONE bounded count
+    // job decides (plain count + collect, not limit+collect —
+    // CollectLimitExec pays ~4 incremental partition-round jobs per
+    // call even under the row count).
+    if (seedBound < 0 || seedBound > mirrorCap) {
+      val seedCount = visited0.count()
+      require(seedCount > 0 || emptyOk, failMsg)
+      if (seedCount > mirrorCap)
+        return walkDistributed(visited0, adj, score, beam, hops, maxInline)
+    }
     val v0 = visited0.collect()
+    require(v0.nonEmpty || emptyOk, failMsg)
     // hot-loop scorer: callers localize their bounded query side once
     // (a local relation broadcasts WITHOUT a Spark job), so a scoring
     // fetch is one single-stage job instead of main + broadcast jobs;
-    // the seed count lets them budget that pull by batch size × width
-    val hotScore = localScore.map(_.apply(seedCount)).getOrElse(score)
+    // the actual seed size lets them budget that pull by rows × width
+    val hotScore = localScore.map(_.apply(v0.length.toLong)).getOrElse(score)
     // the mirror holds visited ROWS verbatim (a degenerate duplicate
     // (query, node) entry pair occupies two beam slots in the window
     // cut exactly like the distributed form); `seen` is the anti-join
@@ -422,11 +443,25 @@ object GraphAnn {
     * Dedup runs driver-side so the result plan carries no Aggregate
     * (an Aggregate over a LocalRelation still schedules a tiny job). */
   private[similarity] def localIds(df: DataFrame,
-                                   colName: String = "vec_id"): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val ids = df.select(col(colName).cast("long")).collect()
+                                   colName: String = "vec_id"): DataFrame =
+    localIdRel(df.sparkSession, collectIds(df, colName), colName)
+
+  /** The collect half of [[localIds]] — deduped, sorted; callers that
+    * also need the COUNT (a walk seed bound) take the array. Collecting
+    * an already-local relation schedules no job (LocalTableScanExec
+    * returns its rows directly), so re-localizing is free. */
+  private[similarity] def collectIds(df: DataFrame,
+                                     colName: String = "vec_id")
+      : Array[Long] =
+    df.select(col(colName).cast("long")).collect()
       .map(_.getLong(0)).distinct.sorted
-    df.sparkSession.createDataFrame(
+
+  /** The relation half of [[localIds]]. */
+  private[similarity] def localIdRel(
+      spark: org.apache.spark.sql.SparkSession, ids: Array[Long],
+      colName: String = "vec_id"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
       ids.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
       org.apache.spark.sql.types.StructType.fromDDL(s"$colName BIGINT"))
   }
@@ -681,11 +716,14 @@ object GraphAnn {
     // loud, not silent recall-zero (qLocal is already collected, so the
     // emptiness probe is free)
     // scoreAdc is already mirror-shaped: qLocal and the codebooks are
-    // local relations, so its per-hop broadcasts schedule no real work
+    // local relations, so its per-hop broadcasts schedule no real work.
+    // The probe batch is ALREADY counted (qLocal), and descent entries
+    // carry one row per query — qCount bounds the seed, so the walk
+    // never pays a guard count here
     walkLoop(ctx.scoreAdc(entries, entryIds), adj, ctx.scoreAdc,
       localScore = None, beam, hops, emptyOk = ctx.qCount == 0,
       failMsg = "searchGraphPq: no entry node has complete code rows",
-      mirrorCap = mirrorCap)
+      mirrorCap = mirrorCap, seedBound = ctx.qCount)
   }
 
   /** The ONLY float-vector touch: exact re-rank of the `k·rerank` ADC
@@ -768,11 +806,12 @@ object GraphAnn {
                                               corpus: DataFrame,
                                               batch: DataFrame,
                                               entryId: Long, beam: Int,
-                                              hops: Int, degree: Int)
+                                              hops: Int, degree: Int,
+                                              batchBound: Long = -1L)
       : (DataFrame, DataFrame) = {
     require(degree >= 1, s"insertBySearch: degree=$degree must be >= 1")
-    val found = searchGraph(batch, edges, corpus, entryId, beam, hops,
-      degree)
+    val found = searchCore(batch, edges, corpus, entryId, beam, hops,
+      degree, allowed = None, seedBound = batchBound)
     // new nodes' out-edges: the search results verbatim (already ranked
     // 1..degree by the searchGraph contract)
     val forward = found.select(col("query_id"), col("rank"),
@@ -829,11 +868,14 @@ object GraphAnn {
     // repair is construction-eager anyway (the walk below) — localize
     // the bounded affected set so every downstream broadcast of it
     // (walk hops, slice joins, the final passthrough anti-join) is
-    // job-free instead of re-executing the affected-set derivation
-    val aff = broadcast(localIds(affected))
+    // job-free instead of re-executing the affected-set derivation;
+    // its length also bounds the walk seed (one seed row per affected
+    // source), so the walk skips its guard count
+    val affIds = collectIds(affected)
+    val aff = broadcast(localIdRel(keptEdges.sparkSession, affIds))
     val queries = liveCorpus.join(aff, Seq("vec_id"))
-    val found = searchGraph(queries, keptEdges, liveCorpus, entryId, beam,
-      hops, degree)
+    val found = searchCore(queries, keptEdges, liveCorpus, entryId, beam,
+      hops, degree, allowed = None, seedBound = affIds.length.toLong)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     val affectedOld = keptEdges

@@ -496,6 +496,10 @@ object Hnsw {
       s"Hnsw.search: beamUpper=$beamUpper (>=1), hopsUpper=$hopsUpper (>=0)")
     def layerEdges(l: Int) = layered.filter(col("layer") === l)
       .select(col("query_id"), col("neighbor_id"))
+    // ONE bounded count of the probe batch, shared by every layer:
+    // each step's seed is one row per query, so this bounds every
+    // walk's seed and no step pays its own guard count
+    var seedBound = queries.count()
     var entries = queries.select(col("vec_id").as("query_id"))
       .withColumn("node", lit(entryId))
     var entryIds: Seq[Long] = Seq(entryId)
@@ -504,7 +508,7 @@ object Hnsw {
       // one descent step: closest visited node at layer l (incl. self)
       val found = GraphAnn.searchFrom(queries, layerEdges(l), corpus,
         entries, entryIds, beamUpper, hopsUpper, k = 1, allowed = None,
-        includeSelf = true)
+        includeSelf = true, seedBound = seedBound)
       // bounded: ONE row per query — collect the refined entries to a
       // local relation (one job; the old checkpoint + distinct-limit
       // pair cost ~5) and derive the isin-pruning id list driver-side
@@ -513,6 +517,7 @@ object Hnsw {
         .select(col("query_id"), col("neighbor_id").as("node"))
         .collect()
       entries = GraphAnn.localPairs(queries.sparkSession, rows)
+      seedBound = rows.length.toLong
       val ids = rows.map(_.getLong(1)).distinct.sorted
       entryIds =
         if (ids.length <= GraphAnn.MaxInlineFrontier) ids.toIndexedSeq
@@ -520,7 +525,7 @@ object Hnsw {
       l -= 1
     }
     GraphAnn.searchFrom(queries, layerEdges(0), corpus, entries, entryIds,
-      beam, hops, k, allowed, includeSelf = false)
+      beam, hops, k, allowed, includeSelf = false, seedBound = seedBound)
   }
 
   /** INCREMENTAL INSERT into a layered index — the HNSW growth path,
@@ -587,6 +592,10 @@ object Hnsw {
       : (DataFrame, DataFrame) = {
     require(degree >= 1, s"Hnsw.insert: degree=$degree must be >= 1")
     requireCoversTop(layered, maxLevel, "insert")
+    // ONE bounded count of the batch, shared by every layer: it bounds
+    // each per-layer walk's seed (the layer slice ⊆ batch), so no
+    // layer's walk pays its own guard count
+    val batchBound = batch.count()
     val lv = levels(batch, m, maxLevel)
     // per-level minima of the pre-batch corpus, one job; the layer-ℓ
     // entry is the min over levels ≥ ℓ (a member of layer ℓ by the
@@ -613,7 +622,8 @@ object Hnsw {
             lv.filter(col("level") >= l).select(col("vec_id")),
             Seq("vec_id"))
           val (untouched, changed) = GraphAnn.insertBySearchParts(
-            layerEdges, corpus, sub, e, beam, hops, degree)
+            layerEdges, corpus, sub, e, beam, hops, degree,
+            batchBound = batchBound)
           (outCols(untouched, l), outCols(changed, l))
         case None => // no pre-batch member at this layer: passthrough
           (outCols(layerEdges, l), outCols(layerEdges.limit(0), l))

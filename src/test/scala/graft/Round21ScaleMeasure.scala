@@ -122,22 +122,18 @@ object Round21ScaleMeasure {
       val t4 = System.nanoTime()
       graft.similarity.TrainedState.appendHnswDelta(deltaC, idxPath)
       val deltaS = (System.nanoTime() - t4) / 1e9
-      // ---- diversified (Alg 4) edge build via the BUCKETED candidate
-      // source (claim: construction stays ~corpus-scaled — candidates
-      // come from fixed-size IVF cells, pairwise diversity sims are
-      // |nodes| × C² with C = degree × candFactor — where the default
-      // bruteTopK source is quadratic and only viable per-layer on the
-      // geometrically small upper layers) ----
-      val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid")).localCheckpoint(true)
-      val bucketed = (nodes: org.apache.spark.sql.DataFrame, c: Int) =>
-        graft.similarity.Similarity.knnGraphAdjacent(
-          graft.similarity.Similarity.ivfAssignAuto(nodes, cents),
-          cents, c, nprobe = 2)
+      // ---- diversified (Alg 4) edge build via the SHIPPED bucketed
+      // candidate source — the path diversifiedEdges auto-dispatches
+      // to above 2^15 nodes, forced here at BOTH scales so the ratio
+      // compares like with like (claim: construction stays
+      // ~corpus-scaled — candidates come from ~√n hash-sampled IVF
+      // cells, pairwise diversity sims are |nodes| × C² with C =
+      // degree × candFactor — where the default bruteTopK source is
+      // quadratic and only viable per-layer on the geometrically
+      // small upper layers) ----
       def divOnce(): Unit = graft.similarity.Hnsw.diversifiedEdges(
           emb, degree = 6, candFactor = 2, fill = true,
-          candidateSource = Some(bucketed))
+          minNodesForBucketed = 1)
         .write.format("noop").mode("overwrite").save()
       divOnce()
       val t5 = System.nanoTime()
