@@ -802,7 +802,7 @@ object GraphAnn {
     * untouched corpus-sized remainder's files in place, so insert
     * write cost scales with the BATCH, not the index. Both halves
     * carry the [[searchGraph]] edge schema. */
-  private[similarity] def insertBySearchParts(edges: DataFrame,
+  private[graft] def insertBySearchParts(edges: DataFrame,
                                               corpus: DataFrame,
                                               batch: DataFrame,
                                               entryId: Long, beam: Int,

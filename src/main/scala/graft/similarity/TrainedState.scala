@@ -267,8 +267,7 @@ object TrainedState {
     * nothing (a `_SUCCESS`-only delta directory would otherwise brick
     * the load with an unreadable parquet dir). */
   def appendGraphDelta(delta: DataFrame, path: String): Unit =
-    appendDeltaGeneration(delta, path, graphIndexSchema,
-      layerPartitioned = false)
+    appendDeltaGeneration(delta, path, graphIndexSchema)
 
   /** Fold accumulated [[appendGraphDelta]] generations back into the
     * base — crash-safe ([[compactHnswIndex]]'s write-aside-then-swap
@@ -392,7 +391,7 @@ object TrainedState {
     val deltaPath = s"$path/$DeltaDir"
     if (!hasDataFiles(spark, deltaPath)) base
     else {
-      val delta = spark.read.parquet(deltaPath)
+      val delta = readDeltas(spark, deltaPath)
       require(delta.schema.fieldNames.contains(DeltaSeqCol),
         s"trained-state at $deltaPath is not a delta artifact: missing " +
           DeltaSeqCol)
@@ -406,6 +405,28 @@ object TrainedState {
         .select(schema.fields.map(x => f.col(x.name)).toIndexedSeq: _*)
         .unionByName(latest)
     }
+  }
+
+  /** The number of delta generations CLAIMED under a saved artifact
+    * (0 = none; ≥ the committed count if a writer claimed and then
+    * failed) — the compaction-policy input: reconcile cost at load
+    * grows with accumulated generations, so a serving fleet compacts
+    * past a threshold. Driver-side FS metadata only (one parquet read
+    * on pre-lock-era legacy artifacts). Works for any delta-capable
+    * artifact ([[appendHnswDelta]], [[appendGraphDelta]],
+    * [[appendPqCodesDelta]]). */
+  def deltaGenerations(spark: SparkSession, path: String): Long = {
+    val deltaPath = s"$path/$DeltaDir"
+    val fs = fsOf(spark, deltaPath)
+    val lockDir = new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
+    if (fs.exists(lockDir))
+      fs.listStatus(lockDir)
+        .count(_.getPath.getName.startsWith("gen-")).toLong
+    else if (hasDataFiles(spark, deltaPath))
+      readDeltas(spark, deltaPath)
+        .select(org.apache.spark.sql.functions.col(DeltaSeqCol))
+        .distinct().count()
+    else 0L
   }
 
   /** Atomically claim the next delta generation number: generation N is
@@ -432,18 +453,26 @@ object TrainedState {
       else if (hasDataFiles(spark, deltaPath)) {
         // legacy artifact: generations exist but predate the lock dir
         val f = org.apache.spark.sql.functions
-        val r = spark.read.parquet(deltaPath)
+        val r = readDeltas(spark, deltaPath)
           .agg(f.max(f.col(DeltaSeqCol))).collect()
         if (r.isEmpty || r(0).isNullAt(0)) 0L else r(0).getLong(0)
       } else 0L
-    // createNewFile is atomic create-if-absent; some implementations
-    // lose the race by THROWING (create(overwrite=false) on an
-    // already-created file) rather than returning false — either way
-    // the claim failed and the next number is tried
-    def tryClaim(n: Long): Boolean =
-      try fs.createNewFile(
-        new org.apache.hadoop.fs.Path(lockDir, s"gen-$n"))
-      catch { case _: java.io.IOException => false }
+    // atomic create-if-absent. On HDFS create(overwrite=false) is
+    // atomic namenode-side, but Hadoop's LOCAL filesystem implements
+    // createNewFile as check-then-create (no O_EXCL) — two racing
+    // claimants can both "succeed" — so the file: scheme goes through
+    // the JDK's createNewFile, which is genuinely atomic. Either
+    // implementation may also lose the race by THROWING rather than
+    // returning false; both shapes mean "claim failed, try the next".
+    def tryClaim(n: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(lockDir, s"gen-$n")
+      try {
+        if (fs.getScheme == "file")
+          new java.io.File(fs.makeQualified(p).toUri.getPath)
+            .createNewFile()
+        else fs.createNewFile(p)
+      } catch { case _: java.io.IOException => false }
+    }
     var next = floor + 1
     while (!tryClaim(next)) next += 1
     next
@@ -452,14 +481,21 @@ object TrainedState {
   /** The shared delta-generation writer: skip EMPTY slices entirely
     * (an empty write would leave a `_SUCCESS`-only directory that
     * bricks naive readers), claim a generation atomically, stamp rows
-    * with it, append. HNSW deltas keep the base's `layer` directory
-    * partitioning so descent partition-pruning covers delta files too;
-    * flat artifacts write one sorted file per generation (batch-
-    * bounded by contract) so candidate-id `isin` probes keep their
-    * row-group pruning. */
+    * with it, and write the generation into ITS OWN directory
+    * (`_delta/gen-N/`). The per-generation directory is load-bearing
+    * for concurrency, not just tidiness: two Spark jobs appending into
+    * ONE directory share its `_temporary` staging tree and each job's
+    * commit/abort deletes the other's in-flight task files — the
+    * atomic `_seq` claim alone cannot prevent that. With one directory
+    * per claimed generation, concurrent fold-ins never share staging
+    * (also the object-store-safe layout). Each generation is one
+    * sorted file (batch-bounded by contract) with every schema column
+    * INCLUDED as data — no `partitionBy` inside the generation, so the
+    * recursive reconcile read keeps all columns; deltas are small, so
+    * losing directory-level layer pruning on them costs ~nothing while
+    * the corpus-sized base keeps its full pruning layout. */
   private def appendDeltaGeneration(delta: DataFrame, path: String,
-                                    schema: StructType,
-                                    layerPartitioned: Boolean): Unit = {
+                                    schema: StructType): Unit = {
     val f = org.apache.spark.sql.functions
     val spark = delta.sparkSession
     val deltaPath = s"$path/$DeltaDir"
@@ -469,18 +505,21 @@ object TrainedState {
     if (projected.isEmpty) () // nothing changed — no generation
     else {
       val next = claimGeneration(spark, deltaPath)
-      val stamped = projected.withColumn(DeltaSeqCol, f.lit(next))
-      if (layerPartitioned)
-        stamped.repartition(f.col("layer"))
-          .write.mode("append").partitionBy("layer").parquet(deltaPath)
-      else {
-        val sortCols = schema.fields.map(_.name).toIndexedSeq
-        stamped.repartition(1)
-          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-          .write.mode("append").parquet(deltaPath)
-      }
+      val sortCols = schema.fields.map(_.name).toIndexedSeq
+      projected.withColumn(DeltaSeqCol, f.lit(next))
+        .repartition(1)
+        .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+        .write.parquet(s"$deltaPath/gen-$next")
     }
   }
+
+  /** Read every delta generation under an artifact (the gen-N
+    * directories), all schema columns plus [[DeltaSeqCol]]. Recursive
+    * lookup, not partition discovery — generations are self-contained
+    * files. Fails loudly (missing `_seq`) on a pre-r13 flat-append
+    * delta layout; see MIGRATION.md. */
+  private def readDeltas(spark: SparkSession, deltaPath: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(deltaPath)
 
   /** Crash-safe compaction shared by every delta-capable artifact:
     * write the reconciled index ASIDE to a sibling temp path first
@@ -532,15 +571,19 @@ object TrainedState {
     * the highest generation per (layer, source), so repeated fold-ins
     * that re-touch a source converge to the newest out-list —
     * loading a delta-appended index equals loading a full rewrite,
-    * bit for bit (spec-pinned). Layer-partitioned like the base, so
-    * descent partition-pruning covers the delta files too. An EMPTY
+    * bit for bit (spec-pinned). Each generation lands in its OWN
+    * directory (`_delta/gen-N/`, one sorted batch-bounded file with
+    * `layer` kept as a data column — only the corpus-sized BASE needs
+    * the layer-directory pruning layout; see
+    * [[appendDeltaGeneration]]'s concurrency rationale). An EMPTY
     * changed slice (a fully-passthrough fold-in batch) writes nothing.
-    * Generation numbers are claimed atomically (lock-marker files), so
-    * concurrent fold-ins cannot collide on `_seq`. Compact with
-    * [[compactHnswIndex]] when generations accumulate. */
+    * Generation numbers are claimed atomically (lock-marker files) and
+    * writers never share a staging directory, so concurrent fold-ins
+    * can neither collide on `_seq` nor clobber each other's commits.
+    * Compact with [[compactHnswIndex]] when generations accumulate
+    * ([[deltaGenerations]] is the policy input). */
   def appendHnswDelta(delta: DataFrame, path: String): Unit =
-    appendDeltaGeneration(delta, path, hnswIndexSchema,
-      layerPartitioned = true)
+    appendDeltaGeneration(delta, path, hnswIndexSchema)
 
   /** Fold accumulated delta generations back into the base: rewrite
     * the reconciled index in the [[saveHnswIndex]] layout and drop the
@@ -589,8 +632,7 @@ object TrainedState {
     * parity with the layered index ([[appendHnswDelta]]). Empty
     * batches write nothing; generations are claimed atomically. */
   def appendPqCodesDelta(delta: DataFrame, path: String): Unit =
-    appendDeltaGeneration(delta, path, pqCodesSchema,
-      layerPartitioned = false)
+    appendDeltaGeneration(delta, path, pqCodesSchema)
 
   /** Fold accumulated [[appendPqCodesDelta]] generations back into the
     * base — crash-safe ([[compactSwap]]'s contract). */

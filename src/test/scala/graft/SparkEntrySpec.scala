@@ -44,7 +44,8 @@ class SparkEntrySpec extends SparkTestBase {
       "Round19" -> queries.Round19Queries.queries,
       "Round20" -> queries.Round20Queries.queries,
       "Round21" -> queries.Round21Queries.queries,
-      "Round22" -> queries.Round22Queries.queries)
+      "Round22" -> queries.Round22Queries.queries,
+      "Round23" -> queries.Round23Queries.queries)
     val dupes = providers
       .flatMap { case (p, m) => m.keys.map(_ -> p) }
       .groupBy(_._1).filter(_._2.size > 1)

@@ -68,6 +68,8 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     assert(normEdges(TrainedState.loadGraphIndex(spark, path)) ==
       normEdges(full2),
       "second-generation reconcile must serve the newest out-lists")
+    assert(TrainedState.deltaGenerations(spark, path) == 2L,
+      "two appends must report two claimed generations")
     // full rewrite of the final state agrees
     val rewrite = tmp("graph_rewrite")
     TrainedState.saveGraphIndex(full2, rewrite)
@@ -79,6 +81,8 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       normEdges(full2), "compaction changed the served index")
     assert(!new java.io.File(s"$path/_delta").exists(),
       "compaction must drop the delta directory")
+    assert(TrainedState.deltaGenerations(spark, path) == 0L,
+      "compaction must reset the generation count")
     noCompactLeftovers(path)
   }
 
@@ -166,7 +170,9 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     val d1 = Seq((0L, 1, 2L, 0.9)).toDF("query_id", "rank",
       "neighbor_id", "cos_sim")
     TrainedState.appendGraphDelta(d1, path)
-    val seqs = spark.read.parquet(s"$path/_delta")
+    def deltaDf = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/_delta")
+    val seqs = deltaDf
       .select(col("_seq")).distinct().as[Long].collect().toSet
     assert(seqs == Set(3L),
       s"append must skip pre-claimed generations 1/2, got $seqs")
@@ -183,7 +189,7 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futs),
       scala.concurrent.duration.Duration.Inf)
-    val seqs2 = spark.read.parquet(s"$path/_delta")
+    val seqs2 = deltaDf
       .select(col("_seq")).distinct().as[Long].collect().toSet
     assert(seqs2.size == 3 && seqs2.contains(3L),
       s"concurrent appends must claim distinct generations, got $seqs2")
@@ -200,7 +206,7 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     val d3 = Seq((3L, 1, 5L, 0.6)).toDF("query_id", "rank",
       "neighbor_id", "cos_sim")
     TrainedState.appendGraphDelta(d3, path)
-    val seqs3 = spark.read.parquet(s"$path/_delta")
+    val seqs3 = deltaDf
       .select(col("_seq")).distinct().as[Long].collect().toSet
     assert(seqs3.size == 4 && seqs3.max > seqs2.max,
       s"legacy seed must continue past the recorded max, got $seqs3")

@@ -743,4 +743,52 @@ class StreamingAnnSpec extends SparkTestBase {
       "delta-served HNSW diverged from the in-memory updated index")
     assert(collected.nonEmpty)
   }
+
+  test("serveGraphFromSaved through a delta-appended FLAT graph: the " +
+      "load reconciles appendGraphDelta generations, so streamed " +
+      "serving == batch searchGraph over the in-memory updated edges — " +
+      "the flat artifact's restart path of the fold-in write") {
+    implicit val sqlCtx = spark.sqlContext
+    val pre = emb.filter(col("vec_id") < 80).localCheckpoint(true)
+    val batch = emb.filter(col("vec_id") >= 80 && col("vec_id") < 90)
+      .localCheckpoint(true)
+    val edges = graft.similarity.Similarity.bruteTopK(pre, pre, 4)
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_gdserve").toString + "/graph"
+    graft.similarity.TrainedState.saveGraphIndex(edges, path)
+    val (untouched, changed) = graft.similarity.GraphAnn
+      .insertBySearchParts(edges, pre, batch, entryId = 0L, beam = 6,
+        hops = 4, degree = 4)
+    val full = untouched.unionByName(changed).localCheckpoint(true)
+    graft.similarity.TrainedState.appendGraphDelta(changed, path)
+    val corpus = pre.unionByName(batch).localCheckpoint(true)
+    val queryIds = Seq(Seq(1L, 83L), Seq(5L, 87L)) // incl. NEW vectors
+    val qVecs = corpus.filter(col("vec_id") < 10 ||
+        col("vec_id") >= 80).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingAnn.serveGraphFromSaved(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, path,
+      entryId = 0L, beam = 4, hops = 3, k = 3) { (df, _) =>
+      collected ++= df.collect()
+    }
+    try {
+      queryIds.foreach { b =>
+        mem.addData(b.map(id => id -> qVecs(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchRef = graft.similarity.GraphAnn.searchGraph(
+      corpus.filter(col("vec_id").isin(1L, 83L, 5L, 87L)), full, corpus,
+      entryId = 0L, beam = 4, hops = 3, k = 3).collect()
+    def keyedD(rows: Seq[Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(keyedD(collected.toSeq) == keyedD(batchRef.toSeq),
+      "delta-served flat graph diverged from the in-memory updated edges")
+    assert(collected.nonEmpty)
+  }
 }
