@@ -377,13 +377,28 @@ object TrainedState {
     }
   }
 
+  /** Row cap for LOCALIZING the delta slice at load: deltas are
+    * batch-bounded by contract, so the common case collects them once
+    * (2¹⁸ rows ≈ a few MB of ids/scores). Localizing matters because a
+    * `broadcast(plan)` RE-EXECUTES the plan on every action of every
+    * consumer (the measured walk-loop lesson) — a delta-loaded index is
+    * consumed by every descent hop's adjacency fetch, and the
+    * distributed reconcile would re-run the delta read + aggregate per
+    * hop, where Project/Filter over a LocalRelation broadcasts
+    * job-free. Past the cap (generations left to accumulate far past
+    * compaction policy) the load falls back to the distributed
+    * reconcile — same rows, lazier shape. */
+  private[similarity] val LocalDeltaCap = 1 << 18
+
   /** Newest-generation-wins reconcile shared by every delta-capable
     * artifact: for each `keyCols` tuple present in a delta, the
     * highest-generation delta rows replace the base rows; untouched
     * base rows read through verbatim. The delta key set is
     * batch-bounded by contract, so the corpus-sized base passes the
     * anti-join broadcast-style without a shuffle — reconciliation cost
-    * scales with the deltas, not the index. */
+    * scales with the deltas, not the index (and, under
+    * [[LocalDeltaCap]], is paid ONCE at load rather than per consumer
+    * action). */
   private def reconcileDeltas(base: DataFrame, spark: SparkSession,
                               path: String, schema: StructType,
                               keyCols: Seq[String]): DataFrame = {
@@ -395,15 +410,52 @@ object TrainedState {
       require(delta.schema.fieldNames.contains(DeltaSeqCol),
         s"trained-state at $deltaPath is not a delta artifact: missing " +
           DeltaSeqCol)
-      val latestSeq = delta.groupBy(keyCols.map(f.col).toIndexedSeq: _*)
-        .agg(f.max(f.col(DeltaSeqCol)).as(DeltaSeqCol))
-      val latest = delta
-        .join(latestSeq, keyCols :+ DeltaSeqCol)
-        .select(schema.fields.map(x => f.col(x.name)).toIndexedSeq: _*)
-      val keys = latestSeq.select(keyCols.map(f.col).toIndexedSeq: _*)
-      base.join(f.broadcast(keys), keyCols, "left_anti")
-        .select(schema.fields.map(x => f.col(x.name)).toIndexedSeq: _*)
-        .unionByName(latest)
+      val cols = schema.fields.map(x => f.col(x.name)).toIndexedSeq
+      val keyIdx = keyCols.map(schema.fieldNames.indexOf(_))
+      val seqIdx = schema.fields.length // _seq appended after the schema
+      val deltaRows =
+        if (delta.count() <= LocalDeltaCap)
+          Some(delta.select(cols :+ f.col(DeltaSeqCol): _*).collect())
+        else None
+      deltaRows match {
+        case Some(rows) =>
+          // newest-wins in driver memory: one pass keeps each key's
+          // max-_seq generation rows, then both sides of the reconcile
+          // are LocalRelations — every later action against the loaded
+          // index pays only the base scan
+          val maxSeq = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+          rows.foreach { r =>
+            val k = keyIdx.map(r.get)
+            val s = r.getLong(seqIdx)
+            if (maxSeq.getOrElse(k, Long.MinValue) < s) maxSeq(k) = s
+          }
+          import scala.jdk.CollectionConverters._
+          val latestRows = rows.iterator.filter(r =>
+              maxSeq(keyIdx.map(r.get)) == r.getLong(seqIdx))
+            .map(r => org.apache.spark.sql.Row.fromSeq(
+              schema.fields.indices.map(r.get)))
+            .toSeq
+          val latestLocal = spark.createDataFrame(latestRows.asJava, schema)
+          val keySchema = StructType(keyCols.map(n =>
+            schema.fields(schema.fieldNames.indexOf(n))))
+          val keysLocal = spark.createDataFrame(
+            maxSeq.keysIterator
+              .map(k => org.apache.spark.sql.Row.fromSeq(k)).toSeq.asJava,
+            keySchema)
+          base.join(f.broadcast(keysLocal), keyCols, "left_anti")
+            .select(cols: _*)
+            .unionByName(latestLocal)
+        case None =>
+          val latestSeq = delta.groupBy(keyCols.map(f.col).toIndexedSeq: _*)
+            .agg(f.max(f.col(DeltaSeqCol)).as(DeltaSeqCol))
+          val latest = delta
+            .join(latestSeq, keyCols :+ DeltaSeqCol)
+            .select(cols: _*)
+          val keys = latestSeq.select(keyCols.map(f.col).toIndexedSeq: _*)
+          base.join(f.broadcast(keys), keyCols, "left_anti")
+            .select(cols: _*)
+            .unionByName(latest)
+      }
     }
   }
 

@@ -870,4 +870,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CodegenFallback") && !p.contains("UDF"),
       s"rotation fell out of codegen:\n${p.take(2000)}")
   }
+
+  test("delta-loaded index: the newest-wins reconcile LOCALIZES the " +
+      "batch-bounded delta slice — both reconcile sides are local " +
+      "relations, the corpus-sized base anti-joins a broadcast without " +
+      "an Exchange, and the base scan's layer pruning survives") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 80).localCheckpoint(true)
+    val layered = graft.similarity.Hnsw.buildIndex(emb, degree = 4,
+      m = 4, maxLevel = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dplan").toString + "/hnsw"
+    graft.similarity.TrainedState.saveHnswIndex(layered, path)
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val (_, delta) = graft.similarity.Hnsw.insertWithDelta(layered,
+      batch, emb, m = 4, maxLevel = 2, beam = 3, hops = 2, degree = 4)
+    graft.similarity.TrainedState.appendHnswDelta(delta, path)
+    val loaded = graft.similarity.TrainedState.loadHnswIndex(spark, path)
+    val p = loaded.filter(col("layer") === 0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ShuffleExchange") && !p.contains("SortMergeJoin"),
+      s"the base side shuffled in the delta reconcile:\n${p.take(2500)}")
+    assert(p.contains("LocalTableScan"),
+      s"the delta slice was not localized at load:\n${p.take(2500)}")
+    // no FileScan of the _delta subtree survives in the consumer plan —
+    // the per-hop adjacency fetches re-read only the BASE files
+    assert(!p.contains("_delta"),
+      s"a consumer action still re-reads the delta files:\n${p.take(2500)}")
+    assert(p.contains("PartitionFilters: [isnotnull(layer"),
+      s"layer partition-pruning lost on the delta-loaded base:\n${p.take(2500)}")
+  }
 }
