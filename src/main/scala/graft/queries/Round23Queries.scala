@@ -45,6 +45,44 @@ object Round23Queries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Serve through the DELTA WRITE path: the e_ann_graph_incremental
+    // lifecycle (insert 20 planted exact duplicates into a degree-6
+    // graph by searching it) routed through the PRODUCTION persistence
+    // shape — save the pre-batch index, persist ONLY the insert's
+    // changed slice as a delta generation (appendGraphDelta), reload
+    // (newest-generation-wins reconcile), and answer from the loaded
+    // index. Write cost scaled with the batch, not the index, and the
+    // served answer is oracle-identical to the in-memory lifecycle:
+    // every original vector's nearest neighbor is its planted twin at
+    // cosine 1 — reachable only through edges the DELTA carries (the
+    // base files never knew the new nodes).
+    "e_ann_graph_delta_serve" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      val edges = graft.similarity.Similarity.bruteTopK(base, base, 6)
+        .localCheckpoint(true)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_gdelta_idx_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      graft.similarity.TrainedState.saveGraphIndex(edges, idxPath)
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val (_, changed) = graft.similarity.GraphAnn.insertBySearchParts(
+        edges, base, planted, entryId = 0L, beam = 64, hops = 64,
+        degree = 6)
+      graft.similarity.TrainedState.appendGraphDelta(changed, idxPath)
+      val served = graft.similarity.TrainedState
+        .loadGraphIndex(s, idxPath)
+      val full = base.unionByName(planted)
+      graft.similarity.GraphAnn.searchGraph(
+          base.filter(col("vec_id") < 20), served, full,
+          entryId = 0L, beam = 84, hops = 64, k = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -73,6 +111,15 @@ object Round23Queries {
          |SELECT query_id, rank, neighbor_id,
          |  ROUND(cos_sim, 6) AS cos_sim
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // The planted-duplicate contract survives the save → delta-append
+    // → reconcile → serve loop exactly: each original's top-1 is its
+    // twin at cosine 1 (the e_ann_graph_incremental oracle, through
+    // the persistence path).
+    "e_ann_graph_delta_serve" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
   )
 }
