@@ -588,6 +588,24 @@ object Similarity {
   def ivfRebalance(index: DataFrame, centroidsDf: DataFrame,
                    maxCellSize: Int, subK: Int,
                    iters: Int = 2): (DataFrame, DataFrame) = {
+    val (newCentroids, untouched, changed) =
+      ivfRebalanceParts(index, centroidsDf, maxCellSize, subK, iters)
+    (newCentroids, untouched.unionByName(changed))
+  }
+
+  /** [[ivfRebalance]] split into (new centroids, UNTOUCHED rows,
+    * CHANGED slice) — the changed slice is exactly the fat cells'
+    * reassigned rows, i.e. what a production rebalance persists via
+    * [[TrainedState.appendIvfDelta]] while the untouched cells' files
+    * stay in place: rebalance WRITE cost then scales with the fat-cell
+    * footprint, not the index (the same split [[GraphAnn
+    * .insertBySearchParts]] gives the graph fold-in). The k-row
+    * centroid artifact rewrites in full as always — it is not
+    * corpus-sized. */
+  def ivfRebalanceParts(index: DataFrame, centroidsDf: DataFrame,
+                        maxCellSize: Int, subK: Int,
+                        iters: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(maxCellSize > 0 && subK > 1,
       s"maxCellSize=$maxCellSize must be > 0 and subK=$subK > 1")
     // stage the codes index: FOUR consumers below (size census, kept
@@ -633,8 +651,8 @@ object Similarity {
     val newCentroids = keptCentroids.unionByName(
       renumbered.select(col("new_id").as("centroid_id"), col("centroid")))
     (newCentroids,
-      small.select(col("vec_id"), col("centroid_id"), col("embedding"))
-        .unionByName(reassigned))
+      small.select(col("vec_id"), col("centroid_id"), col("embedding")),
+      reassigned)
   }
 
   /** FORGET vectors from a codes index — the deletion half of the index

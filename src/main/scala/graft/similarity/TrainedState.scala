@@ -113,7 +113,11 @@ object TrainedState {
       .partitionBy("centroid_id").parquet(path)
   }
 
-  /** Load a codes index for [[Similarity.ivfTopKFromIndex]]. */
+  /** Load a codes index for [[Similarity.ivfTopKFromIndex]].
+    * Delta-aware like [[loadHnswIndex]]: [[appendIvfDelta]]
+    * generations (a rebalance's reassigned slice) reconcile
+    * newest-wins per `vec_id` — a vector that moved cells serves its
+    * NEW cell row and the superseded base row drops. */
   def loadIvfIndex(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -123,10 +127,35 @@ object TrainedState {
       require(got.contains(f.name),
         s"trained-state schema mismatch at $path: missing ${f.name}")
     }
-    df.select(ivfIndexSchema.fields.map(f =>
+    val base = df.select(ivfIndexSchema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
         .as(f.name)).toIndexedSeq: _*)
+    // embedding-carrying rows: a tighter row cap keeps the localized
+    // slice bounded by width too (2^12 rows x 4096-dim ceiling = 64 MB
+    // transient worst case; typical dims are an order less)
+    reconcileDeltas(base, spark, path, ivfIndexSchema, Seq("vec_id"),
+      localCap = 1L << 12)
   }
+
+  /** APPEND a REBALANCE's reassigned slice
+    * ([[Similarity.ivfRebalanceParts]]' changed output — the fat
+    * cells' rows under their new sub-cell ids) as a DELTA GENERATION
+    * under a saved IVF index: rebalance write cost scales with the
+    * fat-cell footprint while a full [[saveIvfIndex]] rewrite scales
+    * with the index. (Plain FOLD-IN never needed this —
+    * `saveIvfIndex(append = true)` lands new vectors as new files in
+    * only the touched cell directories; the delta path covers the
+    * REASSIGNMENT case, where existing rows change cells.) Probes of
+    * the reconciled load still partition-prune the corpus-sized base;
+    * the batch-bounded delta slice filters locally. */
+  def appendIvfDelta(delta: DataFrame, path: String): Unit =
+    appendDeltaGeneration(delta, path, ivfIndexSchema)
+
+  /** Fold accumulated [[appendIvfDelta]] generations back into the
+    * cell-partitioned base — crash-safe ([[compactSwap]]). */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    compactSwap(spark, path, loadIvfIndex(spark, path),
+      (df, p) => saveIvfIndex(df, p))
 
   val ivfPqIndexSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
@@ -149,7 +178,10 @@ object TrainedState {
       .partitionBy("centroid_id").parquet(path)
   }
 
-  /** Load an IVF-PQ codes index for [[IvfPq.topKFromIndex]]. */
+  /** Load an IVF-PQ codes index for [[IvfPq.topKFromIndex]].
+    * Delta-aware: [[appendIvfPqDelta]] generations (re-encoded or
+    * reassigned vectors' replacement rows) reconcile newest-wins per
+    * `vec_id`. */
   def loadIvfPqIndex(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     val got = df.schema.fieldNames.toSet
@@ -157,10 +189,28 @@ object TrainedState {
       require(got.contains(f.name),
         s"trained-state schema mismatch at $path: missing ${f.name}")
     }
-    df.select(ivfPqIndexSchema.fields.map(f =>
+    val base = df.select(ivfPqIndexSchema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
         .as(f.name)).toIndexedSeq: _*)
+    // numSub-int code rows (~tens of bytes): the scalar-row cap holds,
+    // halved for the codes array
+    reconcileDeltas(base, spark, path, ivfPqIndexSchema, Seq("vec_id"),
+      localCap = 1L << 17)
   }
+
+  /** APPEND re-encoded/reassigned vectors' replacement rows as a
+    * DELTA GENERATION under a saved IVF-PQ index — the
+    * [[appendIvfDelta]] story for the PQ-coded cells (a cell
+    * rebalance invalidates its vectors' residual codes; the re-encode
+    * batch persists as a delta instead of a full rewrite). */
+  def appendIvfPqDelta(delta: DataFrame, path: String): Unit =
+    appendDeltaGeneration(delta, path, ivfPqIndexSchema)
+
+  /** Fold accumulated [[appendIvfPqDelta]] generations back into the
+    * base — crash-safe ([[compactSwap]]). */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
+    compactSwap(spark, path, loadIvfPqIndex(spark, path),
+      (df, p) => saveIvfPqIndex(df, p))
 
   val pooledSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -401,7 +451,9 @@ object TrainedState {
     * action). */
   private def reconcileDeltas(base: DataFrame, spark: SparkSession,
                               path: String, schema: StructType,
-                              keyCols: Seq[String]): DataFrame = {
+                              keyCols: Seq[String],
+                              localCap: Long = LocalDeltaCap.toLong)
+      : DataFrame = {
     val f = org.apache.spark.sql.functions
     val deltaPath = s"$path/$DeltaDir"
     if (!hasDataFiles(spark, deltaPath)) base
@@ -414,7 +466,7 @@ object TrainedState {
       val keyIdx = keyCols.map(schema.fieldNames.indexOf(_))
       val seqIdx = schema.fields.length // _seq appended after the schema
       val deltaRows =
-        if (delta.count() <= LocalDeltaCap)
+        if (delta.count() <= localCap)
           Some(delta.select(cols :+ f.col(DeltaSeqCol): _*).collect())
         else None
       deltaRows match {

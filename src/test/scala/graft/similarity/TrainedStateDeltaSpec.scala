@@ -119,6 +119,51 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     noCompactLeftovers(path)
   }
 
+  test("ivf rebalance delta: the reassigned slice appends as a " +
+      "generation, the load serves each moved vector's NEW cell row " +
+      "(newest wins over the cell-partitioned base), probes through " +
+      "the loaded index equal the in-memory rebalanced index, and " +
+      "compaction folds back losslessly") {
+    val e = emb.filter(col("vec_id") < 300).localCheckpoint(true)
+    // 3 deliberately skewed centroids: cell 0 catches most rows and
+    // exceeds maxCellSize, forcing a real reassignment slice
+    val cents = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid")).localCheckpoint(true)
+    val index = Similarity.ivfAssign(e, cents).localCheckpoint(true)
+    val path = tmp("ivf_delta")
+    TrainedState.saveIvfIndex(index, path)
+    val maxCell = index.groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val cellCap = (maxCell - 1).toInt.max(1)
+    val (newCents, untouched, changed) = Similarity.ivfRebalanceParts(
+      index, cents, maxCellSize = cellCap, subK = 3)
+    val fullRows = untouched.unionByName(changed)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!changed.isEmpty, "test needs a non-empty reassigned slice")
+    TrainedState.appendIvfDelta(changed, path)
+    val loaded = TrainedState.loadIvfIndex(spark, path)
+    assert(loaded.select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == fullRows,
+      "delta-loaded IVF index must serve the rebalanced assignment")
+    // probes through the loaded index == through the in-memory one
+    val probes = e.filter(col("vec_id") % 50 === 3)
+    def topk(idx: DataFrame) = Similarity.ivfTopKFromIndex(probes, idx,
+        k = 3, centroidsDf = newCents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(topk(loaded) == topk(untouched.unionByName(changed)),
+      "probe through the delta-loaded index diverged")
+    TrainedState.compactIvfIndex(spark, path)
+    assert(TrainedState.loadIvfIndex(spark, path)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == fullRows,
+      "compaction changed the served assignment")
+    assert(!new java.io.File(s"$path/_delta").exists())
+    noCompactLeftovers(path)
+  }
+
   test("empty delta slices write NOTHING (no _delta directory), and a " +
       "_SUCCESS-only delta directory left by older writers reads as " +
       "no-deltas instead of bricking the load") {
