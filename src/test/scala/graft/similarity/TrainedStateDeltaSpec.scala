@@ -257,6 +257,49 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       s"legacy seed must continue past the recorded max, got $seqs3")
   }
 
+  test("randomized lifecycle: a fixed-seed sequence of delta appends " +
+      "(new keys, re-touched keys, occasional empties) and mid-stream " +
+      "compactions always serves exactly the in-memory newest-wins " +
+      "model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val path = tmp("fuzz_delta")
+    // model: vec_id -> its current (sub -> code) rows
+    val model = scala.collection.mutable.Map.empty[Long, Seq[(Int, Int)]]
+    def codesOf(m: Iterable[(Long, Seq[(Int, Int)])]) =
+      m.toSeq.flatMap { case (v, subs) =>
+        subs.map { case (s, c) => (v, s, c) } }
+        .toDF("vec_id", "sub", "code")
+    (0L until 8L).foreach(v => model(v) = Seq(0 -> rnd.nextInt(256),
+      1 -> rnd.nextInt(256)))
+    TrainedState.savePqCodes(codesOf(model), path)
+    (1 to 10).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // empty append — must be a no-op
+          TrainedState.appendPqCodesDelta(
+            codesOf(Nil).limit(0), path)
+        case 1 => // compact mid-stream
+          TrainedState.compactPqCodes(spark, path)
+        case _ => // batch of new + re-touched keys
+          val newKeys = (0 until 1 + rnd.nextInt(3))
+            .map(_ => 100L * step + rnd.nextInt(4))
+          val touched = (0 until rnd.nextInt(3))
+            .map(_ => model.keys.toSeq(rnd.nextInt(model.size)))
+          val batch = (newKeys ++ touched).distinct.map(v =>
+            v -> Seq(0 -> rnd.nextInt(256), 1 -> rnd.nextInt(256)))
+          batch.foreach { case (v, subs) => model(v) = subs }
+          TrainedState.appendPqCodesDelta(codesOf(batch), path)
+      }
+      assert(normCodes(TrainedState.loadPqCodes(spark, path)) ==
+        normCodes(codesOf(model)),
+        s"served state diverged from the model at step $step")
+    }
+    TrainedState.compactPqCodes(spark, path)
+    assert(normCodes(TrainedState.loadPqCodes(spark, path)) ==
+      normCodes(codesOf(model)))
+    assert(TrainedState.deltaGenerations(spark, path) == 0L)
+  }
+
   test("compaction is crash-safe: stale tmp/trash leftovers from a " +
       "prior crash are cleared, the rewrite lands aside before any " +
       "original byte moves, and a missing artifact with a parked " +
