@@ -465,6 +465,11 @@ object TrainedState {
       val cols = schema.fields.map(x => f.col(x.name)).toIndexedSeq
       val keyIdx = keyCols.map(schema.fieldNames.indexOf(_))
       val seqIdx = schema.fields.length // _seq appended after the schema
+      // count and collect run against the SAME DataFrame, whose file
+      // listing is pinned at readDeltas (InMemoryFileIndex lists once
+      // at relation construction) — a generation committed between the
+      // two actions is invisible to both, so the cap genuinely bounds
+      // the pull; the newcomer serves from the next load
       val deltaRows =
         if (delta.count() <= localCap)
           Some(delta.select(cols :+ f.col(DeltaSeqCol): _*).collect())
@@ -511,63 +516,112 @@ object TrainedState {
     }
   }
 
+  /** Claimed-generation numbers visible as lock markers. */
+  private def lockNumbers(fs: org.apache.hadoop.fs.FileSystem,
+                          deltaPath: String): Seq[Long] = {
+    val lockDir = new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
+    if (!fs.exists(lockDir)) Seq.empty
+    else fs.listStatus(lockDir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen-") =>
+        s.stripPrefix("gen-").toLong }
+  }
+
+  /** Committed-generation numbers visible as `gen-N` directories. */
+  private def genDirNumbers(fs: org.apache.hadoop.fs.FileSystem,
+                            deltaPath: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen-") =>
+        s.stripPrefix("gen-").toLong }
+  }
+
+  /** Fail loudly on the pre-r13 delta layout (files appended directly
+    * under `_delta` / `layer=` directories): the recursive reconcile
+    * read would silently null out the partition-directory columns and
+    * DROP those generations' updates — an r12 artifact with pending
+    * deltas must be compacted with r12 code before upgrading
+    * (MIGRATION.md). Detectable purely from layout: data files exist
+    * but no `gen-N` directory does, or a data file sits outside every
+    * `gen-N` subtree. */
+  private def requireGenLayout(spark: SparkSession,
+                               deltaPath: String): Unit = {
+    val fs = fsOf(spark, deltaPath)
+    if (hasDataFiles(spark, deltaPath)) {
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(deltaPath))
+      // string-path containment, not Path equality — qualified URIs
+      // differ in authority spelling across listing APIs (the
+      // hasDataFiles makeQualified lesson, one level harder)
+      val rootStr = root.toUri.getPath.stripSuffix("/")
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          val fp = s.getPath.toUri.getPath
+          val top =
+            if (fp.startsWith(rootStr + "/"))
+              fp.substring(rootStr.length + 1).split('/').headOption
+            else None
+          // hidden top-level subtrees (_locks, committer leftovers)
+          // are not data; top == the file itself means data directly
+          // under _delta — the legacy flat-append shape
+          val hiddenTop = top.exists(t =>
+            t.startsWith("_") || t.startsWith("."))
+          require(hiddenTop ||
+              top.exists(t => t.startsWith("gen-") && t != name),
+            s"trained-state at $deltaPath carries deltas in the pre-r13 " +
+              "flat-append layout (data outside gen-N directories) — " +
+              "compact the artifact with the code that wrote it before " +
+              "upgrading; see MIGRATION.md")
+        }
+      }
+    }
+  }
+
   /** The number of delta generations CLAIMED under a saved artifact
     * (0 = none; ≥ the committed count if a writer claimed and then
     * failed) — the compaction-policy input: reconcile cost at load
     * grows with accumulated generations, so a serving fleet compacts
-    * past a threshold. Driver-side FS metadata only (one parquet read
-    * on pre-lock-era legacy artifacts). Works for any delta-capable
-    * artifact ([[appendHnswDelta]], [[appendGraphDelta]],
-    * [[appendPqCodesDelta]]). */
+    * past a threshold. Driver-side FS metadata only: the count is the
+    * distinct union of lock markers and committed `gen-N` directories,
+    * so generations whose locks were lost (pre-lock writers, a carried
+    * swap) still count. Works for any delta-capable artifact. */
   def deltaGenerations(spark: SparkSession, path: String): Long = {
     val deltaPath = s"$path/$DeltaDir"
+    requireGenLayout(spark, deltaPath)
     val fs = fsOf(spark, deltaPath)
-    val lockDir = new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
-    if (fs.exists(lockDir))
-      fs.listStatus(lockDir)
-        .count(_.getPath.getName.startsWith("gen-")).toLong
-    else if (hasDataFiles(spark, deltaPath))
-      readDeltas(spark, deltaPath)
-        .select(org.apache.spark.sql.functions.col(DeltaSeqCol))
-        .distinct().count()
-    else 0L
+    (lockNumbers(fs, deltaPath) ++ genDirNumbers(fs, deltaPath))
+      .distinct.size.toLong
   }
 
   /** Atomically claim the next delta generation number: generation N is
-    * owned by whoever CREATES `_delta/_locks/gen-N` first
-    * (`FileSystem.createNewFile` — atomic create-if-absent on HDFS and
-    * local filesystems), so two concurrent fold-ins can never write the
-    * same `_seq` and the max-generation reconcile never serves two
-    * writers' rows for one key. Pre-lock-era artifacts (deltas written
-    * before `_locks` existed) seed the counter from the recorded
-    * `_seq` maximum once, then claim forward. On stores without atomic
-    * create (some object stores) this degrades to the documented
-    * single-writer contract. */
+    * owned by whoever CREATES `_delta/_locks/gen-N` first, so two
+    * concurrent fold-ins can never write the same `_seq` and the
+    * max-generation reconcile never serves two writers' rows for one
+    * key. The floor is the max over lock markers AND committed `gen-N`
+    * directories (pure FS metadata — a generation whose lock was lost
+    * still blocks its number). On stores without atomic create (some
+    * object stores) this degrades to the documented single-writer
+    * contract. */
   private def claimGeneration(spark: SparkSession,
                               deltaPath: String): Long = {
+    requireGenLayout(spark, deltaPath)
     val fs = fsOf(spark, deltaPath)
     val lockDir = new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
     fs.mkdirs(lockDir)
-    val claimed = fs.listStatus(lockDir).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("gen-") =>
-        s.stripPrefix("gen-").toLong }
-    val floor =
-      if (claimed.nonEmpty) claimed.max
-      else if (hasDataFiles(spark, deltaPath)) {
-        // legacy artifact: generations exist but predate the lock dir
-        val f = org.apache.spark.sql.functions
-        val r = readDeltas(spark, deltaPath)
-          .agg(f.max(f.col(DeltaSeqCol))).collect()
-        if (r.isEmpty || r(0).isNullAt(0)) 0L else r(0).getLong(0)
-      } else 0L
+    val seen = lockNumbers(fs, deltaPath) ++ genDirNumbers(fs, deltaPath)
+    val floor = if (seen.isEmpty) 0L else seen.max
     // atomic create-if-absent. On HDFS create(overwrite=false) is
     // atomic namenode-side, but Hadoop's LOCAL filesystem implements
     // createNewFile as check-then-create (no O_EXCL) — two racing
     // claimants can both "succeed" — so the file: scheme goes through
     // the JDK's createNewFile, which is genuinely atomic. Either
     // implementation may also lose the race by THROWING rather than
-    // returning false; both shapes mean "claim failed, try the next".
+    // returning false; both shapes mean "claim failed, try the next" —
+    // BOUNDED, so a persistent failure (disk full, permissions)
+    // surfaces as an error instead of an infinite claim loop.
     def tryClaim(n: Long): Boolean = {
       val p = new org.apache.hadoop.fs.Path(lockDir, s"gen-$n")
       try {
@@ -578,9 +632,23 @@ object TrainedState {
       } catch { case _: java.io.IOException => false }
     }
     var next = floor + 1
-    while (!tryClaim(next)) next += 1
+    var attempts = 0
+    while (!tryClaim(next)) {
+      next += 1
+      attempts += 1
+      require(attempts < MaxClaimAttempts,
+        s"claimGeneration: $MaxClaimAttempts consecutive claim failures " +
+          s"under $lockDir — the filesystem is rejecting creates (disk " +
+          "full / permissions?), not losing races")
+    }
     next
   }
+
+  /** Consecutive failed claim attempts before concluding the
+    * filesystem is broken rather than busy: real contention resolves
+    * in a handful of tries (each failure means ANOTHER writer claimed
+    * that number). */
+  private val MaxClaimAttempts = 10000
 
   /** The shared delta-generation writer: skip EMPTY slices entirely
     * (an empty write would leave a `_SUCCESS`-only directory that
@@ -605,7 +673,13 @@ object TrainedState {
     val deltaPath = s"$path/$DeltaDir"
     val cols = schema.fields.map(x =>
       f.col(x.name).cast(x.dataType).as(x.name))
+    // ONE execution of the (possibly expensive — a fold-in's whole
+    // search lineage) slice plan: materialize eagerly, then both the
+    // emptiness probe and the write read the cached rows. The blocks
+    // are a transient write buffer, not the only copy — a lost
+    // executor fails the append and the caller's plan still stands.
     val projected = delta.select(cols.toIndexedSeq: _*)
+      .localCheckpoint(true)
     if (projected.isEmpty) () // nothing changed — no generation
     else {
       val next = claimGeneration(spark, deltaPath)
@@ -620,10 +694,19 @@ object TrainedState {
   /** Read every delta generation under an artifact (the gen-N
     * directories), all schema columns plus [[DeltaSeqCol]]. Recursive
     * lookup, not partition discovery — generations are self-contained
-    * files. Fails loudly (missing `_seq`) on a pre-r13 flat-append
-    * delta layout; see MIGRATION.md. */
-  private def readDeltas(spark: SparkSession, deltaPath: String): DataFrame =
+    * files. A pre-r13 flat-append delta layout fails loudly BEFORE the
+    * read ([[requireGenLayout]] — the recursive read would otherwise
+    * null out partition-directory columns and silently drop those
+    * generations); see MIGRATION.md. */
+  private def readDeltas(spark: SparkSession, deltaPath: String): DataFrame = {
+    requireGenLayout(spark, deltaPath)
     spark.read.option("recursiveFileLookup", "true").parquet(deltaPath)
+  }
+
+  /** Post-rewrite / pre-swap hook for the concurrency spec (injects a
+    * "generation committed during the compaction rewrite"). Never set
+    * outside tests. */
+  private[similarity] var compactTestHook: Option[() => Unit] = None
 
   /** Crash-safe compaction shared by every delta-capable artifact:
     * write the reconciled index ASIDE to a sibling temp path first
@@ -635,7 +718,17 @@ object TrainedState {
     * before the swap leaves base + deltas untouched (plus a stale temp
     * this routine clears on the next run); a crash mid-swap leaves the
     * COMPLETE new tree at the temp or live path and the complete old
-    * tree at the trash path. */
+    * tree at the trash path.
+    *
+    * CONCURRENT APPENDS are preserved, not destroyed: a generation
+    * committed after the compaction's snapshot (so possibly absent
+    * from the rewrite) is CARRIED OVER from the parked tree into the
+    * new live `_delta` — together with every lock marker — before the
+    * trash drops. Carrying a generation the rewrite DID fold in is
+    * harmless: newest-wins reconcile over rows the base already holds
+    * is idempotent. So an acknowledged append survives any
+    * interleaving with a compaction; at worst it reconciles once more
+    * until the next compaction. */
   private def compactSwap(spark: SparkSession, path: String,
                           reconciled: => DataFrame,
                           write: (DataFrame, String) => Unit): Unit = {
@@ -643,6 +736,7 @@ object TrainedState {
     val live = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp")
     val trash = new org.apache.hadoop.fs.Path(s"$path.compact-trash")
+    val deltaPath = s"$path/$DeltaDir"
     require(fs.exists(live),
       s"compact: no artifact at $path" + (if (fs.exists(trash))
         s" — a prior compaction crashed mid-swap; the pre-compaction " +
@@ -652,7 +746,12 @@ object TrainedState {
     // path is a superseded old tree (swap completed — safe to discard)
     fs.delete(tmp, true)
     fs.delete(trash, true)
+    // snapshot the generations this compaction can have folded in:
+    // anything beyond this set at swap time arrived concurrently and
+    // must ride over into the new tree
+    val gens0 = genDirNumbers(fs, deltaPath).toSet
     write(reconciled, tmp.toString)
+    compactTestHook.foreach(_.apply())
     require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
       s"compact: rewrite at $tmp did not commit (_SUCCESS missing) — " +
         s"original index at $path is untouched")
@@ -661,6 +760,36 @@ object TrainedState {
     require(fs.rename(tmp, live),
       s"compact: could not activate $tmp at $path — the complete new " +
         s"tree is at $tmp and the complete old tree at $trash")
+    // carry over LATE generations, plus lock markers BEYOND the folded
+    // snapshot (those can belong to claimed-but-still-writing
+    // appenders — dropping one would let a future claimant reuse the
+    // number and collide with the in-flight write; locks at or below
+    // the folded max are spent and dropping them keeps a clean
+    // compaction's contract of removing `_delta` entirely). A late
+    // writer's in-flight data lands under the NEW live path once its
+    // job commits (the committer mkdirs its target).
+    val trashDelta = s"${trash.toString}/$DeltaDir"
+    val foldedMax = gens0.fold(0L)(math.max)
+    val late = genDirNumbers(fs, trashDelta).filterNot(gens0)
+    val keepLocks = lockNumbers(fs, trashDelta).filter(_ > foldedMax)
+    if (late.nonEmpty || keepLocks.nonEmpty) {
+      val newLockDir =
+        new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
+      fs.mkdirs(newLockDir)
+      late.foreach { n =>
+        fs.rename(
+          new org.apache.hadoop.fs.Path(s"$trashDelta/gen-$n"),
+          new org.apache.hadoop.fs.Path(s"$deltaPath/gen-$n"))
+        ()
+      }
+      keepLocks.foreach { n =>
+        fs.rename(
+          new org.apache.hadoop.fs.Path(
+            s"$trashDelta/$DeltaLockDir/gen-$n"),
+          new org.apache.hadoop.fs.Path(newLockDir, s"gen-$n"))
+        ()
+      }
+    }
     fs.delete(trash, true)
     ()
   }

@@ -200,7 +200,8 @@ class TrainedStateDeltaSpec extends SparkTestBase {
 
   test("generation claims are atomic: pre-claimed lock numbers are " +
       "skipped, concurrent appends get distinct generations, and a " +
-      "legacy artifact without _locks seeds from the recorded _seq") {
+      "lock-less artifact (lost _locks) seeds from the committed " +
+      "generation directories") {
     import spark.implicits._
     val path = tmp("gen_claim")
     val edges = Seq((0L, 1, 1L, 0.5), (1L, 1, 0L, 0.5))
@@ -241,8 +242,9 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     val served = normEdges(TrainedState.loadGraphIndex(spark, path))
     assert(served.contains((1L, 1, 3L, 0.8)) &&
       served.contains((2L, 1, 4L, 0.7)))
-    // legacy artifact: deltas exist but no _locks dir (pre-lock-era
-    // writer) — the next claim seeds from max(_seq), never reuses one
+    // lost locks: gen directories exist but no _locks dir — the next
+    // claim seeds from the committed directory numbers, never reuses
+    // one, and the generation count still sees the lock-less gens
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete(); ()
@@ -255,6 +257,63 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       .select(col("_seq")).distinct().as[Long].collect().toSet
     assert(seqs3.size == 4 && seqs3.max > seqs2.max,
       s"legacy seed must continue past the recorded max, got $seqs3")
+  }
+
+  test("a generation committed DURING a compaction survives the swap: " +
+      "the late gen-dir and its lock carry over from the parked tree, " +
+      "the served index includes both the folded and the late updates, " +
+      "and the next claim does not reuse the late number") {
+    import spark.implicits._
+    val path = tmp("compact_race")
+    val edges = Seq((0L, 1, 1L, 0.5), (1L, 1, 0L, 0.4))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    val d1 = Seq((0L, 1, 2L, 0.9)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim")
+    TrainedState.appendGraphDelta(d1, path) // gen-1, folded by compact
+    val d2 = Seq((1L, 1, 3L, 0.8)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim").localCheckpoint(true)
+    TrainedState.compactTestHook = Some(() =>
+      TrainedState.appendGraphDelta(d2, path)) // gen-2, DURING compact
+    try TrainedState.compactGraphIndex(spark, path)
+    finally TrainedState.compactTestHook = None
+    val served = normEdges(TrainedState.loadGraphIndex(spark, path))
+    assert(served == Set((0L, 1, 2L, 0.9), (1L, 1, 3L, 0.8)),
+      s"late generation lost or folded rows dropped: $served")
+    assert(new java.io.File(s"$path/_delta/gen-2").exists(),
+      "the late generation's directory must ride over the swap")
+    assert(TrainedState.deltaGenerations(spark, path) == 1L)
+    // numbering continues past the carried generation
+    val d3 = Seq((0L, 2, 3L, 0.3)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim")
+    TrainedState.appendGraphDelta(d3, path)
+    assert(new java.io.File(s"$path/_delta/gen-3").exists(),
+      "the next claim must not reuse the carried generation's number")
+  }
+
+  test("pre-r13 flat-append delta layouts fail loudly with the " +
+      "migration pointer on append, load, and the generation count — " +
+      "never a silent partial read") {
+    import spark.implicits._
+    val path = tmp("legacy_layout")
+    val edges = Seq((0L, 1, 1L, 0.5))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    // emulate an r12 writer: delta files appended DIRECTLY under
+    // _delta (no gen-N directory), _seq as a data column
+    Seq((0L, 1, 9L, 0.7, 1L))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim", "_seq")
+      .write.parquet(s"$path/_delta")
+    Seq(
+      () => TrainedState.appendGraphDelta(edges, path),
+      () => { TrainedState.loadGraphIndex(spark, path).collect(); () },
+      () => { TrainedState.deltaGenerations(spark, path); () }
+    ).foreach { op =>
+      val ex = intercept[IllegalArgumentException](op())
+      assert(ex.getMessage.contains("pre-r13") &&
+        ex.getMessage.contains("MIGRATION"),
+        s"expected the migration pointer, got: ${ex.getMessage}")
+    }
   }
 
   test("randomized lifecycle: a fixed-seed sequence of delta appends " +
