@@ -596,6 +596,21 @@ object TrainedState {
       .distinct.size.toLong
   }
 
+  /** The compaction-policy loop in one call: compact `path` with the
+    * artifact's compaction (e.g. [[compactGraphIndex]],
+    * [[compactHnswIndex]]) when the claimed-generation count reaches
+    * `maxGenerations`; returns whether a compaction ran. A serving
+    * fleet calls this after each fold-in — reconcile cost at load
+    * grows with accumulated generations, and this bounds it. */
+  def compactIfNeeded(spark: SparkSession, path: String,
+                      maxGenerations: Long)
+                     (compact: (SparkSession, String) => Unit): Boolean = {
+    require(maxGenerations >= 1,
+      s"compactIfNeeded: maxGenerations=$maxGenerations must be >= 1")
+    if (deltaGenerations(spark, path) < maxGenerations) false
+    else { compact(spark, path); true }
+  }
+
   /** Atomically claim the next delta generation number: generation N is
     * owned by whoever CREATES `_delta/_locks/gen-N` first, so two
     * concurrent fold-ins can never write the same `_seq` and the

@@ -259,6 +259,27 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       s"legacy seed must continue past the recorded max, got $seqs3")
   }
 
+  test("compactIfNeeded: a no-op below the generation threshold, a " +
+      "real lossless compaction at it") {
+    import spark.implicits._
+    val path = tmp("policy")
+    val edges = Seq((0L, 1, 1L, 0.5))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    TrainedState.appendGraphDelta(
+      Seq((0L, 1, 2L, 0.9)).toDF("query_id", "rank", "neighbor_id",
+        "cos_sim"), path)
+    val want = normEdges(TrainedState.loadGraphIndex(spark, path))
+    assert(!TrainedState.compactIfNeeded(spark, path, maxGenerations = 2)(
+      TrainedState.compactGraphIndex))
+    assert(new java.io.File(s"$path/_delta").exists(),
+      "below the threshold nothing may move")
+    assert(TrainedState.compactIfNeeded(spark, path, maxGenerations = 1)(
+      TrainedState.compactGraphIndex))
+    assert(!new java.io.File(s"$path/_delta").exists())
+    assert(normEdges(TrainedState.loadGraphIndex(spark, path)) == want)
+  }
+
   test("a generation committed DURING a compaction survives the swap: " +
       "the late gen-dir and its lock carry over from the parked tree, " +
       "the served index includes both the folded and the late updates, " +
