@@ -408,6 +408,13 @@ object TrainedState {
       // the listing returns FULLY-QUALIFIED paths (file:/…); qualify
       // the root the same way or every ancestor check walks past it
       val root = fs.makeQualified(p)
+      // bound the ancestor walk by URI-PATH STRING, not Path equality:
+      // qualified URIs can differ in authority spelling across listing
+      // APIs (viewfs/object stores) — a failed equality would walk past
+      // the root to `_delta` itself, classify EVERY delta file hidden,
+      // and silently drop all committed generations at load (the
+      // requireGenLayout containment convention)
+      val rootStr = root.toUri.getPath.stripSuffix("/")
       val it = fs.listFiles(p, true)
       var found = false
       while (!found && it.hasNext) {
@@ -416,7 +423,8 @@ object TrainedState {
         // a file inside a hidden subtree (e.g. _locks/gen-3) must not
         // count either — check every ancestor up to `dir`
         def hiddenAnywhere(q: org.apache.hadoop.fs.Path): Boolean =
-          if (q == null || q == root) false
+          if (q == null ||
+              q.toUri.getPath.stripSuffix("/") == rootStr) false
           else if (q.getName.startsWith("_") || q.getName.startsWith("."))
             true
           else hiddenAnywhere(q.getParent)
@@ -723,6 +731,41 @@ object TrainedState {
     * outside tests. */
   private[similarity] var compactTestHook: Option[() => Unit] = None
 
+  /** Post-swap / pre-carryover hook for the crash-recovery spec (a
+    * throw here simulates a compactor dying after the two renames but
+    * before the late-generation carryover — the stranded-trash state
+    * the next compaction must recover). Never set outside tests. */
+  private[similarity] var compactPostSwapHook: Option[() => Unit] = None
+
+  /** Move gen directories and lock markers from a parked tree's
+    * `_delta` into the live one, skipping entries the live tree
+    * already has (a Hadoop rename into an existing DIRECTORY nests the
+    * source inside it instead of replacing — the exists-guard is
+    * load-bearing, not defensive). Shared by the post-swap late-
+    * generation carryover and the stale-trash recovery below. */
+  private def carryOver(fs: org.apache.hadoop.fs.FileSystem,
+                        fromDelta: String, toDelta: String,
+                        gens: Seq[Long], locks: Seq[Long]): Unit =
+    if (gens.nonEmpty || locks.nonEmpty) {
+      val lockDir = new org.apache.hadoop.fs.Path(s"$toDelta/$DeltaLockDir")
+      fs.mkdirs(lockDir)
+      gens.foreach { n =>
+        val dst = new org.apache.hadoop.fs.Path(s"$toDelta/gen-$n")
+        if (!fs.exists(dst)) {
+          fs.rename(new org.apache.hadoop.fs.Path(s"$fromDelta/gen-$n"), dst)
+          ()
+        }
+      }
+      locks.foreach { n =>
+        val dst = new org.apache.hadoop.fs.Path(lockDir, s"gen-$n")
+        if (!fs.exists(dst)) {
+          fs.rename(new org.apache.hadoop.fs.Path(
+            s"$fromDelta/$DeltaLockDir/gen-$n"), dst)
+          ()
+        }
+      }
+    }
+
   /** Crash-safe compaction shared by every delta-capable artifact:
     * write the reconciled index ASIDE to a sibling temp path first
     * (the read of base + deltas completes before any byte of the
@@ -757,9 +800,27 @@ object TrainedState {
         s" — a prior compaction crashed mid-swap; the pre-compaction " +
           s"tree is intact at $trash (rename it back to recover)" else ""))
     // stale leftovers from a prior crash: the temp is pre-swap work
-    // (base still live — safe to discard), a trash alongside a live
-    // path is a superseded old tree (swap completed — safe to discard)
+    // (base still live — safe to discard). A trash alongside a live
+    // path is a superseded old tree (swap completed) — but a crash
+    // AFTER the swap and BEFORE the late-generation carryover strands
+    // acknowledged generations (committed during that rewrite) under
+    // the parked tree, and a bare delete would destroy them
+    // permanently. So: carry over every gen directory (and lock
+    // marker) the live `_delta` does not already hold, THEN delete.
+    // Re-carrying a generation the crashed compaction DID fold is
+    // idempotent under newest-wins (and this compaction re-folds it
+    // anyway); a re-carried spent lock merely overcounts
+    // [[deltaGenerations]] toward an earlier next compaction — both
+    // errors are in the safe direction.
     fs.delete(tmp, true)
+    if (fs.exists(trash)) {
+      val staleDelta = s"${trash.toString}/$DeltaDir"
+      val liveGens = genDirNumbers(fs, deltaPath).toSet
+      val liveLocks = lockNumbers(fs, deltaPath).toSet
+      carryOver(fs, staleDelta, deltaPath,
+        genDirNumbers(fs, staleDelta).filterNot(liveGens),
+        lockNumbers(fs, staleDelta).filterNot(liveLocks))
+    }
     fs.delete(trash, true)
     // snapshot the generations this compaction can have folded in:
     // anything beyond this set at swap time arrived concurrently and
@@ -775,36 +836,24 @@ object TrainedState {
     require(fs.rename(tmp, live),
       s"compact: could not activate $tmp at $path — the complete new " +
         s"tree is at $tmp and the complete old tree at $trash")
-    // carry over LATE generations, plus lock markers BEYOND the folded
-    // snapshot (those can belong to claimed-but-still-writing
-    // appenders — dropping one would let a future claimant reuse the
-    // number and collide with the in-flight write; locks at or below
-    // the folded max are spent and dropping them keeps a clean
-    // compaction's contract of removing `_delta` entirely). A late
-    // writer's in-flight data lands under the NEW live path once its
-    // job commits (the committer mkdirs its target).
+    compactPostSwapHook.foreach(_.apply())
+    // carry over LATE generations, plus every lock marker NOT matched
+    // by a folded committed generation (one in gens0). Claim order is
+    // not commit order: a writer that claimed gen-5 while a later
+    // claimant committed gen-6 before this compaction still has its
+    // write in flight — a numeric above-the-folded-max filter would
+    // drop that lock, let a post-compaction claimant reuse number 5,
+    // and share the gen-5 directory/staging with the stale writer (the
+    // exact clobber the locks exist to prevent, plus its stale _seq=5
+    // rows outranking a newer post-compaction generation's rows). So a
+    // lock is spent ONLY when its gen directory was in the folded
+    // snapshot; everything else rides over. A late writer's in-flight
+    // data lands under the NEW live path once its job commits (the
+    // committer mkdirs its target).
     val trashDelta = s"${trash.toString}/$DeltaDir"
-    val foldedMax = gens0.fold(0L)(math.max)
     val late = genDirNumbers(fs, trashDelta).filterNot(gens0)
-    val keepLocks = lockNumbers(fs, trashDelta).filter(_ > foldedMax)
-    if (late.nonEmpty || keepLocks.nonEmpty) {
-      val newLockDir =
-        new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
-      fs.mkdirs(newLockDir)
-      late.foreach { n =>
-        fs.rename(
-          new org.apache.hadoop.fs.Path(s"$trashDelta/gen-$n"),
-          new org.apache.hadoop.fs.Path(s"$deltaPath/gen-$n"))
-        ()
-      }
-      keepLocks.foreach { n =>
-        fs.rename(
-          new org.apache.hadoop.fs.Path(
-            s"$trashDelta/$DeltaLockDir/gen-$n"),
-          new org.apache.hadoop.fs.Path(newLockDir, s"gen-$n"))
-        ()
-      }
-    }
+    val keepLocks = lockNumbers(fs, trashDelta).filterNot(gens0)
+    carryOver(fs, trashDelta, deltaPath, late, keepLocks)
     fs.delete(trash, true)
     ()
   }

@@ -414,4 +414,96 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     assert(new java.io.File(s"$path.compact-trash").exists(),
       "the recovery tree must survive the failed compact")
   }
+
+  test("claim order is not commit order: a lock claimed BEFORE a later " +
+      "generation committed survives the compaction (spent = folded " +
+      "gen dir, not numerically-below-the-max), so the in-flight " +
+      "writer's number is never reused") {
+    import spark.implicits._
+    val path = tmp("claim_vs_commit")
+    val edges = Seq((0L, 1, 1L, 0.5), (1L, 1, 0L, 0.4))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    // writer A claims gen-1 and is STILL WRITING (lock, no dir)
+    val lockDir = new java.io.File(s"$path/_delta/_locks")
+    assert(lockDir.mkdirs())
+    assert(new java.io.File(lockDir, "gen-1").createNewFile())
+    // writer B claims and COMMITS gen-2 before any compaction
+    TrainedState.appendGraphDelta(
+      Seq((0L, 1, 2L, 0.9)).toDF("query_id", "rank", "neighbor_id",
+        "cos_sim"), path)
+    assert(new java.io.File(s"$path/_delta/gen-2").exists())
+    // the compaction folds gen-2; A's gen-1 lock is numerically below
+    // the folded max but must NOT be treated as spent — its write is
+    // still in flight
+    TrainedState.compactGraphIndex(spark, path)
+    assert(new java.io.File(lockDir, "gen-1").exists(),
+      "an unmatched lock must ride over the compaction")
+    assert(TrainedState.deltaGenerations(spark, path) == 1L)
+    // the next claimant must skip A's number: reusing 1 would share
+    // gen-1's directory/staging with the stale writer
+    TrainedState.appendGraphDelta(
+      Seq((1L, 1, 3L, 0.8)).toDF("query_id", "rank", "neighbor_id",
+        "cos_sim"), path)
+    assert(!new java.io.File(s"$path/_delta/gen-1").exists() &&
+      new java.io.File(s"$path/_delta/gen-2").exists(),
+      "the post-compaction claim must not reuse the in-flight number 1")
+    // A finally commits: its rows serve for its own keys and lose
+    // newest-wins against the later claim for shared keys
+    Seq((1L, 1, 4L, 0.7, 1L), (2L, 1, 5L, 0.6, 1L))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim", "_seq")
+      .repartition(1).write.parquet(s"$path/_delta/gen-1")
+    val served = normEdges(TrainedState.loadGraphIndex(spark, path))
+    assert(served.contains((2L, 1, 5L, 0.6)),
+      s"the late-committing claimant's own key must serve: $served")
+    assert(served.contains((1L, 1, 3L, 0.8)) &&
+      !served.contains((1L, 1, 4L, 0.7)),
+      s"the newer claim must win the shared key: $served")
+  }
+
+  test("a compactor crash AFTER the swap but BEFORE the carryover " +
+      "strands acknowledged generations in the trash; the NEXT " +
+      "compaction recovers them before deleting — the acknowledged-" +
+      "append contract survives the crash interleaving") {
+    import spark.implicits._
+    val path = tmp("trash_recovery")
+    val edges = Seq((0L, 1, 1L, 0.5), (1L, 1, 0L, 0.4))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    TrainedState.appendGraphDelta(
+      Seq((0L, 1, 2L, 0.9)).toDF("query_id", "rank", "neighbor_id",
+        "cos_sim"), path) // gen-1, folded by the crashing compaction
+    val late = Seq((1L, 1, 3L, 0.8)).toDF("query_id", "rank",
+      "neighbor_id", "cos_sim").localCheckpoint(true)
+    // gen-2 commits DURING the rewrite; the compactor dies after the
+    // two renames, before the late-generation carryover
+    TrainedState.compactTestHook = Some(() =>
+      TrainedState.appendGraphDelta(late, path))
+    TrainedState.compactPostSwapHook = Some(() =>
+      throw new RuntimeException("simulated post-swap crash"))
+    val ex = intercept[RuntimeException] {
+      try TrainedState.compactGraphIndex(spark, path)
+      finally {
+        TrainedState.compactTestHook = None
+        TrainedState.compactPostSwapHook = None
+      }
+    }
+    assert(ex.getMessage.contains("simulated post-swap crash"))
+    // the crash state: live serves the folded rows only — gen-2 is
+    // stranded under the parked trash tree
+    assert(normEdges(TrainedState.loadGraphIndex(spark, path)) ==
+      Set((0L, 1, 2L, 0.9), (1L, 1, 0L, 0.4)))
+    assert(new java.io.File(s"$path.compact-trash/_delta/gen-2").exists(),
+      "the acknowledged late generation must sit in the trash")
+    // the next compaction must CARRY the stranded generation over
+    // before its trash delete — a bare delete would destroy gen-2
+    // permanently
+    TrainedState.compactGraphIndex(spark, path)
+    noCompactLeftovers(path)
+    assert(!new java.io.File(s"$path/_delta").exists(),
+      "recovered generations fold into the clean compaction")
+    assert(normEdges(TrainedState.loadGraphIndex(spark, path)) ==
+      Set((0L, 1, 2L, 0.9), (1L, 1, 3L, 0.8)),
+      "the acknowledged append must survive the crash interleaving")
+  }
 }
