@@ -16,6 +16,32 @@ object Bench {
   private def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Execution order of the timed pass: `reps` FULL SWEEPS of the
+    * suite (A…Z, A…Z, A…Z), never reps back-to-back per query.
+    * Back-to-back reps made min-of-k blind to co-tenant bursts longer
+    * than one query's reps: the burst inflated ALL of that query's
+    * observations, which read as an 8× "regression" on untouched code
+    * (the r11-r13 driver artifacts, three rounds running). Interleaved,
+    * a contiguous burst shorter than (reps-1) full sweeps can touch
+    * each query in at most reps-1 of its observations — every query
+    * keeps at least one clean slot, so per-query min survives any
+    * single burst and a median jump with a stable min reads as host
+    * noise, not regression (spec-pinned: BenchScheduleSpec simulates
+    * both orders under a synthetic burst). Returned as (sweep, query)
+    * index pairs in execution order. */
+  private[graft] def interleavedSchedule(nQueries: Int,
+                                         reps: Int): Seq[(Int, Int)] =
+    for (s <- 0 until reps; q <- 0 until nQueries) yield (s, q)
+
+  /** (median, min, max) over one query's sweep times; any failed
+    * observation (-1 sentinel) poisons the query — a median that
+    * averages successes with a time-to-fail would read as a phantom
+    * speedup in round-over-round diffs. */
+  private[graft] def summarize(times: Seq[Double])
+      : (Double, Double, Double) =
+    if (times.isEmpty || times.exists(_ < 0)) (-1.0, -1.0, -1.0)
+    else (times.sorted.apply(times.size / 2), times.min, times.max)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,38 +105,43 @@ object Bench {
     // Repeat each query REPS times and report the MEDIAN: the shared
     // sandbox shows 3-8× per-query swings on UNCHANGED code (co-tenant
     // drift, see NOTES.md round-6) which would mask any real regression
-    // in a single-shot time. Median-of-3 costs ~2× wall (rep 1 doubles as
-    // the in-SF warmup) and makes round-over-round deltas meaningful.
+    // in a single-shot time. Median-of-3 costs ~2× wall (sweep 1
+    // doubles as the in-SF warmup) and makes round-over-round deltas
+    // meaningful. Reps run as INTERLEAVED FULL-SUITE SWEEPS
+    // ([[interleavedSchedule]]) so a co-tenant burst inflates one
+    // sweep, not every observation of one query.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        // drop cached blocks BEFORE starting the clock, every rep, and
-        // synchronously: eager localCheckpoint staging accumulated over
-        // ~170 queries taxed the alphabetical tail 3-5× (measured:
-        // d_decontaminate 2.4s in the full run vs 0.38s isolated, same
-        // code), and async removal would overlap the next timed region.
-        // Per-rep (not per-query) so rep 1's leftovers don't pollute
-        // reps 2-3 — each timing starts from the same clean state.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        val t0 = System.nanoTime()
-        // a failed query must be LOUD in the JSON too: stderr plus a -1
-        // sentinel time — a normal-looking time-to-fail entry would read
-        // as a phantom speedup in round-over-round bench diffs
-        val ok =
-          try { exec(fn(spark, sfDir)); true } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      // any failed rep poisons the query: report the sentinel, not a
-      // median that averages successes with a time-to-fail
-      val med =
-        if (times.exists(_ < 0)) -1.0
-        else times.sorted.apply(times.size / 2)
-      (name, med, times.min, times.max)
+    val perQuery = Array.fill(selected.size)(
+      Vector.newBuilder[Double])
+    val sweepTotals = Array.fill(reps)(0.0)
+    interleavedSchedule(selected.size, reps).foreach { case (sweep, qi) =>
+      val (name, fn) = selected(qi)
+      // drop cached blocks BEFORE starting the clock, every slot, and
+      // synchronously: eager localCheckpoint staging accumulated over
+      // ~170 queries taxed the alphabetical tail 3-5× (measured:
+      // d_decontaminate 2.4s in the full run vs 0.38s isolated, same
+      // code), and async removal would overlap the next timed region.
+      // Per-slot so one observation's leftovers never pollute the
+      // next — each timing starts from the same clean state.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime()
+      // a failed query must be LOUD in the JSON too: stderr plus a -1
+      // sentinel time — a normal-looking time-to-fail entry would read
+      // as a phantom speedup in round-over-round bench diffs
+      val ok =
+        try { exec(fn(spark, sfDir)); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      perQuery(qi) += t
+      if (t >= 0) sweepTotals(sweep) += t
+    }
+    val results = selected.indices.map { qi =>
+      val (med, lo, hi) = summarize(perQuery(qi).result())
+      (selected(qi)._1, med, lo, hi)
     }
     // ms precision keeps the line short (the driver's log capture has
     // truncated multi-KB lines before; sub-ms digits are noise anyway).
@@ -149,8 +180,14 @@ object Bench {
     val mins = results
       .map { case (k, _, lo, _) => s""""$k":${ms(lo)}""" }
       .mkString("{", ",", "}")
+    // per-sweep totals — the burst DETECTOR: a co-tenant burst shows
+    // as one inflated sweep total with the others flat (and per-query
+    // mins unharmed, by the interleaving); three flat sweeps mean the
+    // window was clean and the medians are trustworthy
+    val sweeps = sweepTotals.map(ms).mkString("[", ",", "]")
     val fileLine = line.dropRight(1) +
-      s""","reps":$reps,"spread":$spread,"queries_min":$mins}"""
+      s""","reps":$reps,"sweep_totals":$sweeps,"spread":$spread,""" +
+      s""""queries_min":$mins}"""
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath, fileLine + "\n")
