@@ -56,13 +56,17 @@ object Round19Queries {
       val edges = Similarity.bruteTopK(base, base, 6).localCheckpoint(true)
       val planted = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      // both batches are exactly 20 rows by construction (vec_id 0..19
+      // exist at every gate SF) — the caller-known bound lets both
+      // walks skip their guard count job (r13 added one per flat walk;
+      // the bound removes it where the caller already knows the size)
       val updated = graft.similarity.GraphAnn.insertBySearch(
         edges, base, planted, entryId = 0L, beam = 64, hops = 64,
-        degree = 6).localCheckpoint(true)
+        degree = 6, batchBound = 20L).localCheckpoint(true)
       val full = base.unionByName(planted)
       graft.similarity.GraphAnn.searchGraph(
           base.filter(col("vec_id") < 20), updated, full,
-          entryId = 0L, beam = 84, hops = 64, k = 1)
+          entryId = 0L, beam = 84, hops = 64, k = 1, queryBound = 20L)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"))

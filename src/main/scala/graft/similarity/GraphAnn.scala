@@ -56,14 +56,22 @@ object GraphAnn {
     * @param beam    expansion width per hop (HNSW's efSearch analog)
     * @param hops    search rounds; 0 scores only the entry node
     * @param k       neighbors returned per query
+    * @param queryBound caller-known upper bound on the probe batch's
+    *                row count (≥ 0), when available for free — e.g. an
+    *                already-collected or localCheckpointed batch's
+    *                length. Bounds the walk seed so the walk skips its
+    *                guard count job; -1 (default) pays one bounded
+    *                count instead. Strategy, never semantics.
     * @return `(query_id, rank, neighbor_id, cos_sim)` — rank 1..k by
     *         (cos_sim desc, neighbor_id asc) over the visited set minus
     *         the query itself; queries whose visited set holds only
     *         themselves emit no rows (the recall-zero convention)
     */
   def searchGraph(queries: DataFrame, edges: DataFrame, corpus: DataFrame,
-                  entryId: Long, beam: Int, hops: Int, k: Int): DataFrame =
-    searchCore(queries, edges, corpus, entryId, beam, hops, k, None)
+                  entryId: Long, beam: Int, hops: Int, k: Int,
+                  queryBound: Long = -1L): DataFrame =
+    searchCore(queries, edges, corpus, entryId, beam, hops, k, None,
+      seedBound = queryBound)
 
   /** METADATA-FILTERED beam search — the graph analog of the filtered
     * IVF surface: the WALK is unfiltered (restricting expansion to the
@@ -235,13 +243,38 @@ object GraphAnn {
   /** The wBeam window's exact comparator — (score desc, node asc) with
     * Spark's double total order (NaN largest, -0.0 < 0.0), which
     * java.lang.Double.compare reproduces verbatim. */
-  private val mirrorOrd: Ordering[(Long, Long, Double)] =
+  private[similarity] val mirrorOrd: Ordering[(Long, Long, Double)] =
     new Ordering[(Long, Long, Double)] {
       def compare(x: (Long, Long, Double), y: (Long, Long, Double)): Int = {
         val c = java.lang.Double.compare(y._3, x._3)
         if (c != 0) c else java.lang.Long.compare(x._2, y._2)
       }
     }
+
+  /** The per-hop frontier cut: top-`beam` visited rows per query under
+    * [[mirrorOrd]], via one bounded heap per query — O(V log beam)
+    * driver CPU instead of the full per-query sort's O(V log V). At
+    * [[MirrorCap]] saturation this is the hottest driver loop (re-run
+    * per hop), and only the beam best ever matter. Content-identical
+    * to `sorted(mirrorOrd).take(beam)`: mirrorOrd totally orders a
+    * query's distinct nodes, and a seed-duplicate pair is two IDENTICAL
+    * tuples, so whichever fills the boundary slot is the same row —
+    * the walk-family parity specs hold bit-for-bit. The returned order
+    * is unspecified (callers treat the frontier as a set). */
+  private[similarity] def frontierCut(
+      rows: Iterable[(Long, Long, Double)], beam: Int)
+      : Array[(Long, Long, Double)] = {
+    val heaps = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+    rows.foreach { t =>
+      // max-heap under mirrorOrd: head is the WORST kept row
+      val h = heaps.getOrElseUpdate(t._1, scala.collection.mutable
+        .PriorityQueue.empty[(Long, Long, Double)](mirrorOrd))
+      if (h.size < beam) h += t
+      else if (mirrorOrd.compare(t, h.head) < 0) { h.dequeue(); h += t }
+    }
+    heaps.valuesIterator.flatMap(_.iterator).toArray
+  }
 
   /** The shared hop recurrence of [[searchFrom]] and [[walkPq]]:
     * `hops` rounds of (beam-cut the visited set per query, expand the
@@ -340,9 +373,7 @@ object GraphAnn {
     var converged = false
     var spill = false
     while (hop < hops && !converged && !spill) {
-      val frontier = mirror.groupBy(_._1).iterator.flatMap {
-        case (_, rows) => rows.sorted(mirrorOrd).take(beam)
-      }.toArray
+      val frontier = frontierCut(mirror, beam)
       val missing = frontier.map(_._2).distinct.sorted
         .filterNot(adjCache.contains)
       missing.grouped(maxInline).foreach { chunk =>
@@ -783,14 +814,21 @@ object GraphAnn {
     *
     * @param batch new vectors `(vec_id, embedding)` — bounded per call
     *              (the searchGraph query-batch contract)
+    * @param batchBound caller-known upper bound on the batch's row
+    *              count (≥ 0), when available for free — e.g. the
+    *              length of an already-collected or localCheckpointed
+    *              batch. Bounds the insert search's walk seed so the
+    *              walk skips its guard count job; -1 (default) pays
+    *              one bounded count instead. Strategy, never
+    *              semantics: results are identical either way.
     * @return the updated edge table, same schema as [[searchGraph]]'s
     *         input: `(query_id, rank, neighbor_id, cos_sim)`
     */
   def insertBySearch(edges: DataFrame, corpus: DataFrame, batch: DataFrame,
                      entryId: Long, beam: Int, hops: Int,
-                     degree: Int): DataFrame = {
+                     degree: Int, batchBound: Long = -1L): DataFrame = {
     val (untouched, changed) = insertBySearchParts(edges, corpus, batch,
-      entryId, beam, hops, degree)
+      entryId, beam, hops, degree, batchBound)
     untouched.unionByName(changed)
   }
 

@@ -411,4 +411,59 @@ class GraphAnnSpec extends SparkTestBase {
     assert(run(0, Long.MaxValue, Long.MaxValue) == want,
       "seed count-gate routing to the distributed walk changed results")
   }
+
+  test("frontierCut == per-query sorted.take(beam) on randomized " +
+      "mirrors (ties, duplicates, NaN/-0.0 doubles) — the bounded heap " +
+      "is CPU strategy, never a different cut") {
+    val rnd = new scala.util.Random(20260816L)
+    val specials = Array(Double.NaN, 0.0, -0.0, 1.0, -1.0,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+    (1 to 20).foreach { trial =>
+      val rows = Seq.fill(rnd.nextInt(400) + 1) {
+        val score = if (rnd.nextInt(4) == 0) specials(rnd.nextInt(7))
+                    else rnd.nextInt(8).toDouble / 4
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, score)
+      } ++ Seq((0L, 7L, 0.5), (0L, 7L, 0.5)) // seed-duplicate pair
+      val beam = rnd.nextInt(6) + 1
+      def key(ts: Iterable[(Long, Long, Double)]) = ts.toSeq
+        .map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3)))
+        .sorted
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sorted(GraphAnn.mirrorOrd).take(beam)
+      }
+      val got = GraphAnn.frontierCut(rows, beam)
+      assert(key(got) == key(want), s"trial $trial beam $beam")
+    }
+  }
+
+  test("caller-known walk bounds (insertBySearch batchBound, " +
+      "searchGraph queryBound) are strategy, never semantics — and an " +
+      "over-cap bound routes distributed with identical results") {
+    val e = emb.filter(col("vec_id") < 60).localCheckpoint(true)
+    val edges = Similarity.bruteTopK(e, e, 6).localCheckpoint(true)
+    val batch = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    def normE(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 9).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val wantIns = normE(GraphAnn.insertBySearch(edges, e, batch, 0L,
+      beam = 32, hops = 32, degree = 6))
+    assert(normE(GraphAnn.insertBySearch(edges, e, batch, 0L,
+      beam = 32, hops = 32, degree = 6, batchBound = 10L)) == wantIns,
+      "a tight caller bound changed the insert")
+    assert(normE(GraphAnn.insertBySearch(edges, e, batch, 0L,
+      beam = 32, hops = 32, degree = 6,
+      batchBound = Long.MaxValue)) == wantIns,
+      "an over-cap bound (distributed route) changed the insert")
+    val probes = e.filter(col("vec_id") % 12 === 1)
+    val wantS = collectTopK(GraphAnn.searchGraph(probes, edges, e, 0L,
+      beam = 8, hops = 8, k = 4))
+    assert(collectTopK(GraphAnn.searchGraph(probes, edges, e, 0L,
+      beam = 8, hops = 8, k = 4, queryBound = 5L)) == wantS,
+      "a caller queryBound changed the search")
+  }
 }
