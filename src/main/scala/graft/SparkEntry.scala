@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Round20Queries.queries ++
       graft.queries.Round21Queries.queries ++
       graft.queries.Round22Queries.queries ++
-      graft.queries.Round23Queries.queries
+      graft.queries.Round23Queries.queries ++
+      graft.queries.Round24Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -70,5 +71,6 @@ object SparkEntry {
       graft.queries.Round20Queries.oracleSql ++
       graft.queries.Round21Queries.oracleSql ++
       graft.queries.Round22Queries.oracleSql ++
-      graft.queries.Round23Queries.oracleSql
+      graft.queries.Round23Queries.oracleSql ++
+      graft.queries.Round24Queries.oracleSql
 }

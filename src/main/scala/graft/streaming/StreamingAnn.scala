@@ -87,8 +87,10 @@ object StreamingAnn {
                           hops: Int, k: Int, availableNow: Boolean = false)
                          (sink: (DataFrame, Long) => Unit): StreamingQuery =
     serveGraph(queries,
-      graft.similarity.TrainedState.loadGraphIndex(corpus.sparkSession,
-        indexPath),
+      // fingerprint-cached: concurrent serve streams (or restarts)
+      // over one unchanged artifact share the localized reconcile
+      graft.similarity.TrainedState.loadGraphIndexCached(
+        corpus.sparkSession, indexPath),
       corpus, entryId, beam, hops, k, availableNow)(sink)
 
   /** Serve `k` neighbors per streamed query through the HNSW hierarchy
@@ -125,8 +127,9 @@ object StreamingAnn {
                          availableNow: Boolean = false)
                         (sink: (DataFrame, Long) => Unit): StreamingQuery =
     serveHnsw(queries,
-      graft.similarity.TrainedState.loadHnswIndex(corpus.sparkSession,
-        indexPath),
+      // fingerprint-cached (the serveGraphFromSaved rationale)
+      graft.similarity.TrainedState.loadHnswIndexCached(
+        corpus.sparkSession, indexPath),
       corpus, beamUpper, hopsUpper, beam, hops, k, availableNow)(sink)
 
   /** Serve `k` neighbors per streamed query DiskANN-style
@@ -319,6 +322,94 @@ object StreamingAnn {
           .localCheckpoint(true)
         corpus = baseCorpus.unionByName(batch).localCheckpoint(true)
         sink(edges, batchId)
+      }
+  }
+
+  /** [[buildGraph]] with the PERSISTED-artifact lifecycle wired in —
+    * the production fold-in loop the delta machinery exists for. The
+    * edge state lives in a
+    * [[graft.similarity.TrainedState.saveGraphIndex]] artifact at
+    * `indexPath` (the caller seeds it before starting the stream); per
+    * micro-batch:
+    *
+    *   1. the trigger LOADS through the fingerprint-cached reconcile
+    *      ([[graft.similarity.TrainedState.loadGraphIndexCached]]) —
+    *      an artifact unchanged since the previous trigger returns
+    *      the cached reconciled plan instead of re-paying the bounded
+    *      delta collect;
+    *   2. the insert's CHANGED slice (touched sources' re-pruned
+    *      out-lists + the new nodes' forward edges) APPENDS as a delta
+    *      generation ([[graft.similarity.TrainedState.appendGraphDelta]])
+    *      — write cost scales with the batch, never the index;
+    *   3. the artifact COMPACTS BY POLICY
+    *      ([[graft.similarity.TrainedState.compactIfNeeded]] at
+    *      `maxGenerations`,
+    *      [[graft.similarity.TrainedState.DefaultMaxGenerations]] by
+    *      default) — so a long-running fleet's generation count, and
+    *      with it every consumer's reconcile cost, stays bounded with
+    *      no human in the loop (spec-pinned: a 7-trigger run never
+    *      exceeds the threshold and converges to the batch-sequential
+    *      [[graft.similarity.GraphAnn.insertBySearch]] edge state).
+    *
+    * Unlike [[buildGraph]] the evolving edge state is DURABLE across
+    * restarts by construction (it IS the artifact); the in-memory
+    * corpus side remains caller-seeded per run. REDELIVERY of an
+    * already-indexed id fails loudly: replacement needs a row DELETION
+    * the newest-wins delta model cannot express (a forget is a
+    * compact-time rewrite, not a delta) — use [[buildGraph]] for
+    * in-memory replacement semantics, or an offline
+    * [[graft.similarity.GraphAnn.graphForgetRepaired]] + compact.
+    *
+    * @param sink optional audit tap: receives (changed slice, batchId)
+    *             per trigger — the delta that was just persisted. The
+    *             slice is a lazy plan; consuming it re-runs the insert
+    *             search, so audit consumers should read the persisted
+    *             generation instead when cost matters.
+    */
+  def buildGraphPersisted(newVectors: DataFrame, seedCorpus: DataFrame,
+                          indexPath: String, entryId: Long, beam: Int,
+                          hops: Int, degree: Int,
+                          maxGenerations: Long = graft.similarity
+                            .TrainedState.DefaultMaxGenerations,
+                          availableNow: Boolean = false)
+                         (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val TS = graft.similarity.TrainedState
+    var corpus = seedCorpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    run(newVectors, availableNow) { (rawBatch, batchId) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        // cached blocks — one cheap job; its value bounds the insert
+        // walk's seed so the walk pays no guard count
+        val batchN = batch.count()
+        // the buildGraph intra-batch contract, verbatim
+        val dup = batch.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .limit(5).collect()
+        require(dup.isEmpty,
+          "buildGraphPersisted: duplicate vec_id(s) within one " +
+            "micro-batch: " + dup.map(_.getLong(0)).mkString(", "))
+        val redelivered = corpus.join(
+          broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
+          "left_semi").limit(5).collect()
+        require(redelivered.isEmpty,
+          "buildGraphPersisted: redelivered vec_id(s) " +
+            redelivered.map(_.getLong(0)).mkString(", ") +
+            " — the newest-wins delta model cannot delete rows; use " +
+            "buildGraph (in-memory replacement) or an offline " +
+            "graphForgetRepaired + compact")
+        val edges = TS.loadGraphIndexCached(spark, indexPath)
+        val (_, changed) = graft.similarity.GraphAnn.insertBySearchParts(
+          edges, corpus, batch, entryId, beam, hops, degree,
+          batchBound = batchN)
+        TS.appendGraphDelta(changed, indexPath)
+        TS.compactIfNeeded(spark, indexPath, maxGenerations)(
+          TS.compactGraphIndex)
+        corpus = corpus.unionByName(batch).localCheckpoint(true)
+        sink(changed, batchId)
       }
   }
 

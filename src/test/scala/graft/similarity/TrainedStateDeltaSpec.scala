@@ -415,6 +415,38 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       "the recovery tree must survive the failed compact")
   }
 
+  test("loadGraphIndexCached: an unchanged artifact returns the CACHED " +
+      "reconciled plan (no delta re-collect per trigger); any append " +
+      "or compaction changes the fingerprint and forces a fresh load " +
+      "with the new content") {
+    import spark.implicits._
+    val path = tmp("load_cache")
+    val edges = Seq((0L, 1, 1L, 0.5), (1L, 1, 0L, 0.4))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    val a = TrainedState.loadGraphIndexCached(spark, path)
+    val b = TrainedState.loadGraphIndexCached(spark, path)
+    assert(a eq b, "fingerprint-stable loads must return the cached plan")
+    TrainedState.appendGraphDelta(
+      Seq((0L, 1, 2L, 0.9)).toDF("query_id", "rank", "neighbor_id",
+        "cos_sim"), path)
+    val c = TrainedState.loadGraphIndexCached(spark, path)
+    assert(!(c eq b), "an append must invalidate the cached plan")
+    // read c's content BEFORE the compaction below: the compaction
+    // replaces the base files, and a plan loaded before it is stale by
+    // design (its pinned listing names deleted files) — exactly why
+    // the fingerprint invalidates
+    val wantC = normEdges(c)
+    assert(wantC == Set((0L, 1, 2L, 0.9), (1L, 1, 0L, 0.4)),
+      "the fresh load must serve the appended generation")
+    assert(TrainedState.loadGraphIndexCached(spark, path) eq c)
+    TrainedState.compactGraphIndex(spark, path)
+    val d = TrainedState.loadGraphIndexCached(spark, path)
+    assert(!(d eq c), "a compaction must invalidate the cached plan")
+    assert(normEdges(d) == wantC,
+      "compaction changes layout, never content")
+  }
+
   test("claim order is not commit order: a lock claimed BEFORE a later " +
       "generation committed survives the compaction (spent = folded " +
       "gen dir, not numerically-below-the-max), so the in-flight " +

@@ -291,6 +291,84 @@ class StreamingAnnSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("buildGraphPersisted: a long fold-in stream keeps the artifact's " +
+      "generation count bounded by POLICY (compactIfNeeded fires inside " +
+      "the loop), converges to the batch-sequential edge state, and " +
+      "rejects redelivery loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val seed = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val n = seed.count().toInt
+    val seedEdges = graft.similarity.Similarity.bruteTopK(seed, seed, 4)
+      .localCheckpoint(true)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_bgp").toString + "/idx"
+    TS.saveGraphIndex(seedEdges, idxPath)
+    val arrivals = emb.filter(col("vec_id") >= 30 && col("vec_id") < 39)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batches = Seq(Seq(30L, 31L), Seq(32L), Seq(33L, 34L), Seq(35L),
+      Seq(36L, 37L), Seq(38L))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val gensSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingAnn.buildGraphPersisted(
+      mem.toDF().toDF("vec_id", "embedding"), seed, idxPath,
+      entryId = 0L, beam = n + 10, hops = n, degree = 4,
+      maxGenerations = 2L) { (_, _) =>
+      gensSeen += TS.deltaGenerations(spark, idxPath)
+    }
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map(id => id -> arrivals(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the POLICY claim: compaction fired inside the loop (the count
+    // drops), and no observation ever reaches the threshold — the
+    // fleet needs no human compactor
+    assert(gensSeen.size == batches.size)
+    assert(gensSeen.forall(_ < 2L),
+      s"generation count must stay below maxGenerations=2: $gensSeen")
+    assert(gensSeen.sliding(2).exists(p => p.last < p.head),
+      s"at least one in-loop compaction must fire: $gensSeen")
+
+    // durability + parity: the ARTIFACT (deltas reconciled) equals the
+    // batch-sequential in-memory lifecycle at the same boundaries
+    var corpus = seed
+    var edges = seedEdges
+    batches.foreach { b =>
+      val batch = spark.createDataset(b.map(id => id -> arrivals(id)))
+        .toDF("vec_id", "embedding").localCheckpoint(true)
+      edges = graft.similarity.GraphAnn.insertBySearch(edges, corpus,
+        batch, entryId = 0L, beam = n + 10, hops = n, degree = 4)
+        .localCheckpoint(true)
+      corpus = corpus.unionByName(batch).localCheckpoint(true)
+    }
+    assert(rows(TS.loadGraphIndex(spark, idxPath)) === rows(edges),
+      "persisted fold-in stream diverged from batch-sequential insertion")
+
+    // redelivery rejects loudly (the delta model cannot delete rows)
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.buildGraphPersisted(
+      mem2.toDF().toDF("vec_id", "embedding"),
+      corpus.localCheckpoint(true), idxPath,
+      entryId = 0L, beam = n + 10, hops = n, degree = 4)()
+    try {
+      mem2.addData(30L -> arrivals(30L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("redelivered") ||
+        Option(ex.getCause).exists(_.getMessage.contains("redelivered")))
+    } finally q2.stop()
+  }
+
   test("buildHnsw: streamed layered construction == batch-sequential " +
       "Hnsw.insert at the same batch boundaries; redelivery replaces " +
       "at every layer") {
