@@ -70,16 +70,19 @@ object Round23Queries {
       graft.similarity.TrainedState.saveGraphIndex(edges, idxPath)
       val planted = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      // both batches are exactly 20 rows by construction — the
+      // caller-known bounds skip the walks' guard count jobs (the
+      // Round19 e_ann_graph_incremental convention)
       val (_, changed) = graft.similarity.GraphAnn.insertBySearchParts(
         edges, base, planted, entryId = 0L, beam = 64, hops = 64,
-        degree = 6)
+        degree = 6, batchBound = 20L)
       graft.similarity.TrainedState.appendGraphDelta(changed, idxPath)
       val served = graft.similarity.TrainedState
         .loadGraphIndex(s, idxPath)
       val full = base.unionByName(planted)
       graft.similarity.GraphAnn.searchGraph(
           base.filter(col("vec_id") < 20), served, full,
-          entryId = 0L, beam = 84, hops = 64, k = 1)
+          entryId = 0L, beam = 84, hops = 64, k = 1, queryBound = 20L)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"))

@@ -69,6 +69,50 @@ object Round24Queries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"))
+    }),
+
+    // The LAYERED artifact through the same interleaving: build a
+    // 3-layer HNSW over the base, save, fold twin batch 1 as a delta
+    // (insertWithDelta's layer-tagged changed slice) → policy
+    // compaction folds it → fold twin batch 2 → serve via searchAuto
+    // (entry re-derived from the reconciled index) at saturating
+    // budgets. Twins 0..4 live only in compacted base files, twins
+    // 5..9 only in the live generation; each original's served top-1
+    // must be its twin at cosine 1 either way.
+    "e_ann_hnsw_fold_compact" -> ((s, dir) => {
+      import graft.similarity.Hnsw
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_hfold_idx_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      TrainedState.saveHnswIndex(
+        Hnsw.buildIndex(base, degree = 6, m = 4, maxLevel = 2), idxPath)
+      def plant(lo: Int, hi: Int) = base
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val b1 = plant(0, 5)
+      val (_, chg1) = Hnsw.insertWithDelta(
+        TrainedState.loadHnswIndexCached(s, idxPath), b1, base,
+        m = 4, maxLevel = 2, beam = 64, hops = 64, degree = 6)
+      TrainedState.appendHnswDelta(chg1, idxPath)
+      TrainedState.compactIfNeeded(s, idxPath, maxGenerations = 1L)(
+        TrainedState.compactHnswIndex)
+      val corpus1 = base.unionByName(b1)
+      val b2 = plant(5, 10)
+      val (_, chg2) = Hnsw.insertWithDelta(
+        TrainedState.loadHnswIndexCached(s, idxPath), b2, corpus1,
+        m = 4, maxLevel = 2, beam = 64, hops = 64, degree = 6)
+      TrainedState.appendHnswDelta(chg2, idxPath)
+      val served = TrainedState.loadHnswIndexCached(s, idxPath)
+      val full = corpus1.unionByName(b2)
+      Hnsw.searchAuto(base.filter(col("vec_id") < 10), served, full,
+          beamUpper = 8, hopsUpper = 8, beam = 84, hops = 64, k = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -77,6 +121,14 @@ object Round24Queries {
     // policy-compact → fold → cached-reconcile-serve interleaving
     // exactly: each original's top-1 is its twin at cosine 1.
     "e_ann_graph_fold_compact" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // The layered interleaving serves the same planted contract: the
+    // twin's mutual layer-0 edge survives any prune, fold order, and
+    // compaction, and the saturating walk reaches it from any entry.
+    "e_ann_hnsw_fold_compact" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin

@@ -413,6 +413,60 @@ object StreamingAnn {
       }
   }
 
+  /** [[buildGraphPersisted]] lifted to the HNSW hierarchy — the
+    * layered artifact's production fold-in loop: per micro-batch,
+    * [[graft.similarity.Hnsw.insertWithDelta]]'s CHANGED slice
+    * (layer-tagged touched out-lists + new forward edges) appends as a
+    * delta generation under the
+    * [[graft.similarity.TrainedState.saveHnswIndex]] artifact at
+    * `indexPath`, the artifact compacts by policy
+    * ([[graft.similarity.TrainedState.compactIfNeeded]] at
+    * `maxGenerations`), and each trigger loads through the
+    * fingerprint-cached reconcile. Same durability and redelivery
+    * contract as [[buildGraphPersisted]] (redelivery rejects loudly —
+    * replacement is a compact-time rewrite, not a delta). */
+  def buildHnswPersisted(newVectors: DataFrame, seedCorpus: DataFrame,
+                         indexPath: String, m: Int, maxLevel: Int,
+                         beam: Int, hops: Int, degree: Int,
+                         maxGenerations: Long = graft.similarity
+                           .TrainedState.DefaultMaxGenerations,
+                         availableNow: Boolean = false)
+                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val TS = graft.similarity.TrainedState
+    var corpus = seedCorpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    run(newVectors, availableNow) { (rawBatch, batchId) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val dup = batch.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .limit(5).collect()
+        require(dup.isEmpty,
+          "buildHnswPersisted: duplicate vec_id(s) within one " +
+            "micro-batch: " + dup.map(_.getLong(0)).mkString(", "))
+        val redelivered = corpus.join(
+          broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
+          "left_semi").limit(5).collect()
+        require(redelivered.isEmpty,
+          "buildHnswPersisted: redelivered vec_id(s) " +
+            redelivered.map(_.getLong(0)).mkString(", ") +
+            " — the newest-wins delta model cannot delete rows; use " +
+            "buildHnsw (in-memory replacement) or an offline " +
+            "Hnsw.forgetRepaired + compact")
+        val layered = TS.loadHnswIndexCached(spark, indexPath)
+        val (_, changed) = graft.similarity.Hnsw.insertWithDelta(
+          layered, batch, corpus, m, maxLevel, beam, hops, degree)
+        TS.appendHnswDelta(changed, indexPath)
+        TS.compactIfNeeded(spark, indexPath, maxGenerations)(
+          TS.compactHnswIndex)
+        corpus = corpus.unionByName(batch).localCheckpoint(true)
+        sink(changed, batchId)
+      }
+  }
+
   /** The HNSW layered build as a stream — [[buildGraph]] lifted to the
     * hierarchy: per micro-batch, [[graft.similarity.Hnsw.insert]]
     * attaches the batch at every layer its deterministic hash assigns

@@ -27,7 +27,14 @@ object Round19ScaleMeasure {
     val outDir = args.lift(2).getOrElse("/tmp/graft_sf1")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // R19_PARTS: the save-time file-count knob (saveGraphIndex
+      // emits one file per range partition). At a fixed 32 the 100×
+      // corpus packs 100× more rows per file, so the per-hop isin
+      // row-group pruning degrades — files must scale with the corpus
+      // for the pruning contract to hold (the saveIvfIndex "the knob,
+      // not the layout, changes" note, measured in SCALE.md r14).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("R19_PARTS", "32"))
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

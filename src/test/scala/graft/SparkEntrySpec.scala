@@ -45,7 +45,8 @@ class SparkEntrySpec extends SparkTestBase {
       "Round20" -> queries.Round20Queries.queries,
       "Round21" -> queries.Round21Queries.queries,
       "Round22" -> queries.Round22Queries.queries,
-      "Round23" -> queries.Round23Queries.queries)
+      "Round23" -> queries.Round23Queries.queries,
+      "Round24" -> queries.Round24Queries.queries)
     val dupes = providers
       .flatMap { case (p, m) => m.keys.map(_ -> p) }
       .groupBy(_._1).filter(_._2.size > 1)

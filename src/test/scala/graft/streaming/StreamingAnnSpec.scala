@@ -369,6 +369,65 @@ class StreamingAnnSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("buildHnswPersisted: the layered fold-in loop keeps generations " +
+      "bounded by policy and the artifact converges to the " +
+      "batch-sequential Hnsw.insert state") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val seed = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val n = seed.count().toInt
+    val seedLayered = graft.similarity.Hnsw.buildIndex(seed, degree = 4,
+      m = 4, maxLevel = 2).localCheckpoint(true)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_bhp").toString + "/idx"
+    TS.saveHnswIndex(seedLayered, idxPath)
+    val arrivals = emb.filter(col("vec_id") >= 30 && col("vec_id") < 36)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batches = Seq(Seq(30L, 31L), Seq(32L), Seq(33L), Seq(34L, 35L))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), BigDecimal(r.getDouble(4)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val gensSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingAnn.buildHnswPersisted(
+      mem.toDF().toDF("vec_id", "embedding"), seed, idxPath,
+      m = 4, maxLevel = 2, beam = n + 10, hops = n, degree = 4,
+      maxGenerations = 2L) { (_, _) =>
+      gensSeen += TS.deltaGenerations(spark, idxPath)
+    }
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map(id => id -> arrivals(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(gensSeen.size == batches.size)
+    assert(gensSeen.forall(_ < 2L),
+      s"generation count must stay below maxGenerations=2: $gensSeen")
+    assert(gensSeen.sliding(2).exists(p => p.last < p.head),
+      s"at least one in-loop compaction must fire: $gensSeen")
+
+    var corpus = seed
+    var layered = seedLayered
+    batches.foreach { b =>
+      val batch = spark.createDataset(b.map(id => id -> arrivals(id)))
+        .toDF("vec_id", "embedding").localCheckpoint(true)
+      layered = graft.similarity.Hnsw.insert(layered, batch, corpus,
+        m = 4, maxLevel = 2, beam = n + 10, hops = n, degree = 4)
+        .localCheckpoint(true)
+      corpus = corpus.unionByName(batch).localCheckpoint(true)
+    }
+    assert(rows(TS.loadHnswIndex(spark, idxPath).select(col("layer"),
+        col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))) ===
+      rows(layered.select(col("layer"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_sim"))),
+      "persisted layered fold-in diverged from batch-sequential insert")
+  }
+
   test("buildHnsw: streamed layered construction == batch-sequential " +
       "Hnsw.insert at the same batch boundaries; redelivery replaces " +
       "at every layer") {
