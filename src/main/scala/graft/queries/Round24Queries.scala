@@ -72,7 +72,7 @@ object Round24Queries {
     }),
 
     // The LAYERED artifact through the same interleaving: build a
-    // 3-layer HNSW over the base, save, fold twin batch 1 as a delta
+    // 2-layer HNSW over the base, save, fold twin batch 1 as a delta
     // (insertWithDelta's layer-tagged changed slice) → policy
     // compaction folds it → fold twin batch 2 → serve via searchAuto
     // (entry re-derived from the reconciled index) at saturating
@@ -88,7 +88,7 @@ object Round24Queries {
         "graft_hfold_idx_" + Integer.toHexString(dir.hashCode))
         .getAbsolutePath
       TrainedState.saveHnswIndex(
-        Hnsw.buildIndex(base, degree = 6, m = 4, maxLevel = 2), idxPath)
+        Hnsw.buildIndex(base, degree = 6, m = 4, maxLevel = 1), idxPath)
       def plant(lo: Int, hi: Int) = base
         .filter(col("vec_id") >= lo && col("vec_id") < hi)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -96,7 +96,7 @@ object Round24Queries {
       val b1 = plant(0, 5)
       val (_, chg1) = Hnsw.insertWithDelta(
         TrainedState.loadHnswIndexCached(s, idxPath), b1, base,
-        m = 4, maxLevel = 2, beam = 64, hops = 64, degree = 6)
+        m = 4, maxLevel = 1, beam = 64, hops = 64, degree = 6)
       TrainedState.appendHnswDelta(chg1, idxPath)
       TrainedState.compactIfNeeded(s, idxPath, maxGenerations = 1L)(
         TrainedState.compactHnswIndex)
@@ -104,7 +104,7 @@ object Round24Queries {
       val b2 = plant(5, 10)
       val (_, chg2) = Hnsw.insertWithDelta(
         TrainedState.loadHnswIndexCached(s, idxPath), b2, corpus1,
-        m = 4, maxLevel = 2, beam = 64, hops = 64, degree = 6)
+        m = 4, maxLevel = 1, beam = 64, hops = 64, degree = 6)
       TrainedState.appendHnswDelta(chg2, idxPath)
       val served = TrainedState.loadHnswIndexCached(s, idxPath)
       val full = corpus1.unionByName(b2)
