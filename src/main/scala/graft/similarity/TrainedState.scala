@@ -288,11 +288,22 @@ object TrainedState {
     * frontier can touch, the IVF partition-pruning story with file
     * statistics instead of directories (source ids are corpus-cardinal —
     * `partitionBy` would mean one directory per vector). */
-  def saveGraphIndex(edges: DataFrame, path: String): Unit = {
-    val cols = graphIndexSchema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
-    edges.select(cols.toIndexedSeq: _*)
-      .repartitionByRange(org.apache.spark.sql.functions.col("query_id"))
+  def saveGraphIndex(edges: DataFrame, path: String,
+                     numFiles: Int = 0): Unit = {
+    val f = org.apache.spark.sql.functions
+    val cols = graphIndexSchema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name))
+    val projected = edges.select(cols.toIndexedSeq: _*)
+    // numFiles is the SCALING KNOB the 100× leg measured (SCALE.md
+    // r14): the per-hop isin prunes at row-group/file granularity, so
+    // rows-per-file must stay roughly constant as the index grows —
+    // at a fixed file count a 100× corpus made every frontier hit
+    // scan 100× the bytes (search ratio 2.32, back to 1.12 with files
+    // ∝ corpus). 0 = the session's shuffle-partition default (fine
+    // when that is sized per job, as on a configured cluster).
+    (if (numFiles > 0)
+       projected.repartitionByRange(numFiles, f.col("query_id"))
+     else projected.repartitionByRange(f.col("query_id")))
       .sortWithinPartitions("query_id", "rank")
       .write.mode("overwrite").parquet(path)
   }
@@ -351,6 +362,11 @@ object TrainedState {
   def loadHnswIndexCached(spark: SparkSession, path: String): DataFrame =
     cachedLoad(spark, path)(loadHnswIndex(spark, path))
 
+  /** [[loadPqCodes]] behind the same fingerprint cache — the DiskANN
+    * serve paths' codes-table load. */
+  def loadPqCodesCached(spark: SparkSession, path: String): DataFrame =
+    cachedLoad(spark, path)(loadPqCodes(spark, path))
+
   private def cachedLoad(spark: SparkSession, path: String)
                         (load: => DataFrame): DataFrame = {
     val key = System.identityHashCode(spark).toString + "|" + path
@@ -381,7 +397,8 @@ object TrainedState {
     * base — crash-safe ([[compactHnswIndex]]'s write-aside-then-swap
     * contract). */
   def compactGraphIndex(spark: SparkSession, path: String): Unit =
-    compactSwap(spark, path, loadGraphIndex(spark, path), saveGraphIndex)
+    compactSwap(spark, path, loadGraphIndex(spark, path),
+      (df, p) => saveGraphIndex(df, p))
 
   val hnswIndexSchema: StructType = StructType(Seq(
     StructField("layer", IntegerType, nullable = false),
@@ -399,12 +416,19 @@ object TrainedState {
     * directories on its path, with the same `query_id` row-group
     * pruning per layer; layer 0 — the corpus-sized one — behaves
     * byte-for-byte like the flat graph index. */
-  def saveHnswIndex(layered: DataFrame, path: String): Unit = {
-    val cols = hnswIndexSchema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
-    layered.select(cols.toIndexedSeq: _*)
-      .repartitionByRange(org.apache.spark.sql.functions.col("layer"),
-        org.apache.spark.sql.functions.col("query_id"))
+  def saveHnswIndex(layered: DataFrame, path: String,
+                    numFiles: Int = 0): Unit = {
+    val f = org.apache.spark.sql.functions
+    val cols = hnswIndexSchema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name))
+    val projected = layered.select(cols.toIndexedSeq: _*)
+    // numFiles: the saveGraphIndex file-count scaling knob, applied
+    // across layers (layer 0 holds ~all rows, so its share of the
+    // range partitions scales the same way)
+    (if (numFiles > 0)
+       projected.repartitionByRange(numFiles, f.col("layer"),
+         f.col("query_id"))
+     else projected.repartitionByRange(f.col("layer"), f.col("query_id")))
       .sortWithinPartitions("layer", "query_id", "rank")
       .write.mode("overwrite").partitionBy("layer").parquet(path)
   }
@@ -959,7 +983,8 @@ object TrainedState {
     * its commit marker verifies, so no failure mode loses both the
     * base and the deltas ([[compactSwap]]'s contract). */
   def compactHnswIndex(spark: SparkSession, path: String): Unit =
-    compactSwap(spark, path, loadHnswIndex(spark, path), saveHnswIndex)
+    compactSwap(spark, path, loadHnswIndex(spark, path),
+      (df, p) => saveHnswIndex(df, p))
 
   val pqCodesSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
@@ -973,11 +998,17 @@ object TrainedState {
     * range-partition + sort by `vec_id` so every file carries tight
     * min/max stats and the hop scorer's candidate-id `isin` prunes at
     * the row-group level, the [[saveGraphIndex]] layout. */
-  def savePqCodes(codes: DataFrame, path: String): Unit = {
-    val cols = pqCodesSchema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
-    codes.select(cols.toIndexedSeq: _*)
-      .repartitionByRange(org.apache.spark.sql.functions.col("vec_id"))
+  def savePqCodes(codes: DataFrame, path: String,
+                  numFiles: Int = 0): Unit = {
+    val f = org.apache.spark.sql.functions
+    val cols = pqCodesSchema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name))
+    val projected = codes.select(cols.toIndexedSeq: _*)
+    // numFiles: the saveGraphIndex file-count scaling knob — the hop
+    // scorer's candidate isin prunes this table the same way
+    (if (numFiles > 0)
+       projected.repartitionByRange(numFiles, f.col("vec_id"))
+     else projected.repartitionByRange(f.col("vec_id")))
       .sortWithinPartitions("vec_id", "sub")
       .write.mode("overwrite").parquet(path)
   }
@@ -1003,7 +1034,8 @@ object TrainedState {
   /** Fold accumulated [[appendPqCodesDelta]] generations back into the
     * base — crash-safe ([[compactSwap]]'s contract). */
   def compactPqCodes(spark: SparkSession, path: String): Unit =
-    compactSwap(spark, path, loadPqCodes(spark, path), savePqCodes)
+    compactSwap(spark, path, loadPqCodes(spark, path),
+      (df, p) => savePqCodes(df, p))
 
   val rotationSchema: StructType = StructType(Seq(
     StructField("row_idx", IntegerType, nullable = false),

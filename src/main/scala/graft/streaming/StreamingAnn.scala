@@ -165,8 +165,10 @@ object StreamingAnn {
       : StreamingQuery = {
     val spark = corpus.sparkSession
     serveGraphPq(queries,
-      graft.similarity.TrainedState.loadGraphIndex(spark, graphPath),
-      graft.similarity.TrainedState.loadPqCodes(spark, codesPath),
+      // fingerprint-cached (the serveGraphFromSaved rationale); the
+      // k-row codebooks load plain — nothing to amortize
+      graft.similarity.TrainedState.loadGraphIndexCached(spark, graphPath),
+      graft.similarity.TrainedState.loadPqCodesCached(spark, codesPath),
       graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
       dim, numSub, corpus, entryId, beam, hops, k, rerank,
       availableNow)(sink)
@@ -213,8 +215,9 @@ object StreamingAnn {
       : StreamingQuery = {
     val spark = corpus.sparkSession
     serveHnswPq(queries,
-      graft.similarity.TrainedState.loadHnswIndex(spark, indexPath),
-      graft.similarity.TrainedState.loadPqCodes(spark, codesPath),
+      // fingerprint-cached (the serveGraphFromSaved rationale)
+      graft.similarity.TrainedState.loadHnswIndexCached(spark, indexPath),
+      graft.similarity.TrainedState.loadPqCodesCached(spark, codesPath),
       graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
       dim, numSub, corpus, beamUpper, hopsUpper, beam, hops, k, rerank,
       availableNow)(sink)

@@ -415,6 +415,28 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       "the recovery tree must survive the failed compact")
   }
 
+  test("save-time numFiles knob: the artifact lands in exactly that " +
+      "many data files (the 100x scaling term's control — rows per " +
+      "file must stay ~constant as the index grows, SCALE.md r14) and " +
+      "round-trips content") {
+    import spark.implicits._
+    val path = tmp("numfiles")
+    val edges = (0L until 200L).map(i => (i, 1, (i + 1) % 200, 0.5))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path, numFiles = 4)
+    def dataFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles(path) == 4,
+      s"expected 4 data files, found ${dataFiles(path)}")
+    assert(TrainedState.loadGraphIndex(spark, path).count() == 200)
+    val codes = (0L until 120L).flatMap(i => Seq((i, 0, 3), (i, 1, 5)))
+      .toDF("vec_id", "sub", "code")
+    val cpath = tmp("numfiles_pq")
+    TrainedState.savePqCodes(codes, cpath, numFiles = 3)
+    assert(dataFiles(cpath) == 3)
+    assert(TrainedState.loadPqCodes(spark, cpath).count() == 240)
+  }
+
   test("loadGraphIndexCached: an unchanged artifact returns the CACHED " +
       "reconciled plan (no delta re-collect per trigger); any append " +
       "or compaction changes the fingerprint and forces a fresh load " +
