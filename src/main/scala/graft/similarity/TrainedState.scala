@@ -334,9 +334,14 @@ object TrainedState {
     val fs = fsOf(spark, path)
     def ls(p: String): Seq[String] = {
       val hp = new org.apache.hadoop.fs.Path(p)
-      if (!fs.exists(hp)) Seq.empty
-      else fs.listStatus(hp).toSeq.map(s =>
-        s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
+      // a directory can vanish between exists and listStatus (a
+      // concurrent compaction dropping _delta): treat it as absent —
+      // at worst the caller does one uncached load this trigger
+      try {
+        if (!fs.exists(hp)) Seq.empty
+        else fs.listStatus(hp).toSeq.map(s =>
+          s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
     }
     (ls(path) ++ ls(s"$path/$DeltaDir").map("_delta/" + _))
       .sorted.mkString("\n")
@@ -842,20 +847,25 @@ object TrainedState {
     if (gens.nonEmpty || locks.nonEmpty) {
       val lockDir = new org.apache.hadoop.fs.Path(s"$toDelta/$DeltaLockDir")
       fs.mkdirs(lockDir)
+      // a FAILED rename must abort LOUDLY before any caller reaches
+      // its trash delete: silently leaving a generation behind would
+      // turn the delete into permanent data loss — the exact hazard
+      // the carryover exists to prevent
       gens.foreach { n =>
         val dst = new org.apache.hadoop.fs.Path(s"$toDelta/gen-$n")
-        if (!fs.exists(dst)) {
-          fs.rename(new org.apache.hadoop.fs.Path(s"$fromDelta/gen-$n"), dst)
-          ()
-        }
+        if (!fs.exists(dst))
+          require(fs.rename(
+              new org.apache.hadoop.fs.Path(s"$fromDelta/gen-$n"), dst),
+            s"compact: could not carry generation $n from $fromDelta " +
+              s"into $toDelta — parked tree left intact")
       }
       locks.foreach { n =>
         val dst = new org.apache.hadoop.fs.Path(lockDir, s"gen-$n")
-        if (!fs.exists(dst)) {
-          fs.rename(new org.apache.hadoop.fs.Path(
-            s"$fromDelta/$DeltaLockDir/gen-$n"), dst)
-          ()
-        }
+        if (!fs.exists(dst))
+          require(fs.rename(new org.apache.hadoop.fs.Path(
+              s"$fromDelta/$DeltaLockDir/gen-$n"), dst),
+            s"compact: could not carry lock marker gen-$n from " +
+              s"$fromDelta into $toDelta — parked tree left intact")
       }
     }
 

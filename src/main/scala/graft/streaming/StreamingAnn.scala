@@ -350,7 +350,7 @@ object StreamingAnn {
     *      [[graft.similarity.TrainedState.DefaultMaxGenerations]] by
     *      default) — so a long-running fleet's generation count, and
     *      with it every consumer's reconcile cost, stays bounded with
-    *      no human in the loop (spec-pinned: a 7-trigger run never
+    *      no human in the loop (spec-pinned: a 6-trigger run never
     *      exceeds the threshold and converges to the batch-sequential
     *      [[graft.similarity.GraphAnn.insertBySearch]] edge state).
     *
@@ -409,10 +409,14 @@ object StreamingAnn {
           edges, corpus, batch, entryId, beam, hops, degree,
           batchBound = batchN)
         TS.appendGraphDelta(changed, indexPath)
+        // sink BEFORE the compaction: `changed` is a lazy plan over
+        // the pre-compaction base files — a compaction that fires
+        // below replaces them, and a late-consuming sink would read
+        // deleted paths
+        sink(changed, batchId)
         TS.compactIfNeeded(spark, indexPath, maxGenerations)(
           TS.compactGraphIndex)
         corpus = corpus.unionByName(batch).localCheckpoint(true)
-        sink(changed, batchId)
       }
   }
 
@@ -463,10 +467,12 @@ object StreamingAnn {
         val (_, changed) = graft.similarity.Hnsw.insertWithDelta(
           layered, batch, corpus, m, maxLevel, beam, hops, degree)
         TS.appendHnswDelta(changed, indexPath)
+        // sink before the compaction — the buildGraphPersisted
+        // stale-plan rationale
+        sink(changed, batchId)
         TS.compactIfNeeded(spark, indexPath, maxGenerations)(
           TS.compactHnswIndex)
         corpus = corpus.unionByName(batch).localCheckpoint(true)
-        sink(changed, batchId)
       }
   }
 

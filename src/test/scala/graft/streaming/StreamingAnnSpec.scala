@@ -330,13 +330,16 @@ class StreamingAnnSpec extends SparkTestBase {
     } finally q.stop()
 
     // the POLICY claim: compaction fired inside the loop (the count
-    // drops), and no observation ever reaches the threshold — the
-    // fleet needs no human compactor
+    // drops between triggers), no observation ever EXCEEDS the
+    // threshold (sink observes post-append, pre-compact), and the
+    // final artifact is compacted — the fleet needs no human compactor
     assert(gensSeen.size == batches.size)
-    assert(gensSeen.forall(_ < 2L),
-      s"generation count must stay below maxGenerations=2: $gensSeen")
+    assert(gensSeen.forall(_ <= 2L),
+      s"generation count must never exceed maxGenerations=2: $gensSeen")
     assert(gensSeen.sliding(2).exists(p => p.last < p.head),
       s"at least one in-loop compaction must fire: $gensSeen")
+    assert(TS.deltaGenerations(spark, idxPath) == 0L,
+      "the threshold-reaching final append must have compacted")
 
     // durability + parity: the ARTIFACT (deltas reconciled) equals the
     // batch-sequential in-memory lifecycle at the same boundaries
@@ -405,10 +408,12 @@ class StreamingAnnSpec extends SparkTestBase {
       }
     } finally q.stop()
     assert(gensSeen.size == batches.size)
-    assert(gensSeen.forall(_ < 2L),
-      s"generation count must stay below maxGenerations=2: $gensSeen")
+    assert(gensSeen.forall(_ <= 2L),
+      s"generation count must never exceed maxGenerations=2: $gensSeen")
     assert(gensSeen.sliding(2).exists(p => p.last < p.head),
       s"at least one in-loop compaction must fire: $gensSeen")
+    assert(TS.deltaGenerations(spark, idxPath) == 0L,
+      "the threshold-reaching final append must have compacted")
 
     var corpus = seed
     var layered = seedLayered
