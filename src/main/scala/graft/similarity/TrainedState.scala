@@ -717,6 +717,100 @@ object TrainedState {
     else { compact(spark, path); true }
   }
 
+  /** One artifact's row in a [[maintainRoot]] sweep: what was found
+    * at `path`, how many generations it carried when inspected, and
+    * whether this sweep compacted it. `kind` None = unclassifiable
+    * layout (left untouched — the receipt is the loud signal). */
+  final case class MaintenanceReceipt(path: String, kind: Option[String],
+                                      generations: Long,
+                                      compacted: Boolean)
+
+  /** Best-effort artifact-KIND detection from layout + schema — the
+    * [[maintainRoot]] dispatcher. Layout first (partition directories
+    * are unambiguous), then the base schema: `layer=` dirs → layered
+    * HNSW; `centroid_id=` dirs → IVF (embedding rows) or IVF-PQ
+    * (codes rows); flat files with (query_id, rank, neighbor_id) →
+    * graph; (vec_id, sub, code) → flat PQ codes. None when nothing
+    * matches — a sweep must never guess a compactor. */
+  def detectArtifactKind(spark: SparkSession,
+                         path: String): Option[String] = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val childDirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+      val fields =
+        try spark.read.parquet(path).schema.fieldNames.toSet
+        catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+      if (childDirs.exists(_.startsWith("layer="))) Some("hnsw")
+      else if (childDirs.exists(_.startsWith("centroid_id=")))
+        if (fields.contains("codes")) Some("ivfpq")
+        else if (fields.contains("embedding")) Some("ivf")
+        else None
+      else if (Set("query_id", "rank", "neighbor_id").subsetOf(fields))
+        Some("graph")
+      else if (Set("vec_id", "sub", "code").subsetOf(fields))
+        Some("pqcodes")
+      else None
+    }
+  }
+
+  /** The compaction for a [[detectArtifactKind]] kind. */
+  def compactorFor(kind: String): (SparkSession, String) => Unit =
+    kind match {
+      case "hnsw"    => compactHnswIndex
+      case "graph"   => compactGraphIndex
+      case "pqcodes" => compactPqCodes
+      case "ivf"     => compactIvfIndex
+      case "ivfpq"   => compactIvfPqIndex
+      case other => sys.error(s"compactorFor: unknown artifact kind $other")
+    }
+
+  /** ROOT-SWEEPING maintenance: inspect every artifact directory
+    * directly under `root` and compact each whose claimed-generation
+    * count has reached `maxGenerations` — the one-call fleet
+    * maintenance pass for a directory of persisted indexes (the
+    * per-loop policy hook [[compactIfNeeded]] covers indexes a
+    * serving loop owns; this covers everything else, e.g. artifacts
+    * written by ad-hoc jobs nobody's loop maintains). Skips hidden
+    * entries and `.compact-tmp`/`.compact-trash` siblings (in-flight
+    * or recoverable compaction state owned by their artifact's own
+    * next compaction). An artifact whose layout cannot be classified
+    * is NEVER touched — its receipt (kind = None, compacted = false)
+    * is the loud signal. A legacy pre-r13 delta layout still fails
+    * loudly ([[deltaGenerations]]'s contract) rather than being
+    * silently skipped — one bad artifact aborting the sweep beats a
+    * sweep that quietly stops maintaining it. */
+  def maintainRoot(spark: SparkSession, root: String,
+                   maxGenerations: Long = DefaultMaxGenerations)
+      : Seq[MaintenanceReceipt] = {
+    require(maxGenerations >= 1,
+      s"maintainRoot: maxGenerations=$maxGenerations must be >= 1")
+    val fs = fsOf(spark, root)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rp)) Seq.empty
+    else fs.listStatus(rp).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".") ||
+        n.endsWith(".compact-tmp") || n.endsWith(".compact-trash"))
+      .sorted
+      .map { name =>
+        val p = s"$root/$name"
+        val gens = deltaGenerations(spark, p)
+        if (gens < maxGenerations)
+          MaintenanceReceipt(p, detectArtifactKind(spark, p), gens,
+            compacted = false)
+        else detectArtifactKind(spark, p) match {
+          case Some(kind) =>
+            compactorFor(kind)(spark, p)
+            MaintenanceReceipt(p, Some(kind), gens, compacted = true)
+          case None =>
+            MaintenanceReceipt(p, None, gens, compacted = false)
+        }
+      }
+  }
+
   /** Atomically claim the next delta generation number: generation N is
     * owned by whoever CREATES `_delta/_locks/gen-N` first, so two
     * concurrent fold-ins can never write the same `_seq` and the

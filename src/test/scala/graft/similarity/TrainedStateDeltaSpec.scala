@@ -415,6 +415,58 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       "the recovery tree must survive the failed compact")
   }
 
+  test("maintainRoot: one sweep classifies every artifact kind, " +
+      "compacts exactly those at the generation threshold, leaves the " +
+      "rest (and anything unclassifiable) untouched, and preserves " +
+      "content") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_maint")
+      .toString
+    // graph artifact with TWO generations — at the threshold
+    val gpath = s"$root/graph_idx"
+    TrainedState.saveGraphIndex(
+      Seq((0L, 1, 1L, 0.5), (1L, 1, 0L, 0.4))
+        .toDF("query_id", "rank", "neighbor_id", "cos_sim"), gpath)
+    TrainedState.appendGraphDelta(Seq((0L, 1, 2L, 0.9))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim"), gpath)
+    TrainedState.appendGraphDelta(Seq((1L, 1, 3L, 0.8))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim"), gpath)
+    val wantGraph = normEdges(TrainedState.loadGraphIndex(spark, gpath))
+    // layered artifact with ONE generation — below the threshold
+    val hpath = s"$root/hnsw_idx"
+    TrainedState.saveHnswIndex(
+      Seq((0, 0L, 1, 1L, 0.5), (0, 1L, 1, 0L, 0.4))
+        .toDF("layer", "query_id", "rank", "neighbor_id", "cos_sim"),
+      hpath)
+    TrainedState.appendHnswDelta(Seq((0, 0L, 1, 2L, 0.9))
+      .toDF("layer", "query_id", "rank", "neighbor_id", "cos_sim"),
+      hpath)
+    // pq codes with no deltas; an unclassifiable directory; a stale
+    // trash sibling that must be left alone
+    val cpath = s"$root/codes_idx"
+    TrainedState.savePqCodes(
+      Seq((0L, 0, 3), (0L, 1, 5)).toDF("vec_id", "sub", "code"), cpath)
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$root/mystery")
+    assert(new java.io.File(s"$root/old_idx.compact-trash/j").mkdirs())
+
+    val receipts = TrainedState.maintainRoot(spark, root,
+      maxGenerations = 2L).map(r =>
+      (r.path.split('/').last, r.kind, r.generations, r.compacted))
+    assert(receipts.toSet == Set(
+      ("graph_idx", Some("graph"), 2L, true),
+      ("hnsw_idx", Some("hnsw"), 1L, false),
+      ("codes_idx", Some("pqcodes"), 0L, false),
+      ("mystery", None, 0L, false)), s"receipts: $receipts")
+    // the graph compacted losslessly; the hnsw generation still lives
+    assert(!new java.io.File(s"$gpath/_delta").exists())
+    assert(normEdges(TrainedState.loadGraphIndex(spark, gpath)) ==
+      wantGraph)
+    assert(TrainedState.deltaGenerations(spark, hpath) == 1L)
+    assert(new java.io.File(s"$root/old_idx.compact-trash/j").exists(),
+      "a trash sibling belongs to its artifact's next compaction, " +
+        "never to the sweep")
+  }
+
   test("save-time numFiles knob: the artifact lands in exactly that " +
       "many data files (the 100x scaling term's control — rows per " +
       "file must stay ~constant as the index grows, SCALE.md r14) and " +
