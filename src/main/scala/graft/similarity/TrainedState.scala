@@ -372,6 +372,16 @@ object TrainedState {
   def loadPqCodesCached(spark: SparkSession, path: String): DataFrame =
     cachedLoad(spark, path)(loadPqCodes(spark, path))
 
+  /** [[loadIvfIndex]] behind the same fingerprint cache (a fold-in
+    * batch adds a `batch=`/cell directory at the top level, so the
+    * fingerprint sees every growth path). */
+  def loadIvfIndexCached(spark: SparkSession, path: String): DataFrame =
+    cachedLoad(spark, path)(loadIvfIndex(spark, path))
+
+  /** [[loadIvfPqIndex]] behind the same fingerprint cache. */
+  def loadIvfPqIndexCached(spark: SparkSession, path: String): DataFrame =
+    cachedLoad(spark, path)(loadIvfPqIndex(spark, path))
+
   private def cachedLoad(spark: SparkSession, path: String)
                         (load: => DataFrame): DataFrame = {
     val key = System.identityHashCode(spark).toString + "|" + path

@@ -579,7 +579,8 @@ object StreamingAnn {
                           availableNow: Boolean = false)
                          (sink: (DataFrame, Long) => Unit): StreamingQuery =
     serveIvfPq(queries,
-      graft.similarity.TrainedState.loadIvfPqIndex(spark, indexPath),
+      // fingerprint-cached (the serveGraphFromSaved rationale)
+      graft.similarity.TrainedState.loadIvfPqIndexCached(spark, indexPath),
       corpus,
       graft.similarity.TrainedState.loadCentroids(spark, centroidsPath),
       graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
