@@ -48,7 +48,7 @@ object Round24Queries {
         entryId = 0L, beam = 64, hops = 64, degree = 6, batchBound = 5L)
       TrainedState.appendGraphDelta(chg1, idxPath)
       TrainedState.compactIfNeeded(s, idxPath, maxGenerations = 1L)(
-        TrainedState.compactGraphIndex)
+        TrainedState.compactGraphIndex(_, _))
       // trigger 2: fold twins 5..9 against the COMPACTED artifact;
       // this generation stays live (1 < threshold would now hold a
       // fleet's default — here it simply is not compacted again)
@@ -99,7 +99,7 @@ object Round24Queries {
         m = 4, maxLevel = 1, beam = 64, hops = 64, degree = 6)
       TrainedState.appendHnswDelta(chg1, idxPath)
       TrainedState.compactIfNeeded(s, idxPath, maxGenerations = 1L)(
-        TrainedState.compactHnswIndex)
+        TrainedState.compactHnswIndex(_, _))
       val corpus1 = base.unionByName(b1)
       val b2 = plant(5, 10)
       val (_, chg2) = Hnsw.insertWithDelta(

@@ -319,9 +319,25 @@ object TrainedState {
       graphIndexSchema, Seq("query_id"))
 
   /** (fingerprint, reconciled plan) per (session, artifact path) —
-    * see [[loadGraphIndexCached]]. */
+    * see [[loadGraphIndexCached]]. Keyed on [[SparkSession.sessionUUID]]
+    * (a real UUID — stable for the session's lifetime and collision-
+    * free, unlike an identityHashCode, which can be reused for a new
+    * session after the old one is collected and would then hand that
+    * new session a plan bound to a stopped one). Access-ordered and
+    * SIZE-BOUNDED ([[MaxCachedLoads]], LRU eviction), and every lookup
+    * opportunistically drops entries whose owning session has stopped —
+    * a long-lived multi-session driver (a notebook server cycling
+    * sessions) must not retain dead sessions' plans for the JVM's
+    * lifetime. All access synchronized on the map (bounded: lookups are
+    * driver-side, one per trigger). */
+  private val MaxCachedLoads = 256
   private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+    new java.util.LinkedHashMap[String, (String, DataFrame)](16, 0.75f,
+      /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, DataFrame)]): Boolean =
+        size() > MaxCachedLoads
+    }
 
   /** Metadata fingerprint of everything that can change a delta-aware
     * load: the artifact root's TOP-LEVEL statuses (base data files — a
@@ -332,19 +348,39 @@ object TrainedState {
     * (write-once by the claim protocol), so child statuses suffice. */
   private def loadFingerprint(spark: SparkSession, path: String): String = {
     val fs = fsOf(spark, path)
-    def ls(p: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def ls(p: String, prefix: String, depth: Int): Unit = {
       val hp = new org.apache.hadoop.fs.Path(p)
       // a directory can vanish between exists and listStatus (a
       // concurrent compaction dropping _delta): treat it as absent —
       // at worst the caller does one uncached load this trigger
-      try {
-        if (!fs.exists(hp)) Seq.empty
-        else fs.listStatus(hp).toSeq.map(s =>
-          s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
-      } catch { case _: java.io.FileNotFoundException => Seq.empty }
+      val statuses =
+        try {
+          if (!fs.exists(hp)) Seq.empty
+          else fs.listStatus(hp).toSeq
+        } catch { case _: java.io.FileNotFoundException => Seq.empty }
+      statuses.foreach { s =>
+        val name = prefix + s.getPath.getName
+        out += s"$name:${s.getModificationTime}:${s.getLen}"
+        // object stores (e.g. S3A) return SYNTHETIC directory statuses
+        // (mtime 0, len 0): a rewrite INSIDE such a directory — a
+        // partitioned artifact whose top level is only layer=/
+        // centroid_id= dirs — would fingerprint identically across the
+        // rewrite and serve a stale cached plan naming deleted files.
+        // So descend until real statuses appear, bounded (the deepest
+        // shipped layout is batch=/centroid_id=/files). Real
+        // filesystems report live directory mtimes (a child add/remove
+        // touches the parent) — no descent, no extra listings.
+        if (s.isDirectory && s.getModificationTime == 0L && depth < 4)
+          ls(s.getPath.toString, name + "/", depth + 1)
+      }
     }
-    (ls(path) ++ ls(s"$path/$DeltaDir").map("_delta/" + _))
-      .sorted.mkString("\n")
+    ls(path, "", 0)
+    // _delta children explicitly even on real filesystems: generation
+    // directories never mutate after commit (write-once by the claim
+    // protocol), so child statuses suffice — and an append adds one
+    ls(s"$path/$DeltaDir", "_delta/", 0)
+    out.result().sorted.mkString("\n")
   }
 
   /** [[loadGraphIndex]] behind a FINGERPRINT CACHE — the per-trigger
@@ -382,16 +418,39 @@ object TrainedState {
   def loadIvfPqIndexCached(spark: SparkSession, path: String): DataFrame =
     cachedLoad(spark, path)(loadIvfPqIndex(spark, path))
 
+  /** Stable per-session cache key: the session's UUID (collision-free
+    * for the JVM's lifetime — `sessionUUID` is `private[sql]` in
+    * Spark's Scala source but public in bytecode, hence the
+    * reflective read), falling back to the identity hash. The
+    * fallback alone would be safe too: a cache entry strongly
+    * references its DataFrame → its session, so a keyed session can
+    * never be collected (and its identity hash never reused) while
+    * its entry lives — and the stopped-session sweep plus the LRU
+    * bound remove entries, after which reuse doesn't matter. */
+  private def sessionKey(spark: SparkSession): String =
+    try spark.getClass.getMethod("sessionUUID").invoke(spark).toString
+    catch { case _: ReflectiveOperationException =>
+      System.identityHashCode(spark).toString }
+
   private def cachedLoad(spark: SparkSession, path: String)
                         (load: => DataFrame): DataFrame = {
-    val key = System.identityHashCode(spark).toString + "|" + path
+    val key = sessionKey(spark) + "|" + path
     val fp = loadFingerprint(spark, path)
-    val hit = loadCache.get(key)
+    val hit = loadCache.synchronized {
+      // sweep dead sessions' plans first: a stopped session's cached
+      // DataFrame is unusable and pins its whole session state
+      val it = loadCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue._2.sparkSession.sparkContext.isStopped) it.remove()
+      }
+      loadCache.get(key)
+    }
     if (hit != null && hit._1 == fp) hit._2
     else {
       val df = load
-      loadCache.put(key, (fp, df)) // racing loaders: last one wins,
-                                   // both plans are correct for fp
+      // racing loaders: last one wins, both plans are correct for fp
+      loadCache.synchronized { loadCache.put(key, (fp, df)) }
       df
     }
   }
@@ -408,12 +467,130 @@ object TrainedState {
   def appendGraphDelta(delta: DataFrame, path: String): Unit =
     appendDeltaGeneration(delta, path, graphIndexSchema)
 
+  /** Target per-file row density for DATA-SIZED rewrites: compactions
+    * re-save corpus-sized artifacts, and the r14 100× leg (SCALE.md)
+    * measured exactly what a FIXED file count does to them — at 32
+    * files a 100× corpus packs 100× more rows per file, so every
+    * frontier hit's row-group `isin` pruning drags in 100× the bytes
+    * (search 2.32× vs 1.12× with files ∝ corpus). Sizing the rewrite
+    * from the data keeps rows-per-file ~constant as the index grows
+    * through append→compact cycles, with no session-config coupling
+    * (the session's shuffle-partition default is sized for the JOBS,
+    * not for an artifact that outlives them). 2²⁰ edge/code rows ≈
+    * 20-30 MB files — small enough that pruning skips most of a file's
+    * siblings, large enough that a 100 TB artifact stays well under
+    * filesystem listing limits. */
+  val DefaultTargetRowsPerFile: Long = 1L << 20
+
+  /** Files for a data-sized rewrite: ceil(rows / target), min 1. */
+  def filesForRows(rows: Long, targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile >= 1,
+      s"filesForRows: targetRowsPerFile=$targetRowsPerFile must be >= 1")
+    math.min(
+      math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile),
+      Int.MaxValue.toLong).toInt
+  }
+
+  /** Approximate row count of a delta-capable artifact — base files
+    * plus pending delta generations, via column-less parquet scans
+    * (footer row counts, no data pages). "Approximate" because the
+    * reconcile DROPS superseded base rows the counts double-count —
+    * an over-estimate bounded by the batch-scaled deltas, which
+    * cannot meaningfully move a file-count decision. Returns 0 for a
+    * missing artifact (the compactor's [[compactSwap]] then fails
+    * with its recovery-pointer message instead of a raw read error). */
+  private def approxRows(spark: SparkSession, path: String): Long = {
+    if (!pathExists(spark, path)) 0L
+    else {
+      val base = spark.read.parquet(path).count()
+      val deltaPath = s"$path/$DeltaDir"
+      val deltas =
+        if (hasDataFiles(spark, deltaPath))
+          readDeltas(spark, deltaPath).count()
+        else 0L
+      base + deltas
+    }
+  }
+
   /** Fold accumulated [[appendGraphDelta]] generations back into the
     * base — crash-safe ([[compactHnswIndex]]'s write-aside-then-swap
-    * contract). */
-  def compactGraphIndex(spark: SparkSession, path: String): Unit =
+    * contract). The rewrite is DATA-SIZED: `numFiles` derives from the
+    * artifact's row count at `targetRowsPerFile`
+    * ([[DefaultTargetRowsPerFile]]), so per-file row density — the
+    * thing the per-hop `isin` row-group pruning depends on — stays
+    * ~constant as the index grows through fold-in generations (the
+    * measured 100× file-density term cannot re-enter via compaction). */
+  def compactGraphIndex(spark: SparkSession, path: String,
+                        targetRowsPerFile: Long =
+                          DefaultTargetRowsPerFile): Unit = {
+    val files = filesForRows(approxRows(spark, path), targetRowsPerFile)
     compactSwap(spark, path, loadGraphIndex(spark, path),
-      (df, p) => saveGraphIndex(df, p))
+      (df, p) => saveGraphIndex(df, p, numFiles = files))
+  }
+
+  val vectorsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true)))
+
+  /** Persist a CORPUS VECTORS artifact — the float side of a
+    * persisted ANN deployment (`(vec_id, embedding)`, the repo-wide
+    * vector contract). CORPUS-sized: range-partition + sort by
+    * `vec_id` (the [[saveGraphIndex]] layout) so every file carries
+    * tight id min/max stats — the walk's scoring join and the fold-in
+    * loops' redelivery check both probe this table with BOUNDED id
+    * sets (`isin` prefilters), so a hit reads only the row groups its
+    * ids can touch, never the corpus. This is what lets
+    * [[graft.streaming.StreamingAnn.buildGraphPersisted]] keep the
+    * vector state on disk and do O(batch) work per trigger instead of
+    * re-materializing an ever-growing in-memory union. */
+  def saveVectors(vectors: DataFrame, path: String,
+                  numFiles: Int = 0): Unit = {
+    val f = org.apache.spark.sql.functions
+    val cols = vectorsSchema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name))
+    val projected = vectors.select(cols.toIndexedSeq: _*)
+    // numFiles: the saveGraphIndex file-count scaling knob — id-probe
+    // row-group pruning needs rows-per-file ~constant as the corpus
+    // grows
+    (if (numFiles > 0)
+       projected.repartitionByRange(numFiles, f.col("vec_id"))
+     else projected.repartitionByRange(f.col("vec_id")))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted corpus-vectors artifact; fails fast on schema
+    * drift. Delta-aware like [[loadGraphIndex]]: [[appendVectorsDelta]]
+    * generations reconcile newest-wins per `vec_id` (an updated
+    * vector's replacement row supersedes its base row). The localized
+    * reconcile uses the embedding-carrying row cap
+    * ([[loadIvfIndex]]'s rationale — rows × width bounds the pull). */
+  def loadVectors(spark: SparkSession, path: String): DataFrame =
+    reconcileDeltas(load(spark, vectorsSchema, path), spark, path,
+      vectorsSchema, Seq("vec_id"), localCap = 1L << 12)
+
+  /** [[loadVectors]] behind the fingerprint cache — the fold-in
+    * loops' per-trigger corpus load. */
+  def loadVectorsCached(spark: SparkSession, path: String): DataFrame =
+    cachedLoad(spark, path)(loadVectors(spark, path))
+
+  /** APPEND a fold-in batch's vectors as a DELTA GENERATION under a
+    * saved corpus artifact — write cost scales with the BATCH while a
+    * full [[saveVectors]] rewrite scales with the corpus (the
+    * [[appendGraphDelta]] discipline applied to the float side). */
+  def appendVectorsDelta(delta: DataFrame, path: String): Unit =
+    appendDeltaGeneration(delta, path, vectorsSchema)
+
+  /** Fold accumulated [[appendVectorsDelta]] generations back into the
+    * range-partitioned base — crash-safe ([[compactSwap]]), data-sized
+    * rewrite ([[compactGraphIndex]]'s density contract). */
+  def compactVectors(spark: SparkSession, path: String,
+                     targetRowsPerFile: Long =
+                       DefaultTargetRowsPerFile): Unit = {
+    val files = filesForRows(approxRows(spark, path), targetRowsPerFile)
+    compactSwap(spark, path, loadVectors(spark, path),
+      (df, p) => saveVectors(df, p, numFiles = files))
+  }
 
   val hnswIndexSchema: StructType = StructType(Seq(
     StructField("layer", IntegerType, nullable = false),
@@ -642,6 +819,29 @@ object TrainedState {
         s.stripPrefix("gen-").toLong }
   }
 
+  /** Claim-FLOOR markers (`_locks/floor-N`): a compaction pre-seeds the
+    * rewritten tree with the highest generation number it folded, so
+    * the next [[claimGeneration]] can never reuse a folded number even
+    * when the folded `gen-N` directories and their spent locks are gone
+    * from the live tree. Load-bearing for the post-swap-crash
+    * interleaving: without the floor, a crash after the swap but before
+    * the late-generation carryover leaves a live tree with an EMPTY
+    * `_delta` while the parked trash still holds the folded gens — a
+    * post-crash append would restart numbering at gen-1, and the next
+    * compaction's stranded-trash recovery would carry the old higher-
+    * numbered gens back in, letting their stale `_seq` outrank the
+    * newer acknowledged append under newest-wins reconcile. Floor
+    * markers never count toward [[deltaGenerations]] (they are not
+    * pending work — only a numbering lower bound). */
+  private def floorNumbers(fs: org.apache.hadoop.fs.FileSystem,
+                           deltaPath: String): Seq[Long] = {
+    val lockDir = new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
+    if (!fs.exists(lockDir)) Seq.empty
+    else fs.listStatus(lockDir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("floor-") =>
+        s.stripPrefix("floor-").toLong }
+  }
+
   /** Fail loudly on the pre-r13 delta layout (files appended directly
     * under `_delta` / `layer=` directories): the recursive reconcile
     * read would silently null out the partition-directory columns and
@@ -762,6 +962,10 @@ object TrainedState {
         Some("graph")
       else if (Set("vec_id", "sub", "code").subsetOf(fields))
         Some("pqcodes")
+      else if (Set("vec_id", "embedding").subsetOf(fields))
+        Some("vectors") // flat corpus vectors — the IVF embedding
+                        // shape is caught above by its centroid_id=
+                        // directories
       else None
     }
   }
@@ -769,11 +973,12 @@ object TrainedState {
   /** The compaction for a [[detectArtifactKind]] kind. */
   def compactorFor(kind: String): (SparkSession, String) => Unit =
     kind match {
-      case "hnsw"    => compactHnswIndex
-      case "graph"   => compactGraphIndex
-      case "pqcodes" => compactPqCodes
+      case "hnsw"    => compactHnswIndex(_, _)
+      case "graph"   => compactGraphIndex(_, _)
+      case "pqcodes" => compactPqCodes(_, _)
       case "ivf"     => compactIvfIndex
       case "ivfpq"   => compactIvfPqIndex
+      case "vectors" => compactVectors(_, _)
       case other => sys.error(s"compactorFor: unknown artifact kind $other")
     }
 
@@ -836,7 +1041,12 @@ object TrainedState {
     val fs = fsOf(spark, deltaPath)
     val lockDir = new org.apache.hadoop.fs.Path(s"$deltaPath/$DeltaLockDir")
     fs.mkdirs(lockDir)
-    val seen = lockNumbers(fs, deltaPath) ++ genDirNumbers(fs, deltaPath)
+    // floor markers participate in the lower bound but never in the
+    // generation COUNT: a compacted tree carries only its floor, so
+    // numbering is monotone across compactions (and across the
+    // post-swap-crash recovery) while deltaGenerations reads 0
+    val seen = lockNumbers(fs, deltaPath) ++ genDirNumbers(fs, deltaPath) ++
+      floorNumbers(fs, deltaPath)
     val floor = if (seen.isEmpty) 0L else seen.max
     // atomic create-if-absent. On HDFS create(overwrite=false) is
     // atomic namenode-side, but Hadoop's LOCAL filesystem implements
@@ -947,10 +1157,22 @@ object TrainedState {
     * generation carryover and the stale-trash recovery below. */
   private def carryOver(fs: org.apache.hadoop.fs.FileSystem,
                         fromDelta: String, toDelta: String,
-                        gens: Seq[Long], locks: Seq[Long]): Unit =
-    if (gens.nonEmpty || locks.nonEmpty) {
+                        gens: Seq[Long], locks: Seq[Long],
+                        floors: Seq[Long] = Seq.empty): Unit =
+    if (gens.nonEmpty || locks.nonEmpty || floors.nonEmpty) {
       val lockDir = new org.apache.hadoop.fs.Path(s"$toDelta/$DeltaLockDir")
       fs.mkdirs(lockDir)
+      // floor markers ride over too (monotone lower bound — a lower
+      // carried floor beside a higher live one is harmless, the claim
+      // takes the max); a lost floor is the post-swap-crash hazard
+      floors.foreach { n =>
+        val dst = new org.apache.hadoop.fs.Path(lockDir, s"floor-$n")
+        if (!fs.exists(dst))
+          require(fs.rename(new org.apache.hadoop.fs.Path(
+              s"$fromDelta/$DeltaLockDir/floor-$n"), dst),
+            s"compact: could not carry floor marker floor-$n from " +
+              s"$fromDelta into $toDelta — parked tree left intact")
+      }
       // a FAILED rename must abort LOUDLY before any caller reaches
       // its trash delete: silently leaving a generation behind would
       // turn the delete into permanent data loss — the exact hazard
@@ -1024,9 +1246,11 @@ object TrainedState {
       val staleDelta = s"${trash.toString}/$DeltaDir"
       val liveGens = genDirNumbers(fs, deltaPath).toSet
       val liveLocks = lockNumbers(fs, deltaPath).toSet
+      val liveFloors = floorNumbers(fs, deltaPath).toSet
       carryOver(fs, staleDelta, deltaPath,
         genDirNumbers(fs, staleDelta).filterNot(liveGens),
-        lockNumbers(fs, staleDelta).filterNot(liveLocks))
+        lockNumbers(fs, staleDelta).filterNot(liveLocks),
+        floorNumbers(fs, staleDelta).filterNot(liveFloors))
     }
     fs.delete(trash, true)
     // snapshot the generations this compaction can have folded in:
@@ -1038,6 +1262,24 @@ object TrainedState {
     require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
       s"compact: rewrite at $tmp did not commit (_SUCCESS missing) — " +
         s"original index at $path is untouched")
+    // PRE-SEED the claim floor inside the tmp tree BEFORE the swap: the
+    // highest number this compaction folds (or any writer has claimed,
+    // or a prior floor recorded) becomes a `floor-F` marker in the NEW
+    // tree's lock dir. So even a crash after the swap but before the
+    // late-generation carryover leaves a live tree whose next claim
+    // starts above every folded/claimed number — generation numbering
+    // never restarts, and the stranded-trash recovery's re-carried
+    // stale gens (with their old, lower `_seq`) can never outrank a
+    // post-crash acknowledged append under newest-wins reconcile.
+    val floorF = (gens0.toSeq ++ lockNumbers(fs, deltaPath) ++
+      floorNumbers(fs, deltaPath)).foldLeft(0L)(math.max)
+    if (floorF > 0L) {
+      val tmpLockDir = new org.apache.hadoop.fs.Path(
+        s"${tmp.toString}/$DeltaDir/$DeltaLockDir")
+      fs.mkdirs(tmpLockDir)
+      fs.createNewFile(
+        new org.apache.hadoop.fs.Path(tmpLockDir, s"floor-$floorF"))
+    }
     require(fs.rename(live, trash),
       s"compact: could not park $path at $trash — original untouched")
     require(fs.rename(tmp, live),
@@ -1096,9 +1338,16 @@ object TrainedState {
     * the rewrite lands at a sibling temp path and swaps in only after
     * its commit marker verifies, so no failure mode loses both the
     * base and the deltas ([[compactSwap]]'s contract). */
-  def compactHnswIndex(spark: SparkSession, path: String): Unit =
+  def compactHnswIndex(spark: SparkSession, path: String,
+                       targetRowsPerFile: Long =
+                         DefaultTargetRowsPerFile): Unit = {
+    // data-sized rewrite — the compactGraphIndex density contract,
+    // applied across layers (layer 0 holds ~all rows, so its share of
+    // the range partitions scales the same way)
+    val files = filesForRows(approxRows(spark, path), targetRowsPerFile)
     compactSwap(spark, path, loadHnswIndex(spark, path),
-      (df, p) => saveHnswIndex(df, p))
+      (df, p) => saveHnswIndex(df, p, numFiles = files))
+  }
 
   val pqCodesSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
@@ -1147,9 +1396,14 @@ object TrainedState {
 
   /** Fold accumulated [[appendPqCodesDelta]] generations back into the
     * base — crash-safe ([[compactSwap]]'s contract). */
-  def compactPqCodes(spark: SparkSession, path: String): Unit =
+  def compactPqCodes(spark: SparkSession, path: String,
+                     targetRowsPerFile: Long =
+                       DefaultTargetRowsPerFile): Unit = {
+    // data-sized rewrite — the compactGraphIndex density contract
+    val files = filesForRows(approxRows(spark, path), targetRowsPerFile)
     compactSwap(spark, path, loadPqCodes(spark, path),
-      (df, p) => savePqCodes(df, p))
+      (df, p) => savePqCodes(df, p, numFiles = files))
+  }
 
   val rotationSchema: StructType = StructType(Seq(
     StructField("row_idx", IntegerType, nullable = false),

@@ -42,6 +42,54 @@ object StreamingAnn {
       .start()
   }
 
+  /** Free a SUPERSEDED localCheckpoint's storage blocks NOW instead of
+    * waiting for the ContextCleaner: a per-trigger loop that re-
+    * checkpoints accumulated state would otherwise hold up to 2× that
+    * state in executor storage between GC cycles (old checkpoints are
+    * only collected once the JVM notices the dropped reference). ONLY
+    * for plans the loop provably no longer needs — a freed
+    * localCheckpoint cannot be recomputed (lineage is truncated by
+    * design), so anything handed to a caller-owned sink must never
+    * pass through here. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
+  /** Bounded MEMBERSHIP probe of a persisted vec_id-sorted artifact —
+    * the fold-in loops' redelivery check against the corpus-vectors
+    * artifact: a normal micro-batch's ids collect (they are already
+    * driver-bounded by the batch contract) and push down as an `isin`
+    * filter, which the range-partitioned + sorted layout answers by
+    * row-group pruning — bytes read scale with the BATCH's id spread,
+    * never the corpus. A jumbo batch (past the localization cap) falls
+    * back to one broadcast left-semi scan. Returns up to `limit`
+    * matching ids. */
+  private def redeliveredIds(corpusArt: DataFrame, batch: DataFrame,
+                             batchN: Long, limit: Int): Seq[Long] = {
+    import org.apache.spark.sql.functions.broadcast
+    if (batchN <= (1L << 12)) {
+      val ids = batch.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toIndexedSeq
+      if (ids.isEmpty) Seq.empty
+      else corpusArt.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id")).limit(limit).collect()
+        .map(_.getLong(0)).toSeq
+    } else
+      corpusArt.join(broadcast(batch.select(col("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .select(col("vec_id")).limit(limit).collect()
+        .map(_.getLong(0)).toSeq
+  }
+
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+                         p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   /** Serve `k` approximate neighbors per streamed query vector.
     *
     * @param queries streaming DataFrame with (`vec_id` LONG,
@@ -320,11 +368,19 @@ object StreamingAnn {
         val baseCorpus = corpus.join(
           broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
           "left_anti").localCheckpoint(true)
+        val prevCorpus = corpus
         edges = graft.similarity.GraphAnn.insertBySearch(
           baseEdges, baseCorpus, batch, entryId, beam, hops, degree)
           .localCheckpoint(true)
         corpus = baseCorpus.unionByName(batch).localCheckpoint(true)
         sink(edges, batchId)
+        // free SUPERSEDED state eagerly (the new edges/corpus
+        // checkpoints are self-contained): without this a long-running
+        // loop holds ~2× the accumulated corpus in executor storage
+        // until the ContextCleaner notices. Old EDGE snapshots are
+        // never freed here — the sink contract hands them out.
+        Seq(prevCorpus, batch, redelivered, baseEdges, baseCorpus)
+          .foreach(freeCheckpoint)
       }
   }
 
@@ -354,14 +410,27 @@ object StreamingAnn {
     *      exceeds the threshold and converges to the batch-sequential
     *      [[graft.similarity.GraphAnn.insertBySearch]] edge state).
     *
-    * Unlike [[buildGraph]] the evolving edge state is DURABLE across
-    * restarts by construction (it IS the artifact); the in-memory
-    * corpus side remains caller-seeded per run. REDELIVERY of an
-    * already-indexed id fails loudly: replacement needs a row DELETION
-    * the newest-wins delta model cannot express (a forget is a
-    * compact-time rewrite, not a delta) — use [[buildGraph]] for
-    * in-memory replacement semantics, or an offline
+    * Unlike [[buildGraph]] the ENTIRE evolving state is DURABLE across
+    * restarts by construction: the edges ARE the artifact at
+    * `indexPath`, and the corpus vectors ARE a sibling artifact
+    * ([[graft.similarity.TrainedState.saveVectors]] layout) at
+    * `vectorsPath` (default `indexPath + ".vectors"`). A non-empty
+    * `seedCorpus` (RE)INITIALIZES the vectors artifact — the fresh-run
+    * semantics, paired with the caller seeding the edge artifact; an
+    * EMPTY `seedCorpus` RESUMES from the existing artifact (the
+    * restart path — no reseed, no corpus-sized work). Per trigger the
+    * corpus work is O(batch): the batch's vectors APPEND as a delta
+    * generation, the walk's scoring reads the artifact lazily (the
+    * per-hop candidate `isin` prunes it at row-group granularity), and
+    * the redelivery check is a bounded id-membership probe — nothing
+    * re-materializes the accumulated corpus, at any corpus size.
+    * REDELIVERY of an already-indexed id fails loudly: replacement
+    * needs a row DELETION the newest-wins delta model cannot express
+    * (a forget is a compact-time rewrite, not a delta) — use
+    * [[buildGraph]] for in-memory replacement semantics, or an offline
     * [[graft.similarity.GraphAnn.graphForgetRepaired]] + compact.
+    * Both artifacts compact by the SAME generation policy
+    * (`maxGenerations`), each with a data-sized rewrite.
     *
     * @param sink optional audit tap: receives (changed slice, batchId)
     *             per trigger — the delta that was just persisted. The
@@ -374,13 +443,19 @@ object StreamingAnn {
                           hops: Int, degree: Int,
                           maxGenerations: Long = graft.similarity
                             .TrainedState.DefaultMaxGenerations,
-                          availableNow: Boolean = false)
+                          availableNow: Boolean = false,
+                          vectorsPath: String = "")
                          (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : StreamingQuery = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val TS = graft.similarity.TrainedState
-    var corpus = seedCorpus.select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+    val vecPath =
+      if (vectorsPath.nonEmpty) vectorsPath else s"$indexPath.vectors"
+    val seed = seedCorpus.select(col("vec_id"), col("embedding"))
+    if (!seed.isEmpty) TS.saveVectors(seed, vecPath)
+    else require(pathExists(seedCorpus.sparkSession, vecPath),
+      s"buildGraphPersisted: empty seedCorpus and no corpus artifact " +
+        s"at $vecPath — seed the first run; resume with an empty seed")
     run(newVectors, availableNow) { (rawBatch, batchId) =>
         val spark = rawBatch.sparkSession
         val batch = rawBatch.select(col("vec_id"), col("embedding"))
@@ -388,35 +463,41 @@ object StreamingAnn {
         // cached blocks — one cheap job; its value bounds the insert
         // walk's seed so the walk pays no guard count
         val batchN = batch.count()
-        // the buildGraph intra-batch contract, verbatim
-        val dup = batch.groupBy(col("vec_id"))
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-          .limit(5).collect()
-        require(dup.isEmpty,
-          "buildGraphPersisted: duplicate vec_id(s) within one " +
-            "micro-batch: " + dup.map(_.getLong(0)).mkString(", "))
-        val redelivered = corpus.join(
-          broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
-          "left_semi").limit(5).collect()
-        require(redelivered.isEmpty,
-          "buildGraphPersisted: redelivered vec_id(s) " +
-            redelivered.map(_.getLong(0)).mkString(", ") +
-            " — the newest-wins delta model cannot delete rows; use " +
-            "buildGraph (in-memory replacement) or an offline " +
-            "graphForgetRepaired + compact")
-        val edges = TS.loadGraphIndexCached(spark, indexPath)
-        val (_, changed) = graft.similarity.GraphAnn.insertBySearchParts(
-          edges, corpus, batch, entryId, beam, hops, degree,
-          batchBound = batchN)
-        TS.appendGraphDelta(changed, indexPath)
-        // sink BEFORE the compaction: `changed` is a lazy plan over
-        // the pre-compaction base files — a compaction that fires
-        // below replaces them, and a late-consuming sink would read
-        // deleted paths
-        sink(changed, batchId)
-        TS.compactIfNeeded(spark, indexPath, maxGenerations)(
-          TS.compactGraphIndex)
-        corpus = corpus.unionByName(batch).localCheckpoint(true)
+        if (batchN > 0L) {
+          // the buildGraph intra-batch contract, verbatim
+          val dup = batch.groupBy(col("vec_id"))
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+            .limit(5).collect()
+          require(dup.isEmpty,
+            "buildGraphPersisted: duplicate vec_id(s) within one " +
+              "micro-batch: " + dup.map(_.getLong(0)).mkString(", "))
+          val corpus = TS.loadVectorsCached(spark, vecPath)
+          val redelivered = redeliveredIds(corpus, batch, batchN, 5)
+          require(redelivered.isEmpty,
+            "buildGraphPersisted: redelivered vec_id(s) " +
+              redelivered.mkString(", ") +
+              " — the newest-wins delta model cannot delete rows; use " +
+              "buildGraph (in-memory replacement) or an offline " +
+              "graphForgetRepaired + compact")
+          val edges = TS.loadGraphIndexCached(spark, indexPath)
+          val (_, changed) = graft.similarity.GraphAnn.insertBySearchParts(
+            edges, corpus, batch, entryId, beam, hops, degree,
+            batchBound = batchN)
+          TS.appendGraphDelta(changed, indexPath)
+          // the batch's vectors append AFTER the edge slice
+          // materialized (the insert search read the pre-batch corpus
+          // listing) and are O(batch) — the corpus never rewrites
+          TS.appendVectorsDelta(batch, vecPath)
+          // sink BEFORE the compactions: `changed` is a lazy plan over
+          // the pre-compaction base files — a compaction that fires
+          // below replaces them, and a late-consuming sink would read
+          // deleted paths
+          sink(changed, batchId)
+          TS.compactIfNeeded(spark, indexPath, maxGenerations)(
+            TS.compactGraphIndex(_, _))
+          TS.compactIfNeeded(spark, vecPath, maxGenerations)(
+            TS.compactVectors(_, _))
+        }
       }
   }
 
@@ -429,50 +510,63 @@ object StreamingAnn {
     * `indexPath`, the artifact compacts by policy
     * ([[graft.similarity.TrainedState.compactIfNeeded]] at
     * `maxGenerations`), and each trigger loads through the
-    * fingerprint-cached reconcile. Same durability and redelivery
-    * contract as [[buildGraphPersisted]] (redelivery rejects loudly —
-    * replacement is a compact-time rewrite, not a delta). */
+    * fingerprint-cached reconcile. Same durability, corpus-artifact
+    * (seed = initialize, empty seed = resume from `vectorsPath`,
+    * default `indexPath + ".vectors"`; per-trigger corpus work is
+    * O(batch)) and redelivery contract as [[buildGraphPersisted]]
+    * (redelivery rejects loudly — replacement is a compact-time
+    * rewrite, not a delta). */
   def buildHnswPersisted(newVectors: DataFrame, seedCorpus: DataFrame,
                          indexPath: String, m: Int, maxLevel: Int,
                          beam: Int, hops: Int, degree: Int,
                          maxGenerations: Long = graft.similarity
                            .TrainedState.DefaultMaxGenerations,
-                         availableNow: Boolean = false)
+                         availableNow: Boolean = false,
+                         vectorsPath: String = "")
                         (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : StreamingQuery = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val TS = graft.similarity.TrainedState
-    var corpus = seedCorpus.select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+    val vecPath =
+      if (vectorsPath.nonEmpty) vectorsPath else s"$indexPath.vectors"
+    val seed = seedCorpus.select(col("vec_id"), col("embedding"))
+    if (!seed.isEmpty) TS.saveVectors(seed, vecPath)
+    else require(pathExists(seedCorpus.sparkSession, vecPath),
+      s"buildHnswPersisted: empty seedCorpus and no corpus artifact " +
+        s"at $vecPath — seed the first run; resume with an empty seed")
     run(newVectors, availableNow) { (rawBatch, batchId) =>
         val spark = rawBatch.sparkSession
         val batch = rawBatch.select(col("vec_id"), col("embedding"))
           .localCheckpoint(true)
-        val dup = batch.groupBy(col("vec_id"))
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-          .limit(5).collect()
-        require(dup.isEmpty,
-          "buildHnswPersisted: duplicate vec_id(s) within one " +
-            "micro-batch: " + dup.map(_.getLong(0)).mkString(", "))
-        val redelivered = corpus.join(
-          broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
-          "left_semi").limit(5).collect()
-        require(redelivered.isEmpty,
-          "buildHnswPersisted: redelivered vec_id(s) " +
-            redelivered.map(_.getLong(0)).mkString(", ") +
-            " — the newest-wins delta model cannot delete rows; use " +
-            "buildHnsw (in-memory replacement) or an offline " +
-            "Hnsw.forgetRepaired + compact")
-        val layered = TS.loadHnswIndexCached(spark, indexPath)
-        val (_, changed) = graft.similarity.Hnsw.insertWithDelta(
-          layered, batch, corpus, m, maxLevel, beam, hops, degree)
-        TS.appendHnswDelta(changed, indexPath)
-        // sink before the compaction — the buildGraphPersisted
-        // stale-plan rationale
-        sink(changed, batchId)
-        TS.compactIfNeeded(spark, indexPath, maxGenerations)(
-          TS.compactHnswIndex)
-        corpus = corpus.unionByName(batch).localCheckpoint(true)
+        val batchN = batch.count()
+        if (batchN > 0L) {
+          val dup = batch.groupBy(col("vec_id"))
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+            .limit(5).collect()
+          require(dup.isEmpty,
+            "buildHnswPersisted: duplicate vec_id(s) within one " +
+              "micro-batch: " + dup.map(_.getLong(0)).mkString(", "))
+          val corpus = TS.loadVectorsCached(spark, vecPath)
+          val redelivered = redeliveredIds(corpus, batch, batchN, 5)
+          require(redelivered.isEmpty,
+            "buildHnswPersisted: redelivered vec_id(s) " +
+              redelivered.mkString(", ") +
+              " — the newest-wins delta model cannot delete rows; use " +
+              "buildHnsw (in-memory replacement) or an offline " +
+              "Hnsw.forgetRepaired + compact")
+          val layered = TS.loadHnswIndexCached(spark, indexPath)
+          val (_, changed) = graft.similarity.Hnsw.insertWithDelta(
+            layered, batch, corpus, m, maxLevel, beam, hops, degree)
+          TS.appendHnswDelta(changed, indexPath)
+          TS.appendVectorsDelta(batch, vecPath)
+          // sink before the compactions — the buildGraphPersisted
+          // stale-plan rationale
+          sink(changed, batchId)
+          TS.compactIfNeeded(spark, indexPath, maxGenerations)(
+            TS.compactHnswIndex(_, _))
+          TS.compactIfNeeded(spark, vecPath, maxGenerations)(
+            TS.compactVectors(_, _))
+        }
       }
   }
 
@@ -524,11 +618,16 @@ object StreamingAnn {
         val baseCorpus = corpus.join(
           broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
           "left_anti").localCheckpoint(true)
+        val prevCorpus = corpus
         layered = graft.similarity.Hnsw.insert(baseLayered, batch,
           baseCorpus, m, maxLevel, beam, hops, degree)
           .localCheckpoint(true)
         corpus = baseCorpus.unionByName(batch).localCheckpoint(true)
         sink(layered, batchId)
+        // free superseded state eagerly — the buildGraph rationale;
+        // old LAYERED snapshots stay (sink contract)
+        Seq(prevCorpus, batch, redelivered, baseLayered, baseCorpus)
+          .foreach(freeCheckpoint)
       }
   }
 

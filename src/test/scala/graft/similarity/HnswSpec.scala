@@ -427,8 +427,10 @@ class HnswSpec extends SparkTestBase {
     TrainedState.compactHnswIndex(spark, path)
     assert(normLayered(TrainedState.loadHnswIndex(spark, path)) ==
       normLayered(full2), "compaction changed the served index")
-    assert(!new java.io.File(s"$path/_delta").exists(),
-      "compaction must drop the delta directory")
+    val pendingGens = Option(new java.io.File(s"$path/_delta").list())
+      .map(_.toSeq).getOrElse(Seq.empty).filter(_.startsWith("gen-"))
+    assert(pendingGens.isEmpty,
+      s"compaction must fold every pending generation: $pendingGens")
   }
 
   test("diversifiedEdges (Malkov Alg 4): on a planted clustered " +

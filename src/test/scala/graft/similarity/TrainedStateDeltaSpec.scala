@@ -38,6 +38,16 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       "compaction left its trash tree behind")
   }
 
+  /** Post-compaction pending state: no `gen-N` directory remains. The
+    * `_delta/_locks` tree itself may survive — it carries the claim-
+    * FLOOR marker the compaction pre-seeds so numbering never restarts
+    * (and any unspent in-flight locks). */
+  private def noPendingGens(path: String): Unit = {
+    val gens = Option(new java.io.File(s"$path/_delta").list())
+      .map(_.toSeq).getOrElse(Seq.empty).filter(_.startsWith("gen-"))
+    assert(gens.isEmpty, s"pending generations survived compaction: $gens")
+  }
+
   test("flat graph delta generations: delta-appended load == full " +
       "rewrite across two generations with a re-touched source " +
       "(newest wins), and compaction folds back losslessly with no " +
@@ -79,8 +89,7 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     TrainedState.compactGraphIndex(spark, path)
     assert(normEdges(TrainedState.loadGraphIndex(spark, path)) ==
       normEdges(full2), "compaction changed the served index")
-    assert(!new java.io.File(s"$path/_delta").exists(),
-      "compaction must drop the delta directory")
+    noPendingGens(path)
     assert(TrainedState.deltaGenerations(spark, path) == 0L,
       "compaction must reset the generation count")
     noCompactLeftovers(path)
@@ -115,7 +124,7 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     TrainedState.compactPqCodes(spark, path)
     assert(normCodes(TrainedState.loadPqCodes(spark, path)) == want2,
       "compaction changed the served codes")
-    assert(!new java.io.File(s"$path/_delta").exists())
+    noPendingGens(path)
     noCompactLeftovers(path)
   }
 
@@ -160,7 +169,7 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       .select(col("vec_id"), col("centroid_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == fullRows,
       "compaction changed the served assignment")
-    assert(!new java.io.File(s"$path/_delta").exists())
+    noPendingGens(path)
     noCompactLeftovers(path)
   }
 
@@ -271,12 +280,12 @@ class TrainedStateDeltaSpec extends SparkTestBase {
         "cos_sim"), path)
     val want = normEdges(TrainedState.loadGraphIndex(spark, path))
     assert(!TrainedState.compactIfNeeded(spark, path, maxGenerations = 2)(
-      TrainedState.compactGraphIndex))
+      TrainedState.compactGraphIndex(_, _)))
     assert(new java.io.File(s"$path/_delta").exists(),
       "below the threshold nothing may move")
     assert(TrainedState.compactIfNeeded(spark, path, maxGenerations = 1)(
-      TrainedState.compactGraphIndex))
-    assert(!new java.io.File(s"$path/_delta").exists())
+      TrainedState.compactGraphIndex(_, _)))
+    noPendingGens(path)
     assert(normEdges(TrainedState.loadGraphIndex(spark, path)) == want)
   }
 
@@ -458,7 +467,7 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       ("codes_idx", Some("pqcodes"), 0L, false),
       ("mystery", None, 0L, false)), s"receipts: $receipts")
     // the graph compacted losslessly; the hnsw generation still lives
-    assert(!new java.io.File(s"$gpath/_delta").exists())
+    noPendingGens(gpath)
     assert(normEdges(TrainedState.loadGraphIndex(spark, gpath)) ==
       wantGraph)
     assert(TrainedState.deltaGenerations(spark, hpath) == 1L)
@@ -551,8 +560,10 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     TrainedState.appendGraphDelta(
       Seq((1L, 1, 3L, 0.8)).toDF("query_id", "rank", "neighbor_id",
         "cos_sim"), path)
+    // the floor (pre-seeded at 2 = the folded max) pushes the claim to
+    // 3 — above BOTH the in-flight number 1 and the folded number 2
     assert(!new java.io.File(s"$path/_delta/gen-1").exists() &&
-      new java.io.File(s"$path/_delta/gen-2").exists(),
+      new java.io.File(s"$path/_delta/gen-3").exists(),
       "the post-compaction claim must not reuse the in-flight number 1")
     // A finally commits: its rows serve for its own keys and lose
     // newest-wins against the later claim for shared keys
@@ -606,10 +617,149 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     // permanently
     TrainedState.compactGraphIndex(spark, path)
     noCompactLeftovers(path)
-    assert(!new java.io.File(s"$path/_delta").exists(),
-      "recovered generations fold into the clean compaction")
+    noPendingGens(path)
     assert(normEdges(TrainedState.loadGraphIndex(spark, path)) ==
       Set((0L, 1, 2L, 0.9), (1L, 1, 3L, 0.8)),
       "the acknowledged append must survive the crash interleaving")
+  }
+
+  test("corpus-vectors artifact: save/load round-trip, delta " +
+      "generations reconcile newest-wins per vec_id, compaction folds " +
+      "losslessly, and the artifact kind is detected for maintenance") {
+    import spark.implicits._
+    def normVecs(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    val base = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val path = tmp("vectors_art")
+    TrainedState.saveVectors(base, path)
+    assert(normVecs(TrainedState.loadVectors(spark, path)) == normVecs(base))
+    assert(TrainedState.detectArtifactKind(spark, path) == Some("vectors"))
+    // gen 1: a fold-in batch (new ids) + a replaced vector (id 3)
+    val b1 = emb.filter(col("vec_id") >= 40 && col("vec_id") < 45)
+      .unionByName(Seq((3L, Seq(9f, 9f, 9f, 9f)))
+        .toDF("vec_id", "embedding"))
+      .localCheckpoint(true)
+    TrainedState.appendVectorsDelta(b1, path)
+    val want1 = normVecs(base.filter(col("vec_id") =!= 3L))
+      .union(normVecs(b1))
+    assert(normVecs(TrainedState.loadVectors(spark, path)) == want1,
+      "vectors reconcile: base minus replaced id, plus the delta")
+    // gen 2 re-touches id 3 — newest wins over gen 1
+    val b2 = Seq((3L, Seq(7f, 7f, 7f, 7f))).toDF("vec_id", "embedding")
+    TrainedState.appendVectorsDelta(b2, path)
+    val want2 = want1.filterNot(_._1 == 3L).union(normVecs(b2))
+    assert(normVecs(TrainedState.loadVectors(spark, path)) == want2)
+    assert(TrainedState.deltaGenerations(spark, path) == 2L)
+    TrainedState.compactVectors(spark, path)
+    assert(normVecs(TrainedState.loadVectors(spark, path)) == want2,
+      "compaction changed the served vectors")
+    noPendingGens(path)
+    noCompactLeftovers(path)
+    assert(TrainedState.detectArtifactKind(spark, path) == Some("vectors"))
+  }
+
+  test("compaction rewrites are DATA-SIZED: files scale with rows at " +
+      "the target density across append->compact cycles (the measured " +
+      "100x file-density term cannot re-enter via compaction)") {
+    import spark.implicits._
+    def dataFiles(path: String): Int =
+      new java.io.File(path).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val path = tmp("sized_compact")
+    // 120 edge rows at target 40 rows/file → 3 files after compaction
+    val edges = (0L until 120L).map(i => (i, 1, (i + 1) % 120L, 0.5))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveGraphIndex(edges, path)
+    TrainedState.appendGraphDelta(
+      Seq((0L, 2, 7L, 0.4)).toDF("query_id", "rank", "neighbor_id",
+        "cos_sim"), path)
+    TrainedState.compactGraphIndex(spark, path, targetRowsPerFile = 40L)
+    assert(dataFiles(path) == 4,
+      s"121 rows at target 40 must land in 4 files, got ${dataFiles(path)}")
+    // grow the artifact ~2x through a delta, compact again at the same
+    // target: the file count must grow with the rows — density stays
+    // ~constant, the 100x term's control
+    val growth = (1000L until 1140L).map(i => (i, 1, i - 1, 0.3))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.appendGraphDelta(growth, path)
+    TrainedState.compactGraphIndex(spark, path, targetRowsPerFile = 40L)
+    assert(dataFiles(path) == 7,
+      s"261 rows at target 40 must land in 7 files, got ${dataFiles(path)}")
+    // content survived both sized rewrites (the first delta's
+    // query_id-0 row SUPERSEDED the base's — newest-wins per source)
+    assert(TrainedState.loadGraphIndex(spark, path).count() == 260L)
+    // the sizing helper's contract
+    assert(TrainedState.filesForRows(0L, 100L) == 1)
+    assert(TrainedState.filesForRows(100L, 100L) == 1)
+    assert(TrainedState.filesForRows(101L, 100L) == 2)
+  }
+
+  test("compaction pre-seeds a claim FLOOR in the rewritten tree: " +
+      "numbering is monotone across compactions and the floor never " +
+      "counts as a pending generation") {
+    import spark.implicits._
+    val path = tmp("floor_marker")
+    TrainedState.savePqCodes(
+      Seq((0L, 0, 1), (1L, 0, 2)).toDF("vec_id", "sub", "code"), path)
+    TrainedState.appendPqCodesDelta(
+      Seq((0L, 0, 5)).toDF("vec_id", "sub", "code"), path) // gen-1
+    TrainedState.compactPqCodes(spark, path)
+    assert(new java.io.File(s"$path/_delta/_locks/floor-1").exists(),
+      "the compacted tree must record the folded-generation floor")
+    assert(TrainedState.deltaGenerations(spark, path) == 0L,
+      "a floor marker is a numbering lower bound, not pending work")
+    // the next append must claim ABOVE the floor, not restart at gen-1
+    TrainedState.appendPqCodesDelta(
+      Seq((1L, 0, 9)).toDF("vec_id", "sub", "code"), path)
+    assert(new java.io.File(s"$path/_delta/gen-2").exists(),
+      "post-compaction numbering must resume above the floor")
+    assert(TrainedState.deltaGenerations(spark, path) == 1L)
+    assert(normCodes(TrainedState.loadPqCodes(spark, path)) ==
+      Set((0L, 0, 5), (1L, 0, 9)))
+  }
+
+  test("post-swap crash, then a NEW acknowledged append, then the " +
+      "recovery compaction: the stale folded generations carried out " +
+      "of the trash can never outrank the newer append (the claim " +
+      "floor survives the crash because it rides the swap itself)") {
+    import spark.implicits._
+    val path = tmp("floor_crash")
+    val base = Seq((0L, 0, 1), (3L, 0, 10), (3L, 1, 11))
+      .toDF("vec_id", "sub", "code")
+    TrainedState.savePqCodes(base, path)
+    // two folded generations re-touching vec 3 — the stale versions
+    TrainedState.appendPqCodesDelta(
+      Seq((3L, 0, 100), (3L, 1, 101)).toDF("vec_id", "sub", "code"), path)
+    TrainedState.appendPqCodesDelta(
+      Seq((3L, 0, 200), (3L, 1, 201)).toDF("vec_id", "sub", "code"), path)
+    // compactor dies after the swap, before carryover + trash delete:
+    // live tree has an empty _delta (bar the floor marker), trash still
+    // holds the folded gen-1/gen-2 directories
+    TrainedState.compactPostSwapHook = Some(() =>
+      throw new RuntimeException("simulated post-swap crash"))
+    val ex = intercept[RuntimeException] {
+      try TrainedState.compactPqCodes(spark, path)
+      finally TrainedState.compactPostSwapHook = None
+    }
+    assert(ex.getMessage.contains("simulated post-swap crash"))
+    assert(new java.io.File(s"$path.compact-trash/_delta/gen-2").exists(),
+      "the folded generations must sit stranded in the trash")
+    // a post-crash append — ACKNOWLEDGED once this returns. Without the
+    // pre-seeded floor it would claim gen-1 (_seq below the stranded
+    // gen-2), and the recovery's carried stale rows would permanently
+    // outrank it for vec 3.
+    TrainedState.appendPqCodesDelta(
+      Seq((3L, 0, 999), (3L, 1, 998)).toDF("vec_id", "sub", "code"), path)
+    assert(new java.io.File(s"$path/_delta/gen-3").exists(),
+      "the post-crash claim must start above every folded number")
+    // recovery compaction: carries the stale gens out of the trash
+    // FIRST (no data loss), then folds — newest-wins must pick the
+    // acknowledged post-crash rows
+    TrainedState.compactPqCodes(spark, path)
+    noCompactLeftovers(path)
+    assert(normCodes(TrainedState.loadPqCodes(spark, path)) ==
+      Set((0L, 0, 1), (3L, 0, 999), (3L, 1, 998)),
+      "the acknowledged post-crash append must win over the recovered " +
+        "stale generations")
   }
 }

@@ -372,6 +372,96 @@ class StreamingAnnSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("buildGraphPersisted: the corpus side is a PERSISTED artifact — " +
+      "a restart with an EMPTY seed resumes from it (no reseed, " +
+      "redelivery memory intact across the restart), the artifact " +
+      "accumulates exactly seed+batches, and its generations stay " +
+      "bounded by the same policy") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val seed = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val n = seed.count().toInt
+    val seedEdges = graft.similarity.Similarity.bruteTopK(seed, seed, 4)
+      .localCheckpoint(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bgp_restart").toString
+    val idxPath = s"$root/idx"
+    val vecPath = s"$root/idx.vectors" // the default derived path
+    TS.saveGraphIndex(seedEdges, idxPath)
+    val arrivals = emb.filter(col("vec_id") >= 30 && col("vec_id") < 36)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+
+    // run 1: seeded — folds two batches
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.buildGraphPersisted(
+      mem.toDF().toDF("vec_id", "embedding"), seed, idxPath,
+      entryId = 0L, beam = n + 10, hops = n, degree = 4,
+      maxGenerations = 2L)()
+    try {
+      Seq(Seq(30L, 31L), Seq(32L)).foreach { b =>
+        mem.addData(b.map(id => id -> arrivals(id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(new java.io.File(vecPath).exists(),
+      "the corpus artifact must exist beside the index")
+
+    // run 2: RESTART with an empty seed — resumes from the artifact
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.buildGraphPersisted(
+      mem2.toDF().toDF("vec_id", "embedding"), seed.limit(0), idxPath,
+      entryId = 0L, beam = n + 10, hops = n, degree = 4,
+      maxGenerations = 2L)()
+    try {
+      Seq(Seq(33L, 34L), Seq(35L)).foreach { b =>
+        mem2.addData(b.map(id => id -> arrivals(id)): _*)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+
+    // parity across the restart: artifact == batch-sequential insertion
+    // over ALL batches at the same boundaries
+    var corpus = seed
+    var edges = seedEdges
+    Seq(Seq(30L, 31L), Seq(32L), Seq(33L, 34L), Seq(35L)).foreach { b =>
+      val batch = spark.createDataset(b.map(id => id -> arrivals(id)))
+        .toDF("vec_id", "embedding").localCheckpoint(true)
+      edges = graft.similarity.GraphAnn.insertBySearch(edges, corpus,
+        batch, entryId = 0L, beam = n + 10, hops = n, degree = 4)
+        .localCheckpoint(true)
+      corpus = corpus.unionByName(batch).localCheckpoint(true)
+    }
+    assert(rows(TS.loadGraphIndex(spark, idxPath)) === rows(edges),
+      "restarted fold-in diverged from batch-sequential insertion")
+    // the corpus artifact accumulated exactly seed + every batch
+    assert(TS.loadVectors(spark, vecPath).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet ===
+      ((0L until 30L) ++ (30L to 35L)).toSet)
+    // its generation count obeys the same policy
+    assert(TS.deltaGenerations(spark, vecPath) <= 2L)
+
+    // redelivery memory survives the restart: an id folded BEFORE the
+    // restart rejects in a fresh empty-seeded run — the artifact, not
+    // the in-memory union, is the memory
+    val mem3 = MemoryStream[(Long, Seq[Float])]
+    val q3 = StreamingAnn.buildGraphPersisted(
+      mem3.toDF().toDF("vec_id", "embedding"), seed.limit(0), idxPath,
+      entryId = 0L, beam = n + 10, hops = n, degree = 4)()
+    try {
+      mem3.addData(30L -> arrivals(30L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("redelivered") ||
+        Option(ex.getCause).exists(_.getMessage.contains("redelivered")))
+    } finally q3.stop()
+  }
+
   test("buildHnswPersisted: the layered fold-in loop keeps generations " +
       "bounded by policy and the artifact converges to the " +
       "batch-sequential Hnsw.insert state") {
