@@ -97,20 +97,75 @@ object TrainedState {
     * partition-pruned read of exactly those cells' files. Fold-in batches
     * append new files into the touched cells only. */
   def saveIvfIndex(index: DataFrame, path: String,
-                   append: Boolean = false): Unit = {
-    val cols = ivfIndexSchema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
-    // co-locate each cell in one task before the partitioned write:
-    // without it every one of the P writer tasks opens a file in every
-    // cell directory (P × cells tiny files — measured most of the
-    // lifecycle queries' save+reload cost); with it a cell is exactly
-    // one file per save. At petabyte cell sizes raise
-    // spark.sql.shuffle.partitions so hot cells split across tasks —
-    // the knob, not the layout, changes.
-    index.select(cols.toIndexedSeq: _*)
-      .repartition(org.apache.spark.sql.functions.col("centroid_id"))
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("centroid_id").parquet(path)
+                   append: Boolean = false,
+                   targetRowsPerFile: Long = DefaultTargetRowsPerFile)
+      : Unit =
+    saveCellPartitioned(index, ivfIndexSchema, path, append,
+      targetRowsPerFile)
+
+  /** The shared cell-partitioned writer (IVF / IVF-PQ): co-locate each
+    * cell before the `partitionBy(centroid_id)` write — without the
+    * repartition every one of the P writer tasks opens a file in every
+    * cell directory (P × cells tiny files — measured most of the
+    * lifecycle queries' save+reload cost). The repartition key is
+    * SALTED by a rows-derived sub-key so a cell bigger than
+    * `targetRowsPerFile` splits into ⌈cellRows/target⌉ files instead
+    * of landing as ONE unsplittable giant: a probe's task planning and
+    * the 100× file-density term both depend on per-file row counts, so
+    * files must scale with CELL size (the skewed-cell completion of
+    * the [[saveGraphIndex]] `numFiles` story — directory partitioning
+    * prunes cells; the salt keeps what's INSIDE a hot cell readable in
+    * parallel at sf0.1 density). Cell row counts come from one
+    * metadata-cheap aggregate over the input, broadcast back (C-sized). */
+  private def saveCellPartitioned(index: DataFrame, schema: StructType,
+                                  path: String, append: Boolean,
+                                  targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile >= 1,
+      s"saveCellPartitioned: targetRowsPerFile=$targetRowsPerFile must " +
+        "be >= 1")
+    val f = org.apache.spark.sql.functions
+    val cols = schema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name))
+    val projected = index.select(cols.toIndexedSeq: _*)
+    val buckets = f.greatest(f.lit(1L),
+      f.ceil(f.col("_cell_rows").cast("double") /
+        f.lit(targetRowsPerFile.toDouble)).cast("long"))
+    val cellCounts = projected.groupBy(f.col("centroid_id"))
+      .agg(f.count(f.lit(1)).as("_cell_rows"))
+      .withColumn("_buckets", buckets)
+      .localCheckpoint(true) // C-sized; read twice below (group count
+                             // + broadcast join) — one execution
+    val needsSplit = !cellCounts.filter(f.col("_buckets") > 1L).isEmpty
+    if (!needsSplit)
+      // FAST PATH (no cell above target — the common case): the
+      // original one-pass hash co-location, exactly one file per cell
+      projected
+        .repartition(f.col("centroid_id"))
+        .write.mode(if (append) "append" else "overwrite")
+        .partitionBy("centroid_id").parquet(path)
+    else {
+      // one shuffle partition per (cell, salt) group: a plain
+      // repartition(cols) hashes groups into the session default, where
+      // two groups colliding into one task silently merge back into one
+      // file — range partitioning sized to the group count keeps every
+      // group its own task (equal keys never split across partitions;
+      // the range sampler's extra input pass is the price of the skew
+      // split, paid only when a cell actually exceeds the target)
+      val sumRow = cellCounts.agg(f.sum(f.col("_buckets"))).head()
+      val groups = (if (sumRow.isNullAt(0)) 1L else sumRow.getLong(0))
+        .max(1L).min(Int.MaxValue.toLong).toInt
+      projected
+        .join(f.broadcast(cellCounts), Seq("centroid_id"))
+        .withColumn("_salt", f.pmod(f.xxhash64(f.col("vec_id")),
+          f.col("_buckets")))
+        .repartitionByRange(groups, f.col("centroid_id"), f.col("_salt"))
+        // drop the helper columns AFTER the shuffle — a projection keeps
+        // the partitioning, so each task still holds one (cell, salt)
+        // group and writes exactly one file into its cell directory
+        .select(schema.fields.map(x => f.col(x.name)).toIndexedSeq: _*)
+        .write.mode(if (append) "append" else "overwrite")
+        .partitionBy("centroid_id").parquet(path)
+    }
   }
 
   /** Load a codes index for [[Similarity.ivfTopKFromIndex]].
@@ -168,15 +223,12 @@ object TrainedState {
     * point of PQ: the float corpus stays wherever it lives and only the
     * re-rank join reads it). */
   def saveIvfPqIndex(index: DataFrame, path: String,
-                     append: Boolean = false): Unit = {
-    val cols = ivfPqIndexSchema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
-    // one file per cell — the saveIvfIndex small-files rationale
-    index.select(cols.toIndexedSeq: _*)
-      .repartition(org.apache.spark.sql.functions.col("centroid_id"))
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("centroid_id").parquet(path)
-  }
+                     append: Boolean = false,
+                     targetRowsPerFile: Long = DefaultTargetRowsPerFile)
+      : Unit =
+    // salted cell-partitioned layout — the saveIvfIndex rationale
+    saveCellPartitioned(index, ivfPqIndexSchema, path, append,
+      targetRowsPerFile)
 
   /** Load an IVF-PQ codes index for [[IvfPq.topKFromIndex]].
     * Delta-aware: [[appendIvfPqDelta]] generations (re-encoded or

@@ -694,6 +694,37 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     assert(TrainedState.filesForRows(101L, 100L) == 2)
   }
 
+  test("hot IVF cells SPLIT at the target density: a planted-skew save " +
+      "lands ~ceil(cellRows/target) files in the fat cell, one in the " +
+      "small cell, round-trips content, and probes serve unchanged") {
+    import spark.implicits._
+    val rows = (0L until 150L).map(v => (v, 0L, Seq(1f, 0f))) ++
+      (1000L until 1010L).map(v => (v, 1L, Seq(0f, 1f)))
+    val idx = rows.toDF("vec_id", "centroid_id", "embedding")
+    val path = tmp("ivf_salt")
+    TrainedState.saveIvfIndex(idx, path, targetRowsPerFile = 50L)
+    def cellFiles(c: Long): Int =
+      new java.io.File(s"$path/centroid_id=$c").listFiles()
+        .count(x => x.isFile && x.getName.endsWith(".parquet"))
+    assert(cellFiles(0L) == 3,
+      s"150-row cell at target 50 must split into 3 files, got ${cellFiles(0L)}")
+    assert(cellFiles(1L) == 1,
+      s"10-row cell must stay one file, got ${cellFiles(1L)}")
+    val loaded = TrainedState.loadIvfIndex(spark, path)
+    assert(loaded.select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      rows.map(t => (t._1, t._2)).toSet,
+      "salted layout changed the served assignment")
+    // below the target nothing splits — the fast path's one file per
+    // cell (the small-files contract)
+    val path2 = tmp("ivf_nosalt")
+    TrainedState.saveIvfIndex(idx, path2, targetRowsPerFile = 1000L)
+    def cellFiles2(c: Long): Int =
+      new java.io.File(s"$path2/centroid_id=$c").listFiles()
+        .count(x => x.isFile && x.getName.endsWith(".parquet"))
+    assert(cellFiles2(0L) == 1 && cellFiles2(1L) == 1)
+  }
+
   test("compaction pre-seeds a claim FLOOR in the rewritten tree: " +
       "numbering is monotone across compactions and the floor never " +
       "counts as a pending generation") {
