@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Round21Queries.queries ++
       graft.queries.Round22Queries.queries ++
       graft.queries.Round23Queries.queries ++
-      graft.queries.Round24Queries.queries
+      graft.queries.Round24Queries.queries ++
+      graft.queries.Round25Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -72,5 +73,6 @@ object SparkEntry {
       graft.queries.Round21Queries.oracleSql ++
       graft.queries.Round22Queries.oracleSql ++
       graft.queries.Round23Queries.oracleSql ++
-      graft.queries.Round24Queries.oracleSql
+      graft.queries.Round24Queries.oracleSql ++
+      graft.queries.Round25Queries.oracleSql
 }

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.similarity.{GraphAnn, Similarity, TrainedState}
+
+/** Round-15 additions: the PERSISTED-CORPUS serving path under the
+  * gate — the corpus-vectors artifact
+  * ([[graft.similarity.TrainedState.saveVectors]] /
+  * `appendVectorsDelta` / fingerprint-cached `loadVectorsCached`) that
+  * the production fold-in loops now keep beside the edge index instead
+  * of an in-memory per-trigger union. The planted-twin contract makes
+  * the lifecycle oracle-exact end to end: every original's served
+  * top-1 is its twin at cosine 1, with the corpus read back ENTIRELY
+  * from the artifact (base + live delta generation), never from the
+  * in-memory frames that wrote it.
+  */
+object Round25Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // save base vectors → append the planted twins as a delta
+    // generation → serve a graph search whose SCORING SOURCE is the
+    // reconciled artifact load. Twins only exist in the delta, so a
+    // reconcile that dropped or duplicated generation rows would break
+    // the exact contract; originals only exist in the base, so a load
+    // that re-read base rows through the delta path would too.
+    "e_ann_vectors_persisted" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      val twins = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val vecPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_vecart_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.saveVectors(base, vecPath)
+      TrainedState.appendVectorsDelta(twins, vecPath)
+      val corpus = TrainedState.loadVectorsCached(s, vecPath)
+      // graph over the artifact corpus: edges from the full reconciled
+      // set, then a saturating walk — one code path with the e_ann
+      // family, so the twin-at-rank-1 contract carries verbatim
+      val edges = Similarity.bruteTopK(corpus, corpus, 6)
+      GraphAnn.searchGraph(
+          base.filter(col("vec_id") < 10), edges, corpus,
+          entryId = 0L, beam = 84, hops = 64, k = 1, queryBound = 10L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // The planted-duplicate contract through the persisted-corpus
+    // lifecycle (save → delta append → reconciled load → serve): each
+    // original's top-1 is its twin at cosine 1.
+    "e_ann_vectors_persisted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+  )
+}

@@ -92,9 +92,8 @@ object BinaryQuantize {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = broadcast(shortlist)
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), Seq("neighbor_id"))
+    // localized shortlist fetch — id-pruned corpus read
+    val scored = Similarity.shortlistEmbeddings(shortlist, corpus)
       .join(q, Seq("query_id"))
       .withColumn("cos_sim",
         Similarity.cosineGuarded(col("q_emb"), col("c_emb")))

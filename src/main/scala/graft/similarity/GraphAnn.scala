@@ -773,9 +773,9 @@ object GraphAnn {
       .select(col("query_id"), col("node").as("neighbor_id"))
     val q = broadcast(ctx.qLocal.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = broadcast(shortlist)
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), Seq("neighbor_id"))
+    // localized shortlist fetch: id-pruned corpus read, never a full
+    // per-batch scan (Similarity.shortlistEmbeddings)
+    val scored = Similarity.shortlistEmbeddings(shortlist, corpus)
       .join(q, Seq("query_id"))
       // cosineGuarded, not cosine: a zero-norm corpus vector in the ADC
       // shortlist would otherwise score NaN, and NaN sorts ABOVE every

@@ -117,14 +117,13 @@ object IvfPq {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
     // (3) exact re-rank of the shortlist — floats read here only. The
-    // shortlist broadcasts (≤ k·rerank rows per query by contract), so
-    // the CORPUS never shuffles for the fetch — at 100 TB the float
-    // table is the side that must stay put.
+    // shortlist LOCALIZES (≤ k·rerank rows per query by contract), so
+    // the corpus-side float fetch is an id-pruned isin read — at 100 TB
+    // the float table is the side that must stay put AND must not be
+    // re-read wholesale per probe batch (Similarity.shortlistEmbeddings)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = broadcast(shortlist)
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), Seq("neighbor_id"))
+    val scored = Similarity.shortlistEmbeddings(shortlist, corpus)
       .join(q, Seq("query_id"))
       .withColumn("cos_sim",
         Similarity.cosineGuarded(col("q_emb"), col("c_emb")))
@@ -269,10 +268,8 @@ object IvfPq {
 
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    // broadcast shortlist: the corpus-side float fetch never shuffles
-    val scored = broadcast(shortlist)
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), Seq("neighbor_id"))
+    // localized shortlist: the corpus-side float fetch is id-pruned
+    val scored = Similarity.shortlistEmbeddings(shortlist, corpus)
       .join(q, Seq("query_id"))
       .withColumn("cos_sim",
         Similarity.cosineGuarded(col("q_emb"), col("c_emb")))

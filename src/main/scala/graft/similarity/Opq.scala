@@ -201,12 +201,12 @@ object Opq {
       codesDf, dim, numSub, k, rerank)
     val q = broadcast(qLocal.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    // fetch ORIGINAL floats by broadcast probe, rotate only the fetched
+    // fetch ORIGINAL floats by id-pruned probe (localized shortlist —
+    // Similarity.shortlistEmbeddings), rotate only the fetched
     // shortlist rows (identical expression per row ⇒ identical values
     // to rotating the whole corpus first)
-    val fetched = broadcast(candidates)
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding")), Seq("neighbor_id"))
+    val fetched = Similarity.shortlistEmbeddings(candidates, corpus)
+      .withColumnRenamed("c_emb", "embedding")
     val scored = applyRotation(fetched, rot)
       .withColumnRenamed("embedding", "c_emb")
       .join(q, Seq("query_id"))

@@ -174,12 +174,10 @@ object ProductQuantizer {
     // probe set — a third broadcast build would re-scan the source)
     val q = broadcast(qLocal.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    // candidates broadcast (≤ k·rerank per query by contract): the
-    // corpus-side float fetch is a map-side probe, never a shuffle of
-    // the big table
-    val scored = broadcast(candidates)
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), Seq("neighbor_id"))
+    // candidates localize (≤ k·rerank per query by contract): the
+    // corpus-side float fetch is an id-pruned isin read, never a full
+    // scan of the big table (Similarity.shortlistEmbeddings)
+    val scored = Similarity.shortlistEmbeddings(candidates, corpus)
       .join(q, Seq("query_id"))
       .withColumn("cos_sim", Similarity.cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))

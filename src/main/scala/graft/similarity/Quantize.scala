@@ -110,9 +110,7 @@ object Quantize {
       .select(col("query_id"), col("neighbor_id"), col("qdot"))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), Seq("neighbor_id"))
+    Similarity.shortlistEmbeddings(cand, corpus)
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), Seq("query_id"))
       .withColumn("cos_sim", Similarity.cosine(col("q_emb"), col("c_emb")))

@@ -1259,4 +1259,51 @@ object Similarity {
         cosOrNegInf.as("max_eval_cos"),
         (cosOrNegInf >= threshold).as("contaminated"))
   }
+
+  /** Row cap for localizing a rerank SHORTLIST to the driver (two
+    * longs per row → ≤ 2 MB at the cap). Shortlists are
+    * |queries| · k · rerank by construction — far below this for any
+    * real probe batch. */
+  private[similarity] val MaxLocalShortlistRows = 1 << 17
+
+  /** The exact-rerank FLOAT FETCH shared by every coarse→rerank serve
+    * path (PQ / IVF-PQ / OPQ / int8 / binary / graph-PQ tails): join a
+    * bounded `(query_id, neighbor_id)` shortlist against the float
+    * corpus and return `(query_id, neighbor_id, c_emb)`.
+    *
+    * The shortlist LOCALIZES (it is ≤ |queries|·k·rerank rows by
+    * contract), so the corpus scan carries the candidate ids as an
+    * `isin` literal — against the repo's vec_id-sorted persisted
+    * layouts that is a row-group-pruned read of just the touched ids
+    * (the [[GraphAnn]] frontier-fetch discipline applied to the rerank
+    * tail). The previous shape — `broadcast(shortlist).join(corpus)` —
+    * never shuffled the corpus but READ ALL of it per probe batch: an
+    * O(corpus) scan per trigger that the 100× leg measured at 7× on
+    * the IVF-PQ serve (SCALE.md r15). Localizing also means the coarse
+    * stage executes exactly once (at the collect) instead of once per
+    * downstream action. Past [[MaxLocalShortlistRows]] the fetch falls
+    * back to the broadcast-join shape — same rows, full-read cost. */
+  private[similarity] def shortlistEmbeddings(shortlist: DataFrame,
+                                              corpus: DataFrame): DataFrame = {
+    val spark = shortlist.sparkSession
+    require(Seq("query_id", "neighbor_id")
+        .forall(shortlist.schema.fieldNames.contains),
+      "shortlistEmbeddings: shortlist must carry query_id, neighbor_id")
+    // extra scalar columns (e.g. the int8 coarse score) ride through —
+    // both fetch strategies preserve the full shortlist row
+    val rows = shortlist.limit(MaxLocalShortlistRows + 1).collect()
+    val cEmb = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    if (rows.length > MaxLocalShortlistRows)
+      broadcast(shortlist).join(cEmb, Seq("neighbor_id"))
+    else {
+      import scala.jdk.CollectionConverters._
+      val local = spark.createDataFrame(rows.toSeq.asJava, shortlist.schema)
+      val nIdx = shortlist.schema.fieldIndex("neighbor_id")
+      val ids = rows.map(_.getLong(nIdx)).distinct.toIndexedSeq
+      if (ids.isEmpty) broadcast(local).join(cEmb, Seq("neighbor_id"))
+      else cEmb.filter(col("neighbor_id").isin(ids: _*))
+        .join(broadcast(local), Seq("neighbor_id"))
+    }
+  }
 }

@@ -64,6 +64,11 @@ object Round25ScaleMeasure {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // serve legs: min of 3 timed reps — co-tenant bursts on this host
+    // only ever ADD time (the Bench min-of-sweeps rationale), and a
+    // single-rep serve number has already produced one 25x phantom
+    def timedMin(f: => Unit): Double =
+      (1 to 3).map(_ => timed(f)).min
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -86,7 +91,7 @@ object Round25ScaleMeasure {
       def ivfOnce(): Unit = noop(graft.similarity.Similarity
         .ivfTopKFromIndex(probes, ivfIdx, k = 5, cents, nprobe = 3))
       ivfOnce()
-      val ivfS = timed(ivfOnce())
+      val ivfS = timedMin(ivfOnce())
       // IVF-PQ index (codes probes + float re-rank)
       val books = graft.similarity.ProductQuantizer.codebooks(
         emb, dim = 64, numSub = 8,
@@ -100,7 +105,7 @@ object Round25ScaleMeasure {
         probes, pqIdx, emb, k = 5, cents, books, dim = 64, numSub = 8,
         nprobe = 3, rerank = 32))
       pqOnce()
-      val pqS = timed(pqOnce())
+      val pqS = timedMin(pqOnce())
       // fixed-K dense cells: salted split vs one-file-per-cell
       val fixedCents = emb.filter(col("vec_id") < 6400)
         .filter(pmod(col("vec_id"), lit(100)) === 0)
@@ -116,8 +121,8 @@ object Round25ScaleMeasure {
         .ivfTopKFromIndex(probes, TS.loadIvfIndex(spark, p), k = 5,
           fixedCents, nprobe = 3))
       probeOnce(onePath); probeOnce(saltPath)
-      val oneS = timed(probeOnce(onePath))
-      val saltS = timed(probeOnce(saltPath))
+      val oneS = timedMin(probeOnce(onePath))
+      val saltS = timedMin(probeOnce(saltPath))
       println(f"[r25scale] $tag ivf_search=$ivfS%.2fs ivfpq_search=$pqS%.2fs " +
         f"fixedk_onefile=$oneS%.2fs fixedk_salted=$saltS%.2fs")
       (ivfS, pqS, oneS, saltS)
@@ -154,7 +159,7 @@ object Round25ScaleMeasure {
       def searchOnce(): Unit = noop(graft.similarity.GraphAnn.searchGraph(
         probes, edges, corpus, entryId = 0L, beam = 8, hops = 6, k = 5))
       searchOnce()
-      val s = timed(searchOnce())
+      val s = timedMin(searchOnce())
       println(f"[r25scale] $tag post_compaction_search=$s%.2fs " +
         f"(files=${new java.io.File(gPath).listFiles()
           .count(x => x.isFile && x.getName.endsWith(".parquet"))})")
@@ -188,24 +193,37 @@ object Round25ScaleMeasure {
         TS.appendVectorsDelta(batch, vPath)
       }
       trigger(maxId + 1) // warm
-      val s = timed(trigger(maxId + 100))
+      val s = (2 to 4).map(i => timed(trigger(maxId + 100L * i))).min
       println(f"[r25scale] $tag fold_in_trigger=$s%.2fs")
       s
     }
 
-    val (i1, p1, o1, sa1) = measureIvf("sf01", sfDir)
-    val (iN, pN, oN, saN) = measureIvf(s"sf_${mult}x", outDir)
-    val c1 = measureCompacted("sf01", sfDir)
-    val cN = measureCompacted(s"sf_${mult}x", outDir)
-    val t1 = measureTrigger("sf01", sfDir)
-    val tN = measureTrigger(s"sf_${mult}x", outDir)
-    println(f"[r25scale] ${mult}x ratios: ivf_search=${iN / i1}%.2f " +
-      f"(claim ~flat, corpus-scaled cells), ivfpq_search=${pN / p1}%.2f " +
-      f"(claim ~flat), fixedk_onefile=${oN / o1}%.2f vs " +
-      f"fixedk_salted=${saN / sa1}%.2f (dense-cell split), " +
-      f"post_compaction_search=${cN / c1}%.2f (claim ~flat — data-sized " +
-      f"rewrite), fold_in_trigger=${tN / t1}%.2f (claim ~flat — " +
-      f"batch-scaled)")
+    // R25_LEGS selects legs (comma list of ivf,compact,trigger) so a
+    // 100× run fits a bounded wall-clock budget per invocation — the
+    // materialized corpus and each leg's printed ratio are independent
+    val legs = sys.env.getOrElse("R25_LEGS", "ivf,compact,trigger")
+      .split(",").map(_.trim).toSet
+    if (legs("ivf")) {
+      val (i1, p1, o1, sa1) = measureIvf("sf01", sfDir)
+      val (iN, pN, oN, saN) = measureIvf(s"sf_${mult}x", outDir)
+      println(f"[r25scale] ${mult}x ratios: ivf_search=${iN / i1}%.2f " +
+        f"(claim ~flat, corpus-scaled cells), ivfpq_search=${pN / p1}%.2f " +
+        f"(claim ~flat), fixedk_onefile=${oN / o1}%.2f vs " +
+        f"fixedk_salted=${saN / sa1}%.2f (dense-cell split)")
+    }
+    if (legs("compact")) {
+      val c1 = measureCompacted("sf01", sfDir)
+      val cN = measureCompacted(s"sf_${mult}x", outDir)
+      println(f"[r25scale] ${mult}x ratios: " +
+        f"post_compaction_search=${cN / c1}%.2f (claim ~flat — " +
+        f"data-sized rewrite)")
+    }
+    if (legs("trigger")) {
+      val t1 = measureTrigger("sf01", sfDir)
+      val tN = measureTrigger(s"sf_${mult}x", outDir)
+      println(f"[r25scale] ${mult}x ratios: fold_in_trigger=${tN / t1}%.2f " +
+        f"(claim ~flat — batch-scaled)")
+    }
     spark.stop()
   }
 }

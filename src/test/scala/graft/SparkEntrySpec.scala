@@ -46,7 +46,8 @@ class SparkEntrySpec extends SparkTestBase {
       "Round21" -> queries.Round21Queries.queries,
       "Round22" -> queries.Round22Queries.queries,
       "Round23" -> queries.Round23Queries.queries,
-      "Round24" -> queries.Round24Queries.queries)
+      "Round24" -> queries.Round24Queries.queries,
+      "Round25" -> queries.Round25Queries.queries)
     val dupes = providers
       .flatMap { case (p, m) => m.keys.map(_ -> p) }
       .groupBy(_._1).filter(_._2.size > 1)

@@ -725,6 +725,62 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     assert(cellFiles2(0L) == 1 && cellFiles2(1L) == 1)
   }
 
+  test("cached loads are PER-SESSION: a sibling session never receives " +
+      "another session's plan; the owning session still hits its cache") {
+    import spark.implicits._
+    val path = tmp("cache_session")
+    TrainedState.saveGraphIndex(
+      Seq((0L, 1, 1L, 0.5)).toDF("query_id", "rank", "neighbor_id",
+        "cos_sim"), path)
+    val a1 = TrainedState.loadGraphIndexCached(spark, path)
+    val a2 = TrainedState.loadGraphIndexCached(spark, path)
+    assert(a1 eq a2, "same session must hit its cached plan")
+    val sibling = spark.newSession()
+    val b = TrainedState.loadGraphIndexCached(sibling, path)
+    assert(!(b eq a1),
+      "a sibling session must get its own plan, never another " +
+        "session's cached one")
+    assert(normEdges(b) == normEdges(a1))
+  }
+
+  test("fingerprints see through SYNTHETIC directory statuses (object-" +
+      "store shape, simulated by zeroing dir mtimes): a rewrite inside " +
+      "a partition directory that leaves every directory status " +
+      "unchanged still invalidates the cached plan") {
+    import spark.implicits._
+    val path = tmp("cache_synth")
+    val layered = Seq((0, 0L, 1, 1L, 0.5), (0, 1L, 1, 0L, 0.4))
+      .toDF("layer", "query_id", "rank", "neighbor_id", "cos_sim")
+    TrainedState.saveHnswIndex(layered, path)
+    def zeroDirMtimes(): Unit = {
+      // drop the root commit marker too: it is a FILE at the top level
+      // whose real mtime would reveal the rewrite without any descent —
+      // the object-store shape this simulates has only synthetic dirs
+      // at the root
+      new java.io.File(s"$path/_SUCCESS").delete()
+      def walk(f: java.io.File): Unit = if (f.isDirectory) {
+        f.listFiles().foreach(walk); f.setLastModified(0L); ()
+      }
+      walk(new java.io.File(path))
+    }
+    zeroDirMtimes()
+    val a = TrainedState.loadHnswIndexCached(spark, path)
+    assert(TrainedState.loadHnswIndexCached(spark, path) eq a,
+      "stable statuses must hit the cache")
+    // rewrite IN PLACE inside the layer directory: same file names
+    // would be the adversarial case, but parquet writers mint fresh
+    // part names — the point is the DIRECTORY statuses stay zeroed
+    // (synthetic), so only the descent into file statuses can see it
+    TrainedState.saveHnswIndex(layered.withColumn("cos_sim",
+      col("cos_sim") + 0.1), path)
+    zeroDirMtimes()
+    val b = TrainedState.loadHnswIndexCached(spark, path)
+    assert(!(b eq a),
+      "a rewrite under synthetic directory statuses must change the " +
+        "fingerprint (file-status descent) — a stale plan would pin " +
+        "deleted files")
+  }
+
   test("compaction pre-seeds a claim FLOOR in the rewritten tree: " +
       "numbering is monotone across compactions and the floor never " +
       "counts as a pending generation") {

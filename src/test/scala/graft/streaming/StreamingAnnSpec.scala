@@ -462,6 +462,67 @@ class StreamingAnnSpec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("buildGraphPersisted: per-trigger scheduler work does not grow " +
+      "with the accumulated corpus — job counts stay flat across a run " +
+      "that grows the artifact trigger over trigger (no full-corpus " +
+      "re-materialization anywhere in the loop)") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val seed = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val n = seed.count().toInt
+    val seedEdges = graft.similarity.Similarity.bruteTopK(seed, seed, 4)
+      .localCheckpoint(true)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_bgp_jobs").toString + "/idx"
+    TS.saveGraphIndex(seedEdges, idxPath)
+    val arrivals = emb.filter(col("vec_id") >= 30 && col("vec_id") < 42)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // 12 single-vector triggers: if any per-trigger step re-touched
+    // the accumulated corpus eagerly (the pre-r15 per-trigger
+    // unionByName(batch).localCheckpoint), job counts would still be
+    // flat but the old checkpoint JOB grew with the corpus — what CAN
+    // drift with corpus growth under the artifact design is only the
+    // reconcile's bounded delta handling, so the job count per trigger
+    // must stay exactly periodic once warm (maxGenerations high enough
+    // that no compaction fires mid-run)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val perTrigger = scala.collection.mutable.ArrayBuffer.empty[Int]
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingAnn.buildGraphPersisted(
+        mem.toDF().toDF("vec_id", "embedding"), seed, idxPath,
+        entryId = 0L, beam = n + 12, hops = n, degree = 4,
+        maxGenerations = 100L)()
+      try {
+        (30L until 42L).foreach { id =>
+          mem.addData(id -> arrivals(id))
+          val before = jobs.get()
+          q.processAllAvailable()
+          perTrigger += jobs.get() - before
+        }
+      } finally q.stop()
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // drop the first two triggers (fingerprint-cache warmup, lazy
+    // inits). The walk's hop count can vary by a hop or two with the
+    // batch's geometry, so "flat" is a tight band + no growth trend —
+    // corpus grew 40% across the window, so any O(corpus) stage would
+    // show as a drift between the halves
+    val steady = perTrigger.drop(2)
+    assert(steady.nonEmpty && steady.max - steady.min <= 4,
+      s"per-trigger job counts must stay in a tight band across a " +
+        s"growing run: $perTrigger")
+    assert(steady.takeRight(4).sum <= steady.take(4).sum + 4,
+      s"per-trigger job counts trend upward with corpus growth: " +
+        s"$perTrigger")
+  }
+
   test("buildHnswPersisted: the layered fold-in loop keeps generations " +
       "bounded by policy and the artifact converges to the " +
       "batch-sequential Hnsw.insert state") {
