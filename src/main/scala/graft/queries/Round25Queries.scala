@@ -49,6 +49,38 @@ object Round25Queries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("query_id"))
+    }),
+
+    // TWO-LEVEL IVF PROBE through the persisted index at the
+    // saturating fan-out (the exactness dial: every super probed ⇒
+    // identical candidate ranking to the flat probe), so the planted
+    // contract is exact: each original's top-1 is its twin at cosine 1
+    // — the twin's identical vector lands in the SAME argmin cell as
+    // the original, and that cell is every original-query's
+    // nearest-ranked cell.
+    "e_ann_ivf_twolevel_probe" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      val twins = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(twins)
+      val cents = base.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val supers = Similarity.superCentroids(cents, stride = 30)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ivf2l_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.saveIvfIndex(Similarity.ivfAssign(corpus, cents),
+        idxPath)
+      Similarity.ivfTopKFromIndexTwoLevel(
+          base.filter(col("vec_id") < 10),
+          TrainedState.loadIvfIndexCached(s, idxPath), k = 1, cents,
+          supers, fanout = 64, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -57,6 +89,13 @@ object Round25Queries {
     // lifecycle (save → delta append → reconciled load → serve): each
     // original's top-1 is its twin at cosine 1.
     "e_ann_vectors_persisted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  1.0 AS cos_sim
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // Saturating fan-out = flat-probe semantics, so the planted twin
+    // serves at rank 1, cosine 1 for every original.
+    "e_ann_ivf_twolevel_probe" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin

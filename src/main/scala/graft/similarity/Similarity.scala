@@ -716,6 +716,73 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** TWO-LEVEL probe of a prebuilt codes index — [[ivfTopKFromIndex]]
+    * with the query-side cell RANKING routed through super-centroids:
+    * the flat probe ranks all C centroids per query, an O(|q|·C) term
+    * that grows linearly when the deployment scales its cell count
+    * with the corpus (the production shape — SCALE.md r15 measured it
+    * at 3× across two decades). Here each query ranks the S supers,
+    * keeps `fanout`, and ranks ONLY those supers' member centroids
+    * (≈ fanout·C/S rows) — with S ≈ √C that is O(√C) per query, the
+    * [[ivfAssignTwoLevel]] dial applied to the probe side. The scan
+    * side is unchanged: the probed cells partition-prune the persisted
+    * index exactly like the flat probe.
+    *
+    * EXACTNESS DIAL (spec-pinned): at `fanout ≥ S` every super is
+    * kept, every centroid is a candidate (each centroid belongs to
+    * exactly one super), and the ranking — the same
+    * `(_cdist, centroid_id)` window tie-break over the same guarded
+    * distances — equals [[ivfTopKFromIndex]] bit for bit. Below full
+    * fan-out the recall trade is a query whose true cell lives under
+    * an unprobed super (the documented two-level boundary case). */
+  def ivfTopKFromIndexTwoLevel(queries: DataFrame, index: DataFrame,
+                               k: Int, centroidsDf: DataFrame,
+                               superDf: DataFrame, fanout: Int,
+                               nprobe: Int): DataFrame = {
+    require(k >= 1 && fanout >= 1 && nprobe >= 1,
+      s"ivfTopKFromIndexTwoLevel: k=$k, fanout=$fanout, nprobe=$nprobe " +
+        "must be >= 1")
+    // centroid → its one super (the ivfAssignTwoLevel c2s map —
+    // C-sized by contract, broadcast with payload for the ranking)
+    val c2s = broadcast(
+      ivfAssign(
+        centroidsDf.select(col("centroid_id").as("vec_id"),
+          col("centroid").as("embedding")),
+        superDf.select(col("super_id").as("centroid_id"),
+          col("super_c").as("centroid")))
+        .select(col("vec_id").as("centroid_id"),
+          col("centroid_id").as("super_id"),
+          col("embedding").as("centroid")))
+    val wS = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_sdist").asc, col("super_id"))
+    val qSup = queries.crossJoin(broadcast(superDf))
+      .withColumn("_sdist", negCosGuarded(col("embedding"), col("super_c")))
+      .withColumn("_sr", row_number().over(wS))
+      .filter(col("_sr") <= fanout)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("super_id"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cdist").asc, col("centroid_id"))
+    val probed = broadcast(qSup.join(c2s, Seq("super_id"))
+      .withColumn("_cdist", negCosGuarded(col("q_emb"), col("centroid")))
+      .withColumn("_crank", row_number().over(wC))
+      .filter(col("_crank") <= nprobe)
+      .select(col("query_id"), col("centroid_id"), col("q_emb")))
+    // identical scan/score/rank tail to the flat probe
+    val scored = index
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("embedding").as("c_emb"))
+      .join(probed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Per-cell QUALIFYING-row counts for a metadata predicate over a codes
     * index — `(centroid_id, n_qual)`, centroid-sized. This is the
     * metadata artifact a production deployment maintains NEXT TO the

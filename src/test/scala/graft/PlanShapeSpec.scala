@@ -657,7 +657,12 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("e_ann_ivfpq_planted")
     assert(!p.contains("SortMergeJoin"),
       s"a corpus-sized side re-shuffled:\n${p.take(2000)}")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    // the ADC/probe stage executes at shortlist-LOCALIZATION time
+    // (Similarity.shortlistEmbeddings — the rerank fetch is id-pruned,
+    // never a full corpus read), so the FINAL plan carries the
+    // local-shortlist fetch join + the query-side join; the coarse
+    // stage's own joins ran at the bounded collect
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
     assert(p.contains("WindowGroupLimit"),
       s"ADC/rerank cutoffs full-sort-then-filter:\n${p.take(2000)}")
   }

@@ -125,4 +125,58 @@ class TwoLevelAssignSpec extends SparkTestBase {
       Similarity.ivfAssignAuto(emb, centroids, minCellsForTwoLevel = 0)
     }
   }
+
+  test("two-level PROBE at full fan-out == flat ivfTopKFromIndex " +
+      "bit-for-bit (the exactness dial on the probe side), and reduced " +
+      "fan-out results are drawn from the probed supers' member cells") {
+    val supers = Similarity.superCentroids(centroids, stride = 10)
+    val s = supers.count().toInt
+    assert(s >= 2, s"want a real hierarchy, got $s supers")
+    val index = Similarity.ivfAssign(emb, centroids).localCheckpoint(true)
+    val probes = emb.filter(col("vec_id") % 37 === 3).localCheckpoint(true)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val flat = norm(Similarity.ivfTopKFromIndex(probes, index, k = 3,
+      centroids, nprobe = 2))
+    val two = norm(Similarity.ivfTopKFromIndexTwoLevel(probes, index,
+      k = 3, centroids, supers, fanout = s, nprobe = 2))
+    assert(two == flat,
+      "full fan-out two-level probe must equal the flat probe")
+    // over-asking beyond S is the same full fan-out, not an error
+    assert(norm(Similarity.ivfTopKFromIndexTwoLevel(probes, index, k = 3,
+      centroids, supers, fanout = s + 5, nprobe = 2)) == flat)
+    // reduced fan-out: every result row's neighbor belongs to a cell
+    // under one of ITS query's probed supers — no candidate leaks in
+    // from unprobed supers
+    val reduced = Similarity.ivfTopKFromIndexTwoLevel(probes, index,
+      k = 3, centroids, supers, fanout = 1, nprobe = 2)
+    val cellOf = index.select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute each query's fanout-1 super and its member cells
+    val supRows = supers.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val centRows = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) Double.NegativeInfinity else dot / (na * nb)
+    }
+    val superOfCent = centRows.map { case (cid, c) =>
+      cid -> supRows.map { case (sid, sc) => (-cos(c, sc), sid) }.min._2
+    }.toMap
+    val probeRows = probes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val topSuper = probeRows.map { case (qid, q) =>
+      qid -> supRows.map { case (sid, sc) => (-cos(q, sc), sid) }.min._2
+    }.toMap
+    reduced.collect().foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      assert(superOfCent(cellOf(nid)) == topSuper(qid),
+        s"query $qid served neighbor $nid from an unprobed super")
+    }
+  }
 }
