@@ -73,13 +73,16 @@ object IvfPq {
     // (1) probe cells — identical plan to ivfTopKFromIndex's probe side
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("_cdist").asc, col("centroid_id"))
-    val probed = broadcast(queries.crossJoin(broadcast(centroidsDf))
+    // localized (bounded |q|·nprobe rows) — the ADC table derives from
+    // it job-free and the index join statically cell-prunes
+    // (Similarity.joinProbedCells)
+    val probed = queries.crossJoin(broadcast(centroidsDf))
       .withColumn("_cdist",
         Similarity.negCosGuarded(col("embedding"), col("centroid")))
       .withColumn("_crank", row_number().over(w0))
       .filter(col("_crank") <= nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"),
-        col("embedding").as("q_emb")))
+        col("embedding").as("q_emb"))
 
     // (2) broadcast ADC table: dot(q_sub, code centroid) per
     // (query, sub, code) — |queries| × numSub × |codes| rows
@@ -99,8 +102,8 @@ object IvfPq {
     // candidate ADC scores over the PROBED cells only: explode the code
     // array (numSub short rows per candidate), join the table, ordered
     // fold — the same bit-deterministic sum as ProductQuantizer.topKWith
-    val cand = index.join(probed.select("query_id", "centroid_id"),
-        Seq("centroid_id"))
+    val cand = Similarity.joinProbedCells(index,
+        probed.select("query_id", "centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
@@ -225,14 +228,15 @@ object IvfPq {
 
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("_cdist").asc, col("centroid_id"))
-    val probed = broadcast(queries.crossJoin(broadcast(centroidsDf))
+    // localized — the flat topKFromIndex rationale
+    val probed = queries.crossJoin(broadcast(centroidsDf))
       .withColumn("_cdist",
         Similarity.negCosGuarded(col("embedding"), col("centroid")))
       .withColumn("_crank", row_number().over(w0))
       .filter(col("_crank") <= nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"),
         col("embedding").as("q_emb"),
-        dot(col("embedding"), col("centroid")).as("cdot")))
+        dot(col("embedding"), col("centroid")).as("cdot"))
 
     val adc = broadcast(probed.select(col("query_id"), col("q_emb"))
       .dropDuplicates("query_id")
@@ -247,9 +251,8 @@ object IvfPq {
       .select(col("query_id"), col("sub"), col("code"),
         dot(col("subvec"), col("centroid")).as("part")))
 
-    val cand = index.join(
-        probed.select("query_id", "centroid_id", "cdot"),
-        Seq("centroid_id"))
+    val cand = Similarity.joinProbedCells(index,
+        probed.select("query_id", "centroid_id", "cdot"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cdot"),
         posexplode(col("codes")).as(Seq("sub", "code")))

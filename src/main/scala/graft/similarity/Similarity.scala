@@ -686,27 +686,64 @@ object Similarity {
     (index.join(dels, Seq("vec_id"), "left_anti"), receipt)
   }
 
+  /** Row cap for localizing a PROBE TABLE (query, probed cell, query
+    * embedding) to the driver — |queries|·nprobe rows by construction,
+    * embedding-carrying, so the tighter embedding cap applies (the
+    * [[TrainedState]] loadIvfIndex rationale: rows × width bounds the
+    * pull). */
+  private[similarity] val MaxLocalProbedRows = 1 << 12
+
+  /** Join a BOUNDED probe table against the cell-keyed index side with
+    * STATIC cell pruning: the probe table (each query's `nprobe`
+    * ranked cells — bounded by construction) localizes, its distinct
+    * cell ids become a literal `isin` on the index scan — compile-time
+    * partition pruning against the `centroid_id`-partitioned persisted
+    * layout ([[TrainedState.saveIvfIndex]]) — and the probe rows join
+    * back as a broadcast LocalRelation. The previous shape relied on
+    * DYNAMIC partition pruning (a runtime subquery + re-planning per
+    * action): correct, but measured at ~13× the per-action cost of the
+    * static prune at a 4000-cell index (SCALE.md r15 — 1.7 s vs 0.13 s
+    * per probe batch; the DPP machinery, not the scan, was the floor).
+    * Past the localization cap the DPP shape returns as the fallback —
+    * same rows either way. */
+  private[similarity] def joinProbedCells(indexSide: DataFrame,
+                                          probed: DataFrame): DataFrame = {
+    val spark = probed.sparkSession
+    val rows = probed.limit(MaxLocalProbedRows + 1).collect()
+    if (rows.length > MaxLocalProbedRows)
+      indexSide.join(broadcast(probed), Seq("centroid_id"))
+    else {
+      import scala.jdk.CollectionConverters._
+      val local = spark.createDataFrame(rows.toSeq.asJava, probed.schema)
+      val cIdx = probed.schema.fieldIndex("centroid_id")
+      val cells = rows.map(_.getLong(cIdx)).distinct.toIndexedSeq
+      if (cells.isEmpty) indexSide.join(broadcast(local), Seq("centroid_id"))
+      else indexSide.filter(col("centroid_id").isin(cells: _*))
+        .join(broadcast(local), Seq("centroid_id"))
+    }
+  }
+
   /** Probe a prebuilt codes index: queries pick their `nprobe` nearest
-    * cells (broadcast, k×nprobe-sized), then join cell-to-cell against
-    * the index — only the probed cells' rows are touched (with a
-    * centroid_id-partitioned persisted index this is partition pruning,
-    * see [[TrainedState.saveIvfIndex]]). */
+    * cells (bounded, localized), then join cell-to-cell against the
+    * index — only the probed cells' rows are touched: the localized
+    * probe set statically partition-prunes the
+    * centroid_id-partitioned persisted index
+    * ([[joinProbedCells]] / [[TrainedState.saveIvfIndex]]). */
   def ivfTopKFromIndex(queries: DataFrame, index: DataFrame, k: Int,
                        centroidsDf: DataFrame, nprobe: Int): DataFrame = {
     val centroids = broadcast(centroidsDf)
     val w0 = Window.partitionBy(col("vec_id")).orderBy(
       col("_cdist").asc, col("centroid_id"))
-    val probed = broadcast(queries.crossJoin(centroids)
+    val probed = queries.crossJoin(centroids)
       .withColumn("_cdist", negCosGuarded(col("embedding"), col("centroid")))
       .withColumn("_crank", row_number().over(w0))
       .filter(col("_crank") <= nprobe)
       .drop("_cdist", "_crank", "centroid")
       .select(col("vec_id").as("query_id"), col("centroid_id"),
-        col("embedding").as("q_emb")))
-    val scored = index
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
-        col("embedding").as("c_emb"))
-      .join(probed, Seq("centroid_id"))
+        col("embedding").as("q_emb"))
+    val scored = joinProbedCells(
+        index.select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+          col("embedding").as("c_emb")), probed)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
@@ -735,24 +772,38 @@ object Similarity {
     * distances — equals [[ivfTopKFromIndex]] bit for bit. Below full
     * fan-out the recall trade is a query whose true cell lives under
     * an unprobed super (the documented two-level boundary case). */
+  /** The centroid→super membership map the two-level probe ranks
+    * against — `(centroid_id, super_id, centroid)`, each centroid under
+    * its nearest super (the repo argmin, so the [[ivfAssignTwoLevel]]
+    * tie-break verbatim). INDEX METADATA, not query state: computing it
+    * scores C×S pairs, so a serving deployment builds it once per
+    * (centroids, supers) pair and passes it to every probe — the
+    * [[ivfCellCounts]] staging convention. */
+  def centroidSuperMap(centroidsDf: DataFrame,
+                       superDf: DataFrame): DataFrame =
+    ivfAssign(
+      centroidsDf.select(col("centroid_id").as("vec_id"),
+        col("centroid").as("embedding")),
+      superDf.select(col("super_id").as("centroid_id"),
+        col("super_c").as("centroid")))
+      .select(col("vec_id").as("centroid_id"),
+        col("centroid_id").as("super_id"),
+        col("embedding").as("centroid"))
+
   def ivfTopKFromIndexTwoLevel(queries: DataFrame, index: DataFrame,
                                k: Int, centroidsDf: DataFrame,
                                superDf: DataFrame, fanout: Int,
-                               nprobe: Int): DataFrame = {
+                               nprobe: Int,
+                               c2sDf: Option[DataFrame] = None)
+      : DataFrame = {
     require(k >= 1 && fanout >= 1 && nprobe >= 1,
       s"ivfTopKFromIndexTwoLevel: k=$k, fanout=$fanout, nprobe=$nprobe " +
         "must be >= 1")
-    // centroid → its one super (the ivfAssignTwoLevel c2s map —
-    // C-sized by contract, broadcast with payload for the ranking)
+    // centroid → its one super (C-sized by contract, broadcast with
+    // payload for the ranking); precomputed [[centroidSuperMap]]
+    // accepted so serving loops don't re-score C×S pairs per trigger
     val c2s = broadcast(
-      ivfAssign(
-        centroidsDf.select(col("centroid_id").as("vec_id"),
-          col("centroid").as("embedding")),
-        superDf.select(col("super_id").as("centroid_id"),
-          col("super_c").as("centroid")))
-        .select(col("vec_id").as("centroid_id"),
-          col("centroid_id").as("super_id"),
-          col("embedding").as("centroid")))
+      c2sDf.getOrElse(centroidSuperMap(centroidsDf, superDf)))
     val wS = Window.partitionBy(col("vec_id"))
       .orderBy(col("_sdist").asc, col("super_id"))
     val qSup = queries.crossJoin(broadcast(superDf))
@@ -763,16 +814,16 @@ object Similarity {
         col("embedding").as("q_emb"), col("super_id"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("_cdist").asc, col("centroid_id"))
-    val probed = broadcast(qSup.join(c2s, Seq("super_id"))
+    val probed = qSup.join(c2s, Seq("super_id"))
       .withColumn("_cdist", negCosGuarded(col("q_emb"), col("centroid")))
       .withColumn("_crank", row_number().over(wC))
       .filter(col("_crank") <= nprobe)
-      .select(col("query_id"), col("centroid_id"), col("q_emb")))
-    // identical scan/score/rank tail to the flat probe
-    val scored = index
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
-        col("embedding").as("c_emb"))
-      .join(probed, Seq("centroid_id"))
+      .select(col("query_id"), col("centroid_id"), col("q_emb"))
+    // identical scan/score/rank tail to the flat probe (localized
+    // probe set → static cell pruning)
+    val scored = joinProbedCells(
+        index.select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+          col("embedding").as("c_emb")), probed)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosineGuarded(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))

@@ -128,6 +128,37 @@ object Round25ScaleMeasure {
       (ivfS, pqS, oneS, saltS)
     }
 
+    // ---- leg 1b: TWO-LEVEL probe vs flat at corpus-scaled cells ----
+    // if the flat probe's 100× growth is the O(|q|·C) query-side cell
+    // ranking (C ∝ corpus), the two-level probe (S ≈ √C supers ranked,
+    // then only the probed supers' members) should be ~flat — the
+    // attribution AND the dial's value in one measurement
+    def measureTwoLevel(tag: String, dir: String): Double = {
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid")).localCheckpoint(true)
+      val c = cents.count()
+      val stride = math.max(1, math.round(math.sqrt(c.toDouble)).toInt)
+      val supers = graft.similarity.Similarity
+        .superCentroids(cents, stride).localCheckpoint(true)
+      val probes = emb.filter(col("vec_id") < 200)
+        .filter(pmod(col("vec_id"), lit(10)) === 0).localCheckpoint(true)
+      val ivfIdx = TS.loadIvfIndexCached(spark, s"/tmp/graft_r25_ivf_$tag")
+      // c2s staged once — index metadata, the production serving shape
+      val c2s = graft.similarity.Similarity
+        .centroidSuperMap(cents, supers).localCheckpoint(true)
+      def once(): Unit = noop(graft.similarity.Similarity
+        .ivfTopKFromIndexTwoLevel(probes, ivfIdx, k = 5, cents, supers,
+          fanout = 8, nprobe = 3, c2sDf = Some(c2s)))
+      once()
+      val s = timedMin(once())
+      println(f"[r25scale] $tag twolevel_probe=$s%.2fs (C=$c, " +
+        f"S=${supers.count()})")
+      s
+    }
+
     // ---- leg 3: post-compaction flat-graph search ----
     // equal-density control: compaction re-saves at targetRowsPerFile
     // 4096 at BOTH scales (files ∝ rows), so post-compaction per-file
@@ -210,6 +241,12 @@ object Round25ScaleMeasure {
         f"(claim ~flat, corpus-scaled cells), ivfpq_search=${pN / p1}%.2f " +
         f"(claim ~flat), fixedk_onefile=${oN / o1}%.2f vs " +
         f"fixedk_salted=${saN / sa1}%.2f (dense-cell split)")
+    }
+    if (legs("twolevel")) {
+      val t1 = measureTwoLevel("sf01", sfDir)
+      val tN = measureTwoLevel(s"sf_${mult}x", outDir)
+      println(f"[r25scale] ${mult}x ratios: twolevel_probe=${tN / t1}%.2f " +
+        f"(claim ~flat — O(sqrt C) ranking)")
     }
     if (legs("compact")) {
       val c1 = measureCompacted("sf01", sfDir)

@@ -147,6 +147,13 @@ class TwoLevelAssignSpec extends SparkTestBase {
     // over-asking beyond S is the same full fan-out, not an error
     assert(norm(Similarity.ivfTopKFromIndexTwoLevel(probes, index, k = 3,
       centroids, supers, fanout = s + 5, nprobe = 2)) == flat)
+    // a STAGED centroid->super map (the serving shape: index metadata
+    // computed once, not re-scored per trigger) serves identically
+    val staged = Similarity.centroidSuperMap(centroids, supers)
+      .localCheckpoint(true)
+    assert(norm(Similarity.ivfTopKFromIndexTwoLevel(probes, index, k = 3,
+      centroids, supers, fanout = s, nprobe = 2,
+      c2sDf = Some(staged))) == flat)
     // reduced fan-out: every result row's neighbor belongs to a cell
     // under one of ITS query's probed supers — no candidate leaks in
     // from unprobed supers
