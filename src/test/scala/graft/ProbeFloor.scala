@@ -1,6 +1,18 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Attribution micro-measure for the r15 IVF probe floor (SCALE.md):
+  * times a STATIC cell prune (literal filter — compile-time partition
+  * pruning) against the saved Round25 IVF artifacts at both scales.
+  * The ~flat 0.1-0.2 s result at 4000 cells is what exonerated the
+  * partitioned layout and convicted the dynamic-partition-pruning
+  * probe-join shape — the experiment behind
+  * [[graft.similarity.Similarity.joinProbedCells]]. Run the Round25
+  * ivf leg first to materialize the artifacts.
+  *
+  * Run: sbt "Test/runMain graft.ProbeFloor" */
 object ProbeFloor {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
