@@ -58,6 +58,48 @@ object Round25Queries {
     // — the twin's identical vector lands in the SAME argmin cell as
     // the original, and that cell is every original-query's
     // nearest-ranked cell.
+    // The FULLY-PERSISTED late-interaction funnel: token bags live as
+    // a doc_id-sorted artifact (saveTokens → appendTokensDelta →
+    // reconciled loadTokensCached), the pooled coarse side is derived
+    // FROM the reconciled artifact and persisted (savePooled →
+    // loadPooledCached), and the funnel serves from the two paths
+    // alone. The base deliberately writes CORRUPTED rows (negated
+    // floats) for the first 100 tokens and the delta re-appends the
+    // correct ones — newest-wins per (doc_id, token_idx) must pick the
+    // delta generation for the result to match the e_maxsim_funnel
+    // oracle bit for bit, so a reconcile that dropped, duplicated, or
+    // mis-keyed token rows fails the gate loudly.
+    "e_maxsim_tokens_persisted" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") % 5).as("query_id"),
+          col("vec_id").as("token_idx"), col("embedding"))
+      val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+      val corrupted = dv.filter(col("token_idx") < 100)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      val tokPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_tokart_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.saveTokens(
+        dv.filter(col("token_idx") >= 100).unionByName(corrupted), tokPath)
+      TrainedState.appendTokensDelta(dv.filter(col("token_idx") < 100),
+        tokPath)
+      val tokens = TrainedState.loadTokensCached(s, tokPath)
+      val pooledPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_poolart_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.savePooled(
+        graft.similarity.LateInteraction.poolSum(tokens, "doc_id", 64),
+        pooledPath, dims = 64)
+      graft.similarity.LateInteraction.maxSimFunnelWith(qv, tokens,
+          TrainedState.loadPooledCached(s, pooledPath), k = 3, dims = 64,
+          shortlist = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "e_ann_ivf_twolevel_probe" -> ((s, dir) => {
       val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
         .select(col("vec_id"), col("embedding"))
@@ -92,6 +134,11 @@ object Round25Queries {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // The persisted-tokens funnel reconciles to exactly the live token
+    // table, so the oracle is the e_maxsim_funnel replay verbatim.
+    "e_maxsim_tokens_persisted" ->
+      Round17Queries.oracleSql("e_maxsim_funnel"),
 
     // Saturating fan-out = flat-probe semantics, so the planted twin
     // serves at rank 1, cosine 1 for every original.

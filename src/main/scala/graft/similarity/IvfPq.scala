@@ -70,19 +70,25 @@ object IvfPq {
     val subDim = dim / numSub
     val dot = graft.functions.DotProduct.dot_product _
 
-    // (1) probe cells — identical plan to ivfTopKFromIndex's probe side
+    // (1) probe cells — identical plan to ivfTopKFromIndex's probe side.
+    // LOCALIZED ONCE (bounded |q|·nprobe rows): the probe table feeds
+    // THREE consumers — the broadcast ADC table, the static cell prune
+    // (Similarity.joinProbedCells), and the candidate join — and
+    // without the eager localization each consumer's action re-ran the
+    // |q|·C cell-ranking subplan (the measured IVF-PQ 100× residual,
+    // SCALE.md r15). One collect here; everything downstream derives
+    // from the LocalRelation job-free.
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("_cdist").asc, col("centroid_id"))
-    // localized (bounded |q|·nprobe rows) — the ADC table derives from
-    // it job-free and the index join statically cell-prunes
-    // (Similarity.joinProbedCells)
-    val probed = queries.crossJoin(broadcast(centroidsDf))
-      .withColumn("_cdist",
-        Similarity.negCosGuarded(col("embedding"), col("centroid")))
-      .withColumn("_crank", row_number().over(w0))
-      .filter(col("_crank") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("centroid_id"),
-        col("embedding").as("q_emb"))
+    val probed = Similarity.localizeBounded(
+      queries.crossJoin(broadcast(centroidsDf))
+        .withColumn("_cdist",
+          Similarity.negCosGuarded(col("embedding"), col("centroid")))
+        .withColumn("_crank", row_number().over(w0))
+        .filter(col("_crank") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("centroid_id"),
+          col("embedding").as("q_emb")),
+      Similarity.MaxLocalProbedRows)
 
     // (2) broadcast ADC table: dot(q_sub, code centroid) per
     // (query, sub, code) — |queries| × numSub × |codes| rows
@@ -226,17 +232,20 @@ object IvfPq {
     val subDim = dim / numSub
     val dot = graft.functions.DotProduct.dot_product _
 
+    // localized ONCE — the [[topKFromIndex]] rationale (three consumers,
+    // one collect)
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("_cdist").asc, col("centroid_id"))
-    // localized — the flat topKFromIndex rationale
-    val probed = queries.crossJoin(broadcast(centroidsDf))
-      .withColumn("_cdist",
-        Similarity.negCosGuarded(col("embedding"), col("centroid")))
-      .withColumn("_crank", row_number().over(w0))
-      .filter(col("_crank") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("centroid_id"),
-        col("embedding").as("q_emb"),
-        dot(col("embedding"), col("centroid")).as("cdot"))
+    val probed = Similarity.localizeBounded(
+      queries.crossJoin(broadcast(centroidsDf))
+        .withColumn("_cdist",
+          Similarity.negCosGuarded(col("embedding"), col("centroid")))
+        .withColumn("_crank", row_number().over(w0))
+        .filter(col("_crank") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("centroid_id"),
+          col("embedding").as("q_emb"),
+          dot(col("embedding"), col("centroid")).as("cdot")),
+      Similarity.MaxLocalProbedRows)
 
     val adc = broadcast(probed.select(col("query_id"), col("q_emb"))
       .dropDuplicates("query_id")

@@ -201,16 +201,46 @@ object LateInteraction {
     * absent from the ranked output, not scored-and-lost), so a pooled
     * index that drifts from the token table produces invisible recall
     * holes. Keep the two artifacts in the same snapshot; audit with
-    * `candidates.join(docVecs, "doc_id", "left_anti")` when in doubt. */
+    * `candidates.join(docVecs, "doc_id", "left_anti")` when in doubt.
+    *
+    * Fetch shape: the candidate list LOCALIZES (≤ |queries|·shortlist
+    * (query, doc) pairs by contract) and its distinct doc ids push into
+    * the token-table scan as an `isin` literal — against a doc_id-sorted
+    * persisted token table that is a row-group-pruned read of just the
+    * shortlisted docs' tokens. The previous
+    * `broadcast(candidates).join(docVecs)` shape never shuffled the
+    * token table but READ ALL of it per batch — the identical
+    * O(corpus)-scan-per-trigger term [[Similarity.shortlistEmbeddings]]
+    * removed from the seven single-vector rerank tails (SCALE.md r15
+    * measured it at 7× on the IVF-PQ serve; the token table is
+    * |tokens|× bigger than a float corpus, so this tail pays it
+    * worse). Localizing also runs the coarse funnel stage exactly once
+    * per batch. Past the cap the broadcast-join shape returns. */
   def maxSimRerank(candidates: DataFrame, queryVecs: DataFrame,
                    docVecs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"maxSimRerank: k=$k must be >= 1")
-    val cand = broadcast(candidates.select(col("query_id"), col("doc_id"))
-      .distinct())
+    val spark = candidates.sparkSession
+    val distinctCand = candidates.select(col("query_id"), col("doc_id"))
+      .distinct()
     val q = broadcast(queryVecs.select(col("query_id"),
       col("token_idx").as("q_tok"), col("embedding").as("q_emb")))
-    val scored = docVecs.select(col("doc_id"), col("embedding").as("d_emb"))
-      .join(cand, Seq("doc_id"))
+    val docSide = docVecs.select(col("doc_id"), col("embedding").as("d_emb"))
+    val rows = distinctCand
+      .limit(Similarity.MaxLocalShortlistRows + 1).collect()
+    val fetched =
+      if (rows.length > Similarity.MaxLocalShortlistRows)
+        docSide.join(broadcast(distinctCand), Seq("doc_id"))
+      else {
+        import scala.jdk.CollectionConverters._
+        val local = spark.createDataFrame(rows.toSeq.asJava,
+          distinctCand.schema)
+        val dIdx = distinctCand.schema.fieldIndex("doc_id")
+        val ids = rows.map(_.getLong(dIdx)).distinct.toIndexedSeq
+        if (ids.isEmpty) docSide.join(broadcast(local), Seq("doc_id"))
+        else docSide.filter(col("doc_id").isin(ids: _*))
+          .join(broadcast(local), Seq("doc_id"))
+      }
+    val scored = fetched
       .join(q, Seq("query_id"))
       .withColumn("_cos", Similarity.cosineGuarded(col("q_emb"), col("d_emb")))
     scoreAndRank(scored, k)

@@ -693,6 +693,28 @@ object Similarity {
     * pull). */
   private[similarity] val MaxLocalProbedRows = 1 << 12
 
+  /** Localize a bounded plan ONCE: collect up to `cap` rows and rebuild
+    * the frame as a LocalRelation, so every downstream consumer — a
+    * broadcast derivation, a [[joinProbedCells]] collect, a shortlist
+    * action — reads driver-local rows instead of RE-EXECUTING the
+    * source plan per action. The IVF-PQ serves consume their probe
+    * table three ways (the static cell prune, the broadcast ADC table,
+    * and the candidate join), and before this the |q|·C cell-ranking
+    * subplan ran once per consumer per trigger — bounded work, but a
+    * per-action replanning cost the 100× leg saw as the IVF-PQ
+    * residual (SCALE.md r15: 1.83× after the static-prune fix). Past
+    * the cap the original plan returns unchanged — the fallback
+    * consumers keep their own (DPP / broadcast-join) shapes. */
+  private[similarity] def localizeBounded(df: DataFrame, cap: Int)
+      : DataFrame = {
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) df
+    else {
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
+    }
+  }
+
   /** Join a BOUNDED probe table against the cell-keyed index side with
     * STATIC cell pruning: the probe table (each query's `nprobe`
     * ranked cells — bounded by construction) localizes, its distinct

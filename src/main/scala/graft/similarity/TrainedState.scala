@@ -325,6 +325,11 @@ object TrainedState {
       org.apache.spark.sql.functions.col("pool"))
   }
 
+  /** [[loadPooled]] behind the fingerprint cache — the persisted
+    * funnel serving loop's per-trigger coarse-side load. */
+  def loadPooledCached(spark: SparkSession, path: String): DataFrame =
+    cachedLoad(spark, path)(loadPooled(spark, path))
+
   val graphIndexSchema: StructType = StructType(Seq(
     StructField("query_id", LongType, nullable = false),
     StructField("rank", IntegerType, nullable = false),
@@ -642,6 +647,64 @@ object TrainedState {
     val files = filesForRows(approxRows(spark, path), targetRowsPerFile)
     compactSwap(spark, path, loadVectors(spark, path),
       (df, p) => saveVectors(df, p, numFiles = files))
+  }
+
+  val tokensSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("token_idx", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true)))
+
+  /** Persist a TOKEN-BAG artifact — the doc-side float state of a
+    * late-interaction deployment (`(doc_id, token_idx, embedding)`,
+    * the [[LateInteraction]] contract; |tokens|× a single-vector
+    * corpus, so this is usually the LARGEST float table in the fleet).
+    * Range-partition + sort by `doc_id` (the [[saveVectors]] layout)
+    * so every file carries tight doc-id min/max stats: the MaxSim
+    * rerank fetches the shortlisted docs' tokens through a bounded
+    * `isin` ([[LateInteraction.maxSimRerank]]), and with this layout
+    * that read touches only the row groups those ids can live in —
+    * never the token corpus. */
+  def saveTokens(tokens: DataFrame, path: String,
+                 numFiles: Int = 0): Unit = {
+    val f = org.apache.spark.sql.functions
+    val cols = tokensSchema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name))
+    val projected = tokens.select(cols.toIndexedSeq: _*)
+    (if (numFiles > 0)
+       projected.repartitionByRange(numFiles, f.col("doc_id"))
+     else projected.repartitionByRange(f.col("doc_id")))
+      .sortWithinPartitions("doc_id", "token_idx")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted token-bag artifact; fails fast on schema drift.
+    * Delta-aware: [[appendTokensDelta]] generations reconcile
+    * newest-wins per `(doc_id, token_idx)` — a re-ingested document's
+    * replacement tokens supersede its base rows. Embedding-carrying
+    * localized-reconcile cap, as [[loadVectors]]. */
+  def loadTokens(spark: SparkSession, path: String): DataFrame =
+    reconcileDeltas(load(spark, tokensSchema, path), spark, path,
+      tokensSchema, Seq("doc_id", "token_idx"), localCap = 1L << 12)
+
+  /** [[loadTokens]] behind the fingerprint cache — the funnel serving
+    * loop's per-trigger doc-side load. */
+  def loadTokensCached(spark: SparkSession, path: String): DataFrame =
+    cachedLoad(spark, path)(loadTokens(spark, path))
+
+  /** APPEND a batch of newly ingested documents' token bags as a DELTA
+    * GENERATION — write cost scales with the batch, not the token
+    * corpus (the [[appendVectorsDelta]] discipline). */
+  def appendTokensDelta(delta: DataFrame, path: String): Unit =
+    appendDeltaGeneration(delta, path, tokensSchema)
+
+  /** Fold accumulated [[appendTokensDelta]] generations back into the
+    * range-partitioned base — crash-safe, data-sized rewrite. */
+  def compactTokens(spark: SparkSession, path: String,
+                    targetRowsPerFile: Long =
+                      DefaultTargetRowsPerFile): Unit = {
+    val files = filesForRows(approxRows(spark, path), targetRowsPerFile)
+    compactSwap(spark, path, loadTokens(spark, path),
+      (df, p) => saveTokens(df, p, numFiles = files))
   }
 
   val hnswIndexSchema: StructType = StructType(Seq(
@@ -1014,6 +1077,8 @@ object TrainedState {
         Some("graph")
       else if (Set("vec_id", "sub", "code").subsetOf(fields))
         Some("pqcodes")
+      else if (Set("doc_id", "token_idx", "embedding").subsetOf(fields))
+        Some("tokens") // late-interaction token bags
       else if (Set("vec_id", "embedding").subsetOf(fields))
         Some("vectors") // flat corpus vectors — the IVF embedding
                         // shape is caught above by its centroid_id=
@@ -1031,6 +1096,7 @@ object TrainedState {
       case "ivf"     => compactIvfIndex
       case "ivfpq"   => compactIvfPqIndex
       case "vectors" => compactVectors(_, _)
+      case "tokens"  => compactTokens(_, _)
       case other => sys.error(s"compactorFor: unknown artifact kind $other")
     }
 

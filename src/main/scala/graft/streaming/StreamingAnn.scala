@@ -831,6 +831,39 @@ object StreamingAnn {
       }
   }
 
+  /** The FULLY-PERSISTED late-interaction serving loop: pooled coarse
+    * vectors AND the token bags both live as artifacts
+    * ([[graft.similarity.TrainedState.savePooled]] /
+    * [[graft.similarity.TrainedState.saveTokens]]) — no caller-held
+    * DataFrame state at all, so a serving fleet restarts from paths
+    * alone (the buildGraphPersisted convention applied to the funnel).
+    * The token side matters at scale: it is the |tokens|×-bigger float
+    * table, and the doc_id-sorted [[graft.similarity.TrainedState.saveTokens]]
+    * layout is what lets the rerank's bounded `isin` fetch
+    * ([[graft.similarity.LateInteraction.maxSimRerank]]) read only the
+    * shortlisted docs' row groups per trigger instead of the token
+    * corpus. Both loads are fingerprint-cached — a trigger re-reads
+    * nothing unless a fold-in/compaction actually changed an artifact. */
+  def serveMaxSimFunnelFromArtifacts(queries: DataFrame,
+                                     spark: org.apache.spark.sql.SparkSession,
+                                     pooledPath: String, tokensPath: String,
+                                     k: Int, shortlist: Int,
+                                     availableNow: Boolean = false)
+                                    (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    val dims = graft.similarity.TrainedState.loadPooledParams(spark, pooledPath)
+    run(queries, availableNow) { (batch, batchId) =>
+        val pooled = graft.similarity.TrainedState
+          .loadPooledCached(spark, pooledPath)
+        val docVecs = graft.similarity.TrainedState
+          .loadTokensCached(spark, tokensPath)
+        val qv = batch.select(col("query_id"),
+          posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
+        sink(graft.similarity.LateInteraction.maxSimFunnelWith(qv, docVecs,
+          pooled, k, dims, shortlist), batchId)
+      }
+  }
+
   /** Streaming kNN CLASSIFICATION: per micro-batch of query vectors,
     * find `k` approximate neighbors in a LABELED codes index
     * ([[Similarity.ivfTopKFromIndex]]) and emit the majority label
