@@ -100,6 +100,48 @@ object Round25Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The ANN-COARSE MaxSim funnel (the 100 TB ColBERT serving shape:
+    // probed IVF over mean-pooled vectors shortlists, id-pruned MaxSim
+    // rerank scores) with a planted-twin exact contract: each query's
+    // token bag is planted VERBATIM as a doc (ids 100+query_id). The
+    // twin's mean vector is the query's mean vector, so it lands in
+    // the query's own argmin cell and tops the coarse ranking at
+    // cosine 1; MaxSim then scores it at exactly n_tokens · 1e6 (every
+    // query token matches its identical twin token at cosine 1) —
+    // strictly maximal, so top-1 = twin at score 2e6 for these 2-token
+    // bags. Query ids ride at +1000 (the no-collision contract).
+    "e_maxsim_funnel_ann" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") < 10)
+        .select((lit(1000L) + col("vec_id") % 5).as("query_id"),
+          col("vec_id").as("token_idx"), col("embedding"))
+      val twins = qv.select((col("query_id") - 900L).as("doc_id"),
+        col("token_idx"), col("embedding"))
+      val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+          col("vec_id").as("token_idx"), col("embedding"))
+        .unionByName(twins)
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_msann_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.saveTokens(dv, s"$root/tokens")
+      val tokens = TrainedState.loadTokensCached(s, s"$root/tokens")
+      val means = graft.similarity.LateInteraction.meanVectors(
+        graft.similarity.LateInteraction.poolSum(tokens, "doc_id", 64))
+      val cents = means.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      TrainedState.saveCentroids(cents, s"$root/cents")
+      TrainedState.saveIvfIndex(
+        Similarity.ivfAssign(means, cents), s"$root/ivf")
+      graft.similarity.LateInteraction.maxSimFunnelAnn(
+          qv, tokens,
+          TrainedState.loadIvfIndexCached(s, s"$root/ivf"),
+          TrainedState.loadCentroids(s, s"$root/cents"),
+          k = 1, dims = 64, shortlist = 4, nprobe = 3)
+        .orderBy(col("query_id"))
+    }),
+
     "e_ann_ivf_twolevel_probe" -> ((s, dir) => {
       val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
         .select(col("vec_id"), col("embedding"))
@@ -139,6 +181,13 @@ object Round25Queries {
     // table, so the oracle is the e_maxsim_funnel replay verbatim.
     "e_maxsim_tokens_persisted" ->
       Round17Queries.oracleSql("e_maxsim_funnel"),
+
+    // Planted twin bag: top-1 is the twin doc (query_id − 900) at the
+    // maximal MaxSim score n_tokens·1e6 = 2e6.
+    "e_maxsim_funnel_ann" ->
+      """SELECT DISTINCT 1000 + (vec_id % 5) AS query_id, 1 AS rank,
+        |  100 + (vec_id % 5) AS doc_id, CAST(2000000 AS BIGINT) AS score
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     // Saturating fan-out = flat-probe semantics, so the planted twin
     // serves at rank 1, cosine 1 for every original.

@@ -176,6 +176,54 @@ object LateInteraction {
     maxSimRerank(cand, queryVecs, docVecs, k)
   }
 
+  /** MEAN-pooled FLOAT vectors from a [[poolSum]] output —
+    * `(vec_id, embedding ARRAY<FLOAT>)`, the repo-wide single-vector
+    * contract, so the ENTIRE IVF serving stack (assign, persisted
+    * index, probe, two-level, rebalance, forget) applies to a pooled
+    * token corpus unchanged. Each component is
+    * `(pool_i / 1e6 / n_tokens).toFloat` — one f64 divide chain then
+    * one rounding, deterministic everywhere; cosine is scale-invariant
+    * so the mean-vs-sum choice never changes a ranking, and the
+    * quantized pool keeps the artifact exact while this view is the
+    * lossy (float) serving key. */
+  def meanVectors(pooled: DataFrame): DataFrame =
+    pooled.select(col("id").as("vec_id"),
+      transform(col("pool"), p =>
+        (p.cast("double") / lit(1000000.0) /
+          col("n_tokens").cast("double")).cast("float")).as("embedding"))
+
+  /** The ANN-coarse late-interaction funnel — the shape that survives
+    * 100 TB: [[maxSimFunnelWith]]'s coarse stage scores EVERY pooled
+    * doc per query (exact, but O(pooled corpus) per batch — the
+    * documented brute-coarse trade), while here the shortlist comes
+    * from a PROBED persisted IVF index over the [[meanVectors]] view
+    * (cell-pruned scan, bounded candidates — cost ∝ probed cells, not
+    * the corpus) and only the shortlisted docs' token bags are MaxSim
+    * re-scored through the id-pruned [[maxSimRerank]] fetch. Recall
+    * semantics are IVF (a doc whose mean vector lives in an unprobed
+    * cell is missed — the standard ColBERT-serving trade); at
+    * saturating nprobe ≥ C and shortlist ≥ |docs| the candidate set is
+    * every doc and the final ranking equals [[maxSimTopK]] exactly
+    * (spec-pinned — MaxSim rescoring makes the coarse ORDER
+    * irrelevant once membership saturates).
+    *
+    * CONTRACT: query ids must not collide with doc ids — the IVF
+    * probe excludes self-matches by id equality, so a query sharing an
+    * indexed doc's id would silently drop that doc from its shortlist.
+    * Offset the query-id space (the gate queries use +1000). */
+  def maxSimFunnelAnn(queryVecs: DataFrame, docVecs: DataFrame,
+                      ivfIndex: DataFrame, centroidsDf: DataFrame,
+                      k: Int, dims: Int, shortlist: Int,
+                      nprobe: Int): DataFrame = {
+    require(shortlist >= k,
+      s"maxSimFunnelAnn: shortlist=$shortlist must be >= k=$k")
+    val qMeans = meanVectors(poolSum(queryVecs, "query_id", dims))
+    val cand = Similarity.ivfTopKFromIndex(qMeans, ivfIndex,
+        k = shortlist, centroidsDf, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    maxSimRerank(cand, queryVecs, docVecs, k)
+  }
+
   /** Score EVERY document against every query — the exact form (and the
     * oracle's). `queryVecs`: (query_id, token_idx, embedding) — a bounded
     * batch; `docVecs`: (doc_id, token_idx, embedding) — the corpus. */

@@ -864,6 +864,46 @@ object StreamingAnn {
       }
   }
 
+  /** The ANN-COARSE persisted late-interaction loop — the 100 TB
+    * funnel shape ([[graft.similarity.LateInteraction.maxSimFunnelAnn]]):
+    * the brute coarse stage of [[serveMaxSimFunnelFromArtifacts]]
+    * scores every pooled doc per trigger (exact, O(pooled corpus)),
+    * while here the shortlist comes from a PROBED persisted IVF index
+    * over the mean-pooled vectors (cell-pruned scan — per-trigger
+    * coarse cost ∝ probed cells) and only the shortlisted docs' token
+    * bags are fetched, id-pruned, from the tokens artifact. All three
+    * artifacts load from paths (index + centroids + tokens; the
+    * offline half builds them with
+    * `saveIvfIndex(ivfAssign(meanVectors(poolSum(docVecs))))` +
+    * [[graft.similarity.TrainedState.saveCentroids]] /
+    * [[graft.similarity.TrainedState.saveTokens]]). `dims` is the
+    * token width the QUERY side pools at — it must match what the
+    * index's mean vectors were pooled from, and the first probe fails
+    * loudly on a width mismatch (array kernel contract). Query ids
+    * must not collide with doc ids (the [[graft.similarity
+    * .LateInteraction.maxSimFunnelAnn]] contract). */
+  def serveMaxSimAnnFromArtifacts(queries: DataFrame,
+                                  spark: org.apache.spark.sql.SparkSession,
+                                  ivfPath: String, centroidsPath: String,
+                                  tokensPath: String, k: Int, dims: Int,
+                                  shortlist: Int, nprobe: Int,
+                                  availableNow: Boolean = false)
+                                 (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    run(queries, availableNow) { (batch, batchId) =>
+        val index = graft.similarity.TrainedState
+          .loadIvfIndexCached(spark, ivfPath)
+        val cents = graft.similarity.TrainedState
+          .loadCentroids(spark, centroidsPath)
+        val docVecs = graft.similarity.TrainedState
+          .loadTokensCached(spark, tokensPath)
+        val qv = batch.select(col("query_id"),
+          posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
+        sink(graft.similarity.LateInteraction.maxSimFunnelAnn(qv, docVecs,
+          index, cents, k, dims, shortlist, nprobe), batchId)
+      }
+  }
+
   /** Streaming kNN CLASSIFICATION: per micro-batch of query vectors,
     * find `k` approximate neighbors in a LABELED codes index
     * ([[Similarity.ivfTopKFromIndex]]) and emit the majority label

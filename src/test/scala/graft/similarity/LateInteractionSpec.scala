@@ -216,6 +216,40 @@ class LateInteractionSpec extends SparkTestBase {
     assert(funnel == full)
   }
 
+  test("maxSimFunnelAnn at saturating nprobe/shortlist == maxSimTopK " +
+      "(ANN coarse membership saturates; MaxSim rescoring makes the " +
+      "coarse order irrelevant)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    // query ids offset +1000: the no-collision contract
+    val qv = emb.filter(col("vec_id") < 10)
+      .select((lit(1000L) + col("vec_id") % 5).as("query_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+    val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+      col("vec_id").as("token_idx"), col("embedding"))
+    val means = LateInteraction.meanVectors(
+      LateInteraction.poolSum(dv, "doc_id", dims = 64))
+    val cents = means.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val index = Similarity.ivfAssign(means, cents)
+    val full = LateInteraction.maxSimTopK(qv, dv, k = 3).collect().toSet
+    val ann = LateInteraction.maxSimFunnelAnn(qv, dv, index, cents,
+      k = 3, dims = 64, shortlist = 50, nprobe = 5).collect().toSet
+    assert(ann == full)
+  }
+
+  test("meanVectors: exact mean of the quantized pool as floats; " +
+      "cosine of a doc's mean against an identical bag's mean is 1") {
+    import spark.implicits._
+    val vecs = Seq((1L, 0L, Seq(0.5f, -0.25f)), (1L, 1L, Seq(1.0f, 0.125f)))
+      .toDF("doc_id", "token_idx", "embedding")
+    val got = LateInteraction.meanVectors(
+        LateInteraction.poolSum(vecs, "doc_id", dims = 2))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList))
+    // pools (1500000, -125000) over 2 tokens -> means (0.75, -0.0625)
+    assert(got.toSeq == Seq((1L, List(0.75f, -0.0625f))))
+  }
+
   test("maxSimRerank scores only shortlisted docs") {
     import spark.implicits._
     val x = Seq(1f, 0f); val y = Seq(0f, 1f)
