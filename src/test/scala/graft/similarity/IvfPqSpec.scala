@@ -55,6 +55,48 @@ class IvfPqSpec extends SparkTestBase {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("the serve schedules a BOUNDED job count: the probe table " +
+      "localizes once and every consumer (ADC broadcast, cell prune, " +
+      "candidate join) derives from the LocalRelation job-free — a " +
+      "regression that re-executes the |q|*C ranking per consumer " +
+      "adds jobs and fails this pin") {
+    val queries = emb.filter(col("vec_id") < 8).localCheckpoint(true)
+    val index = IvfPq.encode(emb, centroids, books, dim = 64, numSub = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq_jobs").toString + "/idx"
+    TrainedState.saveIvfPqIndex(index, path)
+    val loaded = TrainedState.loadIvfPqIndex(spark, path)
+    val cents = centroids.localCheckpoint(true)
+    val bks = books.localCheckpoint(true)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
+    def once(): Int = {
+      val j0 = jobCount.get()
+      IvfPq.topKFromIndex(queries, loaded, emb, k = 3, cents, bks,
+          dim = 64, numSub = 8, nprobe = 2, rerank = 8)
+        .write.format("noop").mode("overwrite").save()
+      Thread.sleep(300) // listener bus drain
+      jobCount.get() - j0
+    }
+    once() // warmup (shuffle/broadcast infra)
+    val jobs = (1 to 3).map(_ => once())
+    // measured 15 jobs, rep-stable, on the single-localization plan
+    // (probe limit-collect, shortlist limit-collect with its
+    // incremental-limit attempts, broadcasts, final action); each
+    // re-executed probe consumer adds >= 2-3 more. Headroom to 18.
+    assert(jobs.forall(_ <= 18),
+      s"IVF-PQ serve scheduled $jobs jobs per rep — a probe-plan " +
+        "re-execution crept back in")
+    assert(jobs.distinct.size == 1,
+      s"job count must be rep-stable, got $jobs")
+  }
+
   test("planted identical vector co-locates: same cell, same codes, " +
       "rank-1 at cosine 1 through the index") {
     import spark.implicits._
