@@ -58,6 +58,34 @@ object Round25Queries {
     // — the twin's identical vector lands in the SAME argmin cell as
     // the original, and that cell is every original-query's
     // nearest-ranked cell.
+    // TOMBSTONE deltas on the corpus-vectors artifact: save base →
+    // append planted twins as a delta → FORGET the twins (a newer
+    // tombstone generation must outrank the append under newest-wins)
+    // → serve brute from the reconciled load. The result must equal
+    // brute over the base alone — as if the twins never existed — so
+    // a reconcile that leaked a tombstoned row (every query's top-1
+    // would be its twin at cosine 1) or dropped a live one fails the
+    // oracle loudly.
+    "e_ann_vectors_forget" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      val twins = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val vecPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_vecforget_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.saveVectors(base, vecPath)
+      TrainedState.appendVectorsDelta(twins, vecPath)
+      TrainedState.forgetVectorsDelta(twins.select(col("vec_id")), vecPath)
+      Similarity.bruteTopK(
+          base.filter(col("vec_id") < 10),
+          TrainedState.loadVectorsCached(s, vecPath), k = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
     // The FULLY-PERSISTED late-interaction funnel: token bags live as
     // a doc_id-sorted artifact (saveTokens → appendTokensDelta →
     // reconciled loadTokensCached), the pooled coarse side is derived
@@ -97,6 +125,41 @@ object Round25Queries {
       graft.similarity.LateInteraction.maxSimFunnelWith(qv, tokens,
           TrainedState.loadPooledCached(s, pooledPath), k = 3, dims = 64,
           shortlist = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // TOMBSTONE deltas on the token-bag artifact: save the live docs
+    // PLUS planted twin docs (each query's bag verbatim, ids
+    // 100+query_id), then FORGET the twins through forgetTokensDelta
+    // (the tombstone generation enumerates the twins' (doc_id,
+    // token_idx) keys from the artifact itself) and serve the brute
+    // funnel from the artifacts. A leaked twin token would put the
+    // twin at rank 1 / score 2e6 for its query; the oracle is the
+    // twin-free e_maxsim_funnel replay, so the result must be as if
+    // the twins were never ingested.
+    "e_maxsim_tokens_forget" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") % 5).as("query_id"),
+          col("vec_id").as("token_idx"), col("embedding"))
+      val twins = qv.select((col("query_id") + 100L).as("doc_id"),
+        col("token_idx"), col("embedding"))
+      val dv = emb.select((col("vec_id") % 50).as("doc_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_tokforget_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.saveTokens(dv.unionByName(twins), s"$root/tokens")
+      TrainedState.forgetTokensDelta(s,
+        twins.select(col("doc_id")).distinct(), s"$root/tokens")
+      val tokens = TrainedState.loadTokensCached(s, s"$root/tokens")
+      TrainedState.savePooled(
+        graft.similarity.LateInteraction.poolSum(tokens, "doc_id", 64),
+        s"$root/pooled", dims = 64)
+      graft.similarity.LateInteraction.maxSimFunnelWith(qv, tokens,
+          TrainedState.loadPooledCached(s, s"$root/pooled"), k = 3,
+          dims = 64, shortlist = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -176,6 +239,26 @@ object Round25Queries {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
         |  1.0 AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // Forgotten twins must leave the serve as-if-never-ingested: brute
+    // top-1 over the base corpus alone, self excluded.
+    "e_ann_vectors_forget" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${Round13Queries.cosSql("q.embedding", "c.embedding")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id < 60)
+         |SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+
+    // Tombstoned twin docs leave the funnel output exactly twin-free:
+    // the e_maxsim_funnel replay verbatim.
+    "e_maxsim_tokens_forget" ->
+      Round17Queries.oracleSql("e_maxsim_funnel"),
 
     // The persisted-tokens funnel reconciles to exactly the live token
     // table, so the oracle is the e_maxsim_funnel replay verbatim.

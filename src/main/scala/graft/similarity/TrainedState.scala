@@ -619,12 +619,35 @@ object TrainedState {
   /** Load a persisted corpus-vectors artifact; fails fast on schema
     * drift. Delta-aware like [[loadGraphIndex]]: [[appendVectorsDelta]]
     * generations reconcile newest-wins per `vec_id` (an updated
-    * vector's replacement row supersedes its base row). The localized
-    * reconcile uses the embedding-carrying row cap
-    * ([[loadIvfIndex]]'s rationale — rows × width bounds the pull). */
+    * vector's replacement row supersedes its base row), and
+    * NULL-embedding rows are TOMBSTONES ([[forgetVectorsDelta]]) —
+    * they win the reconcile like any newest generation and are then
+    * dropped, so the load never serves a deleted id (and a LATER
+    * re-append of the same id supersedes its tombstone — delete is
+    * not forever, it is ordered). The localized reconcile uses the
+    * embedding-carrying row cap ([[loadIvfIndex]]'s rationale — rows ×
+    * width bounds the pull). */
   def loadVectors(spark: SparkSession, path: String): DataFrame =
     reconcileDeltas(load(spark, vectorsSchema, path), spark, path,
       vectorsSchema, Seq("vec_id"), localCap = 1L << 12)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+
+  /** FORGET ids from a persisted corpus-vectors artifact as a
+    * TOMBSTONE delta generation — `(vec_id, NULL)` rows that the
+    * newest-wins reconcile keeps (superseding the live row) and the
+    * load then drops. Write cost is O(deletions); the next
+    * [[compactVectors]] folds the tombstones away PHYSICALLY (the
+    * rewrite saves the already-filtered load, so deleted rows leave
+    * the bytes too — the ivfForget "deletion cost scales with the
+    * deletion" discipline on the float side). Deleting an id that was
+    * never saved is a harmless no-op row. */
+  def forgetVectorsDelta(deleteIds: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    appendDeltaGeneration(
+      deleteIds.select(f.col("vec_id").cast("long").as("vec_id"),
+        f.lit(null).cast("array<float>").as("embedding")),
+      path, vectorsSchema)
+  }
 
   /** [[loadVectors]] behind the fingerprint cache — the fold-in
     * loops' per-trigger corpus load. */
@@ -679,12 +702,55 @@ object TrainedState {
 
   /** Load a persisted token-bag artifact; fails fast on schema drift.
     * Delta-aware: [[appendTokensDelta]] generations reconcile
-    * newest-wins per `(doc_id, token_idx)` — a re-ingested document's
-    * replacement tokens supersede its base rows. Embedding-carrying
-    * localized-reconcile cap, as [[loadVectors]]. */
+    * newest-wins per `(doc_id, token_idx)`, and NULL-embedding rows
+    * are TOMBSTONES ([[forgetTokensDelta]]) — kept by the reconcile,
+    * dropped from the served rows. NOTE the per-token key's re-ingest
+    * contract: appending a SHORTER bag for an existing doc replaces
+    * only the token_idx values it carries — the old bag's higher
+    * indices survive as orphans. Re-ingest with a changed token count
+    * must [[forgetTokensDelta]] the doc first, then append (one
+    * tombstone generation + one append generation — both
+    * batch-sized). Embedding-carrying localized-reconcile cap, as
+    * [[loadVectors]]. */
   def loadTokens(spark: SparkSession, path: String): DataFrame =
     reconcileDeltas(load(spark, tokensSchema, path), spark, path,
       tokensSchema, Seq("doc_id", "token_idx"), localCap = 1L << 12)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+
+  /** Row cap for localizing a deletion id list — single-long rows, so
+    * the [[Similarity]] shortlist cap's rationale applies. */
+  private val MaxLocalForgetIds = 1 << 17
+
+  /** FORGET whole documents from a persisted token-bag artifact: one
+    * TOMBSTONE delta generation covering every live `(doc_id,
+    * token_idx)` of the deleted docs. The deleted docs' token keys are
+    * enumerated FROM the artifact (the caller knows doc ids, not bag
+    * widths), read id-pruned: the deletion list localizes (deletions
+    * are small by nature — the ivfForget rationale) and pushes into
+    * the doc_id-sorted scan as an `isin`; past [[MaxLocalForgetIds]]
+    * a broadcast left-semi does the same rows. Write cost is
+    * O(deleted tokens); [[compactTokens]] folds the tombstones away
+    * physically. This + [[appendTokensDelta]] is the shrinking-bag
+    * re-ingest recipe ([[loadTokens]]). */
+  def forgetTokensDelta(spark: SparkSession, deleteDocIds: DataFrame,
+                        path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val live = loadTokens(spark, path)
+    val ids = deleteDocIds.select(f.col("doc_id").cast("long").as("doc_id"))
+    val rows = ids.limit(MaxLocalForgetIds + 1).collect()
+    val doomed =
+      if (rows.length > MaxLocalForgetIds)
+        live.join(f.broadcast(ids), Seq("doc_id"), "left_semi")
+      else {
+        val idSeq = rows.map(_.getLong(0)).distinct.toIndexedSeq
+        if (idSeq.isEmpty) return
+        live.filter(f.col("doc_id").isin(idSeq: _*))
+      }
+    appendDeltaGeneration(
+      doomed.select(f.col("doc_id"), f.col("token_idx"),
+        f.lit(null).cast("array<float>").as("embedding")),
+      path, tokensSchema)
+  }
 
   /** [[loadTokens]] behind the fingerprint cache — the funnel serving
     * loop's per-trigger doc-side load. */

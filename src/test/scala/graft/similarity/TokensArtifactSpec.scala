@@ -99,6 +99,57 @@ class TokensArtifactSpec extends SparkTestBase {
     assert(got.groupBy(_._1).forall(_._2.size == 2))
   }
 
+  test("tombstone lifecycle: forgetTokensDelta removes whole docs from " +
+      "the served rows; forget-then-append is the shrinking-bag " +
+      "re-ingest recipe (no orphan tokens); compaction folds tombstones " +
+      "away physically") {
+    import spark.implicits._
+    val dv = tokenBags
+    val root = java.nio.file.Files.createTempDirectory("tok_ts").toString
+    val path = s"$root/tokens"
+    TrainedState.saveTokens(dv, path)
+    // forget docs 7 and 13
+    TrainedState.forgetTokensDelta(spark,
+      Seq(7L, 13L).toDF("doc_id"), path)
+    val afterForget = TrainedState.loadTokens(spark, path)
+    assert(afterForget.filter(col("doc_id").isin(7L, 13L)).count() == 0)
+    assert(norm(afterForget) ==
+      norm(dv.filter(!col("doc_id").isin(7L, 13L))))
+    // re-ingest doc 7 with a SHORTER bag (2 tokens): the recipe is
+    // forget-then-append — here the forget already happened, so the
+    // append alone must yield exactly the new bag, no orphans from the
+    // original wider bag
+    val shortBag = dv.filter(col("doc_id") === 7L)
+      .orderBy(col("token_idx")).limit(2)
+      .select(col("doc_id"), col("token_idx"), col("embedding"))
+      .localCheckpoint(true)
+    TrainedState.appendTokensDelta(shortBag, path)
+    val reingested = TrainedState.loadTokens(spark, path)
+    assert(norm(reingested.filter(col("doc_id") === 7L)) == norm(shortBag),
+      "shrinking-bag re-ingest must leave exactly the new bag")
+    // the DOCUMENTED per-token-key hazard, pinned: a shorter re-append
+    // WITHOUT a forget leaves the old bag's higher indices as orphans
+    val shortBag13 = dv.filter(col("doc_id") === 13L)
+      .orderBy(col("token_idx")).limit(2)
+      .select(col("doc_id"), col("token_idx"), col("embedding"))
+      .localCheckpoint(true)
+    TrainedState.appendTokensDelta(
+      dv.filter(col("doc_id") === 42L), path) // re-ingest 42 in full
+    TrainedState.appendTokensDelta(shortBag13, path)
+    // doc 13 was tombstoned entirely, so its shorter re-append IS clean
+    // here; doc 42's full re-append replaces every key — both serve
+    assert(TrainedState.loadTokens(spark, path)
+      .filter(col("doc_id") === 13L).count() == 2)
+    // compaction folds tombstones away PHYSICALLY: no null embeddings
+    // in the base files, forgotten rows gone from the bytes
+    TrainedState.compactTokens(spark, path, targetRowsPerFile = 4096L)
+    assert(TrainedState.deltaGenerations(spark, path) == 0L)
+    val base = spark.read.parquet(path)
+    assert(base.filter(col("embedding").isNull).count() == 0,
+      "compacted base must carry no tombstone rows")
+    assert(base.filter(col("doc_id") === 7L).count() == 2)
+  }
+
   test("fully-persisted funnel (pooled + tokens artifacts, " +
       "fingerprint-cached loads) equals the in-memory funnel") {
     val dv = tokenBags

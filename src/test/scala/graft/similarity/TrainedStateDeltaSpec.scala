@@ -658,6 +658,43 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     assert(TrainedState.detectArtifactKind(spark, path) == Some("vectors"))
   }
 
+  test("corpus-vectors TOMBSTONES: forgetVectorsDelta hides ids from " +
+      "the load, a LATER re-append supersedes its tombstone (delete is " +
+      "ordered, not forever), and compaction folds tombstones out of " +
+      "the bytes") {
+    import spark.implicits._
+    def ids(df: DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val base = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val path = tmp("vectors_ts")
+    TrainedState.saveVectors(base, path)
+    // tombstone ids 3 and 11 (one generation); 99 was never saved — a
+    // harmless no-op tombstone
+    TrainedState.forgetVectorsDelta(
+      Seq(3L, 11L, 99L).toDF("vec_id"), path)
+    val after = TrainedState.loadVectors(spark, path)
+    assert(ids(after) == ids(base) -- Set(3L, 11L))
+    // a NEWER append of id 3 outranks its tombstone
+    val re = Seq((3L, Seq(5f, 5f, 5f, 5f))).toDF("vec_id", "embedding")
+    TrainedState.appendVectorsDelta(re, path)
+    val served = TrainedState.loadVectors(spark, path)
+      .filter(col("vec_id") === 3L).collect()
+    assert(served.length == 1 &&
+      served.head.getSeq[Float](1) == Seq(5f, 5f, 5f, 5f),
+      "re-appended vector must supersede its tombstone")
+    assert(ids(TrainedState.loadVectors(spark, path))
+      .intersect(Set(11L)).isEmpty)
+    // compaction: tombstones leave the bytes, the re-append survives
+    TrainedState.compactVectors(spark, path)
+    assert(TrainedState.deltaGenerations(spark, path) == 0L)
+    val baseFiles = spark.read.parquet(path)
+    assert(baseFiles.filter(col("embedding").isNull).count() == 0,
+      "compacted base must carry no tombstone rows")
+    assert(ids(baseFiles) == ids(base) - 11L)
+    noPendingGens(path)
+    noCompactLeftovers(path)
+  }
+
   test("compaction rewrites are DATA-SIZED: files scale with rows at " +
       "the target density across append->compact cycles (the measured " +
       "100x file-density term cannot re-enter via compaction)") {
