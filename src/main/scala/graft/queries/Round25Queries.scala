@@ -128,6 +128,44 @@ object Round25Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The full lazy-delete → CONSOLIDATE lifecycle on a persisted
+    // graph deployment: graph + vectors built over base ∪ twins, the
+    // twins tombstoned (vectors artifact only — edges still name
+    // them), then consolidateGraphArtifact derives the dangling ids
+    // from the two artifacts' disagreement, repairs every surviving
+    // out-list that lost an edge, and rewrites the edge base. The
+    // saturating serve over the consolidated artifacts must equal
+    // brute over the base alone — a leaked twin (top-1 at cosine 1), a
+    // dropped live row, or a repair that fractured reachability all
+    // fail the oracle.
+    "e_ann_graph_consolidate" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      val twins = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(twins)
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_gcons_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.saveGraphIndex(
+        Similarity.bruteTopK(corpus, corpus, 6), s"$root/graph")
+      TrainedState.saveVectors(corpus, s"$root/graph.vectors")
+      TrainedState.forgetVectorsDelta(twins.select(col("vec_id")),
+        s"$root/graph.vectors")
+      TrainedState.consolidateGraphArtifact(s, s"$root/graph",
+        s"$root/graph.vectors", entryId = 0L, beam = 8, hops = 6,
+        degree = 6)
+      GraphAnn.searchGraph(
+          base.filter(col("vec_id") < 10),
+          TrainedState.loadGraphIndexCached(s, s"$root/graph"),
+          TrainedState.loadVectorsCached(s, s"$root/graph.vectors"),
+          entryId = 0L, beam = 84, hops = 64, k = 1, queryBound = 10L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
     // TOMBSTONE deltas on the token-bag artifact: save the live docs
     // PLUS planted twin docs (each query's bag verbatim, ids
     // 100+query_id), then FORGET the twins through forgetTokensDelta
@@ -243,6 +281,21 @@ object Round25Queries {
     // Forgotten twins must leave the serve as-if-never-ingested: brute
     // top-1 over the base corpus alone, self excluded.
     "e_ann_vectors_forget" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${Round13Queries.cosSql("q.embedding", "c.embedding")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id < 60)
+         |SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+
+    // Consolidation must serve as-if-the-twins-never-existed: the
+    // e_ann_vectors_forget contract through the repaired edge base.
+    "e_ann_graph_consolidate" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${Round13Queries.cosSql("q.embedding", "c.embedding")} AS cos_sim

@@ -585,6 +585,54 @@ object TrainedState {
       (df, p) => saveGraphIndex(df, p, numFiles = files))
   }
 
+  /** CONSOLIDATE a lazily-deleted graph deployment: after
+    * [[forgetVectorsDelta]] tombstones (via
+    * [[graft.streaming.StreamingAnn.forgetGraphPersisted]] or direct
+    * calls), the edge artifact still NAMES the deleted ids — serving
+    * correctness holds (a node with no embedding can never be scored
+    * or returned) but the walk cannot expand THROUGH deleted nodes, so
+    * recall decays with the accumulated deletion fraction. This pass
+    * is the repair half: it derives the DANGLING ids (edge endpoints with
+    * no live vector — no deletion log needed, the artifacts ARE the
+    * log), removes their rows, re-derives every surviving source's
+    * out-list that lost an edge ([[GraphAnn.graphForgetRepaired]] — a
+    * bounded search per affected source, not a rebuild), and rewrites
+    * the edge base through the crash-safe data-sized swap. Run it on
+    * the [[maintainRoot]] cadence or when deletion receipts accumulate.
+    *
+    * @return the forget/repair receipts `(vec_id, n_out_removed,
+    *         n_in_removed, was_indexed, n_repaired)`, MATERIALIZED
+    *         before the swap (a lazy plan would read replaced files) */
+  def consolidateGraphArtifact(spark: SparkSession, indexPath: String,
+                               vectorsPath: String, entryId: Long,
+                               beam: Int, hops: Int, degree: Int,
+                               targetRowsPerFile: Long =
+                                 DefaultTargetRowsPerFile): DataFrame = {
+    val f = org.apache.spark.sql.functions
+    val edges = loadGraphIndex(spark, indexPath)
+    val live = loadVectors(spark, vectorsPath)
+    val endpoints = edges.select(f.col("query_id").as("vec_id"))
+      .unionByName(edges.select(f.col("neighbor_id").as("vec_id")))
+      .distinct()
+    val dangling = endpoints
+      .join(live.select(f.col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    require(dangling.filter(f.col("vec_id") === entryId).isEmpty,
+      s"consolidateGraphArtifact: entry $entryId has no live vector — " +
+        "repairs route through the entry; re-seed it before consolidating")
+    val (repaired, receipts) = GraphAnn.graphForgetRepaired(
+      edges, live, dangling, entryId, beam, hops, degree)
+    // deletion-footprint-sized; must not stay lazy across the swap
+    val receiptsOut = receipts.localCheckpoint(true)
+    // pre-delete row count — an upper bound on the rewrite, so file
+    // density errs dense-side by at most the deletion fraction
+    val files = filesForRows(approxRows(spark, indexPath),
+      targetRowsPerFile)
+    compactSwap(spark, indexPath, repaired,
+      (df, p) => saveGraphIndex(df, p, numFiles = files))
+    receiptsOut
+  }
+
   val vectorsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType), nullable = true)))

@@ -424,11 +424,12 @@ object StreamingAnn {
     * per-hop candidate `isin` prunes it at row-group granularity), and
     * the redelivery check is a bounded id-membership probe — nothing
     * re-materializes the accumulated corpus, at any corpus size.
-    * REDELIVERY of an already-indexed id fails loudly: replacement
-    * needs a row DELETION the newest-wins delta model cannot express
-    * (a forget is a compact-time rewrite, not a delta) — use
-    * [[buildGraph]] for in-memory replacement semantics, or an offline
-    * [[graft.similarity.GraphAnn.graphForgetRepaired]] + compact.
+    * REDELIVERY of a LIVE id fails loudly: replacement would need the
+    * batch's edges to delete the old node's rows in the same stroke —
+    * use [[buildGraph]] for in-memory replacement semantics, or
+    * DELETE-then-re-insert: [[forgetGraphPersisted]] tombstones the id
+    * in the vectors artifact, after which this guard (it reads the
+    * tombstone-aware load) admits the re-insert.
     * Both artifacts compact by the SAME generation policy
     * (`maxGenerations`), each with a data-sized rewrite.
     *
@@ -476,9 +477,10 @@ object StreamingAnn {
           require(redelivered.isEmpty,
             "buildGraphPersisted: redelivered vec_id(s) " +
               redelivered.mkString(", ") +
-              " — the newest-wins delta model cannot delete rows; use " +
-              "buildGraph (in-memory replacement) or an offline " +
-              "graphForgetRepaired + compact")
+              " — a live id cannot be replaced in-stream; forget it " +
+              "first (forgetGraphPersisted tombstones the vector and " +
+              "this guard then admits the re-insert) or use buildGraph " +
+              "for in-memory replacement semantics")
           val edges = TS.loadGraphIndexCached(spark, indexPath)
           val (_, changed) = graft.similarity.GraphAnn.insertBySearchParts(
             edges, corpus, batch, entryId, beam, hops, degree,
@@ -495,6 +497,64 @@ object StreamingAnn {
           sink(changed, batchId)
           TS.compactIfNeeded(spark, indexPath, maxGenerations)(
             TS.compactGraphIndex(_, _))
+          TS.compactIfNeeded(spark, vecPath, maxGenerations)(
+            TS.compactVectors(_, _))
+        }
+      }
+  }
+
+  /** STREAMING DELETION against a persisted graph deployment — the
+    * lazy-delete half of the DiskANN delete/consolidate story, paired
+    * with [[buildGraphPersisted]]: per micro-batch of `vec_id`s, the
+    * ids TOMBSTONE in the vectors artifact
+    * ([[graft.similarity.TrainedState.forgetVectorsDelta]] — one
+    * O(batch) delta generation) and the edge artifact is left alone.
+    * Serving correctness is immediate: a node with no live vector can
+    * never be scored or returned (the walk's scoring join drops it),
+    * and [[buildGraphPersisted]]'s redelivery guard reads the
+    * tombstone-aware load, so a forgotten id is legitimately
+    * RE-INSERTABLE. The honest trade: the walk cannot expand THROUGH
+    * deleted nodes, so recall decays as deletions accumulate — run
+    * [[graft.similarity.TrainedState.consolidateGraphArtifact]] on a
+    * maintenance cadence to repair affected out-lists and drop the
+    * dangling rows from the bytes (no deletion log needed: the two
+    * artifacts disagree exactly at the deleted ids).
+    *
+    * Deleting the ENTRY id fails loudly — every walk seeds there; a
+    * deployment retiring its entry re-seeds a new one offline first.
+    *
+    * @param sink audit tap: `(receipts, batchId)` per trigger — the
+    *             [[graft.similarity.GraphAnn.forgetRepairReceipts]]
+    *             accounting (`n_out_removed`, `n_in_removed`,
+    *             `was_indexed`, `n_repaired` = the repair debt this
+    *             batch leaves for the next consolidation), MATERIALIZED
+    *             (deletion-sized) so late consumers never read
+    *             compacted-away files. */
+  def forgetGraphPersisted(deleteIds: DataFrame, indexPath: String,
+                           entryId: Long,
+                           maxGenerations: Long = graft.similarity
+                             .TrainedState.DefaultMaxGenerations,
+                           availableNow: Boolean = false,
+                           vectorsPath: String = "")
+                          (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val TS = graft.similarity.TrainedState
+    val vecPath =
+      if (vectorsPath.nonEmpty) vectorsPath else s"$indexPath.vectors"
+    run(deleteIds, availableNow) { (rawBatch, batchId) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.select(col("vec_id")).localCheckpoint(true)
+        if (!batch.isEmpty) {
+          require(batch.filter(col("vec_id") === entryId).isEmpty,
+            s"forgetGraphPersisted: batch $batchId deletes the entry " +
+              s"id $entryId — every walk seeds there; re-seed a new " +
+              "entry offline before retiring it")
+          val receipts = graft.similarity.GraphAnn.forgetRepairReceipts(
+              TS.loadGraphIndexCached(spark, indexPath), batch)
+            .localCheckpoint(true)
+          TS.forgetVectorsDelta(batch, vecPath)
+          sink(receipts, batchId)
           TS.compactIfNeeded(spark, vecPath, maxGenerations)(
             TS.compactVectors(_, _))
         }

@@ -1084,4 +1084,104 @@ class StreamingAnnSpec extends SparkTestBase {
       "delta-served flat graph diverged from the in-memory updated edges")
     assert(collected.nonEmpty)
   }
+
+  test("forgetGraphPersisted: streamed deletions tombstone the vectors " +
+      "artifact (serve excludes them immediately), the entry id is " +
+      "protected, consolidation repairs the edge base to " +
+      "as-if-never-ingested, and a forgotten id is RE-INSERTABLE " +
+      "through the fold-in loop's guard") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val corpus = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val n = corpus.count().toInt
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_forget_loop").toString
+    val idxPath = s"$root/idx"
+    val vecPath = s"$root/idx.vectors"
+    TS.saveGraphIndex(
+      graft.similarity.Similarity.bruteTopK(corpus, corpus, 4), idxPath)
+    TS.saveVectors(corpus, vecPath)
+
+    // stream-delete 5, 17 then 23; receipts land per batch
+    val receipts = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val mem = MemoryStream[Long]
+    val q = StreamingAnn.forgetGraphPersisted(
+      mem.toDF().toDF("vec_id"), idxPath, entryId = 0L,
+      maxGenerations = 2L) { (df, _) => receipts ++= df.collect() }
+    try {
+      Seq(Seq(5L, 17L), Seq(23L)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val byId = receipts.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getBoolean(3))).toMap
+    assert(byId.keySet == Set(5L, 17L, 23L))
+    assert(byId.values.forall { case (nOut, wasIdx) =>
+      nOut == 4L && wasIdx }, s"receipts: $byId")
+
+    // serve IMMEDIATELY (edges still name the deleted ids): deleted
+    // ids can never be returned — the scoring join has no vector
+    def serveTop1() = graft.similarity.GraphAnn.searchGraph(
+        corpus.filter(col("vec_id") >= 25),
+        TS.loadGraphIndexCached(spark, idxPath),
+        TS.loadVectorsCached(spark, vecPath),
+        entryId = 0L, beam = n + 10, hops = n, k = 1, queryBound = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val lazyServed = serveTop1()
+    assert(lazyServed.nonEmpty &&
+      lazyServed.values.toSet.intersect(Set(5L, 17L, 23L)).isEmpty,
+      s"a tombstoned id surfaced in the lazy-delete serve: $lazyServed")
+
+    // the entry id is protected — deleting it fails the trigger loudly
+    val mem2 = MemoryStream[Long]
+    val q2 = StreamingAnn.forgetGraphPersisted(
+      mem2.toDF().toDF("vec_id"), idxPath, entryId = 0L)()
+    try {
+      mem2.addData(0L)
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("entry")), s"wrong error: $ex")
+    } finally q2.stop()
+
+    // consolidate: edges stop naming the deleted ids, and the
+    // saturating serve equals brute over the LIVE corpus — the repair
+    // restored as-if-never-ingested semantics
+    TS.consolidateGraphArtifact(spark, idxPath, vecPath, entryId = 0L,
+      beam = n + 10, hops = n, degree = 4)
+    val edgeIds = TS.loadGraphIndex(spark, idxPath)
+      .select(col("query_id").as("v"))
+      .unionByName(TS.loadGraphIndex(spark, idxPath)
+        .select(col("neighbor_id").as("v")))
+      .collect().map(_.getLong(0)).toSet
+    assert(edgeIds.intersect(Set(5L, 17L, 23L)).isEmpty,
+      "consolidation left dangling edge rows")
+    val live = corpus.filter(!col("vec_id").isin(5L, 17L, 23L))
+      .localCheckpoint(true)
+    val want = graft.similarity.Similarity.bruteTopK(
+        corpus.filter(col("vec_id") >= 25), live, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(serveTop1() == want,
+      "post-consolidation serve diverged from brute over the live corpus")
+
+    // a forgotten id is legitimately re-insertable: the fold-in guard
+    // reads the tombstone-aware load
+    val newVec = corpus.filter(col("vec_id") === 1L)
+      .collect().head.getSeq[Float](1)
+    val mem3 = MemoryStream[(Long, Seq[Float])]
+    val q3 = StreamingAnn.buildGraphPersisted(
+      mem3.toDF().toDF("vec_id", "embedding"), corpus.limit(0), idxPath,
+      entryId = 0L, beam = n + 10, hops = n, degree = 4)()
+    try {
+      mem3.addData(5L -> newVec)
+      q3.processAllAvailable() // must NOT throw the redelivery guard
+    } finally q3.stop()
+    assert(TS.loadVectors(spark, vecPath)
+      .filter(col("vec_id") === 5L).count() == 1L,
+      "re-inserted id missing from the vectors artifact")
+  }
 }
