@@ -527,9 +527,12 @@ object StreamingAnn {
     *             [[graft.similarity.GraphAnn.forgetRepairReceipts]]
     *             accounting (`n_out_removed`, `n_in_removed`,
     *             `was_indexed`, `n_repaired` = the repair debt this
-    *             batch leaves for the next consolidation), MATERIALIZED
-    *             (deletion-sized) so late consumers never read
-    *             compacted-away files. */
+    *             batch leaves for the next consolidation). The plan is
+    *             LAZY — consuming it scans the edge artifact (the
+    *             in-edge side has no id pruning), so the default no-op
+    *             sink pays nothing; audit consumers should read it
+    *             within the trigger, before any concurrent
+    *             consolidation replaces the files it names. */
   def forgetGraphPersisted(deleteIds: DataFrame, indexPath: String,
                            entryId: Long,
                            maxGenerations: Long = graft.similarity
@@ -550,9 +553,12 @@ object StreamingAnn {
             s"forgetGraphPersisted: batch $batchId deletes the entry " +
               s"id $entryId — every walk seeds there; re-seed a new " +
               "entry offline before retiring it")
+          // lazy by design: the receipts' in-edge accounting scans the
+          // edge artifact (neighbor_id carries no layout pruning), and
+          // this loop never rewrites that artifact — a no-op sink must
+          // not pay an O(edges) scan per deletion batch
           val receipts = graft.similarity.GraphAnn.forgetRepairReceipts(
-              TS.loadGraphIndexCached(spark, indexPath), batch)
-            .localCheckpoint(true)
+            TS.loadGraphIndexCached(spark, indexPath), batch)
           TS.forgetVectorsDelta(batch, vecPath)
           sink(receipts, batchId)
           TS.compactIfNeeded(spark, vecPath, maxGenerations)(
