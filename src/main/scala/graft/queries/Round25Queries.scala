@@ -166,6 +166,41 @@ object Round25Queries {
         .orderBy(col("query_id"))
     }),
 
+    // The lazy-delete → consolidate lifecycle on the LAYERED artifact:
+    // 2-layer HNSW + vectors built over base ∪ twins, twins tombstoned,
+    // consolidateHnswArtifact repairs per layer (re-electing live
+    // entries where a deleted node was one), and the saturating
+    // hierarchical serve over the consolidated artifacts must equal
+    // brute over the base alone.
+    "e_ann_hnsw_consolidate" -> ((s, dir) => {
+      import graft.similarity.Hnsw
+      val base = load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val twins = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(twins)
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_hcons_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId).getAbsolutePath
+      TrainedState.saveHnswIndex(
+        Hnsw.buildIndex(corpus, degree = 6, m = 4, maxLevel = 1),
+        s"$root/hnsw")
+      TrainedState.saveVectors(corpus, s"$root/hnsw.vectors")
+      TrainedState.forgetVectorsDelta(twins.select(col("vec_id")),
+        s"$root/hnsw.vectors")
+      TrainedState.consolidateHnswArtifact(s, s"$root/hnsw",
+        s"$root/hnsw.vectors", beam = 8, hops = 6, degree = 6)
+      Hnsw.searchAuto(
+          base.filter(col("vec_id") < 10),
+          TrainedState.loadHnswIndexCached(s, s"$root/hnsw"),
+          TrainedState.loadVectorsCached(s, s"$root/hnsw.vectors"),
+          beamUpper = 8, hopsUpper = 8, beam = 84, hops = 64, k = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("query_id"))
+    }),
+
     // TOMBSTONE deltas on the token-bag artifact: save the live docs
     // PLUS planted twin docs (each query's bag verbatim, ids
     // 100+query_id), then FORGET the twins through forgetTokensDelta
@@ -296,6 +331,21 @@ object Round25Queries {
     // Consolidation must serve as-if-the-twins-never-existed: the
     // e_ann_vectors_forget contract through the repaired edge base.
     "e_ann_graph_consolidate" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${Round13Queries.cosSql("q.embedding", "c.embedding")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id < 60)
+         |SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+
+    // Layered consolidation serves as-if-the-twins-never-existed: the
+    // same brute-over-base contract through the repaired hierarchy.
+    "e_ann_hnsw_consolidate" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${Round13Queries.cosSql("q.embedding", "c.embedding")} AS cos_sim

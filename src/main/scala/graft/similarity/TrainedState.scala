@@ -633,6 +633,38 @@ object TrainedState {
     receiptsOut
   }
 
+  /** [[consolidateGraphArtifact]] lifted to the LAYERED artifact: the
+    * dangling ids derive from the layered endpoints vs the live
+    * vectors, [[Hnsw.forgetRepaired]] repairs per layer (electing a
+    * live per-layer repair entry — a deleted global entry degrades,
+    * never strands), and the layered base rewrites through the same
+    * crash-safe data-sized swap. `maxLevel` is read from the artifact
+    * (its top layer), not trusted from a call site. */
+  def consolidateHnswArtifact(spark: SparkSession, indexPath: String,
+                              vectorsPath: String, beam: Int, hops: Int,
+                              degree: Int,
+                              targetRowsPerFile: Long =
+                                DefaultTargetRowsPerFile): DataFrame = {
+    val f = org.apache.spark.sql.functions
+    val layered = loadHnswIndex(spark, indexPath)
+    val live = loadVectors(spark, vectorsPath)
+    val maxLevel = layered.agg(f.max(f.col("layer"))).head.getInt(0)
+    val endpoints = layered.select(f.col("query_id").as("vec_id"))
+      .unionByName(layered.select(f.col("neighbor_id").as("vec_id")))
+      .distinct()
+    val dangling = endpoints
+      .join(live.select(f.col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val (repaired, receipts) = Hnsw.forgetRepaired(
+      layered, live, dangling, maxLevel, beam, hops, degree)
+    val receiptsOut = receipts.localCheckpoint(true)
+    val files = filesForRows(approxRows(spark, indexPath),
+      targetRowsPerFile)
+    compactSwap(spark, indexPath, repaired,
+      (df, p) => saveHnswIndex(df, p, numFiles = files))
+    receiptsOut
+  }
+
   val vectorsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType), nullable = true)))

@@ -636,6 +636,55 @@ object StreamingAnn {
       }
   }
 
+  /** [[forgetGraphPersisted]] lifted to the LAYERED deployment — the
+    * lazy-delete half for [[buildHnswPersisted]] artifacts: per
+    * micro-batch of `vec_id`s, tombstone the vectors artifact
+    * (O(batch)), leave the layered edges alone, and let the serving
+    * descent drop unscoreable nodes. The HNSW-specific guard: the
+    * serve ([[graft.similarity.Hnsw.searchAuto]]) ELECTS its entry
+    * from the TOP LAYER's edge sources, so deleting a top-layer node
+    * lazily could elect a dead entry and serve nothing — batches that
+    * name a top-layer source fail loudly (the top layer is tiny by
+    * construction; run
+    * [[graft.similarity.TrainedState.consolidateHnswArtifact]] first,
+    * which re-elects per-layer entries while repairing). Receipts are
+    * LAZY ([[forgetGraphPersisted]]'s rationale). */
+  def forgetHnswPersisted(deleteIds: DataFrame, indexPath: String,
+                          maxGenerations: Long = graft.similarity
+                            .TrainedState.DefaultMaxGenerations,
+                          availableNow: Boolean = false,
+                          vectorsPath: String = "")
+                         (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, max}
+    val TS = graft.similarity.TrainedState
+    val vecPath =
+      if (vectorsPath.nonEmpty) vectorsPath else s"$indexPath.vectors"
+    run(deleteIds, availableNow) { (rawBatch, batchId) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.select(col("vec_id")).localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val layered = TS.loadHnswIndexCached(spark, indexPath)
+          val top = layered.agg(max(col("layer"))).head.getInt(0)
+          val topHits = layered.filter(col("layer") === top)
+            .select(col("query_id").as("vec_id")).distinct()
+            .join(batch, Seq("vec_id"), "left_semi")
+            .limit(5).collect()
+          require(topHits.isEmpty,
+            s"forgetHnswPersisted: batch $batchId deletes top-layer " +
+              s"node(s) ${topHits.map(_.getLong(0)).mkString(", ")} — " +
+              "the serve elects its entry there; consolidate first " +
+              "(consolidateHnswArtifact re-elects per-layer entries)")
+          val receipts = graft.similarity.Hnsw.forgetRepairReceipts(
+            layered, batch, top)
+          TS.forgetVectorsDelta(batch, vecPath)
+          sink(receipts, batchId)
+          TS.compactIfNeeded(spark, vecPath, maxGenerations)(
+            TS.compactVectors(_, _))
+        }
+      }
+  }
+
   /** The HNSW layered build as a stream — [[buildGraph]] lifted to the
     * hierarchy: per micro-batch, [[graft.similarity.Hnsw.insert]]
     * attaches the batch at every layer its deterministic hash assigns

@@ -1184,4 +1184,85 @@ class StreamingAnnSpec extends SparkTestBase {
       .filter(col("vec_id") === 5L).count() == 1L,
       "re-inserted id missing from the vectors artifact")
   }
+
+  test("forgetHnswPersisted: streamed deletions tombstone the vectors " +
+      "artifact, TOP-LAYER nodes are protected (the serve elects its " +
+      "entry there), and consolidation repairs the layered base to " +
+      "brute-over-live semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val Hnsw = graft.similarity.Hnsw
+    val corpus = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hforget_loop").toString
+    val idxPath = s"$root/hnsw"
+    val vecPath = s"$root/hnsw.vectors"
+    TS.saveHnswIndex(
+      Hnsw.buildIndex(corpus, degree = 4, m = 4, maxLevel = 1), idxPath)
+    TS.saveVectors(corpus, vecPath)
+    val layered = TS.loadHnswIndex(spark, idxPath)
+    val topSources = layered.filter(col("layer") === 1)
+      .select(col("query_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // pick two LOWER-layer-only ids to delete and one top-layer id to
+    // prove the guard
+    val deletable = (0L until 30L).filterNot(topSources).take(2)
+    assert(deletable.size == 2 && topSources.nonEmpty)
+
+    val mem = MemoryStream[Long]
+    val q = StreamingAnn.forgetHnswPersisted(
+      mem.toDF().toDF("vec_id"), idxPath, maxGenerations = 2L)()
+    try {
+      mem.addData(deletable: _*); q.processAllAvailable()
+    } finally q.stop()
+    // deleted ids can't serve: the descent's scoring join has no vector
+    val served = Hnsw.searchAuto(
+        corpus.filter(col("vec_id") >= 25),
+        TS.loadHnswIndexCached(spark, idxPath),
+        TS.loadVectorsCached(spark, vecPath),
+        beamUpper = 8, hopsUpper = 8, beam = 40, hops = 30, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(served.nonEmpty &&
+      served.values.toSet.intersect(deletable.toSet).isEmpty)
+
+    // the top-layer guard rejects loudly
+    val mem2 = MemoryStream[Long]
+    val q2 = StreamingAnn.forgetHnswPersisted(
+      mem2.toDF().toDF("vec_id"), idxPath)()
+    try {
+      mem2.addData(topSources.head)
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("top-layer")), s"wrong error: $ex")
+    } finally q2.stop()
+
+    // consolidation: edges stop naming the deleted ids; saturating
+    // hierarchical serve == brute over live
+    TS.consolidateHnswArtifact(spark, idxPath, vecPath,
+      beam = 40, hops = 30, degree = 4)
+    val post = TS.loadHnswIndex(spark, idxPath)
+    val postIds = post.select(col("query_id").as("v"))
+      .unionByName(post.select(col("neighbor_id").as("v")))
+      .collect().map(_.getLong(0)).toSet
+    assert(postIds.intersect(deletable.toSet).isEmpty,
+      "layered consolidation left dangling edge rows")
+    val live = corpus.filter(!col("vec_id").isin(deletable: _*))
+      .localCheckpoint(true)
+    val want = graft.similarity.Similarity.bruteTopK(
+        corpus.filter(col("vec_id") >= 25), live, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val got = Hnsw.searchAuto(
+        corpus.filter(col("vec_id") >= 25),
+        TS.loadHnswIndexCached(spark, idxPath),
+        TS.loadVectorsCached(spark, vecPath),
+        beamUpper = 30, hopsUpper = 30, beam = 40, hops = 30, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == want,
+      "post-consolidation hierarchical serve diverged from brute over live")
+  }
 }
