@@ -648,7 +648,7 @@ object TrainedState {
     val f = org.apache.spark.sql.functions
     val layered = loadHnswIndex(spark, indexPath)
     val live = loadVectors(spark, vectorsPath)
-    val maxLevel = layered.agg(f.max(f.col("layer"))).head.getInt(0)
+    val maxLevel = hnswMaxLevel(spark, indexPath)
     val endpoints = layered.select(f.col("query_id").as("vec_id"))
       .unionByName(layered.select(f.col("neighbor_id").as("vec_id")))
       .distinct()
@@ -898,6 +898,33 @@ object TrainedState {
   def loadHnswIndex(spark: SparkSession, path: String): DataFrame =
     reconcileDeltas(loadHnswBase(spark, path), spark, path,
       hnswIndexSchema, Seq("layer", "query_id"))
+
+  /** The TOP LAYER of a persisted HNSW artifact WITHOUT scanning it:
+    * the base's layers are its `layer=N` partition DIRECTORIES (a
+    * metadata listing), and only the batch-sized delta generations —
+    * which may fold in rows at any layer — are read for rows. A
+    * per-trigger guard ([[graft.streaming.StreamingAnn
+    * .forgetHnswPersisted]]) must not pay an O(index) aggregation to
+    * learn a number the layout already states. */
+  def hnswMaxLevel(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val dirLayers = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("layer=") =>
+        s.stripPrefix("layer=").toInt }
+    val deltaPath = s"$path/$DeltaDir"
+    val deltaLayers =
+      if (!hasDataFiles(spark, deltaPath)) Seq.empty[Int]
+      else readDeltas(spark, deltaPath)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("layer")))
+        .collect().toSeq.filterNot(_.isNullAt(0)).map(_.getInt(0))
+    val all = dirLayers ++ deltaLayers
+    require(all.nonEmpty, s"hnswMaxLevel($path): no layers found — not " +
+      "a layered artifact")
+    all.max
+  }
 
   private val DeltaDir = "_delta" // "_"-prefix: hidden from the
                                   // base parquet listing

@@ -656,7 +656,7 @@ object StreamingAnn {
                           vectorsPath: String = "")
                          (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, max}
+    import org.apache.spark.sql.functions.col
     val TS = graft.similarity.TrainedState
     val vecPath =
       if (vectorsPath.nonEmpty) vectorsPath else s"$indexPath.vectors"
@@ -665,7 +665,8 @@ object StreamingAnn {
         val batch = rawBatch.select(col("vec_id")).localCheckpoint(true)
         if (!batch.isEmpty) {
           val layered = TS.loadHnswIndexCached(spark, indexPath)
-          val top = layered.agg(max(col("layer"))).head.getInt(0)
+          // metadata + delta-sized — never an O(index) scan per trigger
+          val top = TS.hnswMaxLevel(spark, indexPath)
           val topHits = layered.filter(col("layer") === top)
             .select(col("query_id").as("vec_id")).distinct()
             .join(batch, Seq("vec_id"), "left_semi")
