@@ -141,6 +141,34 @@ object StreamingAnn {
         corpus.sparkSession, indexPath),
       corpus, entryId, beam, hops, k, availableNow)(sink)
 
+  /** [[serveGraphFromSaved]] with the CORPUS side read from its
+    * persisted artifact too — restart from paths alone, no caller-held
+    * DataFrame state (the [[buildGraphPersisted]] pairing: it
+    * maintains exactly these two artifacts). Loads are PER-TRIGGER and
+    * fingerprint-cached: an unchanged artifact costs a listing, a
+    * fold-in/compaction/tombstone landed by a concurrent loop is
+    * picked up at the NEXT trigger — including lazy deletions
+    * ([[forgetGraphPersisted]]): a tombstoned id drops out of this
+    * serve's results one trigger later, no restart needed. */
+  def serveGraphFromArtifacts(queries: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, entryId: Long, beam: Int,
+                              hops: Int, k: Int,
+                              availableNow: Boolean = false,
+                              vectorsPath: String = "")
+                             (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    val TS = graft.similarity.TrainedState
+    val vecPath =
+      if (vectorsPath.nonEmpty) vectorsPath else s"$indexPath.vectors"
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.GraphAnn.searchGraph(batch,
+          TS.loadGraphIndexCached(spark, indexPath),
+          TS.loadVectorsCached(spark, vecPath),
+          entryId, beam, hops, k), batchId)
+      }
+  }
+
   /** Serve `k` neighbors per streamed query through the HNSW hierarchy
     * ([[graft.similarity.Hnsw.search]] per micro-batch — the
     * one-code-path convention, so every batch contract incl.
@@ -179,6 +207,42 @@ object StreamingAnn {
       graft.similarity.TrainedState.loadHnswIndexCached(
         corpus.sparkSession, indexPath),
       corpus, beamUpper, hopsUpper, beam, hops, k, availableNow)(sink)
+
+  /** [[serveHnswFromSaved]] with the corpus read from its artifact —
+    * restart from paths alone (the [[buildHnswPersisted]] pairing).
+    * Per-trigger fingerprint-cached loads pick up concurrent fold-ins
+    * and tombstones at the next trigger; the entry is RE-ELECTED per
+    * trigger from LAYOUT METADATA (top layer via
+    * [[graft.similarity.TrainedState.hnswMaxLevel]], then the lowest
+    * source in that one directory-pruned layer — the searchAuto rule
+    * without its index scan), so a fold-in that grew the hierarchy
+    * serves through the new top without a restart. */
+  def serveHnswFromArtifacts(queries: DataFrame,
+                             spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, beamUpper: Int,
+                             hopsUpper: Int, beam: Int, hops: Int, k: Int,
+                             availableNow: Boolean = false,
+                             vectorsPath: String = "")
+                            (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.min
+    val TS = graft.similarity.TrainedState
+    val vecPath =
+      if (vectorsPath.nonEmpty) vectorsPath else s"$indexPath.vectors"
+    run(queries, availableNow) { (batch, batchId) =>
+        val layered = TS.loadHnswIndexCached(spark, indexPath)
+        val top = TS.hnswMaxLevel(spark, indexPath)
+        val entry = layered.filter(col("layer") === top)
+          .agg(min(col("query_id"))).head
+        require(!entry.isNullAt(0),
+          s"serveHnswFromArtifacts: no sources on top layer $top of " +
+            indexPath)
+        sink(graft.similarity.Hnsw.search(batch, layered,
+          TS.loadVectorsCached(spark, vecPath),
+          entry.getLong(0), top, beamUpper, hopsUpper, beam, hops, k),
+          batchId)
+      }
+  }
 
   /** Serve `k` neighbors per streamed query DiskANN-style
     * ([[graft.similarity.GraphAnn.searchGraphPq]] per micro-batch — the
@@ -220,6 +284,32 @@ object StreamingAnn {
       graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
       dim, numSub, corpus, entryId, beam, hops, k, rerank,
       availableNow)(sink)
+  }
+
+  /** [[serveGraphPqFromSaved]] with the rerank-tail FLOAT corpus read
+    * from its vectors artifact — the fully-persisted DiskANN serve:
+    * all four artifacts (graph, codes, books, vectors) from paths,
+    * per-trigger fingerprint-cached, concurrent fold-ins and
+    * tombstones picked up at the next trigger. */
+  def serveGraphPqFromArtifacts(queries: DataFrame,
+                                spark: org.apache.spark.sql.SparkSession,
+                                graphPath: String, codesPath: String,
+                                booksPath: String, vectorsPath: String,
+                                dim: Int, numSub: Int, entryId: Long,
+                                beam: Int, hops: Int, k: Int,
+                                rerank: Int = 4,
+                                availableNow: Boolean = false)
+                               (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    val TS = graft.similarity.TrainedState
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.GraphAnn.searchGraphPq(batch,
+          TS.loadGraphIndexCached(spark, graphPath),
+          TS.loadPqCodesCached(spark, codesPath),
+          TS.loadCodebooks(spark, booksPath), dim, numSub,
+          TS.loadVectorsCached(spark, vectorsPath),
+          entryId, beam, hops, k, rerank), batchId)
+      }
   }
 
   /** Serve `k` neighbors per streamed query through the DiskANN-LAYERED
@@ -269,6 +359,39 @@ object StreamingAnn {
       graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
       dim, numSub, corpus, beamUpper, hopsUpper, beam, hops, k, rerank,
       availableNow)(sink)
+  }
+
+  /** [[serveHnswPqFromSaved]] with the rerank-tail float corpus read
+    * from its vectors artifact — the layered fully-persisted DiskANN
+    * serve. Per-trigger cached loads; entry re-elected per trigger
+    * from layout metadata (the [[serveHnswFromArtifacts]] rule). */
+  def serveHnswPqFromArtifacts(queries: DataFrame,
+                               spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, codesPath: String,
+                               booksPath: String, vectorsPath: String,
+                               dim: Int, numSub: Int, beamUpper: Int,
+                               hopsUpper: Int, beam: Int, hops: Int,
+                               k: Int, rerank: Int = 4,
+                               availableNow: Boolean = false)
+                              (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.min
+    val TS = graft.similarity.TrainedState
+    run(queries, availableNow) { (batch, batchId) =>
+        val layered = TS.loadHnswIndexCached(spark, indexPath)
+        val top = TS.hnswMaxLevel(spark, indexPath)
+        val entry = layered.filter(col("layer") === top)
+          .agg(min(col("query_id"))).head
+        require(!entry.isNullAt(0),
+          s"serveHnswPqFromArtifacts: no sources on top layer $top of " +
+            indexPath)
+        sink(graft.similarity.Hnsw.searchPq(batch, layered,
+          TS.loadPqCodesCached(spark, codesPath),
+          TS.loadCodebooks(spark, booksPath), dim, numSub,
+          TS.loadVectorsCached(spark, vectorsPath),
+          entry.getLong(0), top, beamUpper, hopsUpper, beam, hops, k,
+          rerank), batchId)
+      }
   }
 
   /** Serve `k` neighbors per streamed query through the TRAINED-OPQ
@@ -800,6 +923,30 @@ object StreamingAnn {
       graft.similarity.TrainedState.loadCentroids(spark, centroidsPath),
       graft.similarity.TrainedState.loadCodebooks(spark, booksPath),
       dim, numSub, k, nprobe, rerank, availableNow)(sink)
+
+  /** [[serveIvfPqFromSaved]] with the rerank-tail float corpus read
+    * from its vectors artifact — every IVF-PQ serving input from a
+    * path (index + centroids + books + vectors), per-trigger
+    * fingerprint-cached, fold-ins and tombstones picked up at the
+    * next trigger. */
+  def serveIvfPqFromArtifacts(queries: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, centroidsPath: String,
+                              booksPath: String, vectorsPath: String,
+                              dim: Int, numSub: Int, k: Int, nprobe: Int,
+                              rerank: Int, availableNow: Boolean = false)
+                             (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    val TS = graft.similarity.TrainedState
+    run(queries, availableNow) { (batch, batchId) =>
+        sink(graft.similarity.IvfPq.topKFromIndex(batch,
+          TS.loadIvfPqIndexCached(spark, indexPath),
+          TS.loadVectorsCached(spark, vectorsPath), k,
+          TS.loadCentroids(spark, centroidsPath),
+          TS.loadCodebooks(spark, booksPath),
+          dim, numSub, nprobe, rerank), batchId)
+      }
+  }
 
   /** Fold a STREAM of new corpus vectors into a persisted IVF codes
     * index — the online half of the index's ingest side

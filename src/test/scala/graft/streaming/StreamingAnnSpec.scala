@@ -1265,4 +1265,76 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(got == want,
       "post-consolidation hierarchical serve diverged from brute over live")
   }
+
+  test("serve*FromArtifacts: restart from paths alone — graph and HNSW " +
+      "serves match their batch searchers, and a tombstone landed " +
+      "MID-STREAM drops from the results at the next trigger (the " +
+      "fingerprint-refresh contract, no restart)") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val corpus = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val n = corpus.count().toInt
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_artifacts_serve").toString
+
+    // flat graph pair
+    TS.saveGraphIndex(
+      graft.similarity.Similarity.bruteTopK(corpus, corpus, 4),
+      s"$root/g")
+    TS.saveVectors(corpus, s"$root/g.vectors")
+    val qVec = corpus.filter(col("vec_id") === 25L)
+      .collect().head.getSeq[Float](1)
+    val want1 = graft.similarity.GraphAnn.searchGraph(
+        corpus.filter(col("vec_id") === 25L),
+        TS.loadGraphIndex(spark, s"$root/g"), corpus,
+        entryId = 0L, beam = n + 10, hops = n, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Int, Long)])]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.serveGraphFromArtifacts(
+      mem.toDF().toDF("vec_id", "embedding"), spark, s"$root/g",
+      entryId = 0L, beam = n + 10, hops = n, k = 3) { (df, bid) =>
+      collected += bid -> df.collect()
+        .map(r => (r.getInt(1), r.getLong(2))).toSet
+    }
+    try {
+      mem.addData(25L -> qVec); q.processAllAvailable()
+      // tombstone the current rank-1 neighbor MID-STREAM
+      val victim = want1.find(_._1 == 1).get._2
+      import spark.implicits._
+      TS.forgetVectorsDelta(Seq(victim).toDF("vec_id"), s"$root/g.vectors")
+      mem.addData(25L -> qVec); q.processAllAvailable()
+      assert(collected.size == 2)
+      assert(collected(0)._2 == want1, "trigger 1 must match batch search")
+      val after = collected(1)._2
+      assert(!after.map(_._2).contains(victim),
+        s"tombstoned id $victim still served after the fingerprint refresh")
+      assert(after.nonEmpty)
+    } finally q.stop()
+
+    // layered pair: parity with the batch hierarchical search
+    TS.saveHnswIndex(
+      graft.similarity.Hnsw.buildIndex(corpus, degree = 4, m = 4,
+        maxLevel = 1), s"$root/h")
+    TS.saveVectors(corpus, s"$root/h.vectors")
+    val wantH = graft.similarity.Hnsw.searchAuto(
+        corpus.filter(col("vec_id") === 25L),
+        TS.loadHnswIndex(spark, s"$root/h"), corpus,
+        beamUpper = 8, hopsUpper = 8, beam = n + 10, hops = n, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    val gotH = scala.collection.mutable.Set.empty[(Int, Long)]
+    val memH = MemoryStream[(Long, Seq[Float])]
+    val qH = StreamingAnn.serveHnswFromArtifacts(
+      memH.toDF().toDF("vec_id", "embedding"), spark, s"$root/h",
+      beamUpper = 8, hopsUpper = 8, beam = n + 10, hops = n, k = 3) {
+      (df, _) => gotH ++= df.collect().map(r => (r.getInt(1), r.getLong(2)))
+    }
+    try {
+      memH.addData(25L -> qVec); qH.processAllAvailable()
+    } finally qH.stop()
+    assert(gotH.toSet == wantH,
+      "hierarchical FromArtifacts serve diverged from batch searchAuto")
+  }
 }
