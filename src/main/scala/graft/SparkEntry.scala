@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.Round22Queries.queries ++
       graft.queries.Round23Queries.queries ++
       graft.queries.Round24Queries.queries ++
-      graft.queries.Round25Queries.queries
+      graft.queries.Round25Queries.queries ++
+      graft.queries.Round26Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
@@ -74,5 +75,6 @@ object SparkEntry {
       graft.queries.Round22Queries.oracleSql ++
       graft.queries.Round23Queries.oracleSql ++
       graft.queries.Round24Queries.oracleSql ++
-      graft.queries.Round25Queries.oracleSql
+      graft.queries.Round25Queries.oracleSql ++
+      graft.queries.Round26Queries.oracleSql
 }

@@ -172,7 +172,11 @@ object TrainedState {
     * Delta-aware like [[loadHnswIndex]]: [[appendIvfDelta]]
     * generations (a rebalance's reassigned slice) reconcile
     * newest-wins per `vec_id` — a vector that moved cells serves its
-    * NEW cell row and the superseded base row drops. */
+    * NEW cell row and the superseded base row drops. NULL-embedding
+    * rows are TOMBSTONES ([[forgetIvfDelta]]) — they win the
+    * reconcile like any newest generation and are then dropped, so
+    * the flat probe (which scores the index's OWN embeddings, never
+    * touching the vectors artifact) cannot serve a deleted id. */
   def loadIvfIndex(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -190,6 +194,7 @@ object TrainedState {
     // transient worst case; typical dims are an order less)
     reconcileDeltas(base, spark, path, ivfIndexSchema, Seq("vec_id"),
       localCap = 1L << 12)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
   }
 
   /** APPEND a REBALANCE's reassigned slice
@@ -205,6 +210,27 @@ object TrainedState {
     * the batch-bounded delta slice filters locally. */
   def appendIvfDelta(delta: DataFrame, path: String): Unit =
     appendDeltaGeneration(delta, path, ivfIndexSchema)
+
+  /** FORGET ids from a persisted IVF codes index as a TOMBSTONE delta
+    * generation — the [[forgetVectorsDelta]] discipline on the cell-
+    * partitioned index: `(vec_id, -1, NULL)` rows that the newest-wins
+    * reconcile keeps (superseding the live cell row) and the load then
+    * drops. The flat probe scores the index's own embeddings, so
+    * WITHOUT this the vectors-artifact tombstone alone leaves the
+    * deleted id servable from [[Similarity.ivfTopKFromIndex]]. Write
+    * cost is O(deletions); delete is ORDERED (a later
+    * [[appendIvfDelta]] re-assign of the id supersedes its tombstone);
+    * the next [[compactIvfIndex]] folds tombstones away PHYSICALLY
+    * (the rewrite saves the already-filtered load — the sentinel -1
+    * cell never materializes as a directory). */
+  def forgetIvfDelta(deleteIds: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    appendDeltaGeneration(
+      deleteIds.select(f.col("vec_id").cast("long").as("vec_id"),
+        f.lit(-1L).as("centroid_id"),
+        f.lit(null).cast("array<float>").as("embedding")),
+      path, ivfIndexSchema)
+  }
 
   /** Fold accumulated [[appendIvfDelta]] generations back into the
     * cell-partitioned base — crash-safe ([[compactSwap]]). */
@@ -233,7 +259,10 @@ object TrainedState {
   /** Load an IVF-PQ codes index for [[IvfPq.topKFromIndex]].
     * Delta-aware: [[appendIvfPqDelta]] generations (re-encoded or
     * reassigned vectors' replacement rows) reconcile newest-wins per
-    * `vec_id`. */
+    * `vec_id`; NULL-codes rows are TOMBSTONES ([[forgetIvfPqDelta]])
+    * and drop after winning the reconcile — the ADC shortlist can
+    * then never propose a deleted id, independent of the vectors-
+    * artifact tombstone the exact rerank already honors. */
   def loadIvfPqIndex(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     val got = df.schema.fieldNames.toSet
@@ -248,6 +277,7 @@ object TrainedState {
     // halved for the codes array
     reconcileDeltas(base, spark, path, ivfPqIndexSchema, Seq("vec_id"),
       localCap = 1L << 17)
+      .filter(org.apache.spark.sql.functions.col("codes").isNotNull)
   }
 
   /** APPEND re-encoded/reassigned vectors' replacement rows as a
@@ -257,6 +287,20 @@ object TrainedState {
     * batch persists as a delta instead of a full rewrite). */
   def appendIvfPqDelta(delta: DataFrame, path: String): Unit =
     appendDeltaGeneration(delta, path, ivfPqIndexSchema)
+
+  /** FORGET ids from a persisted IVF-PQ codes index as a TOMBSTONE
+    * delta generation (`(vec_id, -1, NULL)` — [[forgetIvfDelta]]'s
+    * contract on the PQ-coded cells): O(deletions) to write, ordered
+    * (a later re-encode supersedes), folded away physically by the
+    * next [[compactIvfPqIndex]]. */
+  def forgetIvfPqDelta(deleteIds: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    appendDeltaGeneration(
+      deleteIds.select(f.col("vec_id").cast("long").as("vec_id"),
+        f.lit(-1L).as("centroid_id"),
+        f.lit(null).cast("array<int>").as("codes")),
+      path, ivfPqIndexSchema)
+  }
 
   /** Fold accumulated [[appendIvfPqDelta]] generations back into the
     * base — crash-safe ([[compactSwap]]). */
@@ -310,8 +354,14 @@ object TrainedState {
 
   /** Load a pooled corpus for [[LateInteraction.maxSimFunnelWith]] /
     * [[graft.streaming.StreamingAnn.serveMaxSimFunnelFromSaved]]; fails
-    * fast at the driver on schema drift. */
+    * fast at the driver on schema drift. Delta-aware like
+    * [[loadVectors]]: [[appendPooledDelta]] generations (a funnel
+    * fold-in batch's pooled rows) reconcile newest-wins per `id`, and
+    * NULL-pool rows are TOMBSTONES ([[forgetPooledDelta]]) — dropped
+    * after winning, so a deleted doc stops burning shortlist slots in
+    * the brute coarse stage. */
   def loadPooled(spark: SparkSession, path: String): DataFrame = {
+    val f = org.apache.spark.sql.functions
     val df = spark.read.parquet(path)
     val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     Seq("id" -> "bigint", "n_tokens" -> "bigint", "pool" -> "array<bigint>",
@@ -320,15 +370,84 @@ object TrainedState {
         s"loadPooled($path): expected column $n: $t, found " +
           s"${got.getOrElse(n, "ABSENT")} — not a pooled-corpus artifact")
     }
-    df.select(org.apache.spark.sql.functions.col("id"),
-      org.apache.spark.sql.functions.col("n_tokens"),
-      org.apache.spark.sql.functions.col("pool"))
+    val base = df.select(pooledSchema.fields.map(x =>
+      f.col(x.name).cast(x.dataType).as(x.name)).toIndexedSeq: _*)
+    // pool rows are dims longs (~0.5 KB at 64 dims) — scalar-ish cap
+    reconcileDeltas(base, spark, path, pooledSchema, Seq("id"),
+      localCap = 1L << 15)
+      .filter(f.col("pool").isNotNull)
+      .select(f.col("id"), f.col("n_tokens"), f.col("pool"))
   }
 
   /** [[loadPooled]] behind the fingerprint cache — the persisted
     * funnel serving loop's per-trigger coarse-side load. */
   def loadPooledCached(spark: SparkSession, path: String): DataFrame =
     cachedLoad(spark, path)(loadPooled(spark, path))
+
+  /** The artifact's recorded dims from ONE row — the per-trigger read
+    * for the append/forget paths, where [[loadPooledParams]]' full
+    * min/max sweep would be an O(corpus) job per batch. Sound because
+    * [[savePooled]] enforces one dims across every row it writes (and
+    * checks every pool width against it), so any row speaks for the
+    * base. */
+  private def pooledDimsQuick(spark: SparkSession, path: String): Int = {
+    val r = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col("dims").cast("int"))
+      .limit(1).collect()
+    require(r.nonEmpty, s"pooledDims($path): empty pooled artifact")
+    r.head.getInt(0)
+  }
+
+  /** APPEND a funnel fold-in batch's pooled rows
+    * ([[LateInteraction.poolSum]] over the batch's token bags) as a
+    * DELTA GENERATION under a saved pooled artifact — write cost
+    * scales with the BATCH while a [[savePooled]] rewrite re-pools the
+    * corpus. The batch rows carry the width check savePooled enforces
+    * (a width-drifted pool would make the serving dot_codes silently
+    * null) against the artifact's own recorded dims. */
+  def appendPooledDelta(delta: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val dims = pooledDimsQuick(delta.sparkSession, path)
+    val checkedPool = f.when(f.size(f.col("pool")) === dims, f.col("pool"))
+      .otherwise(f.raise_error(f.concat(
+        f.lit(s"appendPooledDelta: pool width <> dims=$dims for id "),
+        f.col("id").cast("string"))).cast("array<long>"))
+    appendDeltaGeneration(
+      delta.select(f.col("id").cast("long").as("id"),
+        f.col("n_tokens").cast("long").as("n_tokens"),
+        checkedPool.cast("array<long>").as("pool"),
+        f.lit(dims).as("dims")),
+      path, pooledSchema)
+  }
+
+  /** FORGET doc ids from a persisted pooled artifact as a TOMBSTONE
+    * delta generation (`(id, 0, NULL, dims)` — the
+    * [[forgetVectorsDelta]] discipline on the coarse side): without
+    * it a deleted doc's stale pooled row keeps proposing the doc into
+    * every brute-funnel shortlist (the id-pruned rerank then drops it
+    * against the tombstoned tokens — correct but a wasted slot per
+    * query per trigger, forever). O(deletions), ordered, folded away
+    * physically by [[compactPooled]]. */
+  def forgetPooledDelta(deleteIds: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val dims = pooledDimsQuick(deleteIds.sparkSession, path)
+    appendDeltaGeneration(
+      deleteIds.select(f.col("id").cast("long").as("id"),
+        f.lit(0L).as("n_tokens"),
+        f.lit(null).cast("array<long>").as("pool"),
+        f.lit(dims).as("dims")),
+      path, pooledSchema)
+  }
+
+  /** Fold accumulated [[appendPooledDelta]] generations back into the
+    * base — crash-safe ([[compactSwap]]); tombstones leave the bytes
+    * (the rewrite saves the already-filtered load, so the savePooled
+    * width check never sees a NULL pool). */
+  def compactPooled(spark: SparkSession, path: String): Unit = {
+    val dims = loadPooledParams(spark, path)
+    compactSwap(spark, path, loadPooled(spark, path),
+      (df, p) => savePooled(df, p, dims))
+  }
 
   val graphIndexSchema: StructType = StructType(Seq(
     StructField("query_id", LongType, nullable = false),
@@ -1252,6 +1371,8 @@ object TrainedState {
         Some("pqcodes")
       else if (Set("doc_id", "token_idx", "embedding").subsetOf(fields))
         Some("tokens") // late-interaction token bags
+      else if (Set("id", "n_tokens", "pool", "dims").subsetOf(fields))
+        Some("pooled") // funnel coarse-side pooled corpus
       else if (Set("vec_id", "embedding").subsetOf(fields))
         Some("vectors") // flat corpus vectors — the IVF embedding
                         // shape is caught above by its centroid_id=
@@ -1270,6 +1391,7 @@ object TrainedState {
       case "ivfpq"   => compactIvfPqIndex
       case "vectors" => compactVectors(_, _)
       case "tokens"  => compactTokens(_, _)
+      case "pooled"  => compactPooled
       case other => sys.error(s"compactorFor: unknown artifact kind $other")
     }
 
@@ -1643,7 +1765,8 @@ object TrainedState {
   val pqCodesSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
     StructField("sub", IntegerType, nullable = false),
-    StructField("code", IntegerType, nullable = false)))
+    // nullable: a NULL code row is a TOMBSTONE ([[forgetPqCodesDelta]])
+    StructField("code", IntegerType, nullable = true)))
 
   /** Persist a FLAT PQ codes table ([[ProductQuantizer.encode]] output —
     * no coarse cell, unlike [[saveIvfPqIndex]]): the cold-storage half
@@ -1670,10 +1793,30 @@ object TrainedState {
   /** Load a persisted flat PQ codes table; fails fast on schema drift.
     * Delta-aware like [[loadHnswIndex]]: [[appendPqCodesDelta]]
     * generations reconcile newest-wins per `vec_id` (a re-encoded
-    * vector's full `numSub`-row code set replaces its base rows). */
+    * vector's full `numSub`-row code set replaces its base rows), and
+    * a NULL-code row is a TOMBSTONE ([[forgetPqCodesDelta]]) — it
+    * supersedes the id's whole code set (the reconcile key is
+    * `vec_id`, not `(vec_id, sub)`) and then drops, so the graph-PQ
+    * hop scorer cannot score a deleted id from cold codes. */
   def loadPqCodes(spark: SparkSession, path: String): DataFrame =
     reconcileDeltas(load(spark, pqCodesSchema, path), spark, path,
       pqCodesSchema, Seq("vec_id"))
+      .filter(org.apache.spark.sql.functions.col("code").isNotNull)
+
+  /** FORGET ids from a persisted flat PQ codes table as a TOMBSTONE
+    * delta generation — ONE `(vec_id, 0, NULL)` row per id suffices:
+    * newest-wins reconciles per `vec_id`, so the single tombstone row
+    * outranks the id's entire `numSub`-row code set, and the load
+    * drops it. O(deletions) to write, ordered (a later
+    * [[appendPqCodesDelta]] re-encode supersedes), folded away
+    * physically by the next [[compactPqCodes]]. */
+  def forgetPqCodesDelta(deleteIds: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    appendDeltaGeneration(
+      deleteIds.select(f.col("vec_id").cast("long").as("vec_id"),
+        f.lit(0).as("sub"), f.lit(null).cast("int").as("code")),
+      path, pqCodesSchema)
+  }
 
   /** APPEND a fold-in batch's code rows (new vectors' codes, or
     * re-encoded vectors' full replacement code sets) as a DELTA

@@ -809,6 +809,58 @@ object StreamingAnn {
       }
   }
 
+  /** The lazy-delete loop for a persisted IVF deployment — the
+    * [[forgetGraphPersisted]] discipline on the cell-partitioned
+    * family: per micro-batch of `vec_id`s, tombstone the CELL INDEX
+    * itself ([[graft.similarity.TrainedState.forgetIvfDelta]] — the
+    * flat probe scores the index's OWN embeddings, so a vectors-
+    * artifact tombstone alone leaves the deleted id servable), plus
+    * the IVF-PQ codes index and the corpus-vectors artifact when the
+    * deployment keeps them (`pqIndexPath` / `vectorsPath`, "" =
+    * absent). O(batch) writes per trigger; every touched artifact
+    * compacts by policy, which folds its tombstones out of the bytes.
+    * Unlike the graph loops there is no entry / top-layer guard (IVF
+    * has no load-bearing node) and no consolidation debt: deletion is
+    * COMPLETE at the tombstone — no edges dangle. Receipts are LAZY
+    * ([[forgetGraphPersisted]]'s rationale): `(vec_id, centroid_id,
+    * was_indexed)` per requested id, paying the index join only if
+    * the sink acts on them. */
+  def forgetIvfPersisted(deleteIds: DataFrame, indexPath: String,
+                         maxGenerations: Long = graft.similarity
+                           .TrainedState.DefaultMaxGenerations,
+                         availableNow: Boolean = false,
+                         pqIndexPath: String = "",
+                         vectorsPath: String = "")
+                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val TS = graft.similarity.TrainedState
+    run(deleteIds, availableNow) { (rawBatch, batchId) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.select(col("vec_id")).localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val receipts = batch
+            .join(TS.loadIvfIndexCached(spark, indexPath)
+              .select(col("vec_id"), col("centroid_id")),
+              Seq("vec_id"), "left")
+            .select(col("vec_id"), col("centroid_id"),
+              col("centroid_id").isNotNull.as("was_indexed"))
+          TS.forgetIvfDelta(batch, indexPath)
+          if (pqIndexPath.nonEmpty) TS.forgetIvfPqDelta(batch, pqIndexPath)
+          if (vectorsPath.nonEmpty) TS.forgetVectorsDelta(batch, vectorsPath)
+          sink(receipts, batchId)
+          TS.compactIfNeeded(spark, indexPath, maxGenerations)(
+            TS.compactIvfIndex)
+          if (pqIndexPath.nonEmpty)
+            TS.compactIfNeeded(spark, pqIndexPath, maxGenerations)(
+              TS.compactIvfPqIndex)
+          if (vectorsPath.nonEmpty)
+            TS.compactIfNeeded(spark, vectorsPath, maxGenerations)(
+              TS.compactVectors(_, _))
+        }
+      }
+  }
+
   /** The HNSW layered build as a stream — [[buildGraph]] lifted to the
     * hierarchy: per micro-batch, [[graft.similarity.Hnsw.insert]]
     * attaches the batch at every layer its deterministic hash assigns
@@ -1164,6 +1216,136 @@ object StreamingAnn {
           posexplode(col("tokens")).as(Seq("token_idx", "embedding")))
         sink(graft.similarity.LateInteraction.maxSimFunnelAnn(qv, docVecs,
           index, cents, k, dims, shortlist, nprobe), batchId)
+      }
+  }
+
+  /** The PERSISTED FOLD-IN loop for a late-interaction deployment —
+    * [[buildGraphPersisted]]'s durability contract on the funnel's
+    * artifact set: per micro-batch of token rows `(doc_id, token_idx,
+    * embedding)`, the token bags append as a delta generation under
+    * the [[graft.similarity.TrainedState.saveTokens]] artifact, the
+    * batch's POOLED rows ([[graft.similarity.LateInteraction.poolSum]]
+    * over just the batch — O(batch), where a savePooled rewrite
+    * re-pools the corpus) append under the pooled artifact, and, when
+    * the deployment serves the ANN-coarse shape
+    * ([[serveMaxSimAnnFromArtifacts]]), the batch docs' MEAN vectors
+    * fold into the IVF-over-means index against the fixed trained
+    * centroids (`ivfPath`/`centroidsPath`, "" = brute-coarse
+    * deployment). Every artifact compacts by the `maxGenerations`
+    * policy. Redelivery REJECTS loudly (the [[buildGraphPersisted]]
+    * contract): replacement is forget-then-append —
+    * [[forgetMaxSimPersisted]] tombstones the doc, and THIS loop's
+    * guard reads the tombstone-aware load, so a forgotten doc is
+    * legitimately re-ingestable. A doc's whole bag must arrive in ONE
+    * trigger (the saveTokens bag-integrity contract — a bag split
+    * across triggers would trip the redelivery guard, by design). */
+  def buildMaxSimPersisted(newTokens: DataFrame, tokensPath: String,
+                           pooledPath: String, dims: Int,
+                           maxGenerations: Long = graft.similarity
+                             .TrainedState.DefaultMaxGenerations,
+                           availableNow: Boolean = false,
+                           ivfPath: String = "",
+                           centroidsPath: String = "")
+                          (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    require(ivfPath.isEmpty == centroidsPath.isEmpty,
+      "buildMaxSimPersisted: ivfPath and centroidsPath come together — " +
+        "the fold-in assigns against the index's own trained centroids")
+    val TS = graft.similarity.TrainedState
+    val LI = graft.similarity.LateInteraction
+    run(newTokens, availableNow) { (rawBatch, batchId) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch
+          .select(col("doc_id"), col("token_idx"), col("embedding"))
+          .localCheckpoint(true)
+        if (!batch.isEmpty) {
+          // id-pruned against the doc_id-sorted tokens artifact (the
+          // redeliveredIds discipline — never a full-corpus distinct
+          // per trigger); the tombstone-aware load admits re-ingest of
+          // a forgotten doc
+          val batchDocs = batch.select(col("doc_id").as("vec_id"))
+            .distinct().localCheckpoint(true)
+          val dup = redeliveredIds(
+            TS.loadTokensCached(spark, tokensPath)
+              .select(col("doc_id").as("vec_id")),
+            batchDocs, batchDocs.count(), 5)
+          require(dup.isEmpty,
+            s"buildMaxSimPersisted: batch $batchId re-delivers doc " +
+              s"id(s) ${dup.mkString(", ")} — replacement is " +
+              "forget-then-append (forgetMaxSimPersisted tombstones " +
+              "the doc and this guard admits the re-ingest)")
+          val pooledBatch = LI.poolSum(batch, "doc_id", dims)
+            .localCheckpoint(true)
+          TS.appendTokensDelta(batch, tokensPath)
+          TS.appendPooledDelta(pooledBatch, pooledPath)
+          if (ivfPath.nonEmpty)
+            TS.appendIvfDelta(
+              graft.similarity.Similarity.ivfAssign(
+                LI.meanVectors(pooledBatch),
+                TS.loadCentroids(spark, centroidsPath)),
+              ivfPath)
+          sink(pooledBatch.select(col("id"), col("n_tokens")), batchId)
+          TS.compactIfNeeded(spark, tokensPath, maxGenerations)(
+            TS.compactTokens(_, _))
+          TS.compactIfNeeded(spark, pooledPath, maxGenerations)(
+            TS.compactPooled)
+          if (ivfPath.nonEmpty)
+            TS.compactIfNeeded(spark, ivfPath, maxGenerations)(
+              TS.compactIvfIndex)
+        }
+      }
+  }
+
+  /** The DOC-DELETION loop for a late-interaction deployment — the
+    * [[forgetIvfPersisted]] discipline across the funnel's artifact
+    * set: per micro-batch of `doc_id`s, tombstone the token bags
+    * ([[graft.similarity.TrainedState.forgetTokensDelta]] — the
+    * rerank stops scoring the doc immediately), the pooled rows
+    * ([[graft.similarity.TrainedState.forgetPooledDelta]] — the brute
+    * coarse stage stops proposing it, reclaiming its shortlist slot),
+    * and the IVF-over-means index when the deployment serves the
+    * ANN-coarse shape (`ivfPath`, "" = absent). Deletion is COMPLETE
+    * at the tombstones — no edges dangle, no consolidation debt; each
+    * artifact compacts by policy, folding the tombstones out of the
+    * bytes. Receipts are LAZY: `(doc_id, n_tokens, was_indexed)` per
+    * requested id from the pre-delete pooled load (metadata-cheap —
+    * no token scan). */
+  def forgetMaxSimPersisted(deleteDocIds: DataFrame, tokensPath: String,
+                            pooledPath: String,
+                            maxGenerations: Long = graft.similarity
+                              .TrainedState.DefaultMaxGenerations,
+                            availableNow: Boolean = false,
+                            ivfPath: String = "")
+                           (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val TS = graft.similarity.TrainedState
+    run(deleteDocIds, availableNow) { (rawBatch, batchId) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.select(col("doc_id")).localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val receipts = batch
+            .join(TS.loadPooledCached(spark, pooledPath)
+              .select(col("id").as("doc_id"), col("n_tokens")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_tokens"),
+              col("n_tokens").isNotNull.as("was_indexed"))
+          TS.forgetTokensDelta(spark, batch, tokensPath)
+          TS.forgetPooledDelta(batch.select(col("doc_id").as("id")),
+            pooledPath)
+          if (ivfPath.nonEmpty)
+            TS.forgetIvfDelta(batch.select(col("doc_id").as("vec_id")),
+              ivfPath)
+          sink(receipts, batchId)
+          TS.compactIfNeeded(spark, tokensPath, maxGenerations)(
+            TS.compactTokens(_, _))
+          TS.compactIfNeeded(spark, pooledPath, maxGenerations)(
+            TS.compactPooled)
+          if (ivfPath.nonEmpty)
+            TS.compactIfNeeded(spark, ivfPath, maxGenerations)(
+              TS.compactIvfIndex)
+        }
       }
   }
 

@@ -27,6 +27,15 @@ import graft.similarity.TrainedState
   * max rank — the degree it was built with. Receipts print as one
   * JSON line per deleted id and append to `receiptsPath` (parquet,
   * stamped) when given — the [[MaintainRoot]] audit-trail convention.
+  *
+  * TOMBSTONE-COMPLETE kinds (ivf / ivfpq / pqcodes / vectors /
+  * tokens — the [[TrainedState.forgetIvfDelta]]-family artifacts)
+  * need no repair: their deletion is already correct at the tombstone,
+  * so "consolidation" is the physical half alone — compact the
+  * artifact (folding the tombstones out of the bytes) plus the
+  * sibling vectors artifact when one exists. `entryId`/`beam`/`hops`/
+  * `degree` are ignored and the receipt set is empty (nothing was
+  * repaired; the compaction is the whole act).
   */
 object ConsolidateAnn {
 
@@ -38,9 +47,19 @@ object ConsolidateAnn {
       : (String, Seq[org.apache.spark.sql.Row]) = {
     val vecPath = vectorsPath.getOrElse(s"$indexPath.vectors")
     val kind = TrainedState.detectArtifactKind(spark, indexPath)
-    require(kind.contains("graph") || kind.contains("hnsw"),
-      s"ConsolidateAnn: $indexPath is ${kind.getOrElse("unclassifiable")}" +
-        " — consolidation applies to graph/hnsw artifacts")
+    require(kind.isDefined,
+      s"ConsolidateAnn: $indexPath is unclassifiable — refusing to " +
+        "touch an artifact whose layout cannot be identified")
+    if (!Set("graph", "hnsw").contains(kind.get)) {
+      // tombstone-complete kind: no dangling edges, nothing to repair —
+      // fold the tombstones out of the bytes and return
+      TrainedState.compactorFor(kind.get)(spark, indexPath)
+      val vp = new org.apache.hadoop.fs.Path(vecPath)
+      val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (vecPath != indexPath && fs.exists(vp))
+        TrainedState.compactVectors(spark, vecPath)
+      return (kind.get, Seq.empty)
+    }
     val deg = degree.getOrElse {
       val d = (if (kind.contains("hnsw"))
                  TrainedState.loadHnswIndex(spark, indexPath)

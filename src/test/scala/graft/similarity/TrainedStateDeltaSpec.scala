@@ -695,6 +695,152 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     noCompactLeftovers(path)
   }
 
+  test("IVF index TOMBSTONES: forgetIvfDelta hides ids from the load " +
+      "(the flat probe scores the index's own embeddings — a vectors " +
+      "tombstone alone cannot stop it), a later re-assign supersedes, " +
+      "and compaction folds tombstones out of the bytes with no " +
+      "sentinel cell directory") {
+    import spark.implicits._
+    def ids(df: DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val base = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val cents = base.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid")).localCheckpoint(true)
+    val path = tmp("ivf_ts")
+    TrainedState.saveIvfIndex(Similarity.ivfAssign(base, cents), path)
+    TrainedState.forgetIvfDelta(Seq(3L, 11L, 99L).toDF("vec_id"), path)
+    val after = TrainedState.loadIvfIndex(spark, path)
+    assert(ids(after) == ids(base) -- Set(3L, 11L))
+    // the deleted ids leave the SERVE, not just the load: a saturating
+    // probe over the reconciled index must never return 3 or 11
+    val served = Similarity.ivfTopKFromIndex(
+        base.filter(col("vec_id") < 10), after, k = 3, cents, nprobe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(Set(3L, 11L)).isEmpty,
+      "a tombstoned id must not serve from the cell index")
+    // a NEWER re-assign of id 3 outranks its tombstone (ordered delete)
+    TrainedState.appendIvfDelta(
+      Similarity.ivfAssign(base.filter(col("vec_id") === 3L), cents),
+      path)
+    assert(ids(TrainedState.loadIvfIndex(spark, path))
+      .contains(3L), "re-assigned id must supersede its tombstone")
+    // compaction: tombstones leave the bytes; no centroid_id=-1 dir
+    TrainedState.compactIvfIndex(spark, path)
+    assert(TrainedState.deltaGenerations(spark, path) == 0L)
+    val raw = spark.read.parquet(path)
+    assert(raw.filter(col("embedding").isNull).count() == 0,
+      "compacted base must carry no tombstone rows")
+    assert(ids(raw) == ids(base) - 11L)
+    assert(!new java.io.File(path).list().exists(_.contains("centroid_id=-1")),
+      "the tombstone sentinel cell must never materialize as a directory")
+    noPendingGens(path)
+    noCompactLeftovers(path)
+    assert(TrainedState.detectArtifactKind(spark, path) == Some("ivf"))
+  }
+
+  test("IVF-PQ index TOMBSTONES: forgetIvfPqDelta drops the id's code " +
+      "row from the load, re-encode supersedes, compaction is physical") {
+    import spark.implicits._
+    val path = tmp("ivfpq_ts")
+    val baseRows = Seq((0L, 0L, Seq(1, 2)), (3L, 0L, Seq(3, 4)),
+      (7L, 20L, Seq(5, 6))).toDF("vec_id", "centroid_id", "codes")
+    TrainedState.saveIvfPqIndex(baseRows, path)
+    TrainedState.forgetIvfPqDelta(Seq(3L, 99L).toDF("vec_id"), path)
+    def codeIds() = TrainedState.loadIvfPqIndex(spark, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(codeIds() == Set(0L, 7L))
+    // re-encode of 3 supersedes its tombstone
+    TrainedState.appendIvfPqDelta(
+      Seq((3L, 20L, Seq(9, 9))).toDF("vec_id", "centroid_id", "codes"),
+      path)
+    assert(codeIds() == Set(0L, 3L, 7L))
+    TrainedState.compactIvfPqIndex(spark, path)
+    val raw = spark.read.parquet(path)
+    assert(raw.filter(col("codes").isNull).count() == 0,
+      "compacted base must carry no tombstone rows")
+    assert(!new java.io.File(path).list().exists(_.contains("centroid_id=-1")))
+    val r3 = TrainedState.loadIvfPqIndex(spark, path)
+      .filter(col("vec_id") === 3L).collect()
+    assert(r3.length == 1 && r3.head.getLong(1) == 20L,
+      "the re-encode must survive compaction")
+    noPendingGens(path)
+    noCompactLeftovers(path)
+  }
+
+  test("flat PQ codes TOMBSTONES: ONE forgetPqCodesDelta row outranks " +
+      "the id's whole numSub-row code set (the reconcile keys on " +
+      "vec_id), re-encode supersedes, compaction is physical") {
+    import spark.implicits._
+    val path = tmp("pqcodes_ts")
+    TrainedState.savePqCodes(
+      Seq((0L, 0, 1), (0L, 1, 2), (5L, 0, 3), (5L, 1, 4))
+        .toDF("vec_id", "sub", "code"), path)
+    TrainedState.forgetPqCodesDelta(Seq(5L).toDF("vec_id"), path)
+    assert(normCodes(TrainedState.loadPqCodes(spark, path)) ==
+      Set((0L, 0, 1), (0L, 1, 2)),
+      "one tombstone row must hide the id's entire code set")
+    // re-encode supersedes the tombstone with a full code set
+    TrainedState.appendPqCodesDelta(
+      Seq((5L, 0, 7), (5L, 1, 8)).toDF("vec_id", "sub", "code"), path)
+    assert(normCodes(TrainedState.loadPqCodes(spark, path)) ==
+      Set((0L, 0, 1), (0L, 1, 2), (5L, 0, 7), (5L, 1, 8)))
+    TrainedState.compactPqCodes(spark, path)
+    assert(spark.read.parquet(path).filter(col("code").isNull).count() == 0,
+      "compacted base must carry no tombstone rows")
+    noPendingGens(path)
+    noCompactLeftovers(path)
+  }
+
+  test("pooled artifact delta lifecycle: appendPooledDelta folds in a " +
+      "batch O(batch) with the savePooled width check, forgetPooledDelta " +
+      "tombstones, re-append supersedes, compactPooled is physical, " +
+      "and the kind detects as pooled") {
+    import spark.implicits._
+    val path = tmp("pooled_ts")
+    val tokens = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") % 10).as("doc_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+      .localCheckpoint(true)
+    val dims = 64
+    TrainedState.savePooled(
+      LateInteraction.poolSum(tokens, "doc_id", dims), path, dims)
+    assert(TrainedState.detectArtifactKind(spark, path) == Some("pooled"))
+    def ids() = TrainedState.loadPooled(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() == (0L until 10L).toSet)
+    // fold in a new doc's pooled row as a delta — O(batch)
+    val newDoc = emb.filter(col("vec_id") === 50L)
+      .select(lit(200L).as("doc_id"), col("vec_id").as("token_idx"),
+        col("embedding"))
+    TrainedState.appendPooledDelta(
+      LateInteraction.poolSum(newDoc, "doc_id", dims), path)
+    assert(ids() == (0L until 10L).toSet + 200L)
+    // a width-drifted append fails LOUDLY (the savePooled contract)
+    val err = intercept[Exception] {
+      TrainedState.appendPooledDelta(
+        Seq((201L, 1L, Seq(1L, 2L))).toDF("id", "n_tokens", "pool"), path)
+    }
+    assert(err.getMessage != null)
+    // tombstone doc 3 and the fresh 200; 999 is a harmless no-op
+    TrainedState.forgetPooledDelta(
+      Seq(3L, 200L, 999L).toDF("id"), path)
+    assert(ids() == (0L until 10L).toSet -- Set(3L) )
+    // a newer re-append supersedes the tombstone (ordered delete)
+    TrainedState.appendPooledDelta(
+      LateInteraction.poolSum(newDoc, "doc_id", dims), path)
+    assert(ids().contains(200L))
+    // physical fold: no NULL pools in the bytes, generations folded,
+    // and the reconciled survivors equal a from-scratch re-pool
+    TrainedState.compactPooled(spark, path)
+    assert(TrainedState.deltaGenerations(spark, path) == 0L)
+    assert(spark.read.parquet(path).filter(col("pool").isNull).count() == 0)
+    assert(ids() == (0L until 10L).toSet - 3L + 200L)
+    assert(TrainedState.loadPooledParams(spark, path) == dims)
+    noPendingGens(path)
+    noCompactLeftovers(path)
+  }
+
   test("compaction rewrites are DATA-SIZED: files scale with rows at " +
       "the target density across append->compact cycles (the measured " +
       "100x file-density term cannot re-enter via compaction)") {

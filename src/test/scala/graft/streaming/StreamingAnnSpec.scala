@@ -1337,4 +1337,227 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(gotH.toSet == wantH,
       "hierarchical FromArtifacts serve diverged from batch searchAuto")
   }
+
+  test("buildMaxSimPersisted + forgetMaxSimPersisted: the funnel's " +
+      "fold-in appends tokens + pooled + means-IVF O(batch) per " +
+      "trigger, redelivery rejects loudly, deletion tombstones all " +
+      "three artifacts (pooled slot reclaimed at the saturating " +
+      "shortlist), a forgotten doc re-ingests through the guard, and " +
+      "policy compaction folds every artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val LI = graft.similarity.LateInteraction
+    val dims = 64
+    // base docs 0..9, 4-token bags
+    val tokens = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") % 10).as("doc_id"),
+        col("vec_id").as("token_idx"), col("embedding"))
+      .localCheckpoint(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_loop").toString
+    val tokensPath = s"$root/tokens"
+    val pooledPath = s"$root/pooled"
+    val ivfPath = s"$root/means_ivf"
+    val centsPath = s"$root/cents"
+    TS.saveTokens(tokens, tokensPath)
+    val pooled0 = LI.poolSum(tokens, "doc_id", dims)
+    TS.savePooled(pooled0, pooledPath, dims)
+    val means0 = LI.meanVectors(pooled0).localCheckpoint(true)
+    val cents = means0.filter(col("vec_id").isin(0L, 5L))
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid")).localCheckpoint(true)
+    TS.saveCentroids(cents, centsPath)
+    TS.saveIvfIndex(
+      graft.similarity.Similarity.ivfAssign(means0, cents), ivfPath)
+
+    // fold in docs 200 and 201 with bags DISJOINT from the base corpus
+    // (vec_id 40..47 — the base used only vec_id < 40): each is the
+    // verbatim twin of one query bag, so it tops that query at the
+    // maximal MaxSim score with no tie against a base doc
+    def bagOf(lo: Long, as: Long) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < lo + 4)
+      .select(lit(as).as("doc_id"), col("vec_id").as("token_idx"),
+        col("embedding"))
+    val mem = MemoryStream[(Long, Long, Seq[Float])]
+    val q = StreamingAnn.buildMaxSimPersisted(
+      mem.toDF().toDF("doc_id", "token_idx", "embedding"),
+      tokensPath, pooledPath, dims, maxGenerations = 2L,
+      ivfPath = ivfPath, centroidsPath = centsPath)()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2))).toSeq
+    try {
+      mem.addData(rowsOf(bagOf(40L, 200L)): _*); q.processAllAvailable()
+      mem.addData(rowsOf(bagOf(44L, 201L)): _*); q.processAllAvailable()
+    } finally q.stop()
+    // both served through the ANN funnel from artifacts alone: each
+    // query's twin tops its ranking at the maximal score
+    val qv = bagOf(40L, 1000L).unionByName(bagOf(44L, 1001L))
+      .select(col("doc_id").as("query_id"), col("token_idx"),
+        col("embedding"))
+    def annTop1() = LI.maxSimFunnelAnn(qv,
+        TS.loadTokensCached(spark, tokensPath),
+        TS.loadIvfIndexCached(spark, ivfPath),
+        TS.loadCentroids(spark, centsPath), k = 1, dims = dims,
+        shortlist = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(annTop1() == Map(1000L -> 200L, 1001L -> 201L),
+      s"folded twins must top their queries: ${annTop1()}")
+    // policy compaction fired at maxGenerations = 2 on the artifacts
+    // that reached 2 generations (tokens, pooled, ivf)
+    Seq(tokensPath, pooledPath, ivfPath).foreach { p =>
+      assert(TS.deltaGenerations(spark, p) == 0L,
+        s"$p still carries delta generations")
+    }
+
+    // redelivery of a live doc rejects loudly
+    val mem2 = MemoryStream[(Long, Long, Seq[Float])]
+    val q2 = StreamingAnn.buildMaxSimPersisted(
+      mem2.toDF().toDF("doc_id", "token_idx", "embedding"),
+      tokensPath, pooledPath, dims,
+      ivfPath = ivfPath, centroidsPath = centsPath)()
+    try {
+      mem2.addData(rowsOf(bagOf(40L, 200L)): _*)
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("re-delivers")), s"wrong error: $ex")
+    } finally q2.stop()
+
+    // stream-delete 200: all three artifacts tombstone; receipts name
+    // the pre-delete pooled n_tokens; 999 confirms negatively
+    val receipts = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val mem3 = MemoryStream[Long]
+    val q3 = StreamingAnn.forgetMaxSimPersisted(
+      mem3.toDF().toDF("doc_id"), tokensPath, pooledPath,
+      ivfPath = ivfPath) { (df, _) => receipts ++= df.collect() }
+    try {
+      mem3.addData(200L, 999L); q3.processAllAvailable()
+    } finally q3.stop()
+    val byId = receipts.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(byId == Map(200L -> true, 999L -> false), s"receipts: $byId")
+    assert(receipts.find(_.getLong(0) == 200L).get.getLong(1) == 4L,
+      "the receipt must carry the pre-delete bag size")
+    // the deleted twin leaves the serve; its untouched peer stays
+    val post = annTop1()
+    assert(post(1001L) == 201L && post(1000L) != 200L,
+      s"post-forget serve: $post")
+    // the pooled tombstone reclaims the coarse slot at the SATURATING
+    // brute shortlist = 1: a leaked pooled row for 200 would win query
+    // 1000's only coarse slot (cosine 1 mean), the rerank would drop
+    // it against the tombstoned tokens, and the query would emit NO
+    // row — so a present, non-200 answer pins both tombstones
+    val brute = LI.maxSimFunnelWith(qv,
+        TS.loadTokensCached(spark, tokensPath),
+        TS.loadPooledCached(spark, pooledPath), k = 1, dims = dims,
+        shortlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(brute.contains(1000L) && brute(1000L) != 200L &&
+      brute(1001L) == 201L,
+      s"brute funnel after pooled tombstone: $brute")
+
+    // the forgotten doc is legitimately re-ingestable
+    val mem4 = MemoryStream[(Long, Long, Seq[Float])]
+    val q4 = StreamingAnn.buildMaxSimPersisted(
+      mem4.toDF().toDF("doc_id", "token_idx", "embedding"),
+      tokensPath, pooledPath, dims,
+      ivfPath = ivfPath, centroidsPath = centsPath)()
+    try {
+      mem4.addData(rowsOf(bagOf(40L, 200L)): _*); q4.processAllAvailable()
+    } finally q4.stop()
+    assert(annTop1() == Map(1000L -> 200L, 1001L -> 201L),
+      "re-ingested twin must serve again")
+  }
+
+  test("forgetIvfPersisted: streamed deletions tombstone the CELL INDEX " +
+      "itself (the flat probe scores index embeddings — a vectors " +
+      "tombstone alone cannot stop it), plus the IVF-PQ codes and the " +
+      "vectors artifact; receipts carry the pre-delete cell; the policy " +
+      "compaction folds every artifact physically") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val corpus = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val cents = corpus.filter(col("vec_id") % 15 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid")).localCheckpoint(true)
+    val books = graft.similarity.ProductQuantizer.codebooks(
+      corpus, 64, 4, 10)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_forget_loop").toString
+    val idxPath = s"$root/ivf"
+    val pqPath = s"$root/ivfpq"
+    val vecPath = s"$root/vectors"
+    TS.saveIvfIndex(
+      graft.similarity.Similarity.ivfAssign(corpus, cents), idxPath)
+    TS.saveIvfPqIndex(
+      graft.similarity.IvfPq.encode(corpus, cents, books, 64, 4), pqPath)
+    TS.saveVectors(corpus, vecPath)
+
+    // stream-delete 5, 17 then 23 and a never-indexed 99; receipts land
+    // per batch; maxGenerations = 2 so the second trigger compacts
+    val receipts = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val mem = MemoryStream[Long]
+    val q = StreamingAnn.forgetIvfPersisted(
+      mem.toDF().toDF("vec_id"), idxPath, maxGenerations = 2L,
+      pqIndexPath = pqPath, vectorsPath = vecPath) { (df, _) =>
+      receipts ++= df.collect()
+    }
+    try {
+      Seq(Seq(5L, 17L), Seq(23L, 99L)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val byId = receipts.map(r =>
+      r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(byId == Map(5L -> true, 17L -> true, 23L -> true, 99L -> false),
+      s"receipts: $byId")
+    // receipts name the PRE-delete cell for indexed ids
+    assert(receipts.filter(_.getLong(0) != 99L)
+      .forall(r => Set(0L, 15L).contains(r.getLong(1))),
+      "an indexed id's receipt must carry its cell")
+
+    val gone = Set(5L, 17L, 23L)
+    // the flat probe (index embeddings only, saturating nprobe) must
+    // equal brute over the live corpus — a leaked tombstone surfaces as
+    // a wrong neighbor
+    val live = corpus.filter(!col("vec_id").isin(gone.toSeq: _*))
+      .localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val served = graft.similarity.Similarity.ivfTopKFromIndex(
+        queries, TS.loadIvfIndexCached(spark, idxPath), k = 2, cents,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = graft.similarity.Similarity.bruteTopK(queries, live, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == want,
+      "flat probe over the forgotten index diverged from brute over live")
+    // the IVF-PQ pair drops them too (codes shortlist + vectors rerank)
+    val servedPq = graft.similarity.IvfPq.topKFromIndex(
+        queries, TS.loadIvfPqIndexCached(spark, pqPath),
+        TS.loadVectorsCached(spark, vecPath), k = 2, cents, books,
+        dim = 64, numSub = 4, nprobe = 2, rerank = 40)
+      .collect().map(_.getLong(2)).toSet
+    assert(servedPq.intersect(gone).isEmpty,
+      s"a tombstoned id served from the PQ pair: $servedPq")
+
+    // policy compaction ran (2 generations reached maxGenerations = 2):
+    // every artifact folded physically, tombstones out of the bytes
+    Seq(idxPath, pqPath, vecPath).foreach { p =>
+      assert(TS.deltaGenerations(spark, p) == 0L,
+        s"$p still carries delta generations")
+    }
+    assert(spark.read.parquet(idxPath)
+      .filter(col("embedding").isNull).count() == 0)
+    assert(spark.read.parquet(pqPath)
+      .filter(col("codes").isNull).count() == 0)
+    assert(spark.read.parquet(vecPath)
+      .filter(col("embedding").isNull).count() == 0)
+    assert(spark.read.parquet(idxPath)
+      .filter(col("vec_id").isin(gone.toSeq: _*)).count() == 0,
+      "compacted cell index still names a deleted id")
+  }
 }

@@ -91,12 +91,57 @@ class ConsolidateAnnSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(named.intersect(victims.toSet).isEmpty)
 
-    // a vectors artifact is not a consolidation target
-    val e = intercept[IllegalArgumentException] {
-      ConsolidateAnn.run(spark, s"$root/h.vectors", entryId = Some(0L),
-        beam = 8, hops = 8, degree = None, vectorsPath = None,
-        receiptsPath = None)
+    // a vectors artifact is TOMBSTONE-COMPLETE: consolidating it is
+    // the physical half alone — compact, no repair receipts
+    TrainedState.forgetVectorsDelta(Seq(victims.head).toDF("vec_id"),
+      s"$root/h.vectors")
+    val (vKind, vRows) = ConsolidateAnn.run(spark, s"$root/h.vectors",
+      entryId = None, beam = 8, hops = 8, degree = None,
+      vectorsPath = None, receiptsPath = None)
+    assert(vKind == "vectors" && vRows.isEmpty)
+    assert(TrainedState.deltaGenerations(spark, s"$root/h.vectors") == 0L)
+    assert(spark.read.parquet(s"$root/h.vectors")
+      .filter(col("embedding").isNull).count() == 0)
+  }
+
+  test("tombstone-complete IVF pair: consolidation is the physical " +
+      "half alone — the cell index and its sibling vectors artifact " +
+      "both compact, tombstones leave the bytes, receipts are empty") {
+    val corpus = emb.filter(col("vec_id") < 30).localCheckpoint(true)
+    val cents = corpus.filter(col("vec_id") % 15 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid")).localCheckpoint(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("cons_tool_ivf").toString
+    TrainedState.saveIvfIndex(
+      Similarity.ivfAssign(corpus, cents), s"$root/idx")
+    TrainedState.saveVectors(corpus, s"$root/idx.vectors")
+    TrainedState.forgetIvfDelta(Seq(7L, 19L).toDF("vec_id"), s"$root/idx")
+    TrainedState.forgetVectorsDelta(Seq(7L, 19L).toDF("vec_id"),
+      s"$root/idx.vectors")
+
+    val (kind, rows) = ConsolidateAnn.run(spark, s"$root/idx",
+      entryId = None, beam = 8, hops = 8, degree = None,
+      vectorsPath = None, receiptsPath = None)
+    assert(kind == "ivf" && rows.isEmpty)
+    Seq(s"$root/idx", s"$root/idx.vectors").foreach { p =>
+      assert(TrainedState.deltaGenerations(spark, p) == 0L,
+        s"$p still carries delta generations")
+      assert(spark.read.parquet(p)
+        .filter(col("embedding").isNull).count() == 0,
+        s"$p still carries tombstone rows")
+      assert(spark.read.parquet(p)
+        .filter(col("vec_id").isin(7L, 19L)).count() == 0,
+        s"$p still names a deleted id")
     }
-    assert(e.getMessage.contains("consolidation applies to"))
+
+    // an unclassifiable directory is refused loudly
+    val junk = s"$root/junk"
+    Seq((1, "x")).toDF("a", "b").write.parquet(junk)
+    val e = intercept[IllegalArgumentException] {
+      ConsolidateAnn.run(spark, junk, entryId = None, beam = 8,
+        hops = 8, degree = None, vectorsPath = None, receiptsPath = None)
+    }
+    assert(e.getMessage.contains("unclassifiable"))
   }
 }
