@@ -138,8 +138,148 @@ object Round26Queries {
           TrainedState.loadPooledCached(s, s"$root/pooled"), k = 3,
           dims = 64, shortlist = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // BM25 index FOLD-IN exactness: the index persists over the even
+    // docs, the odd docs fold in as two delta batches
+    // (foldInRetrieval: postings + docLens generations, ACCUMULATED
+    // term dfs for the touched vocabulary, exact stats merge), and
+    // the serve through the reconciled loads must equal the
+    // d_retrieval_topk oracle over the FULL corpus bit for bit —
+    // addition is exact, so any df double-count, stats drift, or
+    // dropped generation shifts a score and fails the hash.
+    "d_retrieval_persisted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val root = tmpPath(s, dir, "graft_retrfold_")
+      val (p0, t0, l0, s0) = graft.text.Retrieval.buildIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      TrainedState.saveRetrievalIndex(p0, t0, l0, s0, root)
+      Seq(1L, 3L).foreach { m =>
+        val (bp, _, bl, _) = graft.text.Retrieval.buildIndex(
+          docs.filter(pmod(col("doc_id"), lit(4)) === m), "doc_id",
+          "text")
+        TrainedState.foldInRetrieval(s, bp, bl, root)
+      }
+      val (postings, terms, docLens, stats) =
+        TrainedState.loadRetrievalIndexCached(s, root)
+      val qs = Seq(
+        (1L, Seq("stream", "filter", "merge")),
+        (2L, Seq("table", "scan")),
+        (3L, Seq("vector", "spark", "batch", "batch")))
+        .toDF("query_id", "terms")
+      graft.text.Retrieval.topK(qs, postings, terms, docLens, stats,
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // BM25 LAZY deletion semantics, oracle-exact: forget doc_id%3==1
+    // (one docLens tombstone generation — O(deletions)) and serve
+    // WITHOUT consolidating. Membership is immediately correct (the
+    // deleted docs cannot appear — the docLens inner join drops
+    // them); scores keep the PRE-delete df/n/avgdl — the documented
+    // drift trade. The oracle replays exactly that: full-corpus
+    // df/stats, survivor-only membership.
+    "d_retrieval_lazy_forget" -> ((s, dir) => {
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val root = tmpPath(s, dir, "graft_retrlazy_")
+      val (p0, t0, l0, s0) = graft.text.Retrieval.buildIndex(
+        docs, "doc_id", "text")
+      TrainedState.saveRetrievalIndex(p0, t0, l0, s0, root)
+      TrainedState.forgetRetrievalDocs(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select(col("doc_id")), root)
+      val (postings, terms, docLens, stats) =
+        TrainedState.loadRetrievalIndexCached(s, root)
+      val qs = Seq(
+        (1L, Seq("stream", "filter", "merge")),
+        (2L, Seq("table", "scan")),
+        (3L, Seq("vector", "spark", "batch", "batch")))
+        .toDF("query_id", "terms")
+      graft.text.Retrieval.topK(qs, postings, terms, docLens, stats,
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // BM25 CONSOLIDATION: same deletion, then
+    // consolidateRetrievalIndex drops the deleted docs' postings and
+    // recomputes df/stats exactly — the serve must equal the oracle
+    // over the survivors alone, as if the deleted docs were never
+    // ingested (and the sub-artifacts fold physically: the gate
+    // passes only if the rewritten index serves right).
+    "d_retrieval_forget" -> ((s, dir) => {
+      import s.implicits._
+      val docs = load(s, dir, "documents")
+      val root = tmpPath(s, dir, "graft_retrforget_")
+      val (p0, t0, l0, s0) = graft.text.Retrieval.buildIndex(
+        docs, "doc_id", "text")
+      TrainedState.saveRetrievalIndex(p0, t0, l0, s0, root)
+      TrainedState.forgetRetrievalDocs(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select(col("doc_id")), root)
+      TrainedState.consolidateRetrievalIndex(s, root)
+      val (postings, terms, docLens, stats) =
+        TrainedState.loadRetrievalIndexCached(s, root)
+      val qs = Seq(
+        (1L, Seq("stream", "filter", "merge")),
+        (2L, Seq("table", "scan")),
+        (3L, Seq("vector", "spark", "batch", "batch")))
+        .toDF("query_id", "terms")
+      graft.text.Retrieval.topK(qs, postings, terms, docLens, stats,
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** The d_retrieval_topk replay with independent membership dials:
+    * `statsWhere` restricts the docs feeding df/n/avgdl (the scoring
+    * magnitudes), `memberWhere` restricts which docs may appear (the
+    * docLens join). Full replay = both "TRUE"; exact post-consolidation
+    * deletion = both on the survivor predicate; LAZY deletion = full
+    * stats, survivor membership. */
+  private def retrievalTopkSql(statsWhere: String,
+                               memberWhere: String): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${QueryShared.tokensSql} AS toks
+       |  FROM documents),
+       |sbase AS (SELECT * FROM base WHERE $statsWhere),
+       |docs AS (
+       |  SELECT doc_id, len(toks) AS dl FROM sbase WHERE len(toks) > 0),
+       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM sbase)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qq AS (SELECT * FROM (VALUES
+       |  (1, ['stream', 'filter', 'merge']),
+       |  (2, ['table', 'scan']),
+       |  (3, ['vector', 'spark', 'batch', 'batch']))
+       |  AS v(query_id, terms)),
+       |qt AS (
+       |  SELECT DISTINCT query_id, t
+       |  FROM (SELECT query_id, unnest(terms) AS t FROM qq)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(SUM(CAST(ROUND(
+       |        ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |        tf.tf * 2.2 /
+       |        (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / stats.avgdl))
+       |        * 1e9) AS BIGINT)) AS BIGINT) AS bm25_e9
+       |  FROM qt JOIN tf USING (t) JOIN df USING (t)
+       |    JOIN docs ON tf.doc_id = docs.doc_id
+       |    CROSS JOIN stats
+       |  WHERE tf.doc_id IN (SELECT doc_id FROM base WHERE $memberWhere)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+       |  bm25_e9
+       |FROM (
+       |  SELECT query_id, doc_id, bm25_e9,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY bm25_e9 DESC, doc_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // Forgotten twins must leave the cell index as-if-never-ingested:
@@ -227,6 +367,21 @@ object Round26Queries {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cos_sim DESC, neighbor_id) AS rank
          |  FROM scored) t
-         |WHERE rank = 1 ORDER BY query_id""".stripMargin
+         |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+
+    // Fold-in is EXACT addition: the delta-folded index replays the
+    // full-corpus BM25 verbatim.
+    "d_retrieval_persisted" -> retrievalTopkSql("TRUE", "TRUE"),
+
+    // Lazy deletion: full-corpus df/n/avgdl (the documented stale
+    // magnitudes), survivor-only membership — the deleted docs can
+    // never appear, every surviving score is bit-preserved.
+    "d_retrieval_lazy_forget" ->
+      retrievalTopkSql("TRUE", "doc_id % 3 <> 1"),
+
+    // Consolidation restores as-if-never-ingested: df/stats and
+    // membership both replay over the survivors alone.
+    "d_retrieval_forget" ->
+      retrievalTopkSql("doc_id % 3 <> 1", "doc_id % 3 <> 1")
   )
 }

@@ -1360,7 +1360,11 @@ object TrainedState {
       val fields =
         try spark.read.parquet(path).schema.fieldNames.toSet
         catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
-      if (childDirs.exists(_.startsWith("layer="))) Some("hnsw")
+      if (Set("postings", "terms", "doclens", "stats")
+            .subsetOf(childDirs.toSet))
+        Some("retrieval") // BM25 artifact-set root (directory-shaped,
+                          // so checked before any schema read)
+      else if (childDirs.exists(_.startsWith("layer="))) Some("hnsw")
       else if (childDirs.exists(_.startsWith("centroid_id=")))
         if (fields.contains("codes")) Some("ivfpq")
         else if (fields.contains("embedding")) Some("ivf")
@@ -1392,6 +1396,11 @@ object TrainedState {
       case "vectors" => compactVectors(_, _)
       case "tokens"  => compactTokens(_, _)
       case "pooled"  => compactPooled
+      case "retrieval" => (s, p) => {
+        compactRetrievalPostings(s, s"$p/postings")
+        compactRetrievalTerms(s, s"$p/terms")
+        compactRetrievalDocLens(s, s"$p/doclens")
+      }
       case other => sys.error(s"compactorFor: unknown artifact kind $other")
     }
 
@@ -1425,14 +1434,20 @@ object TrainedState {
       .sorted
       .map { name =>
         val p = s"$root/$name"
-        val gens = deltaGenerations(spark, p)
+        val kind = detectArtifactKind(spark, p)
+        // a retrieval ROOT carries no _delta of its own — its pending
+        // state is the max over the delta-bearing sub-artifacts
+        val gens =
+          if (kind.contains("retrieval"))
+            Seq("postings", "terms", "doclens")
+              .map(s => deltaGenerations(spark, s"$p/$s")).max
+          else deltaGenerations(spark, p)
         if (gens < maxGenerations)
-          MaintenanceReceipt(p, detectArtifactKind(spark, p), gens,
-            compacted = false)
-        else detectArtifactKind(spark, p) match {
-          case Some(kind) =>
-            compactorFor(kind)(spark, p)
-            MaintenanceReceipt(p, Some(kind), gens, compacted = true)
+          MaintenanceReceipt(p, kind, gens, compacted = false)
+        else kind match {
+          case Some(k) =>
+            compactorFor(k)(spark, p)
+            MaintenanceReceipt(p, Some(k), gens, compacted = true)
           case None =>
             MaintenanceReceipt(p, None, gens, compacted = false)
         }
@@ -1939,33 +1954,268 @@ object TrainedState {
     StructField("df", LongType, nullable = false)))
   val docLensSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("dl", LongType, nullable = false)))
+    // nullable: a NULL dl row is a TOMBSTONE ([[forgetRetrievalDocs]])
+    StructField("dl", LongType, nullable = true)))
   val retrievalStatsSchema: StructType = StructType(Seq(
     StructField("n", LongType, nullable = false),
     StructField("avgdl", DoubleType, nullable = false)))
 
   /** Persist a [[graft.text.Retrieval.buildIndex]] artifact set under
-    * one root. postings/terms/docLens keep their partitioning (corpus-/
-    * vocabulary-sized); stats is the 1-row coalesced artifact. A
-    * production layout BUCKETS postings by term (a query then opens
-    * only its terms' buckets) — partitionBy(term) would mint one
-    * directory per vocabulary entry, the small-files failure mode. */
+    * one root. postings and terms are range-partitioned and SORTED by
+    * `term`, docLens by `doc_id` — every file carries tight min/max
+    * stats on its key, so the serve's localized query-term `isin`
+    * ([[graft.text.Retrieval.topK]]) and the fold-in/forget id probes
+    * read only the row groups their keys can touch (the saveGraphIndex
+    * file-statistics discipline; partitionBy(term) would mint one
+    * directory per vocabulary entry, the small-files failure mode).
+    * `numFiles` knobs scale files ∝ rows (0 = session default). */
   def saveRetrievalIndex(postings: DataFrame, terms: DataFrame,
                          docLens: DataFrame, stats: DataFrame,
-                         path: String): Unit = {
-    save(postings, postingsSchema, s"$path/postings", singleFile = false)
-    save(terms, retrievalTermsSchema, s"$path/terms", singleFile = false)
-    save(docLens, docLensSchema, s"$path/doclens", singleFile = false)
+                         path: String, postingsFiles: Int = 0,
+                         termsFiles: Int = 0, docLensFiles: Int = 0)
+      : Unit = {
+    val f = org.apache.spark.sql.functions
+    def sorted(df: DataFrame, schema: StructType, keys: Seq[String],
+               numFiles: Int, p: String): Unit = {
+      val cols = schema.fields.map(x =>
+        f.col(x.name).cast(x.dataType).as(x.name))
+      val projected = df.select(cols.toIndexedSeq: _*)
+      val keyCols = keys.map(f.col)
+      (if (numFiles > 0)
+         projected.repartitionByRange(numFiles, keyCols: _*)
+       else projected.repartitionByRange(keyCols: _*))
+        .sortWithinPartitions(keys.head, keys.tail: _*)
+        .write.mode("overwrite").parquet(p)
+    }
+    sorted(postings, postingsSchema, Seq("term", "doc_id"),
+      postingsFiles, s"$path/postings")
+    sorted(terms, retrievalTermsSchema, Seq("term"),
+      termsFiles, s"$path/terms")
+    sorted(docLens, docLensSchema, Seq("doc_id"),
+      docLensFiles, s"$path/doclens")
     save(stats, retrievalStatsSchema, s"$path/stats")
   }
 
-  /** Load a retrieval index for [[graft.text.Retrieval.topK]]. */
+  /** Load a retrieval index for [[graft.text.Retrieval.topK]].
+    * Delta-aware per sub-artifact: [[foldInRetrieval]] generations
+    * reconcile newest-wins — postings per `(term, doc_id)`, terms per
+    * `term` (a fold-in's accumulated df row supersedes the base row),
+    * docLens per `doc_id` with NULL-dl TOMBSTONES
+    * ([[forgetRetrievalDocs]]) dropped after winning, which is the
+    * serve-side deletion: [[graft.text.Retrieval.topK]] inner-joins
+    * docLens, so a tombstoned doc leaves the results immediately.
+    * stats is overwrite-per-fold (1 row, no delta machinery). */
   def loadRetrievalIndex(spark: SparkSession, path: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    (load(spark, postingsSchema, s"$path/postings"),
-      load(spark, retrievalTermsSchema, s"$path/terms"),
-      load(spark, docLensSchema, s"$path/doclens"),
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val f = org.apache.spark.sql.functions
+    (reconcileDeltas(load(spark, postingsSchema, s"$path/postings"),
+        spark, s"$path/postings", postingsSchema, Seq("term", "doc_id")),
+      reconcileDeltas(load(spark, retrievalTermsSchema, s"$path/terms"),
+        spark, s"$path/terms", retrievalTermsSchema, Seq("term")),
+      reconcileDeltas(load(spark, docLensSchema, s"$path/doclens"),
+          spark, s"$path/doclens", docLensSchema, Seq("doc_id"))
+        .filter(f.col("dl").isNotNull),
       load(spark, retrievalStatsSchema, s"$path/stats"))
+  }
+
+  /** [[loadRetrievalIndex]] behind the fingerprint cache (one cache
+    * entry per sub-artifact) — the serving loop's per-trigger load. */
+  def loadRetrievalIndexCached(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val f = org.apache.spark.sql.functions
+    (cachedLoad(spark, s"$path/postings")(
+        reconcileDeltas(load(spark, postingsSchema, s"$path/postings"),
+          spark, s"$path/postings", postingsSchema, Seq("term", "doc_id"))),
+      cachedLoad(spark, s"$path/terms")(
+        reconcileDeltas(load(spark, retrievalTermsSchema, s"$path/terms"),
+          spark, s"$path/terms", retrievalTermsSchema, Seq("term"))),
+      cachedLoad(spark, s"$path/doclens")(
+        reconcileDeltas(load(spark, docLensSchema, s"$path/doclens"),
+            spark, s"$path/doclens", docLensSchema, Seq("doc_id"))
+          .filter(f.col("dl").isNotNull)),
+      cachedLoad(spark, s"$path/stats")(
+        load(spark, retrievalStatsSchema, s"$path/stats")))
+  }
+
+  /** FOLD a batch of NEW documents into a persisted retrieval index —
+    * the online half of the BM25 lifecycle, O(batch + touched terms)
+    * where a [[saveRetrievalIndex]] rebuild scans the corpus. Inputs
+    * are [[graft.text.Retrieval.buildIndex]] over JUST the batch.
+    * Mechanics: batch postings and docLens rows append as delta
+    * generations (new docs ⇒ new keys — the caller guards
+    * redelivery); the batch's term dfs ACCUMULATE onto the current
+    * reconciled dfs for the touched vocabulary slice (read id-pruned
+    * via a bounded `isin` against the term-sorted artifact) and append
+    * as a newest-wins replacement generation; the 1-row stats artifact
+    * rewrites with the exact merged (n, avgdl). Addition is EXACT —
+    * the folded index serves bit-identically to a full rebuild over
+    * base ∪ batch (spec-pinned). NOT atomic across the four
+    * sub-artifacts: the write order (postings → terms → stats →
+    * docLens) puts the redelivery-guard column LAST, and a crash
+    * mid-fold is repaired by [[consolidateRetrievalIndex]], which
+    * recomputes terms and stats from the postings ground truth. */
+  def foldInRetrieval(spark: SparkSession, batchPostings: DataFrame,
+                      batchDocLens: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val posts = batchPostings
+      .select(f.col("term"), f.col("doc_id").cast("long").as("doc_id"),
+        f.col("tf").cast("long").as("tf"))
+      .localCheckpoint(true)
+    val lens = batchDocLens
+      .select(f.col("doc_id").cast("long").as("doc_id"),
+        f.col("dl").cast("long").as("dl"))
+      .localCheckpoint(true)
+    if (lens.isEmpty) return
+    appendDeltaGeneration(posts, s"$path/postings", postingsSchema)
+    // touched vocabulary slice: batch-bounded by construction
+    val batchDf = posts.groupBy(f.col("term"))
+      .agg(f.count(f.lit(1)).as("_bdf"))
+      .localCheckpoint(true)
+    val termKeys = batchDf.select(f.col("term")).limit((1 << 12) + 1)
+      .collect().map(_.getString(0)).toIndexedSeq
+    // only the terms reconcile + the 1-row stats — constructing the
+    // full 4-tuple would pay the postings/docLens delta counts too
+    val curTerms = reconcileDeltas(
+      load(spark, retrievalTermsSchema, s"$path/terms"), spark,
+      s"$path/terms", retrievalTermsSchema, Seq("term"))
+    val curStats = load(spark, retrievalStatsSchema, s"$path/stats")
+    val current =
+      if (termKeys.length <= (1 << 12))
+        curTerms.filter(f.col("term").isin(termKeys: _*))
+      else curTerms.join(f.broadcast(batchDf.select(f.col("term"))),
+        Seq("term"), "left_semi")
+    val merged = batchDf.join(current, Seq("term"), "left")
+      .select(f.col("term"),
+        (f.coalesce(f.col("df"), f.lit(0L)) + f.col("_bdf")).as("df"))
+    appendDeltaGeneration(merged, s"$path/terms", retrievalTermsSchema)
+    // exact stats merge: totals, not averages of averages
+    val st = curStats.head()
+    val (n0, avg0) = (st.getLong(0), st.getDouble(1))
+    val bt = lens.agg(f.count(f.lit(1)).cast("long"),
+      f.sum(f.col("dl")).cast("long")).head()
+    val (bn, bsum) = (bt.getLong(0), bt.getLong(1))
+    val n1 = n0 + bn
+    val avg1 = (avg0 * n0 + bsum) / n1
+    import spark.implicits._
+    save(Seq((n1, avg1)).toDF("n", "avgdl"), retrievalStatsSchema,
+      s"$path/stats")
+    // the guard column lands last (see scaladoc)
+    appendDeltaGeneration(lens, s"$path/doclens", docLensSchema)
+  }
+
+  /** FORGET docs from a persisted retrieval index — the LAZY-DELETE
+    * half: one O(deletions) tombstone generation on docLens, which is
+    * the membership side of serving ([[graft.text.Retrieval.topK]]
+    * inner-joins it, so the docs leave the results IMMEDIATELY). The
+    * honest trade, same shape as the graph family's dangling edges:
+    * postings still carry the docs' rows and df/n/avgdl stay at their
+    * pre-delete values, so surviving docs' SCORES drift by the deleted
+    * fraction until [[consolidateRetrievalIndex]] recomputes them —
+    * membership is never wrong, magnitudes decay. A deleted doc is
+    * re-ingestable ([[foldInRetrieval]]'s guard reads the
+    * tombstone-aware load); its postings rows then supersede the stale
+    * ones per `(term, doc_id)` newest-wins, while its term dfs
+    * re-accumulate on top of the stale counts — one more bounded
+    * drift term in the same lazy regime, converging at the next
+    * [[consolidateRetrievalIndex]] recount. */
+  def forgetRetrievalDocs(deleteDocIds: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    appendDeltaGeneration(
+      deleteDocIds.select(f.col("doc_id").cast("long").as("doc_id"),
+        f.lit(null).cast("long").as("dl")),
+      s"$path/doclens", docLensSchema)
+  }
+
+  /** CONSOLIDATE a lazily-deleted retrieval index: drop the deleted
+    * docs' postings rows (the docs absent from the live docLens),
+    * recompute terms and stats EXACTLY from the survivors, and fold
+    * every sub-artifact's generations physically. Corpus-sized
+    * maintenance, crash-safe per sub-artifact ([[compactSwap]]), and
+    * IDEMPOTENT — a crash between the four steps re-runs to the same
+    * fixpoint because terms/stats re-derive from postings ∩ docLens
+    * ground truth. Also the repair for a crashed [[foldInRetrieval]]
+    * (its scaladoc's contract). */
+  def consolidateRetrievalIndex(spark: SparkSession, path: String,
+                                targetRowsPerFile: Long =
+                                  DefaultTargetRowsPerFile): Unit = {
+    val f = org.apache.spark.sql.functions
+    // 1. docLens: fold tombstones out of the bytes
+    val lensLive = reconcileDeltas(
+        load(spark, docLensSchema, s"$path/doclens"), spark,
+        s"$path/doclens", docLensSchema, Seq("doc_id"))
+      .filter(f.col("dl").isNotNull)
+    compactSwap(spark, s"$path/doclens", lensLive, (df, p) => {
+      val files = filesForRows(approxRows(spark, s"$path/doclens"),
+        targetRowsPerFile)
+      df.select(f.col("doc_id").cast("long").as("doc_id"),
+          f.col("dl").cast("long").as("dl"))
+        .repartitionByRange(math.max(1, files), f.col("doc_id"))
+        .sortWithinPartitions("doc_id").write.mode("overwrite").parquet(p)
+    })
+    // 2. postings: reconciled rows ∩ post-compaction live doc set
+    val postsLive = reconcileDeltas(
+        load(spark, postingsSchema, s"$path/postings"), spark,
+        s"$path/postings", postingsSchema, Seq("term", "doc_id"))
+      .join(load(spark, docLensSchema, s"$path/doclens")
+        .select(f.col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(f.col("term"), f.col("doc_id"), f.col("tf"))
+    compactSwap(spark, s"$path/postings", postsLive, (df, p) => {
+      val files = filesForRows(approxRows(spark, s"$path/postings"),
+        targetRowsPerFile)
+      df.repartitionByRange(math.max(1, files), f.col("term"),
+          f.col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(p)
+    })
+    // 3. terms: exact recount from the surviving postings
+    val termsLive = load(spark, postingsSchema, s"$path/postings")
+      .groupBy(f.col("term")).agg(f.count(f.lit(1)).as("df"))
+    compactSwap(spark, s"$path/terms", termsLive, (df, p) => {
+      val files = filesForRows(approxRows(spark, s"$path/terms"),
+        targetRowsPerFile)
+      df.select(f.col("term"), f.col("df").cast("long").as("df"))
+        .repartitionByRange(math.max(1, files), f.col("term"))
+        .sortWithinPartitions("term").write.mode("overwrite").parquet(p)
+    })
+    // 4. stats: exact recount from the surviving docLens
+    val statsLive = load(spark, docLensSchema, s"$path/doclens")
+      .agg(f.count(f.lit(1)).cast("long").as("n"),
+        f.avg(f.col("dl")).as("avgdl"))
+    save(statsLive, retrievalStatsSchema, s"$path/stats")
+  }
+
+  /** Fold a sub-artifact's pending generations without the doc-drop
+    * recount — the policy compactor ([[compactIfNeeded]]) for the
+    * retrieval root's delta-bearing pieces. */
+  def compactRetrievalDocLens(spark: SparkSession, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val live = reconcileDeltas(load(spark, docLensSchema, path), spark,
+      path, docLensSchema, Seq("doc_id"))
+    compactSwap(spark, path, live, (df, p) =>
+      df.repartitionByRange(f.col("doc_id"))
+        .sortWithinPartitions("doc_id").write.mode("overwrite").parquet(p))
+  }
+
+  /** [[compactRetrievalDocLens]] for the postings sub-artifact. */
+  def compactRetrievalPostings(spark: SparkSession, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val live = reconcileDeltas(load(spark, postingsSchema, path), spark,
+      path, postingsSchema, Seq("term", "doc_id"))
+    compactSwap(spark, path, live, (df, p) =>
+      df.repartitionByRange(f.col("term"), f.col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(p))
+  }
+
+  /** [[compactRetrievalDocLens]] for the terms sub-artifact. */
+  def compactRetrievalTerms(spark: SparkSession, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val live = reconcileDeltas(load(spark, retrievalTermsSchema, path),
+      spark, path, retrievalTermsSchema, Seq("term"))
+    compactSwap(spark, path, live, (df, p) =>
+      df.repartitionByRange(f.col("term"))
+        .sortWithinPartitions("term").write.mode("overwrite").parquet(p))
+  }
 
   private def save(df: DataFrame, schema: StructType, path: String,
                    singleFile: Boolean = true): Unit = {

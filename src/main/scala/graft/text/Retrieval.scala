@@ -49,21 +49,46 @@ object Retrieval {
     (postings, terms, docLens, stats)
   }
 
+  /** The query-term localization cap: a probe batch above this many
+    * DISTINCT terms falls back to the join-only plan (the
+    * joinProbedCells discipline — literal pruning only when the list
+    * is bounded enough to inline). */
+  private val MaxLocalQueryTerms = 1 << 12
+
   /** Top-k BM25 docs per query. `queries` = `(query_id LONG, terms
     * ARRAY<STRING>)`; repeated query terms count once (the d_bm25
     * distinct-term convention). Queries with no matching postings emit
-    * no rows (the recall-zero convention). */
+    * no rows (the recall-zero convention).
+    *
+    * Scale shape: the query batch is bounded by contract, so its
+    * DISTINCT term set localizes and pushes into the postings AND
+    * terms scans as a literal `isin` — compile-time row-group pruning
+    * against the term-sorted [[graft.similarity.TrainedState
+    * .saveRetrievalIndex]] layout, so a probe batch reads only its
+    * terms' row groups instead of the whole postings table (the
+    * static-cell-prune discipline from the IVF probe applied to the
+    * inverted index; the inner joins make the filter semantically
+    * free). Past [[MaxLocalQueryTerms]] the plan falls back to the
+    * unpruned broadcast join. */
   def topK(queries: DataFrame, postings: DataFrame, terms: DataFrame,
            docLens: DataFrame, stats: DataFrame, k: Int): DataFrame = {
-    val qt = queries
+    val qtRaw = queries
       .select(col("query_id").cast("long").as("query_id"),
         explode(col("terms")).as("term"))
       .distinct()
+    val termList = qtRaw.select(col("term")).distinct()
+      .limit(MaxLocalQueryTerms + 1).collect().map(_.getString(0))
+    val (postingsIn, termsIn) =
+      if (termList.length <= MaxLocalQueryTerms && termList.nonEmpty)
+        (postings.filter(col("term").isin(termList.toIndexedSeq: _*)),
+          terms.filter(col("term").isin(termList.toIndexedSeq: _*)))
+      else (postings, terms)
+    val qt = qtRaw
       // df attaches on the SMALL side before the postings probe — one
       // broadcast of (query_id, term, df) is all the corpus-sized join
       // ever sees
-      .join(terms, Seq("term"))
-    val scored = postings.join(broadcast(qt), Seq("term"))
+      .join(termsIn, Seq("term"))
+    val scored = postingsIn.join(broadcast(qt), Seq("term"))
       .join(docLens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("term_e9", round(

@@ -457,6 +457,16 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       Seq((0L, 0, 3), (0L, 1, 5)).toDF("vec_id", "sub", "code"), cpath)
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$root/mystery")
     assert(new java.io.File(s"$root/old_idx.compact-trash/j").mkdirs())
+    // a retrieval ROOT at the threshold: its pending state lives in
+    // the sub-artifacts (2 docLens tombstone generations), not in a
+    // root-level _delta
+    val rpath = s"$root/retr_idx"
+    val (rp, rt, rd, rs) = graft.text.Retrieval.buildIndex(
+      Seq((0L, "apple banana"), (1L, "banana cherry"),
+        (2L, "cherry date")).toDF("doc_id", "text"), "doc_id", "text")
+    TrainedState.saveRetrievalIndex(rp, rt, rd, rs, rpath)
+    TrainedState.forgetRetrievalDocs(Seq(1L).toDF("doc_id"), rpath)
+    TrainedState.forgetRetrievalDocs(Seq(2L).toDF("doc_id"), rpath)
 
     val receipts = TrainedState.maintainRoot(spark, root,
       maxGenerations = 2L).map(r =>
@@ -465,7 +475,14 @@ class TrainedStateDeltaSpec extends SparkTestBase {
       ("graph_idx", Some("graph"), 2L, true),
       ("hnsw_idx", Some("hnsw"), 1L, false),
       ("codes_idx", Some("pqcodes"), 0L, false),
+      ("retr_idx", Some("retrieval"), 2L, true),
       ("mystery", None, 0L, false)), s"receipts: $receipts")
+    // the sweep folded the generations into the doclens base (the
+    // tombstone ROWS persist as null-dl base rows until a
+    // consolidation drops the postings too); membership stays deleted
+    assert(TrainedState.deltaGenerations(spark, s"$rpath/doclens") == 0L)
+    assert(TrainedState.loadRetrievalIndex(spark, rpath)._3
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L))
     // the graph compacted losslessly; the hnsw generation still lives
     noPendingGens(gpath)
     assert(normEdges(TrainedState.loadGraphIndex(spark, gpath)) ==
