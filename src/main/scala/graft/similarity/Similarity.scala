@@ -212,6 +212,67 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The four 16-bit band keys of a signature table, packed
+    * `t·2¹⁶ + bucket` — the [[simhashPairsFromSigs]] banding as DATA,
+    * for the persisted banded index layout
+    * ([[TrainedState.saveBandedSigIndex]]): an index row per (sig,
+    * block) lets a probe batch prune the index scan to its own
+    * buckets' row groups instead of re-banding the corpus per
+    * trigger. */
+  def bandKeys(sigs: DataFrame): DataFrame = {
+    val probes = (0 until 4).map { t =>
+      struct(lit(t).as("t"),
+        shiftright(col("simhash"), 48 - 16 * t)
+          .bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }
+    sigs.select(col("id"), col("simhash"),
+        explode(array(probes: _*)).as("p"))
+      .select((col("p.t").cast("long") * 65536L + col("p.bucket"))
+        .as("bkey"), col("id"), col("simhash"))
+  }
+
+  /** Batch-vs-INDEX near-dup pairs through a persisted banded
+    * signature index — the cross half of [[simhashPairsFromSigs]]
+    * with the index side pre-banded on disk: the batch's band keys
+    * (bounded — `|batch|·numProbes` and the batch is a micro-batch by
+    * contract) localize and push into the index scan as a literal
+    * `isin`, so a trigger reads only its buckets' row groups (the
+    * joinProbedCells discipline on the LSH family). Identical pair
+    * semantics to the symmetric join restricted to (batch, index)
+    * pairs: a pair collides iff it shares a bucket among the first
+    * `numProbes` 16-bit blocks — the index carries all four blocks'
+    * rows, the batch probes only its first `numProbes`. Within-batch
+    * pairs are NOT included — combine with [[simhashPairsFromSigs]]
+    * over the batch alone. Output is orientation-explicit:
+    * `(batch_id, index_id, hamming)`. Past 2¹² keys the probe falls
+    * back to a broadcast join of the batch keys (no pruning). */
+  def simhashPairsAgainstIndex(batchSigs: DataFrame,
+                               bandedIndex: DataFrame, maxHamming: Int,
+                               numProbes: Int = 4): DataFrame = {
+    require(numProbes >= 1 && numProbes <= 4,
+      s"numProbes=$numProbes must be in [1, 4]")
+    val qb = bandKeys(batchSigs)
+      .filter(col("bkey") < numProbes.toLong * 65536L)
+      .select(col("bkey"), col("id").as("batch_id"),
+        col("simhash").as("sim_q"))
+    val keys = qb.select(col("bkey")).distinct()
+      .limit((1 << 12) + 1).collect().map(_.getLong(0)).toIndexedSeq
+    val idx =
+      if (keys.nonEmpty && keys.length <= (1 << 12))
+        bandedIndex.filter(col("bkey").isin(keys: _*))
+      else bandedIndex.join(broadcast(qb.select(col("bkey")).distinct()),
+        Seq("bkey"), "left_semi")
+    idx.select(col("bkey"), col("id").as("index_id"),
+        col("simhash").as("sim_i"))
+      .join(broadcast(qb), Seq("bkey"))
+      .filter(col("batch_id") =!= col("index_id"))
+      .dropDuplicates("batch_id", "index_id")
+      .withColumn("hamming",
+        graft.text.TextOps.hamming64(col("sim_q"), col("sim_i")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("index_id"), col("hamming"))
+  }
+
   // ------------------------------------------------------- embedding ANN
 
   /** Double-precision dot product. Primary implementation is the native

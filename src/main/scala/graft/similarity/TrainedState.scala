@@ -449,6 +449,109 @@ object TrainedState {
       (df, p) => savePooled(df, p, dims))
   }
 
+  val bandedSigSchema: StructType = StructType(Seq(
+    // t·2¹⁶ + bucket ([[Similarity.bandKeys]]); -1 on tombstone rows
+    StructField("bkey", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    // NULL = tombstone ([[forgetBandedSigsDelta]])
+    StructField("simhash", LongType, nullable = true),
+    StructField("blocks", IntegerType, nullable = false)))
+
+  /** Persist a pHash/simhash signature index PRE-BANDED — one row per
+    * (signature, 16-bit block), sorted by `bkey` so a probe batch's
+    * bucket `isin` ([[Similarity.simhashPairsAgainstIndex]]) reads
+    * only its buckets' row groups, where the in-memory admission
+    * loops re-band the whole index per trigger. `blocks` (the pHash
+    * blockhash parameter) rides in the rows — the
+    * [[graft.multimodal.Multimodal.saveSigIndex]] convention, so a
+    * serving loop reads the parameter instead of trusting its call
+    * site. Input is RAW `(id, simhash)` signatures. */
+  def saveBandedSigIndex(sigs: DataFrame, path: String, blocks: Int,
+                         numFiles: Int = 0): Unit = {
+    require(blocks >= 1 && blocks <= 60,
+      s"saveBandedSigIndex: blocks=$blocks")
+    val f = org.apache.spark.sql.functions
+    val banded = Similarity.bandKeys(
+        sigs.select(f.col("id").cast("long").as("id"),
+          f.col("simhash").cast("long").as("simhash")))
+      .withColumn("blocks", f.lit(blocks))
+    (if (numFiles > 0)
+       banded.repartitionByRange(numFiles, f.col("bkey"), f.col("id"))
+     else banded.repartitionByRange(f.col("bkey"), f.col("id")))
+      .sortWithinPartitions("bkey", "id")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The recorded `blocks` of a banded signature index, from ONE row
+    * (the [[pooledDimsQuick]] rationale — save enforces uniformity). */
+  def bandedSigParams(spark: SparkSession, path: String): Int = {
+    val r = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col("blocks").cast("int"))
+      .limit(1).collect()
+    require(r.nonEmpty, s"bandedSigParams($path): empty signature index")
+    r.head.getInt(0)
+  }
+
+  /** Load a banded signature index. Delta-aware newest-wins per `id`
+    * (a re-appended signature's four fresh band rows supersede its
+    * old set — one key, whole-set replacement, the [[loadPqCodes]]
+    * contract) and NULL-simhash rows are TOMBSTONES, dropped after
+    * winning. */
+  def loadBandedSigIndex(spark: SparkSession, path: String): DataFrame =
+    reconcileDeltas(load(spark, bandedSigSchema, path), spark, path,
+      bandedSigSchema, Seq("id"))
+      .filter(org.apache.spark.sql.functions.col("simhash").isNotNull)
+
+  /** [[loadBandedSigIndex]] behind the fingerprint cache — the
+    * admission loop's per-trigger load. */
+  def loadBandedSigIndexCached(spark: SparkSession,
+                               path: String): DataFrame =
+    cachedLoad(spark, path)(loadBandedSigIndex(spark, path))
+
+  /** APPEND a batch of admitted signatures as a DELTA GENERATION —
+    * O(batch·4) rows where the in-memory loops re-checkpointed the
+    * full accumulated index per trigger. */
+  def appendBandedSigsDelta(sigs: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val blocks = bandedSigParams(sigs.sparkSession, path)
+    appendDeltaGeneration(
+      Similarity.bandKeys(
+          sigs.select(f.col("id").cast("long").as("id"),
+            f.col("simhash").cast("long").as("simhash")))
+        .withColumn("blocks", f.lit(blocks)),
+      path, bandedSigSchema)
+  }
+
+  /** FORGET signature ids — ONE `(-1, id, NULL, blocks)` tombstone row
+    * per id supersedes the id's whole band-row set under the per-`id`
+    * reconcile. O(deletions), ordered (a later
+    * [[appendBandedSigsDelta]] re-admit supersedes), folded away
+    * physically by [[compactBandedSigIndex]]. */
+  def forgetBandedSigsDelta(deleteIds: DataFrame, path: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    val blocks = bandedSigParams(deleteIds.sparkSession, path)
+    appendDeltaGeneration(
+      deleteIds.select(f.lit(-1L).as("bkey"),
+        f.col("id").cast("long").as("id"),
+        f.lit(null).cast("long").as("simhash"),
+        f.lit(blocks).as("blocks")),
+      path, bandedSigSchema)
+  }
+
+  /** Fold accumulated generations back into the bkey-sorted base —
+    * crash-safe, data-sized, tombstones leave the bytes. */
+  def compactBandedSigIndex(spark: SparkSession, path: String,
+                            targetRowsPerFile: Long =
+                              DefaultTargetRowsPerFile): Unit = {
+    val f = org.apache.spark.sql.functions
+    val files = filesForRows(approxRows(spark, path), targetRowsPerFile)
+    compactSwap(spark, path, loadBandedSigIndex(spark, path),
+      (df, p) => df.repartitionByRange(math.max(1, files),
+          f.col("bkey"), f.col("id"))
+        .sortWithinPartitions("bkey", "id")
+        .write.mode("overwrite").parquet(p))
+  }
+
   val graphIndexSchema: StructType = StructType(Seq(
     StructField("query_id", LongType, nullable = false),
     StructField("rank", IntegerType, nullable = false),
@@ -1377,6 +1480,8 @@ object TrainedState {
         Some("tokens") // late-interaction token bags
       else if (Set("id", "n_tokens", "pool", "dims").subsetOf(fields))
         Some("pooled") // funnel coarse-side pooled corpus
+      else if (Set("bkey", "id", "simhash", "blocks").subsetOf(fields))
+        Some("bandedsigs") // banded pHash/simhash signature index
       else if (Set("vec_id", "embedding").subsetOf(fields))
         Some("vectors") // flat corpus vectors — the IVF embedding
                         // shape is caught above by its centroid_id=
@@ -1396,6 +1501,7 @@ object TrainedState {
       case "vectors" => compactVectors(_, _)
       case "tokens"  => compactTokens(_, _)
       case "pooled"  => compactPooled
+      case "bandedsigs" => compactBandedSigIndex(_, _)
       case "retrieval" => (s, p) => {
         compactRetrievalPostings(s, s"$p/postings")
         compactRetrievalTerms(s, s"$p/terms")

@@ -276,4 +276,192 @@ object StreamingMedia {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** [[admitImages]] against a PERSISTED banded signature index
+    * ([[graft.similarity.TrainedState.saveBandedSigIndex]]) — the
+    * durable, O(batch)-per-trigger form: the probe prunes the index
+    * scan to the batch's buckets' row groups
+    * ([[Similarity.simhashPairsAgainstIndex]] — the in-memory loop
+    * re-bands and re-checkpoints the WHOLE index per trigger), and
+    * survivors append as one delta generation. Decision semantics are
+    * [[admitImages]]' verbatim (spec-pinned parity): rejected iff any
+    * qualifying pair against an indexed image or a lower batch-mate.
+    * REDELIVERY IS REPLACEMENT for free — the reconcile is
+    * newest-wins per id, so an admitted redelivery's fresh band rows
+    * supersede its old set (identical payload = idempotent re-append;
+    * rejected redelivery leaves the old rows serving) — and the index
+    * restarts from the path alone. `blocks` reads from the artifact. */
+  def admitImagesPersisted(media: Dataset[Multimodal.MediaRow],
+                           spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, maxHamming: Int = 3,
+                           numProbes: Int = 4,
+                           maxGenerations: Long = graft.similarity
+                             .TrainedState.DefaultMaxGenerations,
+                           availableNow: Boolean = false)
+                          (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    val TS = graft.similarity.TrainedState
+    val blocks = TS.bandedSigParams(spark, indexPath)
+    val stageTok = s"admitImagesPersisted-${java.util.UUID.randomUUID()}"
+    val writer = media.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Multimodal.MediaRow], batchId: Long) =>
+       graft.similarity.StagedCache.scoped(stageTok) {
+        val sigs = Multimodal.pHashSigs(batch, blocks).localCheckpoint(true)
+        if (!sigs.isEmpty) {
+          val index = TS.loadBandedSigIndexCached(spark, indexPath)
+          val cross = Similarity.simhashPairsAgainstIndex(
+            sigs, index, maxHamming, numProbes)
+          val within = Similarity.simhashPairsFromSigs(
+            sigs, maxHamming, numProbes)
+          val counts = cross.select(col("batch_id").as("id"))
+            .unionByName(within.select(col("id_b").as("id")))
+            .groupBy(col("id")).agg(count(lit(1)).as("n_pairs"))
+          val decisions = sigs.select(col("id"))
+            .join(counts, Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+            .withColumn("admitted", col("n_pairs") === 0L)
+            .select(col("id"), col("admitted"), col("n_pairs"))
+            .localCheckpoint(true)
+          TS.appendBandedSigsDelta(
+            sigs.join(decisions.filter(col("admitted"))
+              .select(col("id")), Seq("id"), "leftsemi"),
+            indexPath)
+          sink(decisions, batchId)
+          TS.compactIfNeeded(spark, indexPath, maxGenerations)(
+            TS.compactBandedSigIndex(_, _))
+        }
+        graft.similarity.StagedCache.release()
+        ()
+       }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** [[admitVideos]] against a persisted banded index of PACKED frame
+    * signatures (`media·2²⁰ + frame` ids —
+    * [[Multimodal.frameDupPairs]]' convention): per trigger the
+    * batch's frame signatures probe the pruned index, a video rejects
+    * when ≥ `minSharedFrames` of ITS frames match an indexed video's
+    * frames (same-media matches excluded — self-similar frames are
+    * scene-cut business) or a lower batch-mate's, and admitted
+    * videos' frame rows append as one delta generation. Redelivery of
+    * an admitted video is replacement (the [[admitImagesPersisted]]
+    * reconcile contract, per frame id). */
+  def admitVideosPersisted(media: Dataset[Multimodal.MediaRow],
+                           spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, maxHamming: Int = 3,
+                           numProbes: Int = 4, minSharedFrames: Int = 1,
+                           maxGenerations: Long = graft.similarity
+                             .TrainedState.DefaultMaxGenerations,
+                           availableNow: Boolean = false)
+                          (sink: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    val TS = graft.similarity.TrainedState
+    val blocks = TS.bandedSigParams(spark, indexPath)
+    val P = Multimodal.FramePack
+    def mediaOf(c: org.apache.spark.sql.Column) = (c / P).cast("long")
+    val stageTok = s"admitVideosPersisted-${java.util.UUID.randomUUID()}"
+    val writer = media.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Multimodal.MediaRow], batchId: Long) =>
+       graft.similarity.StagedCache.scoped(stageTok) {
+        val sigs = Multimodal.framePHashSigs(batch, blocks)
+          .select((col("media_id") * P + col("frame_idx")).as("id"),
+            col("simhash"))
+          .localCheckpoint(true)
+        if (!sigs.isEmpty) {
+          val index = TS.loadBandedSigIndexCached(spark, indexPath)
+          val cross = Similarity.simhashPairsAgainstIndex(
+              sigs, index, maxHamming, numProbes)
+            .filter(mediaOf(col("batch_id")) =!= mediaOf(col("index_id")))
+            .select(mediaOf(col("batch_id")).as("id"),
+              col("batch_id").as("frame"))
+          val within = Similarity.simhashPairsFromSigs(
+              sigs, maxHamming, numProbes)
+            .filter(mediaOf(col("id_a")) =!= mediaOf(col("id_b")))
+            .select(mediaOf(col("id_b")).as("id"), col("id_b").as("frame"))
+          val counts = cross.unionByName(within)
+            .groupBy(col("id"))
+            .agg(countDistinct(col("frame")).as("n_matched_frames"))
+          val decisions = sigs.select(mediaOf(col("id")).as("id"))
+            .distinct()
+            .join(counts, Seq("id"), "left")
+            .select(col("id"), coalesce(col("n_matched_frames"), lit(0L))
+              .as("n_matched_frames"))
+            .withColumn("admitted",
+              col("n_matched_frames") < minSharedFrames)
+            .select(col("id"), col("admitted"), col("n_matched_frames"))
+            .localCheckpoint(true)
+          val admitted = decisions.filter(col("admitted")).select(col("id"))
+          TS.appendBandedSigsDelta(
+            sigs.join(admitted.select(col("id").as("_m")),
+              mediaOf(col("id")) === col("_m"), "leftsemi"),
+            indexPath)
+          sink(decisions, batchId)
+          TS.compactIfNeeded(spark, indexPath, maxGenerations)(
+            TS.compactBandedSigIndex(_, _))
+        }
+        graft.similarity.StagedCache.release()
+        ()
+       }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** The DELETION loop for a persisted admission index: per
+    * micro-batch of media ids, tombstone the banded signature rows —
+    * O(deletions) for image indexes (one tombstone per id); for a
+    * PACKED frame index (`packedFrames = true`) the doomed frame ids
+    * first enumerate from the reconciled load, an honest O(index
+    * filter) per deletion batch (the bkey-sorted layout cannot prune
+    * an id range — frame counts live in the artifact, not the
+    * caller). A forgotten media id is re-admittable: the loops'
+    * probes read the tombstone-aware load, so its old signatures stop
+    * rejecting new content immediately. */
+  def forgetMediaPersisted(deleteMediaIds: DataFrame,
+                           indexPath: String,
+                           packedFrames: Boolean = false,
+                           maxGenerations: Long = graft.similarity
+                             .TrainedState.DefaultMaxGenerations,
+                           availableNow: Boolean = false)
+                          (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    val TS = graft.similarity.TrainedState
+    val P = Multimodal.FramePack
+    val writer = deleteMediaIds.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (rawBatch: Dataset[Row], batchId: Long) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.toDF()
+          .select(col("id").cast("long").as("id")).localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val doomed =
+            if (!packedFrames) batch
+            else TS.loadBandedSigIndexCached(spark, indexPath)
+              .join(broadcast(batch.select((col("id")).as("_m"))),
+                (col("id") / P).cast("long") === col("_m"), "leftsemi")
+              .select(col("id")).distinct()
+          val receipts = batch.join(
+              TS.loadBandedSigIndexCached(spark, indexPath)
+                .select((if (packedFrames) (col("id") / P).cast("long")
+                         else col("id")).as("id"))
+                .groupBy(col("id")).agg(count(lit(1)).as("n_rows")),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("n_rows"), lit(0L))
+              .as("n_sig_rows"),
+              col("n_rows").isNotNull.as("was_indexed"))
+          TS.forgetBandedSigsDelta(doomed, indexPath)
+          sink(receipts, batchId)
+          TS.compactIfNeeded(spark, indexPath, maxGenerations)(
+            TS.compactBandedSigIndex(_, _))
+        }
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
 }

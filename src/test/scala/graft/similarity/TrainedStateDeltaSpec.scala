@@ -858,6 +858,42 @@ class TrainedStateDeltaSpec extends SparkTestBase {
     noCompactLeftovers(path)
   }
 
+  test("banded signature index lifecycle: append supersedes the id's " +
+      "whole band-row set, ONE tombstone row hides it, compaction is " +
+      "physical, and the kind detects as bandedsigs") {
+    import spark.implicits._
+    val path = tmp("bandedsig_ts")
+    TrainedState.saveBandedSigIndex(
+      Seq((1L, 0x1111222233334444L), (2L, 0x5555666677778888L))
+        .toDF("id", "simhash"), path, blocks = 60)
+    assert(TrainedState.detectArtifactKind(spark, path) ==
+      Some("bandedsigs"))
+    assert(TrainedState.bandedSigParams(spark, path) == 60)
+    def rows() = TrainedState.loadBandedSigIndex(spark, path)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .toSet
+    assert(rows().map(_._1) == Set(1L, 2L) && rows().size == 8,
+      s"4 band rows per signature expected: ${rows()}")
+    // re-append id 1 with a CHANGED signature: its four fresh band
+    // rows supersede the old set (different buckets, same id)
+    TrainedState.appendBandedSigsDelta(
+      Seq((1L, 0x0123456789abcdefL)).toDF("id", "simhash"), path)
+    val after = rows()
+    assert(after.count(_._1 == 1L) == 4 &&
+      after.filter(_._1 == 1L).forall(_._3 == 0x0123456789abcdefL),
+      s"replacement left stale band rows: $after")
+    // ONE tombstone row hides id 2's whole set; 99 is a no-op
+    TrainedState.forgetBandedSigsDelta(Seq(2L, 99L).toDF("id"), path)
+    assert(rows().map(_._1) == Set(1L))
+    TrainedState.compactBandedSigIndex(spark, path)
+    assert(TrainedState.deltaGenerations(spark, path) == 0L)
+    assert(spark.read.parquet(path)
+      .filter(col("simhash").isNull).count() == 0)
+    assert(rows().map(_._1) == Set(1L))
+    noPendingGens(path)
+    noCompactLeftovers(path)
+  }
+
   test("compaction rewrites are DATA-SIZED: files scale with rows at " +
       "the target density across append->compact cycles (the measured " +
       "100x file-density term cannot re-enter via compaction)") {

@@ -256,4 +256,134 @@ class StreamingMediaSpec extends SparkTestBase {
     }
     assert(got == refGot.toMap, s"streaming $got != reference $refGot")
   }
+
+  test("admitImagesPersisted: decisions == the in-memory loop on the " +
+      "same stream, the index survives a RESTART from the path alone, " +
+      "forgetMediaPersisted re-opens the slot (receipts carry the band " +
+      "rows), and the policy compaction folds the artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val bodies = Seq(
+      "the quick brown fox jumps over the lazy dog again and again!!",
+      "a completely different payload with other bytes and rhythm 123",
+      "third unrelated image body, nothing shared with the others :)",
+      "yet another distinct plane of pixels to admit cleanly this time")
+    val idx0 = Multimodal.pHashSigs(
+      spark.createDataset(Seq(mk(1L, bodies(0)))))
+    val batches = Seq(
+      Seq(mk(10L, bodies(0)), mk(11L, bodies(1))),
+      Seq(mk(20L, bodies(1)), mk(21L, bodies(2))),
+      Seq(mk(0L, bodies(0)), mk(30L, bodies(3))))
+    val root = java.nio.file.Files
+      .createTempDirectory("media_pidx").toString
+    TS.saveBandedSigIndex(idx0.toDF(), s"$root/idx", blocks = 60)
+
+    def runLoop(bs: Seq[Seq[Multimodal.MediaRow]],
+                maxGen: Long = 1000L): Map[Long, (Boolean, Long)] = {
+      val mem = MemoryStream[Multimodal.MediaRow]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = StreamingMedia.admitImagesPersisted(mem.toDS(), spark,
+        s"$root/idx", maxGenerations = maxGen) {
+        (df, _) => collected ++= df.collect()
+      }
+      try {
+        bs.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      collected.map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    }
+
+    // parity with the in-memory loop's documented decisions, policy
+    // compaction at maxGenerations = 2 (three triggers → ≥2 folds)
+    val got = runLoop(batches, maxGen = 2L)
+    assert(got.view.mapValues(_._1).toMap == Map(
+      10L -> false, 11L -> true, 20L -> false, 21L -> true,
+      0L -> false, 30L -> true), s"persisted decisions: $got")
+    assert(TS.deltaGenerations(spark, s"$root/idx") < 2L,
+      "policy compaction never fired")
+
+    // RESTART from the path alone: a new loop instance must reject a
+    // copy of image 21 (admitted by the PREVIOUS instance — the
+    // in-memory loop forgets this on restart unless re-seeded)
+    val got2 = runLoop(Seq(Seq(mk(40L, bodies(2)), mk(41L,
+      "fresh content after the restart, bytes unlike all others 987"))))
+    assert(got2(40L)._1 == false,
+      "restarted loop admitted a dup of a previous instance's admit")
+    assert(got2(41L)._1 == true)
+
+    // forget 21 → receipts (4 band rows, was_indexed); a copy then
+    // admits; never-indexed 999 confirms negatively
+    val receipts = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val memDel = MemoryStream[Long]
+    val qDel = StreamingMedia.forgetMediaPersisted(
+      memDel.toDF().toDF("id"), s"$root/idx") { (df, _) =>
+      receipts ++= df.collect()
+    }
+    try {
+      memDel.addData(21L, 999L); qDel.processAllAvailable()
+    } finally qDel.stop()
+    val byId = receipts.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId == Map(21L -> (4L, true), 999L -> (0L, false)),
+      s"receipts: $byId")
+    val got3 = runLoop(Seq(Seq(mk(50L, bodies(2)))))
+    assert(got3(50L)._1 == true,
+      "copy of a FORGOTTEN image still rejected — tombstone not read")
+  }
+
+  test("admitVideosPersisted: planted copy rejected from the persisted " +
+      "frame index, threshold semantics hold, packed-frame deletion " +
+      "re-opens the slot") {
+    implicit val sqlCtx = spark.sqlContext
+    val TS = graft.similarity.TrainedState
+    val f = frameBodies
+    val idx0 = Multimodal.framePHashSigs(
+        spark.createDataset(Seq(vid(1L, Seq(f(0), f(1), f(2))))))
+      .select((col("media_id") * Multimodal.FramePack + col("frame_idx"))
+        .as("id"), col("simhash"))
+    val root = java.nio.file.Files
+      .createTempDirectory("media_vpidx").toString
+    TS.saveBandedSigIndex(idx0, s"$root/idx", blocks = 60)
+
+    def runLoop(bs: Seq[Seq[Multimodal.MediaRow]])
+        : Map[Long, (Boolean, Long)] = {
+      val mem = MemoryStream[Multimodal.MediaRow]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = StreamingMedia.admitVideosPersisted(mem.toDS(), spark,
+        s"$root/idx", minSharedFrames = 2) {
+        (df, _) => collected ++= df.collect()
+      }
+      try {
+        bs.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      collected.map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    }
+    val v11 = vid(11L, Seq(f(3), f(3)))
+    val got = runLoop(Seq(
+      Seq(vid(10L, Seq(f(0), f(1), f(2))), v11),
+      Seq(vid(20L, Seq(f(3), f(3))),
+        vid(21L, Seq(f(0), f(3).reverse, f(1).reverse)))))
+    assert(got(10L) == (false, 3L), s"planted copy not rejected: $got")
+    assert(got(11L)._1 == true && got(20L)._1 == false &&
+      got(21L) == (true, 1L), s"decisions: $got")
+
+    // delete video 1 by MEDIA id (frames enumerate from the artifact)
+    val memDel = MemoryStream[Long]
+    val receipts = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val qDel = StreamingMedia.forgetMediaPersisted(
+      memDel.toDF().toDF("id"), s"$root/idx", packedFrames = true) {
+      (df, _) => receipts ++= df.collect()
+    }
+    try { memDel.addData(1L); qDel.processAllAvailable() }
+    finally qDel.stop()
+    assert(receipts.map(r => (r.getLong(0), r.getLong(1),
+      r.getBoolean(2))).toList == List((1L, 12L, true)), // 3 frames × 4
+      s"receipts: $receipts")
+    // a full copy of the deleted video now admits (its only 2+ shared
+    // frames were with video 1)
+    val got2 = runLoop(Seq(Seq(vid(60L, Seq(f(0), f(1), f(2))))))
+    assert(got2(60L)._1 == true,
+      "copy of a DELETED video still rejected — tombstones not read")
+  }
 }
