@@ -47,7 +47,8 @@ class SparkEntrySpec extends SparkTestBase {
       "Round22" -> queries.Round22Queries.queries,
       "Round23" -> queries.Round23Queries.queries,
       "Round24" -> queries.Round24Queries.queries,
-      "Round25" -> queries.Round25Queries.queries)
+      "Round25" -> queries.Round25Queries.queries,
+      "Round26" -> queries.Round26Queries.queries)
     val dupes = providers
       .flatMap { case (p, m) => m.keys.map(_ -> p) }
       .groupBy(_._1).filter(_._2.size > 1)
