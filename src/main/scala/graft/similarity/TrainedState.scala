@@ -779,13 +779,24 @@ object TrainedState {
     * missing artifact (the compactor's [[compactSwap]] then fails
     * with its recovery-pointer message instead of a raw read error). */
   private def approxRows(spark: SparkSession, path: String): Long = {
+    // exact row count from parquet footers when the file count is
+    // small enough for a sequential driver-side read — zero Spark
+    // jobs, one scheduler round trip saved per compactor invocation.
+    // Past the bound (artifacts with files ∝ corpus at real scale) a
+    // distributed count reads the same footers in parallel instead of
+    // serializing them on the driver.
+    def rows(df: DataFrame): Long = {
+      val files = df.inputFiles
+      if (files.length <= 1024) footerRowCount(spark, files)
+      else df.count()
+    }
     if (!pathExists(spark, path)) 0L
     else {
-      val base = spark.read.parquet(path).count()
+      val base = rows(spark.read.parquet(path))
       val deltaPath = s"$path/$DeltaDir"
       val deltas =
         if (hasDataFiles(spark, deltaPath))
-          readDeltas(spark, deltaPath).count()
+          rows(readDeltas(spark, deltaPath))
         else 0L
       base + deltas
     }
@@ -1232,6 +1243,28 @@ object TrainedState {
     * reconcile — same rows, lazier shape. */
   private[similarity] val LocalDeltaCap = 1 << 18
 
+  /** Exact row count of a parquet relation from its file FOOTERS, read
+    * driver-side — zero Spark jobs. Used by [[reconcileDeltas]] to
+    * decide localize-vs-distributed without the `delta.count()` action
+    * the decision used to pay: the count job was one scheduler round
+    * trip per delta-bearing sub-artifact per load, on every serving
+    * trigger. The files come from the RELATION'S OWN pinned listing
+    * (`df.inputFiles`), so the count and the subsequent collect see
+    * exactly the same generation set — the same consistency the old
+    * count/collect pair got from sharing one InMemoryFileIndex.
+    * Footer reads are cheap here by construction: one file per
+    * generation, generations bounded by compaction policy. */
+  private def footerRowCount(spark: SparkSession,
+                             files: Array[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.foldLeft(0L) { (acc, uri) =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try acc + in.getRecordCount finally in.close()
+    }
+  }
+
   /** Newest-generation-wins reconcile shared by every delta-capable
     * artifact: for each `keyCols` tuple present in a delta, the
     * highest-generation delta rows replace the base rows; untouched
@@ -1257,13 +1290,16 @@ object TrainedState {
       val cols = schema.fields.map(x => f.col(x.name)).toIndexedSeq
       val keyIdx = keyCols.map(schema.fieldNames.indexOf(_))
       val seqIdx = schema.fields.length // _seq appended after the schema
-      // count and collect run against the SAME DataFrame, whose file
-      // listing is pinned at readDeltas (InMemoryFileIndex lists once
-      // at relation construction) — a generation committed between the
-      // two actions is invisible to both, so the cap genuinely bounds
-      // the pull; the newcomer serves from the next load
+      // the footer count reads the SAME pinned file listing the
+      // collect will scan (delta.inputFiles — InMemoryFileIndex lists
+      // once at relation construction), so a generation committed
+      // between the two is invisible to both and the cap genuinely
+      // bounds the pull; the newcomer serves from the next load. The
+      // footer read replaces what used to be a delta.count() ACTION —
+      // one fewer scheduler round trip per delta-bearing sub-artifact
+      // per load, which a serving loop pays on every trigger
       val deltaRows =
-        if (delta.count() <= localCap)
+        if (footerRowCount(spark, delta.inputFiles) <= localCap)
           Some(delta.select(cols :+ f.col(DeltaSeqCol): _*).collect())
         else None
       deltaRows match {
@@ -1636,7 +1672,7 @@ object TrainedState {
     * losing directory-level layer pruning on them costs ~nothing while
     * the corpus-sized base keeps its full pruning layout. */
   private def appendDeltaGeneration(delta: DataFrame, path: String,
-                                    schema: StructType): Unit = {
+                                    schema: StructType): DataFrame = {
     val f = org.apache.spark.sql.functions
     val spark = delta.sparkSession
     val deltaPath = s"$path/$DeltaDir"
@@ -1647,6 +1683,9 @@ object TrainedState {
     // emptiness probe and the write read the cached rows. The blocks
     // are a transient write buffer, not the only copy — a lost
     // executor fails the append and the caller's plan still stands.
+    // Returned so a caller that needs the slice AGAIN (e.g.
+    // foldInRetrieval's touched-vocabulary aggregation) reads these
+    // blocks instead of paying its own checkpoint job.
     val projected = delta.select(cols.toIndexedSeq: _*)
       .localCheckpoint(true)
     if (projected.isEmpty) () // nothing changed — no generation
@@ -1658,6 +1697,7 @@ object TrainedState {
         .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
         .write.parquet(s"$deltaPath/gen-$next")
     }
+    projected
   }
 
   /** Read every delta generation under an artifact (the gen-N
@@ -2163,43 +2203,55 @@ object TrainedState {
   def foldInRetrieval(spark: SparkSession, batchPostings: DataFrame,
                       batchDocLens: DataFrame, path: String): Unit = {
     val f = org.apache.spark.sql.functions
-    val posts = batchPostings
-      .select(f.col("term"), f.col("doc_id").cast("long").as("doc_id"),
-        f.col("tf").cast("long").as("tf"))
-      .localCheckpoint(true)
     val lens = batchDocLens
       .select(f.col("doc_id").cast("long").as("doc_id"),
         f.col("dl").cast("long").as("dl"))
       .localCheckpoint(true)
-    if (lens.isEmpty) return
-    appendDeltaGeneration(posts, s"$path/postings", postingsSchema)
-    // touched vocabulary slice: batch-bounded by construction
-    val batchDf = posts.groupBy(f.col("term"))
-      .agg(f.count(f.lit(1)).as("_bdf"))
-      .localCheckpoint(true)
-    val termKeys = batchDf.select(f.col("term")).limit((1 << 12) + 1)
-      .collect().map(_.getString(0)).toIndexedSeq
+    // one agg serves BOTH the emptiness gate and the stats merge —
+    // the separate isEmpty action this replaces was a scheduler round
+    // trip per trigger
+    val bt = lens.agg(f.count(f.lit(1)).cast("long"),
+      f.sum(f.col("dl")).cast("long")).head()
+    val bn = bt.getLong(0)
+    if (bn == 0L) return
+    val bsum = bt.getLong(1)
+    // appendDeltaGeneration materializes the projected slice; reuse
+    // its blocks for the vocabulary aggregation below instead of
+    // paying a caller-side checkpoint of the same lineage
+    val posts = appendDeltaGeneration(
+      batchPostings.select(f.col("term"),
+        f.col("doc_id").cast("long").as("doc_id"),
+        f.col("tf").cast("long").as("tf")),
+      s"$path/postings", postingsSchema)
+    // touched vocabulary slice: batch-bounded by construction, and the
+    // >4096-term branch pulls it driver-side ANYWAY (that path
+    // broadcasts it), so ONE collect replaces the old
+    // checkpoint + incremental-limit key collect pair
+    val brows = posts.groupBy(f.col("term"))
+      .agg(f.count(f.lit(1)).as("_bdf")).collect()
+    import scala.jdk.CollectionConverters._
+    val batchLocal = spark.createDataFrame(brows.toSeq.asJava,
+      StructType(Seq(StructField("term", StringType),
+        StructField("_bdf", LongType))))
     // only the terms reconcile + the 1-row stats — constructing the
-    // full 4-tuple would pay the postings/docLens delta counts too
+    // full 4-tuple would pay the postings/docLens delta reads too
     val curTerms = reconcileDeltas(
       load(spark, retrievalTermsSchema, s"$path/terms"), spark,
       s"$path/terms", retrievalTermsSchema, Seq("term"))
     val curStats = load(spark, retrievalStatsSchema, s"$path/stats")
     val current =
-      if (termKeys.length <= (1 << 12))
-        curTerms.filter(f.col("term").isin(termKeys: _*))
-      else curTerms.join(f.broadcast(batchDf.select(f.col("term"))),
+      if (brows.length <= (1 << 12))
+        curTerms.filter(f.col("term").isin(
+          brows.map(_.getString(0)).toIndexedSeq: _*))
+      else curTerms.join(f.broadcast(batchLocal.select(f.col("term"))),
         Seq("term"), "left_semi")
-    val merged = batchDf.join(current, Seq("term"), "left")
+    val merged = batchLocal.join(current, Seq("term"), "left")
       .select(f.col("term"),
         (f.coalesce(f.col("df"), f.lit(0L)) + f.col("_bdf")).as("df"))
     appendDeltaGeneration(merged, s"$path/terms", retrievalTermsSchema)
     // exact stats merge: totals, not averages of averages
     val st = curStats.head()
     val (n0, avg0) = (st.getLong(0), st.getDouble(1))
-    val bt = lens.agg(f.count(f.lit(1)).cast("long"),
-      f.sum(f.col("dl")).cast("long")).head()
-    val (bn, bsum) = (bt.getLong(0), bt.getLong(1))
     val n1 = n0 + bn
     val avg1 = (avg0 * n0 + bsum) / n1
     import spark.implicits._
