@@ -177,6 +177,35 @@ object Bench {
     // So ALSO print a SHORT, self-contained total line (fits any capture
     // window; the per-query map lives in the file mirror below).
     println(s"""{"metric":"total","value":${ms(total)},"total_min":${ms(totalMin)},"unit":"sec","sf":"$sfDir","queries_file":"BENCH_LAST.json"}""")
+    // ... and the per-query maps again as BOUNDED part lines AFTER the
+    // total (r15 verdict #2a: PERF_r15 had per_query:{} two rounds
+    // running because the single long line exceeded the driver's
+    // capture). Each part line is ≤ ~4KB — short enough that no capture
+    // window has ever truncated one — and self-describing
+    // (idx/of + a shared tag so partial captures are detectable).
+    // Additions only: the two lines above are byte-identical to r15.
+    def emitParts(metric: String, entries: Seq[String]): Unit = {
+      val maxBody = 3500 // bytes of joined entries per line, < any cap
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var len = 0
+      entries.foreach { e =>
+        if (len + e.length + 1 > maxBody && chunks.last.nonEmpty) {
+          chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+          len = 0
+        }
+        chunks.last += e
+        len += e.length + 1
+      }
+      val of = chunks.size
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"$metric","idx":$i,"of":$of,"queries":${c.mkString("{", ",", "}")}}""")
+      }
+    }
+    emitParts("queries_part",
+      results.map { case (k, v, _, _) => s""""$k":${ms(v)}""" })
+    emitParts("queries_min_part",
+      results.map { case (k, _, lo, _) => s""""$k":${ms(lo)}""" })
     // belt-and-braces: the same JSON as a file, immune to log truncation
     // (cwd-relative: the driver runs sbt from the repo root). FILTERED
     // runs (SPARK_GRAFT_ONLY — the iteration tool) must NOT clobber the

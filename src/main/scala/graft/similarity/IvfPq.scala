@@ -72,15 +72,16 @@ object IvfPq {
 
     // (1) probe cells — identical plan to ivfTopKFromIndex's probe side.
     // LOCALIZED ONCE (bounded |q|·nprobe rows): the probe table feeds
-    // THREE consumers — the broadcast ADC table, the static cell prune
+    // THREE consumers — the ADC lookup tables, the static cell prune
     // (Similarity.joinProbedCells), and the candidate join — and
     // without the eager localization each consumer's action re-ran the
     // |q|·C cell-ranking subplan (the measured IVF-PQ 100× residual,
     // SCALE.md r15). One collect here; everything downstream derives
-    // from the LocalRelation job-free.
+    // from the LocalRelation (and the collected rows feed the LUT build)
+    // job-free.
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("_cdist").asc, col("centroid_id"))
-    val probed = Similarity.localizeBounded(
+    val (probed, probedRows) = Similarity.localizeBoundedRows(
       queries.crossJoin(broadcast(centroidsDf))
         .withColumn("_cdist",
           Similarity.negCosGuarded(col("embedding"), col("centroid")))
@@ -90,35 +91,60 @@ object IvfPq {
           col("embedding").as("q_emb")),
       Similarity.MaxLocalProbedRows)
 
-    // (2) broadcast ADC table: dot(q_sub, code centroid) per
-    // (query, sub, code) — |queries| × numSub × |codes| rows
-    val adc = broadcast(probed.select(col("query_id"), col("q_emb"))
-      .dropDuplicates("query_id")
-      .select(col("query_id"),
-        explode(transform(sequence(lit(0), lit(numSub - 1)),
-          s => struct(s.as("sub"),
-            slice(col("q_emb"), s * subDim + 1, lit(subDim)).as("subvec"))))
-          .as("_e"))
-      .select(col("query_id"), col("_e.sub").as("sub"),
-        col("_e.subvec").as("subvec"))
-      .join(broadcast(booksDf), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        dot(col("subvec"), col("centroid")).as("part")))
-
-    // candidate ADC scores over the PROBED cells only: explode the code
-    // array (numSub short rows per candidate), join the table, ordered
-    // fold — the same bit-deterministic sum as ProductQuantizer.topKWith
-    val cand = Similarity.joinProbedCells(index,
-        probed.select("query_id", "centroid_id"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(adc, Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
-      .filter(size(col("_ps")) === numSub)
-      .withColumn("adc_score",
-        aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
+    // (2) candidate ADC scores over the PROBED cells only. Fused form
+    // (bounded probe set — the serving norm): the per-(query, sub, code)
+    // dot table is built DRIVER-SIDE from the already-collected probe
+    // rows plus one collect of the (tiny, previously-broadcast) books,
+    // and candidate scoring is ONE codegen expression — numSub binary
+    // searches + the ordered fold per candidate ([[graft.functions
+    // .AdcLut]]; bit-identical contract documented there). The legacy
+    // explode→join→groupBy→fold pipeline paid an Exchange + hash
+    // aggregate over numSub× exploded candidate rows plus an
+    // interpreted `aggregate` lambda — the measured r15 s2 residual.
+    // Past the localization cap the legacy distributed shape returns as
+    // the fallback, same rows either way.
+    val cand = probedRows match {
+      case Some(rows) =>
+        val qIdx = probed.schema.fieldIndex("query_id")
+        val embIdx = probed.schema.fieldIndex("q_emb")
+        val booksRows = booksDf.select(col("sub").cast("int"),
+          col("code").cast("int"), col("centroid")).collect()
+        val luts = graft.functions.AdcLut.build(rows, qIdx, embIdx,
+          booksRows, numSub, subDim)
+        Similarity.joinProbedCells(index,
+            probed.select("query_id", "centroid_id"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .filter(graft.functions.AdcLut.adc_keep(
+            col("query_id"), col("codes"), luts))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.AdcLut.adc_score(
+              col("query_id"), col("codes"), luts).as("adc_score"))
+      case None =>
+        val adc = broadcast(probed.select(col("query_id"), col("q_emb"))
+          .dropDuplicates("query_id")
+          .select(col("query_id"),
+            explode(transform(sequence(lit(0), lit(numSub - 1)),
+              s => struct(s.as("sub"),
+                slice(col("q_emb"), s * subDim + 1, lit(subDim)).as("subvec"))))
+              .as("_e"))
+          .select(col("query_id"), col("_e.sub").as("sub"),
+            col("_e.subvec").as("subvec"))
+          .join(broadcast(booksDf), Seq("sub"))
+          .select(col("query_id"), col("sub"), col("code"),
+            dot(col("subvec"), col("centroid")).as("part")))
+        Similarity.joinProbedCells(index,
+            probed.select("query_id", "centroid_id"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(adc, Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sort_array(collect_list(struct(col("sub"), col("part"))))
+            .as("_ps"))
+          .filter(size(col("_ps")) === numSub)
+          .withColumn("adc_score",
+            aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
+    }
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("vec_id"))
     val shortlist = cand.withColumn("_r", row_number().over(wAdc))
@@ -236,7 +262,7 @@ object IvfPq {
     // one collect)
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("_cdist").asc, col("centroid_id"))
-    val probed = Similarity.localizeBounded(
+    val (probed, probedRows) = Similarity.localizeBoundedRows(
       queries.crossJoin(broadcast(centroidsDf))
         .withColumn("_cdist",
           Similarity.negCosGuarded(col("embedding"), col("centroid")))
@@ -247,31 +273,52 @@ object IvfPq {
           dot(col("embedding"), col("centroid")).as("cdot")),
       Similarity.MaxLocalProbedRows)
 
-    val adc = broadcast(probed.select(col("query_id"), col("q_emb"))
-      .dropDuplicates("query_id")
-      .select(col("query_id"),
-        explode(transform(sequence(lit(0), lit(numSub - 1)),
-          s => struct(s.as("sub"),
-            slice(col("q_emb"), s * subDim + 1, lit(subDim)).as("subvec"))))
-          .as("_e"))
-      .select(col("query_id"), col("_e.sub").as("sub"),
-        col("_e.subvec").as("subvec"))
-      .join(broadcast(resBooks), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        dot(col("subvec"), col("centroid")).as("part")))
-
-    val cand = Similarity.joinProbedCells(index,
-        probed.select("query_id", "centroid_id", "cdot"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("cdot"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(adc, Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(first(col("cdot")).as("cdot"),
-        sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
-      .filter(size(col("_ps")) === numSub)
-      .withColumn("adc_score", col("cdot") +
-        aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
+    // fused ADC on the bounded path, legacy distributed shape past the
+    // cap — the [[topKFromIndex]] structure with the coarse `cdot` term
+    // riding the probe rows and added OUTSIDE the fold, exactly like the
+    // legacy `cdot + aggregate(...)` (null propagation identical)
+    val cand = probedRows match {
+      case Some(rows) =>
+        val qIdx = probed.schema.fieldIndex("query_id")
+        val embIdx = probed.schema.fieldIndex("q_emb")
+        val booksRows = resBooks.select(col("sub").cast("int"),
+          col("code").cast("int"), col("centroid")).collect()
+        val luts = graft.functions.AdcLut.build(rows, qIdx, embIdx,
+          booksRows, numSub, subDim)
+        Similarity.joinProbedCells(index,
+            probed.select("query_id", "centroid_id", "cdot"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .filter(graft.functions.AdcLut.adc_keep(
+            col("query_id"), col("codes"), luts))
+          .select(col("query_id"), col("vec_id"),
+            (col("cdot") + graft.functions.AdcLut.adc_score(
+              col("query_id"), col("codes"), luts)).as("adc_score"))
+      case None =>
+        val adc = broadcast(probed.select(col("query_id"), col("q_emb"))
+          .dropDuplicates("query_id")
+          .select(col("query_id"),
+            explode(transform(sequence(lit(0), lit(numSub - 1)),
+              s => struct(s.as("sub"),
+                slice(col("q_emb"), s * subDim + 1, lit(subDim)).as("subvec"))))
+              .as("_e"))
+          .select(col("query_id"), col("_e.sub").as("sub"),
+            col("_e.subvec").as("subvec"))
+          .join(broadcast(resBooks), Seq("sub"))
+          .select(col("query_id"), col("sub"), col("code"),
+            dot(col("subvec"), col("centroid")).as("part")))
+        Similarity.joinProbedCells(index,
+            probed.select("query_id", "centroid_id", "cdot"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id"), col("cdot"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(adc, Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(first(col("cdot")).as("cdot"),
+            sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
+          .filter(size(col("_ps")) === numSub)
+          .withColumn("adc_score", col("cdot") +
+            aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
+    }
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("vec_id"))
     val shortlist = cand.withColumn("_r", row_number().over(wAdc))

@@ -767,12 +767,20 @@ object Similarity {
     * the cap the original plan returns unchanged — the fallback
     * consumers keep their own (DPP / broadcast-join) shapes. */
   private[similarity] def localizeBounded(df: DataFrame, cap: Int)
-      : DataFrame = {
+      : DataFrame = localizeBoundedRows(df, cap)._1
+
+  /** [[localizeBounded]] that ALSO hands back the collected rows when the
+    * bound held (None past the cap) — so a caller that needs the same
+    * bounded table driver-side (e.g. the fused ADC LUT build) reuses the
+    * one collect instead of re-running the source plan. */
+  private[similarity] def localizeBoundedRows(df: DataFrame, cap: Int)
+      : (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
     val rows = df.limit(cap + 1).collect()
-    if (rows.length > cap) df
+    if (rows.length > cap) (df, None)
     else {
       import scala.jdk.CollectionConverters._
-      df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
+      (df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema),
+        Some(rows))
     }
   }
 

@@ -1254,14 +1254,30 @@ object TrainedState {
     * count/collect pair got from sharing one InMemoryFileIndex.
     * Footer reads are cheap here by construction: one file per
     * generation, generations bounded by compaction policy. */
-  private def footerRowCount(spark: SparkSession,
+  private[similarity] def footerRowCount(spark: SparkSession,
                              files: Array[String]): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    files.foldLeft(0L) { (acc, uri) =>
+    def one(uri: String): Long = {
       val p = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
       val in = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try acc + in.getRecordCount finally in.close()
+      try in.getRecordCount finally in.close()
+    }
+    // many-file artifacts read footers through a small driver-side pool:
+    // on object stores each open is 50-100 ms, and a sequential loop over
+    // hundreds of files would be slower than the distributed count this
+    // replaced (r15 ADVICE); a handful of files stays a plain loop
+    if (files.length <= 16) files.foldLeft(0L)((acc, f) => acc + one(f))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: java.util.List[java.util.concurrent.Callable[Long]] =
+          files.toSeq.map[java.util.concurrent.Callable[Long]](f =>
+            () => one(f)).asJava
+        pool.invokeAll(tasks).asScala.foldLeft(0L)((acc, fut) =>
+          acc + fut.get())
+      } finally pool.shutdown()
     }
   }
 
@@ -1274,7 +1290,7 @@ object TrainedState {
     * scales with the deltas, not the index (and, under
     * [[LocalDeltaCap]], is paid ONCE at load rather than per consumer
     * action). */
-  private def reconcileDeltas(base: DataFrame, spark: SparkSession,
+  private[similarity] def reconcileDeltas(base: DataFrame, spark: SparkSession,
                               path: String, schema: StructType,
                               keyCols: Seq[String],
                               localCap: Long = LocalDeltaCap.toLong)
@@ -1473,6 +1489,187 @@ object TrainedState {
     else { compact(spark, path); true }
   }
 
+  /** Bytes under the committed `gen-N` directories of an artifact's
+    * `_delta` (FS metadata only) — the size-tiered policy's delta-side
+    * input. */
+  private def deltaBytes(fs: org.apache.hadoop.fs.FileSystem,
+                         deltaPath: String): Long =
+    genDirNumbers(fs, deltaPath).foldLeft(0L) { (acc, n) =>
+      acc + fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$deltaPath/gen-$n")).getLength
+    }
+
+  /** Bytes of the artifact's BASE (everything under `path` except the
+    * `_delta` tree and hidden siblings) — the size-tiered policy's
+    * base-side input. */
+  private def baseBytes(fs: org.apache.hadoop.fs.FileSystem,
+                        path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .foldLeft(0L)((acc, s) =>
+        acc + fs.getContentSummary(s.getPath).getLength)
+  }
+
+  /** MERGE the committed delta generations of a delta-capable artifact
+    * into ONE generation — the size-tiered (LSM-style minor) compaction
+    * (r15 verdict #4): write cost scales with the DELTAS, never the
+    * corpus-sized base, so a long-running fold-in fleet stops paying an
+    * O(artifact) rewrite every [[DefaultMaxGenerations]] appends. The
+    * merged generation carries the newest-wins survivors of the merged
+    * gens — for each key, the row-SET of its highest-generation delta —
+    * restamped with the merged generation's own (freshly claimed,
+    * strictly higher) number M, so:
+    *
+    *  - reconcile(base, gen-M) == reconcile(base, old gens) exactly
+    *    (the load reconcile would have picked the same rows);
+    *  - a crash between committing gen-M and deleting the old gens is
+    *    harmless: per key, max-_seq is M, so the old copies lose the
+    *    reconcile deterministically — no duplicates, no stale winners;
+    *  - a generation committed CONCURRENTLY (claimed after M) keeps
+    *    winning over the merged rows, exactly as it won over the
+    *    originals.
+    *
+    * The merged generation is written ASIDE (hidden `.merge-tmp-M`),
+    * verified (`_SUCCESS`), renamed into place, and only then are the
+    * merged `gen-N` directories and their spent locks dropped — at no
+    * point does a reader see a partial generation or miss a committed
+    * one. Same single-maintainer contract as [[compactSwap]]: one
+    * merge/compaction at a time per artifact.
+    *
+    * Returns false (no-op) when fewer than two committed generations
+    * exist. */
+  def mergeDeltaGenerations(spark: SparkSession, path: String,
+                            schema: StructType,
+                            keyCols: Seq[String]): Boolean = {
+    val f = org.apache.spark.sql.functions
+    val deltaPath = s"$path/$DeltaDir"
+    requireGenLayout(spark, deltaPath)
+    val fs = fsOf(spark, deltaPath)
+    // stale pre-rename work from a crashed merge: base + gens intact,
+    // safe to discard
+    if (fs.exists(new org.apache.hadoop.fs.Path(deltaPath)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(deltaPath)).toSeq
+        .filter(_.getPath.getName.startsWith(".merge-tmp-"))
+        .foreach(s => fs.delete(s.getPath, true))
+    val gens0 = genDirNumbers(fs, deltaPath).sorted
+    if (gens0.size < 2) return false
+    val m = claimGeneration(spark, deltaPath) // > every gens0 number
+    val merged = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(gens0.map(n => s"$deltaPath/gen-$n"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(f.col).toIndexedSeq: _*)
+    val sortCols = schema.fields.map(_.name).toIndexedSeq
+    val tmp = new org.apache.hadoop.fs.Path(s"$deltaPath/.merge-tmp-$m")
+    merged
+      .withColumn("_mx", f.max(f.col(DeltaSeqCol)).over(w))
+      .filter(f.col(DeltaSeqCol) === f.col("_mx"))
+      .select(schema.fields.map(x => f.col(x.name)).toIndexedSeq: _*)
+      .withColumn(DeltaSeqCol, f.lit(m))
+      .repartition(1)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .write.parquet(tmp.toString)
+    require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
+      s"mergeDeltaGenerations: merged generation at $tmp did not commit " +
+        s"(_SUCCESS missing) — original generations at $deltaPath are " +
+        "untouched")
+    require(fs.rename(tmp,
+        new org.apache.hadoop.fs.Path(s"$deltaPath/gen-$m")),
+      s"mergeDeltaGenerations: could not activate gen-$m — merged tree " +
+        s"left at $tmp, original generations untouched")
+    // drop the merged gens and their spent locks; a crash mid-delete
+    // leaves leftovers that lose every reconcile (seq < M) and are
+    // re-merged away by the next pass
+    gens0.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$deltaPath/gen-$n"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$deltaPath/$DeltaLockDir/gen-$n"), false)
+    }
+    true
+  }
+
+  /** (schema, reconcile keys) for each delta-capable
+    * [[detectArtifactKind]] kind — the merge dispatcher's table.
+    * `retrieval` is handled by [[mergerFor]] directly (three delta-
+    * bearing sub-artifacts). */
+  private def mergeParams(kind: String): (StructType, Seq[String]) =
+    kind match {
+      case "hnsw"    => (hnswIndexSchema, Seq("layer", "query_id"))
+      case "graph"   => (graphIndexSchema, Seq("query_id"))
+      case "pqcodes" => (pqCodesSchema, Seq("vec_id"))
+      case "ivf"     => (ivfIndexSchema, Seq("vec_id"))
+      case "ivfpq"   => (ivfPqIndexSchema, Seq("vec_id"))
+      case "vectors" => (vectorsSchema, Seq("vec_id"))
+      case "tokens"  => (tokensSchema, Seq("doc_id", "token_idx"))
+      case "pooled"  => (pooledSchema, Seq("id"))
+      case "bandedsigs" => (bandedSigSchema, Seq("id"))
+      case other => sys.error(s"mergeParams: unknown artifact kind $other")
+    }
+
+  /** The generation-merge for a [[detectArtifactKind]] kind — the
+    * size-tiered counterpart of [[compactorFor]]. */
+  def mergerFor(kind: String): (SparkSession, String) => Boolean =
+    kind match {
+      case "retrieval" => (s, p) =>
+        Seq(("postings", postingsSchema, Seq("term", "doc_id")),
+            ("terms", retrievalTermsSchema, Seq("term")),
+            ("doclens", docLensSchema, Seq("doc_id")))
+          .map { case (sub, sch, keys) =>
+            mergeDeltaGenerations(s, s"$p/$sub", sch, keys) }
+          .exists(identity)
+      case k =>
+        val (schema, keys) = mergeParams(k)
+        (s, p) => mergeDeltaGenerations(s, p, schema, keys)
+    }
+
+  /** A full base fold costs O(base + deltas) bytes written; a
+    * generation merge costs O(deltas). Merge while the pending deltas
+    * are under base/[[MergeSizeRatio]] (write amplification bounded:
+    * each byte is re-merged at most ~log_2(base/delta) times before a
+    * full fold claims it); past the ratio the deltas are a meaningful
+    * fraction of the artifact and the full fold both bounds reconcile
+    * work AND re-establishes the data-sized file layout. */
+  val MergeSizeRatio = 8L
+
+  /** Size-tiered maintenance policy (r15 verdict #4): when the claimed
+    * generation count reaches `maxGenerations`, MERGE the delta
+    * generations (O(deltas) write) while they are small relative to
+    * the base, and run the artifact's full compaction (O(artifact)
+    * write, data-sized layout restored) once they are not. Returns the
+    * action taken ("none" | "merged" | "compacted"). The serving
+    * loops' [[compactIfNeeded]] remains the always-full-fold policy;
+    * this is the long-running-fleet variant [[maintainRoot]] runs. */
+  def compactOrMergeIfNeeded(spark: SparkSession, path: String,
+                             maxGenerations: Long, kind: String)
+                            (compact: (SparkSession, String) => Unit)
+      : String = {
+    require(maxGenerations >= 1,
+      s"compactOrMergeIfNeeded: maxGenerations=$maxGenerations must " +
+        "be >= 1")
+    val fs = fsOf(spark, path)
+    // a retrieval ROOT carries no _delta of its own — policy inputs
+    // are the max/sums over its delta-bearing sub-artifacts
+    val subs =
+      if (kind == "retrieval")
+        Seq("postings", "terms", "doclens").map(s => s"$path/$s")
+      else Seq(path)
+    val gens = subs.map(deltaGenerations(spark, _)).max
+    if (gens < maxGenerations) "none"
+    else {
+      val db = subs.map(s => deltaBytes(fs, s"$s/$DeltaDir")).sum
+      val bb = subs.map(baseBytes(fs, _)).sum
+      // a merge leaves ONE live generation, so it only satisfies the
+      // policy when the threshold is at least 2
+      if (maxGenerations >= 2 && db * MergeSizeRatio < bb &&
+          mergerFor(kind)(spark, path))
+        "merged"
+      else { compact(spark, path); "compacted" }
+    }
+  }
+
   /** One artifact's row in a [[maintainRoot]] sweep: what was found
     * at `path`, how many generations it carried when inspected, and
     * whether this sweep compacted it. `kind` None = unclassifiable
@@ -1588,8 +1785,14 @@ object TrainedState {
           MaintenanceReceipt(p, kind, gens, compacted = false)
         else kind match {
           case Some(k) =>
-            compactorFor(k)(spark, p)
-            MaintenanceReceipt(p, Some(k), gens, compacted = true)
+            // size-tiered (r15 verdict #4): merge small delta
+            // generations O(deltas) while the base dwarfs them; full
+            // fold O(artifact) once they are a meaningful fraction —
+            // bounded write amplification on a long-running fleet
+            val action = compactOrMergeIfNeeded(spark, p,
+              maxGenerations, k)(compactorFor(k))
+            MaintenanceReceipt(p, Some(k), gens,
+              compacted = action != "none")
           case None =>
             MaintenanceReceipt(p, None, gens, compacted = false)
         }
@@ -1707,7 +1910,7 @@ object TrainedState {
     * read ([[requireGenLayout]] — the recursive read would otherwise
     * null out partition-directory columns and silently drop those
     * generations); see MIGRATION.md. */
-  private def readDeltas(spark: SparkSession, deltaPath: String): DataFrame = {
+  private[similarity] def readDeltas(spark: SparkSession, deltaPath: String): DataFrame = {
     requireGenLayout(spark, deltaPath)
     spark.read.option("recursiveFileLookup", "true").parquet(deltaPath)
   }
@@ -2229,6 +2432,16 @@ object TrainedState {
     // checkpoint + incremental-limit key collect pair
     val brows = posts.groupBy(f.col("term"))
       .agg(f.count(f.lit(1)).as("_bdf")).collect()
+    // the fold contract says batches are BOUNDED (a trigger's worth of
+    // docs); a caller that violates it lands here with a vocabulary-
+    // sized driver pull — fail loudly with the contract's name instead
+    // of an unattributable driver OOM (r15 ADVICE: the old >4096-term
+    // branch at least hit the 8GB broadcast cap's error message)
+    require(brows.length <= (1 << 21),
+      s"foldInRetrieval: batch touched ${brows.length} distinct terms " +
+        "(> 2^21) — fold-in batches must be trigger-bounded; ingest this " +
+        "corpus through buildRetrievalIndex / consolidateRetrievalIndex " +
+        "instead")
     import scala.jdk.CollectionConverters._
     val batchLocal = spark.createDataFrame(brows.toSeq.asJava,
       StructType(Seq(StructField("term", StringType),
@@ -2386,7 +2599,7 @@ object TrainedState {
       .write.mode("overwrite").parquet(path)
   }
 
-  private def load(spark: SparkSession, schema: StructType,
+  private[similarity] def load(spark: SparkSession, schema: StructType,
                    path: String): DataFrame = {
     val df = spark.read.parquet(path)
     val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
