@@ -196,6 +196,30 @@ object AdcLut {
     if (poisoned) 1 else { outSum(0) = acc; 2 }
   }
 
+  /** Driver-side probe over a plain codes array — the mirror-walk
+    * scorer's entry ([[graft.similarity.GraphAnn]]): same LUT, same
+    * status contract as [[probe]] (0 = drop, 1 = keep with NULL score,
+    * 2 = keep with `out(0)`), same fold arithmetic. */
+  private[graft] def scoreLocal(luts: Luts, q: Long, codes: Array[Int],
+                                out: Array[Double]): Int = {
+    val lut = luts.lut(q)
+    if (lut == null) return 0
+    val numSub = luts.numSub
+    if (codes.length != numSub) return 0
+    var acc = 0.0
+    var poisoned = false
+    var s = 0
+    while (s < numSub) {
+      val c = codes(s)
+      val i = java.util.Arrays.binarySearch(lut.codes(s), c)
+      if (i < 0 || lut.dup(s)(i)) return 0
+      if (lut.partNull(s)(i)) poisoned = true
+      else if (!poisoned) acc += lut.parts(s)(i)
+      s += 1
+    }
+    if (poisoned) 1 else { out(0) = acc; 2 }
+  }
+
   /** Keep-predicate expression: true iff the candidate would have
     * survived the legacy join + size filter. */
   case class AdcKeep(left: Expression, right: Expression, luts: Luts)

@@ -149,35 +149,40 @@ object GraphAnn {
       .orderBy(col("score").desc, col("node"))
 
     val visited = walkLoop(
-      score(entries.select(col("query_id"), col("node")), entryIds),
+      entries.select(col("query_id"), col("node")), entryIds,
       adj, score,
-      // mirror-path scorer: the bounded probe batch collected once to a
-      // local relation, so per-hop scoring fetches broadcast it without
-      // a Spark job (the pqSearcher qLocal convention). BYTE-BUDGETED:
-      // the walk passes the seed row count (== |queries| here — every
-      // caller seeds each query at entries that resolve in the corpus),
-      // the width probe fetches one embedding, and a batch whose
-      // count × dim exceeds the cell budget keeps the cluster-shaped
-      // scorer instead of pulling hundreds of MB of embeddings to the
-      // driver — the mirror itself only ever holds 24 B/row tuples.
+      // mirror-path scorer (r16): DRIVER-side cosine over the collected
+      // probe batch + an isin-fetched, cached node-embedding slice —
+      // one fetch job per hop's uncached ids, zero broadcast builds
+      // (bit-exact to the DataFrame scorer: [[cosineGuardedLocal]]).
+      // BYTE-BUDGETED exactly like the previous localized-q scorer: the
+      // walk passes the seed row count (== |queries| here), the pull is
+      // pre-gated, and a batch whose count × dim exceeds the cell
+      // budget keeps the cluster-shaped scorer; the node-side cache
+      // carries the same cell budget (exceeded → cleared, refetched).
       localScore = Some((seedRows: Long) => {
-        if (seedRows > maxLocalQueryRows) score
+        if (seedRows > maxLocalQueryRows) None
         else {
-          // rows are pre-gated, so this pull is bounded (~64 MB worst
-          // case at the 4096-dim contract ceiling); the cell budget
-          // then checks the ACTUAL width and discards the pull if the
-          // batch is too wide to keep resident — no probe job needed
           val qRows = q.collect()
           val cells = qRows.iterator.map(r =>
             if (r.isNullAt(1)) 1L else r.getSeq[Float](1).length.toLong)
             .foldLeft(0L)(_ + _)
           if (qRows.length > maxLocalQueryRows ||
-              cells > maxLocalScoreCells) score
+              cells > maxLocalScoreCells) None
           else {
-            import scala.jdk.CollectionConverters._
-            val qLocal = queries.sparkSession.createDataFrame(
-              qRows.toSeq.asJava, q.schema)
-            scorer(qLocal, nodes) _
+            val qMap =
+              new java.util.HashMap[java.lang.Long, Array[Float]]()
+            qRows.foreach { r =>
+              if (!r.isNullAt(0)) {
+                val id = java.lang.Long.valueOf(r.getLong(0))
+                if (!qMap.containsKey(id))
+                  qMap.put(id,
+                    if (r.isNullAt(1)) null
+                    else floatsOrNull(r.getSeq[Any](1)))
+              }
+            }
+            Some(new CosineMirrorScorer(qMap, nodes, MaxInlineFrontier,
+              maxLocalScoreCells))
           }
         }
       }),
@@ -306,10 +311,6 @@ object GraphAnn {
     * them makes most hops a SINGLE Spark job (the scoring fetch). */
   private val AdjCacheCap = 1 << 21
 
-  /** Row cap for collecting the per-query ADC table to a local
-    * relation in [[pqSearcher]] (~24 B/row → a few MB). */
-  private val MaxLocalAdcRows = 1 << 18
-
   /** The mirror walk's per-hop adjacency fetch, exposed for plan-shape
     * pinning (the spec pins the EXACT plan the hot loop runs): the
     * frontier chunk becomes an `isin` ON the edge scan — against a
@@ -323,16 +324,189 @@ object GraphAnn {
     adj.filter(col("_src").isin(chunk: _*))
       .select(col("_src"), col("_dst"))
 
-  private[similarity] def walkLoop(visited0: DataFrame, adj: DataFrame,
+  /** DRIVER-side scorer for the mirror walk (r16): scores a fresh
+    * (query, node) set entirely on the driver against cached node-side
+    * data fetched in isin-chunked scans — ONE Spark job per hop for the
+    * uncached slice, where the DataFrame scorer paid a scoring collect
+    * PLUS broadcast-exchange build jobs per hop (measured: the
+    * BroadcastExchange pool owned ~166 of e_ann_hnsw_fold_compact's 206
+    * jobs per rep). Implementations REPLICATE their DataFrame scorer's
+    * arithmetic and null semantics bit-for-bit — the walk's mirror
+    * stored `Row.getDouble`'s null→0.0 coercion before, so a NULL score
+    * maps to 0.0 here too, and a pair whose node-side rows are absent
+    * or malformed is OMITTED exactly like the legacy inner join. */
+  private[similarity] trait MirrorScorer {
+    def score(pairs: Array[(Long, Long)]): Array[(Long, Long, Double)]
+  }
+
+  /** [[Similarity.cosineGuarded]] replicated driver-side: null array /
+    * null element → null dot → NULL denominator → the `otherwise`
+    * branch (-∞); positive denominator with a length-mismatched pair →
+    * NULL score → 0.0 (the mirror's Row.getDouble coercion). */
+  private[similarity] final class CosineMirrorScorer(
+      qEmb: java.util.HashMap[java.lang.Long, Array[Float]],
+      nodes: DataFrame, maxInline: Int,
+      cellBudget: Long) extends MirrorScorer {
+    private val cache =
+      new java.util.HashMap[java.lang.Long, Array[Float]]()
+    private val absent = new java.util.HashSet[java.lang.Long]()
+    private val present = new java.util.HashSet[java.lang.Long]()
+    private var cells = 0L
+
+    private def fetch(missing: Array[Long]): Unit =
+      missing.grouped(maxInline).foreach { chunk =>
+        val rows = nodes
+          .filter(col("node").isin(chunk.toIndexedSeq: _*))
+          .select(col("node"), col("n_emb")).collect()
+        rows.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val id = java.lang.Long.valueOf(r.getLong(0))
+            // first collected row wins a (contract-violating)
+            // duplicate-id corpus, like the mirror's seen-dedup did
+            if (present.add(id)) {
+              val emb = if (r.isNullAt(1)) null
+                else GraphAnn.floatsOrNull(r.getSeq[Any](1))
+              cache.put(id, emb)
+              if (emb != null) cells += emb.length
+            }
+          }
+        }
+        chunk.foreach { id =>
+          if (!present.contains(id)) absent.add(id)
+        }
+      }
+
+    def score(pairs: Array[(Long, Long)]): Array[(Long, Long, Double)] = {
+      // transparent cache with a cell budget: exceeding it clears the
+      // cache (later hops refetch — cost, never correctness)
+      if (cells > cellBudget) {
+        cache.clear(); present.clear(); cells = 0L
+      }
+      val missing = pairs.iterator.map(_._2).filter(id =>
+        !present.contains(id) && !absent.contains(id))
+        .toArray.distinct.sorted
+      fetch(missing)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      pairs.foreach { case (q, n) =>
+        if (present.contains(n) && qEmb.containsKey(q)) {
+          val a = qEmb.get(q)
+          val b = cache.get(n)
+          out += ((q, n, GraphAnn.cosineGuardedLocal(a, b)))
+        }
+      }
+      out.toArray
+    }
+  }
+
+  /** The ADC scorer's driver twin: candidate code rows fetch in
+    * isin-chunked scans, regroup per node with the EXACT sub-sequence
+    * check (same drop semantics as the legacy inner-join + size filter
+    * — see [[graft.functions.AdcLut]]), scores probe the same LUTs. */
+  private[similarity] final class AdcMirrorScorer(
+      luts: graft.functions.AdcLut.Luts, codeRows: DataFrame,
+      numSub: Int, maxInline: Int) extends MirrorScorer {
+    // node -> codes array; null value = malformed (drop every pair)
+    private val cache =
+      new java.util.HashMap[java.lang.Long, Array[Int]]()
+    private val known = new java.util.HashSet[java.lang.Long]()
+    private val scratch = new Array[Double](1)
+
+    private def fetch(missing: Array[Long]): Unit =
+      missing.grouped(maxInline).foreach { chunk =>
+        val rows = codeRows
+          .filter(col("node").isin(chunk.toIndexedSeq: _*))
+          .select(col("node"), col("sub"), col("code")).collect()
+        val bySrc = rows.filter(r => !r.isNullAt(0)).groupBy(_.getLong(0))
+        bySrc.foreach { case (id, rs) =>
+          val key = java.lang.Long.valueOf(id)
+          known.add(key)
+          // exact sub set 0..numSub-1, no nulls, no duplicates — else
+          // the candidate drops (legacy: incomplete or over-complete
+          // join output fails the size filter)
+          val ok = rs.length == numSub && !rs.exists(r =>
+            r.isNullAt(1) || r.isNullAt(2)) &&
+            rs.map(_.getInt(1)).sorted.sameElements(0 until numSub)
+          if (!ok) cache.put(key, null)
+          else {
+            val codes = new Array[Int](numSub)
+            rs.foreach(r => codes(r.getInt(1)) = r.getInt(2))
+            cache.put(key, codes)
+          }
+        }
+        chunk.foreach { id =>
+          val key = java.lang.Long.valueOf(id)
+          if (!known.contains(key)) { known.add(key); cache.put(key, null) }
+        }
+      }
+
+    def score(pairs: Array[(Long, Long)]): Array[(Long, Long, Double)] = {
+      val missing = pairs.iterator.map(_._2)
+        .filter(id => !known.contains(id)).toArray.distinct.sorted
+      fetch(missing)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      pairs.foreach { case (q, n) =>
+        val codes = cache.get(java.lang.Long.valueOf(n))
+        if (codes != null)
+          graft.functions.AdcLut.scoreLocal(luts, q, codes, scratch) match {
+            case 2 => out += ((q, n, scratch(0)))
+            case 1 => out += ((q, n, 0.0)) // NULL score → getDouble 0.0
+            case _ => ()
+          }
+      }
+      out.toArray
+    }
+  }
+
+  private[similarity] def floatsOrNull(s: Seq[Any]): Array[Float] = {
+    if (s == null) return null
+    val out = new Array[Float](s.length)
+    var i = 0
+    val it = s.iterator
+    while (it.hasNext) {
+      val v = it.next()
+      if (v == null) return null // null element poisons every dot
+      out(i) = v.asInstanceOf[Float]
+      i += 1
+    }
+    out
+  }
+
+  /** [[Similarity.cosineGuarded]]'s exact driver-side value, with the
+    * mirror's null→0.0 coercion applied (see [[MirrorScorer]]). */
+  private[similarity] def cosineGuardedLocal(a: Array[Float],
+                                             b: Array[Float]): Double = {
+    def selfDot(x: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * x(i).toDouble; i += 1 }
+      s
+    }
+    if (a == null || b == null) return Double.NegativeInfinity
+    val denom = math.sqrt(selfDot(a)) * math.sqrt(selfDot(b))
+    if (!(denom > 0)) Double.NegativeInfinity
+    else if (a.length != b.length) 0.0 // NULL dot → NULL score → 0.0
+    else {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s / denom
+    }
+  }
+
+  private[similarity] def walkLoop(entries: DataFrame, entryIds: Seq[Long],
+                                   adj: DataFrame,
                                    score: (DataFrame, Seq[Long]) => DataFrame,
-                                   localScore: Option[Long => (DataFrame, Seq[Long]) => DataFrame],
+                                   localScore: Option[Long => Option[MirrorScorer]],
                                    beam: Int, hops: Int,
                                    emptyOk: => Boolean, failMsg: => String,
                                    maxInline: Int = MaxInlineFrontier,
                                    mirrorCap: Int = MirrorCap,
                                    seedBound: Long = -1L): DataFrame = {
-    if (hops == 0) return visited0
-    val spark = visited0.sparkSession
+    // entries = (query_id, node) SEED PAIRS; the walk scores them itself
+    // (r16) so the seed rides the driver scorer too — the pre-scored-
+    // DataFrame shape paid a scoring collect + broadcast builds per walk
+    if (hops == 0) return score(entries, entryIds)
+    val spark = entries.sparkSession
     // the cap must bind BEFORE the driver pull, not after: an over-cap
     // seed (a caller ignoring the bounded-query-batch contract with a
     // huge fold-in batch) routes to the distributed walk without ever
@@ -341,27 +515,42 @@ object GraphAnn {
     // set), the bound decides for free; otherwise ONE bounded count
     // job decides (plain count + collect, not limit+collect —
     // CollectLimitExec pays ~4 incremental partition-round jobs per
-    // call even under the row count).
+    // call even under the row count). The guard counts the seed PAIRS
+    // (an upper bound of the scored seed — scoring only drops rows):
+    // strategy choice, not semantics.
     if (seedBound < 0 || seedBound > mirrorCap) {
-      val seedCount = visited0.count()
-      require(seedCount > 0 || emptyOk, failMsg)
-      if (seedCount > mirrorCap)
+      val seedCount = entries.count()
+      if (seedCount > mirrorCap) {
+        val visited0 = score(entries, entryIds)
         return walkDistributed(visited0, adj, score, beam, hops, maxInline)
+      }
     }
-    val v0 = visited0.collect()
+    val ePairs = entries.select(col("query_id"), col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // hot-loop scorer: a DRIVER-side [[MirrorScorer]] when the caller's
+    // byte budget allows — per hop, ONE isin-chunked fetch job for the
+    // uncached node slice and zero broadcast builds, vs the DataFrame
+    // scorer's collect + BroadcastExchange jobs (the measured dominant
+    // job source of the lifecycle gate rows); falls back to the
+    // cluster-shaped `score` plan past the budget
+    val driverScore = localScore.flatMap(_.apply(ePairs.length.toLong))
+    val v0: Array[(Long, Long, Double)] = driverScore match {
+      case Some(ms) => ms.score(ePairs)
+      case None =>
+        val ids = ePairs.map(_._2).distinct.sorted
+        score(localPairs(spark,
+            ePairs.map(t => org.apache.spark.sql.Row(t._1, t._2))),
+          if (ids.length <= maxInline) ids.toIndexedSeq else Nil)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
     require(v0.nonEmpty || emptyOk, failMsg)
-    // hot-loop scorer: callers localize their bounded query side once
-    // (a local relation broadcasts WITHOUT a Spark job), so a scoring
-    // fetch is one single-stage job instead of main + broadcast jobs;
-    // the actual seed size lets them budget that pull by rows × width
-    val hotScore = localScore.map(_.apply(v0.length.toLong)).getOrElse(score)
     // the mirror holds visited ROWS verbatim (a degenerate duplicate
     // (query, node) entry pair occupies two beam slots in the window
     // cut exactly like the distributed form); `seen` is the anti-join
     val mirror = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
-    v0.foreach { r =>
-      val t = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    v0.foreach { t =>
       mirror += t; seen += ((t._1, t._2))
     }
     // node → out-neighbors, fetched once per node in isin-chunked scans
@@ -403,14 +592,17 @@ object GraphAnn {
         else {
           val fresh = freshSet.toArray
           val freshIds = fresh.map(_._2).distinct.sorted
-          val scored = hotScore(
-            localPairs(spark,
-              fresh.map(t => org.apache.spark.sql.Row(t._1, t._2))),
-            if (freshIds.length <= maxInline) freshIds.toIndexedSeq
-            else Nil).collect()
+          val scored: Array[(Long, Long, Double)] = driverScore match {
+            case Some(ms) => ms.score(fresh)
+            case None => score(
+                localPairs(spark,
+                  fresh.map(t => org.apache.spark.sql.Row(t._1, t._2))),
+                if (freshIds.length <= maxInline) freshIds.toIndexedSeq
+                else Nil).collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }
           var added = 0
-          scored.foreach { r =>
-            val t = (r.getLong(0), r.getLong(1), r.getDouble(2))
+          scored.foreach { t =>
             if (seen.add((t._1, t._2))) { mirror += t; added += 1 }
           }
           // a fresh set whose every row drops in scoring (absent from
@@ -649,7 +841,8 @@ object GraphAnn {
     * subspace order, incomplete code rows dropped). */
   private[graft] final case class PqCtx(
       qLocal: DataFrame, qCount: Long,
-      scoreAdc: (DataFrame, Seq[Long]) => DataFrame)
+      scoreAdc: (DataFrame, Seq[Long]) => DataFrame,
+      mirrorScorer: MirrorScorer)
 
   private[graft] def pqSearcher(queries: DataFrame, codes: DataFrame,
                                 books: DataFrame, dim: Int,
@@ -667,46 +860,27 @@ object GraphAnn {
     val qLocal = spark.createDataFrame(qRows.toSeq.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "vec_id BIGINT, embedding ARRAY<FLOAT>"))
-    // codebooks are broadcast-sized BY CONTRACT — collect them once to
-    // a local relation, so the per-(query, sub, code) ADC table below
-    // derives entirely from memory and its per-action broadcast never
-    // re-executes the caller's codebook-training plan (measured: the
-    // stride/k-means books plan re-ran on every hop's scoring job)
+    // codebooks are broadcast-sized BY CONTRACT — collect them once, so
+    // the lookup tables below derive entirely from memory and no hop's
+    // scoring job ever re-executes the caller's codebook-training plan
+    // (measured pre-r15: the stride/k-means books plan re-ran on every
+    // hop's scoring job)
     val booksLocalRows = books.select(col("sub").cast("int"),
       col("code").cast("int"), col("centroid")).collect()
-    val booksB = broadcast(spark.createDataFrame(
-      booksLocalRows.toSeq.asJava,
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "sub INT, code INT, centroid ARRAY<FLOAT>")))
-    // per-query ADC lookup table: dot(q_sub, centroid) per (sub, code)
-    val adcPlan = qLocal
-      .select(col("vec_id").as("query_id"),
-        explode(transform(sequence(lit(0), lit(numSub - 1)),
-          s => struct(s.as("sub"),
-            slice(col("embedding"), s * subDim + 1, lit(subDim))
-              .as("subvec")))).as("_e"))
-      .select(col("query_id"), col("_e.sub").as("sub"),
-        col("_e.subvec").as("subvec"))
-      .join(booksB, Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        graft.functions.DotProduct.dot_product(
-          col("subvec"), col("centroid")).as("part"))
-    // when bounded (|q| × |book rows| — both already counted), collect
-    // the ADC table ONCE into a local relation: each hop's scoring job
-    // re-broadcasts the table, and a broadcast of a real plan re-runs
-    // the dot-product join per job where a LocalRelation broadcast
-    // schedules nothing. Values are bit-identical — the same kernel
-    // computes them, one time instead of per hop. Over the cap the
-    // lazy plan stands (the broadcast is then genuinely big).
-    val qRowCount = qRows.length.toLong
-    val bookRowCount = booksLocalRows.length.toLong
-    val adcTable =
-      if (qRowCount * bookRowCount <= MaxLocalAdcRows) {
-        val rows = adcPlan.collect()
-        broadcast(spark.createDataFrame(rows.toSeq.asJava,
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "query_id BIGINT, sub INT, code INT, part DOUBLE")))
-      } else broadcast(adcPlan)
+    // FUSED ADC scorer (r16): the per-query lookup tables build
+    // driver-side from the ALREADY-collected probe batch and codebooks
+    // — the legacy shape materialized a |q|·numSub·|codes| ADC table
+    // and, per hop, joined it against the exploded candidate code rows
+    // through a per-(query, node) hash aggregate (collect_list +
+    // sort_array + interpreted fold). Now each hop regroups the
+    // fetched candidates' code rows to per-node arrays ONCE
+    // (query-independent, numSub× fewer aggregate inputs) and scores
+    // each (query, node) pair with one codegen expression
+    // ([[graft.functions.AdcLut]]; bit-identical contract documented
+    // there, drop semantics pinned by the exact sub-sequence filter —
+    // the e_ann_graph_pq / e_ann_hnsw_pq oracles replay this exactly).
+    val luts = graft.functions.AdcLut.build(qRows, 0, 1, booksLocalRows,
+      numSub, subDim)
     val codeRows = codes.select(col("vec_id").as("node"), col("sub"),
       col("code"))
     def scoreAdc(cand: DataFrame, candIds: Seq[Long]): DataFrame = {
@@ -714,17 +888,26 @@ object GraphAnn {
         if (candIds.nonEmpty && candIds.length <= MaxInlineFrontier)
           codeRows.filter(col("node").isin(candIds: _*))
         else codeRows
-      probed.join(broadcast(cand), Seq("node"))
-        .join(adcTable, Seq("query_id", "sub", "code"))
-        .groupBy(col("query_id"), col("node"))
-        .agg(sort_array(collect_list(struct(col("sub"), col("part"))))
-          .as("_ps"))
-        .filter(size(col("_ps")) === numSub)
+      val probedArr = probed
+        .groupBy(col("node"))
+        .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
+          .as("_sc"))
+        .filter(size(col("_sc")) === numSub &&
+          transform(col("_sc"), p => p.getField("sub")) ===
+            sequence(lit(0), lit(numSub - 1)))
+        .select(col("node"),
+          transform(col("_sc"), p => p.getField("code")).as("codes"))
+      probedArr.join(broadcast(cand), Seq("node"))
+        .filter(graft.functions.AdcLut.adc_keep(
+          col("query_id"), col("codes"), luts))
         .select(col("query_id"), col("node"),
-          aggregate(col("_ps"), lit(0.0),
-            (a, x) => a + x.getField("part")).as("score"))
+          graft.functions.AdcLut.adc_score(
+            col("query_id"), col("codes"), luts).as("score"))
     }
-    PqCtx(qLocal, qRows.length.toLong, scoreAdc _)
+    // ONE driver scorer per context: the node→codes cache is
+    // layer-independent, so the HNSW descent's per-layer walks share it
+    PqCtx(qLocal, qRows.length.toLong, scoreAdc _,
+      new AdcMirrorScorer(luts, codeRows, numSub, MaxInlineFrontier))
   }
 
   /** The codes-only beam walk from PER-ENTRY seeds: seed `entries`
@@ -751,8 +934,9 @@ object GraphAnn {
     // The probe batch is ALREADY counted (qLocal), and descent entries
     // carry one row per query — qCount bounds the seed, so the walk
     // never pays a guard count here
-    walkLoop(ctx.scoreAdc(entries, entryIds), adj, ctx.scoreAdc,
-      localScore = None, beam, hops, emptyOk = ctx.qCount == 0,
+    walkLoop(entries, entryIds, adj, ctx.scoreAdc,
+      localScore = Some(_ => Some(ctx.mirrorScorer)),
+      beam, hops, emptyOk = ctx.qCount == 0,
       failMsg = "searchGraphPq: no entry node has complete code rows",
       mirrorCap = mirrorCap, seedBound = ctx.qCount)
   }
@@ -848,27 +1032,52 @@ object GraphAnn {
                                               batchBound: Long = -1L)
       : (DataFrame, DataFrame) = {
     require(degree >= 1, s"insertBySearch: degree=$degree must be >= 1")
-    val found = searchCore(batch, edges, corpus, entryId, beam, hops,
-      degree, allowed = None, seedBound = batchBound)
+    // the search output is BOUNDED (|batch| × degree) — localize it
+    // once (r16): forward/reverse/touched all derive from the collected
+    // rows, so the re-prune below pays no broadcast-exchange builds and
+    // the touched-source slice prunes the edge scan with a LITERAL
+    // `isin` (row-group pruning against the saveGraphIndex layout)
+    // instead of a broadcast join. Null-key semantics preserved: the
+    // legacy left_anti KEPT null-query_id edge rows (null keys match
+    // nothing), so the passthrough filter keeps them explicitly.
+    val foundRows = searchCore(batch, edges, corpus, entryId, beam, hops,
+      degree, allowed = None, seedBound = batchBound).collect()
+    val spark = edges.sparkSession
+    import scala.jdk.CollectionConverters._
+    val foundLocal = spark.createDataFrame(foundRows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, rank INT, neighbor_id BIGINT, cos_sim DOUBLE"))
     // new nodes' out-edges: the search results verbatim (already ranked
     // 1..degree by the searchGraph contract)
-    val forward = found.select(col("query_id"), col("rank"),
+    val forward = foundLocal.select(col("query_id"), col("rank"),
       col("neighbor_id"), col("cos_sim"))
     // reverse edges: candidate rows for the touched sources, then ONE
     // re-prune window over (existing ∪ reverse) rows of those sources
-    val reverse = found.select(col("neighbor_id").as("query_id"),
+    val reverse = foundLocal.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"), col("cos_sim"))
-    val touched = reverse.select(col("query_id")).distinct()
+    val touchedIds = foundRows.filter(!_.isNullAt(2)).map(_.getLong(2))
+      .distinct.sorted.toIndexedSeq
     val old = edges.select(col("query_id"), col("rank"),
       col("neighbor_id"), col("cos_sim"))
     // original ranks ride through — no corpus-wide window; only the
     // touched slice re-sorts
-    val untouched = old.join(broadcast(touched), Seq("query_id"),
-      "left_anti")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val repruned = old.drop("rank")
-      .join(broadcast(touched), Seq("query_id"))
+    // past the inline cap the broadcast-join shape returns (same rows;
+    // the literal list is a scan-pruning strategy, not semantics)
+    val (untouched, touchedSlice) =
+      if (touchedIds.isEmpty)
+        (old, old.drop("rank").limit(0))
+      else if (touchedIds.length <= MaxInlineFrontier)
+        (old.filter(col("query_id").isNull ||
+           !col("query_id").isin(touchedIds: _*)),
+         old.drop("rank").filter(col("query_id").isin(touchedIds: _*)))
+      else {
+        val touched = reverse.select(col("query_id")).distinct()
+        (old.join(broadcast(touched), Seq("query_id"), "left_anti"),
+         old.drop("rank").join(broadcast(touched), Seq("query_id")))
+      }
+    val repruned = touchedSlice
       .unionByName(reverse)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= degree)

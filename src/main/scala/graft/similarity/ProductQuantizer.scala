@@ -200,22 +200,52 @@ object ProductQuantizer {
                                        numSub: Int, k: Int,
                                        rerank: Int): DataFrame = {
     val subDim = dim / numSub
-    val books = broadcast(booksLocal)
-    // per-query ADC table: dot(q_sub, centroid) for every (sub, code) —
-    // |queries| × numSub × |codes| rows, broadcast to the codes table
-    val adc = broadcast(
-      explodeSubs(qLocal, "embedding", numSub, subDim)
-        .join(books, Seq("sub"))
-        .select(col("vec_id").as("query_id"), col("sub"), col("code"),
-          graft.functions.DotProduct.dot_product(
-            col("subvec"), col("centroid")).as("part")))
-    val approx = codes.join(adc, Seq("sub", "code"))
+    // FUSED form (r16): the legacy shape joined the per-sub codes rows
+    // against a broadcast |q|·numSub·|codes| ADC table and rebuilt each
+    // candidate through a corpus×queries-sized hash aggregate
+    // (collect_list + sort_array + interpreted fold). Here the codes
+    // regroup to per-vector arrays ONCE (query-independent — numSub×
+    // fewer aggregate input rows than the legacy per-query agg), the
+    // LUTs build driver-side from the SAME local relations the legacy
+    // plan broadcast, and scoring is one codegen expression per
+    // (candidate, query) pair ([[graft.functions.AdcLut]] — exactness
+    // contract documented there; bit-equality vs the legacy shape is
+    // spec-pinned in AdcLutSpec/OpqSpec/the PQ oracles).
+    //
+    // The regrouped row is kept only when its sub set is EXACTLY
+    // 0..numSub-1 (same drop semantics as the legacy
+    // size(_ps) === numSub filter over inner-joined parts: encode()
+    // produces exactly one row per (vector, subspace), so well-formed
+    // codes always pass; a malformed vector drops in both shapes).
+    val qRows = qLocal.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+    val booksRows = booksLocal.select(col("sub").cast("int"),
+      col("code").cast("int"), col("centroid")).collect()
+    val luts = graft.functions.AdcLut.build(qRows, 0, 1, booksRows,
+      numSub, subDim)
+    val codesArr = codes
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
+        .as("_sc"))
+      .filter(size(col("_sc")) === numSub &&
+        transform(col("_sc"), p => p.getField("sub")) ===
+          sequence(lit(0), lit(numSub - 1)))
+      .select(col("vec_id"),
+        transform(col("_sc"), p => p.getField("code")).as("codes"))
+    val qIds = broadcast(qLocal.sparkSession.createDataFrame(
+      {
+        import scala.jdk.CollectionConverters._
+        qRows.toSeq.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0))).asJava
+      },
+      org.apache.spark.sql.types.StructType.fromDDL("query_id BIGINT")))
+    val approx = codesArr.crossJoin(qIds)
       .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("part")))).as("_ps"))
-      .filter(size(col("_ps")) === numSub) // every subspace contributed
-      .withColumn("adc_score",
-        aggregate(col("_ps"), lit(0.0), (a, x) => a + x.getField("part")))
+      .filter(graft.functions.AdcLut.adc_keep(
+        col("query_id"), col("codes"), luts))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.AdcLut.adc_score(
+          col("query_id"), col("codes"), luts).as("adc_score"))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("vec_id"))
     approx

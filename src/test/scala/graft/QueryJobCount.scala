@@ -28,9 +28,40 @@ object QueryJobCount {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    // GRAFT_JOB_TRACE=1: count jobs per CALLSITE so a job-heavy query
+    // attributes its scheduler round trips to code lines
+    val trace = sys.env.get("GRAFT_JOB_TRACE").contains("1")
+    val sites = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobCount.incrementAndGet(); ()
+        jobCount.incrementAndGet()
+        if (trace) {
+          // the SQL execution pool's jobs carry a lambda frame as the
+          // stage NAME; the stage DETAILS hold the full callsite stack —
+          // the first graft frame is the attributable line
+          val fromDetails = j.stageInfos.lastOption.flatMap(si =>
+            si.details.split('\n').find(_.contains("graft."))
+              .map(_.trim))
+          val site = fromDetails
+            .orElse(j.stageInfos.lastOption
+              .map(_.name.takeWhile(_ != '\n')))
+            .getOrElse("?")
+          if (site.contains("withThreadLocalCaptured") &&
+              sys.env.contains("GRAFT_JOB_DUMP")) {
+            val si = j.stageInfos.lastOption
+            println(s"[jobdump] name=${si.map(_.name).getOrElse("?")}")
+            println(s"[jobdump] details=${si.map(_.details).getOrElse("?")}")
+            println(s"[jobdump] props=" + Option(j.properties).map(p =>
+              p.stringPropertyNames().toArray.toSeq.map(k =>
+                s"$k=${p.getProperty(k.toString).take(120)}")
+                .mkString("; ")).getOrElse("none"))
+          }
+          sites.computeIfAbsent(site,
+            _ => new java.util.concurrent.atomic.AtomicInteger)
+            .incrementAndGet()
+        }
+        ()
       }
     })
     args.foreach { name =>
@@ -47,9 +78,17 @@ object QueryJobCount {
         (t, jobCount.get() - j0)
       }
       once() // warmup
+      sites.clear()
       (1 to 3).foreach { i =>
         val (t, j) = once()
         println(f"[jobs] $name rep$i time=$t%7.3f s jobs=$j")
+      }
+      if (trace) {
+        import scala.jdk.CollectionConverters._
+        sites.asScala.toSeq.sortBy(-_._2.get()).foreach { case (s, n) =>
+          println(f"[jobs]   ${n.get()}%4d x $s")
+        }
+        sites.clear()
       }
     }
     spark.stop()

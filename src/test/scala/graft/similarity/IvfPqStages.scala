@@ -94,6 +94,30 @@ object IvfPqStages {
       s2(); val t2 = timedMin(s2())
       val shortlist = Similarity.localizeBounded(shortlistPlan, 1 << 17)
 
+      // s2f: the r16 FUSED candidate stage (AdcLut codegen expression in
+      // place of the explode→join→groupBy→fold above) — same probed
+      // rows, same index, same shortlist cut
+      val probedRows = probed.collect()
+      val booksRows = books.select(col("sub").cast("int"),
+        col("code").cast("int"), col("centroid")).collect()
+      val luts = graft.functions.AdcLut.build(probedRows,
+        probed.schema.fieldIndex("query_id"),
+        probed.schema.fieldIndex("q_emb"), booksRows, numSub, subDim)
+      val candFused = Similarity.joinProbedCells(index,
+          probed.select("query_id", "centroid_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .filter(graft.functions.AdcLut.adc_keep(
+          col("query_id"), col("codes"), luts))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.AdcLut.adc_score(
+            col("query_id"), col("codes"), luts).as("adc_score"))
+      val shortlistFusedPlan = candFused
+        .withColumn("_r", row_number().over(wAdc))
+        .filter(col("_r") <= k * rerank)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      def s2f(): Unit = { shortlistFusedPlan.limit(1 << 17).collect(); () }
+      s2f(); val t2f = timedMin(s2f())
+
       // s3: exact rerank from the localized shortlist
       val q = broadcast(probes.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb")))
@@ -118,7 +142,7 @@ object IvfPqStages {
         .write.format("noop").mode("overwrite").save()
       e2e(); val te = timedMin(e2e())
       println(f"[ivfpq-stages] $tag s1_probe=$t1%.3fs s2_adc=$t2%.3fs " +
-        f"s3_rerank=$t3%.3fs e2e=$te%.3fs")
+        f"s2_fused=$t2f%.3fs s3_rerank=$t3%.3fs e2e=$te%.3fs")
     }
     spark.stop()
   }
