@@ -1475,6 +1475,20 @@ object Similarity {
     * real probe batch. */
   private[similarity] val MaxLocalShortlistRows = 1 << 17
 
+  /** Literal-`isin` id bound for the shortlist fetch — MEASURED, not
+    * assumed (r15 verdict #3; IsinCapMeasure leg, SCALE.md r16):
+    * Catalyst planning and per-row-group stat evaluation are O(values),
+    * and with ids spread across every file (the stat-eval worst case —
+    * nothing prunes) the literal fetch reads 1.15×/1.97×/7.95×/9.78×
+    * the broadcast-join fallback at 10³/10⁴/10⁵/2¹⁷ ids. Up to ~4k ids
+    * the two are within noise of each other on scattered ids while the
+    * literal form keeps its row-group-pruning win whenever the ids
+    * cluster; past the bound the fetch keeps the LOCALIZED shortlist
+    * (one execution of the coarse stage) but joins it broadcast-shaped
+    * instead of inlining the ids. Matches [[GraphAnn.MaxInlineFrontier]]
+    * — the repo-wide inline-literal convention. */
+  private[similarity] val MaxIsinShortlistIds = 1 << 12
+
   /** The exact-rerank FLOAT FETCH shared by every coarse→rerank serve
     * path (PQ / IVF-PQ / OPQ / int8 / binary / graph-PQ tails): join a
     * bounded `(query_id, neighbor_id)` shortlist against the float
@@ -1510,7 +1524,11 @@ object Similarity {
       val local = spark.createDataFrame(rows.toSeq.asJava, shortlist.schema)
       val nIdx = shortlist.schema.fieldIndex("neighbor_id")
       val ids = rows.map(_.getLong(nIdx)).distinct.toIndexedSeq
-      if (ids.isEmpty) broadcast(local).join(cEmb, Seq("neighbor_id"))
+      if (ids.isEmpty || ids.length > MaxIsinShortlistIds)
+        // empty, or past the measured literal-width crossover
+        // ([[MaxIsinShortlistIds]]): localized (coarse stage ran once)
+        // but join-shaped — same rows, no O(values) literal
+        broadcast(local).join(cEmb, Seq("neighbor_id"))
       else cEmb.filter(col("neighbor_id").isin(ids: _*))
         .join(broadcast(local), Seq("neighbor_id"))
     }

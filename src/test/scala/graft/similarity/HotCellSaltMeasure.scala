@@ -30,8 +30,25 @@ object HotCellSaltMeasure {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val src = args.headOption.getOrElse("/tmp/graft_sf100")
-    val emb = graft.Tables.load(spark, src, "embeddings")
+    // the sf0.1 embeddings table is ~2k rows, so even the 100× corpus
+    // gives only a 40k-row hot cell (measured: a wash — still below the
+    // knob's regime). Materialize a 2500× corpus with the Round24/25
+    // recipe: ~5M rows, hot cell ≈ 10^6 rows ≈ 250 MB of floats.
+    val mult = args.headOption.map(_.toInt).getOrElse(2500)
+    val outDir = s"/tmp/graft_sf$mult"
+    if (!new java.io.File(s"$outDir/embeddings.parquet").exists()) {
+      graft.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .select(explode(sequence(lit(0), lit(mult - 1))).as("c"), col("*"))
+        .withColumn("vec_id", col("vec_id") * mult + col("c"))
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          when(i === 0, x + col("c").cast("float") * lit(0.001f))
+            .otherwise(x)))
+        .drop("c")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"[hotcell] materialized ${mult}x embeddings at $outDir")
+    }
+    val emb = graft.Tables.load(spark, outDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     // planted skew: ~20% of the corpus lands in cell 0, the rest
     // spreads over 63 cold cells
@@ -39,8 +56,8 @@ object HotCellSaltMeasure {
       when(pmod(col("vec_id"), lit(5)) === 0, lit(0L))
         .otherwise(pmod(col("vec_id"), lit(63)) + 1L).as("centroid_id"),
       col("embedding"))
-    val onePath = "/tmp/graft_r31_hotcell_one"
-    val saltPath = "/tmp/graft_r31_hotcell_salt"
+    val onePath = s"/tmp/graft_r31_hotcell_one_$mult"
+    val saltPath = s"/tmp/graft_r31_hotcell_salt_$mult"
     if (!new java.io.File(onePath).exists())
       TrainedState.saveIvfIndex(assigned, onePath)
     if (!new java.io.File(saltPath).exists())
